@@ -1,0 +1,168 @@
+"""Posting-list codecs: delta + variable-byte, and delta + zlib.
+
+Byte-compatible with the reference codecs:
+
+* VByte (reference ``selfindex_z1_simple_compression.py:18-83``): each number
+  is 7-bit groups in big-endian order with the high bit set on the LAST byte;
+  0 encodes as ``0x80``.  Lists are delta-encoded with the first element
+  absolute (``encode_delta``/``decode_delta``).
+* zlib (reference ``selfindex_z2_lib_compression.py:20-65``): deltas packed as
+  little-endian uint32 (``struct '<I'``) then ``zlib.compress(level=9)``.
+
+The scalar reference algorithm is re-expressed vectorized over numpy arrays —
+encoding/decoding whole posting lists at once — because these run inside the
+hot ``map_batches`` / segment-scoring paths.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+def vbyte_encode_with_lengths(numbers: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized VByte encode; also returns bytes-per-value (so callers can
+    slice the output into per-run binary cells without re-encoding)."""
+    n = np.asarray(numbers, dtype=np.uint64)
+    if n.size == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    # Bytes needed per value: number of 7-bit groups, with 0 -> 1 byte.
+    nbytes = np.ones(n.shape, dtype=np.int64)
+    thresh = np.uint64(128)
+    work = n.copy()
+    for _ in range(9):
+        more = work >= thresh
+        if not more.any():
+            break
+        nbytes[more] += 1
+        work = work >> np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    ends = np.cumsum(nbytes) - 1  # index of last byte of each value
+    # Fill bytes from least-significant group (at position `end`) backwards.
+    positions = ends.copy()
+    vals = n.copy()
+    remaining = nbytes.copy()
+    first = True
+    while True:
+        active = remaining > 0
+        if not active.any():
+            break
+        idx = positions[active]
+        group = (vals[active] & np.uint64(0x7F)).astype(np.uint8)
+        if first:
+            group = group | np.uint8(0x80)  # high bit marks the LAST byte
+            first = False
+        out[idx] = group
+        vals[active] = vals[active] >> np.uint64(7)
+        positions[active] -= 1
+        remaining[active] -= 1
+    return out.tobytes(), nbytes
+
+
+def vbyte_encode(numbers: np.ndarray) -> bytes:
+    """Vectorized VByte encode of a non-negative int array."""
+    return vbyte_encode_with_lengths(numbers)[0]
+
+
+def vbyte_decode(data: bytes) -> np.ndarray:
+    """Vectorized VByte decode -> int64 array."""
+    if not data:
+        return np.empty(0, dtype=np.int64)
+    b = np.frombuffer(data, dtype=np.uint8)
+    is_last = (b & 0x80) != 0
+    ends = np.flatnonzero(is_last)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    # shift (in 7-bit groups) for each byte = distance from its value's end
+    value_id = np.cumsum(is_last) - is_last  # 0-based id of owning value
+    byte_pos = np.arange(b.size, dtype=np.int64)
+    shifts = (ends[value_id] - byte_pos) * 7
+    contrib = (b & 0x7F).astype(np.int64) << shifts
+    return np.add.reduceat(contrib, starts)
+
+
+def delta_encode(sorted_numbers: np.ndarray) -> np.ndarray:
+    a = np.asarray(sorted_numbers, dtype=np.int64)
+    if a.size == 0:
+        return a
+    d = np.empty_like(a)
+    d[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=d[1:])
+    return d
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    d = np.asarray(deltas, dtype=np.int64)
+    return np.cumsum(d)
+
+
+def encode_postings(sorted_doc_ids: np.ndarray) -> bytes:
+    """delta + VByte over an ascending doc-id array (reference z=1 layout)."""
+    return vbyte_encode(delta_encode(sorted_doc_ids))
+
+
+def decode_postings(data: bytes) -> np.ndarray:
+    return delta_decode(vbyte_decode(data))
+
+
+def encode_tfs(tfs: np.ndarray) -> bytes:
+    """Term frequencies travel alongside postings; plain VByte (no delta —
+    tfs are small and unordered)."""
+    return vbyte_encode(np.asarray(tfs, dtype=np.int64))
+
+
+def decode_tfs(data: bytes) -> np.ndarray:
+    return vbyte_decode(data)
+
+
+# --- zlib codec (reference z=2) -------------------------------------------
+
+def zlib_encode_postings(sorted_doc_ids: np.ndarray) -> bytes:
+    deltas = delta_encode(np.asarray(sorted_doc_ids, dtype=np.int64))
+    packed = deltas.astype("<u4").tobytes()  # struct '<I' per value
+    return zlib.compress(packed, 9)
+
+
+def zlib_decode_postings(data: bytes) -> np.ndarray:
+    if not data:
+        return np.empty(0, dtype=np.int64)
+    packed = zlib.decompress(data)
+    deltas = np.frombuffer(packed, dtype="<u4").astype(np.int64)
+    return delta_decode(deltas)
+
+
+# --- scalar reference-faithful versions (for byte-compat tests) -----------
+
+def _ref_encode_number(n: int) -> bytes:
+    """Scalar transcription of the reference algorithm, used only in tests to
+    pin byte-compatibility of the vectorized encoder."""
+    if n == 0:
+        return bytes([0x80])
+    bytes_list = []
+    while n > 0:
+        bytes_list.append(n & 0x7F)
+        n >>= 7
+    bytes_list[0] |= 0x80
+    return bytes(reversed(bytes_list))
+
+
+def ref_encode_delta(numbers: list[int]) -> bytes:
+    if not numbers:
+        return b""
+    deltas = [numbers[0]] + [numbers[i] - numbers[i - 1] for i in range(1, len(numbers))]
+    out = bytearray()
+    for d in deltas:
+        out.extend(_ref_encode_number(d))
+    return bytes(out)
+
+
+def ref_zlib_encode_delta(numbers: list[int]) -> bytes:
+    if not numbers:
+        return b""
+    deltas = [numbers[0]] + [numbers[i] - numbers[i - 1] for i in range(1, len(numbers))]
+    packed = struct.pack(f"{len(deltas)}I", *deltas)
+    return zlib.compress(packed, 9)

@@ -1,0 +1,20 @@
+from .porter import PorterStemmer, porter_stem
+from .stopwords import ENGLISH_STOPWORDS
+from .tokenize import (
+    BOOLEAN_OPERATORS,
+    Normalizer,
+    default_normalizer,
+    preprocess_boolean_query,
+    tokenize,
+)
+
+__all__ = [
+    "PorterStemmer",
+    "porter_stem",
+    "ENGLISH_STOPWORDS",
+    "BOOLEAN_OPERATORS",
+    "Normalizer",
+    "default_normalizer",
+    "preprocess_boolean_query",
+    "tokenize",
+]

@@ -1,0 +1,106 @@
+"""Canonical text normalizer + tokenizer — THE per-row invariant.
+
+Reimplements the reference preprocessing pipeline exactly
+(``preprocess_data.py:57-72`` for documents, ``query_preprocessing.py:35-76``
+for queries — the two are intentionally the *same function* here, because the
+reference's documented critical bug was doc/query preprocessing divergence,
+``REPORT.md:182-185``).
+
+Pipeline (order matters):
+  1. ``text.lower()``                       (Python/Unicode lower semantics)
+  2. strip URLs and emails:  ``http\\S+|www\\S+|https\\S+|\\S+@\\S+`` -> ''
+  3. strip non-alphanumerics: ``[^a-z0-9\\s]`` -> ' '
+  4. collapse whitespace:     ``\\s+`` -> ' ', strip
+  5. tokenize.  The reference calls ``nltk.word_tokenize`` but after step 3
+     the text contains only ``[a-z0-9 ]`` (plus stray unicode whitespace that
+     step 4 collapsed), for which ``word_tokenize`` degenerates to
+     ``str.split()`` — we use ``split()`` and assert the equivalence in tests.
+  6. drop tokens that are pure digits (``str.isdigit``) or shorter than 2
+  7. drop NLTK English stopwords
+  8. Porter-stem every remaining token (NLTK_EXTENSIONS semantics)
+"""
+
+from __future__ import annotations
+
+import re
+
+from .porter import PorterStemmer
+from .stopwords import ENGLISH_STOPWORDS
+
+# Compiled once per process/actor (stage state, SURVEY.md §2.3 T1).
+_URL_EMAIL_RE = re.compile(r"http\S+|www\S+|https\S+|\S+@\S+")
+_NON_ALNUM_RE = re.compile(r"[^a-z0-9\s]")
+_WS_RE = re.compile(r"\s+")
+
+BOOLEAN_OPERATORS = frozenset({"AND", "OR", "NOT"})
+
+
+class Normalizer:
+    """Stateful normalizer: stemmer cache + compiled regexes, built once.
+
+    Use one instance per tokenizer actor (``stages/tokenizer.py``) or one
+    module-level instance driver-side for queries.
+    """
+
+    def __init__(self) -> None:
+        self.stemmer = PorterStemmer()
+        self.stop_words = ENGLISH_STOPWORDS
+
+    def normalize_text(self, text: str) -> str:
+        """Steps 1-4: returns the cleaned ``[a-z0-9 ]`` string."""
+        text = text.lower()
+        text = _URL_EMAIL_RE.sub("", text)
+        text = _NON_ALNUM_RE.sub(" ", text)
+        text = _WS_RE.sub(" ", text).strip()
+        return text
+
+    def tokenize(self, text: str) -> list[str]:
+        """Full pipeline: raw text -> stemmed token list (reference M2)."""
+        stem = self.stemmer.stem
+        stop = self.stop_words
+        out = []
+        for token in self.normalize_text(text).split():
+            if len(token) >= 2 and not token.isdigit() and token not in stop:
+                out.append(stem(token))
+        return out
+
+    def preprocess_query(self, query: str) -> str:
+        """Reference ``query_preprocessing.preprocess_query``: tokens joined."""
+        return " ".join(self.tokenize(query))
+
+    def preprocess_query_list(self, query: str) -> list[str]:
+        return self.tokenize(query)
+
+
+# Boolean-preserving query tokenizer (reference M5,
+# ``measure_latency_datastores.py:45-60``): keeps AND/OR/NOT and parens,
+# stems alphanumeric non-stopword tokens.  The reference uses
+# ``nltk.word_tokenize`` on the lowered query; for the query grammar
+# (words, parens, boolean ops) this is equivalent to extracting
+# ``[a-z0-9]+`` runs and parens, which is what we do.
+_BOOL_TOKEN_RE = re.compile(r"[a-z0-9]+|\(|\)")
+
+
+def preprocess_boolean_query(query: str, normalizer: Normalizer) -> tuple[str, ...]:
+    tokens = _BOOL_TOKEN_RE.findall(query.lower())
+    processed: list[str] = []
+    for word in tokens:
+        if word.upper() in BOOLEAN_OPERATORS or word in ("(", ")"):
+            processed.append(word.upper())
+        elif word.isalnum() and word not in normalizer.stop_words:
+            processed.append(normalizer.stemmer.stem(word))
+    return tuple(processed)
+
+
+_default = None
+
+
+def default_normalizer() -> Normalizer:
+    global _default
+    if _default is None:
+        _default = Normalizer()
+    return _default
+
+
+def tokenize(text: str) -> list[str]:
+    return default_normalizer().tokenize(text)

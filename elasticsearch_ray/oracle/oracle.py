@@ -1,0 +1,220 @@
+"""In-repo reference oracle: single-process, dict-based index + scorers.
+
+A faithful (but tiny) reimplementation of the reference semantics, used ONLY
+by tests as ground truth for the distributed engine:
+
+* index build:       ``selfindex_q_daat.py:59-125`` (A1-A6)
+* TAAT BM25/TF-IDF:  ``selfindex_q_taat.py:139-209`` (Q1, F5, F6)
+* DAAT:              ``selfindex_q_daat.py:177-252`` (Q2)
+* boolean RPN:       ``measure_latency_datastores.py:88-188`` (Q5)
+* idf:               ``ln((N+1)/(df+1))`` (``selfindex_q_taat.py:133``)
+
+One deliberate difference (documented in SURVEY.md §2.6 K2): the reference's
+top-k tie order is accumulator-insertion / set-iteration order, which is not
+portable; both the oracle and the engine use the deterministic tie-break
+(-score, doc_id ascending).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from ..normalizer import (
+    BOOLEAN_OPERATORS,
+    Normalizer,
+    preprocess_boolean_query,
+)
+
+PRECEDENCE = {"OR": 1, "AND": 2, "NOT": 3}
+
+
+def to_rpn(tokens: tuple[str, ...]) -> tuple[str, ...]:
+    """Shunting-yard with implicit-AND insertion.
+
+    Transcribed semantics of ``measure_latency_datastores.py:88-133``.
+    """
+    tokens_list = list(tokens)
+
+    infix: list[str] = []
+    for i, token in enumerate(tokens_list):
+        infix.append(token)
+        if i < len(tokens_list) - 1:
+            nxt = tokens_list[i + 1]
+            is_operand_or_close = (
+                token not in BOOLEAN_OPERATORS and token != "("
+            ) or token == ")"
+            is_next_operand_or_open_or_not = (
+                (nxt not in BOOLEAN_OPERATORS and nxt != ")")
+                or nxt == "("
+                or nxt == "NOT"
+            )
+            if is_operand_or_close and is_next_operand_or_open_or_not:
+                infix.append("AND")
+
+    output: list[str] = []
+    stack: list[str] = []
+    for token in infix:
+        if token not in BOOLEAN_OPERATORS and token not in ("(", ")"):
+            output.append(token)
+        elif token == "(":
+            stack.append(token)
+        elif token == ")":
+            while stack and stack[-1] != "(":
+                output.append(stack.pop())
+            if stack:
+                stack.pop()
+        else:
+            while (
+                stack
+                and stack[-1] != "("
+                and PRECEDENCE.get(stack[-1], 0) >= PRECEDENCE[token]
+            ):
+                output.append(stack.pop())
+            stack.append(token)
+    while stack:
+        output.append(stack.pop())
+    return tuple(output)
+
+
+def looks_boolean(query: str) -> bool:
+    """Query router (reference Q7, ``selfindex_i0_no_optimization.py:126-132``)."""
+    return (
+        " AND " in query
+        or " OR " in query
+        or " NOT " in query
+        or "(" in query
+        or ")" in query
+    )
+
+
+class OracleIndex:
+    """Dict-based inverted index over (doc_id, text) pairs."""
+
+    def __init__(self, k1: float = 1.2, b: float = 0.75):
+        self.k1 = k1
+        self.b = b
+        self.normalizer = Normalizer()
+        self.inverted_index: dict[str, list[int]] = {}
+        self.doc_tf: dict[int, dict[str, int]] = {}
+        self.doc_len: dict[int, int] = {}
+        self.doc_ids: list[int] = []
+        self.doc_count = 0
+        self.avg_doc_length = 0.0
+        self.term_doc_freq: dict[str, int] = {}
+        self.idf_cache: dict[str, float] = {}
+
+    def build(self, docs: list[tuple[int, str]]) -> None:
+        """docs: (doc_id, raw_text).  Mirrors ``create_index`` A1-A6."""
+        for doc_id, text in docs:
+            tokens = self.normalizer.tokenize(text)
+            tf = dict(Counter(tokens))
+            self.doc_tf[doc_id] = tf
+            self.doc_len[doc_id] = len(tokens)
+            self.doc_ids.append(doc_id)
+            for term in set(tokens):
+                self.inverted_index.setdefault(term, []).append(doc_id)
+        self.doc_count = len(self.doc_ids)
+        total = sum(self.doc_len.values())
+        self.avg_doc_length = total / self.doc_count if self.doc_count else 0.0
+        for term, postings in self.inverted_index.items():
+            postings.sort()
+            self.term_doc_freq[term] = len(postings)
+            df = self.term_doc_freq[term]
+            self.idf_cache[term] = (
+                math.log((self.doc_count + 1) / (df + 1)) if df > 0 else 0.0
+            )
+
+    # --- ranked retrieval -------------------------------------------------
+
+    def _score(self, term: str, doc_id: int, scoring: str) -> float:
+        idf = self.idf_cache.get(term, 0.0)
+        tf = self.doc_tf[doc_id].get(term, 0)
+        doc_len = self.doc_len[doc_id]
+        if doc_len == 0 or tf == 0 or idf == 0.0:
+            return 0.0
+        if scoring == "bm25":
+            numerator = tf * (self.k1 + 1)
+            denominator = tf + self.k1 * (
+                1 - self.b + self.b * (doc_len / self.avg_doc_length)
+            )
+            return idf * (numerator / denominator)
+        return (tf / doc_len) * idf
+
+    def query_taat(
+        self, query_text: str, size: int = 10, scoring: str = "bm25"
+    ) -> dict:
+        terms = self.normalizer.preprocess_query_list(query_text)
+        doc_scores: dict[int, float] = {}
+        for term in terms:
+            if term not in self.inverted_index:
+                continue
+            idf = self.idf_cache.get(term, 0.0)
+            if idf == 0.0:
+                continue
+            for doc_id in self.inverted_index[term]:
+                s = self._score(term, doc_id, scoring)
+                doc_scores[doc_id] = doc_scores.get(doc_id, 0.0) + s
+        return self._topk(query_text, doc_scores, size)
+
+    def query_daat(
+        self, query_text: str, size: int = 10, scoring: str = "bm25"
+    ) -> dict:
+        terms = self.normalizer.preprocess_query_list(query_text)
+        candidates: set[int] = set()
+        for term in terms:
+            candidates.update(self.inverted_index.get(term, []))
+        doc_scores: dict[int, float] = {}
+        for doc_id in candidates:
+            if self.doc_len[doc_id] == 0:
+                continue
+            score = 0.0
+            for term in terms:
+                if self.doc_tf[doc_id].get(term, 0) > 0:
+                    score += self._score(term, doc_id, scoring)
+            if score > 0:
+                doc_scores[doc_id] = score
+        return self._topk(query_text, doc_scores, size)
+
+    @staticmethod
+    def _topk(query_text: str, doc_scores: dict[int, float], size: int) -> dict:
+        ranked = sorted(doc_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
+        return {
+            "query": query_text,
+            "total_hits": len(doc_scores),
+            "results": [{"doc_id": d, "score": s} for d, s in ranked],
+        }
+
+    # --- boolean retrieval ------------------------------------------------
+
+    def query_boolean(self, query_text: str, size: int = 10) -> dict:
+        tokens = preprocess_boolean_query(query_text, self.normalizer)
+        rpn = to_rpn(tokens)
+        all_docs = set(self.doc_ids)
+        stack: list[set[int]] = []
+        for token in rpn:
+            if token == "AND":
+                b = stack.pop()
+                a = stack.pop()
+                stack.append(a & b if a and b else set())
+            elif token == "OR":
+                b = stack.pop()
+                a = stack.pop()
+                stack.append(a | b)
+            elif token == "NOT":
+                a = stack.pop()
+                stack.append(all_docs - a)
+            else:
+                stack.append(set(self.inverted_index.get(token, [])))
+        result = stack[0] if stack else set()
+        ordered = sorted(result)
+        return {
+            "query": query_text,
+            "total_hits": len(result),
+            "results": [{"doc_id": d, "score": 1.0} for d in ordered[:size]],
+        }
+
+    def query(self, query_text: str, size: int = 10, scoring: str = "bm25") -> dict:
+        if looks_boolean(query_text):
+            return self.query_boolean(query_text, size)
+        return self.query_taat(query_text, size, scoring)

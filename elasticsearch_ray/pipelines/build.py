@@ -1,0 +1,216 @@
+"""Distributed index build — the flagship Ray Data pipeline.
+
+    plan (Parquet footers only, driver)
+      -> ray.data.from_items(partition specs)
+      -> map_batches(TokenizePartition, actor pool)     # zero-copy Arrow out
+           · column-pruned read (html never loaded)
+           · docmap parts written per partition (idempotent)
+      -> sort(["seg", "term", "doc_id"])                # THE wide shuffle;
+           head-term skew auto-split by doc-id range (ordered salting)
+      -> map_batches(encode_runs_block)                 # vectorized VByte
+      -> groupby("seg").map_groups(SegmentAssembler)    # merge runs, block-max
+           · immutable segment + doclen files, df part, lineage manifest
+    finalize (driver):
+      · dedicated aggregate pass: global df = groupby(term).sum over df parts
+      · stats.json (N, avgdl, sizes), manifest.json
+
+Resume: segments whose manifest validates are pruned from the plan before the
+pipeline runs — a re-run after a crash redoes only unfinished segments.
+
+Reference counterpart: the single-process ``create_index`` loops
+(``selfindex_q_daat.py:59-125``); see SURVEY.md §3.2 / §4.3.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+import ray
+import ray.data
+
+from ..stages.postings import SegmentAssembler, encode_runs_block
+from ..stages.tokenizer import TokenizePartition
+from ..state.manifest import atomic_write_json, read_json, segment_is_done
+from ..state.segment import BLOCK_SIZE
+from .plan import PartitionSpec, SegmentSpec, plan_partitions, plan_segments
+
+
+@dataclass
+class BuildConfig:
+    text_column: str = "text"
+    url_column: str | None = "url"
+    lang_column: str | None = "lang"
+    lang_filter: str | None = None
+    target_partition_rows: int = 2_000
+    docs_per_segment: int = 25_000
+    codec: str = "vbyte"  # 'vbyte' (reference z=1) or 'zlib' (z=2)
+    block_size: int = BLOCK_SIZE
+    tokenize_concurrency: int | None = None  # None -> cluster CPUs
+
+    @property
+    def identifier(self) -> str:
+        """Reference-style versioned identifier (``index_base.py:9-49``)."""
+        z = "1" if self.codec == "vbyte" else "2"
+        return f"RaySelfIndex-v1.x2dSEGz{z}qWANDi1"
+
+
+def _seg_infos(segs: list[SegmentSpec]) -> dict[int, dict]:
+    return {
+        s.seg_id: {
+            "doc_id_base": s.doc_id_base,
+            "num_docs": s.num_docs,
+            "part_ids": [p.part_id for p in s.partitions],
+            "lineage": [
+                {
+                    "path": p.path,
+                    "row_group_start": p.row_group_start,
+                    "row_group_end": p.row_group_end,
+                    "row_offset": p.row_offset,
+                    "num_rows": p.num_rows,
+                    "doc_id_base": p.doc_id_base,
+                }
+                for p in s.partitions
+            ],
+        }
+        for s in segs
+    }
+
+
+def build_index(
+    input_path: str | list[str],
+    index_dir: str,
+    config: BuildConfig | None = None,
+    resume: bool = True,
+) -> dict:
+    """Build (or resume building) the index; returns the index manifest."""
+    config = config or BuildConfig()
+    t_start = time.perf_counter()
+    os.makedirs(index_dir, exist_ok=True)
+
+    parts = plan_partitions(input_path, config.target_partition_rows)
+    segs = plan_segments(parts, config.docs_per_segment)
+    infos = _seg_infos(segs)
+
+    pending = [
+        s for s in segs if not (resume and segment_is_done(index_dir, s.seg_id))
+    ]
+    skipped = len(segs) - len(pending)
+
+    timings: dict[str, float] = {}
+    if pending:
+        items = [p.to_row() for s in pending for p in s.partitions]
+        n_cpus = config.tokenize_concurrency or max(
+            1, int(ray.cluster_resources().get("CPU", 8))
+        )
+        seg_bases = np.zeros(max(infos) + 1, dtype=np.int64)
+        for sid, info in infos.items():
+            seg_bases[sid] = info["doc_id_base"]
+        codec = config.codec
+
+        ds = ray.data.from_items(items)
+        tokenized = ds.map_batches(
+            TokenizePartition,
+            fn_constructor_kwargs=dict(
+                index_dir=index_dir,
+                text_column=config.text_column,
+                url_column=config.url_column,
+                lang_column=config.lang_column,
+                lang_filter=config.lang_filter,
+            ),
+            batch_size=1,
+            batch_format="pyarrow",
+            concurrency=(1, min(n_cpus, max(1, len(items)))),
+            num_cpus=1,
+        )
+        sorted_triples = tokenized.sort(["seg", "term", "doc_id"])
+        runs = sorted_triples.map_batches(
+            lambda b: encode_runs_block(b, codec=codec, seg_bases=seg_bases),
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        )
+        stats_ds = runs.groupby("seg").map_groups(
+            SegmentAssembler,
+            fn_constructor_kwargs=dict(
+                index_dir=index_dir,
+                seg_infos=infos,
+                codec=config.codec,
+                block_size=config.block_size,
+            ),
+            batch_format="pyarrow",
+            concurrency=(1, min(n_cpus, max(1, len(pending)))),
+        )
+        seg_stats = stats_ds.take_all()
+        timings["pipeline_sec"] = time.perf_counter() - t_start
+
+        # Segments that produced zero triples still need (empty) files.
+        done_ids = {int(r["seg_id"]) for r in seg_stats}
+        for s in pending:
+            if s.seg_id not in done_ids:
+                _write_empty_segment(index_dir, s.seg_id, infos[s.seg_id], config)
+
+    manifest = _finalize(index_dir, config, segs, timings, skipped)
+    return manifest
+
+
+def _write_empty_segment(index_dir: str, seg_id: int, info: dict,
+                         config: BuildConfig) -> None:
+    asm = SegmentAssembler(index_dir, {seg_id: info}, config.codec,
+                          config.block_size)
+    doclens = asm._load_doclens(info)
+    asm._write_segment(seg_id, info, doclens, [], np.empty(0, dtype=np.int64), [], [])
+
+
+def _finalize(index_dir: str, config: BuildConfig, segs: list[SegmentSpec],
+              timings: dict, skipped: int) -> dict:
+    t0 = time.perf_counter()
+    seg_manifests = []
+    for s in segs:
+        seg_manifests.append(
+            read_json(os.path.join(index_dir, "manifests", f"seg-{s.seg_id:05d}.json"))
+        )
+    doc_count = sum(m["kept_docs"] for m in seg_manifests)
+    total_tokens = sum(m["total_tokens"] for m in seg_manifests)
+    avgdl = total_tokens / doc_count if doc_count else 0.0
+
+    # Dedicated global-stats aggregate pass: df = sum of per-segment dfs.
+    df_dir = os.path.join(index_dir, "df")
+    df_global_dir = os.path.join(index_dir, "df_global")
+    if os.path.isdir(df_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(df_dir)
+    ):
+        df_ds = ray.data.read_parquet(df_dir)
+        agg = df_ds.groupby("term").sum("df")
+        # normalize aggregate column name -> df
+        agg = agg.map_batches(
+            lambda t: t.rename_columns(["term", "df"]), batch_format="pyarrow"
+        )
+        os.makedirs(df_global_dir, exist_ok=True)
+        agg.write_parquet(df_global_dir)
+    timings["finalize_sec"] = time.perf_counter() - t0
+
+    stats = {
+        "identifier": config.identifier,
+        "doc_count": doc_count,
+        "total_tokens": total_tokens,
+        "avg_doc_length": avgdl,
+        "num_segments": len(segs),
+        "unique_terms_per_segment": [m["n_terms"] for m in seg_manifests],
+        "n_postings": sum(m["n_postings"] for m in seg_manifests),
+        "postings_bytes": sum(m["postings_bytes"] for m in seg_manifests),
+        "uncompressed_postings_bytes": sum(
+            m["uncompressed_postings_bytes"] for m in seg_manifests
+        ),
+        "segment_bytes": sum(m["segment_bytes"] for m in seg_manifests),
+        "segments_skipped_resume": skipped,
+        "timings": timings,
+        "config": asdict(config),
+    }
+    atomic_write_json(os.path.join(index_dir, "stats.json"), stats)
+    manifest = dict(stats)
+    manifest["segments"] = [m["seg_id"] for m in seg_manifests]
+    atomic_write_json(os.path.join(index_dir, "manifest.json"), manifest)
+    return manifest

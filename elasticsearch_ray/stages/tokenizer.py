@@ -1,0 +1,136 @@
+"""Tokenize stage: partition spec -> (seg, term, doc_id, tf) triples.
+
+Stateful actor-pool ``map_batches`` stage (SURVEY.md §2.2 M2/M6/M7): the
+Normalizer (compiled regexes + stemmer with its Zipf-friendly cache) is built
+ONCE per actor in ``__init__``; each ``__call__`` handles one partition spec.
+
+The stage reads its own Parquet row groups with column pruning (only
+url/text/lang leave storage — the ``html:binary`` column never enters the
+pipeline, SURVEY.md §7.4.7), assigns deterministic doc_ids from the plan, and
+emits the exploded triple table.  It also writes the partition's docmap part
+``docmap/part-XXXXXX.parquet`` (doc_id, url, doc_len) — deterministic content,
+so task retries are idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..normalizer import Normalizer
+
+TRIPLE_SCHEMA = pa.schema(
+    [
+        ("seg", pa.int32()),
+        ("term", pa.large_string()),
+        ("doc_id", pa.int64()),
+        ("tf", pa.int32()),
+    ]
+)
+
+
+class TokenizePartition:
+    def __init__(
+        self,
+        index_dir: str,
+        text_column: str = "text",
+        url_column: str | None = "url",
+        lang_column: str | None = "lang",
+        lang_filter: str | None = None,
+    ):
+        self.normalizer = Normalizer()  # once per actor
+        self.index_dir = index_dir
+        self.text_column = text_column
+        self.url_column = url_column
+        self.lang_column = lang_column
+        self.lang_filter = lang_filter
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_tables = []
+        for spec in batch.to_pylist():
+            out_tables.append(self._process_partition(spec))
+        return pa.concat_tables(out_tables) if out_tables else TRIPLE_SCHEMA.empty_table()
+
+    def _read_rows(self, spec: dict) -> pa.Table:
+        columns = [self.text_column]
+        if self.url_column:
+            columns.append(self.url_column)
+        if self.lang_column:
+            columns.append(self.lang_column)
+        pf = pq.ParquetFile(spec["path"])
+        tbl = pf.read_row_groups(
+            list(range(spec["row_group_start"], spec["row_group_end"])),
+            columns=columns,
+        )
+        return tbl.slice(spec["row_offset"], spec["num_rows"])
+
+    def _process_partition(self, spec: dict) -> pa.Table:
+        tbl = self._read_rows(spec)
+        doc_id_base = spec["doc_id_base"]
+        seg_id = spec["seg_id"]
+        n = tbl.num_rows
+
+        texts = tbl.column(self.text_column).to_pylist()
+        langs = (
+            tbl.column(self.lang_column).to_pylist()
+            if self.lang_column and self.lang_column in tbl.column_names
+            else [None] * n
+        )
+        urls = (
+            tbl.column(self.url_column).to_pylist()
+            if self.url_column and self.url_column in tbl.column_names
+            else [f"row-{doc_id_base + i}" for i in range(n)]
+        )
+
+        tokenize = self.normalizer.tokenize
+        terms: list[str] = []
+        doc_ids: list[int] = []
+        tfs: list[int] = []
+        kept_doc_ids: list[int] = []
+        kept_urls: list[str] = []
+        kept_lens: list[int] = []
+
+        for i in range(n):
+            if self.lang_filter is not None and langs[i] != self.lang_filter:
+                continue
+            doc_id = doc_id_base + i
+            tokens = tokenize(texts[i] or "")
+            kept_doc_ids.append(doc_id)
+            kept_urls.append(urls[i])
+            kept_lens.append(len(tokens))
+            if tokens:
+                counts = Counter(tokens)
+                terms.extend(counts.keys())
+                tfs.extend(counts.values())
+                doc_ids.extend([doc_id] * len(counts))
+
+        self._write_docmap_part(spec, kept_doc_ids, kept_urls, kept_lens)
+
+        return pa.table(
+            {
+                "seg": pa.array(np.full(len(terms), seg_id, dtype=np.int32)),
+                "term": pa.array(terms, pa.large_string()),
+                "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64)),
+                "tf": pa.array(np.asarray(tfs, dtype=np.int32)),
+            },
+            schema=TRIPLE_SCHEMA,
+        )
+
+    def _write_docmap_part(self, spec, doc_ids, urls, lens) -> None:
+        part_dir = os.path.join(self.index_dir, "docmap")
+        os.makedirs(part_dir, exist_ok=True)
+        path = os.path.join(part_dir, f"part-{spec['part_id']:06d}.parquet")
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64)),
+                "url": pa.array(urls, pa.string()),
+                "doc_len": pa.array(np.asarray(lens, dtype=np.int32)),
+            }
+        )
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)

@@ -1,0 +1,173 @@
+"""Immutable segment files (Arrow IPC, mmap-able) — the index datastore.
+
+Replaces the reference's monolithic pickle (``selfindex_q_daat.py:127-144``)
+with per-segment columnar files:
+
+``seg-XXXXX.arrow``   one row per term, terms sorted ascending::
+
+    term:      large_string
+    df:        int64         local document frequency
+    postings:  large_binary  delta+VByte doc_ids (ascending), reference z=1
+                             byte layout (``selfindex_z1_simple_compression
+                             .py:18-83``) — or delta+zlib when codec='zlib'
+    tfs:       large_binary  VByte term frequencies, parallel to postings
+    blk_last:  large_binary  int64 LE array — last doc_id per 128-posting
+                             block (block-max WAND skip structure; subsumes
+                             the reference's skip pointers,
+                             ``selfindex_i1_skip_pointers.py:28-56``)
+    blk_maxtf: large_binary  int32 LE array — max tf per block
+    blk_mindl: large_binary  int32 LE array — min doc length per block
+
+    (block upper bound for BM25 at query time:
+     idf * (maxtf*(k1+1)) / (maxtf + k1*(1-b+b*mindl/avgdl)) — score is
+     increasing in tf and decreasing in dl, so (maxtf, mindl) bounds it.)
+
+``seg-XXXXX.doclen.arrow``  one row per doc slot in the segment's dense
+    doc-id range [doc_id_base, doc_id_base+num_docs): ``doc_len:int32``
+    (-1 for docs dropped by filters — absent from the corpus; 0 for kept
+    docs whose every token was filtered out, which the reference keeps in
+    the boolean NOT universe via ``all_docs``,
+    ``measure_latency_datastores.py:70``).
+
+Schema metadata carries seg_id / doc_id_base / num_docs / total_tokens /
+codec / block_size.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.ipc as ipc
+
+from ..functions.vbyte import (
+    decode_postings,
+    decode_tfs,
+    vbyte_decode,
+    zlib_decode_postings,
+)
+
+BLOCK_SIZE = 128
+
+
+def build_block_meta(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> tuple[bytes, bytes, bytes]:
+    """Per-block (last_doc, max_tf, min_dl) for one posting list.
+
+    ``doc_lens`` is already gathered per posting (same length as doc_ids).
+    """
+    n = doc_ids.size
+    starts = np.arange(0, n, block_size)
+    last = doc_ids[np.minimum(starts + block_size - 1, n - 1)]
+    maxtf = np.maximum.reduceat(tfs, starts).astype(np.int32)
+    mindl = np.minimum.reduceat(doc_lens, starts).astype(np.int32)
+    return (
+        last.astype("<i8").tobytes(),
+        maxtf.astype("<i4").tobytes(),
+        mindl.astype("<i4").tobytes(),
+    )
+
+
+def segment_path(index_dir: str, seg_id: int) -> str:
+    return os.path.join(index_dir, "segments", f"seg-{seg_id:05d}.arrow")
+
+
+def doclen_path(index_dir: str, seg_id: int) -> str:
+    return os.path.join(index_dir, "segments", f"seg-{seg_id:05d}.doclen.arrow")
+
+
+def write_ipc_atomic(path: str, table: pa.Table) -> int:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with pa.OSFile(tmp, "wb") as sink:
+        with ipc.new_file(sink, table.schema) as writer:
+            writer.write_table(table)
+    os.replace(tmp, path)
+    return os.path.getsize(path)
+
+
+def read_ipc_mmap(path: str) -> pa.Table:
+    with pa.memory_map(path) as source:
+        return ipc.open_file(source).read_all()
+
+
+class SegmentReader:
+    """Query-time view of one segment: mmap'd table + term lookup dict +
+    dense doc_len array.  Lives inside a segment actor (one load per actor,
+    SURVEY.md §2.3 T2)."""
+
+    def __init__(self, index_dir: str, seg_id: int):
+        self.seg_id = seg_id
+        self.table = read_ipc_mmap(segment_path(index_dir, seg_id))
+        meta = {
+            k.decode(): v.decode() for k, v in (self.table.schema.metadata or {}).items()
+        }
+        self.doc_id_base = int(meta["doc_id_base"])
+        self.num_docs = int(meta["num_docs"])
+        self.codec = meta.get("codec", "vbyte")
+        self.block_size = int(meta.get("block_size", BLOCK_SIZE))
+        dl_table = read_ipc_mmap(doclen_path(index_dir, seg_id))
+        self.doc_lens = dl_table.column("doc_len").to_numpy()  # dense by slot
+        self._terms = self.table.column("term")
+        self._df = self.table.column("df").to_numpy()
+        self._postings = self.table.column("postings")
+        self._tfs = self.table.column("tfs")
+        self._blk_last = self.table.column("blk_last")
+        self._blk_maxtf = self.table.column("blk_maxtf")
+        self._blk_mindl = self.table.column("blk_mindl")
+        # term -> row dict; ~tens of MB for 1M terms, built once per actor.
+        self._term_row = {t: i for i, t in enumerate(self._terms.to_pylist())}
+
+    @property
+    def num_terms(self) -> int:
+        return len(self._term_row)
+
+    def df(self, term: str) -> int:
+        row = self._term_row.get(term)
+        return int(self._df[row]) if row is not None else 0
+
+    def postings_slots(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
+        """(segment-local slot ids ascending, tfs) or None if absent.
+
+        Postings are stored slot-based (dense local ids, mirroring the
+        reference's ``doc_idx``); global doc_id = slot + doc_id_base.
+        """
+        row = self._term_row.get(term)
+        if row is None:
+            return None
+        raw = self._postings[row].as_py()
+        if self.codec == "zlib":
+            slots = zlib_decode_postings(raw)
+        else:
+            slots = decode_postings(raw)
+        tfs = decode_tfs(self._tfs[row].as_py())
+        return slots, tfs
+
+    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
+        """(global doc_ids ascending, tfs) or None if the term is absent."""
+        res = self.postings_slots(term)
+        if res is None:
+            return None
+        slots, tfs = res
+        return slots + self.doc_id_base, tfs
+
+    def block_meta(self, term: str):
+        """(last_slots int64[], max_tfs int32[], min_dls int32[]) or None."""
+        row = self._term_row.get(term)
+        if row is None:
+            return None
+        last = np.frombuffer(self._blk_last[row].as_py() or b"", dtype="<i8")
+        maxtf = np.frombuffer(self._blk_maxtf[row].as_py() or b"", dtype="<i4")
+        mindl = np.frombuffer(self._blk_mindl[row].as_py() or b"", dtype="<i4")
+        return last, maxtf, mindl
+
+    def present_doc_ids(self) -> np.ndarray:
+        """Local doc universe (for boolean NOT): every kept doc, including
+        zero-token ones, matching the reference's ``all_docs``."""
+        slots = np.flatnonzero(self.doc_lens >= 0)
+        return slots + self.doc_id_base
