@@ -158,10 +158,13 @@ def build_index(
 
 def _write_empty_segment(index_dir: str, seg_id: int, info: dict,
                          config: BuildConfig) -> None:
+    import pyarrow as pa
+
     asm = SegmentAssembler(index_dir, {seg_id: info}, config.codec,
                           config.block_size)
     doclens = asm._load_doclens(info)
-    asm._write_segment(seg_id, info, doclens, [], np.empty(0, dtype=np.int64), [], [])
+    e = np.empty(0, dtype=np.int64)
+    asm._write_segment(seg_id, info, doclens, pa.array([], pa.large_string()), e, e, e, e)
 
 
 def _finalize(index_dir: str, config: BuildConfig, segs: list[SegmentSpec],

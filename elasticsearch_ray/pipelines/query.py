@@ -1,0 +1,288 @@
+"""Distributed query serving: segment actors + scatter-gather top-k merge.
+
+Reference counterpart: the single-process ``query`` methods
+(``selfindex_q_taat.py:139-209``, ``selfindex_q_daat.py:177-252``) and the
+boolean RPN engine (``measure_latency_datastores.py:88-188``).  Here the index
+is doc-partitioned across immutable segments; each ``SegmentSearcher`` actor
+pins a set of segments (mmap'd Arrow, loaded once in ``__init__`` —
+SURVEY.md §2.3 T2) and serves:
+
+* ``dfs(terms)``      — local df gather (round 1: global idf needs global df;
+                        the driver caches per-term global dfs so warm queries
+                        are a single round)
+* ``search_ranked``   — per-segment TAAT / DAAT / block-max WAND top-k with
+                        the deterministic (-score, doc_id) tie-break
+* ``search_boolean``  — per-segment RPN set algebra
+
+The driver merges partial top-k heaps (final reduce) — correct because
+segments partition the doc space.  Collection stats (N, avgdl) come from the
+build's stats artifact and are passed to every scoring call, so BM25 scores
+are globally consistent and rank-identical to the reference oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import ray
+
+from ..normalizer import Normalizer, preprocess_boolean_query
+from ..oracle.oracle import looks_boolean, to_rpn
+from ..stages import scoring as sc
+from ..state.segment import SegmentReader
+
+
+@ray.remote
+class SegmentSearcher:
+    def __init__(self, index_dir: str, seg_ids: list[int]):
+        self.readers = [SegmentReader(index_dir, s) for s in sorted(seg_ids)]
+
+    def ready(self) -> int:
+        return sum(r.num_terms for r in self.readers)
+
+    def dfs(self, terms: list[str]) -> dict[str, int]:
+        return {t: sum(r.df(t) for r in self.readers) for t in terms}
+
+    def search_ranked(
+        self,
+        terms: list[str],
+        idfs: dict[str, float],
+        k: int,
+        scoring: str,
+        k1: float,
+        b: float,
+        avgdl: float,
+        mode: str,
+    ):
+        all_ids: list[np.ndarray] = []
+        all_scores: list[np.ndarray] = []
+        total = -1 if mode == "wand" else 0
+        for r in self.readers:
+            if mode == "wand":
+                slots, scores, n = sc.wand_topk(r, terms, idfs, k, scoring, k1, b, avgdl)
+            else:
+                slots, scores, n = sc.taat_topk(r, terms, idfs, k, scoring, k1, b, avgdl)
+                total += n
+            all_ids.append(slots + r.doc_id_base)
+            all_scores.append(scores)
+        ids = np.concatenate(all_ids) if all_ids else np.empty(0, dtype=np.int64)
+        scores = (
+            np.concatenate(all_scores) if all_scores else np.empty(0, dtype=np.float64)
+        )
+        if ids.size > k:
+            order = np.lexsort((ids, -scores))[:k]
+            ids, scores = ids[order], scores[order]
+        return ids, scores, total
+
+    def search_boolean(self, rpn: tuple[str, ...], k: int):
+        out: list[np.ndarray] = []
+        total = 0
+        for r in self.readers:  # readers sorted by doc range -> output sorted
+            ids, n = sc.boolean_eval(r, rpn, k)
+            total += n
+            out.append(ids)
+        ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        return ids[:k], total
+
+
+class QueryEngine:
+    """Driver-side front-end: query normalization, routing, RPN compilation,
+    df caching, fan-out, final top-k heap merge."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        num_searchers: int | None = None,
+        scoring: str = "bm25",
+        k1: float = 1.2,
+        b: float = 0.75,
+        mode: str = "taat",  # 'taat' | 'daat' | 'wand'
+    ):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.doc_count = self.stats["doc_count"]
+        self.avgdl = self.stats["avg_doc_length"]
+        self.scoring = scoring
+        self.k1 = k1
+        self.b = b
+        self.mode = mode
+        self.normalizer = Normalizer()
+        self._df_cache: dict[str, int] = {}
+
+        seg_ids = sorted(
+            int(f.split("-")[1].split(".")[0])
+            for f in os.listdir(os.path.join(index_dir, "segments"))
+            if f.endswith(".arrow") and not f.endswith(".doclen.arrow")
+        )
+        if num_searchers is None:
+            num_searchers = min(
+                len(seg_ids), max(1, int(ray.cluster_resources().get("CPU", 4)))
+            )
+        num_searchers = max(1, min(num_searchers, len(seg_ids)))
+        # contiguous seg ranges per actor -> boolean merge stays doc-ordered
+        chunks = np.array_split(np.array(seg_ids), num_searchers)
+        self.searchers = [
+            SegmentSearcher.remote(index_dir, chunk.tolist()) for chunk in chunks
+        ]
+        ray.get([s.ready.remote() for s in self.searchers])
+
+    # -- df / idf ----------------------------------------------------------
+
+    def _global_dfs(self, terms: list[str]) -> dict[str, int]:
+        missing = sorted({t for t in terms if t not in self._df_cache})
+        if missing:
+            parts = ray.get([s.dfs.remote(missing) for s in self.searchers])
+            for t in missing:
+                self._df_cache[t] = sum(p[t] for p in parts)
+        return {t: self._df_cache[t] for t in terms}
+
+    def _idfs(self, terms: list[str]) -> dict[str, float]:
+        dfs = self._global_dfs(terms)
+        # reference: idf = ln((N+1)/(df+1)) if df > 0 else 0; zero idf terms
+        # are skipped (including df == N) — ``selfindex_q_taat.py:133,158-160``
+        return {
+            t: (math.log((self.doc_count + 1) / (df + 1)) if df > 0 else 0.0)
+            for t, df in dfs.items()
+        }
+
+    # -- search ------------------------------------------------------------
+
+    def search(self, query_text: str, size: int = 10, mode: str | None = None) -> dict:
+        """Reference result shape (``selfindex_q_taat.py:203-208``)."""
+        if looks_boolean(query_text):
+            return self._search_boolean(query_text, size)
+        return self._search_ranked(query_text, size, mode or self.mode)
+
+    def _search_ranked(self, query_text: str, size: int, mode: str) -> dict:
+        terms = self.normalizer.preprocess_query_list(query_text)
+        if not terms or self.doc_count == 0:
+            return {"query": query_text, "total_hits": 0, "results": []}
+        idfs = self._idfs(terms)
+        futs = [
+            s.search_ranked.remote(
+                terms, idfs, size, self.scoring, self.k1, self.b, self.avgdl, mode
+            )
+            for s in self.searchers
+        ]
+        parts = ray.get(futs)
+        ids = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        totals = [p[2] for p in parts]
+        total = -1 if any(t < 0 for t in totals) else int(sum(totals))
+        order = np.lexsort((ids, -scores))[:size]
+        results = [
+            {"doc_id": int(ids[i]), "score": float(scores[i])} for i in order
+        ]
+        return {"query": query_text, "total_hits": total, "results": results}
+
+    def _search_boolean(self, query_text: str, size: int) -> dict:
+        tokens = preprocess_boolean_query(query_text, self.normalizer)
+        rpn = to_rpn(tokens)
+        futs = [s.search_boolean.remote(rpn, size) for s in self.searchers]
+        parts = ray.get(futs)
+        ids = np.concatenate([p[0] for p in parts])  # actor order == doc order
+        total = int(sum(p[1] for p in parts))
+        return {
+            "query": query_text,
+            "total_hits": total,
+            "results": [{"doc_id": int(d), "score": 1.0} for d in ids[:size]],
+        }
+
+    def batch_search(self, queries: list[str], size: int = 10,
+                     mode: str | None = None) -> list[dict]:
+        """Pipelined multi-query execution (QPS harness path): round 1 (df
+        gather) for all queries first, then all scoring rounds in flight."""
+        all_terms = sorted(
+            {
+                t
+                for q in queries
+                if not looks_boolean(q)
+                for t in self.normalizer.preprocess_query_list(q)
+            }
+        )
+        self._global_dfs(all_terms)  # warm the cache in one round
+        futs = []
+        metas = []
+        mode = mode or self.mode
+        for q in queries:
+            if looks_boolean(q):
+                rpn = to_rpn(preprocess_boolean_query(q, self.normalizer))
+                metas.append(("bool", q))
+                futs.append([s.search_boolean.remote(rpn, size) for s in self.searchers])
+            else:
+                terms = self.normalizer.preprocess_query_list(q)
+                idfs = self._idfs(terms)
+                metas.append(("ranked", q))
+                futs.append(
+                    [
+                        s.search_ranked.remote(
+                            terms, idfs, size, self.scoring, self.k1, self.b,
+                            self.avgdl, mode,
+                        )
+                        for s in self.searchers
+                    ]
+                )
+        out = []
+        for (kind, q), fs in zip(metas, futs):
+            parts = ray.get(fs)
+            if kind == "bool":
+                ids = np.concatenate([p[0] for p in parts])
+                total = int(sum(p[1] for p in parts))
+                out.append(
+                    {
+                        "query": q,
+                        "total_hits": total,
+                        "results": [
+                            {"doc_id": int(d), "score": 1.0} for d in ids[:size]
+                        ],
+                    }
+                )
+            else:
+                ids = np.concatenate([p[0] for p in parts])
+                scores = np.concatenate([p[1] for p in parts])
+                totals = [p[2] for p in parts]
+                total = -1 if any(t < 0 for t in totals) else int(sum(totals))
+                order = np.lexsort((ids, -scores))[:size]
+                out.append(
+                    {
+                        "query": q,
+                        "total_hits": total,
+                        "results": [
+                            {"doc_id": int(ids[i]), "score": float(scores[i])}
+                            for i in order
+                        ],
+                    }
+                )
+        return out
+
+    # -- misc --------------------------------------------------------------
+
+    def lookup_urls(self, doc_ids: list[int]) -> dict[int, str]:
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(os.path.join(self.index_dir, "docmap"))
+        t = dset.to_table(
+            columns=["doc_id", "url"],
+            filter=pads.field("doc_id").isin(list(doc_ids)),
+        )
+        return dict(zip(t.column("doc_id").to_pylist(), t.column("url").to_pylist()))
+
+    def get_stats(self) -> dict:
+        return {
+            "identifier": self.stats.get("identifier"),
+            "doc_count": self.doc_count,
+            "avg_doc_length": self.avgdl,
+            "num_segments": self.stats.get("num_segments"),
+            "num_searchers": len(self.searchers),
+            "scoring": self.scoring,
+            "mode": self.mode,
+        }
+
+    def close(self) -> None:
+        for s in self.searchers:
+            ray.kill(s)
+        self.searchers = []

@@ -27,7 +27,6 @@ import pyarrow.parquet as pq
 
 from ..functions.vbyte import (
     decode_postings,
-    decode_tfs,
     vbyte_decode,
     vbyte_encode_with_lengths,
     zlib_decode_postings,
@@ -162,14 +161,6 @@ class SegmentAssembler:
             return zlib_decode_postings(raw)
         return decode_postings(raw)
 
-    def _encode_ids(self, ids: np.ndarray) -> bytes:
-        deltas = np.empty_like(ids)
-        deltas[0] = ids[0]
-        deltas[1:] = ids[1:] - ids[:-1]
-        if self.codec == "zlib":
-            return zlib.compress(deltas.astype("<u4").tobytes(), 9)
-        return vbyte_encode_with_lengths(deltas)[0]
-
     # -- main --------------------------------------------------------------
 
     def __call__(self, runs: pa.Table) -> pa.Table:
@@ -180,112 +171,153 @@ class SegmentAssembler:
 
         runs = runs.sort_by([("term", "ascending"), ("first_doc", "ascending")])
         term = runs.column("term").combine_chunks()
-        df = runs.column("df").to_numpy()
+        run_lens = runs.column("df").to_numpy().astype(np.int64)
         postings_col = runs.column("postings").combine_chunks()
         tfs_col = runs.column("tfs").combine_chunks()
         nruns = runs.num_rows
 
-        # Group runs by term.
+        # Concatenated decode of every run (vectorized segmented cumsum).
+        total = int(run_lens.sum())
+        rstarts = np.zeros(nruns, dtype=np.int64)
+        np.cumsum(run_lens[:-1], out=rstarts[1:])
+        if self.codec == "zlib":
+            slots = np.concatenate(
+                [self._decode_cell(postings_col[i].as_py()) for i in range(nruns)]
+            )
+        else:
+            post_buf = b"".join(postings_col.to_pylist())
+            deltas = vbyte_decode(post_buf)
+            cs = np.cumsum(deltas)
+            prev = np.zeros(nruns, dtype=np.int64)
+            prev[1:] = cs[rstarts[1:] - 1]
+            slots = cs - np.repeat(prev, run_lens)
+        tfs = vbyte_decode(b"".join(tfs_col.to_pylist()))
+
+        # Group runs by term -> per-term posting spans.  Sub-runs of one term
+        # come from the doc-ordered sort split, so their concatenation is
+        # already ascending (asserted below).
         if nruns > 1:
             eq = pc.equal(term.slice(1), term.slice(0, nruns - 1)).to_numpy(
                 zero_copy_only=False
             )
-            tstarts = np.concatenate(([0], np.flatnonzero(~eq) + 1))
+            trun_starts = np.concatenate(([0], np.flatnonzero(~eq) + 1))
         else:
-            tstarts = np.zeros(1, dtype=np.int64)
-        tlens = np.empty_like(tstarts)
-        tlens[:-1] = tstarts[1:] - tstarts[:-1]
-        tlens[-1] = nruns - tstarts[-1]
+            trun_starts = np.zeros(1, dtype=np.int64)
+        tstarts = rstarts[trun_starts]  # term start in posting space
+        nterms = tstarts.size
+        out_df = np.empty(nterms, dtype=np.int64)
+        out_df[:-1] = tstarts[1:] - tstarts[:-1]
+        out_df[-1] = total - tstarts[-1]
+        merged = int(nruns - nterms)
 
-        # Merge multi-run terms; reuse single-run cells as-is (their run
-        # encoding is already the final posting-list encoding).
-        out_terms: list[str] = []
-        out_df = np.empty(tstarts.size, dtype=np.int64)
-        post_cells: list[bytes] = []
-        tf_cells: list[bytes] = []
-        merged = 0
-        term_py = term.to_pylist()
-        for k, (s, ln) in enumerate(zip(tstarts, tlens)):
-            out_terms.append(term_py[s])
-            if ln == 1:
-                out_df[k] = df[s]
-                post_cells.append(postings_col[s].as_py())
-                tf_cells.append(tfs_col[s].as_py())
-            else:
-                merged += 1
-                ids = np.concatenate(
-                    [self._decode_cell(postings_col[s + j].as_py()) for j in range(ln)]
-                )
-                tfs = np.concatenate(
-                    [decode_tfs(tfs_col[s + j].as_py()) for j in range(ln)]
-                )
-                order = np.argsort(ids, kind="stable")
-                ids = ids[order]
-                tfs = tfs[order]
-                out_df[k] = ids.size
-                post_cells.append(self._encode_ids(ids))
-                tf_cells.append(vbyte_encode_with_lengths(tfs)[0])
+        d = np.empty(total, dtype=np.int64)
+        d[0] = 1
+        d[1:] = slots[1:] - slots[:-1]
+        d[tstarts] = 1
+        if not (d > 0).all():
+            raise AssertionError(
+                f"seg {seg_id}: posting sub-runs overlap — sort invariant broken"
+            )
 
+        out_terms = term.take(trun_starts)
         stats = self._write_segment(
-            seg_id, info, doclens, out_terms, out_df, post_cells, tf_cells
+            seg_id, info, doclens, out_terms, out_df, tstarts, slots, tfs
         )
         stats["merged_terms"] = merged
         stats["assemble_sec"] = time.perf_counter() - t0
         return pa.table({k: [v] for k, v in stats.items()})
 
-    def _block_meta_all(
+    def _write_segment(
         self,
-        out_df: np.ndarray,
-        post_cells: list[bytes],
-        tf_cells: list[bytes],
+        seg_id: int,
+        info: dict,
         doclens: np.ndarray,
-    ):
-        """Vectorized block-max metadata for every term at once."""
+        out_terms,
+        out_df: np.ndarray,
+        tstarts: np.ndarray,
+        slots: np.ndarray,
+        tfs: np.ndarray,
+    ) -> dict:
+        """Encode per-term posting cells with block-reset deltas + per-block
+        byte offsets (lazy block decode for block-max WAND), compute block-max
+        metadata, and write the segment files + lineage manifest."""
+        base = info["doc_id_base"]
         nterms = out_df.size
         total = int(out_df.sum())
-        tstarts = np.zeros(nterms, dtype=np.int64)
-        np.cumsum(out_df[:-1], out=tstarts[1:])
+        bs = self.block_size
 
-        if self.codec == "zlib":
-            ids = np.concatenate([self._decode_cell(c) for c in post_cells])
-        else:
-            # one global decode: per-term deltas -> slots via segmented cumsum
-            deltas = vbyte_decode(b"".join(post_cells))
-            cs = np.cumsum(deltas)
-            prev = np.zeros(nterms, dtype=np.int64)
-            prev[1:] = cs[tstarts[1:] - 1]
-            ids = cs - np.repeat(prev, out_df)
-        tfs = vbyte_decode(b"".join(tf_cells))
-        dls = doclens[ids]  # ids are segment-local slots
+        if nterms:
+            # Block starts: every position whose rank within its term is a
+            # multiple of block_size (term starts included by construction).
+            rel = np.arange(total, dtype=np.int64) - np.repeat(tstarts, out_df)
+            bstarts = np.flatnonzero(rel % bs == 0)
+            bends = np.empty_like(bstarts)
+            bends[:-1] = bstarts[1:] - 1
+            bends[-1] = total - 1
+            blocks_per_term = (out_df + bs - 1) // bs
 
-        rel = np.arange(total, dtype=np.int64) - np.repeat(tstarts, out_df)
-        bstart_mask = (rel % self.block_size) == 0
-        bstarts = np.flatnonzero(bstart_mask)
-        bends = np.empty_like(bstarts)
-        bends[:-1] = bstarts[1:] - 1
-        bends[-1] = total - 1
-        blk_last = ids[bends].astype("<i8")  # segment-local slots
-        blk_maxtf = np.maximum.reduceat(tfs, bstarts).astype("<i4")
-        blk_mindl = np.minimum.reduceat(dls, bstarts).astype("<i4")
-        blocks_per_term = (out_df + self.block_size - 1) // self.block_size
+            # Delta encoding with reset (absolute slot) at each block start.
+            d = np.empty(total, dtype=np.int64)
+            d[1:] = slots[1:] - slots[:-1]
+            d[bstarts] = slots[bstarts]
 
-        return (
-            _binary_from_slices(blk_last.tobytes(), blocks_per_term * 8),
-            _binary_from_slices(blk_maxtf.tobytes(), blocks_per_term * 4),
-            _binary_from_slices(blk_mindl.tobytes(), blocks_per_term * 4),
-        )
+            if self.codec == "zlib":
+                # comparison codec: whole-list cells, no lazy block decode
+                post_cells = []
+                for k in range(nterms):
+                    s, ln = tstarts[k], out_df[k]
+                    seg_s = slots[s : s + ln]
+                    dseg = np.empty(ln, dtype=np.int64)
+                    dseg[0] = seg_s[0]
+                    dseg[1:] = seg_s[1:] - seg_s[:-1]
+                    post_cells.append(zlib.compress(dseg.astype("<u4").tobytes(), 9))
+                postings_arr = pa.array(post_cells, pa.large_binary())
+                blk_poff = blk_tfoff = _binary_from_slices(
+                    b"", np.zeros(nterms, dtype=np.int64)
+                )
+                postings_bytes = sum(len(c) for c in post_cells)
+                tf_data, tf_vlens = vbyte_encode_with_lengths(tfs)
+                tfs_arr = _binary_from_slices(
+                    tf_data, np.add.reduceat(tf_vlens, tstarts)
+                )
+            else:
+                data, vlens = vbyte_encode_with_lengths(d)
+                term_byte_lens = np.add.reduceat(vlens, tstarts)
+                postings_arr = _binary_from_slices(data, term_byte_lens)
+                postings_bytes = len(data)
 
-    def _write_segment(
-        self, seg_id, info, doclens, out_terms, out_df, post_cells, tf_cells
-    ) -> dict:
-        base = info["doc_id_base"]
-        if out_df.size:
-            blk_last, blk_maxtf, blk_mindl = self._block_meta_all(
-                out_df, post_cells, tf_cells, doclens
-            )
+                tf_data, tf_vlens = vbyte_encode_with_lengths(tfs)
+                term_tf_byte_lens = np.add.reduceat(tf_vlens, tstarts)
+                tfs_arr = _binary_from_slices(tf_data, term_tf_byte_lens)
+
+                # Per-block byte offsets within each term's cell (int32 LE).
+                blk_byte_lens = np.add.reduceat(vlens, bstarts)
+                excl = np.cumsum(blk_byte_lens) - blk_byte_lens
+                term_first_block = np.zeros(nterms, dtype=np.int64)
+                np.cumsum(blocks_per_term[:-1], out=term_first_block[1:])
+                poff = excl - np.repeat(excl[term_first_block], blocks_per_term)
+                blk_poff = _binary_from_slices(
+                    poff.astype("<i4").tobytes(), blocks_per_term * 4
+                )
+                blk_tf_lens = np.add.reduceat(tf_vlens, bstarts)
+                texcl = np.cumsum(blk_tf_lens) - blk_tf_lens
+                tfoff = texcl - np.repeat(texcl[term_first_block], blocks_per_term)
+                blk_tfoff = _binary_from_slices(
+                    tfoff.astype("<i4").tobytes(), blocks_per_term * 4
+                )
+
+            dls = doclens[slots]
+            blk_last = slots[bends].astype("<i4")
+            blk_maxtf = np.maximum.reduceat(tfs, bstarts).astype("<i4")
+            blk_mindl = np.minimum.reduceat(dls, bstarts).astype("<i4")
+            blk_last = _binary_from_slices(blk_last.tobytes(), blocks_per_term * 4)
+            blk_maxtf = _binary_from_slices(blk_maxtf.tobytes(), blocks_per_term * 4)
+            blk_mindl = _binary_from_slices(blk_mindl.tobytes(), blocks_per_term * 4)
         else:
             empty = pa.array([], pa.large_binary())
-            blk_last = blk_maxtf = blk_mindl = empty
+            postings_arr = tfs_arr = empty
+            blk_last = blk_maxtf = blk_mindl = blk_poff = blk_tfoff = empty
+            postings_bytes = 0
 
         meta = {
             "seg_id": str(seg_id),
@@ -294,15 +326,25 @@ class SegmentAssembler:
             "codec": self.codec,
             "block_size": str(self.block_size),
         }
+        term_arr = (
+            out_terms
+            if isinstance(out_terms, (pa.Array, pa.ChunkedArray))
+            else pa.array(out_terms, pa.large_string())
+        )
+        if isinstance(term_arr, pa.ChunkedArray):
+            term_arr = term_arr.combine_chunks()
+        term_arr = term_arr.cast(pa.large_string())
         seg_table = pa.table(
             {
-                "term": pa.array(out_terms, pa.large_string()),
+                "term": term_arr,
                 "df": pa.array(out_df),
-                "postings": pa.array(post_cells, pa.large_binary()),
-                "tfs": pa.array(tf_cells, pa.large_binary()),
+                "postings": postings_arr,
+                "tfs": tfs_arr,
                 "blk_last": blk_last,
                 "blk_maxtf": blk_maxtf,
                 "blk_mindl": blk_mindl,
+                "blk_poff": blk_poff,
+                "blk_tfoff": blk_tfoff,
             }
         ).replace_schema_metadata(meta)
 
@@ -319,9 +361,7 @@ class SegmentAssembler:
         df_file = os.path.join(df_dir, f"seg-{seg_id:05d}.parquet")
         tmp = df_file + ".tmp"
         pq.write_table(
-            pa.table(
-                {"term": pa.array(out_terms, pa.string()), "df": pa.array(out_df)}
-            ),
+            pa.table({"term": term_arr.cast(pa.string()), "df": pa.array(out_df)}),
             tmp,
         )
         os.replace(tmp, df_file)
@@ -338,7 +378,7 @@ class SegmentAssembler:
             "n_terms": len(out_terms),
             "n_postings": n_postings,
             "segment_bytes": seg_bytes,
-            "postings_bytes": sum(len(c) for c in post_cells),
+            "postings_bytes": postings_bytes,
             "uncompressed_postings_bytes": n_postings * 8,
         }
         manifest = dict(stats)

@@ -1,0 +1,311 @@
+"""Segment-local scorers: vectorized TAAT, block-max WAND, boolean RPN.
+
+Score formulas are the reference's, applied in the same floating-point order
+so results are score-identical (``selfindex_q_taat.py:173-182`` BM25/TF-IDF,
+idf = ln((N+1)/(df+1)) from ``selfindex_q_taat.py:133``):
+
+    bm25  = idf * (tf*(k1+1)) / (tf + k1*(1 - b + b*(dl/avgdl)))
+    tfidf = (tf/dl) * idf
+
+Doc scores accumulate term-by-term in query order, exactly like the
+reference's TAAT accumulator loop — so TAAT here, DAAT/WAND here, and the
+oracle all produce bit-identical float sums.
+
+Top-k tie-break is the engine-wide deterministic rule (-score, doc_id asc)
+(SURVEY.md §2.6 K2).
+
+* TAAT: one numpy accumulator over the segment's dense slot space; each
+  term's postings scored in one vectorized expression.  This is the fast
+  default: at web scale the per-posting work is pure SIMD.
+* WAND (block-max): exact top-k with skipping — term upper bounds for pivot
+  selection, per-128-block (max_tf, min_dl) upper bounds + lazy block decode
+  so skipped blocks are never even decompressed.  Subsumes the reference's
+  skip pointers (``selfindex_i1_skip_pointers.py:84-118``).
+* boolean: RPN over sorted slot arrays (np intersect/union/setdiff), NOT
+  against the segment-local doc universe (segments partition the doc space,
+  so per-segment complement + cross-segment union is exact —
+  SURVEY.md §7.4.6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..state.segment import SegmentReader
+
+# Slack for float-rounding in upper-bound pruning: a block is skipped only if
+# its UB is below threshold by more than this relative epsilon.
+_EPS = 1e-9
+
+
+def _topk_by_score(slots: np.ndarray, scores: np.ndarray, k: int):
+    """Exact top-k with (-score, slot asc) tie-break."""
+    n = scores.size
+    if n == 0:
+        return slots[:0], scores[:0]
+    if n > 4096 and n > k:
+        thr = np.partition(scores, n - k)[n - k]
+        mask = scores >= thr
+        slots, scores = slots[mask], scores[mask]
+    order = np.lexsort((slots, -scores))[:k]
+    return slots[order], scores[order]
+
+
+def term_scores(
+    tfs: np.ndarray, dls: np.ndarray, idf: float, scoring: str, k1: float, b: float,
+    avgdl: float,
+) -> np.ndarray:
+    tf = tfs.astype(np.float64)
+    dl = dls.astype(np.float64)
+    if scoring == "bm25":
+        return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * (dl / avgdl)))
+    return (tf / dl) * idf
+
+
+def taat_topk(
+    reader: SegmentReader,
+    terms: list[str],
+    idfs: dict[str, float],
+    k: int,
+    scoring: str,
+    k1: float,
+    b: float,
+    avgdl: float,
+):
+    """Vectorized term-at-a-time.  Returns (slots, scores, n_candidates)."""
+    acc = None
+    touched: list[np.ndarray] = []
+    for term in terms:
+        idf = idfs.get(term, 0.0)
+        if idf == 0.0:
+            continue
+        res = reader.postings_slots(term)
+        if res is None:
+            continue
+        slots, tfs = res
+        dls = reader.doc_lens[slots]
+        s = term_scores(tfs, dls, idf, scoring, k1, b, avgdl)
+        if acc is None:
+            acc = np.zeros(reader.num_docs, dtype=np.float64)
+        acc[slots] += s
+        touched.append(slots)
+    if acc is None:
+        e = np.empty(0, dtype=np.int64)
+        return e, np.empty(0, dtype=np.float64), 0
+    cand = np.unique(np.concatenate(touched))
+    scores = acc[cand]
+    top_slots, top_scores = _topk_by_score(cand, scores, k)
+    return top_slots, top_scores, int(cand.size)
+
+
+def daat_topk(reader, terms, idfs, k, scoring, k1, b, avgdl):
+    """Document-at-a-time without skipping (reference Q2 semantics,
+    ``selfindex_q_daat.py:177-252``) — same results as TAAT; exists for
+    engine parity and as the WAND-off baseline."""
+    return taat_topk(reader, terms, idfs, k, scoring, k1, b, avgdl)
+
+
+class _Cursor:
+    __slots__ = (
+        "qi", "row", "idf", "blk_last", "blk_ub", "term_ub", "nblocks",
+        "cur_block", "slots", "tfs", "pos", "cur_doc", "df",
+    )
+
+    def __init__(self, qi, row, idf, blk_last, blk_ub, df):
+        self.qi = qi
+        self.row = row
+        self.idf = idf
+        self.blk_last = blk_last
+        self.blk_ub = blk_ub
+        self.term_ub = float(blk_ub.max())
+        self.nblocks = blk_last.size
+        self.cur_block = -1
+        self.slots = None
+        self.tfs = None
+        self.pos = 0
+        self.cur_doc = -1
+        self.df = df
+
+
+_EXHAUSTED = np.iinfo(np.int64).max
+
+
+def wand_topk(
+    reader: SegmentReader,
+    terms: list[str],
+    idfs: dict[str, float],
+    k: int,
+    scoring: str,
+    k1: float,
+    b: float,
+    avgdl: float,
+    initial_threshold: float = 0.0,
+):
+    """Exact block-max WAND top-k BM25 (north_rule Q3).
+
+    Returns (slots, scores, -1): total_hits is unknown by design — WAND's
+    whole point is not visiting every candidate.
+    """
+    cursors: list[_Cursor] = []
+    for qi, t in enumerate(terms):
+        idf = idfs.get(t, 0.0)
+        if idf == 0.0:
+            continue
+        row = reader.term_row(t)
+        if row is None:
+            continue
+        blk_last, blk_maxtf, blk_mindl = reader.block_meta_by_row(row)
+        ub = term_scores(blk_maxtf, blk_mindl, idf, scoring, k1, b, avgdl)
+        c = _Cursor(qi, row, idf, blk_last.astype(np.int64), ub, reader.df_by_row(row))
+        _cursor_load_block(reader, c, 0)
+        cursors.append(c)
+    if not cursors:
+        e = np.empty(0, dtype=np.int64)
+        return e, np.empty(0, dtype=np.float64), -1
+
+    # top-k heap as sorted arrays (k is small)
+    import heapq
+
+    heap: list[tuple[float, int]] = []  # (score, -slot) min-heap
+    threshold = initial_threshold
+
+    def heap_push(score, slot):
+        nonlocal threshold
+        item = (score, -slot)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+            if len(heap) == k:
+                threshold = heap[0][0]
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+            threshold = heap[0][0]
+
+    dl_arr = reader.doc_lens
+    while True:
+        cursors.sort(key=lambda c: c.cur_doc)
+        # pivot selection on term upper bounds
+        acc = 0.0
+        pivot_i = -1
+        full = len(heap) == k
+        for i, c in enumerate(cursors):
+            acc += c.term_ub
+            if (not full) or acc > threshold * (1 - _EPS):
+                pivot_i = i
+                break
+        if pivot_i < 0:
+            break
+        pivot_doc = cursors[pivot_i].cur_doc
+        if pivot_doc == _EXHAUSTED:
+            break
+        if cursors[0].cur_doc == pivot_doc:
+            # block-max refinement at the pivot
+            if full:
+                bub = 0.0
+                for c in cursors[: pivot_i + 1]:
+                    bub += float(c.blk_ub[c.cur_block])
+                if bub <= threshold * (1 - _EPS):
+                    # no doc in these blocks can win: jump past the nearest
+                    # block boundary
+                    boundary = min(
+                        int(c.blk_last[c.cur_block]) for c in cursors[: pivot_i + 1]
+                    )
+                    for c in cursors[: pivot_i + 1]:
+                        _cursor_advance_to(reader, c, boundary + 1)
+                    continue
+            # score pivot_doc across all matching cursors in query order
+            matching = [c for c in cursors if c.cur_doc == pivot_doc]
+            matching.sort(key=lambda c: c.qi)
+            dl = float(dl_arr[pivot_doc])
+            score = 0.0
+            for c in matching:
+                tf = float(c.tfs[c.pos])
+                if scoring == "bm25":
+                    score += c.idf * (tf * (k1 + 1)) / (
+                        tf + k1 * (1 - b + b * (dl / avgdl))
+                    )
+                else:
+                    score += (tf / dl) * c.idf
+            heap_push(score, int(pivot_doc))
+            for c in matching:
+                _cursor_advance_to(reader, c, pivot_doc + 1)
+        else:
+            # advance the highest-df cursor strictly before the pivot doc
+            # (must make progress: a cursor already AT pivot_doc is a no-op)
+            pick = max(
+                (c for c in cursors[:pivot_i] if c.cur_doc < pivot_doc),
+                key=lambda c: c.df,
+            )
+            _cursor_advance_to(reader, pick, pivot_doc)
+
+    if not heap:
+        e = np.empty(0, dtype=np.int64)
+        return e, np.empty(0, dtype=np.float64), -1
+    items = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    slots = np.array([-s for _, s in items], dtype=np.int64)
+    scores = np.array([sc for sc, _ in items], dtype=np.float64)
+    return slots, scores, -1
+
+
+def _cursor_load_block(reader: SegmentReader, c: _Cursor, block: int) -> None:
+    if block >= c.nblocks:
+        c.cur_doc = _EXHAUSTED
+        c.slots = c.tfs = None
+        return
+    c.cur_block = block
+    c.slots, c.tfs = reader.decode_block(c.row, block)
+    c.pos = 0
+    c.cur_doc = int(c.slots[0])
+
+
+def _cursor_advance_to(reader: SegmentReader, c: _Cursor, target: int) -> None:
+    """Move cursor to the first posting with slot >= target (block skipping:
+    untouched blocks are never decoded)."""
+    if c.cur_doc == _EXHAUSTED or c.cur_doc >= target:
+        return
+    if int(c.blk_last[c.cur_block]) < target:
+        nxt = int(np.searchsorted(c.blk_last, target, side="left"))
+        _cursor_load_block(reader, c, nxt)
+        if c.cur_doc == _EXHAUSTED or c.cur_doc >= target:
+            return
+    pos = int(np.searchsorted(c.slots, target, side="left"))
+    if pos >= c.slots.size:  # defensive; blk_last check should prevent this
+        _cursor_load_block(reader, c, c.cur_block + 1)
+        return
+    c.pos = pos
+    c.cur_doc = int(c.slots[pos])
+
+
+def boolean_eval(reader: SegmentReader, rpn: tuple[str, ...], size: int):
+    """RPN evaluation over sorted slot arrays (reference Q5 engine,
+    ``measure_latency_datastores.py:137-188``).  Returns
+    (first `size` matching global doc_ids ascending, total local matches)."""
+    universe = None
+    stack: list[np.ndarray] = []
+    empty = np.empty(0, dtype=np.int64)
+    for token in rpn:
+        if token == "AND":
+            b_ = stack.pop()
+            a = stack.pop()
+            if a.size and b_.size:
+                stack.append(np.intersect1d(a, b_, assume_unique=True))
+            else:
+                stack.append(empty)
+        elif token == "OR":
+            b_ = stack.pop()
+            a = stack.pop()
+            if not a.size:
+                stack.append(b_)
+            elif not b_.size:
+                stack.append(a)
+            else:
+                stack.append(np.union1d(a, b_))
+        elif token == "NOT":
+            a = stack.pop()
+            if universe is None:
+                universe = reader.present_doc_ids() - reader.doc_id_base
+            stack.append(np.setdiff1d(universe, a, assume_unique=True))
+        else:
+            res = reader.postings_slots(token)
+            stack.append(res[0] if res is not None else empty)
+    result = stack[0] if stack else empty
+    return result[:size] + reader.doc_id_base, int(result.size)

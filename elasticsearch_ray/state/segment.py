@@ -7,16 +7,23 @@ with per-segment columnar files:
 
     term:      large_string
     df:        int64         local document frequency
-    postings:  large_binary  delta+VByte doc_ids (ascending), reference z=1
-                             byte layout (``selfindex_z1_simple_compression
-                             .py:18-83``) — or delta+zlib when codec='zlib'
+    postings:  large_binary  delta+VByte segment-local slot ids (ascending),
+                             reference z=1 byte layout per value
+                             (``selfindex_z1_simple_compression.py:18-83``)
+                             with the delta RESET (absolute slot) at every
+                             ``block_size``-th posting so single blocks are
+                             independently decodable — or whole-list
+                             delta+zlib when codec='zlib'
     tfs:       large_binary  VByte term frequencies, parallel to postings
-    blk_last:  large_binary  int64 LE array — last doc_id per 128-posting
+    blk_last:  large_binary  int32 LE array — last slot per 128-posting
                              block (block-max WAND skip structure; subsumes
                              the reference's skip pointers,
                              ``selfindex_i1_skip_pointers.py:28-56``)
     blk_maxtf: large_binary  int32 LE array — max tf per block
     blk_mindl: large_binary  int32 LE array — min doc length per block
+    blk_poff:  large_binary  int32 LE array — byte offset of each block
+                             inside the postings cell (lazy block decode)
+    blk_tfoff: large_binary  int32 LE array — same for the tfs cell
 
     (block upper bound for BM25 at query time:
      idf * (maxtf*(k1+1)) / (maxtf + k1*(1-b+b*mindl/avgdl)) — score is
@@ -41,12 +48,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.ipc as ipc
 
-from ..functions.vbyte import (
-    decode_postings,
-    decode_tfs,
-    vbyte_decode,
-    zlib_decode_postings,
-)
+from ..functions.vbyte import decode_tfs, vbyte_decode, zlib_decode_postings
 
 BLOCK_SIZE = 128
 
@@ -115,11 +117,13 @@ class SegmentReader:
         self.doc_lens = dl_table.column("doc_len").to_numpy()  # dense by slot
         self._terms = self.table.column("term")
         self._df = self.table.column("df").to_numpy()
-        self._postings = self.table.column("postings")
-        self._tfs = self.table.column("tfs")
-        self._blk_last = self.table.column("blk_last")
-        self._blk_maxtf = self.table.column("blk_maxtf")
-        self._blk_mindl = self.table.column("blk_mindl")
+        self._postings = self.table.column("postings").combine_chunks()
+        self._tfs = self.table.column("tfs").combine_chunks()
+        self._blk_last = self.table.column("blk_last").combine_chunks()
+        self._blk_maxtf = self.table.column("blk_maxtf").combine_chunks()
+        self._blk_mindl = self.table.column("blk_mindl").combine_chunks()
+        self._blk_poff = self.table.column("blk_poff").combine_chunks()
+        self._blk_tfoff = self.table.column("blk_tfoff").combine_chunks()
         # term -> row dict; ~tens of MB for 1M terms, built once per actor.
         self._term_row = {t: i for i, t in enumerate(self._terms.to_pylist())}
 
@@ -131,6 +135,23 @@ class SegmentReader:
         row = self._term_row.get(term)
         return int(self._df[row]) if row is not None else 0
 
+    def df_by_row(self, row: int) -> int:
+        return int(self._df[row])
+
+    def _slots_from_deltas(self, deltas: np.ndarray) -> np.ndarray:
+        """Reconstruct slots from block-reset deltas (absolute value at every
+        ``block_size``-th position, plain delta elsewhere)."""
+        n = deltas.size
+        cs = np.cumsum(deltas)
+        if n <= self.block_size:
+            return cs
+        starts = np.arange(0, n, self.block_size)
+        lens = np.diff(np.append(starts, n))
+        prev = np.empty(starts.size, dtype=np.int64)
+        prev[0] = 0
+        prev[1:] = cs[starts[1:] - 1]
+        return cs - np.repeat(prev, lens)
+
     def postings_slots(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
         """(segment-local slot ids ascending, tfs) or None if absent.
 
@@ -140,12 +161,31 @@ class SegmentReader:
         row = self._term_row.get(term)
         if row is None:
             return None
+        return self.postings_slots_by_row(row)
+
+    def postings_slots_by_row(self, row: int) -> tuple[np.ndarray, np.ndarray]:
         raw = self._postings[row].as_py()
         if self.codec == "zlib":
             slots = zlib_decode_postings(raw)
         else:
-            slots = decode_postings(raw)
+            slots = self._slots_from_deltas(vbyte_decode(raw))
         tfs = decode_tfs(self._tfs[row].as_py())
+        return slots, tfs
+
+    def term_row(self, term: str) -> int | None:
+        return self._term_row.get(term)
+
+    def decode_block(self, row: int, block: int) -> tuple[np.ndarray, np.ndarray]:
+        """Lazily decode ONE 128-posting block of a term (slots, tfs) —
+        the block-max WAND skip path never touches the other blocks."""
+        poff = np.frombuffer(self._blk_poff[row].as_py(), dtype="<i4")
+        tfoff = np.frombuffer(self._blk_tfoff[row].as_py(), dtype="<i4")
+        praw = self._postings[row].as_py()
+        traw = self._tfs[row].as_py()
+        pend = poff[block + 1] if block + 1 < poff.size else len(praw)
+        tend = tfoff[block + 1] if block + 1 < tfoff.size else len(traw)
+        slots = np.cumsum(vbyte_decode(praw[poff[block] : pend]))
+        tfs = vbyte_decode(traw[tfoff[block] : tend])
         return slots, tfs
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
@@ -156,15 +196,18 @@ class SegmentReader:
         slots, tfs = res
         return slots + self.doc_id_base, tfs
 
-    def block_meta(self, term: str):
-        """(last_slots int64[], max_tfs int32[], min_dls int32[]) or None."""
-        row = self._term_row.get(term)
-        if row is None:
-            return None
-        last = np.frombuffer(self._blk_last[row].as_py() or b"", dtype="<i8")
+    def block_meta_by_row(self, row: int):
+        """(last_slots int32[], max_tfs int32[], min_dls int32[])."""
+        last = np.frombuffer(self._blk_last[row].as_py() or b"", dtype="<i4")
         maxtf = np.frombuffer(self._blk_maxtf[row].as_py() or b"", dtype="<i4")
         mindl = np.frombuffer(self._blk_mindl[row].as_py() or b"", dtype="<i4")
         return last, maxtf, mindl
+
+    def block_meta(self, term: str):
+        row = self._term_row.get(term)
+        if row is None:
+            return None
+        return self.block_meta_by_row(row)
 
     def present_doc_ids(self) -> np.ndarray:
         """Local doc universe (for boolean NOT): every kept doc, including

@@ -1,0 +1,140 @@
+"""Index build vs oracle: postings, df, doclens, stats; determinism; resume."""
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_ray.state.segment import SegmentReader
+
+
+@pytest.fixture(scope="module")
+def readers(tiny_index_dir):
+    n = json.load(open(os.path.join(tiny_index_dir, "stats.json")))["num_segments"]
+    return [SegmentReader(tiny_index_dir, i) for i in range(n)]
+
+
+def test_df_matches_oracle(tiny_index_dir, tiny_oracle):
+    t = pq.read_table(os.path.join(tiny_index_dir, "df_global")).to_pydict()
+    eng_df = dict(zip(t["term"], t["df"]))
+    assert eng_df == tiny_oracle.term_doc_freq
+
+
+def test_postings_match_oracle(readers, tiny_oracle):
+    for term, plist in tiny_oracle.inverted_index.items():
+        parts = [r.postings(term) for r in readers]
+        got = np.concatenate([p[0] for p in parts if p is not None])
+        assert np.array_equal(np.sort(got), np.array(plist)), term
+
+
+def test_tfs_match_oracle(readers, tiny_oracle):
+    for r in readers:
+        for term in list(tiny_oracle.inverted_index)[:50]:
+            res = r.postings(term)
+            if res is None:
+                continue
+            ids, tfs = res
+            for d, tf in zip(ids, tfs):
+                assert tiny_oracle.doc_tf[d][term] == tf
+
+
+def test_doclens_and_stats(readers, tiny_index_dir, tiny_oracle):
+    dl = np.concatenate([r.doc_lens for r in readers])
+    assert list(dl) == [tiny_oracle.doc_len[i] for i in range(len(dl))]
+    st = json.load(open(os.path.join(tiny_index_dir, "stats.json")))
+    assert st["doc_count"] == tiny_oracle.doc_count
+    assert abs(st["avg_doc_length"] - tiny_oracle.avg_doc_length) < 1e-9
+
+
+def test_block_meta_bounds(readers, tiny_oracle):
+    """Block-max metadata must upper-bound true per-block values."""
+    for r in readers:
+        for term in list(tiny_oracle.inverted_index)[:100]:
+            row = r.term_row(term)
+            if row is None:
+                continue
+            slots, tfs = r.postings_slots_by_row(row)
+            last, maxtf, mindl = r.block_meta_by_row(row)
+            bs = r.block_size
+            nblocks = (slots.size + bs - 1) // bs
+            assert last.size == nblocks
+            for b in range(nblocks):
+                blk_s = slots[b * bs : (b + 1) * bs]
+                blk_t = tfs[b * bs : (b + 1) * bs]
+                dls = r.doc_lens[blk_s]
+                assert last[b] == blk_s[-1]
+                assert maxtf[b] == blk_t.max()
+                assert mindl[b] == dls.min()
+                # lazy single-block decode agrees
+                ds_, dt_ = r.decode_block(row, b)
+                assert np.array_equal(ds_, blk_s)
+                assert np.array_equal(dt_, blk_t)
+
+
+def test_html_never_read(tiny_corpus_dir):
+    """The build must prune columns at the read: html stays in storage."""
+    from elasticsearch_ray.stages.tokenizer import TokenizePartition
+
+    tok = TokenizePartition.__new__(TokenizePartition)
+    tok.text_column = "text"
+    tok.url_column = "url"
+    tok.lang_column = "lang"
+    f = [f for f in os.listdir(tiny_corpus_dir) if f.endswith(".parquet")][0]
+    spec = {
+        "path": os.path.join(tiny_corpus_dir, f),
+        "row_group_start": 0,
+        "row_group_end": 1,
+        "row_offset": 0,
+        "num_rows": 10,
+    }
+    tbl = tok._read_rows(spec)
+    assert "html" not in tbl.column_names
+
+
+def _md5(path):
+    return hashlib.md5(open(path, "rb").read()).hexdigest()
+
+
+def test_determinism_and_resume(tiny_corpus_dir, tiny_index_dir, tmp_path):
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+
+    cfg = BuildConfig(target_partition_rows=50, docs_per_segment=70)
+    idx2 = str(tmp_path / "idx2")
+    build_index(tiny_corpus_dir, idx2, cfg)
+    segs = sorted(
+        f for f in os.listdir(os.path.join(tiny_index_dir, "segments"))
+        if f.endswith(".arrow")
+    )
+    for s in segs:
+        assert _md5(os.path.join(tiny_index_dir, "segments", s)) == _md5(
+            os.path.join(idx2, "segments", s)
+        ), s
+
+    # resume: destroy one segment, rebuild -> only it is redone, bytes equal
+    victim = segs[0].split(".")[0]
+    os.remove(os.path.join(idx2, "manifests", f"{victim.replace('seg-', 'seg-')}.json"))
+    os.remove(os.path.join(idx2, "segments", f"{victim}.arrow"))
+    other = [s for s in segs if not s.startswith(victim)][0]
+    mtime_other = os.path.getmtime(os.path.join(idx2, "segments", other))
+    m = build_index(tiny_corpus_dir, idx2, cfg)
+    assert m["segments_skipped_resume"] == m["num_segments"] - 1
+    assert os.path.getmtime(os.path.join(idx2, "segments", other)) == mtime_other
+    assert _md5(os.path.join(idx2, "segments", f"{victim}.arrow")) == _md5(
+        os.path.join(tiny_index_dir, "segments", f"{victim}.arrow")
+    )
+
+
+def test_lang_filter(tiny_corpus_dir, tmp_path):
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+
+    idx = str(tmp_path / "idx_en")
+    m = build_index(
+        tiny_corpus_dir,
+        idx,
+        BuildConfig(target_partition_rows=50, docs_per_segment=70, lang_filter="en"),
+    )
+    langs = pq.read_table(tiny_corpus_dir, columns=["lang"]).column("lang").to_pylist()
+    assert m["doc_count"] == sum(1 for l in langs if l == "en")

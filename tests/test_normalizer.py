@@ -1,0 +1,110 @@
+"""Normalizer byte-identity tests (the per-row invariant, BASELINE.json
+input_hint) against the reference pipeline ``preprocess_data.py:57-72``."""
+
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from elasticsearch_ray.normalizer import (
+    ENGLISH_STOPWORDS,
+    Normalizer,
+    preprocess_boolean_query,
+    tokenize,
+)
+
+N = Normalizer()
+
+
+def reference_tokenize(text, stop_words=ENGLISH_STOPWORDS):
+    """Line-by-line transcription of the reference normalizer for testing
+    (``preprocess_data.py:57-72``), with word_tokenize -> split() (see below).
+    """
+    text = text.lower()
+    text = re.sub(r"http\S+|www\S+|https\S+|\S+@\S+", "", text)
+    text = re.sub(r"[^a-z0-9\s]", " ", text)
+    text = re.sub(r"\s+", " ", text).strip()
+    tokens = text.split()
+    tokens = [t for t in tokens if not t.isdigit() and len(t) >= 2]
+    tokens = [t for t in tokens if t not in stop_words]
+    from elasticsearch_ray.normalizer import porter_stem
+
+    return [porter_stem(t) for t in tokens]
+
+
+ADVERSARIAL = [
+    "Check http://foo.com and a@b.com! Running studies, 42, x — naïve café.",
+    "UPPER lower MiXeD 123 1 ab",
+    "www.example.org https://x.y/z?a=1&b=2 trailing",
+    "  multiple   spaces\tand\nnewlines  ",
+    "punctuation!!! ... ??? ;;; :: () [] {} \"quotes\" 'single'",
+    "hyphen-ated under_scored dot.sep.arated",
+    "unicode: café naïve résumé Ω≈ç√ 東京 مرحبا",
+    "digits 007 42 3.14 1e9 0x1F",
+    "don't can't won't shouldn't I'll you're",
+    "the and of to in a an",  # all stopwords
+    "",
+    "   ",
+    "a",  # single char
+    "ab",  # shortest keepable token (if not stopword)
+]
+
+
+def test_adversarial_byte_identity():
+    for text in ADVERSARIAL:
+        assert tokenize(text) == reference_tokenize(text), text
+
+
+def test_url_email_stripping():
+    # NB: "now" is an NLTK stopword, hence absent
+    assert tokenize("visit http://foo.bar/baz today") == ["visit", "today"]
+    assert tokenize("mail me@you.com ok") == ["mail", "ok"]
+    assert tokenize("www.site.com hello") == ["hello"]
+
+
+def test_digits_and_short_dropped():
+    assert tokenize("42 7 x running") == ["run"]
+
+
+def test_stopwords_dropped():
+    assert tokenize("the quick brown fox") == ["quick", "brown", "fox"]
+
+
+def test_stopword_count():
+    assert len(ENGLISH_STOPWORDS) == 179  # NLTK english list size
+
+
+def test_word_tokenize_split_equivalence_precondition():
+    """After the regex pipeline the text is [a-z0-9 ]-only, which is the
+    precondition for word_tokenize == str.split (SURVEY.md §2.2 M2)."""
+    for text in ADVERSARIAL:
+        cleaned = N.normalize_text(text)
+        assert re.fullmatch(r"[a-z0-9 ]*", cleaned), repr(cleaned)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_property_byte_identity(text):
+    assert tokenize(text) == reference_tokenize(text)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(
+        alphabet=string.ascii_letters + string.digits + " ().!-'",
+        max_size=100,
+    )
+)
+def test_query_doc_same_pipeline(q):
+    """Docs and queries MUST share one normalizer (the reference's critical
+    bug was divergence here, ``REPORT.md:182-185``)."""
+    assert N.preprocess_query_list(q) == tokenize(q)
+
+
+def test_boolean_query_tokenizer():
+    toks = preprocess_boolean_query("(Machine AND learning) OR NOT cats", N)
+    assert toks == ("(", "machin", "AND", "learn", ")", "OR", "NOT", "cat")
+    # lowercase operators recognised too (reference upper()s each token)
+    toks = preprocess_boolean_query("dogs and cats", N)
+    assert toks == ("dog", "AND", "cat")

@@ -1,0 +1,140 @@
+"""Golden query tests: the distributed engine must be rank-identical AND
+score-identical to the in-repo oracle (SURVEY.md §5.2), for ranked (TAAT /
+DAAT / block-max WAND) and boolean queries, including the reference's own
+100-query conformance set."""
+
+import json
+import os
+import random
+
+import pytest
+
+from elasticsearch_ray.oracle.oracle import looks_boolean
+from elasticsearch_ray.sources.synthetic import VOCAB
+
+REFERENCE_QUERYSET = "/root/reference/queryset.json"
+
+
+def fixture_queries():
+    qs = [
+        "run", "running studies", "news sky connection",
+        "generalization oscillators", "the and of", "xyzzy notaterm",
+        "maximize argument trouble happy", "dying lying tying news",
+        "run AND studi", "(run OR news) AND NOT sky",
+        "trouble NOT (argue OR maximize)", "run AND (studi OR news)",
+        "NOT zitiri", "news OR sky OR trouble",
+    ]
+    rng = random.Random(7)
+    qs += [" ".join(rng.sample(VOCAB[:300], rng.randint(1, 4))) for _ in range(25)]
+    qs += [
+        f"{rng.choice(VOCAB[:100])} AND {rng.choice(VOCAB[:100])}" for _ in range(8)
+    ]
+    qs += [
+        f"({rng.choice(VOCAB[:200])} OR {rng.choice(VOCAB[:200])}) "
+        f"AND NOT {rng.choice(VOCAB[:50])}"
+        for _ in range(8)
+    ]
+    return qs
+
+
+def assert_result_match(got, exp, check_total=True, rel_tol=1e-12):
+    if check_total:
+        assert got["total_hits"] == exp["total_hits"], (got, exp)
+    g_ids = [r["doc_id"] for r in got["results"]]
+    e_ids = [r["doc_id"] for r in exp["results"]]
+    assert g_ids == e_ids, (got["query"], g_ids, e_ids)
+    for a, b in zip(got["results"], exp["results"]):
+        assert abs(a["score"] - b["score"]) <= rel_tol * max(1.0, abs(b["score"]))
+
+
+def test_fixture_queries_taat_and_boolean(tiny_engine, tiny_oracle):
+    for q in fixture_queries():
+        assert_result_match(tiny_engine.search(q), tiny_oracle.query(q))
+
+
+def test_fixture_queries_wand(tiny_engine, tiny_oracle):
+    for q in fixture_queries():
+        if looks_boolean(q):
+            continue
+        got = tiny_engine.search(q, mode="wand")
+        exp = tiny_oracle.query_taat(q)
+        assert_result_match(got, exp, check_total=False, rel_tol=1e-9)
+
+
+def test_fixture_queries_daat_oracle_agreement(tiny_engine, tiny_oracle):
+    """Oracle DAAT == oracle TAAT == engine (reference Q1/Q2 equivalence)."""
+    for q in fixture_queries()[:10]:
+        if looks_boolean(q):
+            continue
+        taat = tiny_oracle.query_taat(q)
+        daat = tiny_oracle.query_daat(q)
+        assert [r["doc_id"] for r in taat["results"]] == [
+            r["doc_id"] for r in daat["results"]
+        ]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REFERENCE_QUERYSET), reason="reference queryset not present"
+)
+def test_reference_queryset_conformance(tiny_engine, tiny_oracle):
+    """All 100 reference queries (``queryset.json:76-177``) run identically
+    on engine and oracle over the synthetic corpus (most have 0 hits here —
+    the strata still exercise routing, RPN, and scoring paths)."""
+    with open(REFERENCE_QUERYSET) as f:
+        data = json.load(f)
+    queries = data["queries"] if isinstance(data, dict) else data
+    assert len(queries) >= 50
+    for q in queries:
+        assert_result_match(tiny_engine.search(q), tiny_oracle.query(q))
+
+
+def test_tfidf_scoring_mode(tiny_index_dir, tiny_oracle):
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(tiny_index_dir, num_searchers=2, scoring="tfidf")
+    try:
+        for q in ["news sky connection", "maximize argument trouble"]:
+            assert_result_match(eng.search(q), tiny_oracle.query_taat(q, scoring="tfidf"))
+    finally:
+        eng.close()
+
+
+def test_batch_search_matches_single(tiny_engine):
+    qs = fixture_queries()[:12]
+    batch = tiny_engine.batch_search(qs)
+    for q, r in zip(qs, batch):
+        single = tiny_engine.search(q)
+        assert r == single
+
+
+def test_bm25_hand_computed(tiny_engine, tiny_oracle):
+    """BM25 formula spot-check against a hand computation (F6)."""
+    import math
+
+    q = "news"
+    res = tiny_engine.search(q)
+    if not res["results"]:
+        pytest.skip("no hits for term in fixture")
+    top = res["results"][0]
+    d = top["doc_id"]
+    tf = tiny_oracle.doc_tf[d].get("news", 0)
+    dl = tiny_oracle.doc_len[d]
+    N = tiny_oracle.doc_count
+    df = tiny_oracle.term_doc_freq["news"]
+    idf = math.log((N + 1) / (df + 1))
+    k1, b = 1.2, 0.75
+    expect = idf * (tf * (k1 + 1)) / (
+        tf + k1 * (1 - b + b * (dl / tiny_oracle.avg_doc_length))
+    )
+    assert abs(top["score"] - expect) < 1e-12
+
+
+def test_stats_and_urls(tiny_engine):
+    st = tiny_engine.get_stats()
+    assert st["doc_count"] == 200
+    res = tiny_engine.search("news sky connection")
+    if res["results"]:
+        ids = [r["doc_id"] for r in res["results"][:3]]
+        urls = tiny_engine.lookup_urls(ids)
+        assert set(urls) == set(ids)
+        assert all(u.startswith("https://site") for u in urls.values())
