@@ -1,44 +1,552 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver calls ``ray.init`` itself; nothing here (or in the library) calls
+``ray.init``/``ray.shutdown``.  Each ``queries()`` entry is an implemented
+operator/pipeline from SURVEY.md §2 plus the training-data ops; matching
+``oracle_sql()`` entries are exact DuckDB twins (column names identical).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# NLTK English stopword list as a SQL literal (shared by doc_token_counts /
+# corpus_stats twins).  The engine's vendored list is the same 179 words.
+
+
+def _stoplist_sql() -> str:
+    from elasticsearch_ray.normalizer import ENGLISH_STOPWORDS
+
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(ENGLISH_STOPWORDS))
+
+
+# ---------------------------------------------------------------------------
+# Index / engine caches (one build per sf_dir+analyzer per process).
+
+_ENGINES: dict[str, Any] = {}
+
+
+def _index_dir_for(sf_dir: str, analyzer: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return f"/tmp/esray_entry/{tag}_{analyzer}"
+
+
+def _ensure_index(sf_dir: str, analyzer: str) -> str:
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+
+    idx = _index_dir_for(sf_dir, analyzer)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"),
+            idx,
+            BuildConfig(
+                text_column="text",
+                url_column=None,
+                lang_column="lang",
+                analyzer=analyzer,
+                target_partition_rows=500,
+                docs_per_segment=2_000,
+            ),
+        )
+    return idx
+
+
+def _engine(sf_dir: str, analyzer: str):
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    idx = _ensure_index(sf_dir, analyzer)
+    if idx not in _ENGINES:
+        _ENGINES[idx] = QueryEngine(idx, num_searchers=2)
+    return _ENGINES[idx]
+
+
+def _docs_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+BM25_QUERIES = [
+    "join hash",
+    "customer order lineitem",
+    "window batch spark",
+    "filter scan",
+    "agg value table",
+]
+
+BOOLEAN_QUERIES = [
+    "join AND hash",
+    "(customer OR supplier) AND window",
+    "scan AND NOT spark",
+]
+
+
+def _results_table(engine, queries: list[str], size: int = 10,
+                   round_scores: bool = False) -> pa.Table:
+    rows = {"query": [], "rank": [], "doc_id": [], "score": []}
+    for res in engine.batch_search(queries, size=size):
+        for rank, r in enumerate(res["results"], 1):
+            rows["query"].append(res["query"])
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r["doc_id"])
+            s = r["score"]
+            rows["score"].append(round(s, 6) if round_scores else s)
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score": pa.array(rows["score"], pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents (actor-pool
+    tokenize -> sort shuffle -> compressed segments) and serve the mixed
+    query set through distributed segment actors."""
+    sf_dir = "/root/testdata/sf0.001"
+    eng = _engine(sf_dir, "reference")
+    return _results_table(eng, BM25_QUERIES + BOOLEAN_QUERIES).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# queries() — each callable: sf_dir -> Dataset | DataFrame | pyarrow.Table
+
+
+def _q_lang_counts(sf_dir: str):
+    ds = _docs_ds(sf_dir).groupby("lang").count()
+    return ds.map_batches(
+        lambda t: t.rename_columns(["lang", "n"]), batch_format="pyarrow"
+    )
+
+
+def _q_top_chars(sf_dir: str):
+    ds = _docs_ds(sf_dir).select_columns(["doc_id", "n_chars"])
+    return ds.sort(key=["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+def _q_doc_token_counts(sf_dir: str):
+    """Per-doc token count after the reference normalization (stemming does
+    not change counts, so this IS SQL-expressible)."""
+    import pyarrow.parquet as pq
+
+    idx = _ensure_index(sf_dir, "reference")
+    t = pq.read_table(os.path.join(idx, "docmap"), columns=["doc_id", "doc_len"])
+    t = t.sort_by("doc_id")
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_tokens": t.column("doc_len").cast(pa.int64()),
+        }
+    )
+
+
+def _q_corpus_stats(sf_dir: str):
+    import json
+
+    idx = _ensure_index(sf_dir, "reference")
+    st = json.load(open(os.path.join(idx, "stats.json")))
+    return pa.table(
+        {
+            "doc_count": pa.array([st["doc_count"]], pa.int64()),
+            "avg_doc_length": pa.array(
+                [round(st["avg_doc_length"], 6)], pa.float64()
+            ),
+        }
+    )
+
+
+def _q_term_df_nostem_top100(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    idx = _ensure_index(sf_dir, "plain")
+    t = pq.read_table(os.path.join(idx, "df_global"))
+    t = t.sort_by([("df", "descending"), ("term", "ascending")]).slice(0, 100)
+    return t
+
+
+def _q_term_df_stemmed_top100(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    idx = _ensure_index(sf_dir, "reference")
+    t = pq.read_table(os.path.join(idx, "df_global"))
+    return t.sort_by([("df", "descending"), ("term", "ascending")]).slice(0, 100)
+
+
+def _q_bm25_top10_plain(sf_dir: str):
+    return _results_table(_engine(sf_dir, "plain"), BM25_QUERIES, round_scores=True)
+
+
+def _q_bm25_top10(sf_dir: str):
+    return _results_table(_engine(sf_dir, "reference"), BM25_QUERIES)
+
+
+def _q_wand_top10(sf_dir: str):
+    eng = _engine(sf_dir, "reference")
+    rows = {"query": [], "rank": [], "doc_id": [], "score": []}
+    for q in BM25_QUERIES:
+        res = eng.search(q, mode="wand")
+        for rank, r in enumerate(res["results"], 1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r["doc_id"])
+            rows["score"].append(round(r["score"], 6))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score": pa.array(rows["score"], pa.float64()),
+        }
+    )
+
+
+def _q_boolean_plain(sf_dir: str):
+    eng = _engine(sf_dir, "plain")
+    rows_q, rows_d = [], []
+    for q in BOOLEAN_QUERIES:
+        res = eng.search(q, size=20)
+        for r in res["results"]:
+            rows_q.append(q)
+            rows_d.append(r["doc_id"])
+    return pa.table(
+        {"query": pa.array(rows_q, pa.string()), "doc_id": pa.array(rows_d, pa.int64())}
+    )
+
+
+def _q_exact_dedup(sf_dir: str):
+    from elasticsearch_ray.ops.dedup import exact_dedup
+
+    out = exact_dedup(_docs_ds(sf_dir)).take_all()
+    out.sort(key=lambda r: r["doc_id"])
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in out], pa.int64()),
+            "dupes": pa.array([r["dupes"] for r in out], pa.int64()),
+        }
+    )
+
+
+def _q_minhash_dups(sf_dir: str):
+    from elasticsearch_ray.ops.dedup import minhash_lsh_dedup
+
+    out = minhash_lsh_dedup(_docs_ds(sf_dir)).take_all()
+    ids = sorted(r["doc_id"] for r in out)
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+def _q_simhash_dups(sf_dir: str):
+    from elasticsearch_ray.ops.dedup import simhash_dedup
+
+    out = simhash_dedup(_docs_ds(sf_dir)).take_all()
+    out.sort(key=lambda r: r["doc_id"])
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in out], pa.int64()),
+            "near_of": pa.array([r["near_of"] for r in out], pa.int64()),
+        }
+    )
+
+
+def _q_embedding_dups(sf_dir: str):
+    from elasticsearch_ray.ops.dedup import embedding_cosine_dedup
+
+    out = embedding_cosine_dedup(_emb_ds(sf_dir), threshold=0.99).take_all()
+    out.sort(key=lambda r: r["vec_id"])
+    return pa.table(
+        {
+            "vec_id": pa.array([r["vec_id"] for r in out], pa.int64()),
+            "near_of": pa.array([r["near_of"] for r in out], pa.int64()),
+        }
+    )
+
+
+def _query_vecs(sf_dir: str, n: int = 5) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    t = t.sort_by("vec_id").slice(0, n)
+    return np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+
+
+def _q_ann_top10(sf_dir: str):
+    from elasticsearch_ray.ops.ann import brute_force_topk
+
+    t = brute_force_topk(_emb_ds(sf_dir), _query_vecs(sf_dir), k=10)
+    cos = pa.array(
+        [round(c, 6) for c in t.column("cos").to_pylist()], pa.float64()
+    )
+    return t.set_column(t.schema.get_field_index("cos"), "cos", cos)
+
+
+def _q_ann_ivf_top10(sf_dir: str):
+    from elasticsearch_ray.ops.ann import ivf_topk
+
+    t = ivf_topk(_emb_ds(sf_dir), _query_vecs(sf_dir), k=10)
+    cos = pa.array([round(c, 6) for c in t.column("cos").to_pylist()], pa.float64())
+    return t.set_column(t.schema.get_field_index("cos"), "cos", cos)
+
+
+def _q_token_counts(sf_dir: str):
+    from elasticsearch_ray.ops.textstats import token_counts
+
+    out = token_counts(_docs_ds(sf_dir)).take_all()
+    out.sort(key=lambda r: r["doc_id"])
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in out], pa.int64()),
+            "ws_tokens": pa.array([r["ws_tokens"] for r in out], pa.int64()),
+            "bpe_tokens": pa.array([r["bpe_tokens"] for r in out], pa.int64()),
+        }
+    )
+
+
+def _q_quality_sizes(sf_dir: str):
+    from elasticsearch_ray.ops.textstats import quality_scores
+
+    out = quality_scores(_docs_ds(sf_dir)).take_all()
+    out.sort(key=lambda r: r["doc_id"])
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in out], pa.int64()),
+            "n_chars": pa.array([r["n_chars"] for r in out], pa.int64()),
+            "n_words": pa.array([r["n_words"] for r in out], pa.int64()),
+        }
+    )
+
+
+def _q_langid_counts(sf_dir: str):
+    from elasticsearch_ray.ops.textstats import language_id
+
+    out = language_id(_docs_ds(sf_dir)).take_all()
+    from collections import Counter
+
+    c = Counter(r["lang_pred"] for r in out)
+    langs = sorted(c)
+    return pa.table(
+        {
+            "lang_pred": pa.array(langs, pa.string()),
+            "n": pa.array([c[l] for l in langs], pa.int64()),
+        }
+    )
+
+
+def _q_fingerprints(sf_dir: str):
+    from elasticsearch_ray.ops.textstats import fingerprints
+
+    out = fingerprints(_docs_ds(sf_dir)).take_all()
+    out.sort(key=lambda r: r["doc_id"])
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in out], pa.int64()),
+            "fp_min": pa.array([r["fp_min"] for r in out], pa.int64()),
+        }
+    )
+
+
+def _q_multimodal_sizes(sf_dir: str):
+    """Binary-column plumbing: text bytes as an opaque payload through the
+    actor-pool feature extractor; SQL twin checks the size accounting."""
+    from elasticsearch_ray.ops.multimodal import extract_binary_features
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        payload = pa.array(
+            [s.encode() for s in t.column("text").to_pylist()], pa.binary()
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "payload": payload})
+
+    ds = _docs_ds(sf_dir).map_batches(to_payload, batch_format="pyarrow")
+    out = extract_binary_features(ds).take_all()
+    out.sort(key=lambda r: r["doc_id"])
+    assert all(len(r["feature"]) == 16 for r in out[:5])
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in out], pa.int64()),
+            "payload_bytes": pa.array([r["payload_bytes"] for r in out], pa.int64()),
+        }
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "lang_counts": _q_lang_counts,
+        "top_chars": _q_top_chars,
+        "doc_token_counts": _q_doc_token_counts,
+        "corpus_stats": _q_corpus_stats,
+        "term_df_nostem_top100": _q_term_df_nostem_top100,
+        "term_df_stemmed_top100": _q_term_df_stemmed_top100,
+        "bm25_top10_plain": _q_bm25_top10_plain,
+        "bm25_top10": _q_bm25_top10,
+        "wand_top10": _q_wand_top10,
+        "boolean_plain": _q_boolean_plain,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_dups": _q_minhash_dups,
+        "simhash_dups": _q_simhash_dups,
+        "embedding_dups": _q_embedding_dups,
+        "ann_top10": _q_ann_top10,
+        "ann_ivf_top10": _q_ann_ivf_top10,
+        "token_counts": _q_token_counts,
+        "quality_sizes": _q_quality_sizes,
+        "langid_counts": _q_langid_counts,
+        "fingerprints": _q_fingerprints,
+        "multimodal_sizes": _q_multimodal_sizes,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle_sql() — DuckDB twins.  Tables pre-registered as views.
+
+_TOK = "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
+
+_KEPT = (
+    "SELECT doc_id, tok FROM ({tok}) WHERE length(tok) >= 2 "
+    "AND NOT regexp_matches(tok, '^[0-9]+$') AND tok NOT IN ({stop})"
+)
+
+
+def _kept_sql() -> str:
+    return _KEPT.format(tok=_TOK, stop=_stoplist_sql())
+
+
+def _bm25_values_sql(queries_terms: list[tuple[str, str]]) -> str:
+    return ", ".join(f"('{q}', '{t}')" for q, t in queries_terms)
+
+
+def _bm25_sql() -> str:
+    qt = []
+    for q in BM25_QUERIES:
+        for t in q.split():
+            qt.append((q, t))
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query, term) AS (VALUES {_bm25_values_sql(qt)}),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         sum(ln((stats.n + 1.0) / (df.df + 1.0))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+  GROUP BY q.query, tf.doc_id
+),
+ranked AS (
+  SELECT query, doc_id, s,
+         row_number() OVER (PARTITION BY query ORDER BY s DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, CAST(rank AS INT) AS rank, doc_id, round(s, 6) AS score
+FROM ranked WHERE rank <= 10 ORDER BY query, rank
+"""
+
+
+def _boolean_sql() -> str:
+    parts = []
+    for q in BOOLEAN_QUERIES:
+        if q == "join AND hash":
+            body = (
+                "SELECT doc_id FROM tok WHERE tok='join' INTERSECT "
+                "SELECT doc_id FROM tok WHERE tok='hash'"
+            )
+        elif q == "(customer OR supplier) AND window":
+            body = (
+                "(SELECT doc_id FROM tok WHERE tok='customer' UNION "
+                "SELECT doc_id FROM tok WHERE tok='supplier') INTERSECT "
+                "SELECT doc_id FROM tok WHERE tok='window'"
+            )
+        else:  # scan AND NOT spark
+            body = (
+                "SELECT doc_id FROM tok WHERE tok='scan' EXCEPT "
+                "SELECT doc_id FROM tok WHERE tok='spark'"
+            )
+        parts.append(
+            f"SELECT '{q}' AS query, doc_id FROM (SELECT doc_id FROM ({body}) "
+            f"ORDER BY doc_id LIMIT 20)"
+        )
+    return (
+        f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = _stoplist_sql()
+    return {
+        "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "top_chars": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "doc_token_counts": (
+            f"SELECT d.doc_id, count(k.tok) AS n_tokens "
+            f"FROM documents d LEFT JOIN ({_kept_sql()}) k ON d.doc_id = k.doc_id "
+            f"GROUP BY d.doc_id ORDER BY d.doc_id"
+        ),
+        "corpus_stats": (
+            f"WITH counts AS (SELECT d.doc_id, count(k.tok) AS n FROM documents d "
+            f"LEFT JOIN ({_kept_sql()}) k ON d.doc_id = k.doc_id GROUP BY d.doc_id) "
+            f"SELECT count(*) AS doc_count, round(avg(n), 6) AS avg_doc_length "
+            f"FROM counts"
+        ),
+        "term_df_nostem_top100": (
+            f"SELECT tok AS term, count(DISTINCT doc_id) AS df FROM ({_TOK}) "
+            f"GROUP BY tok ORDER BY df DESC, term LIMIT 100"
+        ),
+        "bm25_top10_plain": _bm25_sql(),
+        "boolean_plain": _boolean_sql(),
+        "exact_dedup": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS dupes FROM documents "
+            "GROUP BY text ORDER BY doc_id"
+        ),
+        "ann_top10": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(e.embedding, q.qe) AS cos
+      FROM q CROSS JOIN embeddings e),
+r AS (SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos
+FROM r WHERE rank <= 10 ORDER BY query_id, rank
+""",
+        "token_counts": (
+            r"SELECT doc_id, length(string_split(text, ' ')) AS ws_tokens, "
+            r"length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]{1,3}|[^\sa-zA-Z0-9]')) "
+            r"AS bpe_tokens FROM documents ORDER BY doc_id"
+        ),
+        "quality_sizes": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "length(string_split(text, ' ')) AS n_words "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "multimodal_sizes": (
+            "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS payload_bytes "
+            "FROM documents ORDER BY doc_id"
+        ),
+        # term_df_stemmed_top100, bm25_top10, wand_top10, minhash_dups,
+        # simhash_dups, embedding_dups, ann_ivf_top10, langid_counts,
+        # fingerprints: not SQL-expressible (stemming / LSH / model state) —
+        # driver records rows-only checks.
+    }

@@ -3,7 +3,9 @@ from .stopwords import ENGLISH_STOPWORDS
 from .tokenize import (
     BOOLEAN_OPERATORS,
     Normalizer,
+    PlainNormalizer,
     default_normalizer,
+    make_normalizer,
     preprocess_boolean_query,
     tokenize,
 )
@@ -14,6 +16,8 @@ __all__ = [
     "ENGLISH_STOPWORDS",
     "BOOLEAN_OPERATORS",
     "Normalizer",
+    "PlainNormalizer",
+    "make_normalizer",
     "default_normalizer",
     "preprocess_boolean_query",
     "tokenize",

@@ -92,6 +92,45 @@ def preprocess_boolean_query(query: str, normalizer: Normalizer) -> tuple[str, .
     return tuple(processed)
 
 
+class PlainNormalizer:
+    """Whitespace analyzer: lowercase + split, no stopwords/stemming/filters.
+
+    Used for SQL-oracle-checkable pipelines (DuckDB can reproduce it exactly
+    with ``string_split(lower(text), ' ')``) and as the ES-"standard-ish"
+    analyzer option.  API-compatible with :class:`Normalizer`.
+    """
+
+    def __init__(self) -> None:
+        self.stop_words = frozenset()
+
+        class _IdStemmer:
+            @staticmethod
+            def stem(w: str) -> str:
+                return w
+
+        self.stemmer = _IdStemmer()
+
+    def normalize_text(self, text: str) -> str:
+        return " ".join(text.lower().split())
+
+    def tokenize(self, text: str) -> list[str]:
+        return text.lower().split()
+
+    def preprocess_query(self, query: str) -> str:
+        return " ".join(self.tokenize(query))
+
+    def preprocess_query_list(self, query: str) -> list[str]:
+        return self.tokenize(query)
+
+
+def make_normalizer(analyzer: str = "reference"):
+    if analyzer == "plain":
+        return PlainNormalizer()
+    if analyzer == "reference":
+        return Normalizer()
+    raise ValueError(f"unknown analyzer: {analyzer!r}")
+
+
 _default = None
 
 

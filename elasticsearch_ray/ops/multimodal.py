@@ -1,0 +1,84 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Binary payloads are opaque ``binary`` columns with typed metadata; the
+decode / feature-extract kernels run as ACTOR-POOL ``map_batches`` stages
+with small batch sizes (large payloads x concurrency must fit worker heaps —
+SURVEY prompt 'Memory-aware').
+
+The actual media codecs are NOT in this container, so the decode kernel is
+STUBBED: ``mode='strict'`` raises ``NotImplementedError`` (the documented
+integration point for PIL/ffmpeg), ``mode='fake'`` produces a deterministic
+byte-histogram pseudo-feature so the Ray-side plumbing — schema, actor
+signature, batch sizing, output layout — is real and tested end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+FEATURE_DIM = 16
+
+
+class BinaryFeatureExtractor:
+    """Actor-pool stage: binary payload -> fixed-dim float feature vector.
+
+    Stateful setup (a real model / codec handle) belongs in ``__init__`` —
+    loaded once per actor, never per batch.
+    """
+
+    def __init__(self, payload_col: str = "payload", mode: str = "fake",
+                 feature_dim: int = FEATURE_DIM):
+        self.payload_col = payload_col
+        self.mode = mode
+        self.feature_dim = feature_dim
+        if mode == "strict":
+            raise NotImplementedError(
+                "media codecs (PIL/ffmpeg/torchaudio) are not available in "
+                "this environment; plug the real decoder here"
+            )
+        # 'model' state: fixed projection seeded deterministically
+        rng = np.random.default_rng(42)
+        self._proj = rng.normal(size=(256, feature_dim)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        feats = np.zeros((len(payloads), self.feature_dim), dtype=np.float32)
+        sizes = np.zeros(len(payloads), dtype=np.int64)
+        for i, p in enumerate(payloads):
+            p = p or b""
+            sizes[i] = len(p)
+            if p:
+                hist = np.bincount(
+                    np.frombuffer(p, dtype=np.uint8), minlength=256
+                ).astype(np.float32)
+                feats[i] = (hist / max(1, len(p))) @ self._proj
+        out = batch.drop_columns([self.payload_col])
+        return out.append_column(
+            "payload_bytes", pa.array(sizes)
+        ).append_column(
+            "feature", pa.array(list(feats), pa.list_(pa.float32(), self.feature_dim))
+        )
+
+
+def extract_binary_features(
+    ds: ray.data.Dataset,
+    payload_col: str = "payload",
+    mode: str = "fake",
+    concurrency: int | tuple[int, int] = (1, 4),
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    """Actor-pool feature extraction over a binary column.
+
+    ``batch_size`` is deliberately small: payload bytes x batch x actor count
+    bounds worker heap usage (images/audio are orders larger than text rows).
+    """
+    return ds.map_batches(
+        BinaryFeatureExtractor,
+        fn_constructor_kwargs=dict(payload_col=payload_col, mode=mode),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -44,6 +44,7 @@ class BuildConfig:
     url_column: str | None = "url"
     lang_column: str | None = "lang"
     lang_filter: str | None = None
+    analyzer: str = "reference"  # 'reference' (M2 pipeline) or 'plain'
     target_partition_rows: int = 2_000
     docs_per_segment: int = 25_000
     codec: str = "vbyte"  # 'vbyte' (reference z=1) or 'zlib' (z=2)
@@ -119,6 +120,7 @@ def build_index(
                 url_column=config.url_column,
                 lang_column=config.lang_column,
                 lang_filter=config.lang_filter,
+                analyzer=config.analyzer,
             ),
             batch_size=1,
             batch_format="pyarrow",

@@ -29,7 +29,7 @@ import os
 import numpy as np
 import ray
 
-from ..normalizer import Normalizer, preprocess_boolean_query
+from ..normalizer import make_normalizer, preprocess_boolean_query
 from ..oracle.oracle import looks_boolean, to_rpn
 from ..stages import scoring as sc
 from ..state.segment import SegmentReader
@@ -110,7 +110,8 @@ class QueryEngine:
         self.k1 = k1
         self.b = b
         self.mode = mode
-        self.normalizer = Normalizer()
+        analyzer = self.stats.get("config", {}).get("analyzer", "reference")
+        self.normalizer = make_normalizer(analyzer)
         self._df_cache: dict[str, int] = {}
 
         seg_ids = sorted(

@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..normalizer import Normalizer
+from ..normalizer import make_normalizer
 
 TRIPLE_SCHEMA = pa.schema(
     [
@@ -41,8 +41,9 @@ class TokenizePartition:
         url_column: str | None = "url",
         lang_column: str | None = "lang",
         lang_filter: str | None = None,
+        analyzer: str = "reference",
     ):
-        self.normalizer = Normalizer()  # once per actor
+        self.normalizer = make_normalizer(analyzer)  # once per actor
         self.index_dir = index_dir
         self.text_column = text_column
         self.url_column = url_column
