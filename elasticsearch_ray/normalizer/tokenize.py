@@ -55,11 +55,18 @@ class Normalizer:
         return text
 
     def tokenize(self, text: str) -> list[str]:
-        """Full pipeline: raw text -> stemmed token list (reference M2)."""
+        """Full pipeline: raw text -> stemmed token list (reference M2).
+
+        The whitespace-collapse step (regex #3) is skipped: ``str.split()``
+        with no argument already splits on whitespace runs and ignores
+        leading/trailing whitespace, so the token stream is identical
+        (property-tested against the literal reference transcription).
+        """
         stem = self.stemmer.stem
         stop = self.stop_words
+        text = _NON_ALNUM_RE.sub(" ", _URL_EMAIL_RE.sub("", text.lower()))
         out = []
-        for token in self.normalize_text(text).split():
+        for token in text.split():
             if len(token) >= 2 and not token.isdigit() and token not in stop:
                 out.append(stem(token))
         return out

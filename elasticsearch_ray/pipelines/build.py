@@ -50,6 +50,14 @@ class BuildConfig:
     codec: str = "vbyte"  # 'vbyte' (reference z=1) or 'zlib' (z=2)
     block_size: int = BLOCK_SIZE
     tokenize_concurrency: int | None = None  # None -> cluster CPUs
+    # 'segment': one groupby('seg') moves each raw triple once; the inversion
+    #   is a local numeric lexsort in the assembly task.  Task memory is
+    #   O(segment triples) — docs_per_segment bounds it.  Fastest.
+    # 'sort': global sort by (term_hash, doc_id) — head-term postings larger
+    #   than a block are auto-split across range partitions (ordered
+    #   salting), so NO task ever holds a whole segment; use for very large
+    #   segments / extreme skew.
+    shuffle: str = "segment"
 
     @property
     def identifier(self) -> str:
@@ -124,28 +132,65 @@ def build_index(
             ),
             batch_size=1,
             batch_format="pyarrow",
-            concurrency=(1, min(n_cpus, max(1, len(items)))),
+            # fixed-size pool: autoscaling ramp-up costs ~3s at 8 CPUs
+            concurrency=min(n_cpus, max(1, len(items))),
             num_cpus=1,
         )
-        sorted_triples = tokenized.sort(["seg", "term", "doc_id"])
-        runs = sorted_triples.map_batches(
-            lambda b: encode_runs_block(b, codec=codec, seg_bases=seg_bases),
-            batch_format="pyarrow",
-            batch_size=None,
-            zero_copy_batch=True,
-        )
-        stats_ds = runs.groupby("seg").map_groups(
-            SegmentAssembler,
-            fn_constructor_kwargs=dict(
-                index_dir=index_dir,
-                seg_infos=infos,
-                codec=config.codec,
-                block_size=config.block_size,
-            ),
-            batch_format="pyarrow",
-            concurrency=(1, min(n_cpus, max(1, len(pending)))),
-        )
-        seg_stats = stats_ds.take_all()
+        # Stage boundary before the all-to-all: the sort is a barrier anyway
+        # (every triple must exist before reduce), and fusing the actor-pool
+        # map with two back-to-back AllToAll ops measurably degrades the
+        # streaming executor's scheduling (2-3x at 32 CPUs, see BASELINE.md).
+        t_stage = time.perf_counter()
+        tokenized = tokenized.materialize()
+        timings["tokenize_sec"] = time.perf_counter() - t_stage
+
+        # Stateless assembly tasks (warm-worker reuse, no actor-pool ramp-up;
+        # a fixed-size actor pool here would also reserve every CPU and
+        # starve the groupby's own sort tasks — observed deadlock).  The
+        # segment-info map is broadcast once via ray.put, not per task.
+        infos_ref = ray.put(infos)
+        index_dir_ = index_dir
+        codec_ = config.codec
+        block_size_ = config.block_size
+
+        if config.shuffle == "segment":
+            t_stage = time.perf_counter()
+
+            def assemble_raw(batch):
+                asm = SegmentAssembler(
+                    index_dir_, ray.get(infos_ref), codec_, block_size_
+                )
+                return asm.assemble_raw_group(batch)
+
+            stats_ds = tokenized.groupby("seg").map_groups(
+                assemble_raw, batch_format="pyarrow"
+            )
+            seg_stats = stats_ds.take_all()
+            timings["shuffle_assemble_sec"] = time.perf_counter() - t_stage
+        else:
+            t_stage = time.perf_counter()
+            sorted_triples = tokenized.sort(["th", "doc_id"])
+            runs = sorted_triples.map_batches(
+                lambda b: encode_runs_block(b, codec=codec, seg_bases=seg_bases),
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            ).materialize()
+            timings["shuffle_encode_sec"] = time.perf_counter() - t_stage
+
+            t_stage = time.perf_counter()
+
+            def assemble_group(batch):
+                asm = SegmentAssembler(
+                    index_dir_, ray.get(infos_ref), codec_, block_size_
+                )
+                return asm(batch)
+
+            stats_ds = runs.groupby("seg").map_groups(
+                assemble_group, batch_format="pyarrow"
+            )
+            seg_stats = stats_ds.take_all()
+            timings["assemble_sec"] = time.perf_counter() - t_stage
         timings["pipeline_sec"] = time.perf_counter() - t_start
 
         # Segments that produced zero triples still need (empty) files.
@@ -182,19 +227,38 @@ def _finalize(index_dir: str, config: BuildConfig, segs: list[SegmentSpec],
     avgdl = total_tokens / doc_count if doc_count else 0.0
 
     # Dedicated global-stats aggregate pass: df = sum of per-segment dfs.
+    # Small inputs take a driver-side Arrow fast path; above the threshold
+    # the same aggregation runs as a distributed Ray Data groupby.
     df_dir = os.path.join(index_dir, "df")
     df_global_dir = os.path.join(index_dir, "df_global")
-    if os.path.isdir(df_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(df_dir)
-    ):
-        df_ds = ray.data.read_parquet(df_dir)
-        agg = df_ds.groupby("term").sum("df")
-        # normalize aggregate column name -> df
-        agg = agg.map_batches(
-            lambda t: t.rename_columns(["term", "df"]), batch_format="pyarrow"
+    df_files = (
+        [f for f in os.listdir(df_dir) if f.endswith(".parquet")]
+        if os.path.isdir(df_dir)
+        else []
+    )
+    if df_files:
+        total_bytes = sum(
+            os.path.getsize(os.path.join(df_dir, f)) for f in df_files
         )
+        import shutil
+
+        shutil.rmtree(df_global_dir, ignore_errors=True)  # re-finalize cleanly
         os.makedirs(df_global_dir, exist_ok=True)
-        agg.write_parquet(df_global_dir)
+        if total_bytes < 256 * 1024 * 1024:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(df_dir)
+            agg = pa.TableGroupBy(t, "term").aggregate([("df", "sum")])
+            agg = agg.rename_columns(["term", "df"]).sort_by("term")
+            pq.write_table(agg, os.path.join(df_global_dir, "df-00000.parquet"))
+        else:
+            df_ds = ray.data.read_parquet(df_dir)
+            agg = df_ds.groupby("term").sum("df")
+            agg = agg.map_batches(
+                lambda t: t.rename_columns(["term", "df"]), batch_format="pyarrow"
+            )
+            agg.write_parquet(df_global_dir)
     timings["finalize_sec"] = time.perf_counter() - t0
 
     stats = {

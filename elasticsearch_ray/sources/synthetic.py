@@ -39,34 +39,35 @@ _FAMILIES = [
 
 
 def _build_vocab(size: int = 2000) -> list[str]:
+    seen: set[str] = set()
     vocab: list[str] = []
+
+    def add(w: str) -> None:
+        if w not in seen:
+            seen.add(w)
+            vocab.append(w)
+
     for fam in _FAMILIES:
-        vocab.extend(fam.split())
+        for w in fam.split():
+            add(w)
     consonants = "bcdfghjklmnpqrstvwz"
     vowels = "aeiou"
     syll = [c + v for c in consonants for v in vowels]
-    i = 0
+    rng = np.random.default_rng(12345)
     while len(vocab) < size:
-        a = syll[i % len(syll)]
-        b = syll[(i * 7 + 3) % len(syll)]
-        c = syll[(i * 13 + 11) % len(syll)]
-        word = a + b + (c if i % 3 == 0 else "")
-        if i % 5 == 0:
+        parts = rng.integers(0, len(syll), size=3)
+        word = syll[parts[0]] + syll[parts[1]]
+        form = rng.integers(0, 6)
+        if form == 0:
+            word += syll[parts[2]]
+        elif form == 1:
             word += "ing"
-        elif i % 5 == 1:
+        elif form == 2:
             word += "s"
-        elif i % 5 == 2:
+        elif form == 3:
             word += "ed"
-        vocab.append(word)
-        i += 1
-    # de-dup preserving order
-    seen = set()
-    out = []
-    for w in vocab:
-        if w not in seen:
-            seen.add(w)
-            out.append(w)
-    return out[:size]
+        add(word)
+    return vocab[:size]
 
 
 VOCAB = _build_vocab()

@@ -67,29 +67,36 @@ def encode_runs_block(
 ) -> pa.Table:
     """One sorted block of triples -> one row per (seg, term) run.
 
+    The block arrives sorted by (th, doc_id).  Segment membership is derived
+    from the doc id against the segment base offsets; runs split where the
+    term hash OR the segment changes.  (A th collision between two terms
+    yields interleaved mini-runs — still correct, the assembler re-groups by
+    the actual term string.)
+
     Doc ids are encoded as segment-local slots (``doc_id - seg_base``),
     mirroring the reference's dense ``doc_idx`` postings
     (``selfindex_q_daat.py:94-110``): first element absolute-within-segment,
-    the rest deltas.  ``seg_bases[seg_id]`` gives each segment's base.
+    the rest deltas.  ``seg_bases[seg_id]`` gives each segment's base
+    (ascending, so ``searchsorted`` maps doc -> seg).
     """
     n = batch.num_rows
     if n == 0:
         return RUN_SCHEMA.empty_table()
-    seg = batch.column("seg").to_numpy()
+    th = batch.column("th").to_numpy()
     doc = batch.column("doc_id").to_numpy()
     tf = batch.column("tf").to_numpy().astype(np.int64)
     term = batch.column("term")
     if isinstance(term, pa.ChunkedArray):
         term = term.combine_chunks()
+    if seg_bases is None:
+        seg_bases = np.zeros(1, dtype=np.int64)
+    seg = (np.searchsorted(seg_bases, doc, side="right") - 1).astype(np.int32)
 
-    # Run boundaries: term or seg changes between adjacent rows.
+    # Run boundaries: term hash or seg changes between adjacent rows.
     if n == 1:
         change = np.zeros(0, dtype=bool)
     else:
-        term_eq = pc.equal(term.slice(1), term.slice(0, n - 1)).to_numpy(
-            zero_copy_only=False
-        )
-        change = (~term_eq) | (seg[1:] != seg[:-1])
+        change = (th[1:] != th[:-1]) | (seg[1:] != seg[:-1])
     starts = np.empty(1 + int(change.sum()), dtype=np.int64)
     starts[0] = 0
     starts[1:] = np.flatnonzero(change) + 1
@@ -160,6 +167,99 @@ class SegmentAssembler:
         if self.codec == "zlib":
             return zlib_decode_postings(raw)
         return decode_postings(raw)
+
+    # -- one-pass raw-triple path (shuffle='segment') ----------------------
+
+    def assemble_raw_group(self, triples: pa.Table) -> pa.Table:
+        """One segment's RAW (th, term, doc_id, tf) triples -> segment files.
+
+        Used by the 'segment' shuffle mode: a single ``groupby('seg')``
+        moves each triple exactly once; the inversion itself is a local
+        ``np.lexsort`` over numeric keys.  Task memory is O(segment triples),
+        so ``docs_per_segment`` bounds it explicitly.
+        """
+        t0 = time.perf_counter()
+        seg_id = int(triples.column("seg")[0].as_py())
+        info = self.seg_infos[seg_id]
+        doclens = self._load_doclens(info)
+        base = info["doc_id_base"]
+
+        th = triples.column("th").to_numpy()
+        doc = triples.column("doc_id").to_numpy()
+        tf = triples.column("tf").to_numpy().astype(np.int64)
+        term = triples.column("term")
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+
+        order = np.lexsort((doc, th))
+        th = th[order]
+        slots = doc[order] - base
+        tfs = tf[order]
+        term = term.take(pa.array(order))
+
+        n = th.size
+        if n > 1:
+            change = th[1:] != th[:-1]
+            tstarts = np.concatenate(([0], np.flatnonzero(change) + 1))
+        else:
+            tstarts = np.zeros(1 if n else 0, dtype=np.int64)
+
+        # th-collision guard: a span whose terms aren't all equal is
+        # re-sorted by (term, doc) and split per real term.  Vanishingly
+        # rare (64-bit hashes), handled for correctness.
+        if n > 1:
+            adj_neq = ~pc.equal(term.slice(1), term.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            tstart_mask = np.zeros(n, dtype=bool)
+            tstart_mask[tstarts] = True
+            collision_pos = np.flatnonzero(adj_neq & ~tstart_mask[1:])
+            if collision_pos.size:
+                spans = np.unique(
+                    np.searchsorted(tstarts, collision_pos + 1, side="right") - 1
+                )
+                # rebuild affected spans via stable term-string sort
+                new_starts = [tstarts]
+                for sp in spans:
+                    s = tstarts[sp]
+                    e = tstarts[sp + 1] if sp + 1 < tstarts.size else n
+                    sub = term.slice(s, e - s)
+                    sub_order = pc.sort_indices(sub).to_numpy().astype(np.int64)
+                    # stable sort keeps doc order within each term
+                    idx = np.arange(s, e)[sub_order]
+                    th[s:e] = th[idx]
+                    slots[s:e] = slots[idx]
+                    tfs[s:e] = tfs[idx]
+                    term = pa.concat_arrays(
+                        [
+                            term.slice(0, s).combine_chunks()
+                            if isinstance(term, pa.ChunkedArray)
+                            else term.slice(0, s),
+                            term.take(pa.array(idx)),
+                            term.slice(e).combine_chunks()
+                            if isinstance(term, pa.ChunkedArray)
+                            else term.slice(e),
+                        ]
+                    )
+                    sub2 = term.slice(s, e - s)
+                    neq2 = ~pc.equal(
+                        sub2.slice(1), sub2.slice(0, e - s - 1)
+                    ).to_numpy(zero_copy_only=False)
+                    new_starts.append(s + 1 + np.flatnonzero(neq2))
+                tstarts = np.unique(np.concatenate(new_starts))
+
+        out_df = np.empty(tstarts.size, dtype=np.int64)
+        if tstarts.size:
+            out_df[:-1] = tstarts[1:] - tstarts[:-1]
+            out_df[-1] = n - tstarts[-1]
+        out_terms = term.take(pa.array(tstarts))
+
+        stats = self._write_segment(
+            seg_id, info, doclens, out_terms, out_df, tstarts, slots, tfs
+        )
+        stats["merged_terms"] = 0
+        stats["assemble_sec"] = time.perf_counter() - t0
+        return pa.table({k: [v] for k, v in stats.items()})
 
     # -- main --------------------------------------------------------------
 
