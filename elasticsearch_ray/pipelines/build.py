@@ -96,11 +96,71 @@ def build_index(
 ) -> dict:
     """Build (or resume building) the index; returns the index manifest."""
     config = config or BuildConfig()
-    t_start = time.perf_counter()
     os.makedirs(index_dir, exist_ok=True)
 
     parts = plan_partitions(input_path, config.target_partition_rows)
     segs = plan_segments(parts, config.docs_per_segment)
+    return _execute_build(index_dir, config, segs, resume=resume)
+
+
+def extend_index(
+    index_dir: str,
+    add_input: str | list[str],
+    config: BuildConfig | None = None,
+) -> dict:
+    """Incrementally index new files as ADDITIONAL immutable segments
+    (``IndexBase.update_index`` add path — the reference stubs this with
+    'rebuild for now', ``selfindex_q_daat.py:254-258``; immutable segments
+    make it a pure append + stats re-finalize here)."""
+    manifest = read_json(os.path.join(index_dir, "manifest.json"))
+    config = config or BuildConfig(**manifest["config"])
+    old_segs = sorted(manifest["segments"])
+    next_seg = (max(old_segs) + 1) if old_segs else 0
+    next_part = 0
+    next_doc = 0
+    for sid in old_segs:
+        m = read_json(os.path.join(index_dir, "manifests", f"seg-{sid:05d}.json"))
+        next_part = max(next_part, max(m["part_ids"], default=-1) + 1)
+        next_doc = max(next_doc, m["doc_id_base"] + m["num_docs"])
+
+    parts = plan_partitions(add_input, config.target_partition_rows)
+    doc_base = next_doc
+    for p in parts:
+        p.part_id += next_part
+        p.doc_id_base = doc_base
+        doc_base += p.num_rows
+    new_segs = plan_segments(parts, config.docs_per_segment)
+    for s in new_segs:
+        s.seg_id += next_seg
+        for p in s.partitions:
+            p.seg_id = s.seg_id
+    return _execute_build(
+        index_dir, config, new_segs, resume=True, extra_seg_ids=old_segs,
+        tombstones=manifest.get("tombstones", []),
+    )
+
+
+def add_tombstones(index_dir: str, doc_ids: list[int]) -> dict:
+    """Mark docs deleted (``update_index`` remove path): results exclude them
+    immediately; collection stats stay as-built until a compaction/rebuild
+    (Lucene-style tombstoning)."""
+    path = os.path.join(index_dir, "manifest.json")
+    manifest = read_json(path)
+    tomb = sorted(set(manifest.get("tombstones", [])) | set(int(d) for d in doc_ids))
+    manifest["tombstones"] = tomb
+    atomic_write_json(path, manifest)
+    return manifest
+
+
+def _execute_build(
+    index_dir: str,
+    config: BuildConfig,
+    segs: list[SegmentSpec],
+    resume: bool = True,
+    extra_seg_ids: list[int] | None = None,
+    tombstones: list[int] | None = None,
+) -> dict:
+    t_start = time.perf_counter()
     infos = _seg_infos(segs)
 
     pending = [
@@ -199,7 +259,10 @@ def build_index(
             if s.seg_id not in done_ids:
                 _write_empty_segment(index_dir, s.seg_id, infos[s.seg_id], config)
 
-    manifest = _finalize(index_dir, config, segs, timings, skipped)
+    all_seg_ids = sorted({s.seg_id for s in segs} | set(extra_seg_ids or []))
+    manifest = _finalize(
+        index_dir, config, all_seg_ids, timings, skipped, tombstones or []
+    )
     return manifest
 
 
@@ -214,13 +277,14 @@ def _write_empty_segment(index_dir: str, seg_id: int, info: dict,
     asm._write_segment(seg_id, info, doclens, pa.array([], pa.large_string()), e, e, e, e)
 
 
-def _finalize(index_dir: str, config: BuildConfig, segs: list[SegmentSpec],
-              timings: dict, skipped: int) -> dict:
+def _finalize(index_dir: str, config: BuildConfig, seg_ids: list[int],
+              timings: dict, skipped: int,
+              tombstones: list[int] | None = None) -> dict:
     t0 = time.perf_counter()
     seg_manifests = []
-    for s in segs:
+    for sid in seg_ids:
         seg_manifests.append(
-            read_json(os.path.join(index_dir, "manifests", f"seg-{s.seg_id:05d}.json"))
+            read_json(os.path.join(index_dir, "manifests", f"seg-{sid:05d}.json"))
         )
     doc_count = sum(m["kept_docs"] for m in seg_manifests)
     total_tokens = sum(m["total_tokens"] for m in seg_manifests)
@@ -266,7 +330,7 @@ def _finalize(index_dir: str, config: BuildConfig, segs: list[SegmentSpec],
         "doc_count": doc_count,
         "total_tokens": total_tokens,
         "avg_doc_length": avgdl,
-        "num_segments": len(segs),
+        "num_segments": len(seg_ids),
         "unique_terms_per_segment": [m["n_terms"] for m in seg_manifests],
         "n_postings": sum(m["n_postings"] for m in seg_manifests),
         "postings_bytes": sum(m["postings_bytes"] for m in seg_manifests),
@@ -281,5 +345,6 @@ def _finalize(index_dir: str, config: BuildConfig, segs: list[SegmentSpec],
     atomic_write_json(os.path.join(index_dir, "stats.json"), stats)
     manifest = dict(stats)
     manifest["segments"] = [m["seg_id"] for m in seg_manifests]
+    manifest["tombstones"] = sorted(tombstones or [])
     atomic_write_json(os.path.join(index_dir, "manifest.json"), manifest)
     return manifest

@@ -37,8 +37,12 @@ from ..state.segment import SegmentReader
 
 @ray.remote
 class SegmentSearcher:
-    def __init__(self, index_dir: str, seg_ids: list[int]):
-        self.readers = [SegmentReader(index_dir, s) for s in sorted(seg_ids)]
+    def __init__(self, index_dir: str, seg_ids: list[int],
+                 tombstones: list[int] | None = None):
+        self.readers = [
+            SegmentReader(index_dir, s, tombstones=tombstones)
+            for s in sorted(seg_ids)
+        ]
 
     def ready(self) -> int:
         return sum(r.num_terms for r in self.readers)
@@ -119,6 +123,11 @@ class QueryEngine:
             for f in os.listdir(os.path.join(index_dir, "segments"))
             if f.endswith(".arrow") and not f.endswith(".doclen.arrow")
         )
+        manifest_path = os.path.join(index_dir, "manifest.json")
+        tombstones: list[int] = []
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                tombstones = json.load(f).get("tombstones", [])
         if num_searchers is None:
             num_searchers = min(
                 len(seg_ids), max(1, int(ray.cluster_resources().get("CPU", 4)))
@@ -127,7 +136,8 @@ class QueryEngine:
         # contiguous seg ranges per actor -> boolean merge stays doc-ordered
         chunks = np.array_split(np.array(seg_ids), num_searchers)
         self.searchers = [
-            SegmentSearcher.remote(index_dir, chunk.tolist()) for chunk in chunks
+            SegmentSearcher.remote(index_dir, chunk.tolist(), tombstones)
+            for chunk in chunks
         ]
         ray.get([s.ready.remote() for s in self.searchers])
 

@@ -93,6 +93,7 @@ def taat_topk(
         e = np.empty(0, dtype=np.int64)
         return e, np.empty(0, dtype=np.float64), 0
     cand = np.unique(np.concatenate(touched))
+    cand = cand[reader.doc_lens[cand] > 0]  # drop tombstoned (-1) docs
     scores = acc[cand]
     top_slots, top_scores = _topk_by_score(cand, scores, k)
     return top_slots, top_scores, int(cand.size)
@@ -214,8 +215,12 @@ def wand_topk(
                     continue
             # score pivot_doc across all matching cursors in query order
             matching = [c for c in cursors if c.cur_doc == pivot_doc]
-            matching.sort(key=lambda c: c.qi)
             dl = float(dl_arr[pivot_doc])
+            if dl <= 0:  # tombstoned doc: skip without scoring
+                for c in matching:
+                    _cursor_advance_to(reader, c, pivot_doc + 1)
+                continue
+            matching.sort(key=lambda c: c.qi)
             score = 0.0
             for c in matching:
                 tf = float(c.tfs[c.pos])
@@ -308,4 +313,6 @@ def boolean_eval(reader: SegmentReader, rpn: tuple[str, ...], size: int):
             res = reader.postings_slots(token)
             stack.append(res[0] if res is not None else empty)
     result = stack[0] if stack else empty
+    if result.size:
+        result = result[reader.doc_lens[result] >= 0]  # drop tombstoned
     return result[:size] + reader.doc_id_base, int(result.size)

@@ -103,7 +103,8 @@ class SegmentReader:
     dense doc_len array.  Lives inside a segment actor (one load per actor,
     SURVEY.md §2.3 T2)."""
 
-    def __init__(self, index_dir: str, seg_id: int):
+    def __init__(self, index_dir: str, seg_id: int,
+                 tombstones: list[int] | None = None):
         self.seg_id = seg_id
         self.table = read_ipc_mmap(segment_path(index_dir, seg_id))
         meta = {
@@ -115,6 +116,16 @@ class SegmentReader:
         self.block_size = int(meta.get("block_size", BLOCK_SIZE))
         dl_table = read_ipc_mmap(doclen_path(index_dir, seg_id))
         self.doc_lens = dl_table.column("doc_len").to_numpy()  # dense by slot
+        if tombstones:
+            # copy-on-write: deleted docs get doc_len -1, which removes them
+            # from the doc universe and from every scorer's results
+            slots = (
+                np.asarray(sorted(tombstones), dtype=np.int64) - self.doc_id_base
+            )
+            slots = slots[(slots >= 0) & (slots < self.num_docs)]
+            if slots.size:
+                self.doc_lens = self.doc_lens.copy()
+                self.doc_lens[slots] = -1
         self._terms = self.table.column("term")
         self._df = self.table.column("df").to_numpy()
         self._postings = self.table.column("postings").combine_chunks()

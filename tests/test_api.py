@@ -1,0 +1,94 @@
+"""Public API facade (IndexBase 7-method parity) + incremental update +
+tombstone tests."""
+
+import json
+
+import pytest
+
+from elasticsearch_ray.api import RayBM25Index
+from elasticsearch_ray.oracle import OracleIndex
+from elasticsearch_ray.pipelines.build import BuildConfig
+
+
+DOCS = [
+    ("doc-a", "apple banana cherry apple"),
+    ("doc-b", "banana cherry durian"),
+    ("doc-c", "cherry durian elderberry fig"),
+    ("doc-d", "apple fig grape"),
+    ("doc-e", "grape honeydew apple banana"),
+]
+
+ADD_DOCS = [
+    ("doc-f", "kiwi lemon apple"),
+    ("doc-g", "lemon mango banana cherry"),
+]
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("api_indices"))
+    ix = RayBM25Index(
+        base_dir=base,
+        config=BuildConfig(target_partition_rows=2, docs_per_segment=3),
+    )
+    ix.create_index("t1", DOCS)
+    yield ix
+    ix.delete_index("t1")
+
+
+def oracle_for(pairs):
+    o = OracleIndex()
+    o.build([(i, text) for i, (_, text) in enumerate(pairs)])
+    return o
+
+
+def test_query_json_shape_matches_reference(idx):
+    res = json.loads(idx.query("apple banana"))
+    assert set(res) == {"query", "total_hits", "results"}
+    assert res["results"] and set(res["results"][0]) == {"doc_id", "score"}
+
+
+def test_query_matches_oracle(idx):
+    o = oracle_for(DOCS)
+    for q in ["apple", "banana cherry", "apple AND fig", "durian OR grape",
+              "cherry NOT apple"]:
+        got = json.loads(idx.query(q))
+        exp = o.query(q)
+        assert got["total_hits"] == exp["total_hits"], q
+        assert [r["doc_id"] for r in got["results"]] == [
+            r["doc_id"] for r in exp["results"]
+        ], q
+
+
+def test_list_apis(idx):
+    assert "t1" in idx.list_indices()
+    assert sorted(idx.list_indexed_files("t1")) == sorted(d for d, _ in DOCS)
+    st = idx.get_stats()
+    assert st["doc_count"] == len(DOCS)
+
+
+def test_update_add_and_remove(idx):
+    # add two docs as a new segment
+    idx.update_index("t1", add_files=ADD_DOCS)
+    o = oracle_for(DOCS + ADD_DOCS)
+    got = json.loads(idx.query("lemon"))
+    exp = o.query("lemon")
+    assert got["total_hits"] == exp["total_hits"] == 2
+    assert [r["doc_id"] for r in got["results"]] == [
+        r["doc_id"] for r in exp["results"]
+    ]
+    assert len(idx.list_indexed_files("t1")) == 7
+
+    # tombstone doc-a: it disappears from ranked + boolean results
+    idx.update_index("t1", remove_files=["doc-a"])
+    got = json.loads(idx.query("apple"))
+    assert 0 not in [r["doc_id"] for r in got["results"]]
+    got_b = json.loads(idx.query("apple AND fig"))
+    assert [r["doc_id"] for r in got_b["results"]] == [3]
+    got_n = json.loads(idx.query("NOT apple"))
+    assert 0 not in [r["doc_id"] for r in got_n["results"]]
+
+
+def test_identifier_string():
+    cfg = BuildConfig()
+    assert cfg.identifier.startswith("RaySelfIndex-v1.")

@@ -1,0 +1,194 @@
+"""Training-data ops tests: dedup family, ANN, text stats, multimodal
+plumbing, metrics — verified against brute-force / duckdb ground truth."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+        "the quick brown fox jumps over a lazy dog today",  # near dup
+        "completely different content about ray data pipelines",
+        "another unrelated document mentioning apache arrow tables",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+        "short text",
+        "",
+    ]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def test_exact_dedup(docs_ds):
+    from elasticsearch_ray.ops.dedup import exact_dedup
+
+    out = {r["doc_id"]: r["dupes"] for r in exact_dedup(docs_ds).take_all()}
+    assert out[0] == 3  # docs 0, 1, 5 identical
+    assert 1 not in out and 5 not in out
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_minhash_lsh_dedup(docs_ds):
+    from elasticsearch_ray.ops.dedup import minhash_lsh_dedup
+
+    dups = {r["doc_id"] for r in minhash_lsh_dedup(docs_ds).take_all()}
+    # exact dups of doc 0 must be flagged; unrelated docs must not
+    assert {1, 5} <= dups
+    assert 3 not in dups and 4 not in dups
+
+
+def test_simhash_dedup(docs_ds):
+    from elasticsearch_ray.ops.dedup import simhash_dedup
+
+    out = {r["doc_id"]: r["near_of"] for r in simhash_dedup(docs_ds).take_all()}
+    assert out.get(1) == 0 and out.get(5) == 0
+    assert 3 not in out and 4 not in out
+
+
+def test_ngram_jaccard():
+    from elasticsearch_ray.ops.dedup import ngram_jaccard
+
+    a = "the quick brown fox jumps".split()
+    assert ngram_jaccard(a, a) == 1.0
+    assert ngram_jaccard(a, "totally different words here now".split()) == 0.0
+    assert 0.0 < ngram_jaccard(a, "the quick brown fox sleeps".split()) < 1.0
+
+
+@pytest.fixture(scope="module")
+def emb_ds():
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    vecs[7] = vecs[2] * 1.001  # near-dup pair (2, 7)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(40), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                      pa.list_(pa.float32())),
+            }
+        )
+    ), vecs
+
+
+def test_embedding_cosine_dedup(emb_ds):
+    from elasticsearch_ray.ops.dedup import embedding_cosine_dedup
+
+    ds, _ = emb_ds
+    out = {r["vec_id"]: r["near_of"] for r in
+           embedding_cosine_dedup(ds, threshold=0.999).take_all()}
+    assert out == {7: 2}
+
+
+def test_ann_brute_force_exact(emb_ds):
+    from elasticsearch_ray.ops.ann import brute_force_topk
+
+    ds, vecs = emb_ds
+    q = vecs[:3].astype(np.float64)
+    t = brute_force_topk(ds, q, k=5)
+    # ground truth by numpy
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ vn.T
+    for qi in range(3):
+        order = np.lexsort((np.arange(40), -sims[qi]))[:5]
+        got = t.filter(pa.compute.equal(t.column("query_id"), qi))
+        assert got.column("vec_id").to_pylist() == list(order), qi
+    # self is always rank 1 with cos ~1
+    r1 = t.filter(pa.compute.equal(t.column("rank"), 1))
+    assert r1.column("vec_id").to_pylist()[:3] == [0, 1, 2]
+
+
+def test_ann_ivf_recall(emb_ds):
+    from elasticsearch_ray.ops.ann import brute_force_topk, ivf_topk
+
+    ds, vecs = emb_ds
+    q = vecs[:3].astype(np.float64)
+    bf = brute_force_topk(ds, q, k=5)
+    ivf = ivf_topk(ds, q, k=5, n_clusters=4, nprobe=2)
+    # recall@5 >= 0.6 on this tiny set
+    hits = 0
+    for qi in range(3):
+        b = set(bf.filter(pa.compute.equal(bf.column("query_id"), qi)).column("vec_id").to_pylist())
+        v = set(ivf.filter(pa.compute.equal(ivf.column("query_id"), qi)).column("vec_id").to_pylist())
+        hits += len(b & v)
+    assert hits >= 9
+
+
+def test_textstats(docs_ds):
+    from elasticsearch_ray.ops.textstats import (
+        fingerprints,
+        language_id,
+        quality_scores,
+        token_counts,
+    )
+
+    tc = {r["doc_id"]: r for r in token_counts(docs_ds).take_all()}
+    assert tc[0]["ws_tokens"] == 9
+    assert tc[7]["ws_tokens"] == 0
+
+    li = {r["doc_id"]: r["lang_pred"] for r in language_id(docs_ds).take_all()}
+    assert li[0] == "en" and li[7] == "und"
+
+    qs = {r["doc_id"]: r for r in quality_scores(docs_ds).take_all()}
+    assert qs[0]["n_words"] == 9
+    assert 0.0 <= qs[0]["quality"] <= 1.0
+
+    fp = {r["doc_id"]: r for r in fingerprints(docs_ds).take_all()}
+    # identical texts -> identical fingerprints; different texts differ
+    assert fp[0]["fp_min"] == fp[1]["fp_min"] == fp[5]["fp_min"]
+    assert fp[0]["fp_full"] != fp[3]["fp_full"]
+
+
+def test_multimodal_plumbing(docs_ds):
+    from elasticsearch_ray.ops.multimodal import (
+        BinaryFeatureExtractor,
+        extract_binary_features,
+    )
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "payload": pa.array(
+                    [s.encode() for s in t.column("text").to_pylist()], pa.binary()
+                ),
+            }
+        )
+
+    ds = docs_ds.map_batches(to_payload, batch_format="pyarrow")
+    out = {r["doc_id"]: r for r in extract_binary_features(ds).take_all()}
+    assert len(out[0]["feature"]) == 16
+    assert out[0]["payload_bytes"] == len(
+        "the quick brown fox jumps over the lazy dog".encode()
+    )
+    # deterministic features; identical payloads -> identical features
+    assert list(out[0]["feature"]) == list(out[1]["feature"])
+    with pytest.raises(NotImplementedError):
+        BinaryFeatureExtractor(mode="strict")
+
+
+def test_metrics_reference_semantics():
+    from elasticsearch_ray.metrics import evaluate, ndcg, average_precision
+
+    retrieved = [1, 2, 3, 4]
+    relevant = [2, 4, 9]
+    m = evaluate(retrieved, relevant, k=4)
+    assert m["precision"] == 0.5
+    assert m["recall"] == pytest.approx(2 / 3)
+    assert m["rr"] == 0.5
+    assert average_precision(retrieved, relevant) == pytest.approx(
+        (1 / 2 + 2 / 4) / 3
+    )
+    assert 0 < ndcg(retrieved, relevant, 4) < 1
+    assert evaluate([], relevant, 4)["precision"] == 0.0
+    assert evaluate(retrieved, [], 4)["recall"] == 0.0
