@@ -383,6 +383,18 @@ def _q_multimodal_sizes(sf_dir: str):
     )
 
 
+def _q_word_freq_top50(sf_dir: str):
+    from elasticsearch_ray.ops.wordfreq import top_words
+
+    return top_words(_docs_ds(sf_dir), top_n=50, preprocessed=False)
+
+
+def _q_token_stats(sf_dir: str):
+    from elasticsearch_ray.ops.wordfreq import corpus_token_stats
+
+    return corpus_token_stats(_docs_ds(sf_dir), preprocessed=False)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "lang_counts": _q_lang_counts,
@@ -406,6 +418,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_counts": _q_langid_counts,
         "fingerprints": _q_fingerprints,
         "multimodal_sizes": _q_multimodal_sizes,
+        "word_freq_top50": _q_word_freq_top50,
+        "token_stats": _q_token_stats,
     }
 
 
@@ -544,6 +558,18 @@ FROM r WHERE rank <= 10 ORDER BY query_id, rank
         "multimodal_sizes": (
             "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS payload_bytes "
             "FROM documents ORDER BY doc_id"
+        ),
+        "word_freq_top50": (
+            r"SELECT tok AS token, count(*) AS n FROM ("
+            r"SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS tok "
+            r"FROM documents) GROUP BY tok ORDER BY n DESC, token LIMIT 50"
+        ),
+        "token_stats": (
+            r"SELECT count(DISTINCT tok) AS unique_tokens, "
+            r"count(*) AS total_tokens, "
+            r"round(avg(length(tok)), 6) AS avg_token_len FROM ("
+            r"SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS tok "
+            r"FROM documents)"
         ),
         # term_df_stemmed_top100, bm25_top10, wand_top10, minhash_dups,
         # simhash_dups, embedding_dups, ann_ivf_top10, langid_counts,

@@ -239,6 +239,19 @@ SCALING_LEVELS = (
     int(os.environ.get("BENCH_SCALE_4N", "8")),
 )
 SCALING_REPEATS = int(os.environ.get("BENCH_SCALE_REPEATS", "2"))
+SCALING_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "100000"))
+
+
+def _index_md5s(index_dir: str) -> dict:
+    import hashlib
+
+    seg_dir = os.path.join(index_dir, "segments")
+    out = {}
+    for f in sorted(os.listdir(seg_dir)):
+        if f.endswith(".arrow"):
+            with open(os.path.join(seg_dir, f), "rb") as fh:
+                out[f] = hashlib.md5(fh.read()).hexdigest()
+    return out
 
 
 def main_scaling():
@@ -277,6 +290,10 @@ def main_scaling():
     thr_n = out[n]["docs_per_sec"]
     thr_4n = out[n4]["docs_per_sec"]
     eff = (thr_4n / thr_n) / (n4 / n) if thr_n else 0.0
+    # determinism across parallelism levels: segment bytes must be identical
+    deterministic = _index_md5s(
+        f"/tmp/esray_bench/idx_scaling_{n}"
+    ) == _index_md5s(f"/tmp/esray_bench/idx_scaling_{n4}")
     line = {
         "metric": f"index-build throughput scaling ({n} -> {n4} CPUs, fresh sessions)",
         "value": round(eff, 3),
@@ -290,6 +307,7 @@ def main_scaling():
         "sf": SF_DIR,
         "num_cpus": n4,
         "scaling_efficiency": round(eff, 3),
+        "deterministic_across_levels": deterministic,
         "detail": out,
     }
     print(json.dumps(line))
@@ -306,12 +324,12 @@ def main_scaling_child():
     )
     from elasticsearch_ray.sources.synthetic import cached_webtext
 
-    corpus = cached_webtext(WEBTEXT_DOCS, avg_len=WEBTEXT_AVG_LEN)
+    corpus = cached_webtext(SCALING_DOCS, avg_len=WEBTEXT_AVG_LEN)
     res = bench_build(
         corpus,
         f"/tmp/esray_bench/idx_scaling_{NUM_CPUS}",
-        WEBTEXT_DOCS,
-        docs_per_segment=max(2000, WEBTEXT_DOCS // 16),
+        SCALING_DOCS,
+        docs_per_segment=max(2000, SCALING_DOCS // 24),
         partition_rows=1000,
     )
     ray.shutdown()

@@ -1,0 +1,114 @@
+"""Word-frequency / Zipf analysis pipeline (reference M1/M9/K5/A8:
+``preprocess_data.py:54-55,74-108,239-269``).
+
+The reference accumulates two global Counters over the whole corpus in one
+process; here the same numbers come from a flat-map to tokens plus a
+``groupby(token).count()`` shuffle, streaming end-to-end.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import ray.data
+
+from ..normalizer import make_normalizer
+
+_RAW_TOKEN_RE = re.compile(r"\b\w+\b")
+
+
+class _Tokens:
+    """Actor-pool stage: text -> one row per token (raw or preprocessed)."""
+
+    def __init__(self, text_col: str, preprocessed: bool, analyzer: str):
+        self.text_col = text_col
+        self.preprocessed = preprocessed
+        self.normalizer = make_normalizer(analyzer)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column(self.text_col).to_pylist():
+            t = t or ""
+            if self.preprocessed:
+                toks.extend(self.normalizer.tokenize(t))
+            else:
+                # reference raw tokenizer: re.findall(r'\b\w+\b', text.lower())
+                toks.extend(_RAW_TOKEN_RE.findall(t.lower()))
+        return pa.table({"token": pa.array(toks, pa.string())})
+
+
+def token_frequencies(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    preprocessed: bool = False,
+    analyzer: str = "reference",
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> ray.data.Dataset:
+    """(token, n) frequency table — the Counter equivalent."""
+    toks = ds.map_batches(
+        _Tokens,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, preprocessed=preprocessed, analyzer=analyzer
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    counts = toks.groupby("token").count()
+    return counts.map_batches(
+        lambda t: t.rename_columns(["token", "n"]), batch_format="pyarrow"
+    )
+
+
+def top_words(
+    ds: ray.data.Dataset, top_n: int = 30, **kwargs
+) -> pa.Table:
+    """``Counter.most_common(top_n)`` equivalent (reference K5), with the
+    deterministic (-n, token) tie-break."""
+    freq = token_frequencies(ds, **kwargs)
+    rows = freq.take_all()
+    rows.sort(key=lambda r: (-r["n"], r["token"]))
+    rows = rows[:top_n]
+    return pa.table(
+        {
+            "token": pa.array([r["token"] for r in rows], pa.string()),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def corpus_token_stats(ds: ray.data.Dataset, **kwargs) -> pa.Table:
+    """Reference A8 (``preprocess_data.py:252-266``): unique tokens, total
+    tokens, average token length — computed from the frequency table, never
+    materializing the token stream driver-side."""
+    freq = token_frequencies(ds, **kwargs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch.column("n")
+        tok_len = pc.utf8_length(batch.column("token"))
+        return pa.table(
+            {
+                "unique": pa.array([batch.num_rows], pa.int64()),
+                "total": pa.array([pc.sum(n).as_py() or 0], pa.int64()),
+                "len_sum": pa.array(
+                    [pc.sum(pc.multiply(tok_len.cast(pa.int64()), n)).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = freq.map_batches(partial, batch_format="pyarrow").take_all()
+    unique = sum(r["unique"] for r in parts)
+    total = sum(r["total"] for r in parts)
+    len_sum = sum(r["len_sum"] for r in parts)
+    return pa.table(
+        {
+            "unique_tokens": pa.array([unique], pa.int64()),
+            "total_tokens": pa.array([total], pa.int64()),
+            "avg_token_len": pa.array(
+                [round(len_sum / total, 6) if total else 0.0], pa.float64()
+            ),
+        }
+    )
