@@ -126,6 +126,19 @@ def bench_queries(index_dir: str, queryset: list[str]) -> dict:
         out["qps_pipelined"] = round(n / (time.perf_counter() - t0), 1)
     finally:
         eng.close()
+
+    # embedded (in-process) serving mode: the reference's single-process
+    # latency baseline without actor RTT
+    emb = QueryEngine(index_dir, num_searchers=0)
+    for _ in range(2):
+        emb.batch_search(queryset[:20])
+    for mode in ("taat", "wand"):
+        lats = []
+        for q in queryset:
+            t0 = time.perf_counter()
+            emb.search(q, mode=mode)
+            lats.append((time.perf_counter() - t0) * 1e3)
+        out[f"embedded_{mode}"] = _percentiles(lats)
     return out
 
 

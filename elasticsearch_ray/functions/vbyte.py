@@ -67,11 +67,15 @@ def vbyte_encode(numbers: np.ndarray) -> bytes:
     return vbyte_encode_with_lengths(numbers)[0]
 
 
-def vbyte_decode(data: bytes) -> np.ndarray:
-    """Vectorized VByte decode -> int64 array."""
-    if not data:
+def vbyte_decode(data) -> np.ndarray:
+    """Vectorized VByte decode -> int64 array.  Accepts bytes or a uint8
+    numpy view (zero-copy segment cell slices)."""
+    if len(data) == 0:
         return np.empty(0, dtype=np.int64)
-    b = np.frombuffer(data, dtype=np.uint8)
+    if isinstance(data, np.ndarray):
+        b = data
+    else:
+        b = np.frombuffer(data, dtype=np.uint8)
     is_last = (b & 0x80) != 0
     ends = np.flatnonzero(is_last)
     starts = np.empty_like(ends)

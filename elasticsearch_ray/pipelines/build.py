@@ -50,14 +50,17 @@ class BuildConfig:
     codec: str = "vbyte"  # 'vbyte' (reference z=1) or 'zlib' (z=2)
     block_size: int = BLOCK_SIZE
     tokenize_concurrency: int | None = None  # None -> cluster CPUs
+    # 'combine': map-side combiner — tokenize tasks invert their partition
+    #   locally and shuffle compressed per-term RUNS (~10x fewer bytes); the
+    #   assembler merges doc-disjoint runs per term.  Fastest; default.
     # 'segment': one groupby('seg') moves each raw triple once; the inversion
     #   is a local numeric lexsort in the assembly task.  Task memory is
-    #   O(segment triples) — docs_per_segment bounds it.  Fastest.
+    #   O(segment triples) — docs_per_segment bounds it.
     # 'sort': global sort by (term_hash, doc_id) — head-term postings larger
     #   than a block are auto-split across range partitions (ordered
     #   salting), so NO task ever holds a whole segment; use for very large
     #   segments / extreme skew.
-    shuffle: str = "segment"
+    shuffle: str = "combine"
 
     @property
     def identifier(self) -> str:
@@ -189,6 +192,7 @@ def _execute_build(
                 lang_column=config.lang_column,
                 lang_filter=config.lang_filter,
                 analyzer=config.analyzer,
+                emit="runs" if config.shuffle == "combine" else "triples",
             ),
             batch_size=1,
             batch_format="pyarrow",
@@ -213,7 +217,21 @@ def _execute_build(
         codec_ = config.codec
         block_size_ = config.block_size
 
-        if config.shuffle == "segment":
+        if config.shuffle == "combine":
+            t_stage = time.perf_counter()
+
+            def assemble_runs(batch):
+                asm = SegmentAssembler(
+                    index_dir_, ray.get(infos_ref), codec_, block_size_
+                )
+                return asm(batch)
+
+            stats_ds = tokenized.groupby("seg").map_groups(
+                assemble_runs, batch_format="pyarrow"
+            )
+            seg_stats = stats_ds.take_all()
+            timings["shuffle_assemble_sec"] = time.perf_counter() - t_stage
+        elif config.shuffle == "segment":
             t_stage = time.perf_counter()
 
             def assemble_raw(batch):

@@ -27,6 +27,7 @@ class PartitionSpec:
     num_rows: int
     doc_id_base: int
     seg_id: int = -1
+    seg_base: int = 0  # doc_id_base of the owning segment
 
     def to_row(self) -> dict:
         return {
@@ -38,6 +39,7 @@ class PartitionSpec:
             "num_rows": self.num_rows,
             "doc_id_base": self.doc_id_base,
             "seg_id": self.seg_id,
+            "seg_base": self.seg_base,
         }
 
 
@@ -139,4 +141,8 @@ def plan_segments(
         acc += p.num_rows
     if cur.partitions:
         segs.append(cur)
+    for s in segs:
+        base = s.doc_id_base
+        for p in s.partitions:
+            p.seg_base = base
     return segs

@@ -35,8 +35,10 @@ from ..stages import scoring as sc
 from ..state.segment import SegmentReader
 
 
-@ray.remote
-class SegmentSearcher:
+class Searcher:
+    """Segment search logic; used in-process (embedded mode) or wrapped as
+    the ``SegmentSearcher`` Ray actor."""
+
     def __init__(self, index_dir: str, seg_ids: list[int],
                  tombstones: list[int] | None = None):
         self.readers = [
@@ -64,21 +66,27 @@ class SegmentSearcher:
         all_ids: list[np.ndarray] = []
         all_scores: list[np.ndarray] = []
         total = -1 if mode == "wand" else 0
+        threshold = 0.0  # WAND: carry the k-th score across segments
         for r in self.readers:
             if mode == "wand":
-                slots, scores, n = sc.wand_topk(r, terms, idfs, k, scoring, k1, b, avgdl)
+                slots, scores, _ = sc.wand_topk(
+                    r, terms, idfs, k, scoring, k1, b, avgdl,
+                    initial_threshold=threshold,
+                )
+                if scores.size >= k:
+                    threshold = max(threshold, float(scores[k - 1]))
             else:
-                slots, scores, n = sc.taat_topk(r, terms, idfs, k, scoring, k1, b, avgdl)
-                total += n
+                slots, scores = sc.taat_candidates(
+                    r, terms, idfs, scoring, k1, b, avgdl
+                )
+                total += int(slots.size)
             all_ids.append(slots + r.doc_id_base)
             all_scores.append(scores)
         ids = np.concatenate(all_ids) if all_ids else np.empty(0, dtype=np.int64)
         scores = (
             np.concatenate(all_scores) if all_scores else np.empty(0, dtype=np.float64)
         )
-        if ids.size > k:
-            order = np.lexsort((ids, -scores))[:k]
-            ids, scores = ids[order], scores[order]
+        ids, scores = sc._topk_by_score(ids, scores, k)
         return ids, scores, total
 
     def search_boolean(self, rpn: tuple[str, ...], k: int):
@@ -90,6 +98,9 @@ class SegmentSearcher:
             out.append(ids)
         ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
         return ids[:k], total
+
+
+SegmentSearcher = ray.remote(Searcher)
 
 
 class QueryEngine:
@@ -128,6 +139,13 @@ class QueryEngine:
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
                 tombstones = json.load(f).get("tombstones", [])
+        self.embedded: Searcher | None = None
+        self.searchers: list = []
+        if num_searchers == 0:
+            # embedded mode: segments pinned in THIS process — no actor RTT;
+            # the low-latency single-replica serving option
+            self.embedded = Searcher(index_dir, seg_ids, tombstones)
+            return
         if num_searchers is None:
             num_searchers = min(
                 len(seg_ids), max(1, int(ray.cluster_resources().get("CPU", 4)))
@@ -141,12 +159,17 @@ class QueryEngine:
         ]
         ray.get([s.ready.remote() for s in self.searchers])
 
+    def _fanout(self, method: str, *args) -> list:
+        if self.embedded is not None:
+            return [getattr(self.embedded, method)(*args)]
+        return ray.get([getattr(s, method).remote(*args) for s in self.searchers])
+
     # -- df / idf ----------------------------------------------------------
 
     def _global_dfs(self, terms: list[str]) -> dict[str, int]:
         missing = sorted({t for t in terms if t not in self._df_cache})
         if missing:
-            parts = ray.get([s.dfs.remote(missing) for s in self.searchers])
+            parts = self._fanout("dfs", missing)
             for t in missing:
                 self._df_cache[t] = sum(p[t] for p in parts)
         return {t: self._df_cache[t] for t in terms}
@@ -173,13 +196,10 @@ class QueryEngine:
         if not terms or self.doc_count == 0:
             return {"query": query_text, "total_hits": 0, "results": []}
         idfs = self._idfs(terms)
-        futs = [
-            s.search_ranked.remote(
-                terms, idfs, size, self.scoring, self.k1, self.b, self.avgdl, mode
-            )
-            for s in self.searchers
-        ]
-        parts = ray.get(futs)
+        parts = self._fanout(
+            "search_ranked", terms, idfs, size, self.scoring, self.k1, self.b,
+            self.avgdl, mode,
+        )
         ids = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])
         totals = [p[2] for p in parts]
@@ -193,8 +213,7 @@ class QueryEngine:
     def _search_boolean(self, query_text: str, size: int) -> dict:
         tokens = preprocess_boolean_query(query_text, self.normalizer)
         rpn = to_rpn(tokens)
-        futs = [s.search_boolean.remote(rpn, size) for s in self.searchers]
-        parts = ray.get(futs)
+        parts = self._fanout("search_boolean", rpn, size)
         ids = np.concatenate([p[0] for p in parts])  # actor order == doc order
         total = int(sum(p[1] for p in parts))
         return {
@@ -216,6 +235,8 @@ class QueryEngine:
             }
         )
         self._global_dfs(all_terms)  # warm the cache in one round
+        if self.embedded is not None:
+            return [self.search(q, size=size, mode=mode) for q in queries]
         futs = []
         metas = []
         mode = mode or self.mode
@@ -297,3 +318,4 @@ class QueryEngine:
         for s in self.searchers:
             ray.kill(s)
         self.searchers = []
+        self.embedded = None

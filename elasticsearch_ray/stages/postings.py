@@ -113,15 +113,11 @@ def encode_runs_block(
     else:
         deltas[starts] = doc[starts] - seg_bases[seg[starts]]
 
-    if codec == "zlib":
-        post_cells = []
-        for s, ln in zip(starts, run_lens):
-            post_cells.append(zlib.compress(deltas[s : s + ln].astype("<u4").tobytes(), 9))
-        postings_arr = pa.array(post_cells, pa.large_binary())
-    else:
-        data, vlens = vbyte_encode_with_lengths(deltas)
-        byte_lens = np.add.reduceat(vlens, starts)
-        postings_arr = _binary_from_slices(data, byte_lens)
+    # Runs are a TRANSPORT format and always delta+VByte; the segment codec
+    # (vbyte/zlib) applies when cells are written in the assembler.
+    data, vlens = vbyte_encode_with_lengths(deltas)
+    byte_lens = np.add.reduceat(vlens, starts)
+    postings_arr = _binary_from_slices(data, byte_lens)
 
     tf_data, tf_vlens = vbyte_encode_with_lengths(tf)
     tf_byte_lens = np.add.reduceat(tf_vlens, starts)
@@ -280,17 +276,14 @@ class SegmentAssembler:
         total = int(run_lens.sum())
         rstarts = np.zeros(nruns, dtype=np.int64)
         np.cumsum(run_lens[:-1], out=rstarts[1:])
-        if self.codec == "zlib":
-            slots = np.concatenate(
-                [self._decode_cell(postings_col[i].as_py()) for i in range(nruns)]
-            )
-        else:
-            post_buf = b"".join(postings_col.to_pylist())
-            deltas = vbyte_decode(post_buf)
-            cs = np.cumsum(deltas)
-            prev = np.zeros(nruns, dtype=np.int64)
-            prev[1:] = cs[rstarts[1:] - 1]
-            slots = cs - np.repeat(prev, run_lens)
+        # runs arrive in the VByte transport format regardless of the
+        # segment codec (which is applied in _write_segment)
+        post_buf = b"".join(postings_col.to_pylist())
+        deltas = vbyte_decode(post_buf)
+        cs = np.cumsum(deltas)
+        prev = np.zeros(nruns, dtype=np.int64)
+        prev[1:] = cs[rstarts[1:] - 1]
+        slots = cs - np.repeat(prev, run_lens)
         tfs = vbyte_decode(b"".join(tfs_col.to_pylist()))
 
         # Group runs by term -> per-term posting spans.  Sub-runs of one term

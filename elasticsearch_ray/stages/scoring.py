@@ -43,7 +43,7 @@ def _topk_by_score(slots: np.ndarray, scores: np.ndarray, k: int):
     n = scores.size
     if n == 0:
         return slots[:0], scores[:0]
-    if n > 4096 and n > k:
+    if n > 512 and n > k:
         thr = np.partition(scores, n - k)[n - k]
         mask = scores >= thr
         slots, scores = slots[mask], scores[mask]
@@ -62,17 +62,18 @@ def term_scores(
     return (tf / dl) * idf
 
 
-def taat_topk(
+def taat_candidates(
     reader: SegmentReader,
     terms: list[str],
     idfs: dict[str, float],
-    k: int,
     scoring: str,
     k1: float,
     b: float,
     avgdl: float,
 ):
-    """Vectorized term-at-a-time.  Returns (slots, scores, n_candidates)."""
+    """Vectorized term-at-a-time over one segment; returns ALL candidate
+    (slots, scores) — callers merge across segments and take ONE top-k
+    (cheaper than a per-segment sort when a searcher holds many segments)."""
     acc = None
     touched: list[np.ndarray] = []
     for term in terms:
@@ -91,10 +92,24 @@ def taat_topk(
         touched.append(slots)
     if acc is None:
         e = np.empty(0, dtype=np.int64)
-        return e, np.empty(0, dtype=np.float64), 0
+        return e, np.empty(0, dtype=np.float64)
     cand = np.unique(np.concatenate(touched))
     cand = cand[reader.doc_lens[cand] > 0]  # drop tombstoned (-1) docs
-    scores = acc[cand]
+    return cand, acc[cand]
+
+
+def taat_topk(
+    reader: SegmentReader,
+    terms: list[str],
+    idfs: dict[str, float],
+    k: int,
+    scoring: str,
+    k1: float,
+    b: float,
+    avgdl: float,
+):
+    """Vectorized term-at-a-time.  Returns (slots, scores, n_candidates)."""
+    cand, scores = taat_candidates(reader, terms, idfs, scoring, k1, b, avgdl)
     top_slots, top_scores = _topk_by_score(cand, scores, k)
     return top_slots, top_scores, int(cand.size)
 
@@ -164,6 +179,17 @@ def wand_topk(
         e = np.empty(0, dtype=np.int64)
         return e, np.empty(0, dtype=np.float64), -1
 
+    # Hybrid exactness-preserving shortcuts (identical top-k):
+    # small candidate sets are cheaper fully-vectorized than cursor-at-a-time
+    if sum(c.df for c in cursors) <= 4096:
+        s, sc, _ = taat_topk(reader, terms, idfs, k, scoring, k1, b, avgdl)
+        return s, sc, -1
+    # single term: block-at-a-time in descending upper-bound order — exact,
+    # vectorized within blocks, stops when no block can beat the threshold
+    if len(cursors) == 1:
+        return _wand_single_term(reader, cursors[0], k, scoring, k1, b, avgdl,
+                                 initial_threshold)
+
     # top-k heap as sorted arrays (k is small)
     import heapq
 
@@ -176,21 +202,24 @@ def wand_topk(
         if len(heap) < k:
             heapq.heappush(heap, item)
             if len(heap) == k:
-                threshold = heap[0][0]
+                threshold = max(threshold, heap[0][0])
         elif item > heap[0]:
             heapq.heapreplace(heap, item)
-            threshold = heap[0][0]
+            threshold = max(threshold, heap[0][0])
 
     dl_arr = reader.doc_lens
     while True:
         cursors.sort(key=lambda c: c.cur_doc)
-        # pivot selection on term upper bounds
+        # pivot selection on term upper bounds; threshold starts at the
+        # carried-in value (cross-segment pruning) and tightens as the heap
+        # fills — docs below it can never enter the FINAL merged top-k
+        # (equal scores lose by the larger-doc-id tie-break)
         acc = 0.0
         pivot_i = -1
         full = len(heap) == k
         for i, c in enumerate(cursors):
             acc += c.term_ub
-            if (not full) or acc > threshold * (1 - _EPS):
+            if acc > threshold * (1 - _EPS) + (0.0 if threshold else -1.0):
                 pivot_i = i
                 break
         if pivot_i < 0:
@@ -200,7 +229,7 @@ def wand_topk(
             break
         if cursors[0].cur_doc == pivot_doc:
             # block-max refinement at the pivot
-            if full:
+            if threshold > 0:
                 bub = 0.0
                 for c in cursors[: pivot_i + 1]:
                     bub += float(c.blk_ub[c.cur_block])
@@ -249,6 +278,31 @@ def wand_topk(
     slots = np.array([-s for _, s in items], dtype=np.int64)
     scores = np.array([sc for sc, _ in items], dtype=np.float64)
     return slots, scores, -1
+
+
+def _wand_single_term(reader, c: _Cursor, k, scoring, k1, b, avgdl,
+                      initial_threshold):
+    order = np.argsort(-c.blk_ub, kind="stable")
+    best_slots = np.empty(0, dtype=np.int64)
+    best_scores = np.empty(0, dtype=np.float64)
+    threshold = initial_threshold
+    for blk in order:
+        if threshold > 0 and c.blk_ub[blk] <= threshold * (1 - _EPS):
+            break
+        slots, tfs = reader.decode_block(c.row, blk)
+        dls = reader.doc_lens[slots]
+        valid = dls > 0  # excludes tombstoned docs
+        slots, tfs, dls = slots[valid], tfs[valid], dls[valid]
+        if not slots.size:
+            continue
+        s = term_scores(tfs, dls, c.idf, scoring, k1, b, avgdl)
+        all_slots = np.concatenate([best_slots, slots])
+        all_scores = np.concatenate([best_scores, s])
+        sel = np.lexsort((all_slots, -all_scores))[:k]
+        best_slots, best_scores = all_slots[sel], all_scores[sel]
+        if best_slots.size >= k:
+            threshold = max(threshold, float(best_scores[-1]))
+    return best_slots, best_scores, -1
 
 
 def _cursor_load_block(reader: SegmentReader, c: _Cursor, block: int) -> None:

@@ -55,9 +55,11 @@ class TokenizePartition:
         lang_column: str | None = "lang",
         lang_filter: str | None = None,
         analyzer: str = "reference",
+        emit: str = "triples",  # 'triples' | 'runs' (map-side combiner)
     ):
         self.normalizer = make_normalizer(analyzer)  # once per actor
         self._hash_cache: dict[str, int] = {}  # Zipf -> near-100% hit rate
+        self.emit = emit
         self.index_dir = index_dir
         self.text_column = text_column
         self.url_column = url_column
@@ -67,8 +69,108 @@ class TokenizePartition:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_tables = []
         for spec in batch.to_pylist():
-            out_tables.append(self._process_partition(spec))
-        return pa.concat_tables(out_tables) if out_tables else TRIPLE_SCHEMA.empty_table()
+            if self.emit == "runs":
+                out_tables.append(self._process_partition_runs(spec))
+            else:
+                out_tables.append(self._process_partition(spec))
+        if out_tables:
+            return pa.concat_tables(out_tables)
+        from .postings import RUN_SCHEMA
+
+        return (
+            RUN_SCHEMA.empty_table()
+            if self.emit == "runs"
+            else TRIPLE_SCHEMA.empty_table()
+        )
+
+    def _process_partition_runs(self, spec: dict) -> pa.Table:
+        """Map-side combiner (MapReduce-style): invert THIS partition locally
+        and emit one delta+VByte-encoded posting run per term — ~10x fewer
+        shuffle rows/bytes than raw triples.  Runs from different partitions
+        of a segment are doc-range disjoint, so the assembler merges them by
+        ordered concatenation (SegmentAssembler.__call__)."""
+        from ..functions.vbyte import vbyte_encode_with_lengths
+        from .postings import RUN_SCHEMA, _binary_from_slices
+
+        tbl = self._read_rows(spec)
+        doc_id_base = spec["doc_id_base"]
+        seg_base = spec.get("seg_base", 0)
+        n = tbl.num_rows
+        texts = tbl.column(self.text_column).to_pylist()
+        langs = (
+            tbl.column(self.lang_column).to_pylist()
+            if self.lang_column and self.lang_column in tbl.column_names
+            else [None] * n
+        )
+        urls = (
+            tbl.column(self.url_column).to_pylist()
+            if self.url_column and self.url_column in tbl.column_names
+            else [f"row-{doc_id_base + i}" for i in range(n)]
+        )
+
+        tokenize = self.normalizer.tokenize
+        post: dict[str, list[int]] = {}
+        kept_doc_ids: list[int] = []
+        kept_urls: list[str] = []
+        kept_lens: list[int] = []
+        for i in range(n):
+            if self.lang_filter is not None and langs[i] != self.lang_filter:
+                continue
+            doc_id = doc_id_base + i
+            tokens = tokenize(texts[i] or "")
+            kept_doc_ids.append(doc_id)
+            kept_urls.append(urls[i])
+            kept_lens.append(len(tokens))
+            if tokens:
+                slot = doc_id - seg_base
+                for term, tf in Counter(tokens).items():
+                    lst = post.get(term)
+                    if lst is None:
+                        post[term] = lst = []
+                    lst.append(slot)
+                    lst.append(tf)
+
+        self._write_docmap_part(spec, kept_doc_ids, kept_urls, kept_lens)
+
+        nterms = len(post)
+        if nterms == 0:
+            return RUN_SCHEMA.empty_table()
+        terms = list(post.keys())
+        dfs = np.fromiter((len(v) >> 1 for v in post.values()), np.int64, nterms)
+        total = int(dfs.sum())
+        # flatten [slot, tf, slot, tf, ...] per term into two arrays
+        allv = np.empty(total * 2, dtype=np.int64)
+        pos = 0
+        for v in post.values():
+            allv[pos : pos + len(v)] = v
+            pos += len(v)
+        pairs = allv.reshape(total, 2)
+        slots = np.ascontiguousarray(pairs[:, 0])
+        tfs = np.ascontiguousarray(pairs[:, 1])
+
+        tstarts = np.zeros(nterms, dtype=np.int64)
+        np.cumsum(dfs[:-1], out=tstarts[1:])
+        deltas = np.empty(total, dtype=np.int64)
+        deltas[1:] = slots[1:] - slots[:-1]
+        deltas[tstarts] = slots[tstarts]  # absolute-in-segment first element
+        data, vlens = vbyte_encode_with_lengths(deltas)
+        postings_arr = _binary_from_slices(data, np.add.reduceat(vlens, tstarts))
+        tf_data, tf_vlens = vbyte_encode_with_lengths(tfs)
+        tfs_arr = _binary_from_slices(tf_data, np.add.reduceat(tf_vlens, tstarts))
+
+        return pa.table(
+            {
+                "seg": pa.array(
+                    np.full(nterms, spec["seg_id"], dtype=np.int32)
+                ),
+                "term": pa.array(terms, pa.large_string()),
+                "first_doc": pa.array(slots[tstarts] + seg_base),
+                "df": pa.array(dfs),
+                "postings": postings_arr,
+                "tfs": tfs_arr,
+            },
+            schema=RUN_SCHEMA,
+        )
 
     def _read_rows(self, spec: dict) -> pa.Table:
         columns = [self.text_column]

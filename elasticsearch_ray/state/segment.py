@@ -135,8 +135,28 @@ class SegmentReader:
         self._blk_mindl = self.table.column("blk_mindl").combine_chunks()
         self._blk_poff = self.table.column("blk_poff").combine_chunks()
         self._blk_tfoff = self.table.column("blk_tfoff").combine_chunks()
+        # Zero-copy views over the mmap'd binary columns: per-cell access is
+        # a numpy slice, no bytes copy (hot path for every query term).
+        self._cells = {}
+        for name in (
+            "postings", "tfs", "blk_last", "blk_maxtf", "blk_mindl",
+            "blk_poff", "blk_tfoff",
+        ):
+            arr = self.table.column(name).combine_chunks()
+            bufs = arr.buffers()
+            offsets = np.frombuffer(bufs[1], dtype=np.int64, count=len(arr) + 1)
+            data = (
+                np.frombuffer(bufs[2], dtype=np.uint8)
+                if bufs[2] is not None
+                else np.empty(0, dtype=np.uint8)
+            )
+            self._cells[name] = (offsets, data)
         # term -> row dict; ~tens of MB for 1M terms, built once per actor.
         self._term_row = {t: i for i, t in enumerate(self._terms.to_pylist())}
+
+    def _cell(self, name: str, row: int) -> np.ndarray:
+        offsets, data = self._cells[name]
+        return data[offsets[row] : offsets[row + 1]]
 
     @property
     def num_terms(self) -> int:
@@ -175,12 +195,12 @@ class SegmentReader:
         return self.postings_slots_by_row(row)
 
     def postings_slots_by_row(self, row: int) -> tuple[np.ndarray, np.ndarray]:
-        raw = self._postings[row].as_py()
+        raw = self._cell("postings", row)
         if self.codec == "zlib":
-            slots = zlib_decode_postings(raw)
+            slots = zlib_decode_postings(raw.tobytes())
         else:
             slots = self._slots_from_deltas(vbyte_decode(raw))
-        tfs = decode_tfs(self._tfs[row].as_py())
+        tfs = decode_tfs(self._cell("tfs", row))
         return slots, tfs
 
     def term_row(self, term: str) -> int | None:
@@ -189,10 +209,10 @@ class SegmentReader:
     def decode_block(self, row: int, block: int) -> tuple[np.ndarray, np.ndarray]:
         """Lazily decode ONE 128-posting block of a term (slots, tfs) —
         the block-max WAND skip path never touches the other blocks."""
-        poff = np.frombuffer(self._blk_poff[row].as_py(), dtype="<i4")
-        tfoff = np.frombuffer(self._blk_tfoff[row].as_py(), dtype="<i4")
-        praw = self._postings[row].as_py()
-        traw = self._tfs[row].as_py()
+        poff = self._cell("blk_poff", row).view("<i4")
+        tfoff = self._cell("blk_tfoff", row).view("<i4")
+        praw = self._cell("postings", row)
+        traw = self._cell("tfs", row)
         pend = poff[block + 1] if block + 1 < poff.size else len(praw)
         tend = tfoff[block + 1] if block + 1 < tfoff.size else len(traw)
         slots = np.cumsum(vbyte_decode(praw[poff[block] : pend]))
@@ -209,9 +229,9 @@ class SegmentReader:
 
     def block_meta_by_row(self, row: int):
         """(last_slots int32[], max_tfs int32[], min_dls int32[])."""
-        last = np.frombuffer(self._blk_last[row].as_py() or b"", dtype="<i4")
-        maxtf = np.frombuffer(self._blk_maxtf[row].as_py() or b"", dtype="<i4")
-        mindl = np.frombuffer(self._blk_mindl[row].as_py() or b"", dtype="<i4")
+        last = self._cell("blk_last", row).view("<i4")
+        maxtf = self._cell("blk_maxtf", row).view("<i4")
+        mindl = self._cell("blk_mindl", row).view("<i4")
         return last, maxtf, mindl
 
     def block_meta(self, term: str):
