@@ -193,7 +193,9 @@ def run_bench(num_cpus: int, include_ops: bool = True) -> dict:
         corpus,
         f"/tmp/esray_bench/idx_webtext_{num_cpus}",
         WEBTEXT_DOCS,
-        docs_per_segment=max(2000, WEBTEXT_DOCS // 16),
+        # 8 segments: balances assembly parallelism against per-segment
+        # query overhead (the serving-side knob)
+        docs_per_segment=max(2000, WEBTEXT_DOCS // 8),
         partition_rows=1000,
     )
 
