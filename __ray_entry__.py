@@ -94,7 +94,11 @@ BOOLEAN_QUERIES = [
 
 
 def _results_table(engine, queries: list[str], size: int = 10,
-                   round_scores: bool = False) -> pa.Table:
+                   int_scores: bool = False) -> pa.Table:
+    """int_scores: emit score_u = round(score * 1e6) as int64 — float
+    `round()` can differ from DuckDB by 1 ULP, which would break the
+    driver's exact value-hash; integer micro-units are representation-safe.
+    """
     rows = {"query": [], "rank": [], "doc_id": [], "score": []}
     for res in engine.batch_search(queries, size=size):
         for rank, r in enumerate(res["results"], 1):
@@ -102,13 +106,18 @@ def _results_table(engine, queries: list[str], size: int = 10,
             rows["rank"].append(rank)
             rows["doc_id"].append(r["doc_id"])
             s = r["score"]
-            rows["score"].append(round(s, 6) if round_scores else s)
+            rows["score"].append(int(round(s * 1e6)) if int_scores else s)
+    score_col = (
+        pa.array(rows["score"], pa.int64())
+        if int_scores
+        else pa.array(rows["score"], pa.float64())
+    )
     return pa.table(
         {
             "query": pa.array(rows["query"], pa.string()),
             "rank": pa.array(rows["rank"], pa.int32()),
             "doc_id": pa.array(rows["doc_id"], pa.int64()),
-            "score": pa.array(rows["score"], pa.float64()),
+            ("score_u" if int_scores else "score"): score_col,
         }
     )
 
@@ -165,8 +174,8 @@ def _q_corpus_stats(sf_dir: str):
     return pa.table(
         {
             "doc_count": pa.array([st["doc_count"]], pa.int64()),
-            "avg_doc_length": pa.array(
-                [round(st["avg_doc_length"], 6)], pa.float64()
+            "avgdl_u": pa.array(
+                [int(round(st["avg_doc_length"] * 1e6))], pa.int64()
             ),
         }
     )
@@ -190,7 +199,7 @@ def _q_term_df_stemmed_top100(sf_dir: str):
 
 
 def _q_bm25_top10_plain(sf_dir: str):
-    return _results_table(_engine(sf_dir, "plain"), BM25_QUERIES, round_scores=True)
+    return _results_table(_engine(sf_dir, "plain"), BM25_QUERIES, int_scores=True)
 
 
 def _q_bm25_top10(sf_dir: str):
@@ -289,10 +298,11 @@ def _q_ann_top10(sf_dir: str):
     from elasticsearch_ray.ops.ann import brute_force_topk
 
     t = brute_force_topk(_emb_ds(sf_dir), _query_vecs(sf_dir), k=10)
-    cos = pa.array(
-        [round(c, 6) for c in t.column("cos").to_pylist()], pa.float64()
+    cos_u = pa.array(
+        [int(round(c * 1e6)) for c in t.column("cos").to_pylist()], pa.int64()
     )
-    return t.set_column(t.schema.get_field_index("cos"), "cos", cos)
+    t = t.remove_column(t.schema.get_field_index("cos"))
+    return t.append_column("cos_u", cos_u)
 
 
 def _q_ann_ivf_top10(sf_dir: str):
@@ -392,7 +402,12 @@ def _q_word_freq_top50(sf_dir: str):
 def _q_token_stats(sf_dir: str):
     from elasticsearch_ray.ops.wordfreq import corpus_token_stats
 
-    return corpus_token_stats(_docs_ds(sf_dir), preprocessed=False)
+    t = corpus_token_stats(_docs_ds(sf_dir), preprocessed=False)
+    avg_u = pa.array(
+        [int(round(t.column("avg_token_len")[0].as_py() * 1e6))], pa.int64()
+    )
+    t = t.remove_column(t.schema.get_field_index("avg_token_len"))
+    return t.append_column("avg_len_u", avg_u)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -472,7 +487,8 @@ ranked AS (
          row_number() OVER (PARTITION BY query ORDER BY s DESC, doc_id) AS rank
   FROM scored
 )
-SELECT query, CAST(rank AS INT) AS rank, doc_id, round(s, 6) AS score
+SELECT query, CAST(rank AS INT) AS rank, doc_id,
+       CAST(round(s * 1000000) AS BIGINT) AS score_u
 FROM ranked WHERE rank <= 10 ORDER BY query, rank
 """
 
@@ -521,8 +537,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": (
             f"WITH counts AS (SELECT d.doc_id, count(k.tok) AS n FROM documents d "
             f"LEFT JOIN ({_kept_sql()}) k ON d.doc_id = k.doc_id GROUP BY d.doc_id) "
-            f"SELECT count(*) AS doc_count, round(avg(n), 6) AS avg_doc_length "
-            f"FROM counts"
+            f"SELECT count(*) AS doc_count, "
+            f"CAST(round(avg(n) * 1000000) AS BIGINT) AS avgdl_u FROM counts"
         ),
         "term_df_nostem_top100": (
             f"SELECT tok AS term, count(DISTINCT doc_id) AS df FROM ({_TOK}) "
@@ -542,7 +558,8 @@ s AS (SELECT q.query_id, e.vec_id,
 r AS (SELECT query_id, vec_id, cos,
              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
       FROM s)
-SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+       CAST(round(cos * 1000000) AS BIGINT) AS cos_u
 FROM r WHERE rank <= 10 ORDER BY query_id, rank
 """,
         "token_counts": (
@@ -567,8 +584,8 @@ FROM r WHERE rank <= 10 ORDER BY query_id, rank
         "token_stats": (
             r"SELECT count(DISTINCT tok) AS unique_tokens, "
             r"count(*) AS total_tokens, "
-            r"round(avg(length(tok)), 6) AS avg_token_len FROM ("
-            r"SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS tok "
+            r"CAST(round(avg(length(tok)) * 1000000) AS BIGINT) AS avg_len_u "
+            r"FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS tok "
             r"FROM documents)"
         ),
         # term_df_stemmed_top100, bm25_top10, wand_top10, minhash_dups,

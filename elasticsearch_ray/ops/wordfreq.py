@@ -108,7 +108,7 @@ def corpus_token_stats(ds: ray.data.Dataset, **kwargs) -> pa.Table:
             "unique_tokens": pa.array([unique], pa.int64()),
             "total_tokens": pa.array([total], pa.int64()),
             "avg_token_len": pa.array(
-                [round(len_sum / total, 6) if total else 0.0], pa.float64()
+                [len_sum / total if total else 0.0], pa.float64()
             ),
         }
     )

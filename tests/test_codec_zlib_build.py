@@ -52,7 +52,7 @@ def test_wordfreq_matches_oracle_counters(tiny_corpus_dir, tiny_texts):
     total = sum(ref.values())
     assert st.column("unique_tokens")[0].as_py() == len(ref)
     assert st.column("total_tokens")[0].as_py() == total
-    exp_len = round(sum(len(t) * c for t, c in ref.items()) / total, 6)
+    exp_len = sum(len(t) * c for t, c in ref.items()) / total
     assert st.column("avg_token_len")[0].as_py() == pytest.approx(exp_len)
 
 
