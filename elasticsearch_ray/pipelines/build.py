@@ -271,6 +271,22 @@ def _execute_build(
             timings["assemble_sec"] = time.perf_counter() - t_stage
         timings["pipeline_sec"] = time.perf_counter() - t_start
 
+        # Per-stage Ray Data metrics emitted alongside the segment manifests
+        # (north_star: the reference's benchmarking harness re-expressed as
+        # per-stage metrics).
+        try:
+            from .plan import PartitionSpec  # noqa: F401  (lineage in manifests)
+
+            metrics_dir = os.path.join(index_dir, "metrics")
+            os.makedirs(metrics_dir, exist_ok=True)
+            with open(os.path.join(metrics_dir, "build_stage_stats.txt"), "w") as f:
+                f.write(stats_ds.stats())
+            atomic_write_json(
+                os.path.join(metrics_dir, "build_timings.json"), timings
+            )
+        except Exception:
+            pass  # metrics are best-effort; never fail a build over them
+
         # Segments that produced zero triples still need (empty) files.
         done_ids = {int(r["seg_id"]) for r in seg_stats}
         for s in pending:

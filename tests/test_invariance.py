@@ -1,0 +1,154 @@
+"""End-to-end invariance properties (SURVEY.md §5.2):
+
+* salted/split invariance: all three shuffle strategies produce
+  byte-identical segments (runs merged -> same term-sorted layout)
+* partition-size invariance: different read-partition sizes (same segment
+  boundaries) produce byte-identical segments
+* kill-mid-build resume: a SIGKILLed build resumes to a byte-identical index
+* random-corpus WAND == TAAT (hypothesis)
+"""
+
+import hashlib
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+
+def _seg_md5s(idx):
+    d = os.path.join(idx, "segments")
+    return {
+        f: hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest()
+        for f in sorted(os.listdir(d))
+        if f.endswith(".arrow")
+    }
+
+
+def test_shuffle_modes_byte_identical(tiny_corpus_dir, tmp_path):
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+
+    md5s = {}
+    for mode in ("combine", "segment", "sort"):
+        idx = str(tmp_path / f"idx_{mode}")
+        build_index(
+            tiny_corpus_dir,
+            idx,
+            BuildConfig(
+                target_partition_rows=50, docs_per_segment=70, shuffle=mode
+            ),
+        )
+        md5s[mode] = _seg_md5s(idx)
+    # combine and sort share the term-sorted layout -> byte identical
+    assert md5s["combine"] == md5s["sort"]
+    # segment mode orders terms by hash -> logically equal, verify via df
+    import pyarrow.parquet as pq
+
+    dfa = pq.read_table(str(tmp_path / "idx_combine" / "df_global")).to_pydict()
+    dfb = pq.read_table(str(tmp_path / "idx_segment" / "df_global")).to_pydict()
+    assert dict(zip(dfa["term"], dfa["df"])) == dict(zip(dfb["term"], dfb["df"]))
+
+
+def test_partition_size_invariance(tiny_corpus_dir, tmp_path):
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+
+    md5s = []
+    for pr in (25, 50):  # both divide docs_per_segment=100
+        idx = str(tmp_path / f"idx_pr{pr}")
+        build_index(
+            tiny_corpus_dir,
+            idx,
+            BuildConfig(target_partition_rows=pr, docs_per_segment=100),
+        )
+        md5s.append(_seg_md5s(idx))
+    assert md5s[0] == md5s[1]
+
+
+KILL_SCRIPT = """
+import sys, ray
+sys.path.insert(0, "/root/repo")
+ray.init(address="local", num_cpus=2, include_dashboard=False, log_to_driver=False)
+from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+build_index(sys.argv[1], sys.argv[2],
+            BuildConfig(target_partition_rows=50, docs_per_segment=70))
+print("BUILD_DONE")
+"""
+
+
+def test_kill_mid_build_resume(tiny_corpus_dir, tiny_index_dir, tmp_path):
+    idx = str(tmp_path / "idx_killed")
+    p = subprocess.Popen(
+        [sys.executable, "-c", KILL_SCRIPT, tiny_corpus_dir, idx],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+    )
+    # wait until at least one segment manifest lands, then kill hard
+    manifests = os.path.join(idx, "manifests")
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if os.path.isdir(manifests) and len(os.listdir(manifests)) >= 1:
+            break
+        if p.poll() is not None:
+            break  # finished before we could kill — still a valid resume test
+        time.sleep(0.2)
+    killed = p.poll() is None
+    if killed:
+        p.send_signal(signal.SIGKILL)
+        p.wait()
+
+    # resume in-process (ray session from conftest) and compare to clean build
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+
+    m = build_index(
+        tiny_corpus_dir,
+        idx,
+        BuildConfig(target_partition_rows=50, docs_per_segment=70),
+    )
+    assert m["doc_count"] == 200
+    assert _seg_md5s(idx) == _seg_md5s(tiny_index_dir)
+
+
+def test_random_corpus_wand_equals_taat(tmp_path):
+    """Property: block-max WAND top-k == naive TAAT top-k (SURVEY §5.2.3),
+    on a random corpus with duplicate-heavy vocabulary and random queries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    rng = np.random.default_rng(99)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 60)))
+        for _ in range(300)
+    ]
+    src = str(tmp_path / "rand.parquet")
+    pq.write_table(
+        pa.table({"text": pa.array(texts, pa.string())}), src, row_group_size=50
+    )
+    idx = str(tmp_path / "idx_rand")
+    build_index(
+        src,
+        idx,
+        BuildConfig(
+            target_partition_rows=50,
+            docs_per_segment=100,
+            url_column=None,
+            lang_column=None,
+        ),
+    )
+    eng = QueryEngine(idx, num_searchers=0)
+    try:
+        for _ in range(40):
+            q = " ".join(rng.choice(vocab, size=rng.integers(1, 5)))
+            a = eng.search(q, mode="taat")["results"]
+            b = eng.search(q, mode="wand")["results"]
+            assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b], q
+            for x, y in zip(a, b):
+                assert abs(x["score"] - y["score"]) < 1e-9
+    finally:
+        eng.close()
