@@ -192,20 +192,26 @@ class OracleIndex:
         rpn = to_rpn(tokens)
         all_docs = set(self.doc_ids)
         stack: list[set[int]] = []
-        for token in rpn:
-            if token == "AND":
-                b = stack.pop()
-                a = stack.pop()
-                stack.append(a & b if a and b else set())
-            elif token == "OR":
-                b = stack.pop()
-                a = stack.pop()
-                stack.append(a | b)
-            elif token == "NOT":
-                a = stack.pop()
-                stack.append(all_docs - a)
-            else:
-                stack.append(set(self.inverted_index.get(token, [])))
+        try:
+            for token in rpn:
+                if token == "AND":
+                    b = stack.pop()
+                    a = stack.pop()
+                    stack.append(a & b if a and b else set())
+                elif token == "OR":
+                    b = stack.pop()
+                    a = stack.pop()
+                    stack.append(a | b)
+                elif token == "NOT":
+                    a = stack.pop()
+                    stack.append(all_docs - a)
+                else:
+                    stack.append(set(self.inverted_index.get(token, [])))
+        except IndexError:
+            # malformed boolean expression (e.g. bare operators): no matches
+            # — the reference would raise here; we define empty instead, the
+            # same on engine and oracle
+            stack = []
         result = stack[0] if stack else set()
         ordered = sorted(result)
         return {

@@ -341,31 +341,34 @@ def boolean_eval(reader: SegmentReader, rpn: tuple[str, ...], size: int):
     universe = None
     stack: list[np.ndarray] = []
     empty = np.empty(0, dtype=np.int64)
-    for token in rpn:
-        if token == "AND":
-            b_ = stack.pop()
-            a = stack.pop()
-            if a.size and b_.size:
-                stack.append(np.intersect1d(a, b_, assume_unique=True))
+    try:
+        for token in rpn:
+            if token == "AND":
+                b_ = stack.pop()
+                a = stack.pop()
+                if a.size and b_.size:
+                    stack.append(np.intersect1d(a, b_, assume_unique=True))
+                else:
+                    stack.append(empty)
+            elif token == "OR":
+                b_ = stack.pop()
+                a = stack.pop()
+                if not a.size:
+                    stack.append(b_)
+                elif not b_.size:
+                    stack.append(a)
+                else:
+                    stack.append(np.union1d(a, b_))
+            elif token == "NOT":
+                a = stack.pop()
+                if universe is None:
+                    universe = reader.present_doc_ids() - reader.doc_id_base
+                stack.append(np.setdiff1d(universe, a, assume_unique=True))
             else:
-                stack.append(empty)
-        elif token == "OR":
-            b_ = stack.pop()
-            a = stack.pop()
-            if not a.size:
-                stack.append(b_)
-            elif not b_.size:
-                stack.append(a)
-            else:
-                stack.append(np.union1d(a, b_))
-        elif token == "NOT":
-            a = stack.pop()
-            if universe is None:
-                universe = reader.present_doc_ids() - reader.doc_id_base
-            stack.append(np.setdiff1d(universe, a, assume_unique=True))
-        else:
-            res = reader.postings_slots(token)
-            stack.append(res[0] if res is not None else empty)
+                res = reader.postings_slots(token)
+                stack.append(res[0] if res is not None else empty)
+    except IndexError:
+        stack = []  # malformed expression: defined as no matches (see oracle)
     result = stack[0] if stack else empty
     if result.size:
         result = result[reader.doc_lens[result] >= 0]  # drop tombstoned

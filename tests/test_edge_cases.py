@@ -1,0 +1,97 @@
+"""Edge cases: empty corpus, all-empty texts, unicode, stopword-only docs,
+weird queries."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _build(tmp_path, texts, name, **cfg_kwargs):
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+
+    src = str(tmp_path / f"{name}.parquet")
+    pq.write_table(
+        pa.table({"text": pa.array(texts, pa.string())}), src, row_group_size=10
+    )
+    idx = str(tmp_path / f"idx_{name}")
+    m = build_index(
+        src,
+        idx,
+        BuildConfig(
+            target_partition_rows=10,
+            docs_per_segment=20,
+            url_column=None,
+            lang_column=None,
+            **cfg_kwargs,
+        ),
+    )
+    return idx, m
+
+
+def test_all_empty_texts(tmp_path):
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    idx, m = _build(tmp_path, ["", "   ", "the and of", "!!!"], "empty")
+    assert m["doc_count"] == 4
+    assert m["total_tokens"] == 0
+    eng = QueryEngine(idx, num_searchers=0)
+    try:
+        assert eng.search("anything")["total_hits"] == 0
+        # NOT over an index with only token-less docs: universe = all 4 docs
+        res = eng.search("foo OR NOT foo")
+        assert res["total_hits"] == 4
+    finally:
+        eng.close()
+
+
+def test_unicode_and_noise(tmp_path):
+    from elasticsearch_ray.oracle import OracleIndex
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    texts = [
+        "café naïve résumé TOKYO 東京 deadbeef",
+        "ça va très bien deadbeef émigré",
+        "ASCII only document here deadbeef",
+    ]
+    idx, m = _build(tmp_path, texts, "uni")
+    o = OracleIndex()
+    o.build(list(enumerate(texts)))
+    eng = QueryEngine(idx, num_searchers=0)
+    try:
+        for q in ["deadbeef", "caf document", "va AND bien"]:
+            got = eng.search(q)
+            exp = o.query(q)
+            assert got["total_hits"] == exp["total_hits"], q
+            assert [r["doc_id"] for r in got["results"]] == [
+                r["doc_id"] for r in exp["results"]
+            ], q
+    finally:
+        eng.close()
+
+
+def test_single_doc_corpus(tmp_path):
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    idx, m = _build(tmp_path, ["lonely document text"], "single")
+    assert m["doc_count"] == 1
+    eng = QueryEngine(idx, num_searchers=0)
+    try:
+        # every term has df == N -> idf 0 -> reference semantics: no hits
+        assert eng.search("lonely")["total_hits"] == 0
+        assert eng.search("lonely AND text")["total_hits"] == 1
+    finally:
+        eng.close()
+
+
+def test_weird_queries(tiny_engine, tiny_oracle):
+    for q in [
+        "", "   ", "AND", "NOT", "(", ")", "(()", "a AND",
+        "AND AND OR", "(news", "news)", "42 7", "x",
+        "news AND AND sky",
+    ]:
+        got = tiny_engine.search(q)
+        exp = tiny_oracle.query(q)
+        assert got["total_hits"] == exp["total_hits"], repr(q)
+        assert [r["doc_id"] for r in got["results"]] == [
+            r["doc_id"] for r in exp["results"]
+        ], repr(q)
