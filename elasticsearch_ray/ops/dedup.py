@@ -139,16 +139,26 @@ def minhash_lsh_dedup(
     bands: int = 16,
     shingle: int = 3,
     seed: int = 42,
+    verify_jaccard: float | None = None,
 ) -> ray.data.Dataset:
     """MinHash+LSH near-duplicate marking.
 
     Emits (doc_id, is_dup): ``is_dup`` iff the doc shares an LSH band bucket
     with a smaller doc_id.  Pipeline: signature map -> flat band explode ->
     ``groupby(band, key)`` shuffle -> per-bucket min -> per-doc any().
+
+    ``verify_jaccard``: if set, bucket candidates are verified against the
+    bucket representative with the MinHash Jaccard ESTIMATE (fraction of
+    agreeing signature components — the classical LSH false-positive
+    filter, no text needed bucket-side); only candidates whose estimate
+    reaches the threshold are marked.  The exact n-gram kernel
+    (:func:`ngram_jaccard`) remains available for final pair verification.
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle, seed)
+
+    carry_sig = verify_jaccard is not None
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()
@@ -171,20 +181,30 @@ def minhash_lsh_dedup(
                 ]
             )
             keys[bnd::bands] = h
-        return pa.table(
-            {
-                "band": pa.array(band_ids),
-                "key": pa.array(keys),
-                id_col: pa.array(doc_rep, pa.int64()),
-            }
-        )
+        out = {
+            "band": pa.array(band_ids),
+            "key": pa.array(keys),
+            id_col: pa.array(doc_rep, pa.int64()),
+        }
+        if carry_sig:
+            out["sig"] = pa.array(
+                [list(s) for s in np.repeat(sig, bands, axis=0)],
+                pa.list_(pa.int64()),
+            )
+        return pa.table(out)
 
     exploded = sigs.map_batches(explode_bands, batch_format="pyarrow")
 
     def per_bucket(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()
-        m = ids.min()
-        dup = ids[ids != m]
+        mpos = int(np.argmin(ids))
+        m = ids[mpos]
+        mask = ids != m
+        if carry_sig and mask.any():
+            sig = np.array(batch.column("sig").to_pylist(), dtype=np.int64)
+            est = (sig == sig[mpos][None, :]).mean(axis=1)
+            mask &= est >= verify_jaccard
+        dup = ids[mask]
         return pa.table({id_col: pa.array(np.unique(dup), pa.int64())})
 
     dup_ids = exploded.groupby(["band", "key"]).map_groups(

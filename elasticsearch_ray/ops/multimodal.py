@@ -62,6 +62,66 @@ class BinaryFeatureExtractor:
         )
 
 
+class ImageResizeStub:
+    """Actor-pool resize stage (stubbed decode).  ``mode='strict'`` raises at
+    the real-codec integration point; ``mode='fake'`` emits a deterministic
+    pseudo-thumbnail: the payload byte stream average-pooled into a
+    ``target x target`` uint8 grid — real schema, real batch plumbing."""
+
+    def __init__(self, payload_col: str = "payload", target: int = 8,
+                 mode: str = "fake"):
+        if mode == "strict":
+            raise NotImplementedError("plug PIL/cv2 decode+resize here")
+        self.payload_col = payload_col
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.target
+        thumbs = []
+        for p in batch.column(self.payload_col).to_pylist():
+            p = p or b"\x00"
+            arr = np.frombuffer(p, dtype=np.uint8)
+            cells = np.array_split(arr, t * t)
+            thumb = np.array(
+                [int(c.mean()) if c.size else 0 for c in cells], dtype=np.uint8
+            )
+            thumbs.append(thumb.tobytes())
+        return batch.drop_columns([self.payload_col]).append_column(
+            "thumbnail", pa.array(thumbs, pa.binary())
+        )
+
+
+class FrameSampleStub:
+    """Actor-pool video frame-sampling stage (stubbed decode): every
+    ``stride``-th fixed-size byte window stands in for a decoded frame;
+    output is ``frames: list<binary>`` — the schema a real ffmpeg-backed
+    sampler would produce."""
+
+    def __init__(self, payload_col: str = "payload", frame_bytes: int = 64,
+                 stride: int = 4, max_frames: int = 8, mode: str = "fake"):
+        if mode == "strict":
+            raise NotImplementedError("plug ffmpeg frame extraction here")
+        self.payload_col = payload_col
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        frames_col = []
+        for p in batch.column(self.payload_col).to_pylist():
+            p = p or b""
+            frames = [
+                p[i : i + self.frame_bytes]
+                for i in range(
+                    0, len(p), self.frame_bytes * self.stride
+                )
+            ][: self.max_frames]
+            frames_col.append(frames)
+        return batch.drop_columns([self.payload_col]).append_column(
+            "frames", pa.array(frames_col, pa.list_(pa.binary()))
+        )
+
+
 def extract_binary_features(
     ds: ray.data.Dataset,
     payload_col: str = "payload",

@@ -192,3 +192,54 @@ def test_metrics_reference_semantics():
     assert 0 < ndcg(retrieved, relevant, 4) < 1
     assert evaluate([], relevant, 4)["precision"] == 0.0
     assert evaluate(retrieved, [], 4)["recall"] == 0.0
+
+
+def test_minhash_verify_filter(docs_ds):
+    from elasticsearch_ray.ops.dedup import minhash_lsh_dedup
+
+    # strict verification keeps exact dups, drops weak collisions
+    strict = {r["doc_id"] for r in
+              minhash_lsh_dedup(docs_ds, verify_jaccard=0.9).take_all()}
+    assert {1, 5} <= strict
+    loose = {r["doc_id"] for r in
+             minhash_lsh_dedup(docs_ds, verify_jaccard=0.0).take_all()}
+    assert strict <= loose
+
+
+def test_multimodal_resize_and_frames(docs_ds):
+    import ray.data
+
+    from elasticsearch_ray.ops.multimodal import FrameSampleStub, ImageResizeStub
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "payload": pa.array(
+                    [(s * 20).encode() for s in t.column("text").to_pylist()],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    ds = docs_ds.map_batches(to_payload, batch_format="pyarrow")
+    thumbs = ds.map_batches(
+        ImageResizeStub, fn_constructor_kwargs=dict(target=4),
+        batch_format="pyarrow", batch_size=4, concurrency=(1, 2),
+    ).take_all()
+    assert all(len(r["thumbnail"]) == 16 for r in thumbs)
+    # determinism: identical payloads -> identical thumbnails
+    by_id = {r["doc_id"]: r["thumbnail"] for r in thumbs}
+    assert by_id[0] == by_id[1]
+
+    frames = ds.map_batches(
+        FrameSampleStub, batch_format="pyarrow", batch_size=4,
+        concurrency=(1, 2),
+    ).take_all()
+    f0 = {r["doc_id"]: r["frames"] for r in frames}
+    assert len(f0[0]) >= 1 and all(len(fr) <= 64 for fr in f0[0])
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        ImageResizeStub(mode="strict")
+    with _pytest.raises(NotImplementedError):
+        FrameSampleStub(mode="strict")
