@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass
 
 import numpy as np
 import ray
@@ -35,7 +35,7 @@ from ..stages.postings import SegmentAssembler, encode_runs_block
 from ..stages.tokenizer import TokenizePartition
 from ..state.manifest import atomic_write_json, read_json, segment_is_done
 from ..state.segment import BLOCK_SIZE
-from .plan import PartitionSpec, SegmentSpec, plan_partitions, plan_segments
+from .plan import SegmentSpec, plan_partitions, plan_segments
 
 
 @dataclass
@@ -275,8 +275,6 @@ def _execute_build(
         # (north_star: the reference's benchmarking harness re-expressed as
         # per-stage metrics).
         try:
-            from .plan import PartitionSpec  # noqa: F401  (lineage in manifests)
-
             metrics_dir = os.path.join(index_dir, "metrics")
             os.makedirs(metrics_dir, exist_ok=True)
             with open(os.path.join(metrics_dir, "build_stage_stats.txt"), "w") as f:
