@@ -185,11 +185,25 @@ class QueryEngine:
 
     # -- search ------------------------------------------------------------
 
-    def search(self, query_text: str, size: int = 10, mode: str | None = None) -> dict:
-        """Reference result shape (``selfindex_q_taat.py:203-208``)."""
+    def search(
+        self,
+        query_text: str,
+        size: int = 10,
+        mode: str | None = None,
+        include_urls: bool = False,
+    ) -> dict:
+        """Reference result shape (``selfindex_q_taat.py:203-208``);
+        ``include_urls`` joins the top-k against the docmap (reference J1,
+        tiny k-row join)."""
         if looks_boolean(query_text):
-            return self._search_boolean(query_text, size)
-        return self._search_ranked(query_text, size, mode or self.mode)
+            res = self._search_boolean(query_text, size)
+        else:
+            res = self._search_ranked(query_text, size, mode or self.mode)
+        if include_urls and res["results"]:
+            urls = self.lookup_urls([r["doc_id"] for r in res["results"]])
+            for r in res["results"]:
+                r["url"] = urls.get(r["doc_id"])
+        return res
 
     def _search_ranked(self, query_text: str, size: int, mode: str) -> dict:
         terms = self.normalizer.preprocess_query_list(query_text)

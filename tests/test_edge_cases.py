@@ -1,6 +1,7 @@
 """Edge cases: empty corpus, all-empty texts, unicode, stopword-only docs,
 weird queries."""
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -95,3 +96,53 @@ def test_weird_queries(tiny_engine, tiny_oracle):
         assert [r["doc_id"] for r in got["results"]] == [
             r["doc_id"] for r in exp["results"]
         ], repr(q)
+
+
+def test_extreme_skew_hot_term(tmp_path):
+    """One term in EVERY doc with high tf (df == N): the sort shuffle splits
+    its postings into many runs, the merge reassembles them exactly, and both
+    scoring semantics (idf=0 skip for df==N) and boolean retrieval hold."""
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+    from elasticsearch_ray.state.segment import SegmentReader
+
+    texts = [("hotword " * 30) + f"unique{i} filler{i % 7}" for i in range(400)]
+    src = str(tmp_path / "skew.parquet")
+    pq.write_table(
+        pa.table({"text": pa.array(texts, pa.string())}), src, row_group_size=20
+    )
+    idx = str(tmp_path / "idx_skew")
+    m = build_index(
+        src,
+        idx,
+        BuildConfig(
+            target_partition_rows=20,
+            docs_per_segment=200,
+            shuffle="sort",
+            url_column=None,
+            lang_column=None,
+        ),
+    )
+    assert m["doc_count"] == 400
+    for seg in range(m["num_segments"]):
+        r = SegmentReader(idx, seg)
+        ids, tfs = r.postings("hotword")
+        assert ids.size == r.num_docs  # df == local N
+        assert (tfs == 30).all()
+        assert (np.diff(ids) > 0).all()
+    eng = QueryEngine(idx, num_searchers=0)
+    try:
+        # df == N -> idf == 0 -> ranked skips the term (reference semantics)
+        assert eng.search("hotword")["total_hits"] == 0
+        # boolean still finds everything
+        assert eng.search("hotword AND unique5")["total_hits"] == 1
+        res = eng.search("unique7 hotword")
+        assert res["results"][0]["doc_id"] == 7
+    finally:
+        eng.close()
+
+
+def test_include_urls(tiny_engine):
+    res = tiny_engine.search("news sky connection", include_urls=True)
+    if res["results"]:
+        assert all(r["url"].startswith("https://site") for r in res["results"])
