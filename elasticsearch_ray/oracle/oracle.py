@@ -91,9 +91,12 @@ def looks_boolean(query: str) -> bool:
 class OracleIndex:
     """Dict-based inverted index over (doc_id, text) pairs."""
 
-    def __init__(self, k1: float = 1.2, b: float = 0.75):
+    def __init__(self, k1: float = 1.2, b: float = 0.75,
+                 store_positions: bool = False):
         self.k1 = k1
         self.b = b
+        self.store_positions = store_positions
+        self.positions: dict[str, dict[int, list[int]]] = {}
         self.normalizer = Normalizer()
         self.inverted_index: dict[str, list[int]] = {}
         self.doc_tf: dict[int, dict[str, int]] = {}
@@ -114,6 +117,11 @@ class OracleIndex:
             self.doc_ids.append(doc_id)
             for term in set(tokens):
                 self.inverted_index.setdefault(term, []).append(doc_id)
+            if self.store_positions:
+                for p, term in enumerate(tokens):
+                    self.positions.setdefault(term, {}).setdefault(
+                        doc_id, []
+                    ).append(p)
         self.doc_count = len(self.doc_ids)
         total = sum(self.doc_len.values())
         self.avg_doc_length = total / self.doc_count if self.doc_count else 0.0
@@ -220,7 +228,56 @@ class OracleIndex:
             "results": [{"doc_id": d, "score": 1.0} for d in ordered[:size]],
         }
 
+    def query_phrase(self, query_text: str, size: int = 10) -> dict:
+        import re as _re
+
+        spans = _re.findall(r'"([^"]*)"', query_text)
+        residual_text = _re.sub(r'"[^"]*"', " ", query_text)
+        phrases = [
+            self.normalizer.preprocess_query_list(s)
+            for s in spans
+            if self.normalizer.preprocess_query_list(s)
+        ]
+        residual = self.normalizer.preprocess_query_list(residual_text)
+        if not phrases:
+            stripped = query_text.replace('"', " ")
+            if looks_boolean(stripped):
+                return self.query_boolean(stripped, size)
+            return self.query_taat(stripped, size)
+
+        cand: set[int] | None = None
+        for phrase in phrases:
+            docs = None
+            for t in phrase:
+                s = set(self.positions.get(t, {}))
+                docs = s if docs is None else docs & s
+            cand = docs if cand is None else cand & docs
+        for t in residual:
+            cand = cand & set(self.inverted_index.get(t, []))
+        matched = []
+        for d in sorted(cand or ()):
+            ok = True
+            for phrase in phrases:
+                cur = None
+                for t in phrase:
+                    p = set(self.positions[t][d])
+                    cur = p if cur is None else {x + 1 for x in cur} & p
+                    if not cur:
+                        ok = False
+                        break
+                if not ok:
+                    break
+            if ok:
+                matched.append(d)
+        return {
+            "query": query_text,
+            "total_hits": len(matched),
+            "results": [{"doc_id": d, "score": 1.0} for d in matched[:size]],
+        }
+
     def query(self, query_text: str, size: int = 10, scoring: str = "bm25") -> dict:
+        if '"' in query_text and self.store_positions:
+            return self.query_phrase(query_text, size)
         if looks_boolean(query_text):
             return self.query_boolean(query_text, size)
         return self.query_taat(query_text, size, scoring)

@@ -49,6 +49,10 @@ class BuildConfig:
     docs_per_segment: int = 25_000
     codec: str = "vbyte"  # 'vbyte' (reference z=1) or 'zlib' (z=2)
     block_size: int = BLOCK_SIZE
+    # store token positions (enables quoted-"phrase" queries; positions are
+    # indices in the PROCESSED token stream, the standard IR compromise).
+    # Only the 'combine' shuffle carries positions.
+    store_positions: bool = False
     tokenize_concurrency: int | None = None  # None -> cluster CPUs
     # 'combine': map-side combiner — tokenize tasks invert their partition
     #   locally and shuffle compressed per-term RUNS (~10x fewer bytes); the
@@ -171,6 +175,9 @@ def _execute_build(
     ]
     skipped = len(segs) - len(pending)
 
+    if config.store_positions and config.shuffle != "combine":
+        raise ValueError("store_positions requires shuffle='combine'")
+
     timings: dict[str, float] = {}
     if pending:
         items = [p.to_row() for s in pending for p in s.partitions]
@@ -193,6 +200,7 @@ def _execute_build(
                 lang_filter=config.lang_filter,
                 analyzer=config.analyzer,
                 emit="runs" if config.shuffle == "combine" else "triples",
+                store_positions=config.store_positions,
             ),
             batch_size=1,
             batch_format="pyarrow",

@@ -89,6 +89,16 @@ class Searcher:
         ids, scores = sc._topk_by_score(ids, scores, k)
         return ids, scores, total
 
+    def search_phrase(self, phrases: list[list[str]], residual: list[str], k: int):
+        out: list[np.ndarray] = []
+        total = 0
+        for r in self.readers:
+            ids, n = sc.phrase_eval(r, phrases, residual, k)
+            total += n
+            out.append(ids)
+        ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        return ids[:k], total
+
     def search_boolean(self, rpn: tuple[str, ...], k: int):
         out: list[np.ndarray] = []
         total = 0
@@ -125,7 +135,9 @@ class QueryEngine:
         self.k1 = k1
         self.b = b
         self.mode = mode
-        analyzer = self.stats.get("config", {}).get("analyzer", "reference")
+        cfg = self.stats.get("config", {})
+        analyzer = cfg.get("analyzer", "reference")
+        self.has_positions = bool(cfg.get("store_positions", False))
         self.normalizer = make_normalizer(analyzer)
         self._df_cache: dict[str, int] = {}
 
@@ -195,7 +207,9 @@ class QueryEngine:
         """Reference result shape (``selfindex_q_taat.py:203-208``);
         ``include_urls`` joins the top-k against the docmap (reference J1,
         tiny k-row join)."""
-        if looks_boolean(query_text):
+        if '"' in query_text and self.has_positions:
+            res = self._search_phrase(query_text, size)
+        elif looks_boolean(query_text):
             res = self._search_boolean(query_text, size)
         else:
             res = self._search_ranked(query_text, size, mode or self.mode)
@@ -223,6 +237,38 @@ class QueryEngine:
             {"doc_id": int(ids[i]), "score": float(scores[i])} for i in order
         ]
         return {"query": query_text, "total_hits": total, "results": results}
+
+    @staticmethod
+    def parse_phrases(query_text: str, normalizer) -> tuple[list[list[str]], list[str]]:
+        """Extract quoted phrase term-lists + residual free terms."""
+        import re as _re
+
+        spans = _re.findall(r'"([^"]*)"', query_text)
+        residual_text = _re.sub(r'"[^"]*"', " ", query_text)
+        phrases = [
+            normalizer.preprocess_query_list(s)
+            for s in spans
+            if normalizer.preprocess_query_list(s)
+        ]
+        residual = normalizer.preprocess_query_list(residual_text)
+        return phrases, residual
+
+    def _search_phrase(self, query_text: str, size: int) -> dict:
+        phrases, residual = self.parse_phrases(query_text, self.normalizer)
+        if not phrases:
+            # no usable quoted span -> normal routing on the unquoted text
+            stripped = query_text.replace('"', " ")
+            if looks_boolean(stripped):
+                return self._search_boolean(stripped, size)
+            return self._search_ranked(stripped, size, self.mode)
+        parts = self._fanout("search_phrase", phrases, residual, size)
+        ids = np.concatenate([p[0] for p in parts])
+        total = int(sum(p[1] for p in parts))
+        return {
+            "query": query_text,
+            "total_hits": total,
+            "results": [{"doc_id": int(d), "score": 1.0} for d in ids[:size]],
+        }
 
     def _search_boolean(self, query_text: str, size: int) -> dict:
         tokens = preprocess_boolean_query(query_text, self.normalizer)

@@ -47,6 +47,10 @@ RUN_SCHEMA = pa.schema(
         ("df", pa.int64()),
         ("postings", pa.large_binary()),
         ("tfs", pa.large_binary()),
+        # per-doc position streams [npos, p0, dp1, ...] (empty when the
+        # build does not store positions); doc order == postings order, so
+        # run merge is plain byte concatenation
+        ("positions", pa.large_binary()),
     ]
 )
 
@@ -131,6 +135,9 @@ def encode_runs_block(
             "df": pa.array(run_lens),
             "postings": postings_arr,
             "tfs": tfs_arr,
+            "positions": _binary_from_slices(
+                b"", np.zeros(starts.size, dtype=np.int64)
+            ),
         },
         schema=RUN_SCHEMA,
     )
@@ -312,9 +319,22 @@ class SegmentAssembler:
                 f"seg {seg_id}: posting sub-runs overlap — sort invariant broken"
             )
 
+        # positions: doc order == postings order, so a term's cell is the
+        # byte concatenation of its runs' cells (already first_doc-ordered)
+        pos_col = runs.column("positions").combine_chunks()
+        pos_cells: list[bytes] | None = None
+        if (pc.sum(pc.binary_length(pos_col)).as_py() or 0) > 0:
+            raw = pos_col.to_pylist()
+            pos_cells = []
+            for k in range(nterms):
+                s = trun_starts[k]
+                e = trun_starts[k + 1] if k + 1 < nterms else nruns
+                pos_cells.append(b"".join(raw[s:e]))
+
         out_terms = term.take(trun_starts)
         stats = self._write_segment(
-            seg_id, info, doclens, out_terms, out_df, tstarts, slots, tfs
+            seg_id, info, doclens, out_terms, out_df, tstarts, slots, tfs,
+            pos_cells=pos_cells,
         )
         stats["merged_terms"] = merged
         stats["assemble_sec"] = time.perf_counter() - t0
@@ -330,6 +350,7 @@ class SegmentAssembler:
         tstarts: np.ndarray,
         slots: np.ndarray,
         tfs: np.ndarray,
+        pos_cells: list[bytes] | None = None,
     ) -> dict:
         """Encode per-term posting cells with block-reset deltas + per-block
         byte offsets (lazy block decode for block-max WAND), compute block-max
@@ -427,12 +448,19 @@ class SegmentAssembler:
         if isinstance(term_arr, pa.ChunkedArray):
             term_arr = term_arr.combine_chunks()
         term_arr = term_arr.cast(pa.large_string())
+        if pos_cells is not None:
+            positions_col = pa.array(pos_cells, pa.large_binary())
+        else:
+            positions_col = _binary_from_slices(
+                b"", np.zeros(nterms, dtype=np.int64)
+            )
         seg_table = pa.table(
             {
                 "term": term_arr,
                 "df": pa.array(out_df),
                 "postings": postings_arr,
                 "tfs": tfs_arr,
+                "positions": positions_col,
                 "blk_last": blk_last,
                 "blk_maxtf": blk_maxtf,
                 "blk_mindl": blk_mindl,

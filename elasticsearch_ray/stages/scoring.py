@@ -334,6 +334,72 @@ def _cursor_advance_to(reader: SegmentReader, c: _Cursor, target: int) -> None:
     c.cur_doc = int(c.slots[pos])
 
 
+def phrase_eval(
+    reader: SegmentReader,
+    phrases: list[list[str]],
+    residual_terms: list[str],
+    size: int,
+):
+    """Quoted-phrase retrieval over stored positions (beyond the reference,
+    whose PHRASE grammar was never implemented — ``README.md:39-48`` vs the
+    discarded position data).  A doc matches iff every phrase occurs with
+    adjacent PROCESSED-token positions and contains every residual term.
+    Returns (first `size` matching global doc_ids ascending, local count)."""
+    cand: np.ndarray | None = None
+    empty = np.empty(0, dtype=np.int64)
+
+    def intersect(a, b):
+        return np.intersect1d(a, b, assume_unique=True)
+
+    phrase_data = []
+    for phrase in phrases:
+        datas = []
+        for t in phrase:
+            res = reader.positions_slots(t)
+            if res is None:
+                return empty, 0
+            datas.append(res)
+        inter = datas[0][0]
+        for slots, _ in datas[1:]:
+            inter = intersect(inter, slots)
+            if not inter.size:
+                return empty, 0
+        cand = inter if cand is None else intersect(cand, inter)
+        if not cand.size:
+            return empty, 0
+        phrase_data.append(datas)
+    for t in residual_terms:
+        res = reader.postings_slots(t)
+        if res is None:
+            return empty, 0
+        cand = res[0] if cand is None else intersect(cand, res[0])
+        if cand is not None and not cand.size:
+            return empty, 0
+    if cand is None:
+        return empty, 0
+    cand = cand[reader.doc_lens[cand] >= 0]  # tombstones
+
+    # adjacency verification per candidate
+    matched = []
+    for slot in cand:
+        ok = True
+        for phrase, datas in zip(phrases, phrase_data):
+            cur = None
+            for slots_t, pos_t in datas:
+                idx = int(np.searchsorted(slots_t, slot))
+                p = pos_t[idx]
+                cur = p if cur is None else np.intersect1d(cur + 1, p)
+                if cur.size == 0:
+                    ok = False
+                    break
+            if not ok:
+                break
+        if ok:
+            matched.append(int(slot))
+    m = np.array(matched, dtype=np.int64)
+    return m[:size] + reader.doc_id_base, int(m.size)
+
+
 def boolean_eval(reader: SegmentReader, rpn: tuple[str, ...], size: int):
     """RPN evaluation over sorted slot arrays (reference Q5 engine,
     ``measure_latency_datastores.py:137-188``).  Returns

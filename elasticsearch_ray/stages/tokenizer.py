@@ -56,7 +56,9 @@ class TokenizePartition:
         lang_filter: str | None = None,
         analyzer: str = "reference",
         emit: str = "triples",  # 'triples' | 'runs' (map-side combiner)
+        store_positions: bool = False,
     ):
+        self.store_positions = store_positions
         self.normalizer = make_normalizer(analyzer)  # once per actor
         self._hash_cache: dict[str, int] = {}  # Zipf -> near-100% hit rate
         self.emit = emit
@@ -110,6 +112,7 @@ class TokenizePartition:
 
         tokenize = self.normalizer.tokenize
         post: dict[str, list[int]] = {}
+        pos_vals: dict[str, list[int]] = {}  # term -> [npos, p0, dp1, ...]*
         kept_doc_ids: list[int] = []
         kept_urls: list[str] = []
         kept_lens: list[int] = []
@@ -123,12 +126,32 @@ class TokenizePartition:
             kept_lens.append(len(tokens))
             if tokens:
                 slot = doc_id - seg_base
-                for term, tf in Counter(tokens).items():
-                    lst = post.get(term)
-                    if lst is None:
-                        post[term] = lst = []
-                    lst.append(slot)
-                    lst.append(tf)
+                if self.store_positions:
+                    posmap: dict[str, list[int]] = {}
+                    for p, term in enumerate(tokens):
+                        pl = posmap.get(term)
+                        if pl is None:
+                            posmap[term] = pl = []
+                        pl.append(p)
+                    for term, plist in posmap.items():
+                        lst = post.get(term)
+                        if lst is None:
+                            post[term] = lst = []
+                            pos_vals[term] = []
+                        lst.append(slot)
+                        lst.append(len(plist))
+                        pv = pos_vals[term]
+                        pv.append(len(plist))
+                        pv.append(plist[0])
+                        for j in range(1, len(plist)):
+                            pv.append(plist[j] - plist[j - 1])
+                else:
+                    for term, tf in Counter(tokens).items():
+                        lst = post.get(term)
+                        if lst is None:
+                            post[term] = lst = []
+                        lst.append(slot)
+                        lst.append(tf)
 
         self._write_docmap_part(spec, kept_doc_ids, kept_urls, kept_lens)
 
@@ -158,6 +181,28 @@ class TokenizePartition:
         tf_data, tf_vlens = vbyte_encode_with_lengths(tfs)
         tfs_arr = _binary_from_slices(tf_data, np.add.reduceat(tf_vlens, tstarts))
 
+        if self.store_positions:
+            # one vectorized VByte pass over every term's position stream
+            counts = np.fromiter(
+                (len(pos_vals[t]) for t in terms), np.int64, nterms
+            )
+            flat_pos = np.empty(int(counts.sum()), dtype=np.int64)
+            pos_p = 0
+            for t in terms:
+                v = pos_vals[t]
+                flat_pos[pos_p : pos_p + len(v)] = v
+                pos_p += len(v)
+            p_data, p_vlens = vbyte_encode_with_lengths(flat_pos)
+            pstarts = np.zeros(nterms, dtype=np.int64)
+            np.cumsum(counts[:-1], out=pstarts[1:])
+            positions_arr = _binary_from_slices(
+                p_data, np.add.reduceat(p_vlens, pstarts)
+            )
+        else:
+            positions_arr = _binary_from_slices(
+                b"", np.zeros(nterms, dtype=np.int64)
+            )
+
         return pa.table(
             {
                 "seg": pa.array(
@@ -168,6 +213,7 @@ class TokenizePartition:
                 "df": pa.array(dfs),
                 "postings": postings_arr,
                 "tfs": tfs_arr,
+                "positions": positions_arr,
             },
             schema=RUN_SCHEMA,
         )

@@ -138,10 +138,13 @@ class SegmentReader:
         # Zero-copy views over the mmap'd binary columns: per-cell access is
         # a numpy slice, no bytes copy (hot path for every query term).
         self._cells = {}
-        for name in (
+        names = [
             "postings", "tfs", "blk_last", "blk_maxtf", "blk_mindl",
             "blk_poff", "blk_tfoff",
-        ):
+        ]
+        if "positions" in self.table.column_names:
+            names.append("positions")
+        for name in names:
             arr = self.table.column(name).combine_chunks()
             bufs = arr.buffers()
             offsets = np.frombuffer(bufs[1], dtype=np.int64, count=len(arr) + 1)
@@ -239,6 +242,30 @@ class SegmentReader:
         if row is None:
             return None
         return self.block_meta_by_row(row)
+
+    @property
+    def has_positions(self) -> bool:
+        if "positions" not in self._cells:
+            return False
+        offsets, data = self._cells["positions"]
+        return data.size > 0
+
+    def positions_slots(self, term: str):
+        """(slots, [positions array per doc]) or None.  Position streams are
+        [npos, p0, dp1, ...] per doc in postings order."""
+        row = self._term_row.get(term)
+        if row is None:
+            return None
+        slots, _tfs = self.postings_slots_by_row(row)
+        vals = vbyte_decode(self._cell("positions", row))
+        out = []
+        p = 0
+        for _ in range(slots.size):
+            npos = int(vals[p])
+            deltas = vals[p + 1 : p + 1 + npos]
+            out.append(np.cumsum(deltas))
+            p += 1 + npos
+        return slots, out
 
     def present_doc_ids(self) -> np.ndarray:
         """Local doc universe (for boolean NOT): every kept doc, including

@@ -1,0 +1,95 @@
+"""Quoted-phrase queries over stored positions (beyond the reference: its
+PHRASE grammar was documented but never implemented — positions were built
+then discarded, ``selfindex_z1_simple_compression.py:141,162-165``)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_ray.oracle import OracleIndex
+
+TEXTS = [
+    "machine learning models train on big data",
+    "learning machine is reversed here",
+    "big data processing with machine learning pipelines",
+    "data big reversed order",
+    "the machine learning of machines that learn machine learning",
+    "unrelated document about cooking recipes",
+    "machine separated by stuff from learning",
+]
+
+
+@pytest.fixture(scope="module")
+def phrase_setup(tmp_path_factory):
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    d = tmp_path_factory.mktemp("phrase")
+    src = str(d / "docs.parquet")
+    pq.write_table(
+        pa.table({"text": pa.array(TEXTS, pa.string())}), src, row_group_size=3
+    )
+    idx = str(d / "idx")
+    build_index(
+        src,
+        idx,
+        BuildConfig(
+            target_partition_rows=3,
+            docs_per_segment=4,
+            url_column=None,
+            lang_column=None,
+            store_positions=True,
+        ),
+    )
+    eng = QueryEngine(idx, num_searchers=2)
+    o = OracleIndex(store_positions=True)
+    o.build(list(enumerate(TEXTS)))
+    yield eng, o
+    eng.close()
+
+
+QUERIES = [
+    '"machine learning"',
+    '"learning machine"',
+    '"big data"',
+    '"machine learning" data',
+    '"machine learning" "big data"',
+    '"machine learning pipelines"',
+    '"nonexistent phrase"',
+    '"machine"',  # single-word phrase == term presence
+    '"" machine',  # empty phrase -> fallback to ranked
+    '"the machine"',  # stopword dropped -> phrase becomes just [machin]
+]
+
+
+def test_phrase_matches_oracle(phrase_setup):
+    eng, o = phrase_setup
+    for q in QUERIES:
+        got = eng.search(q)
+        exp = o.query(q)
+        assert got["total_hits"] == exp["total_hits"], q
+        assert [r["doc_id"] for r in got["results"]] == [
+            r["doc_id"] for r in exp["results"]
+        ], q
+
+
+def test_phrase_semantics(phrase_setup):
+    eng, _ = phrase_setup
+    r = eng.search('"machine learning"')
+    # docs 0, 2, 4 contain adjacent "machine learning"; 1, 6 do not
+    assert [x["doc_id"] for x in r["results"]] == [0, 2, 4]
+    assert eng.search('"learning machine"')["results"][0]["doc_id"] == 1
+    r = eng.search('"machine learning" "big data"')
+    assert [x["doc_id"] for x in r["results"]] == [0, 2]
+
+
+def test_positions_disabled_falls_back(tiny_engine, tiny_oracle):
+    # tiny index stores no positions: quoted query behaves like the
+    # reference (quotes stripped by the normalizer -> ranked free text)
+    q = '"news sky"'
+    got = tiny_engine.search(q)
+    exp = tiny_oracle.query(q)  # oracle built without positions
+    assert got["total_hits"] == exp["total_hits"]
+    assert [r["doc_id"] for r in got["results"]] == [
+        r["doc_id"] for r in exp["results"]
+    ]
