@@ -20,6 +20,7 @@ from .pipelines.build import (
     BuildConfig,
     add_tombstones,
     build_index,
+    compact_index,
     extend_index,
 )
 from .pipelines.query import QueryEngine
@@ -134,6 +135,12 @@ class RayBM25Index:
             columns=["doc_id", "url"], filter=pads.field("url").isin(urls)
         )
         return t.column("doc_id").to_pylist()
+
+    def compact(self, index_id: str) -> None:
+        """Make tombstoned deletions physical and refresh collection stats."""
+        compact_index(self._dir(index_id))
+        if self.current_index == index_id:
+            self.load_index(index_id)
 
     def query(self, query_text: str, size: int = 10) -> str:
         assert self.engine is not None, "load_index first"

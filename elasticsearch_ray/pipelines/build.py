@@ -159,6 +159,50 @@ def add_tombstones(index_dir: str, doc_ids: list[int]) -> dict:
     return manifest
 
 
+def compact_index(index_dir: str) -> dict:
+    """Purge tombstoned docs from every affected segment (Lucene-style
+    compaction): postings/tfs/positions filtered, block-max metadata and
+    doc-length arrays rewritten, df parts refreshed, collection stats
+    re-finalized with the post-delete N/avgdl, tombstone list cleared.
+
+    Segments are independent, so compaction is an embarrassingly parallel
+    ``map_batches`` over segment ids."""
+    manifest = read_json(os.path.join(index_dir, "manifest.json"))
+    tombs = manifest.get("tombstones", [])
+    seg_ids = manifest["segments"]
+    config = BuildConfig(**manifest["config"])
+    if tombs:
+        tomb_ref = ray.put(sorted(tombs))
+        index_dir_ = index_dir
+        codec_ = config.codec
+        block_size_ = config.block_size
+
+        def compact_one(batch):
+            import pyarrow as pa
+
+            from ..stages.compact import compact_segment
+
+            rows = []
+            for sid in batch.column("seg_id").to_pylist():
+                rows.append(
+                    compact_segment(
+                        index_dir_, int(sid), ray.get(tomb_ref), codec_,
+                        block_size_,
+                    )
+                )
+            return pa.table(
+                {k: [r[k] for r in rows] for k in rows[0]}
+            )
+
+        ds = ray.data.from_items([{"seg_id": s} for s in seg_ids])
+        ds.map_batches(
+            compact_one, batch_size=1, batch_format="pyarrow"
+        ).take_all()
+    return _finalize(
+        index_dir, config, seg_ids, {}, 0, tombstones=[]
+    )
+
+
 def _execute_build(
     index_dir: str,
     config: BuildConfig,

@@ -92,3 +92,37 @@ def test_update_add_and_remove(idx):
 def test_identifier_string():
     cfg = BuildConfig()
     assert cfg.identifier.startswith("RaySelfIndex-v1.")
+
+
+def test_compact_makes_deletes_physical(tmp_path_factory):
+    import json
+
+    base = str(tmp_path_factory.mktemp("compact_idx"))
+    ix = RayBM25Index(
+        base_dir=base,
+        config=BuildConfig(target_partition_rows=2, docs_per_segment=3),
+    )
+    ix.create_index("c1", DOCS)
+    ix.update_index("c1", remove_files=["doc-a", "doc-c"])
+    # tombstoned: hidden but stats unchanged
+    assert ix.get_stats()["doc_count"] == len(DOCS)
+    assert 0 not in [r["doc_id"] for r in json.loads(ix.query("apple"))["results"]]
+
+    ix.compact("c1")
+    st = ix.get_stats()
+    assert st["doc_count"] == len(DOCS) - 2
+    # scores now reflect post-delete df/N: compare against an oracle built
+    # WITHOUT the removed docs (remaining ids preserved)
+    remaining = [(i, t) for i, (d, t) in enumerate(DOCS) if d not in ("doc-a", "doc-c")]
+    o = OracleIndex()
+    o.build(remaining)
+    for q in ["apple", "banana cherry", "grape OR fig"]:
+        got = json.loads(ix.query(q))
+        exp = o.query(q)
+        assert got["total_hits"] == exp["total_hits"], q
+        assert [r["doc_id"] for r in got["results"]] == [
+            r["doc_id"] for r in exp["results"]
+        ], q
+        for a, b in zip(got["results"], exp["results"]):
+            assert abs(a["score"] - b["score"]) < 1e-9, q
+    ix.delete_index("c1")
