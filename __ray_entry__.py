@@ -37,10 +37,11 @@ def _index_dir_for(sf_dir: str, analyzer: str) -> str:
     return f"/tmp/esray_entry/{tag}_{analyzer}"
 
 
-def _ensure_index(sf_dir: str, analyzer: str) -> str:
+def _ensure_index(sf_dir: str, analyzer: str, positions: bool = False) -> str:
     from elasticsearch_ray.pipelines.build import BuildConfig, build_index
 
-    idx = _index_dir_for(sf_dir, analyzer)
+    tag = analyzer + ("_pos" if positions else "")
+    idx = _index_dir_for(sf_dir, tag)
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         build_index(
             os.path.join(sf_dir, "documents.parquet"),
@@ -52,15 +53,16 @@ def _ensure_index(sf_dir: str, analyzer: str) -> str:
                 analyzer=analyzer,
                 target_partition_rows=500,
                 docs_per_segment=2_000,
+                store_positions=positions,
             ),
         )
     return idx
 
 
-def _engine(sf_dir: str, analyzer: str):
+def _engine(sf_dir: str, analyzer: str, positions: bool = False):
     from elasticsearch_ray.pipelines.query import QueryEngine
 
-    idx = _ensure_index(sf_dir, analyzer)
+    idx = _ensure_index(sf_dir, analyzer, positions)
     if idx not in _ENGINES:
         _ENGINES[idx] = QueryEngine(idx, num_searchers=2)
     return _ENGINES[idx]
@@ -393,6 +395,26 @@ def _q_multimodal_sizes(sf_dir: str):
     )
 
 
+PHRASE_QUERIES = ['"join hash"', '"customer order"', '"window batch" spark']
+
+
+def _q_phrase(sf_dir: str):
+    """Quoted-phrase retrieval over a positions-enabled PLAIN index.
+
+    SQL twin: adjacency via self-join on token position (exactly our
+    positions semantics, since the plain analyzer keeps every token)."""
+    eng = _engine(sf_dir, "plain", positions=True)
+    rows_q, rows_d = [], []
+    for q in PHRASE_QUERIES:
+        res = eng.search(q, size=50)
+        for r in res["results"]:
+            rows_q.append(q)
+            rows_d.append(r["doc_id"])
+    return pa.table(
+        {"query": pa.array(rows_q, pa.string()), "doc_id": pa.array(rows_d, pa.int64())}
+    )
+
+
 def _q_word_freq_top50(sf_dir: str):
     from elasticsearch_ray.ops.wordfreq import top_words
 
@@ -435,6 +457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_sizes": _q_multimodal_sizes,
         "word_freq_top50": _q_word_freq_top50,
         "token_stats": _q_token_stats,
+        "phrase": _q_phrase,
     }
 
 
@@ -576,6 +599,28 @@ FROM r WHERE rank <= 10 ORDER BY query_id, rank
             "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS payload_bytes "
             "FROM documents ORDER BY doc_id"
         ),
+        "phrase": r"""
+WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+tok AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS pos
+  FROM lists
+),
+p1 AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+       ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.tok = 'join' AND b.tok = 'hash'),
+p2 AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+       ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.tok = 'customer' AND b.tok = 'order'),
+p3 AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+       ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.tok = 'window' AND b.tok = 'batch'
+         AND a.doc_id IN (SELECT doc_id FROM tok WHERE tok = 'spark'))
+SELECT '"join hash"' AS query, doc_id FROM (SELECT doc_id FROM p1 ORDER BY doc_id LIMIT 50)
+UNION ALL
+SELECT '"customer order"' AS query, doc_id FROM (SELECT doc_id FROM p2 ORDER BY doc_id LIMIT 50)
+UNION ALL
+SELECT '"window batch" spark' AS query, doc_id FROM (SELECT doc_id FROM p3 ORDER BY doc_id LIMIT 50)
+""",
         "word_freq_top50": (
             r"SELECT tok AS token, count(*) AS n FROM ("
             r"SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS tok "
