@@ -228,19 +228,34 @@ def wand_topk(
         if pivot_doc == _EXHAUSTED:
             break
         if cursors[0].cur_doc == pivot_doc:
+            # Involved set = the pivot prefix PLUS any trailing cursors tied
+            # at pivot_doc: their UBs belong in the bound, and they must
+            # advance with the group (a partial advance leaves a later
+            # partial — wrong — score for pivot_doc).
+            end = pivot_i
+            while end + 1 < len(cursors) and cursors[end + 1].cur_doc == pivot_doc:
+                end += 1
+            involved = cursors[: end + 1]
             # block-max refinement at the pivot
             if threshold > 0:
                 bub = 0.0
-                for c in cursors[: pivot_i + 1]:
+                for c in involved:
                     bub += float(c.blk_ub[c.cur_block])
                 if bub <= threshold * (1 - _EPS):
-                    # no doc in these blocks can win: jump past the nearest
-                    # block boundary
+                    # No doc covered by ALL involved blocks can win.  The
+                    # jump may not pass the next (non-involved) cursor's doc:
+                    # from there on additional terms contribute.
                     boundary = min(
-                        int(c.blk_last[c.cur_block]) for c in cursors[: pivot_i + 1]
+                        int(c.blk_last[c.cur_block]) for c in involved
                     )
-                    for c in cursors[: pivot_i + 1]:
-                        _cursor_advance_to(reader, c, boundary + 1)
+                    nxt = (
+                        cursors[end + 1].cur_doc
+                        if end + 1 < len(cursors)
+                        else _EXHAUSTED
+                    )
+                    target = min(boundary + 1, nxt)
+                    for c in involved:
+                        _cursor_advance_to(reader, c, target)
                     continue
             # score pivot_doc across all matching cursors in query order
             matching = [c for c in cursors if c.cur_doc == pivot_doc]
