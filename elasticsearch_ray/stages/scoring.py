@@ -216,7 +216,6 @@ def wand_topk(
         # (equal scores lose by the larger-doc-id tie-break)
         acc = 0.0
         pivot_i = -1
-        full = len(heap) == k
         for i, c in enumerate(cursors):
             acc += c.term_ub
             if acc > threshold * (1 - _EPS) + (0.0 if threshold else -1.0):

@@ -93,3 +93,54 @@ def test_positions_disabled_falls_back(tiny_engine, tiny_oracle):
     assert [r["doc_id"] for r in got["results"]] == [
         r["doc_id"] for r in exp["results"]
     ]
+
+
+def test_phrase_after_tombstone_and_compact(phrase_setup, tmp_path):
+    """Deletion lifecycle on a positions-enabled index: tombstone hides a
+    phrase match immediately; compaction rewrites the positions column."""
+
+    from elasticsearch_ray.pipelines.build import (
+        BuildConfig,
+        add_tombstones,
+        build_index,
+        compact_index,
+    )
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({"text": pa.array(TEXTS, pa.string())}), src, row_group_size=3
+    )
+    idx = str(tmp_path / "idx2")
+    build_index(
+        src,
+        idx,
+        BuildConfig(
+            target_partition_rows=3,
+            docs_per_segment=4,
+            url_column=None,
+            lang_column=None,
+            store_positions=True,
+        ),
+    )
+    add_tombstones(idx, [0])
+    eng = QueryEngine(idx, num_searchers=0)
+    try:
+        assert [r["doc_id"] for r in eng.search('"machine learning"')["results"]] == [2, 4]
+    finally:
+        eng.close()
+    compact_index(idx)
+    eng = QueryEngine(idx, num_searchers=0)
+    try:
+        assert [r["doc_id"] for r in eng.search('"machine learning"')["results"]] == [2, 4]
+        o = OracleIndex(store_positions=True)
+        o.build([(i, t) for i, t in enumerate(TEXTS) if i != 0])
+        for q in ['"big data"', '"machine learning" data', "machine learning"]:
+            got = eng.search(q)
+            exp = o.query(q)
+            assert got["total_hits"] == exp["total_hits"], q
+            assert [r["doc_id"] for r in got["results"]] == [
+                r["doc_id"] for r in exp["results"]
+            ], q
+    finally:
+        eng.close()
