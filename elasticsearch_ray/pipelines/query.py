@@ -301,7 +301,10 @@ class QueryEngine:
         metas = []
         mode = mode or self.mode
         for q in queries:
-            if looks_boolean(q):
+            if '"' in q and self.has_positions:
+                metas.append(("done", q))
+                futs.append(self.search(q, size=size))
+            elif looks_boolean(q):
                 rpn = to_rpn(preprocess_boolean_query(q, self.normalizer))
                 metas.append(("bool", q))
                 futs.append([s.search_boolean.remote(rpn, size) for s in self.searchers])
@@ -320,6 +323,9 @@ class QueryEngine:
                 )
         out = []
         for (kind, q), fs in zip(metas, futs):
+            if kind == "done":
+                out.append(fs)
+                continue
             parts = ray.get(fs)
             if kind == "bool":
                 ids = np.concatenate([p[0] for p in parts])

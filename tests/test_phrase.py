@@ -144,3 +144,11 @@ def test_phrase_after_tombstone_and_compact(phrase_setup, tmp_path):
             ], q
     finally:
         eng.close()
+
+
+def test_batch_search_routes_phrases(phrase_setup):
+    eng, o = phrase_setup
+    qs = ['"machine learning"', "big data", "machine AND learning"]
+    batch = eng.batch_search(qs)
+    for q, r in zip(qs, batch):
+        assert r == eng.search(q), q
