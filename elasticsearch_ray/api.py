@@ -92,6 +92,8 @@ class RayBM25Index:
     def create_index(self, index_id: str, files=None) -> None:
         import dataclasses
 
+        if files is None:
+            raise ValueError("create_index requires files or a parquet path")
         index_dir = self._dir(index_id)
         cfg = self.config
         if files is not None and not isinstance(files, (str,)):

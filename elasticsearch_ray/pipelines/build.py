@@ -41,6 +41,10 @@ from .plan import SegmentSpec, plan_partitions, plan_segments
 @dataclass
 class BuildConfig:
     text_column: str = "text"
+    # optional extra columns concatenated BEFORE text_column with ". "
+    # separators (reference M3: full_text = f"{title}. {text}",
+    # ``preprocess_data.py:84``)
+    prefix_columns: tuple[str, ...] = ()
     url_column: str | None = "url"
     lang_column: str | None = "lang"
     lang_filter: str | None = None
@@ -239,6 +243,7 @@ def _execute_build(
             fn_constructor_kwargs=dict(
                 index_dir=index_dir,
                 text_column=config.text_column,
+                prefix_columns=list(config.prefix_columns),
                 url_column=config.url_column,
                 lang_column=config.lang_column,
                 lang_filter=config.lang_filter,

@@ -57,8 +57,10 @@ class TokenizePartition:
         analyzer: str = "reference",
         emit: str = "triples",  # 'triples' | 'runs' (map-side combiner)
         store_positions: bool = False,
+        prefix_columns: list[str] | None = None,
     ):
         self.store_positions = store_positions
+        self.prefix_columns = prefix_columns or []
         self.normalizer = make_normalizer(analyzer)  # once per actor
         self._hash_cache: dict[str, int] = {}  # Zipf -> near-100% hit rate
         self.emit = emit
@@ -98,7 +100,7 @@ class TokenizePartition:
         doc_id_base = spec["doc_id_base"]
         seg_base = spec.get("seg_base", 0)
         n = tbl.num_rows
-        texts = tbl.column(self.text_column).to_pylist()
+        texts = self._texts(tbl)
         langs = (
             tbl.column(self.lang_column).to_pylist()
             if self.lang_column and self.lang_column in tbl.column_names
@@ -219,7 +221,7 @@ class TokenizePartition:
         )
 
     def _read_rows(self, spec: dict) -> pa.Table:
-        columns = [self.text_column]
+        columns = [self.text_column, *self.prefix_columns]
         if self.url_column:
             columns.append(self.url_column)
         if self.lang_column:
@@ -231,12 +233,21 @@ class TokenizePartition:
         )
         return tbl.slice(spec["row_offset"], spec["num_rows"])
 
+    def _texts(self, tbl: pa.Table) -> list[str]:
+        """text column, optionally prefixed (reference M3:
+        ``full_text = f"{title}. {text}"``, ``preprocess_data.py:84``)."""
+        texts = tbl.column(self.text_column).to_pylist()
+        for col in reversed(self.prefix_columns):
+            pref = tbl.column(col).to_pylist()
+            texts = [f"{p or ''}. {t or ''}" for p, t in zip(pref, texts)]
+        return texts
+
     def _process_partition(self, spec: dict) -> pa.Table:
         tbl = self._read_rows(spec)
         doc_id_base = spec["doc_id_base"]
         n = tbl.num_rows
 
-        texts = tbl.column(self.text_column).to_pylist()
+        texts = self._texts(tbl)
         langs = (
             tbl.column(self.lang_column).to_pylist()
             if self.lang_column and self.lang_column in tbl.column_names

@@ -146,3 +146,48 @@ def test_include_urls(tiny_engine):
     res = tiny_engine.search("news sky connection", include_urls=True)
     if res["results"]:
         assert all(r["url"].startswith("https://site") for r in res["results"])
+
+
+def test_prefix_columns_title_concat(tmp_path):
+    """Reference M3: full_text = f'{title}. {text}' (preprocess_data.py:84)."""
+    from elasticsearch_ray.oracle import OracleIndex
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    titles = ["Alpha Title", "Beta Heading", "Gamma"]
+    bodies = ["body words here", "other body text", "alpha appears in body"]
+    src = str(tmp_path / "titled.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "title": pa.array(titles, pa.string()),
+                "text": pa.array(bodies, pa.string()),
+            }
+        ),
+        src,
+    )
+    idx = str(tmp_path / "idx_titled")
+    build_index(
+        src,
+        idx,
+        BuildConfig(
+            target_partition_rows=2,
+            docs_per_segment=3,
+            url_column=None,
+            lang_column=None,
+            prefix_columns=("title",),
+        ),
+    )
+    o = OracleIndex()
+    o.build([(i, f"{t}. {b}") for i, (t, b) in enumerate(zip(titles, bodies))])
+    eng = QueryEngine(idx, num_searchers=0)
+    try:
+        for q in ["alpha", "beta AND body", "title OR heading"]:
+            got = eng.search(q)
+            exp = o.query(q)
+            assert got["total_hits"] == exp["total_hits"], q
+            assert [r["doc_id"] for r in got["results"]] == [
+                r["doc_id"] for r in exp["results"]
+            ], q
+    finally:
+        eng.close()
