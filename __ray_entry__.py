@@ -432,6 +432,15 @@ def _q_token_stats(sf_dir: str):
     return t.append_column("avg_len_u", avg_u)
 
 
+def _q_curation_keep(sf_dir: str):
+    """Composed curation pipeline (quality filter + exact dedup), exact SQL
+    twin; the MinHash stage is exercised by the rows-only minhash_dups."""
+    from elasticsearch_ray.ops.curation import curate
+
+    res = curate(_docs_ds(sf_dir), near_dedup=False)
+    return pa.table({"doc_id": pa.array(res["kept_ids"], pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "lang_counts": _q_lang_counts,
@@ -458,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_freq_top50": _q_word_freq_top50,
         "token_stats": _q_token_stats,
         "phrase": _q_phrase,
+        "curation_keep": _q_curation_keep,
     }
 
 
@@ -620,6 +630,28 @@ UNION ALL
 SELECT '"customer order"' AS query, doc_id FROM (SELECT doc_id FROM p2 ORDER BY doc_id LIMIT 50)
 UNION ALL
 SELECT '"window batch" spark' AS query, doc_id FROM (SELECT doc_id FROM p3 ORDER BY doc_id LIMIT 50)
+""",
+        "curation_keep": """
+WITH f AS (
+  SELECT doc_id, text,
+         length(string_split(text, ' ')) AS nw,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS nd
+  FROM documents
+),
+q AS (
+  SELECT doc_id, text, nw,
+         (least(nw / 50.0, 1.0)
+          + CASE WHEN (nc - (nw - 1)) * 1.0 / nw BETWEEN 3 AND 10
+                 THEN 1.0 ELSE 0.5 END
+          + 1.0
+          + (1.0 - least(nd * 4.0 / nc, 1.0))) / 4.0 AS quality
+  FROM f
+),
+keep AS (SELECT doc_id, text FROM q WHERE quality >= 0.5 AND nw >= 3),
+reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+SELECT k.doc_id FROM keep k JOIN reps r ON k.doc_id = r.doc_id
+ORDER BY k.doc_id
 """,
         "word_freq_top50": (
             r"SELECT tok AS token, count(*) AS n FROM ("

@@ -243,3 +243,24 @@ def test_multimodal_resize_and_frames(docs_ds):
         ImageResizeStub(mode="strict")
     with _pytest.raises(NotImplementedError):
         FrameSampleStub(mode="strict")
+
+
+def test_curation_pipeline(docs_ds, tmp_path):
+    from elasticsearch_ray.ops.curation import curate
+
+    res = curate(
+        docs_ds, min_quality=0.0, min_words=2, near_dedup=True,
+        out_dir=str(tmp_path / "curated"),
+    )
+    assert res["total"] == 8
+    # exact dups 1, 5 collapse into 0's group; empty doc and 'short text'
+    # fail min_words=2? 'short text' has 2 words -> kept
+    assert 1 not in res["kept_ids"] and 5 not in res["kept_ids"]
+    assert 7 not in res["kept_ids"]  # empty doc
+    assert 0 in res["kept_ids"] and 3 in res["kept_ids"]
+    # near-dup doc 2 dropped by minhash against doc 0? may or may not bucket;
+    # at minimum the counts are consistent
+    assert res["kept"] == len(res["kept_ids"]) <= res["exact_dedup_reps"]
+    import os
+    out = str(tmp_path / "curated")
+    assert any(f.endswith(".parquet") for f in os.listdir(out))
