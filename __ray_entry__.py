@@ -8,6 +8,7 @@ operator/pipeline from SURVEY.md §2 plus the training-data ops; matching
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 from typing import Any
@@ -108,7 +109,7 @@ def _results_table(engine, queries: list[str], size: int = 10,
             rows["rank"].append(rank)
             rows["doc_id"].append(r["doc_id"])
             s = r["score"]
-            rows["score"].append(int(round(s * 1e6)) if int_scores else s)
+            rows["score"].append(int(math.floor(s * 1e6 + 0.5)) if int_scores else s)
     score_col = (
         pa.array(rows["score"], pa.int64())
         if int_scores
@@ -177,7 +178,7 @@ def _q_corpus_stats(sf_dir: str):
         {
             "doc_count": pa.array([st["doc_count"]], pa.int64()),
             "avgdl_u": pa.array(
-                [int(round(st["avg_doc_length"] * 1e6))], pa.int64()
+                [int(math.floor(st["avg_doc_length"] * 1e6 + 0.5))], pa.int64()
             ),
         }
     )
@@ -299,9 +300,9 @@ def _query_vecs(sf_dir: str, n: int = 5) -> np.ndarray:
 def _q_ann_top10(sf_dir: str):
     from elasticsearch_ray.ops.ann import brute_force_topk
 
-    t = brute_force_topk(_emb_ds(sf_dir), _query_vecs(sf_dir), k=10)
+    t = brute_force_topk(_emb_ds(sf_dir), _query_vecs(sf_dir), k=10, dtype=np.float64)
     cos_u = pa.array(
-        [int(round(c * 1e6)) for c in t.column("cos").to_pylist()], pa.int64()
+        [int(math.floor(c * 1e6 + 0.5)) for c in t.column("cos").to_pylist()], pa.int64()
     )
     t = t.remove_column(t.schema.get_field_index("cos"))
     return t.append_column("cos_u", cos_u)
@@ -426,7 +427,7 @@ def _q_token_stats(sf_dir: str):
 
     t = corpus_token_stats(_docs_ds(sf_dir), preprocessed=False)
     avg_u = pa.array(
-        [int(round(t.column("avg_token_len")[0].as_py() * 1e6))], pa.int64()
+        [int(math.floor(t.column("avg_token_len")[0].as_py() * 1e6 + 0.5))], pa.int64()
     )
     t = t.remove_column(t.schema.get_field_index("avg_token_len"))
     return t.append_column("avg_len_u", avg_u)
@@ -521,7 +522,7 @@ ranked AS (
   FROM scored
 )
 SELECT query, CAST(rank AS INT) AS rank, doc_id,
-       CAST(round(s * 1000000) AS BIGINT) AS score_u
+       CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_u
 FROM ranked WHERE rank <= 10 ORDER BY query, rank
 """
 
@@ -571,7 +572,7 @@ def oracle_sql() -> dict[str, str]:
             f"WITH counts AS (SELECT d.doc_id, count(k.tok) AS n FROM documents d "
             f"LEFT JOIN ({_kept_sql()}) k ON d.doc_id = k.doc_id GROUP BY d.doc_id) "
             f"SELECT count(*) AS doc_count, "
-            f"CAST(round(avg(n) * 1000000) AS BIGINT) AS avgdl_u FROM counts"
+            f"CAST(floor(avg(n) * 1000000 + 0.5) AS BIGINT) AS avgdl_u FROM counts"
         ),
         "term_df_nostem_top100": (
             f"SELECT tok AS term, count(DISTINCT doc_id) AS df FROM ({_TOK}) "
@@ -584,15 +585,17 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY text ORDER BY doc_id"
         ),
         "ann_top10": """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+WITH q AS (SELECT vec_id AS query_id,
+                  CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 5),
 s AS (SELECT q.query_id, e.vec_id,
-             list_cosine_similarity(e.embedding, q.qe) AS cos
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos
       FROM q CROSS JOIN embeddings e),
 r AS (SELECT query_id, vec_id, cos,
              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
       FROM s)
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
-       CAST(round(cos * 1000000) AS BIGINT) AS cos_u
+       CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_u
 FROM r WHERE rank <= 10 ORDER BY query_id, rank
 """,
         "token_counts": (
@@ -661,7 +664,7 @@ ORDER BY k.doc_id
         "token_stats": (
             r"SELECT count(DISTINCT tok) AS unique_tokens, "
             r"count(*) AS total_tokens, "
-            r"CAST(round(avg(length(tok)) * 1000000) AS BIGINT) AS avg_len_u "
+            r"CAST(floor(avg(length(tok)) * 1000000 + 0.5) AS BIGINT) AS avg_len_u "
             r"FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS tok "
             r"FROM documents)"
         ),

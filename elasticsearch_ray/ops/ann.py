@@ -30,20 +30,21 @@ def brute_force_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dtype=np.float32,  # float32 at scale; float64 for oracle-exact checks
 ) -> pa.Table:
     """Exact cosine top-k for each query vector.
 
     Returns a table (query_id, rank, vec_id, cos) with the deterministic
     tie-break (-cos, vec_id).
     """
-    q = _normalize(np.asarray(query_vecs, dtype=np.float32))
+    q = _normalize(np.asarray(query_vecs, dtype=dtype))
     qref = ray.put(q)
     nq = q.shape[0]
 
     def fn(batch: pa.Table) -> pa.Table:
         qm = ray.get(qref)
         ids = batch.column(id_col).to_numpy()
-        mat = _normalize(np.array(batch.column(vec_col).to_pylist(), dtype=np.float32))
+        mat = _normalize(np.array(batch.column(vec_col).to_pylist(), dtype=dtype))
         sims = mat @ qm.T  # (n, nq)
         out_q, out_id, out_cos = [], [], []
         kk = min(k, ids.size)
