@@ -189,6 +189,9 @@ def wand_topk(
     if len(cursors) == 1:
         return _wand_single_term(reader, cursors[0], k, scoring, k1, b, avgdl,
                                  initial_threshold)
+    # multi term: vectorized three-phase block-max evaluation (exact)
+    return _wand_multi_blockmax(reader, cursors, k, scoring, k1, b, avgdl,
+                                initial_threshold)
 
     # top-k heap as sorted arrays (k is small)
     import heapq
@@ -294,29 +297,162 @@ def wand_topk(
     return slots, scores, -1
 
 
+def _wand_multi_blockmax(reader, cursors, k, scoring, k1, b, avgdl,
+                         initial_threshold):
+    """Exact multi-term block-max evaluation, fully vectorized.
+
+    Phase 1 (seed): decode the globally highest-upper-bound blocks and score
+    them into an accumulator — partial sums are LOWER bounds on full doc
+    scores, so the k-th best partial is a valid threshold.
+    Phase 2 (bound): per-slot upper bound = Σ_t UB_t(block of t whose slot
+    range covers the slot) via ``np.repeat`` — O(N·terms) SIMD; candidates
+    are slots whose bound beats the threshold.
+    Phase 3 (verify): decode exactly the blocks whose slot range contains a
+    candidate, score them, and take the top-k over candidates only.
+
+    The classic doc-at-a-time WAND skips more postings, but its per-pivot
+    cost is interpreted Python; this formulation keeps every inner loop in
+    numpy and still never touches blocks that cannot contain a winner.
+    """
+    N = reader.num_docs
+    dl_arr = reader.doc_lens
+
+    def block_scores(c, blk):
+        slots, tfs = reader.decode_block(c.row, blk)
+        dls = dl_arr[slots]
+        valid = dls > 0  # tombstones
+        slots, tfs, dls = slots[valid], tfs[valid], dls[valid]
+        if not slots.size:
+            return slots, np.empty(0)
+        return slots, term_scores(tfs, dls, c.idf, scoring, k1, b, avgdl)
+
+    # ---- phase 1: seed threshold from the richest blocks -----------------
+    seed = []
+    for ti, c in enumerate(cursors):
+        for blk in range(c.nblocks):
+            seed.append((float(c.blk_ub[blk]), ti, blk))
+    seed.sort(key=lambda x: -x[0])
+    acc = np.zeros(N, dtype=np.float64)
+    touched_parts = []
+    budget = max(4 * k, 512)
+    n_seeded = 0
+    seeded: set[tuple[int, int]] = set()
+    for ub, ti, blk in seed:
+        if n_seeded >= budget:
+            break
+        slots, s = block_scores(cursors[ti], blk)
+        acc[slots] += s
+        touched_parts.append(slots)
+        seeded.add((ti, blk))
+        n_seeded += slots.size
+    threshold = initial_threshold
+    if touched_parts:
+        seen = np.unique(np.concatenate(touched_parts))
+        if seen.size >= k:
+            partial = acc[seen]
+            kth = np.partition(partial, seen.size - k)[seen.size - k]
+            threshold = max(threshold, float(kth))
+
+    # ---- phase 2: per-slot upper bounds, candidate selection -------------
+    ub_arr = np.zeros(N, dtype=np.float64)
+    for c in cursors:
+        spans = np.empty(c.nblocks, dtype=np.int64)
+        spans[0] = int(c.blk_last[0]) + 1
+        if c.nblocks > 1:
+            spans[1:] = np.diff(c.blk_last.astype(np.int64))
+        ub_arr[: int(c.blk_last[-1]) + 1] += np.repeat(
+            np.asarray(c.blk_ub, dtype=np.float64), spans
+        )
+    cand = np.flatnonzero(ub_arr > threshold * (1 - _EPS))
+    if cand.size == 0:
+        # fall back to whatever the seed produced
+        if not touched_parts:
+            e = np.empty(0, dtype=np.int64)
+            return e, np.empty(0, dtype=np.float64), -1
+        cand = np.unique(np.concatenate(touched_parts))
+
+    # ---- phase 3: exact scoring over candidate-bearing blocks ------------
+    acc2 = np.zeros(N, dtype=np.float64)
+    for ti, c in enumerate(cursors):
+        blocks = np.unique(np.searchsorted(c.blk_last, cand, side="left"))
+        blocks = blocks[blocks < c.nblocks]
+        if blocks.size > max(8, c.nblocks // 4):
+            # weak pruning: whole-list decode beats per-block overhead
+            slots, s = _score_full_term(reader, c, scoring, k1, b, avgdl)
+            acc2[slots] += s
+            continue
+        for blk in blocks:
+            slots, s = block_scores(c, int(blk))
+            acc2[slots] += s
+    scores = acc2[cand]
+    nz = scores > 0
+    cand, scores = cand[nz], scores[nz]
+    top_slots, top_scores = _topk_by_score(cand, scores, k)
+    return top_slots, top_scores, -1
+
+
+def _score_full_term(reader, c: _Cursor, scoring, k1, b, avgdl):
+    """One-shot decode + score of a whole posting list (cheaper than
+    per-block decode once most blocks survive pruning)."""
+    slots, tfs = reader.postings_slots_by_row(c.row)
+    dls = reader.doc_lens[slots]
+    valid = dls > 0
+    slots, tfs, dls = slots[valid], tfs[valid], dls[valid]
+    if not slots.size:
+        return slots, np.empty(0)
+    return slots, term_scores(tfs, dls, c.idf, scoring, k1, b, avgdl)
+
+
 def _wand_single_term(reader, c: _Cursor, k, scoring, k1, b, avgdl,
                       initial_threshold):
     order = np.argsort(-c.blk_ub, kind="stable")
-    best_slots = np.empty(0, dtype=np.int64)
-    best_scores = np.empty(0, dtype=np.float64)
     threshold = initial_threshold
-    for blk in order:
-        if threshold > 0 and c.blk_ub[blk] <= threshold * (1 - _EPS):
-            break
+    parts_s: list[np.ndarray] = []
+    parts_sc: list[np.ndarray] = []
+
+    # seed the threshold from the few highest-UB blocks (single-term block
+    # scores are EXACT doc scores, so the k-th best seen is a threshold)
+    m = min(order.size, (2 * k) // reader.block_size + 2)
+    seen = 0
+    for blk in order[:m]:
         slots, tfs = reader.decode_block(c.row, blk)
         dls = reader.doc_lens[slots]
-        valid = dls > 0  # excludes tombstoned docs
-        slots, tfs, dls = slots[valid], tfs[valid], dls[valid]
+        valid = dls > 0
+        slots, dls, tfs = slots[valid], dls[valid], tfs[valid]
         if not slots.size:
             continue
         s = term_scores(tfs, dls, c.idf, scoring, k1, b, avgdl)
-        all_slots = np.concatenate([best_slots, slots])
-        all_scores = np.concatenate([best_scores, s])
-        sel = np.lexsort((all_slots, -all_scores))[:k]
-        best_slots, best_scores = all_slots[sel], all_scores[sel]
-        if best_slots.size >= k:
-            threshold = max(threshold, float(best_scores[-1]))
-    return best_slots, best_scores, -1
+        parts_s.append(slots)
+        parts_sc.append(s)
+        seen += slots.size
+    if seen >= k:
+        all_sc = np.concatenate(parts_sc)
+        kth = np.partition(all_sc, all_sc.size - k)[all_sc.size - k]
+        threshold = max(threshold, float(kth))
+
+    rest = order[m:]
+    surviving = rest[c.blk_ub[rest] > threshold * (1 - _EPS)] if threshold > 0 else rest
+    if surviving.size > max(8, c.nblocks // 4):
+        # weak pruning: one whole-list decode beats per-block overhead
+        slots, s = _score_full_term(reader, c, scoring, k1, b, avgdl)
+        top_s, top_sc = _topk_by_score(slots, s, k)
+        return top_s, top_sc, -1
+    for blk in surviving:
+        slots, tfs = reader.decode_block(c.row, int(blk))
+        dls = reader.doc_lens[slots]
+        valid = dls > 0
+        slots, dls, tfs = slots[valid], dls[valid], tfs[valid]
+        if not slots.size:
+            continue
+        parts_s.append(slots)
+        parts_sc.append(term_scores(tfs, dls, c.idf, scoring, k1, b, avgdl))
+    if not parts_s:
+        e = np.empty(0, dtype=np.int64)
+        return e, np.empty(0, dtype=np.float64), -1
+    top_s, top_sc = _topk_by_score(
+        np.concatenate(parts_s), np.concatenate(parts_sc), k
+    )
+    return top_s, top_sc, -1
 
 
 def _cursor_load_block(reader: SegmentReader, c: _Cursor, block: int) -> None:
