@@ -162,6 +162,12 @@ def wand_topk(
     Returns (slots, scores, -1): total_hits is unknown by design — WAND's
     whole point is not visiting every candidate.
     """
+    # zlib segments store whole-list cells (no per-block offsets): no lazy
+    # block decode possible, so score fully vectorized — identical results
+    if reader.codec == "zlib":
+        s, sc, _ = taat_topk(reader, terms, idfs, k, scoring, k1, b, avgdl)
+        return s, sc, -1
+
     cursors: list[_Cursor] = []
     for qi, t in enumerate(terms):
         idf = idfs.get(t, 0.0)

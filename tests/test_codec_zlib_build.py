@@ -70,3 +70,27 @@ def test_wordfreq_preprocessed(tiny_corpus_dir, tiny_oracle):
     for term in list(tiny_oracle.term_doc_freq)[:30]:
         exp = sum(tf.get(term, 0) for tf in tiny_oracle.doc_tf.values())
         assert freq.get(term, 0) == exp, term
+
+
+def test_zlib_wand_falls_back(tiny_corpus_dir, tiny_oracle, tmp_path):
+    """zlib cells have no per-block offsets; WAND must degrade gracefully to
+    the vectorized full-list path with identical results."""
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    idx = str(tmp_path / "idx_zlib_w")
+    build_index(
+        tiny_corpus_dir,
+        idx,
+        BuildConfig(target_partition_rows=50, docs_per_segment=70, codec="zlib"),
+    )
+    eng = QueryEngine(idx, num_searchers=0)
+    try:
+        for q in ["news sky connection", "maximize argument trouble happy", "news"]:
+            got = eng.search(q, mode="wand")
+            exp = tiny_oracle.query_taat(q)
+            assert [r["doc_id"] for r in got["results"]] == [
+                r["doc_id"] for r in exp["results"]
+            ], q
+    finally:
+        eng.close()
