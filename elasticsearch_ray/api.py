@@ -95,6 +95,13 @@ class RayBM25Index:
         if files is None:
             raise ValueError("create_index requires files or a parquet path")
         index_dir = self._dir(index_id)
+        # "Creates an index for the given files" (index_base.py:41-46): a
+        # pre-existing index under this id must not leak through — purge it so
+        # resume logic can't skip the new build and serve stale segments.
+        if self.current_index == index_id:
+            self._close_engine()
+            self.current_index = None
+        shutil.rmtree(index_dir, ignore_errors=True)
         cfg = self.config
         if files is not None and not isinstance(files, (str,)):
             cfg = dataclasses.replace(

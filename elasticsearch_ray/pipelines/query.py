@@ -75,6 +75,11 @@ class Searcher:
                 )
                 if scores.size >= k:
                     threshold = max(threshold, float(scores[k - 1]))
+            elif mode == "daat":
+                slots, scores, n = sc.daat_topk(
+                    r, terms, idfs, k, scoring, k1, b, avgdl
+                )
+                total += n
             else:
                 slots, scores = sc.taat_candidates(
                     r, terms, idfs, scoring, k1, b, avgdl
@@ -139,18 +144,30 @@ class QueryEngine:
         analyzer = cfg.get("analyzer", "reference")
         self.has_positions = bool(cfg.get("store_positions", False))
         self.normalizer = make_normalizer(analyzer)
+        # Bounded per-process df cache: unbounded growth at 1e9-term scale in
+        # a long-lived engine is a slow leak.  Plain dict + oldest-inserted
+        # eviction (dicts preserve insertion order) — FIFO, not strict LRU,
+        # which is enough to bound memory without per-hit bookkeeping.
         self._df_cache: dict[str, int] = {}
+        self._df_cache_cap = 1_000_000
 
-        seg_ids = sorted(
-            int(f.split("-")[1].split(".")[0])
-            for f in os.listdir(os.path.join(index_dir, "segments"))
-            if f.endswith(".arrow") and not f.endswith(".doclen.arrow")
-        )
         manifest_path = os.path.join(index_dir, "manifest.json")
         tombstones: list[int] = []
+        seg_ids: list[int] = []
         if os.path.exists(manifest_path):
             with open(manifest_path) as f:
-                tombstones = json.load(f).get("tombstones", [])
+                manifest = json.load(f)
+            tombstones = manifest.get("tombstones", [])
+            # Serve only finalized segments: leftover files from a crashed
+            # extend or a prior larger build would otherwise be globbed in
+            # with collection stats (N, avgdl) that don't include them.
+            seg_ids = sorted(int(s) for s in manifest.get("segments", []))
+        if not seg_ids:
+            seg_ids = sorted(
+                int(f.split("-")[1].split(".")[0])
+                for f in os.listdir(os.path.join(index_dir, "segments"))
+                if f.endswith(".arrow") and not f.endswith(".doclen.arrow")
+            )
         self.embedded: Searcher | None = None
         self.searchers: list = []
         if num_searchers == 0:
@@ -184,7 +201,13 @@ class QueryEngine:
             parts = self._fanout("dfs", missing)
             for t in missing:
                 self._df_cache[t] = sum(p[t] for p in parts)
-        return {t: self._df_cache[t] for t in terms}
+        out = {t: self._df_cache[t] for t in terms}
+        if len(self._df_cache) > self._df_cache_cap:
+            # evict oldest-inserted first; dicts preserve insertion order
+            drop = len(self._df_cache) - self._df_cache_cap // 2
+            for t in list(self._df_cache)[:drop]:
+                del self._df_cache[t]
+        return out
 
     def _idfs(self, terms: list[str]) -> dict[str, float]:
         dfs = self._global_dfs(terms)

@@ -376,7 +376,14 @@ class SegmentAssembler:
             d[bstarts] = slots[bstarts]
 
             if self.codec == "zlib":
-                # comparison codec: whole-list cells, no lazy block decode
+                # comparison codec: whole-list cells, no lazy block decode.
+                # '<u4' pack mirrors the reference struct '<I'; deltas are
+                # bounded by the max segment-local slot, so guard that once
+                # (a silent cast would corrupt postings, reference raises).
+                if total and int(slots.max()) >= 2**32:
+                    raise OverflowError(
+                        "zlib codec slot >= 2**32; use the vbyte codec"
+                    )
                 post_cells = []
                 for k in range(nterms):
                     s, ln = tstarts[k], out_df[k]

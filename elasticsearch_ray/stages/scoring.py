@@ -114,16 +114,88 @@ def taat_topk(
     return top_slots, top_scores, int(cand.size)
 
 
+class _DaatCursor:
+    __slots__ = ("qi", "idf", "slots", "tfs", "pos", "cur_doc")
+
+    def __init__(self, qi, idf, slots, tfs):
+        self.qi = qi
+        self.idf = idf
+        self.slots = slots
+        self.tfs = tfs
+        self.pos = 0
+        self.cur_doc = int(slots[0]) if slots.size else _EXHAUSTED
+
+
 def daat_topk(reader, terms, idfs, k, scoring, k1, b, avgdl):
-    """Document-at-a-time without skipping (reference Q2 semantics,
-    ``selfindex_q_daat.py:177-252``) — same results as TAAT; exists for
-    engine parity and as the WAND-off baseline."""
-    return taat_topk(reader, terms, idfs, k, scoring, k1, b, avgdl)
+    """True document-at-a-time cursor engine (reference Q2 semantics,
+    ``selfindex_q_daat.py:177-252``): one cursor per query term; the minimum
+    current slot across cursors is scored FULLY — all matching terms, query
+    order, the reference's float accumulation order — before any cursor moves
+    past it.  No skipping (that's WAND's job); exists as the WAND-off
+    baseline and for engine parity.  Exact same top-k/scores as TAAT.
+
+    Returns (top slots, top scores, n_docs_scored)."""
+    import heapq
+
+    cursors: list[_DaatCursor] = []
+    for qi, t in enumerate(terms):
+        idf = idfs.get(t, 0.0)
+        if idf == 0.0:
+            continue
+        res = reader.postings_slots(t)
+        if res is None or not res[0].size:
+            continue
+        cursors.append(_DaatCursor(qi, idf, res[0], res[1]))
+    empty = np.empty(0, dtype=np.int64)
+    if not cursors:
+        return empty, np.empty(0, dtype=np.float64), 0
+
+    dl_arr = reader.doc_lens
+    heap: list[tuple[float, int]] = []  # (score, -slot) min-heap of size k
+    n_scored = 0
+    active = cursors  # already in query (qi) order; kept that way
+    while active:
+        pivot = min(c.cur_doc for c in active)
+        dl = float(dl_arr[pivot])
+        if dl > 0:  # dl <= 0 => tombstoned doc
+            score = 0.0
+            for c in active:
+                if c.cur_doc == pivot:
+                    tf = float(c.tfs[c.pos])
+                    if scoring == "bm25":
+                        score += c.idf * (tf * (k1 + 1)) / (
+                            tf + k1 * (1 - b + b * (dl / avgdl))
+                        )
+                    else:
+                        score += (tf / dl) * c.idf
+            if score > 0:
+                n_scored += 1
+                item = (score, -pivot)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        nxt = []
+        for c in active:
+            if c.cur_doc == pivot:
+                c.pos += 1
+                if c.pos >= c.slots.size:
+                    continue  # exhausted
+                c.cur_doc = int(c.slots[c.pos])
+            nxt.append(c)
+        active = nxt
+
+    if not heap:
+        return empty, np.empty(0, dtype=np.float64), n_scored
+    items = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    slots = np.array([-s for _, s in items], dtype=np.int64)
+    scores = np.array([sc for sc, _ in items], dtype=np.float64)
+    return slots, scores, n_scored
 
 
 class _Cursor:
     __slots__ = (
-        "qi", "row", "idf", "blk_last", "blk_ub", "term_ub", "nblocks",
+        "qi", "row", "idf", "blk_last", "blk_ub", "nblocks",
         "cur_block", "slots", "tfs", "pos", "cur_doc", "df",
     )
 
@@ -133,7 +205,6 @@ class _Cursor:
         self.idf = idf
         self.blk_last = blk_last
         self.blk_ub = blk_ub
-        self.term_ub = float(blk_ub.max())
         self.nblocks = blk_last.size
         self.cur_block = -1
         self.slots = None
@@ -199,109 +270,6 @@ def wand_topk(
     return _wand_multi_blockmax(reader, cursors, k, scoring, k1, b, avgdl,
                                 initial_threshold)
 
-    # top-k heap as sorted arrays (k is small)
-    import heapq
-
-    heap: list[tuple[float, int]] = []  # (score, -slot) min-heap
-    threshold = initial_threshold
-
-    def heap_push(score, slot):
-        nonlocal threshold
-        item = (score, -slot)
-        if len(heap) < k:
-            heapq.heappush(heap, item)
-            if len(heap) == k:
-                threshold = max(threshold, heap[0][0])
-        elif item > heap[0]:
-            heapq.heapreplace(heap, item)
-            threshold = max(threshold, heap[0][0])
-
-    dl_arr = reader.doc_lens
-    while True:
-        cursors.sort(key=lambda c: c.cur_doc)
-        # pivot selection on term upper bounds; threshold starts at the
-        # carried-in value (cross-segment pruning) and tightens as the heap
-        # fills — docs below it can never enter the FINAL merged top-k
-        # (equal scores lose by the larger-doc-id tie-break)
-        acc = 0.0
-        pivot_i = -1
-        for i, c in enumerate(cursors):
-            acc += c.term_ub
-            if acc > threshold * (1 - _EPS) + (0.0 if threshold else -1.0):
-                pivot_i = i
-                break
-        if pivot_i < 0:
-            break
-        pivot_doc = cursors[pivot_i].cur_doc
-        if pivot_doc == _EXHAUSTED:
-            break
-        if cursors[0].cur_doc == pivot_doc:
-            # Involved set = the pivot prefix PLUS any trailing cursors tied
-            # at pivot_doc: their UBs belong in the bound, and they must
-            # advance with the group (a partial advance leaves a later
-            # partial — wrong — score for pivot_doc).
-            end = pivot_i
-            while end + 1 < len(cursors) and cursors[end + 1].cur_doc == pivot_doc:
-                end += 1
-            involved = cursors[: end + 1]
-            # block-max refinement at the pivot
-            if threshold > 0:
-                bub = 0.0
-                for c in involved:
-                    bub += float(c.blk_ub[c.cur_block])
-                if bub <= threshold * (1 - _EPS):
-                    # No doc covered by ALL involved blocks can win.  The
-                    # jump may not pass the next (non-involved) cursor's doc:
-                    # from there on additional terms contribute.
-                    boundary = min(
-                        int(c.blk_last[c.cur_block]) for c in involved
-                    )
-                    nxt = (
-                        cursors[end + 1].cur_doc
-                        if end + 1 < len(cursors)
-                        else _EXHAUSTED
-                    )
-                    target = min(boundary + 1, nxt)
-                    for c in involved:
-                        _cursor_advance_to(reader, c, target)
-                    continue
-            # score pivot_doc across all matching cursors in query order
-            matching = [c for c in cursors if c.cur_doc == pivot_doc]
-            dl = float(dl_arr[pivot_doc])
-            if dl <= 0:  # tombstoned doc: skip without scoring
-                for c in matching:
-                    _cursor_advance_to(reader, c, pivot_doc + 1)
-                continue
-            matching.sort(key=lambda c: c.qi)
-            score = 0.0
-            for c in matching:
-                tf = float(c.tfs[c.pos])
-                if scoring == "bm25":
-                    score += c.idf * (tf * (k1 + 1)) / (
-                        tf + k1 * (1 - b + b * (dl / avgdl))
-                    )
-                else:
-                    score += (tf / dl) * c.idf
-            heap_push(score, int(pivot_doc))
-            for c in matching:
-                _cursor_advance_to(reader, c, pivot_doc + 1)
-        else:
-            # advance the highest-df cursor strictly before the pivot doc
-            # (must make progress: a cursor already AT pivot_doc is a no-op)
-            pick = max(
-                (c for c in cursors[:pivot_i] if c.cur_doc < pivot_doc),
-                key=lambda c: c.df,
-            )
-            _cursor_advance_to(reader, pick, pivot_doc)
-
-    if not heap:
-        e = np.empty(0, dtype=np.int64)
-        return e, np.empty(0, dtype=np.float64), -1
-    items = sorted(heap, key=lambda it: (-it[0], -it[1]))
-    slots = np.array([-s for _, s in items], dtype=np.int64)
-    scores = np.array([sc for sc, _ in items], dtype=np.float64)
-    return slots, scores, -1
-
 
 def _wand_multi_blockmax(reader, cursors, k, scoring, k1, b, avgdl,
                          initial_threshold):
@@ -342,14 +310,12 @@ def _wand_multi_blockmax(reader, cursors, k, scoring, k1, b, avgdl,
     touched_parts = []
     budget = max(4 * k, 512)
     n_seeded = 0
-    seeded: set[tuple[int, int]] = set()
     for ub, ti, blk in seed:
         if n_seeded >= budget:
             break
         slots, s = block_scores(cursors[ti], blk)
         acc[slots] += s
         touched_parts.append(slots)
-        seeded.add((ti, blk))
         n_seeded += slots.size
     threshold = initial_threshold
     if touched_parts:

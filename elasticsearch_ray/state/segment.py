@@ -53,28 +53,6 @@ from ..functions.vbyte import decode_tfs, vbyte_decode, zlib_decode_postings
 BLOCK_SIZE = 128
 
 
-def build_block_meta(
-    doc_ids: np.ndarray,
-    tfs: np.ndarray,
-    doc_lens: np.ndarray,
-    block_size: int = BLOCK_SIZE,
-) -> tuple[bytes, bytes, bytes]:
-    """Per-block (last_doc, max_tf, min_dl) for one posting list.
-
-    ``doc_lens`` is already gathered per posting (same length as doc_ids).
-    """
-    n = doc_ids.size
-    starts = np.arange(0, n, block_size)
-    last = doc_ids[np.minimum(starts + block_size - 1, n - 1)]
-    maxtf = np.maximum.reduceat(tfs, starts).astype(np.int32)
-    mindl = np.minimum.reduceat(doc_lens, starts).astype(np.int32)
-    return (
-        last.astype("<i8").tobytes(),
-        maxtf.astype("<i4").tobytes(),
-        mindl.astype("<i4").tobytes(),
-    )
-
-
 def segment_path(index_dir: str, seg_id: int) -> str:
     return os.path.join(index_dir, "segments", f"seg-{seg_id:05d}.arrow")
 

@@ -1,0 +1,149 @@
+"""Round-2 regressions: create_index overwrite semantics, manifest-driven
+segment discovery, true cursor DAAT, df-cache bound, zlib overflow guard."""
+
+import json
+import random
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_ray.api import RayBM25Index
+from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+from elasticsearch_ray.pipelines.query import QueryEngine
+
+DOCS_A = [
+    ("a-1", "apple banana cherry"),
+    ("a-2", "banana durian"),
+    ("a-3", "cherry elderberry apple"),
+]
+DOCS_B = [
+    ("b-1", "zebra yak xylophone"),
+    ("b-2", "yak walrus"),
+]
+
+
+def test_create_index_overwrites_existing(tmp_path):
+    """IndexBase contract: create_index on an existing id must index the NEW
+    files, not resume-skip into serving the stale index."""
+    ix = RayBM25Index(
+        base_dir=str(tmp_path),
+        config=BuildConfig(target_partition_rows=2, docs_per_segment=3),
+    )
+    ix.create_index("t1", DOCS_A)
+    assert json.loads(ix.query("apple"))["total_hits"] == 2
+
+    ix.create_index("t1", DOCS_B)
+    # 'yak' has df == N -> idf 0 -> skipped (reference semantics); use terms
+    # unique to one of the NEW docs
+    assert json.loads(ix.query("zebra"))["total_hits"] == 1
+    assert json.loads(ix.query("walrus"))["total_hits"] == 1
+    assert json.loads(ix.query("apple"))["total_hits"] == 0
+    assert sorted(ix.list_indexed_files("t1")) == ["b-1", "b-2"]
+    assert ix.get_stats()["doc_count"] == len(DOCS_B)
+    ix.delete_index("t1")
+
+
+def test_query_engine_serves_only_manifest_segments(tmp_path):
+    """Leftover segment files (crashed extend / prior larger build) must not
+    be globbed in: only manifest['segments'] is served."""
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({"text": pa.array([t for _, t in DOCS_A], pa.string())}),
+        src,
+        row_group_size=2,
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        src,
+        idx,
+        BuildConfig(
+            target_partition_rows=2, docs_per_segment=2,
+            url_column=None, lang_column=None,
+        ),
+    )
+    # fake a leftover (never-finalized) segment with phantom docs
+    seg_dir = f"{idx}/segments"
+    shutil.copy(f"{seg_dir}/seg-00000.arrow", f"{seg_dir}/seg-00099.arrow")
+    shutil.copy(
+        f"{seg_dir}/seg-00000.doclen.arrow", f"{seg_dir}/seg-00099.doclen.arrow"
+    )
+    eng = QueryEngine(idx, num_searchers=0)
+    res = eng.search("apple")
+    assert res["total_hits"] == 2  # phantom copy would double-count
+    eng.close()
+
+
+@pytest.fixture(scope="module")
+def dense_engine(tmp_path_factory):
+    rng = random.Random(11)
+    texts = []
+    for _ in range(1500):
+        words = []
+        if rng.random() < 0.8:
+            words += ["aaa"] * rng.randint(1, 6)
+        if rng.random() < 0.8:
+            words += ["bbb"] * rng.randint(1, 6)
+        if rng.random() < 0.3:
+            words += ["ccc"] * rng.randint(1, 4)
+        words += [f"filler{rng.randint(0, 40)}" for _ in range(rng.randint(5, 25))]
+        rng.shuffle(words)
+        texts.append(" ".join(words))
+    d = tmp_path_factory.mktemp("daatfuzz")
+    src = str(d / "docs.parquet")
+    pq.write_table(
+        pa.table({"text": pa.array(texts, pa.string())}), src, row_group_size=250
+    )
+    idx = str(d / "idx")
+    build_index(
+        src,
+        idx,
+        BuildConfig(
+            target_partition_rows=250,
+            docs_per_segment=400,  # multiple segments
+            url_column=None,
+            lang_column=None,
+        ),
+    )
+    eng = QueryEngine(idx, num_searchers=0)
+    yield eng
+    eng.close()
+
+
+def test_daat_matches_taat(dense_engine):
+    """Cursor DAAT is a different algorithm, same answers: rank-, score- and
+    total_hits-identical to TAAT on a dense co-occurrence corpus."""
+    for q in [
+        "aaa", "aaa bbb", "aaa bbb ccc", "bbb ccc filler1",
+        "filler2 filler3", "aaa aaa bbb", "missingterm", "aaa missingterm",
+    ]:
+        for k in (1, 5, 10, 25):
+            a = dense_engine.search(q, size=k, mode="taat")
+            b = dense_engine.search(q, size=k, mode="daat")
+            assert a["total_hits"] == b["total_hits"], (q, k)
+            assert [r["doc_id"] for r in a["results"]] == [
+                r["doc_id"] for r in b["results"]
+            ], (q, k)
+            for x, y in zip(a["results"], b["results"]):
+                assert abs(x["score"] - y["score"]) <= 1e-9, (q, k)
+
+
+def test_df_cache_is_bounded(dense_engine):
+    dense_engine._df_cache.clear()
+    dense_engine._df_cache_cap = 20
+    for i in range(45):
+        dense_engine.search(f"filler{i % 41} aaa", size=3)
+    assert len(dense_engine._df_cache) <= 20
+    # still correct after eviction
+    res = dense_engine.search("aaa bbb", size=5, mode="taat")
+    assert res["results"]
+    dense_engine._df_cache_cap = 1_000_000
+
+
+def test_zlib_overflow_raises():
+    from elasticsearch_ray.functions.vbyte import zlib_encode_postings
+
+    with pytest.raises(OverflowError):
+        zlib_encode_postings(np.array([0, 2**32 + 5], dtype=np.int64))
