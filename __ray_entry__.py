@@ -439,7 +439,10 @@ def _q_curation_keep(sf_dir: str):
     from elasticsearch_ray.ops.curation import curate
 
     res = curate(_docs_ds(sf_dir), near_dedup=False)
-    return pa.table({"doc_id": pa.array(res["kept_ids"], pa.int64())})
+    ids = sorted(
+        r["doc_id"] for r in res["kept_ds"].select_columns(["doc_id"]).take_all()
+    )
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -4,13 +4,20 @@
   broadcast once with ``ray.put``; every batch does one matmul (numpy SIMD)
   and emits its local top-k; the driver merges k*num_blocks candidate rows.
   This is the baseline and the verification oracle for the ANN variants.
-* ``ivf_topk`` — IVF-style scale path: deterministic k-means (seeded, few
-  Lloyd iterations over a driver-side sample) -> per-vector nearest-centroid
-  assignment (map_batches) -> query probes only ``nprobe`` nearest centroid
-  buckets.  Recall < 1 by design; tested against brute force for overlap.
+* ``ivf_build`` / ``ivf_query`` — real IVF with a PERSISTED inverted file:
+  deterministic k-means (seeded, few Lloyd iterations over a driver-side
+  sample) -> per-vector nearest-centroid assignment (map_batches) -> one
+  Parquet partition per centroid bucket (+ centroids.npy).  Queries read
+  ONLY the ``nprobe`` probed bucket partitions, so query I/O and compute
+  scale with buckets probed, not corpus size.  Recall < 1 by design; tested
+  against brute force for overlap.  ``ivf_topk`` is the build+query
+  convenience wrapper (transient index) used by the test harness.
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -101,34 +108,99 @@ def kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10,
     return cent
 
 
-def ivf_topk(
+def ivf_build(
     ds: ray.data.Dataset,
-    query_vecs: np.ndarray,
-    k: int = 10,
+    index_dir: str,
     n_clusters: int = 16,
-    nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     sample_size: int = 2048,
     seed: int = 42,
-) -> pa.Table:
-    """IVF: probe only the nprobe nearest centroid buckets per query."""
+) -> dict:
+    """Build a persisted IVF index: centroids + one Parquet partition per
+    centroid bucket.
+
+    The inverted file is the ``buckets/cid=<c>/`` partition layout — a query
+    later reads ONLY its probed buckets (sublinear I/O).  Vectors are stored
+    L2-normalized float32 so the query-side dot product IS the cosine.
+    Partitioned output is also the resume unit: a re-run that crashed can
+    keep finished partitions.
+    """
     sample = np.array(
         [r[vec_col] for r in ds.limit(sample_size).take_all()], dtype=np.float32
     )
     cent = _normalize(kmeans_fit(_normalize(sample), n_clusters, seed=seed))
-    q = _normalize(np.asarray(query_vecs, dtype=np.float32))
-    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    cref = ray.put((cent, q, probes))
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    cref = ray.put(cent)
 
-    def fn(batch: pa.Table) -> pa.Table:
-        cm, qm, pr = ray.get(cref)
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
         ids = batch.column(id_col).to_numpy()
         mat = _normalize(np.array(batch.column(vec_col).to_pylist(), dtype=np.float32))
-        assign = (mat @ cm.T).argmax(1)  # bucket per vector
+        cid = (mat @ cm.T).argmax(1).astype(np.int32)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "embn": pa.array(list(mat), pa.list_(pa.float32())),
+                "cid": pa.array(cid),
+            }
+        )
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "buckets"), partition_cols=["cid"]
+    )
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(
+            {"n_clusters": int(cent.shape[0]), "id_col": id_col, "seed": seed}, f
+        )
+    return {"n_clusters": int(cent.shape[0]), "index_dir": index_dir}
+
+
+def ivf_query(
+    index_dir: str,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+) -> pa.Table:
+    """Query a persisted IVF index; reads only the probed bucket partitions.
+
+    Returns (query_id, rank, vec_id, cos) with the (-cos, vec_id) tie-break.
+    """
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _normalize(np.asarray(query_vecs, dtype=np.float32))
+    nprobe = min(nprobe, cent.shape[0])
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    needed = np.unique(probes)
+    paths = [
+        p
+        for c in needed
+        if os.path.isdir(p := os.path.join(index_dir, "buckets", f"cid={int(c)}"))
+    ]
+    if not paths:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int32()),
+                id_col: pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            }
+        )
+    qref = ray.put((q, probes))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        qm, pr = ray.get(qref)
+        ids = batch.column(id_col).to_numpy()
+        cids = pc.cast(batch.column("cid"), pa.int32()).to_numpy()
+        mat = np.array(batch.column("embn").to_pylist(), dtype=np.float32)
         out_q, out_id, out_cos = [], [], []
         for qi in range(qm.shape[0]):
-            mask = np.isin(assign, pr[qi])
+            mask = np.isin(cids, pr[qi])
             if not mask.any():
                 continue
             s = mat[mask] @ qm[qi]
@@ -150,7 +222,13 @@ def ivf_topk(
             }
         )
 
-    cand = ds.map_batches(fn, batch_format="pyarrow").take_all()
+    # one read per probed bucket dir (read_parquet rejects a LIST of hive
+    # dirs); union keeps it a single streamed pipeline
+    import functools
+
+    bucket_reads = [ray.data.read_parquet(p) for p in paths]
+    rd = functools.reduce(lambda a, b: a.union(b), bucket_reads)
+    cand = rd.map_batches(fn, batch_format="pyarrow").take_all()
     qids = np.array([r["query_id"] for r in cand], dtype=np.int64)
     vids = np.array([r[id_col] for r in cand], dtype=np.int64)
     coss = np.array([r["cos"] for r in cand], dtype=np.float64)
@@ -171,3 +249,36 @@ def ivf_topk(
             "cos": pa.array(rows_c, pa.float64()),
         }
     )
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 2048,
+    seed: int = 42,
+    index_dir: str | None = None,
+) -> pa.Table:
+    """Build a (transient unless ``index_dir`` given) IVF index, then query
+    it via the persisted-bucket path.  The real 100 TB shape is ``ivf_build``
+    once + ``ivf_query`` many."""
+    import shutil
+    import tempfile
+
+    transient = index_dir is None
+    if transient:
+        index_dir = tempfile.mkdtemp(prefix="esray_ivf_")
+    try:
+        if not os.path.exists(os.path.join(index_dir, "meta.json")):
+            ivf_build(
+                ds, index_dir, n_clusters=n_clusters, vec_col=vec_col,
+                id_col=id_col, sample_size=sample_size, seed=seed,
+            )
+        return ivf_query(index_dir, query_vecs, k=k, nprobe=nprobe)
+    finally:
+        if transient:
+            shutil.rmtree(index_dir, ignore_errors=True)

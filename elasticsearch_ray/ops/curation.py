@@ -1,21 +1,27 @@
 """Composed training-data curation pipeline — the end-to-end shape a
 100 TB pretraining-data run takes, built from the ops in this package:
 
-    read -> quality filter -> exact dedup -> (optional) MinHash near-dedup
+    read -> quality filter (inline Arrow-mask, payload streams through)
+         -> exact-dedup representative semi-join
+         -> (optional) MinHash near-dup anti-join
          -> resumable partitioned parquet out + per-stage kept/dropped counts
 
-Everything streams; the only materialized driver-side values are the stage
-counters.  Output is written as partitioned Parquet (one file per block) so
-a failed run can be resumed by diffing finished files.
+Everything stays in the cluster: keep/drop decisions are hash-partitioned
+semi-/anti-joins on doc_id (``Dataset.join``), never driver-side id sets,
+and the quality filter is a vectorized per-batch mask, never a per-row
+Python lambda.  The only driver-side values are the stage counters (scalar
+aggregates).  Output is written as partitioned Parquet (one file per block)
+so a failed run can be resumed by diffing finished files.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
 from .dedup import exact_dedup, minhash_lsh_dedup
-from .textstats import quality_scores
+from .textstats import quality_feature_arrays
 
 
 def curate(
@@ -26,50 +32,70 @@ def curate(
     min_words: int = 3,
     near_dedup: bool = True,
     out_dir: str | None = None,
+    num_partitions: int = 16,
+    with_counts: bool = True,
 ) -> dict:
-    """Returns per-stage counts + the surviving doc ids Dataset.
+    """Returns per-stage counts + the surviving-rows Dataset (``kept_ds``).
 
     Keep criteria: quality >= min_quality AND n_words >= min_words AND
     doc is its duplicate-group representative (min doc_id) AND (optionally)
     not a MinHash near-duplicate of a smaller doc.
 
-    Scale note: the keep/drop id sets are materialized driver-side here
-    (fine up to ~1e8 ids); at 1e12-doc scale the same decisions become
-    hash-partitioned anti-joins (groupby(id) over (id, stage-flag) rows) so
-    nothing leaves the cluster.
+    ``num_partitions`` sizes the join shuffle (≈ cluster cores at scale).
+    ``with_counts=False`` skips the intermediate stage counters (each is a
+    full-pipeline scalar aggregate) for production runs that only want the
+    output.
     """
-    total = ds.count()
+    total = ds.count() if with_counts else None
 
-    q = quality_scores(ds, text_col=text_col, id_col=id_col)
-    q_keep = q.filter(
-        lambda r: r["quality"] >= min_quality and r["n_words"] >= min_words
-    ).select_columns([id_col])
-    n_quality = q_keep.count()
+    def qfilter(batch: pa.Table) -> pa.Table:
+        feats = quality_feature_arrays(batch.column(text_col).to_pylist())
+        mask = (feats["quality"] >= min_quality) & (feats["n_words"] >= min_words)
+        return batch.filter(pa.array(mask))
+
+    q_keep = ds.map_batches(qfilter, batch_format="pyarrow")
+    n_quality = q_keep.count() if with_counts else None
 
     reps = exact_dedup(ds, text_col=text_col, id_col=id_col).select_columns(
         [id_col]
     )
-    n_exact = reps.count()
+    n_exact = reps.count() if with_counts else None
 
-    drop_ids: set[int] = set()
+    # quality-passing rows whose id is an exact-dedup representative:
+    # hash-partitioned semi-join, payload never leaves the cluster
+    kept = q_keep.join(
+        reps, join_type="left_semi", num_partitions=num_partitions, on=(id_col,)
+    )
+    n_after_exact = None
+    near_dropped = None
     if near_dedup:
-        dups = minhash_lsh_dedup(ds, text_col=text_col, id_col=id_col)
-        drop_ids = {r[id_col] for r in dups.take_all()}  # dup ids are few
+        if with_counts:
+            n_after_exact = kept.count()
+        dups = minhash_lsh_dedup(
+            ds, text_col=text_col, id_col=id_col
+        ).select_columns([id_col])
+        kept = kept.join(
+            dups, join_type="left_anti", num_partitions=num_partitions,
+            on=(id_col,),
+        )
 
-    keep_q = {r[id_col] for r in q_keep.take_all()}
-    keep_rep = {r[id_col] for r in reps.take_all()}
-    final_ids = sorted((keep_q & keep_rep) - drop_ids)
-    final_set = set(final_ids)
-
-    kept = ds.filter(lambda r: r[id_col] in final_set)
+    n_kept = None
     if out_dir is not None:
         kept.write_parquet(out_dir)
+        if with_counts:
+            # metadata-only count over the written files — no re-execution
+            n_kept = ray.data.read_parquet(out_dir).count()
+            kept = ray.data.read_parquet(out_dir)
+    elif with_counts:
+        n_kept = kept.count()
+    if with_counts and near_dedup:
+        near_dropped = n_after_exact - n_kept
 
     return {
         "total": total,
         "after_quality": n_quality,
         "exact_dedup_reps": n_exact,
-        "near_dups_dropped": len(drop_ids & keep_q & keep_rep),
-        "kept": len(final_ids),
-        "kept_ids": final_ids,
+        "near_dups_dropped": near_dropped,
+        "kept": n_kept,
+        "kept_ds": kept,
     }

@@ -12,9 +12,11 @@ Dataset; none materializes the corpus driver-side.  Scale notes per operator:
 * simhash: 64-bit weighted fingerprint, banded into 4x16-bit chunks; docs
            sharing a chunk are compared by Hamming distance.
 * ngram-jaccard: exact Jaccard verification over LSH candidate pairs.
-* embedding-cosine: near-dup by cosine >= threshold against any smaller
-  vec_id — blocked matmul against a broadcast (ray.put) normalized matrix at
-  test scale; at web scale the same verify step runs per LSH/IVF bucket.
+* embedding-cosine: near-dup by cosine >= threshold against a smaller vec_id
+  sharing a centroid bucket — multi-probe centroid assignment (broadcast
+  centroids) -> per-bucket chunked matmul -> native min-aggregate collapse.
+  The all-pairs kernel survives as the test oracle
+  (``embedding_cosine_dedup_bruteforce``).
 """
 
 from __future__ import annotations
@@ -39,6 +41,21 @@ def _text_hash64(texts: list[str]) -> np.ndarray:
     return out
 
 
+def _text_hash128(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Stable 128-bit content hash as two int64 columns.  64 bits collide at
+    1e12-doc scale (~N^2/2^65 ≈ tens of thousands of expected collisions);
+    128 bits keep the whole-corpus collision probability ~1e-15, so no
+    bucket-side text verification is needed and the shuffle carries 16 bytes
+    per row instead of the document text."""
+    h1 = np.empty(len(texts), dtype=np.int64)
+    h2 = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        d = hashlib.blake2b((t or "").encode(), digest_size=16).digest()
+        v = np.frombuffer(d, dtype=np.int64)
+        h1[i], h2[i] = v[0], v[1]
+    return h1, h2
+
+
 def exact_dedup(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
@@ -46,38 +63,36 @@ def exact_dedup(
 
     Returns (doc_id, dupes).  Equivalent SQL:
     ``SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dupes FROM t GROUP BY text``.
+
+    Scale shape: early projection to (h1, h2, id) — the groupby shuffle never
+    carries text — then NATIVE vectorized aggregates (min, count), no
+    per-group Python.  128-bit content hash stands in for text equality (see
+    :func:`_text_hash128` for the collision math).
     """
+    from ray.data.aggregate import Count, Min
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        h = _text_hash64(batch.column(text_col).to_pylist())
-        return batch.select([id_col, text_col]).append_column(
-            "h", pa.array(h.astype(np.int64))
-        )
-
-    def per_group(batch: pa.Table) -> pa.Table:
-        # verify equality inside the hash bucket (collision guard)
-        import collections
-
-        ids = batch.column(id_col).to_numpy()
-        texts = batch.column(text_col).to_pylist()
-        best: dict[str, int] = {}
-        counts: collections.Counter = collections.Counter()
-        for i, t in zip(ids, texts):
-            counts[t] += 1
-            if t not in best or i < best[t]:
-                best[t] = int(i)
+        h1, h2 = _text_hash128(batch.column(text_col).to_pylist())
         return pa.table(
             {
-                id_col: pa.array(sorted(best.values()), pa.int64()),
-                "dupes": pa.array(
-                    [counts[t] for t, i in sorted(best.items(), key=lambda kv: kv[1])],
-                    pa.int64(),
-                ),
+                id_col: batch.column(id_col),
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
             }
         )
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    return hashed.groupby("h").map_groups(per_group, batch_format="pyarrow")
+    agg = hashed.groupby(["h1", "h2"]).aggregate(Min(id_col), Count())
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(f"min({id_col})"),
+                "dupes": batch.column("count()"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def _minhash_params(num_perm: int, seed: int = 42):
@@ -211,8 +226,16 @@ def minhash_lsh_dedup(
         per_bucket, batch_format="pyarrow"
     )
 
-    return dup_ids.groupby(id_col).map_groups(
-        lambda b: pa.table({id_col: b.column(id_col)[:1], "is_dup": pa.array([True])}),
+    # distinct doc ids via a NATIVE count aggregate (vectorized) — a
+    # per-doc map_groups lambda would be a Python call per marked doc
+    distinct = dup_ids.groupby(id_col).count()
+    return distinct.map_batches(
+        lambda b: pa.table(
+            {
+                id_col: b.column(id_col),
+                "is_dup": pa.array([True] * b.num_rows),
+            }
+        ),
         batch_format="pyarrow",
     )
 
@@ -300,12 +323,15 @@ def simhash_dedup(
     cands = exploded.groupby(["chunk", "key"]).map_groups(
         per_bucket, batch_format="pyarrow"
     )
-    return cands.groupby(id_col).map_groups(
+    # collapse per doc with a NATIVE min aggregate (vectorized), not a
+    # per-doc map_groups lambda
+    collapsed = cands.groupby(id_col).min("near_of")
+    return collapsed.map_batches(
         lambda b: pa.table(
             {
-                id_col: b.column(id_col)[:1],
-                "is_dup": pa.array([True]),
-                "near_of": pa.array([min(b.column("near_of").to_pylist())], pa.int64()),
+                id_col: b.column(id_col),
+                "is_dup": pa.array([True] * b.num_rows),
+                "near_of": b.column("min(near_of)"),
             }
         ),
         batch_format="pyarrow",
@@ -331,13 +357,130 @@ def embedding_cosine_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    n_clusters: int = 16,
+    probes: int = 2,
+    sample_size: int = 4096,
+    seed: int = 42,
 ) -> ray.data.Dataset:
-    """Mark vectors with cosine >= threshold to any smaller-id vector.
+    """Centroid-bucketed near-dup marking: cosine >= threshold to a
+    smaller-id vector *in a shared centroid bucket*.
 
-    The full normalized matrix is broadcast ONCE via ``ray.put`` and read
-    zero-copy in every task (never re-shipped per batch).  Emits
-    (vec_id, is_dup, near_of).  At 100 TB scale the same kernel runs within
-    LSH/IVF buckets instead of against the full matrix.
+    Scale shape: k-means centroids are fit on a driver-side SAMPLE, broadcast
+    once (``ray.put``); every vector is assigned to its ``probes`` nearest
+    centroids (multi-probe catches pairs straddling a centroid boundary);
+    cosine verification runs only WITHIN buckets (chunked matmul), then a
+    native min-aggregate collapses per-doc marks.  Nothing materializes the
+    corpus driver-side, and the all-pairs cost drops to sum of bucket^2.
+
+    Partitioning assumption (documented per the custom-operator contract):
+    near-duplicate pairs at high thresholds (0.95 -> angle <= 18 deg) share a
+    nearest centroid with overwhelming probability; ``probes=2`` covers
+    boundary pairs.  Bucket size ~ probes*N/n_clusters must fit one task —
+    pick ``n_clusters ~ sqrt(N)`` at scale.  Recall < 1 by design; tested
+    against :func:`embedding_cosine_dedup_bruteforce`.
+
+    Emits (vec_id, is_dup, near_of); ``near_of`` is the SMALLEST qualifying
+    bucket-mate id.
+    """
+    from .ann import _normalize, kmeans_fit
+
+    sample = np.array(
+        [r[vec_col] for r in ds.limit(sample_size).take_all()], dtype=np.float32
+    )
+    if sample.size == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "is_dup": pa.array([], pa.bool_()),
+                    "near_of": pa.array([], pa.int64()),
+                }
+            )
+        )
+    cent = _normalize(kmeans_fit(_normalize(sample), n_clusters, seed=seed))
+    cref = ray.put(cent)
+    p = min(probes, cent.shape[0])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        ids = batch.column(id_col).to_numpy()
+        mat = _normalize(np.array(batch.column(vec_col).to_pylist(), dtype=np.float32))
+        sims = mat @ cm.T
+        if p < cm.shape[0]:
+            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        else:
+            top = np.tile(np.arange(cm.shape[0]), (ids.size, 1))
+        return pa.table(
+            {
+                "cid": pa.array(top.ravel().astype(np.int32)),
+                id_col: pa.array(np.repeat(ids, p), pa.int64()),
+                "vecn": pa.array(
+                    list(np.repeat(mat, p, axis=0)), pa.list_(pa.float32())
+                ),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "near_of": pa.array([], pa.int64()),
+            }
+        )
+        if ids.size < 2:
+            return empty
+        mat = np.array(batch.column("vecn").to_pylist(), dtype=np.float32)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        out_id: list[int] = []
+        out_near: list[int] = []
+        CH = 1024  # chunk rows so memory stays O(CH * bucket)
+        col_idx = np.arange(ids.size)[None, :]
+        for s in range(1, ids.size, CH):
+            rows = np.arange(s, min(s + CH, ids.size))
+            sims = mat[rows] @ mat.T  # (chunk, bucket)
+            mask = (sims >= threshold) & (col_idx < rows[:, None])
+            has = mask.any(axis=1)
+            # ids ascend, so the first qualifying column IS the min id
+            first = np.argmax(mask, axis=1)
+            out_id.extend(ids[rows[has]].tolist())
+            out_near.extend(ids[first[has]].tolist())
+        if not out_id:
+            return empty
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "near_of": pa.array(out_near, pa.int64()),
+            }
+        )
+
+    cands = assigned.groupby("cid").map_groups(per_bucket, batch_format="pyarrow")
+    collapsed = cands.groupby(id_col).min("near_of")
+    return collapsed.map_batches(
+        lambda b: pa.table(
+            {
+                id_col: b.column(id_col),
+                "is_dup": pa.array([True] * b.num_rows),
+                "near_of": b.column("min(near_of)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def embedding_cosine_dedup_bruteforce(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> ray.data.Dataset:
+    """All-pairs oracle for :func:`embedding_cosine_dedup` — TEST SCALE ONLY
+    (materializes the whole embedding table driver-side; the bucketed
+    operator is the one that ships).  Emits (vec_id, is_dup, near_of) with
+    ``near_of`` the best (argmax-cos) smaller id.
     """
     full = ds.select_columns([id_col, vec_col]).take_all()
     ids = np.array([r[id_col] for r in full], dtype=np.int64)

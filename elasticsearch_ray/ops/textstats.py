@@ -73,6 +73,45 @@ def token_counts(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def quality_feature_arrays(texts: list[str | None]) -> dict[str, np.ndarray]:
+    """Per-text quality features + composite score (Gopher/C4-style,
+    simplified).  Shared kernel for :func:`quality_scores` and the composed
+    curation pipeline's inline filter."""
+    n = len(texts)
+    n_chars = np.zeros(n, dtype=np.int64)
+    n_words = np.zeros(n, dtype=np.int64)
+    stop_ratio = np.zeros(n)
+    punct_ratio = np.zeros(n)
+    digit_ratio = np.zeros(n)
+    mean_wlen = np.zeros(n)
+    for i, t in enumerate(texts):
+        t = t or ""
+        words = t.split()
+        n_chars[i] = len(t)
+        n_words[i] = len(words)
+        if words:
+            lw = [w.lower() for w in words]
+            stop_ratio[i] = sum(1 for w in lw if w in ENGLISH_STOPWORDS) / len(words)
+            mean_wlen[i] = sum(len(w) for w in words) / len(words)
+        if t:
+            punct_ratio[i] = sum(1 for c in t if not c.isalnum() and not c.isspace()) / len(t)
+            digit_ratio[i] = sum(1 for c in t if c.isdigit()) / len(t)
+    len_score = np.clip(n_words / 50.0, 0, 1)
+    wlen_score = np.where((mean_wlen >= 3) & (mean_wlen <= 10), 1.0, 0.5)
+    punct_score = 1.0 - np.clip(punct_ratio * 4, 0, 1)
+    digit_score = 1.0 - np.clip(digit_ratio * 4, 0, 1)
+    score = (len_score + wlen_score + punct_score + digit_score) / 4.0
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "stop_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "mean_word_len": mean_wlen,
+        "quality": score,
+    }
+
+
 def quality_scores(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
@@ -81,43 +120,10 @@ def quality_scores(
     length sanity.  (Gopher/C4-style filters, simplified.)"""
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        n = len(texts)
-        n_chars = np.zeros(n, dtype=np.int64)
-        n_words = np.zeros(n, dtype=np.int64)
-        stop_ratio = np.zeros(n)
-        punct_ratio = np.zeros(n)
-        digit_ratio = np.zeros(n)
-        mean_wlen = np.zeros(n)
-        for i, t in enumerate(texts):
-            t = t or ""
-            words = t.split()
-            n_chars[i] = len(t)
-            n_words[i] = len(words)
-            if words:
-                lw = [w.lower() for w in words]
-                stop_ratio[i] = sum(1 for w in lw if w in ENGLISH_STOPWORDS) / len(words)
-                mean_wlen[i] = sum(len(w) for w in words) / len(words)
-            if t:
-                punct_ratio[i] = sum(1 for c in t if not c.isalnum() and not c.isspace()) / len(t)
-                digit_ratio[i] = sum(1 for c in t if c.isdigit()) / len(t)
-        len_score = np.clip(n_words / 50.0, 0, 1)
-        wlen_score = np.where((mean_wlen >= 3) & (mean_wlen <= 10), 1.0, 0.5)
-        punct_score = 1.0 - np.clip(punct_ratio * 4, 0, 1)
-        digit_score = 1.0 - np.clip(digit_ratio * 4, 0, 1)
-        score = (len_score + wlen_score + punct_score + digit_score) / 4.0
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "n_chars": pa.array(n_chars),
-                "n_words": pa.array(n_words),
-                "stop_ratio": pa.array(stop_ratio),
-                "punct_ratio": pa.array(punct_ratio),
-                "digit_ratio": pa.array(digit_ratio),
-                "mean_word_len": pa.array(mean_wlen),
-                "quality": pa.array(score),
-            }
-        )
+        feats = quality_feature_arrays(batch.column(text_col).to_pylist())
+        cols = {id_col: batch.column(id_col)}
+        cols.update({k: pa.array(v) for k, v in feats.items()})
+        return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

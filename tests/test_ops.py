@@ -89,6 +89,40 @@ def test_embedding_cosine_dedup(emb_ds):
     assert out == {7: 2}
 
 
+def test_embedding_dedup_bucketed_vs_bruteforce():
+    from elasticsearch_ray.ops.dedup import (
+        embedding_cosine_dedup,
+        embedding_cosine_dedup_bruteforce,
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(120, 16)).astype(np.float32)
+    for j in range(20):  # plant near-dups of random earlier rows
+        src = int(rng.integers(0, 100))
+        base[100 + j] = base[src] + rng.normal(scale=1e-3, size=16).astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(120), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in base], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    got = {
+        r["vec_id"]
+        for r in embedding_cosine_dedup(ds, threshold=0.999, n_clusters=8).take_all()
+    }
+    exp = {
+        r["vec_id"]
+        for r in embedding_cosine_dedup_bruteforce(ds, threshold=0.999).take_all()
+    }
+    assert exp  # the planted dups are found by the oracle
+    assert got <= exp  # bucket verify is exact cosine: no false positives
+    assert len(got & exp) / len(exp) >= 0.9  # recall over buckets
+
+
 def test_ann_brute_force_exact(emb_ds):
     from elasticsearch_ray.ops.ann import brute_force_topk
 
@@ -250,17 +284,18 @@ def test_curation_pipeline(docs_ds, tmp_path):
 
     res = curate(
         docs_ds, min_quality=0.0, min_words=2, near_dedup=True,
-        out_dir=str(tmp_path / "curated"),
+        out_dir=str(tmp_path / "curated"), num_partitions=2,
     )
+    kept_ids = {r["doc_id"] for r in res["kept_ds"].take_all()}
     assert res["total"] == 8
     # exact dups 1, 5 collapse into 0's group; empty doc and 'short text'
     # fail min_words=2? 'short text' has 2 words -> kept
-    assert 1 not in res["kept_ids"] and 5 not in res["kept_ids"]
-    assert 7 not in res["kept_ids"]  # empty doc
-    assert 0 in res["kept_ids"] and 3 in res["kept_ids"]
+    assert 1 not in kept_ids and 5 not in kept_ids
+    assert 7 not in kept_ids  # empty doc
+    assert 0 in kept_ids and 3 in kept_ids
     # near-dup doc 2 dropped by minhash against doc 0? may or may not bucket;
     # at minimum the counts are consistent
-    assert res["kept"] == len(res["kept_ids"]) <= res["exact_dedup_reps"]
+    assert res["kept"] == len(kept_ids) <= res["exact_dedup_reps"]
     import os
     out = str(tmp_path / "curated")
     assert any(f.endswith(".parquet") for f in os.listdir(out))
