@@ -75,6 +75,54 @@ def _docs_ds(sf_dir: str):
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+class _StemStreamTokenizer:
+    """Actor-pool tokenizer emitting the engine's processed (stemmed,
+    stopword-filtered) token stream as rows — the parquet side-output that
+    gives the stemmed/scored CORRECTNESS entries exact DuckDB twins
+    (stemming runs ONCE here; SQL checks the aggregation/scoring math)."""
+
+    def __init__(self) -> None:
+        from elasticsearch_ray.normalizer import make_normalizer
+
+        self.norm = make_normalizer("reference")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ts = self.norm.tokenize(text or "")
+            ids.extend([did] * len(ts))
+            toks.extend(ts)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "tok": pa.array(toks, pa.string()),
+            }
+        )
+
+
+def _stem_stream_dir(sf_dir: str) -> str:
+    return _index_dir_for(sf_dir, "tokstream")
+
+
+def _ensure_stem_stream(sf_dir: str) -> str:
+    out = _stem_stream_dir(sf_dir)
+    done = os.path.join(out, "_done")
+    if not os.path.exists(done):
+        _docs_ds(sf_dir).map_batches(
+            _StemStreamTokenizer, batch_format="pyarrow", concurrency=2
+        ).write_parquet(out)
+        open(done, "w").close()
+    return out
+
+
+def _stemmed_query_terms(q: str) -> list[str]:
+    from elasticsearch_ray.normalizer import make_normalizer
+
+    return make_normalizer("reference").preprocess_query_list(q)
+
+
 def _emb_ds(sf_dir: str):
     import ray.data
 
@@ -196,6 +244,7 @@ def _q_term_df_nostem_top100(sf_dir: str):
 def _q_term_df_stemmed_top100(sf_dir: str):
     import pyarrow.parquet as pq
 
+    _ensure_stem_stream(sf_dir)  # side-output for the exact DuckDB twin
     idx = _ensure_index(sf_dir, "reference")
     t = pq.read_table(os.path.join(idx, "df_global"))
     return t.sort_by([("df", "descending"), ("term", "ascending")]).slice(0, 100)
@@ -206,27 +255,38 @@ def _q_bm25_top10_plain(sf_dir: str):
 
 
 def _q_bm25_top10(sf_dir: str):
-    return _results_table(_engine(sf_dir, "reference"), BM25_QUERIES)
+    _ensure_stem_stream(sf_dir)
+    return _results_table(_engine(sf_dir, "reference"), BM25_QUERIES,
+                          int_scores=True)
 
 
-def _q_wand_top10(sf_dir: str):
+def _mode_top10(sf_dir: str, mode: str) -> pa.Table:
+    _ensure_stem_stream(sf_dir)
     eng = _engine(sf_dir, "reference")
     rows = {"query": [], "rank": [], "doc_id": [], "score": []}
     for q in BM25_QUERIES:
-        res = eng.search(q, mode="wand")
+        res = eng.search(q, mode=mode)
         for rank, r in enumerate(res["results"], 1):
             rows["query"].append(q)
             rows["rank"].append(rank)
             rows["doc_id"].append(r["doc_id"])
-            rows["score"].append(round(r["score"], 6))
+            rows["score"].append(int(math.floor(r["score"] * 1e6 + 0.5)))
     return pa.table(
         {
             "query": pa.array(rows["query"], pa.string()),
             "rank": pa.array(rows["rank"], pa.int32()),
             "doc_id": pa.array(rows["doc_id"], pa.int64()),
-            "score": pa.array(rows["score"], pa.float64()),
+            "score_u": pa.array(rows["score"], pa.int64()),
         }
     )
+
+
+def _q_wand_top10(sf_dir: str):
+    return _mode_top10(sf_dir, "wand")
+
+
+def _q_daat_top10(sf_dir: str):
+    return _mode_top10(sf_dir, "daat")
 
 
 def _q_boolean_plain(sf_dir: str):
@@ -456,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top10_plain": _q_bm25_top10_plain,
         "bm25_top10": _q_bm25_top10,
         "wand_top10": _q_wand_top10,
+        "daat_top10": _q_daat_top10,
         "boolean_plain": _q_boolean_plain,
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
@@ -503,6 +564,58 @@ def _bm25_sql() -> str:
 WITH tok AS ({_TOK}),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
 stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query, term) AS (VALUES {_bm25_values_sql(qt)}),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         sum(ln((stats.n + 1.0) / (df.df + 1.0))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+  GROUP BY q.query, tf.doc_id
+),
+ranked AS (
+  SELECT query, doc_id, s,
+         row_number() OVER (PARTITION BY query ORDER BY s DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, CAST(rank AS INT) AS rank, doc_id,
+       CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_u
+FROM ranked WHERE rank <= 10 ORDER BY query, rank
+"""
+
+
+# The driver compares at sf0.01 only, so the side-output twins read the
+# sf0.01 stream path (written by the paired queries() callables).
+_DRIVER_SF = "/root/testdata/sf0.01"
+
+
+def _stem_tok_sql() -> str:
+    return (
+        f"SELECT doc_id, tok FROM "
+        f"read_parquet('{_stem_stream_dir(_DRIVER_SF)}/*.parquet')"
+    )
+
+
+def _bm25_stemmed_sql() -> str:
+    """Same scoring math as ``_bm25_sql`` but over the engine-emitted stemmed
+    token stream; query terms go through the same reference normalizer."""
+    qt = []
+    for q in BM25_QUERIES:
+        for t in _stemmed_query_terms(q):
+            qt.append((q, t))
+    return f"""
+WITH tok AS ({_stem_tok_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM
+          (SELECT d.doc_id, count(t.tok) AS dl FROM documents d
+           LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id)),
 tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY doc_id, tok),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 q(query, term) AS (VALUES {_bm25_values_sql(qt)}),
@@ -581,7 +694,14 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT tok AS term, count(DISTINCT doc_id) AS df FROM ({_TOK}) "
             f"GROUP BY tok ORDER BY df DESC, term LIMIT 100"
         ),
+        "term_df_stemmed_top100": (
+            f"SELECT tok AS term, count(DISTINCT doc_id) AS df FROM "
+            f"({_stem_tok_sql()}) GROUP BY tok ORDER BY df DESC, term LIMIT 100"
+        ),
         "bm25_top10_plain": _bm25_sql(),
+        "bm25_top10": _bm25_stemmed_sql(),
+        "wand_top10": _bm25_stemmed_sql(),
+        "daat_top10": _bm25_stemmed_sql(),
         "boolean_plain": _boolean_sql(),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dupes FROM documents "
@@ -671,8 +791,10 @@ ORDER BY k.doc_id
             r"FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS tok "
             r"FROM documents)"
         ),
-        # term_df_stemmed_top100, bm25_top10, wand_top10, minhash_dups,
-        # simhash_dups, embedding_dups, ann_ivf_top10, langid_counts,
-        # fingerprints: not SQL-expressible (stemming / LSH / model state) —
-        # driver records rows-only checks.
+        # minhash_dups, simhash_dups, embedding_dups, ann_ivf_top10,
+        # langid_counts, fingerprints: not SQL-expressible (LSH banding /
+        # centroid buckets / heuristic model state) — driver records
+        # rows-only checks.  The stemmed/scored entries get exact twins via
+        # the engine-emitted token-stream side-output (stemming runs once in
+        # the engine; SQL verifies the aggregation + BM25 math).
     }

@@ -522,25 +522,76 @@ def phrase_eval(
     return m[:size] + reader.doc_id_base, int(m.size)
 
 
+class _LazyTerm:
+    """Un-decoded posting list on the boolean stack — lets AND use the
+    128-block skip structure (decode only blocks that can intersect the
+    other operand) the way the reference's skip-pointer merge does
+    (``selfindex_i1_skip_pointers.py:84-118``), but vectorized per block."""
+
+    __slots__ = ("row", "df")
+
+    def __init__(self, row: int, df: int):
+        self.row = row
+        self.df = df
+
+
+def _lazy_full(reader: SegmentReader, x) -> np.ndarray:
+    if isinstance(x, _LazyTerm):
+        return reader.postings_slots_by_row(x.row)[0]
+    return x
+
+
+def _skip_intersect(reader: SegmentReader, lazy: _LazyTerm,
+                    cand: np.ndarray) -> np.ndarray:
+    """slots(lazy) ∩ cand, decoding only the blocks of ``lazy`` whose slot
+    range can contain a candidate (block skipping via blk_last)."""
+    if cand.size == 0:
+        return cand
+    blk_last, _, _ = reader.block_meta_by_row(lazy.row)
+    nblocks = blk_last.size
+    blocks = np.unique(np.searchsorted(blk_last, cand, side="left"))
+    blocks = blocks[blocks < nblocks]
+    if blocks.size > max(8, nblocks // 4):
+        # weak pruning: one whole-list decode beats per-block overhead
+        slots = reader.postings_slots_by_row(lazy.row)[0]
+        return np.intersect1d(slots, cand, assume_unique=True)
+    parts = [reader.decode_block(lazy.row, int(b))[0] for b in blocks]
+    if not parts:
+        return cand[:0]
+    return np.intersect1d(np.concatenate(parts), cand, assume_unique=True)
+
+
 def boolean_eval(reader: SegmentReader, rpn: tuple[str, ...], size: int):
     """RPN evaluation over sorted slot arrays (reference Q5 engine,
-    ``measure_latency_datastores.py:137-188``).  Returns
+    ``measure_latency_datastores.py:137-188``).  AND of term operands is
+    skip-accelerated: the lower-df side decodes fully, the other side
+    decodes only candidate-bearing blocks.  Returns
     (first `size` matching global doc_ids ascending, total local matches)."""
     universe = None
-    stack: list[np.ndarray] = []
+    stack: list = []
     empty = np.empty(0, dtype=np.int64)
+    can_skip = reader.codec != "zlib"  # zlib cells have no per-block offsets
     try:
         for token in rpn:
             if token == "AND":
                 b_ = stack.pop()
                 a = stack.pop()
-                if a.size and b_.size:
-                    stack.append(np.intersect1d(a, b_, assume_unique=True))
+                if isinstance(a, _LazyTerm) and isinstance(b_, _LazyTerm):
+                    # decode the rarer term fully; skip-walk the other
+                    small, big = (a, b_) if a.df <= b_.df else (b_, a)
+                    cand = reader.postings_slots_by_row(small.row)[0]
+                    stack.append(_skip_intersect(reader, big, cand))
+                elif isinstance(a, _LazyTerm) or isinstance(b_, _LazyTerm):
+                    lazy, arr = (a, b_) if isinstance(a, _LazyTerm) else (b_, a)
+                    stack.append(_skip_intersect(reader, lazy, arr))
                 else:
-                    stack.append(empty)
+                    if a.size and b_.size:
+                        stack.append(np.intersect1d(a, b_, assume_unique=True))
+                    else:
+                        stack.append(empty)
             elif token == "OR":
-                b_ = stack.pop()
-                a = stack.pop()
+                b_ = _lazy_full(reader, stack.pop())
+                a = _lazy_full(reader, stack.pop())
                 if not a.size:
                     stack.append(b_)
                 elif not b_.size:
@@ -548,16 +599,21 @@ def boolean_eval(reader: SegmentReader, rpn: tuple[str, ...], size: int):
                 else:
                     stack.append(np.union1d(a, b_))
             elif token == "NOT":
-                a = stack.pop()
+                a = _lazy_full(reader, stack.pop())
                 if universe is None:
                     universe = reader.present_doc_ids() - reader.doc_id_base
                 stack.append(np.setdiff1d(universe, a, assume_unique=True))
             else:
-                res = reader.postings_slots(token)
-                stack.append(res[0] if res is not None else empty)
+                row = reader.term_row(token)
+                if row is None:
+                    stack.append(empty)
+                elif can_skip:
+                    stack.append(_LazyTerm(row, reader.df_by_row(row)))
+                else:
+                    stack.append(reader.postings_slots_by_row(row)[0])
     except IndexError:
         stack = []  # malformed expression: defined as no matches (see oracle)
-    result = stack[0] if stack else empty
+    result = _lazy_full(reader, stack[0]) if stack else empty
     if result.size:
         result = result[reader.doc_lens[result] >= 0]  # drop tombstoned
     return result[:size] + reader.doc_id_base, int(result.size)
