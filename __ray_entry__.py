@@ -123,6 +123,47 @@ def _stemmed_query_terms(q: str) -> list[str]:
     return make_normalizer("reference").preprocess_query_list(q)
 
 
+def _ensure_title_parquet(sf_dir: str) -> str:
+    """Side-output (doc_id, title, text) with a deterministic derived title
+    (first 5 space-split tokens) — the corpus has no title field, so both
+    the engine and the SQL twin derive the same one."""
+    out = _index_dir_for(sf_dir, "titledocs")
+    done = os.path.join(out, "_done")
+    if not os.path.exists(done):
+        def derive(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            titles = [" ".join((t or "").split(" ")[:5]) for t in texts]
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "title": pa.array(titles, pa.string()),
+                    "text": batch.column("text"),
+                }
+            )
+
+        _docs_ds(sf_dir).map_batches(derive, batch_format="pyarrow").write_parquet(out)
+        open(done, "w").close()
+    return out
+
+
+def _field_engine(sf_dir: str):
+    from elasticsearch_ray.pipelines.fields import MultiFieldEngine, build_field_indexes
+
+    key = f"fields::{sf_dir}"
+    if key not in _ENGINES:
+        tdocs = _ensure_title_parquet(sf_dir)
+        dirs = build_field_indexes(
+            {"title": (tdocs, "title")},
+            _index_dir_for(sf_dir, "fidx"),
+            analyzer="plain",
+            target_partition_rows=500,
+            docs_per_segment=2_000,
+        )
+        dirs["text"] = _ensure_index(sf_dir, "plain")
+        _ENGINES[key] = MultiFieldEngine(dirs, boosts={"title": 2.0})
+    return _ENGINES[key]
+
+
 def _emb_ds(sf_dir: str):
     import ray.data
 
@@ -287,6 +328,28 @@ def _q_wand_top10(sf_dir: str):
 
 def _q_daat_top10(sf_dir: str):
     return _mode_top10(sf_dir, "daat")
+
+
+def _q_multifield_top10(sf_dir: str):
+    """ES multi_match best_fields over title^2, text (reference Q6 semantics
+    re-expressed engine-side: per-field indexes + max-boost merge)."""
+    eng = _field_engine(sf_dir)
+    rows = {"query": [], "rank": [], "doc_id": [], "score": []}
+    for q in BM25_QUERIES:
+        res = eng.search(q, size=10)
+        for rank, r in enumerate(res["results"], 1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r["doc_id"])
+            rows["score"].append(int(math.floor(r["score"] * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score_u": pa.array(rows["score"], pa.int64()),
+        }
+    )
 
 
 def _q_boolean_plain(sf_dir: str):
@@ -517,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top10": _q_bm25_top10,
         "wand_top10": _q_wand_top10,
         "daat_top10": _q_daat_top10,
+        "multifield_top10": _q_multifield_top10,
         "boolean_plain": _q_boolean_plain,
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
@@ -643,6 +707,58 @@ FROM ranked WHERE rank <= 10 ORDER BY query, rank
 """
 
 
+def _multifield_sql() -> str:
+    """best_fields max(2*title_bm25, text_bm25) with PER-FIELD collection
+    stats (N, avgdl, df), mirroring Lucene's per-field statistics."""
+    qt = []
+    for q in BM25_QUERIES:
+        for t in q.split():
+            qt.append((q, t))
+    per_field = """
+{p}dl AS (SELECT doc_id, count(*) AS dl FROM {p}tok GROUP BY doc_id),
+{p}stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM
+             (SELECT d.doc_id, count(t.tok) AS dl FROM documents d
+              LEFT JOIN {p}tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id)),
+{p}tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM {p}tok
+          GROUP BY doc_id, tok),
+{p}df AS (SELECT term, count(*) AS df FROM {p}tf GROUP BY term),
+{p}scored AS (
+  SELECT q.query, {p}tf.doc_id,
+         sum(ln(({p}stats.n + 1.0) / ({p}df.df + 1.0))
+             * ({p}tf.tf * 2.2)
+             / ({p}tf.tf + 1.2 * (1 - 0.75 + 0.75 * {p}dl.dl / {p}stats.avgdl))) AS s
+  FROM q
+  JOIN {p}df ON {p}df.term = q.term
+  JOIN {p}tf ON {p}tf.term = q.term
+  JOIN {p}dl ON {p}dl.doc_id = {p}tf.doc_id
+  CROSS JOIN {p}stats
+  WHERE ln(({p}stats.n + 1.0) / ({p}df.df + 1.0)) <> 0
+  GROUP BY q.query, {p}tf.doc_id
+)"""
+    return f"""
+WITH xtok AS ({_TOK}),
+ttok AS (SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 5)) AS tok
+         FROM documents),
+q(query, term) AS (VALUES {_bm25_values_sql(qt)}),
+{per_field.format(p='x')},
+{per_field.format(p='t')},
+united AS (
+  SELECT query, doc_id, s FROM xscored
+  UNION ALL
+  SELECT query, doc_id, 2.0 * s AS s FROM tscored
+),
+best AS (SELECT query, doc_id, max(s) AS s FROM united GROUP BY query, doc_id),
+ranked AS (
+  SELECT query, doc_id, s,
+         row_number() OVER (PARTITION BY query ORDER BY s DESC, doc_id) AS rank
+  FROM best
+)
+SELECT query, CAST(rank AS INT) AS rank, doc_id,
+       CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_u
+FROM ranked WHERE rank <= 10 ORDER BY query, rank
+"""
+
+
 def _boolean_sql() -> str:
     parts = []
     for q in BOOLEAN_QUERIES:
@@ -702,6 +818,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top10": _bm25_stemmed_sql(),
         "wand_top10": _bm25_stemmed_sql(),
         "daat_top10": _bm25_stemmed_sql(),
+        "multifield_top10": _multifield_sql(),
         "boolean_plain": _boolean_sql(),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dupes FROM documents "

@@ -142,6 +142,51 @@ def test_df_cache_is_bounded(dense_engine):
     dense_engine._df_cache_cap = 1_000_000
 
 
+def test_multifield_best_fields_boost(tmp_path):
+    """multi_match best_fields semantics: score = max(2*title_bm25,
+    text_bm25); a title hit outranks the same-tf text hit."""
+    from elasticsearch_ray.pipelines.fields import (
+        MultiFieldEngine,
+        build_field_indexes,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "title": pa.array(
+                ["alpha news", "daily news", "gamma post", "delta post"]
+            ),
+            "text": pa.array(
+                [
+                    "body words here",
+                    "alpha body words",
+                    "alpha alpha body words",
+                    "other words entirely",
+                ]
+            ),
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, src, row_group_size=2)
+    dirs = build_field_indexes(
+        {"title": (src, "title"), "text": (src, "text")},
+        str(tmp_path / "fidx"),
+        analyzer="plain",
+        target_partition_rows=2,
+        docs_per_segment=4,
+    )
+    eng = MultiFieldEngine(dirs, boosts={"title": 2.0})
+    res = eng.search("alpha", size=4)
+    got = [r["doc_id"] for r in res["results"]]
+    # doc 0: title hit (boost 2); docs 1, 2: text hits only
+    assert got[0] == 0
+    assert set(got) == {0, 1, 2}
+    # scores really are max-boosted: title engine alone reproduces doc 0
+    t_only = eng.engines["title"].search("alpha")["results"][0]
+    assert abs(res["results"][0]["score"] - 2.0 * t_only["score"]) < 1e-12
+    eng.close()
+
+
 def test_zlib_overflow_raises():
     from elasticsearch_ray.functions.vbyte import zlib_encode_postings
 
