@@ -119,13 +119,23 @@ def bench_queries(index_dir: str, queryset: list[str]) -> dict:
                 eng.search(q, mode=mode)
                 lats.append((time.perf_counter() - t0) * 1e3)
             out[mode] = _percentiles(lats)
-        # sustained QPS via pipelined batches (reference 30s loop, shortened)
+        # sustained QPS via pipelined batches (the engine's natural serving
+        # shape: many queries in flight)
         t0 = time.perf_counter()
         n = 0
         while time.perf_counter() - t0 < 5.0:
             eng.batch_search(queryset)
             n += len(queryset)
         out["qps_pipelined"] = round(n / (time.perf_counter() - t0), 1)
+        # sustained QPS, reference protocol: ONE query at a time in a timed
+        # loop (``plot_ab_compression.py:122-168``, 30 s shortened to 5 s) —
+        # the apples-to-apples number next to the pipelined one
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < 5.0:
+            eng.search(queryset[n % len(queryset)])
+            n += 1
+        out["qps_sustained"] = round(n / (time.perf_counter() - t0), 1)
     finally:
         eng.close()
 
@@ -171,6 +181,41 @@ def bench_ops(sf_dir: str) -> dict:
         t0 = time.perf_counter()
         brute_force_topk(emb, qv, k=10)
         out["ann_bruteforce_sec"] = round(time.perf_counter() - t0, 3)
+
+        # IVF: persisted inverted file — query cost scales with buckets
+        # probed, not corpus size
+        import shutil
+
+        from elasticsearch_ray.ops.ann import ivf_build, ivf_query
+
+        ivf_dir = "/tmp/esray_bench_ivf"
+        shutil.rmtree(ivf_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        ivf_build(emb, ivf_dir, n_clusters=16)
+        out["ivf_build_sec"] = round(time.perf_counter() - t0, 3)
+        for nprobe in (2, 8):
+            t0 = time.perf_counter()
+            ivf_query(ivf_dir, qv, k=10, nprobe=nprobe)
+            out[f"ivf_query_nprobe{nprobe}_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+
+        from elasticsearch_ray.ops.dedup import embedding_cosine_dedup
+
+        t0 = time.perf_counter()
+        embedding_cosine_dedup(emb, threshold=0.99).count()
+        out["embedding_dedup_bucketed_sec"] = round(time.perf_counter() - t0, 3)
+
+    # composed curation (anti-join form) streaming at sf scale
+    import shutil as _sh
+
+    from elasticsearch_ray.ops.curation import curate
+
+    cur_out = "/tmp/esray_bench_curated"
+    _sh.rmtree(cur_out, ignore_errors=True)
+    t0 = time.perf_counter()
+    curate(docs, near_dedup=True, with_counts=False, out_dir=cur_out)
+    out["curation_sec"] = round(time.perf_counter() - t0, 3)
     return out
 
 
@@ -259,6 +304,7 @@ def main_single():
             "query_wand_p50_ms": res["query"]["wand"]["p50_ms"],
             "query_wand_p99_ms": res["query"]["wand"]["p99_ms"],
             "query_qps": res["query"]["qps_pipelined"],
+            "query_qps_sustained": res["query"]["qps_sustained"],
             **{
                 f"ops_{k}": v
                 for k, v in res.get("ops", {}).items()

@@ -144,6 +144,9 @@ def ivf_build(
                 id_col: pa.array(ids, pa.int64()),
                 "embn": pa.array(list(mat), pa.list_(pa.float32())),
                 "cid": pa.array(cid),
+                # 'cid' becomes the hive partition path; 'bucket' stays a
+                # stored column so file-list reads keep the bucket id
+                "bucket": pa.array(cid),
             }
         )
 
@@ -192,11 +195,9 @@ def ivf_query(
     qref = ray.put((q, probes))
 
     def fn(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         qm, pr = ray.get(qref)
         ids = batch.column(id_col).to_numpy()
-        cids = pc.cast(batch.column("cid"), pa.int32()).to_numpy()
+        cids = batch.column("bucket").to_numpy()
         mat = np.array(batch.column("embn").to_pylist(), dtype=np.float32)
         out_q, out_id, out_cos = [], [], []
         for qi in range(qm.shape[0]):
@@ -222,13 +223,15 @@ def ivf_query(
             }
         )
 
-    # one read per probed bucket dir (read_parquet rejects a LIST of hive
-    # dirs); union keeps it a single streamed pipeline
-    import functools
+    # glob the probed buckets' FILES into one read (read_parquet rejects a
+    # list of hive dirs, and a union of per-dir reads pays per-dataset
+    # overhead); the stored 'bucket' column survives file-list reads
+    import glob as _glob
 
-    bucket_reads = [ray.data.read_parquet(p) for p in paths]
-    rd = functools.reduce(lambda a, b: a.union(b), bucket_reads)
-    cand = rd.map_batches(fn, batch_format="pyarrow").take_all()
+    files = [f for p in paths for f in sorted(_glob.glob(os.path.join(p, "*.parquet")))]
+    cand = ray.data.read_parquet(files).map_batches(
+        fn, batch_format="pyarrow"
+    ).take_all()
     qids = np.array([r["query_id"] for r in cand], dtype=np.int64)
     vids = np.array([r[id_col] for r in cand], dtype=np.int64)
     coss = np.array([r["cos"] for r in cand], dtype=np.float64)
