@@ -151,6 +151,14 @@ def bench_queries(index_dir: str, queryset: list[str]) -> dict:
             emb.search(q, mode=mode)
             lats.append((time.perf_counter() - t0) * 1e3)
         out[f"embedded_{mode}"] = _percentiles(lats)
+    # embedded sustained loop — protocol-identical to the reference's
+    # single-process 30 s harness
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 5.0:
+        emb.search(queryset[n % len(queryset)])
+        n += 1
+    out["qps_sustained_embedded"] = round(n / (time.perf_counter() - t0), 1)
     return out
 
 
