@@ -556,6 +556,60 @@ def _q_token_stats(sf_dir: str):
     return t.append_column("avg_len_u", avg_u)
 
 
+def _events_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _q_window_agg(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the events stream."""
+    from elasticsearch_ray.ops.events import window_agg
+
+    out = window_agg(_events_ds(sf_dir)).take_all()
+    out.sort(key=lambda r: (r["window_us"], r["event_type"]))
+    return pa.table(
+        {
+            "window_us": pa.array([r["window_us"] for r in out], pa.int64()),
+            "event_type": pa.array([r["event_type"] for r in out], pa.string()),
+            "n": pa.array([r["n"] for r in out], pa.int64()),
+            "sum_cents": pa.array([r["sum_cents"] for r in out], pa.int64()),
+        }
+    )
+
+
+def _q_sessions(sf_dir: str):
+    """30-minute-gap sessionization per user (keyed streaming window)."""
+    from elasticsearch_ray.ops.events import sessionize
+
+    out = sessionize(_events_ds(sf_dir)).take_all()
+    out.sort(key=lambda r: (r["user_id"], r["session_seq"]))
+    return pa.table(
+        {
+            "user_id": pa.array([r["user_id"] for r in out], pa.int64()),
+            "session_seq": pa.array([r["session_seq"] for r in out], pa.int64()),
+            "n_events": pa.array([r["n_events"] for r in out], pa.int64()),
+            "start_us": pa.array([r["start_us"] for r in out], pa.int64()),
+            "end_us": pa.array([r["end_us"] for r in out], pa.int64()),
+        }
+    )
+
+
+def _q_asof_click(sf_dir: str):
+    """Per-user as-of join: each event -> latest click at or before it."""
+    from elasticsearch_ray.ops.events import asof_join
+
+    out = asof_join(_events_ds(sf_dir), ref_type="click").take_all()
+    out.sort(key=lambda r: r["event_id"])
+    return pa.table(
+        {
+            "event_id": pa.array([r["event_id"] for r in out], pa.int64()),
+            "ref_event_id": pa.array([r["ref_event_id"] for r in out], pa.int64()),
+            "lag_us": pa.array([r["lag_us"] for r in out], pa.int64()),
+        }
+    )
+
+
 def _q_curation_keep(sf_dir: str):
     """Composed curation pipeline (quality filter + exact dedup), exact SQL
     twin; the MinHash stage is exercised by the rows-only minhash_dups."""
@@ -597,6 +651,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "phrase": _q_phrase,
         "curation_keep": _q_curation_keep,
+        "window_agg": _q_window_agg,
+        "sessions": _q_sessions,
+        "asof_click": _q_asof_click,
     }
 
 
@@ -908,6 +965,42 @@ ORDER BY k.doc_id
             r"FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS tok "
             r"FROM documents)"
         ),
+        "window_agg": """
+SELECT CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS window_us,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "sessions": """
+WITH t AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+o AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+s AS (
+  SELECT user_id, ts_us,
+         sum(new) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM o
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us
+FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+""",
+        "asof_click": """
+SELECT e.event_id,
+       COALESCE(c.event_id, -1) AS ref_event_id,
+       COALESCE(epoch_us(e.ts) - epoch_us(c.ts), -1) AS lag_us
+FROM events e LEFT JOIN LATERAL (
+  SELECT event_id, ts FROM events c
+  WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+) c ON TRUE
+ORDER BY e.event_id
+""",
         # minhash_dups, simhash_dups, embedding_dups, ann_ivf_top10,
         # langid_counts, fingerprints: not SQL-expressible (LSH banding /
         # centroid buckets / heuristic model state) — driver records

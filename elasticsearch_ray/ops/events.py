@@ -1,0 +1,186 @@
+"""Event-stream operators over a (event_id, ts, user_id, event_type, value)
+table: tumbling-window aggregation, gap sessionization, and a per-key as-of
+join — the streaming-window custom operators Ray Data lacks natively,
+expressed as map_batches + native groupby aggregates (window_agg) or a
+keyed ``groupby(user).map_groups`` with a fully vectorized per-group kernel
+(sessionize / asof_join).
+
+Partitioning assumption (documented per the custom-operator contract): for
+sessionize / asof_join one key's events must fit a single task — the shuffle
+is hash-partitioned by ``user_id``, the natural key a real pipeline already
+co-locates on.  window_agg has no such constraint (pre-aggregation happens
+inside map_batches via the native groupby combiner).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_US = 1_000_000
+
+
+def _ts_us(batch: pa.Table, ts_col: str) -> np.ndarray:
+    return batch.column(ts_col).cast(pa.int64()).to_numpy()
+
+
+def window_agg(
+    ds: ray.data.Dataset,
+    window_minutes: int = 60,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> ray.data.Dataset:
+    """Tumbling-window aggregate: per (window_start, key) -> count and
+    sum(value in integer cents, exact + order-independent).
+
+    Equivalent SQL: ``SELECT date_trunc(...), key, count(*),
+    sum(round(value*100)) GROUP BY 1, 2``.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    win_us = window_minutes * 60 * _US
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch, ts_col)
+        win = (ts // win_us) * win_us
+        cents = np.round(
+            np.asarray(batch.column(value_col).to_numpy(), dtype=np.float64) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "window_us": pa.array(win),
+                key_col: batch.column(key_col),
+                "cents": pa.array(cents),
+            }
+        )
+
+    agg = ds.map_batches(prep, batch_format="pyarrow").groupby(
+        ["window_us", key_col]
+    ).aggregate(Count(), Sum("cents"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_us": batch.column("window_us"),
+                key_col: batch.column(key_col),
+                "n": batch.column("count()"),
+                "sum_cents": batch.column("sum(cents)"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> ray.data.Dataset:
+    """Gap sessionization: a user's events sorted by time split into
+    sessions wherever the gap exceeds ``gap_minutes``.
+
+    Emits (user_id, session_seq starting at 1, n_events, start_us, end_us).
+    The per-group kernel is pure numpy (sort, diff, cumsum, reduceat).
+    """
+    gap_us = gap_minutes * 60 * _US
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                user_col: batch.column(user_col),
+                "ts_us": pa.array(_ts_us(batch, ts_col)),
+            }
+        )
+
+    def per_user(batch: pa.Table) -> pa.Table:
+        ts = np.sort(batch.column("ts_us").to_numpy())
+        uid = batch.column(user_col)[0].as_py()
+        new = np.empty(ts.size, dtype=bool)
+        new[0] = True
+        np.greater(np.diff(ts), gap_us, out=new[1:])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], ts.size) - 1
+        n = np.diff(np.append(starts, ts.size))
+        return pa.table(
+            {
+                user_col: pa.array(np.full(starts.size, uid), pa.int64()),
+                "session_seq": pa.array(
+                    np.arange(1, starts.size + 1, dtype=np.int64)
+                ),
+                "n_events": pa.array(n.astype(np.int64)),
+                "start_us": pa.array(ts[starts]),
+                "end_us": pa.array(ts[ends]),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(user_col)
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+def asof_join(
+    ds: ray.data.Dataset,
+    ref_type: str = "click",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> ray.data.Dataset:
+    """Per-user as-of join: each event matched to the latest ``ref_type``
+    event of the same user with ref.ts <= event.ts (inclusive, DuckDB
+    ``ASOF JOIN ... ON e.ts >= r.ts`` semantics).
+
+    Emits (event_id, ref_event_id, lag_us); events with no prior reference
+    get -1 sentinels (keeps the columns int64 end-to-end).  Per-group
+    kernel: sort + searchsorted, fully vectorized.
+    """
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                user_col: batch.column(user_col),
+                id_col: batch.column(id_col),
+                "ts_us": pa.array(_ts_us(batch, ts_col)),
+                "is_ref": pa.array(
+                    np.asarray(
+                        pa.compute.equal(batch.column(type_col), ref_type)
+                    ).astype(bool)
+                ),
+            }
+        )
+
+    def per_user(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        ts = batch.column("ts_us").to_numpy()
+        is_ref = batch.column("is_ref").to_numpy()
+        order = np.lexsort((ids, ts))
+        ids, ts, is_ref = ids[order], ts[order], is_ref[order]
+        ref_idx = np.flatnonzero(is_ref)
+        if ref_idx.size == 0:
+            match = np.full(ids.size, -1, dtype=np.int64)
+        else:
+            # latest ref position with ts <= event ts; sorted by (ts, id) so
+            # equal-ts references resolve to the max event_id deterministically
+            pos = np.searchsorted(ts[ref_idx], ts, side="right") - 1
+            match = np.where(pos >= 0, ref_idx[np.maximum(pos, 0)], -1)
+        has = match >= 0
+        ref_ids = np.where(has, ids[np.maximum(match, 0)], -1)
+        lags = np.where(has, ts - ts[np.maximum(match, 0)], -1)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "ref_event_id": pa.array(ref_ids.astype(np.int64)),
+                "lag_us": pa.array(lags.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(user_col)
+        .map_groups(per_user, batch_format="pyarrow")
+    )
