@@ -114,6 +114,18 @@ class Searcher:
         ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
         return ids[:k], total
 
+    def search_many(self, jobs: list[tuple]) -> list:
+        """Batched fan-out: many queries in ONE actor round-trip (amortizes
+        the ~ms RPC cost that dominates small-corpus batch serving).  Each
+        job is ('ranked', args...) or ('bool', rpn, k)."""
+        out = []
+        for job in jobs:
+            if job[0] == "bool":
+                out.append(self.search_boolean(*job[1:]))
+            else:
+                out.append(self.search_ranked(*job[1:]))
+        return out
+
 
 SegmentSearcher = ray.remote(Searcher)
 
@@ -320,36 +332,41 @@ class QueryEngine:
         self._global_dfs(all_terms)  # warm the cache in one round
         if self.embedded is not None:
             return [self.search(q, size=size, mode=mode) for q in queries]
-        futs = []
-        metas = []
         mode = mode or self.mode
-        for q in queries:
+        # one search_many RPC per searcher for ALL ranked/boolean queries —
+        # per-query actor round-trips dominate small-corpus batch serving
+        jobs: list[tuple] = []
+        metas: list[tuple] = []
+        inline: dict[int, dict] = {}
+        for qi, q in enumerate(queries):
             if '"' in q and self.has_positions:
                 metas.append(("done", q))
-                futs.append(self.search(q, size=size))
+                inline[qi] = self.search(q, size=size)
             elif looks_boolean(q):
                 rpn = to_rpn(preprocess_boolean_query(q, self.normalizer))
                 metas.append(("bool", q))
-                futs.append([s.search_boolean.remote(rpn, size) for s in self.searchers])
+                jobs.append(("bool", rpn, size))
             else:
                 terms = self.normalizer.preprocess_query_list(q)
                 idfs = self._idfs(terms)
                 metas.append(("ranked", q))
-                futs.append(
-                    [
-                        s.search_ranked.remote(
-                            terms, idfs, size, self.scoring, self.k1, self.b,
-                            self.avgdl, mode,
-                        )
-                        for s in self.searchers
-                    ]
+                jobs.append(
+                    ("ranked", terms, idfs, size, self.scoring, self.k1,
+                     self.b, self.avgdl, mode)
                 )
+        per_searcher = (
+            ray.get([s.search_many.remote(jobs) for s in self.searchers])
+            if jobs
+            else []
+        )
         out = []
-        for (kind, q), fs in zip(metas, futs):
+        ji = 0
+        for qi, (kind, q) in enumerate(metas):
             if kind == "done":
-                out.append(fs)
+                out.append(inline[qi])
                 continue
-            parts = ray.get(fs)
+            parts = [ps[ji] for ps in per_searcher]
+            ji += 1
             if kind == "bool":
                 ids = np.concatenate([p[0] for p in parts])
                 total = int(sum(p[1] for p in parts))
