@@ -610,6 +610,40 @@ def _q_asof_click(sf_dir: str):
     )
 
 
+def _q_event_sessions(sf_dir: str):
+    """Range join: each event -> the session interval containing it
+    (sessionize output joined back per user on ts ∈ [start, end])."""
+    import ray.data
+
+    from elasticsearch_ray.ops.events import range_join, sessionize
+
+    ev = _events_ds(sf_dir)
+    sess = sessionize(ev)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "event_id": batch.column("event_id"),
+            }
+        )
+
+    left = ev.map_batches(prep, batch_format="pyarrow")
+    out = range_join(
+        left, sess, key_col="user_id", value_col="ts_us",
+        lo_col="start_us", hi_col="end_us",
+        left_id="event_id", right_id="session_seq",
+    ).take_all()
+    out.sort(key=lambda r: r["event_id"])
+    return pa.table(
+        {
+            "event_id": pa.array([r["event_id"] for r in out], pa.int64()),
+            "session_seq": pa.array([r["session_seq"] for r in out], pa.int64()),
+        }
+    )
+
+
 def _q_curation_keep(sf_dir: str):
     """Composed curation pipeline (quality filter + exact dedup), exact SQL
     twin; the MinHash stage is exercised by the rows-only minhash_dups."""
@@ -654,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg": _q_window_agg,
         "sessions": _q_sessions,
         "asof_click": _q_asof_click,
+        "event_sessions": _q_event_sessions,
     }
 
 
@@ -1000,6 +1035,24 @@ FROM events e LEFT JOIN LATERAL (
   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
 ) c ON TRUE
 ORDER BY e.event_id
+""",
+        "event_sessions": """
+WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+o AS (
+  SELECT event_id, user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+s AS (
+  SELECT event_id,
+         sum(new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM o
+)
+SELECT event_id, CAST(session_seq AS BIGINT) AS session_seq
+FROM s ORDER BY event_id
 """,
         # minhash_dups, simhash_dups, embedding_dups, ann_ivf_top10,
         # langid_counts, fingerprints: not SQL-expressible (LSH banding /

@@ -123,6 +123,92 @@ def sessionize(
     )
 
 
+def range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    left_id: str,
+    right_id: str,
+) -> ray.data.Dataset:
+    """Per-key interval (range) join: a left row matches the right interval
+    of the same key with lo <= value <= hi.
+
+    Custom-operator composition: tag both sides, union into ONE dataset,
+    hash-partition by key (``groupby(key)``), and resolve each group with a
+    vectorized searchsorted — no all-pairs comparison.  Requires the right
+    side's intervals to be NON-OVERLAPPING per key (at most one match; e.g.
+    sessions); the assumption is asserted per group.  Same partitioning
+    assumption as sessionize: one key's rows fit a task.
+
+    Emits (left_id, right_id) for matched rows only.
+    """
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "v_lo": batch.column(value_col).cast(pa.int64()),
+                "v_hi": pa.array(np.zeros(n, dtype=np.int64)),
+                "rid": pa.array(np.zeros(n, dtype=np.int64)),
+                "lid": batch.column(left_id).cast(pa.int64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "v_lo": batch.column(lo_col).cast(pa.int64()),
+                "v_hi": batch.column(hi_col).cast(pa.int64()),
+                "rid": batch.column(right_id).cast(pa.int64()),
+                "lid": pa.array(np.zeros(n, dtype=np.int64)),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        side = batch.column("side").to_numpy()
+        empty = pa.table(
+            {
+                left_id: pa.array([], pa.int64()),
+                right_id: pa.array([], pa.int64()),
+            }
+        )
+        l_mask = side == 0
+        r_mask = ~l_mask
+        if not l_mask.any() or not r_mask.any():
+            return empty
+        vals = batch.column("v_lo").to_numpy()
+        lids = batch.column("lid").to_numpy()[l_mask]
+        lvals = vals[l_mask]
+        los = vals[r_mask]
+        his = batch.column("v_hi").to_numpy()[r_mask]
+        rids = batch.column("rid").to_numpy()[r_mask]
+        order = np.argsort(los)
+        los, his, rids = los[order], his[order], rids[order]
+        assert (his[:-1] < los[1:]).all(), "range_join: overlapping intervals"
+        pos = np.searchsorted(los, lvals, side="right") - 1
+        ok = (pos >= 0) & (lvals <= his[np.maximum(pos, 0)])
+        return pa.table(
+            {
+                left_id: pa.array(lids[ok].astype(np.int64)),
+                right_id: pa.array(rids[np.maximum(pos, 0)][ok].astype(np.int64)),
+            }
+        )
+
+    return tagged.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
 def asof_join(
     ds: ray.data.Dataset,
     ref_type: str = "click",

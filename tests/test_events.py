@@ -68,6 +68,33 @@ def test_sessionize(events_ds):
     ]
 
 
+def test_range_join_events_to_sessions(events_ds):
+    from elasticsearch_ray.ops.events import range_join, sessionize
+
+    sess = sessionize(events_ds, gap_minutes=30)
+
+    def prep(b):
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts_us": b.column("ts").cast(pa.int64()),
+                "event_id": b.column("event_id"),
+            }
+        )
+
+    left = events_ds.map_batches(prep, batch_format="pyarrow")
+    out = {
+        r["event_id"]: r["session_seq"]
+        for r in range_join(
+            left, sess, key_col="user_id", value_col="ts_us",
+            lo_col="start_us", hi_col="end_us",
+            left_id="event_id", right_id="session_seq",
+        ).take_all()
+    }
+    # user 1 sessions: [0,10min] seq1, [50,65min] seq2; user 2: seq1
+    assert out == {0: 1, 1: 1, 2: 2, 4: 2, 3: 1}
+
+
 def test_asof_join(events_ds):
     from elasticsearch_ray.ops.events import asof_join
 
