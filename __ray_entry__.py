@@ -301,12 +301,12 @@ def _q_bm25_top10(sf_dir: str):
                           int_scores=True)
 
 
-def _mode_top10(sf_dir: str, mode: str) -> pa.Table:
-    _ensure_stem_stream(sf_dir)
-    eng = _engine(sf_dir, "reference")
+def _score_u_table(search_fn) -> pa.Table:
+    """(query, rank, doc_id, score_u) over BM25_QUERIES — score in integer
+    micro-units (floor(s*1e6+0.5)), the repo-wide hash-safe convention."""
     rows = {"query": [], "rank": [], "doc_id": [], "score": []}
     for q in BM25_QUERIES:
-        res = eng.search(q, mode=mode)
+        res = search_fn(q)
         for rank, r in enumerate(res["results"], 1):
             rows["query"].append(q)
             rows["rank"].append(rank)
@@ -320,6 +320,12 @@ def _mode_top10(sf_dir: str, mode: str) -> pa.Table:
             "score_u": pa.array(rows["score"], pa.int64()),
         }
     )
+
+
+def _mode_top10(sf_dir: str, mode: str) -> pa.Table:
+    _ensure_stem_stream(sf_dir)
+    eng = _engine(sf_dir, "reference")
+    return _score_u_table(lambda q: eng.search(q, mode=mode))
 
 
 def _q_wand_top10(sf_dir: str):
@@ -334,22 +340,7 @@ def _q_multifield_top10(sf_dir: str):
     """ES multi_match best_fields over title^2, text (reference Q6 semantics
     re-expressed engine-side: per-field indexes + max-boost merge)."""
     eng = _field_engine(sf_dir)
-    rows = {"query": [], "rank": [], "doc_id": [], "score": []}
-    for q in BM25_QUERIES:
-        res = eng.search(q, size=10)
-        for rank, r in enumerate(res["results"], 1):
-            rows["query"].append(q)
-            rows["rank"].append(rank)
-            rows["doc_id"].append(r["doc_id"])
-            rows["score"].append(int(math.floor(r["score"] * 1e6 + 0.5)))
-    return pa.table(
-        {
-            "query": pa.array(rows["query"], pa.string()),
-            "rank": pa.array(rows["rank"], pa.int32()),
-            "doc_id": pa.array(rows["doc_id"], pa.int64()),
-            "score_u": pa.array(rows["score"], pa.int64()),
-        }
-    )
+    return _score_u_table(lambda q: eng.search(q, size=10))
 
 
 def _q_boolean_plain(sf_dir: str):
@@ -1003,7 +994,7 @@ ORDER BY k.doc_id
         "window_agg": """
 SELECT CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS window_us,
        event_type, count(*) AS n,
-       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "sessions": """

@@ -96,12 +96,15 @@ class RayBM25Index:
             raise ValueError("create_index requires files or a parquet path")
         index_dir = self._dir(index_id)
         # "Creates an index for the given files" (index_base.py:41-46): a
-        # pre-existing index under this id must not leak through — purge it so
-        # resume logic can't skip the new build and serve stale segments.
+        # FINISHED pre-existing index under this id must not leak through —
+        # purge it so resume logic can't skip the new build and serve stale
+        # segments.  A dir WITHOUT manifest.json is a crashed build of this
+        # same id: keep it so the build's segment-level resume still works.
         if self.current_index == index_id:
             self._close_engine()
             self.current_index = None
-        shutil.rmtree(index_dir, ignore_errors=True)
+        if os.path.exists(os.path.join(index_dir, "manifest.json")):
+            shutil.rmtree(index_dir, ignore_errors=True)
         cfg = self.config
         if files is not None and not isinstance(files, (str,)):
             cfg = dataclasses.replace(

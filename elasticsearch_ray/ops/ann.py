@@ -123,14 +123,23 @@ def ivf_build(
     The inverted file is the ``buckets/cid=<c>/`` partition layout — a query
     later reads ONLY its probed buckets (sublinear I/O).  Vectors are stored
     L2-normalized float32 so the query-side dot product IS the cosine.
-    Partitioned output is also the resume unit: a re-run that crashed can
-    keep finished partitions.
+    A rebuild into the same ``index_dir`` replaces the buckets (Ray's
+    write_parquet APPENDS into existing dirs, which would serve every
+    vector twice after a crashed or repeated build).
     """
+    import shutil
+
     sample = np.array(
         [r[vec_col] for r in ds.limit(sample_size).take_all()], dtype=np.float32
     )
     cent = _normalize(kmeans_fit(_normalize(sample), n_clusters, seed=seed))
     os.makedirs(index_dir, exist_ok=True)
+    # meta.json is written LAST (build-finished marker); a dir without it is
+    # a crashed build — clear any partial/stale buckets before writing
+    shutil.rmtree(os.path.join(index_dir, "buckets"), ignore_errors=True)
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
     np.save(os.path.join(index_dir, "centroids.npy"), cent)
     cref = ray.put(cent)
 
@@ -153,9 +162,16 @@ def ivf_build(
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         os.path.join(index_dir, "buckets"), partition_cols=["cid"]
     )
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+    with open(meta_path, "w") as f:
         json.dump(
-            {"n_clusters": int(cent.shape[0]), "id_col": id_col, "seed": seed}, f
+            {
+                "n_clusters": int(cent.shape[0]),
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "seed": seed,
+                "sample_size": sample_size,
+            },
+            f,
         )
     return {"n_clusters": int(cent.shape[0]), "index_dir": index_dir}
 
@@ -276,7 +292,27 @@ def ivf_topk(
     if transient:
         index_dir = tempfile.mkdtemp(prefix="esray_ivf_")
     try:
-        if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        meta_path = os.path.join(index_dir, "meta.json")
+        if os.path.exists(meta_path):
+            # refuse to silently serve an index built with other parameters
+            with open(meta_path) as f:
+                meta = json.load(f)
+            want = {
+                "n_clusters": n_clusters, "id_col": id_col,
+                "vec_col": vec_col, "seed": seed, "sample_size": sample_size,
+            }
+            mismatched = {
+                key: (meta.get(key), val)
+                for key, val in want.items()
+                if meta.get(key) != val
+            }
+            if mismatched:
+                raise ValueError(
+                    f"persisted IVF index at {index_dir} was built with "
+                    f"different parameters: {mismatched}; rebuild with "
+                    f"ivf_build or pass matching arguments"
+                )
+        else:
             ivf_build(
                 ds, index_dir, n_clusters=n_clusters, vec_col=vec_col,
                 id_col=id_col, sample_size=sample_size, seed=seed,

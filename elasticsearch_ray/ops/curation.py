@@ -10,8 +10,9 @@ Everything stays in the cluster: keep/drop decisions are hash-partitioned
 semi-/anti-joins on doc_id (``Dataset.join``), never driver-side id sets,
 and the quality filter is a vectorized per-batch mask, never a per-row
 Python lambda.  The only driver-side values are the stage counters (scalar
-aggregates).  Output is written as partitioned Parquet (one file per block)
-so a failed run can be resumed by diffing finished files.
+aggregates).  Output is written as partitioned Parquet (one file per
+block); a retried run replaces the output directory wholesale (Ray's
+write_parquet appends into existing dirs).
 """
 
 from __future__ import annotations
@@ -81,6 +82,14 @@ def curate(
 
     n_kept = None
     if out_dir is not None:
+        # Ray's write_parquet APPENDS into an existing dir; a retried run
+        # would double every surviving row (and inflate the counts below),
+        # so replace the output wholesale.  Partition-level resume would
+        # need per-shard done-markers — not implemented; a rerun redoes the
+        # write.
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
         kept.write_parquet(out_dir)
         if with_counts:
             # metadata-only count over the written files — no re-execution

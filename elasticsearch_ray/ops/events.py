@@ -22,7 +22,10 @@ _US = 1_000_000
 
 
 def _ts_us(batch: pa.Table, ts_col: str) -> np.ndarray:
-    return batch.column(ts_col).cast(pa.int64()).to_numpy()
+    # normalize to microseconds FIRST — a bare int64 cast yields the
+    # column's native unit (ns for pandas-written tables) and would silently
+    # scale every window/gap/lag computation by 1000
+    return batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
 
 
 def window_agg(
@@ -36,7 +39,7 @@ def window_agg(
     sum(value in integer cents, exact + order-independent).
 
     Equivalent SQL: ``SELECT date_trunc(...), key, count(*),
-    sum(round(value*100)) GROUP BY 1, 2``.
+    sum(floor(value*100 + 0.5)) GROUP BY 1, 2``.
     """
     from ray.data.aggregate import Count, Sum
 
@@ -45,8 +48,11 @@ def window_agg(
     def prep(batch: pa.Table) -> pa.Table:
         ts = _ts_us(batch, ts_col)
         win = (ts // win_us) * win_us
-        cents = np.round(
+        # floor(x+0.5), not np.round: half-to-even would diverge from the
+        # SQL twin's half-away round() on exact .5 cent boundaries
+        cents = np.floor(
             np.asarray(batch.column(value_col).to_numpy(), dtype=np.float64) * 100
+            + 0.5
         ).astype(np.int64)
         return pa.table(
             {
@@ -196,7 +202,8 @@ def range_join(
         rids = batch.column("rid").to_numpy()[r_mask]
         order = np.argsort(los)
         los, his, rids = los[order], his[order], rids[order]
-        assert (his[:-1] < los[1:]).all(), "range_join: overlapping intervals"
+        if not (his[:-1] < los[1:]).all():  # not assert: survives python -O
+            raise ValueError("range_join requires non-overlapping intervals per key")
         pos = np.searchsorted(los, lvals, side="right") - 1
         ok = (pos >= 0) & (lvals <= his[np.maximum(pos, 0)])
         return pa.table(
