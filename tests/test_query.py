@@ -61,6 +61,17 @@ def test_fixture_queries_wand(tiny_engine, tiny_oracle):
         assert_result_match(got, exp, check_total=False, rel_tol=1e-9)
 
 
+def test_fixture_queries_engine_daat(tiny_engine, tiny_oracle):
+    """Engine cursor-DAAT is rank-, score- and total-identical to the
+    oracle on the fixture query set."""
+    for q in fixture_queries():
+        if looks_boolean(q):
+            continue
+        got = tiny_engine.search(q, mode="daat")
+        exp = tiny_oracle.query_taat(q)
+        assert_result_match(got, exp, rel_tol=1e-9)
+
+
 def test_fixture_queries_daat_oracle_agreement(tiny_engine, tiny_oracle):
     """Oracle DAAT == oracle TAAT == engine (reference Q1/Q2 equivalence)."""
     for q in fixture_queries()[:10]:
