@@ -871,6 +871,16 @@ def _boolean_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # The stemmed-stream twins read a side-output parquet written by the
+    # paired queries() callables; build it here too so the twins work even
+    # if the driver evaluates oracle SQL before running the query.
+    try:
+        import ray
+
+        if ray.is_initialized() and os.path.isdir(_DRIVER_SF):
+            _ensure_stem_stream(_DRIVER_SF)
+    except Exception:
+        pass  # no Ray session / no sf dir: the query callable writes it
     stop = _stoplist_sql()
     return {
         "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
