@@ -95,6 +95,101 @@ def test_range_join_events_to_sessions(events_ds):
     assert out == {0: 1, 1: 1, 2: 2, 4: 2, 3: 1}
 
 
+def test_events_random_vs_python_reference():
+    """Randomized stream vs brute-force Python references for all three
+    keyed operators (ties, singleton users, ref-free users included)."""
+    import random
+
+    from elasticsearch_ray.ops.events import asof_join, range_join, sessionize
+
+    rng = random.Random(7)
+    n = 400
+    rows = []
+    for i in range(n):
+        uid = rng.randint(1, 12)
+        ts = BASE + rng.randint(0, 3_000) * 30 * US  # 30s grid -> ts ties happen
+        et = rng.choice(["view", "click", "error"])
+        rows.append((i, ts, uid, et))
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    GAP = 10 * 60 * US
+
+    # --- sessionize reference ---
+    by_user: dict[int, list[tuple]] = {}
+    for i, ts, uid, et in rows:
+        by_user.setdefault(uid, []).append((ts, i, et))
+    exp_sessions = []
+    for uid, evs in by_user.items():
+        tss = sorted(ts for ts, _, _ in evs)
+        seq, start, prev, cnt = 1, tss[0], tss[0], 1
+        for ts in tss[1:]:
+            if ts - prev > GAP:
+                exp_sessions.append((uid, seq, cnt, start, prev))
+                seq, start, cnt = seq + 1, ts, 0
+            cnt += 1
+            prev = ts
+        exp_sessions.append((uid, seq, cnt, start, prev))
+    got_sessions = sorted(
+        (r["user_id"], r["session_seq"], r["n_events"], r["start_us"], r["end_us"])
+        for r in sessionize(ds, gap_minutes=10).take_all()
+    )
+    assert got_sessions == sorted(exp_sessions)
+
+    # --- asof reference (inclusive, max event_id on ts ties) ---
+    exp_asof = {}
+    for uid, evs in by_user.items():
+        refs = sorted(((ts, i) for ts, i, et in evs if et == "click"))
+        for ts, i, et in evs:
+            cand = [(rts, ri) for rts, ri in refs if rts <= ts]
+            if cand:
+                rts, ri = max(cand)
+                exp_asof[i] = (ri, ts - rts)
+            else:
+                exp_asof[i] = (-1, -1)
+    got_asof = {
+        r["event_id"]: (r["ref_event_id"], r["lag_us"])
+        for r in asof_join(ds, ref_type="click").take_all()
+    }
+    assert got_asof == exp_asof
+
+    # --- range join back to sessions: every event lands in its session ---
+    sess = sessionize(ds, gap_minutes=10)
+
+    def prep(b):
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "ts_us": b.column("ts").cast(pa.int64()),
+                "event_id": b.column("event_id"),
+            }
+        )
+
+    got_rj = {
+        r["event_id"]: r["session_seq"]
+        for r in range_join(
+            ds.map_batches(prep, batch_format="pyarrow"), sess,
+            key_col="user_id", value_col="ts_us",
+            lo_col="start_us", hi_col="end_us",
+            left_id="event_id", right_id="session_seq",
+        ).take_all()
+    }
+    exp_rj = {}
+    for uid, seq, cnt, start, end in exp_sessions:
+        for ts, i, _ in by_user[uid]:
+            if start <= ts <= end:
+                exp_rj[i] = seq
+    assert got_rj == exp_rj
+    assert len(got_rj) == n  # every event falls in exactly one session
+
+
 def test_asof_join(events_ds):
     from elasticsearch_ray.ops.events import asof_join
 
