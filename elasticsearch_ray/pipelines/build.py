@@ -306,7 +306,7 @@ def _execute_build(
             t_stage = time.perf_counter()
             sorted_triples = tokenized.sort(["th", "doc_id"])
             runs = sorted_triples.map_batches(
-                lambda b: encode_runs_block(b, codec=codec, seg_bases=seg_bases),
+                lambda b: encode_runs_block(b, seg_bases=seg_bases),
                 batch_format="pyarrow",
                 batch_size=None,
                 zero_copy_batch=True,
@@ -403,7 +403,12 @@ def _finalize(index_dir: str, config: BuildConfig, seg_ids: list[int],
 
             t = pq.read_table(df_dir)
             agg = pa.TableGroupBy(t, "term").aggregate([("df", "sum")])
-            agg = agg.rename_columns(["term", "df"]).sort_by("term")
+            # select by NAME: aggregate column order flipped across pyarrow
+            # majors (key-first vs aggregates-first) — a positional rename
+            # would silently swap term/df
+            agg = agg.select(["term", "df_sum"]).rename_columns(
+                ["term", "df"]
+            ).sort_by("term")
             pq.write_table(agg, os.path.join(df_global_dir, "df-00000.parquet"))
         else:
             df_ds = ray.data.read_parquet(df_dir)

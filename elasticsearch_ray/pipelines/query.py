@@ -73,7 +73,7 @@ class Searcher:
                     r, terms, idfs, k, scoring, k1, b, avgdl,
                     initial_threshold=threshold,
                 )
-                if scores.size >= k:
+                if k > 0 and scores.size >= k:
                     threshold = max(threshold, float(scores[k - 1]))
             elif mode == "daat":
                 slots, scores, n = sc.daat_topk(
@@ -243,7 +243,7 @@ class QueryEngine:
         ``include_urls`` joins the top-k against the docmap (reference J1,
         tiny k-row join)."""
         if '"' in query_text and self.has_positions:
-            res = self._search_phrase(query_text, size)
+            res = self._search_phrase(query_text, size, mode)
         elif looks_boolean(query_text):
             res = self._search_boolean(query_text, size)
         else:
@@ -288,14 +288,16 @@ class QueryEngine:
         residual = normalizer.preprocess_query_list(residual_text)
         return phrases, residual
 
-    def _search_phrase(self, query_text: str, size: int) -> dict:
+    def _search_phrase(self, query_text: str, size: int,
+                       mode: str | None = None) -> dict:
         phrases, residual = self.parse_phrases(query_text, self.normalizer)
         if not phrases:
-            # no usable quoted span -> normal routing on the unquoted text
+            # no usable quoted span -> normal routing on the unquoted text,
+            # honoring the caller's per-call mode
             stripped = query_text.replace('"', " ")
             if looks_boolean(stripped):
                 return self._search_boolean(stripped, size)
-            return self._search_ranked(stripped, size, self.mode)
+            return self._search_ranked(stripped, size, mode or self.mode)
         parts = self._fanout("search_phrase", phrases, residual, size)
         ids = np.concatenate([p[0] for p in parts])
         total = int(sum(p[1] for p in parts))
@@ -341,7 +343,7 @@ class QueryEngine:
         for qi, q in enumerate(queries):
             if '"' in q and self.has_positions:
                 metas.append(("done", q))
-                inline[qi] = self.search(q, size=size)
+                inline[qi] = self.search(q, size=size, mode=mode)
             elif looks_boolean(q):
                 rpn = to_rpn(preprocess_boolean_query(q, self.normalizer))
                 metas.append(("bool", q))

@@ -66,22 +66,46 @@ def _binary_from_slices(data: bytes, cell_byte_lens: np.ndarray) -> pa.LargeBina
     )
 
 
+def _concat_binary_cells(col: pa.LargeBinaryArray) -> np.ndarray:
+    """Concatenation of every cell of a LargeBinary array as ONE uint8 view.
+
+    Valid because the array's value buffer stores cells back-to-back in
+    array order (true for freshly built/taken arrays, e.g. after a sort_by);
+    honors a non-zero array offset.  Returns an empty view for all-empty
+    cells.
+    """
+    bufs = col.buffers()
+    if bufs[2] is None:
+        return np.empty(0, dtype=np.uint8)
+    offsets = np.frombuffer(
+        bufs[1], dtype=np.int64, count=col.offset + len(col) + 1
+    )[col.offset :]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data[offsets[0] : offsets[-1]]
+
+
 def encode_runs_block(
-    batch: pa.Table, codec: str = "vbyte", seg_bases: np.ndarray | None = None
+    batch: pa.Table, seg_bases: np.ndarray | None = None
 ) -> pa.Table:
     """One sorted block of triples -> one row per (seg, term) run.
 
     The block arrives sorted by (th, doc_id).  Segment membership is derived
     from the doc id against the segment base offsets; runs split where the
-    term hash OR the segment changes.  (A th collision between two terms
-    yields interleaved mini-runs — still correct, the assembler re-groups by
-    the actual term string.)
+    term hash, the segment, OR the term STRING changes — the last one is the
+    th-collision guard: two terms with equal 64-bit hashes interleave by
+    doc, so splitting on the string yields correctly-labeled mini-runs whose
+    per-term doc ranges stay disjoint and ascending (the assembler's
+    (term, first_doc) sort then concatenates them; its d>0 invariant check
+    would catch any violation).
 
     Doc ids are encoded as segment-local slots (``doc_id - seg_base``),
     mirroring the reference's dense ``doc_idx`` postings
     (``selfindex_q_daat.py:94-110``): first element absolute-within-segment,
     the rest deltas.  ``seg_bases[seg_id]`` gives each segment's base
     (ascending, so ``searchsorted`` maps doc -> seg).
+
+    Runs are a TRANSPORT format and always delta+VByte; the segment codec
+    (vbyte/zlib) applies when cells are written in the assembler.
     """
     n = batch.num_rows
     if n == 0:
@@ -96,11 +120,14 @@ def encode_runs_block(
         seg_bases = np.zeros(1, dtype=np.int64)
     seg = (np.searchsorted(seg_bases, doc, side="right") - 1).astype(np.int32)
 
-    # Run boundaries: term hash or seg changes between adjacent rows.
+    # Run boundaries: term hash, seg, or term string changes between rows.
     if n == 1:
         change = np.zeros(0, dtype=bool)
     else:
-        change = (th[1:] != th[:-1]) | (seg[1:] != seg[:-1])
+        term_neq = ~pc.equal(term.slice(1), term.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        change = (th[1:] != th[:-1]) | (seg[1:] != seg[:-1]) | term_neq
     starts = np.empty(1 + int(change.sum()), dtype=np.int64)
     starts[0] = 0
     starts[1:] = np.flatnonzero(change) + 1
@@ -112,13 +139,8 @@ def encode_runs_block(
     # all runs at once.
     deltas = np.empty(n, dtype=np.int64)
     deltas[1:] = doc[1:] - doc[:-1]
-    if seg_bases is None:
-        deltas[starts] = doc[starts]
-    else:
-        deltas[starts] = doc[starts] - seg_bases[seg[starts]]
+    deltas[starts] = doc[starts] - seg_bases[seg[starts]]
 
-    # Runs are a TRANSPORT format and always delta+VByte; the segment codec
-    # (vbyte/zlib) applies when cells are written in the assembler.
     data, vlens = vbyte_encode_with_lengths(deltas)
     byte_lens = np.add.reduceat(vlens, starts)
     postings_arr = _binary_from_slices(data, byte_lens)
@@ -284,14 +306,16 @@ class SegmentAssembler:
         rstarts = np.zeros(nruns, dtype=np.int64)
         np.cumsum(run_lens[:-1], out=rstarts[1:])
         # runs arrive in the VByte transport format regardless of the
-        # segment codec (which is applied in _write_segment)
-        post_buf = b"".join(postings_col.to_pylist())
-        deltas = vbyte_decode(post_buf)
+        # segment codec (which is applied in _write_segment).  After the
+        # sort_by above the binary cells sit contiguously in run order, so
+        # the concatenation is a zero-copy buffer slice, not a Python-bytes
+        # rejoin of the whole compressed payload.
+        deltas = vbyte_decode(_concat_binary_cells(postings_col))
         cs = np.cumsum(deltas)
         prev = np.zeros(nruns, dtype=np.int64)
         prev[1:] = cs[rstarts[1:] - 1]
         slots = cs - np.repeat(prev, run_lens)
-        tfs = vbyte_decode(b"".join(tfs_col.to_pylist()))
+        tfs = vbyte_decode(_concat_binary_cells(tfs_col))
 
         # Group runs by term -> per-term posting spans.  Sub-runs of one term
         # come from the doc-ordered sort split, so their concatenation is

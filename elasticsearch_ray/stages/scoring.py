@@ -41,7 +41,7 @@ _EPS = 1e-9
 def _topk_by_score(slots: np.ndarray, scores: np.ndarray, k: int):
     """Exact top-k with (-score, slot asc) tie-break."""
     n = scores.size
-    if n == 0:
+    if n == 0 or k <= 0:  # size=0 is a legal count-only query
         return slots[:0], scores[:0]
     if n > 512 and n > k:
         thr = np.partition(scores, n - k)[n - k]
@@ -173,7 +173,7 @@ def daat_topk(reader, terms, idfs, k, scoring, k1, b, avgdl):
                 item = (score, -pivot)
                 if len(heap) < k:
                     heapq.heappush(heap, item)
-                elif item > heap[0]:
+                elif heap and item > heap[0]:  # heap empty iff k <= 0
                     heapq.heapreplace(heap, item)
         nxt = []
         for c in active:
@@ -194,10 +194,11 @@ def daat_topk(reader, terms, idfs, k, scoring, k1, b, avgdl):
 
 
 class _Cursor:
-    __slots__ = (
-        "qi", "row", "idf", "blk_last", "blk_ub", "nblocks",
-        "cur_block", "slots", "tfs", "pos", "cur_doc", "df",
-    )
+    """Per-term handle for the vectorized block-max evaluators: block
+    metadata + upper bounds only (no decoded postings — blocks are decoded
+    lazily by the evaluators themselves)."""
+
+    __slots__ = ("qi", "row", "idf", "blk_last", "blk_ub", "nblocks", "df")
 
     def __init__(self, qi, row, idf, blk_last, blk_ub, df):
         self.qi = qi
@@ -206,11 +207,6 @@ class _Cursor:
         self.blk_last = blk_last
         self.blk_ub = blk_ub
         self.nblocks = blk_last.size
-        self.cur_block = -1
-        self.slots = None
-        self.tfs = None
-        self.pos = 0
-        self.cur_doc = -1
         self.df = df
 
 
@@ -233,6 +229,9 @@ def wand_topk(
     Returns (slots, scores, -1): total_hits is unknown by design — WAND's
     whole point is not visiting every candidate.
     """
+    if k <= 0:  # the seed-threshold partitions below assume k >= 1
+        e = np.empty(0, dtype=np.int64)
+        return e, np.empty(0, dtype=np.float64), -1
     # zlib segments store whole-list cells (no per-block offsets): no lazy
     # block decode possible, so score fully vectorized — identical results
     if reader.codec == "zlib":
@@ -250,7 +249,6 @@ def wand_topk(
         blk_last, blk_maxtf, blk_mindl = reader.block_meta_by_row(row)
         ub = term_scores(blk_maxtf, blk_mindl, idf, scoring, k1, b, avgdl)
         c = _Cursor(qi, row, idf, blk_last.astype(np.int64), ub, reader.df_by_row(row))
-        _cursor_load_block(reader, c, 0)
         cursors.append(c)
     if not cursors:
         e = np.empty(0, dtype=np.int64)
@@ -425,35 +423,6 @@ def _wand_single_term(reader, c: _Cursor, k, scoring, k1, b, avgdl,
         np.concatenate(parts_s), np.concatenate(parts_sc), k
     )
     return top_s, top_sc, -1
-
-
-def _cursor_load_block(reader: SegmentReader, c: _Cursor, block: int) -> None:
-    if block >= c.nblocks:
-        c.cur_doc = _EXHAUSTED
-        c.slots = c.tfs = None
-        return
-    c.cur_block = block
-    c.slots, c.tfs = reader.decode_block(c.row, block)
-    c.pos = 0
-    c.cur_doc = int(c.slots[0])
-
-
-def _cursor_advance_to(reader: SegmentReader, c: _Cursor, target: int) -> None:
-    """Move cursor to the first posting with slot >= target (block skipping:
-    untouched blocks are never decoded)."""
-    if c.cur_doc == _EXHAUSTED or c.cur_doc >= target:
-        return
-    if int(c.blk_last[c.cur_block]) < target:
-        nxt = int(np.searchsorted(c.blk_last, target, side="left"))
-        _cursor_load_block(reader, c, nxt)
-        if c.cur_doc == _EXHAUSTED or c.cur_doc >= target:
-            return
-    pos = int(np.searchsorted(c.slots, target, side="left"))
-    if pos >= c.slots.size:  # defensive; blk_last check should prevent this
-        _cursor_load_block(reader, c, c.cur_block + 1)
-        return
-    c.pos = pos
-    c.cur_doc = int(c.slots[pos])
 
 
 def phrase_eval(

@@ -106,13 +106,6 @@ class SegmentReader:
                 self.doc_lens[slots] = -1
         self._terms = self.table.column("term")
         self._df = self.table.column("df").to_numpy()
-        self._postings = self.table.column("postings").combine_chunks()
-        self._tfs = self.table.column("tfs").combine_chunks()
-        self._blk_last = self.table.column("blk_last").combine_chunks()
-        self._blk_maxtf = self.table.column("blk_maxtf").combine_chunks()
-        self._blk_mindl = self.table.column("blk_mindl").combine_chunks()
-        self._blk_poff = self.table.column("blk_poff").combine_chunks()
-        self._blk_tfoff = self.table.column("blk_tfoff").combine_chunks()
         # Zero-copy views over the mmap'd binary columns: per-cell access is
         # a numpy slice, no bytes copy (hot path for every query term).
         self._cells = {}

@@ -187,6 +187,39 @@ def test_multifield_best_fields_boost(tmp_path):
     eng.close()
 
 
+def test_size_zero_query(dense_engine):
+    """size=0 is a legal count-only call in every mode (reference
+    heapq.nlargest(0) returns empty but total_hits still counts)."""
+    for mode in ("taat", "daat", "wand"):
+        res = dense_engine.search("aaa bbb", size=0, mode=mode)
+        assert res["results"] == []
+        if mode != "wand":
+            assert res["total_hits"] > 0
+
+
+def test_encode_runs_block_th_collision():
+    """Two terms with the SAME 64-bit hash in one sorted block must emit
+    separate, correctly-labeled runs (the string-change split), not one
+    merged run under the first term."""
+    from elasticsearch_ray.stages.postings import encode_runs_block
+
+    # rows sorted by (th, doc_id): terms interleave under one hash
+    batch = pa.table(
+        {
+            "seg": pa.array([0, 0, 0, 0], pa.int32()),
+            "th": pa.array([7, 7, 7, 7], pa.int64()),
+            "term": pa.array(["aaa", "bbb", "aaa", "bbb"]),
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "tf": pa.array([1, 1, 1, 1], pa.int64()),
+        }
+    )
+    runs = encode_runs_block(batch, seg_bases=np.zeros(1, dtype=np.int64))
+    assert runs.num_rows == 4  # split at every term change
+    assert runs.column("term").to_pylist() == ["aaa", "bbb", "aaa", "bbb"]
+    assert runs.column("df").to_pylist() == [1, 1, 1, 1]
+    assert runs.column("first_doc").to_pylist() == [0, 1, 2, 3]
+
+
 def test_zlib_overflow_raises():
     from elasticsearch_ray.functions.vbyte import zlib_encode_postings
 
