@@ -74,13 +74,47 @@ class RayBM25Index:
         )
         return path
 
+    @staticmethod
+    def _is_parquet_paths(files) -> bool:
+        return isinstance(files, str) or (
+            isinstance(files, list) and all(isinstance(f, str) for f in files)
+        )
+
     def _input_for(self, index_id: str, files, tag: str):
-        if isinstance(files, (str, list)) and (
-            not isinstance(files, list) or all(isinstance(f, str) for f in files)
-        ):
+        if self._is_parquet_paths(files):
             return files  # parquet path(s)
         scratch = os.path.join(self._dir(index_id), f"_input_{tag}.parquet")
         return self._files_to_parquet(files, scratch)
+
+    def _pair_config(self, base_cfg):
+        """Config override for (doc_id, content)-pair inputs: ids land in the
+        scratch parquet's 'url' column; lang metadata (and any lang filter)
+        doesn't exist for pairs."""
+        import dataclasses
+
+        return dataclasses.replace(
+            base_cfg, url_column="url", lang_column=None, lang_filter=None
+        )
+
+    @staticmethod
+    def _paths_fingerprint(resolved) -> str:
+        """Cheap identity for a parquet input spec (paths + file sizes) —
+        decides whether a crashed build dir may be resumed."""
+        import hashlib
+
+        paths = [resolved] if isinstance(resolved, str) else sorted(resolved)
+        h = hashlib.md5()
+        for p in paths:
+            h.update(p.encode())
+            if os.path.isfile(p):
+                h.update(str(os.path.getsize(p)).encode())
+            elif os.path.isdir(p):
+                for f in sorted(os.listdir(p)):
+                    fp = os.path.join(p, f)
+                    h.update(f.encode())
+                    if os.path.isfile(fp):
+                        h.update(str(os.path.getsize(fp)).encode())
+        return h.hexdigest()
 
     def _close_engine(self):
         if self.engine is not None:
@@ -90,27 +124,37 @@ class RayBM25Index:
     # -- IndexBase contract ------------------------------------------------
 
     def create_index(self, index_id: str, files=None) -> None:
-        import dataclasses
-
         if files is None:
             raise ValueError("create_index requires files or a parquet path")
         index_dir = self._dir(index_id)
         # "Creates an index for the given files" (index_base.py:41-46): a
         # FINISHED pre-existing index under this id must not leak through —
         # purge it so resume logic can't skip the new build and serve stale
-        # segments.  A dir WITHOUT manifest.json is a crashed build of this
-        # same id: keep it so the build's segment-level resume still works.
+        # segments.  A dir WITHOUT manifest.json is a crashed build: keep it
+        # (segment-level resume) only when it was building the SAME parquet
+        # input, else purge — resumed stale segments would serve the old
+        # corpus.  Pair inputs always rebuild (small by construction).
         if self.current_index == index_id:
             self._close_engine()
             self.current_index = None
+        is_paths = self._is_parquet_paths(files)
+        fp_path = os.path.join(index_dir, "_build_input.json")
         if os.path.exists(os.path.join(index_dir, "manifest.json")):
             shutil.rmtree(index_dir, ignore_errors=True)
-        cfg = self.config
-        if files is not None and not isinstance(files, (str,)):
-            cfg = dataclasses.replace(
-                self.config, url_column="url", lang_column=None
-            )
-        build_index(self._input_for(index_id, files, "create"), index_dir, cfg)
+        elif os.path.isdir(index_dir):
+            same_input = False
+            if is_paths and os.path.exists(fp_path):
+                with open(fp_path) as f:
+                    same_input = json.load(f).get("fp") == self._paths_fingerprint(files)
+            if not same_input:
+                shutil.rmtree(index_dir, ignore_errors=True)
+        cfg = self.config if is_paths else self._pair_config(self.config)
+        resolved = self._input_for(index_id, files, "create")
+        if is_paths:
+            os.makedirs(index_dir, exist_ok=True)
+            with open(fp_path, "w") as f:
+                json.dump({"fp": self._paths_fingerprint(files)}, f)
+        build_index(resolved, index_dir, cfg)
         self.load_index(index_id)
 
     def load_index(self, index_id: str) -> None:
@@ -132,8 +176,22 @@ class RayBM25Index:
             ]
             add_tombstones(index_dir, self._doc_ids_for_urls(index_dir, urls))
         if add_files is not None:
+            cfg = None
+            if not self._is_parquet_paths(add_files):
+                # pair adds land in a scratch parquet with a 'url' column —
+                # an index built with url_column != 'url' must not look for
+                # its original column there (ids would silently become
+                # synthetic row-N names)
+                from .pipelines.build import BuildConfig as _BC
+                from .state.manifest import read_json as _rj
+
+                manifest_cfg = _BC(
+                    **_rj(os.path.join(index_dir, "manifest.json"))["config"]
+                )
+                cfg = self._pair_config(manifest_cfg)
             extend_index(
-                index_dir, self._input_for(index_id, add_files, "add")
+                index_dir, self._input_for(index_id, add_files, "add"),
+                config=cfg,
             )
         if self.current_index == index_id:
             self.load_index(index_id)  # reload segments + tombstones
@@ -177,8 +235,24 @@ class RayBM25Index:
         index_dir = self._dir(index_id or self.current_index)
         import pyarrow.parquet as pq
 
-        t = pq.read_table(os.path.join(index_dir, "docmap"), columns=["url"])
-        return t.column("url").to_pylist()
+        t = pq.read_table(
+            os.path.join(index_dir, "docmap"), columns=["doc_id", "url"]
+        )
+        manifest_path = os.path.join(index_dir, "manifest.json")
+        tombs: set[int] = set()
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                tombs = set(json.load(f).get("tombstones", []))
+        if not tombs:
+            return t.column("url").to_pylist()
+        # tombstoned docs are removed, not indexed — don't list them
+        return [
+            u
+            for d, u in zip(
+                t.column("doc_id").to_pylist(), t.column("url").to_pylist()
+            )
+            if d not in tombs
+        ]
 
     def get_stats(self) -> dict:
         assert self.engine is not None, "load_index first"

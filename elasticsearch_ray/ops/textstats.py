@@ -139,6 +139,11 @@ def fingerprints(
     """Winnowing-style document fingerprint: minimum Rabin-Karp rolling hash
     over byte windows (plus the full-doc hash)."""
 
+    # constant per (window, base, mod) — not per document
+    powers = np.array(
+        [pow(base, e, mod) for e in range(window - 1, -1, -1)], dtype=np.int64
+    )
+
     def fn(batch: pa.Table) -> pa.Table:
         import hashlib
 
@@ -155,10 +160,6 @@ def fingerprints(
                 continue
             arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
             # vectorized rolling hash: h_j = sum arr[j+t]*base^(w-1-t) mod m
-            powers = np.array(
-                [pow(base, e, mod) for e in range(window - 1, -1, -1)],
-                dtype=np.int64,
-            )
             # sliding windows via stride trick
             win = np.lib.stride_tricks.sliding_window_view(arr, window)
             h = (win * powers[None, :] % mod).sum(axis=1) % mod

@@ -55,8 +55,13 @@ def token_frequencies(
         concurrency=concurrency,
     )
     counts = toks.groupby("token").count()
+    # select by NAME (not positional rename): aggregate column order is a
+    # version-dependent trap — see build.py _finalize
     return counts.map_batches(
-        lambda t: t.rename_columns(["token", "n"]), batch_format="pyarrow"
+        lambda t: pa.table(
+            {"token": t.column("token"), "n": t.column("count()")}
+        ),
+        batch_format="pyarrow",
     )
 
 

@@ -202,6 +202,41 @@ def compact_index(index_dir: str) -> dict:
         ds.map_batches(
             compact_one, batch_size=1, batch_format="pyarrow"
         ).take_all()
+
+        # docmap parts: drop tombstoned rows so list_indexed_files / url
+        # lookups reflect physical deletion once the tombstone list clears
+        dm_dir = os.path.join(index_dir, "docmap")
+        part_names = sorted(
+            f for f in os.listdir(dm_dir) if f.endswith(".parquet")
+        )
+        tomb_arr_ref = ray.put(sorted(tombs))
+
+        def filter_docmap_part(batch):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            tomb_arr = pa.array(ray.get(tomb_arr_ref), pa.int64())
+            out_rows = []
+            for name in batch.column("name").to_pylist():
+                path = os.path.join(dm_dir, name)
+                t = pq.read_table(path)
+                mask = pc.invert(
+                    pc.is_in(t.column("doc_id"), value_set=tomb_arr)
+                )
+                t2 = t.filter(mask)
+                if t2.num_rows != t.num_rows:
+                    tmp = path + ".tmp"
+                    pq.write_table(t2, tmp)
+                    os.replace(tmp, path)
+                out_rows.append(t.num_rows - t2.num_rows)
+            return pa.table({"removed": pa.array(out_rows, pa.int64())})
+
+        ray.data.from_items(
+            [{"name": n} for n in part_names]
+        ).map_batches(
+            filter_docmap_part, batch_size=8, batch_format="pyarrow"
+        ).take_all()
     return _finalize(
         index_dir, config, seg_ids, {}, 0, tombstones=[]
     )

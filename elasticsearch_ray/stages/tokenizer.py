@@ -100,17 +100,7 @@ class TokenizePartition:
         doc_id_base = spec["doc_id_base"]
         seg_base = spec.get("seg_base", 0)
         n = tbl.num_rows
-        texts = self._texts(tbl)
-        langs = (
-            tbl.column(self.lang_column).to_pylist()
-            if self.lang_column and self.lang_column in tbl.column_names
-            else [None] * n
-        )
-        urls = (
-            tbl.column(self.url_column).to_pylist()
-            if self.url_column and self.url_column in tbl.column_names
-            else [f"row-{doc_id_base + i}" for i in range(n)]
-        )
+        texts, langs, urls = self._aligned_columns(tbl, doc_id_base, n)
 
         tokenize = self.normalizer.tokenize
         post: dict[str, list[int]] = {}
@@ -242,11 +232,9 @@ class TokenizePartition:
             texts = [f"{p or ''}. {t or ''}" for p, t in zip(pref, texts)]
         return texts
 
-    def _process_partition(self, spec: dict) -> pa.Table:
-        tbl = self._read_rows(spec)
-        doc_id_base = spec["doc_id_base"]
-        n = tbl.num_rows
-
+    def _aligned_columns(self, tbl: pa.Table, doc_id_base: int, n: int):
+        """(texts, langs, urls) for one partition — shared by both shuffle
+        modes so the lang/url fallbacks can't diverge."""
         texts = self._texts(tbl)
         langs = (
             tbl.column(self.lang_column).to_pylist()
@@ -258,6 +246,14 @@ class TokenizePartition:
             if self.url_column and self.url_column in tbl.column_names
             else [f"row-{doc_id_base + i}" for i in range(n)]
         )
+        return texts, langs, urls
+
+    def _process_partition(self, spec: dict) -> pa.Table:
+        tbl = self._read_rows(spec)
+        doc_id_base = spec["doc_id_base"]
+        n = tbl.num_rows
+
+        texts, langs, urls = self._aligned_columns(tbl, doc_id_base, n)
 
         tokenize = self.normalizer.tokenize
         hcache = self._hash_cache

@@ -46,6 +46,35 @@ def test_create_index_overwrites_existing(tmp_path):
     ix.delete_index("t1")
 
 
+def test_list_indexed_files_excludes_removed(tmp_path):
+    ix = RayBM25Index(
+        base_dir=str(tmp_path),
+        config=BuildConfig(target_partition_rows=2, docs_per_segment=3),
+    )
+    ix.create_index("t", DOCS_A)
+    ix.update_index("t", remove_files=["a-1"])
+    assert "a-1" not in ix.list_indexed_files("t")  # tombstoned
+    ix.compact("t")
+    assert sorted(ix.list_indexed_files("t")) == ["a-2", "a-3"]  # physical
+    ix.delete_index("t")
+
+
+def test_create_index_pairs_ignores_lang_filter(tmp_path):
+    """Pair inputs carry no lang metadata; a configured lang_filter must not
+    silently produce an empty index."""
+    ix = RayBM25Index(
+        base_dir=str(tmp_path),
+        config=BuildConfig(
+            target_partition_rows=2, docs_per_segment=3,
+            lang_column="lang", lang_filter="en",
+        ),
+    )
+    ix.create_index("t", DOCS_A)
+    assert ix.get_stats()["doc_count"] == len(DOCS_A)
+    assert json.loads(ix.query("apple"))["total_hits"] == 2
+    ix.delete_index("t")
+
+
 def test_query_engine_serves_only_manifest_segments(tmp_path):
     """Leftover segment files (crashed extend / prior larger build) must not
     be globbed in: only manifest['segments'] is served."""
