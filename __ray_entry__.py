@@ -107,9 +107,12 @@ def _stem_stream_dir(sf_dir: str) -> str:
 
 
 def _ensure_stem_stream(sf_dir: str) -> str:
+    import shutil
+
     out = _stem_stream_dir(sf_dir)
     done = os.path.join(out, "_done")
     if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)  # write_parquet APPENDS
         _docs_ds(sf_dir).map_batches(
             _StemStreamTokenizer, batch_format="pyarrow", concurrency=2
         ).write_parquet(out)
@@ -127,9 +130,13 @@ def _ensure_title_parquet(sf_dir: str) -> str:
     """Side-output (doc_id, title, text) with a deterministic derived title
     (first 5 space-split tokens) — the corpus has no title field, so both
     the engine and the SQL twin derive the same one."""
+    import shutil
+
     out = _index_dir_for(sf_dir, "titledocs")
     done = os.path.join(out, "_done")
     if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)  # write_parquet APPENDS
+
         def derive(batch: pa.Table) -> pa.Table:
             texts = batch.column("text").to_pylist()
             titles = [" ".join((t or "").split(" ")[:5]) for t in texts]
@@ -615,7 +622,8 @@ def _q_event_sessions(sf_dir: str):
         return pa.table(
             {
                 "user_id": batch.column("user_id"),
-                "ts_us": batch.column("ts").cast(pa.int64()),
+                # normalize unit BEFORE the int cast (ns-unit tables)
+                "ts_us": batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
                 "event_id": batch.column("event_id"),
             }
         )
@@ -918,9 +926,10 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY text ORDER BY doc_id"
         ),
         "ann_top10": """
-WITH q AS (SELECT vec_id AS query_id,
+WITH q AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id,
                   CAST(embedding AS DOUBLE[]) AS qe
-           FROM embeddings WHERE vec_id < 5),
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 ORDER BY vec_id LIMIT 5)),
 s AS (SELECT q.query_id, e.vec_id,
              list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos
       FROM q CROSS JOIN embeddings e),

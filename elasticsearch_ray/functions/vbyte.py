@@ -127,6 +127,8 @@ def decode_tfs(data: bytes) -> np.ndarray:
 
 def zlib_encode_postings(sorted_doc_ids: np.ndarray) -> bytes:
     deltas = delta_encode(np.asarray(sorted_doc_ids, dtype=np.int64))
+    if deltas.size == 0:
+        return b""  # reference returns b'' for empty lists; match it
     if deltas.size and int(deltas.max()) >= 2**32:
         # reference struct.pack('I') raises on overflow; a silent '<u4' cast
         # would corrupt postings instead — unreachable with segment-local

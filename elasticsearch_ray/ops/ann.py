@@ -170,6 +170,9 @@ def ivf_build(
                 "vec_col": vec_col,
                 "seed": seed,
                 "sample_size": sample_size,
+                # corpus identity (row count): ivf_topk refuses to serve a
+                # persisted index built over a different-sized dataset
+                "num_vectors": ds.count(),
             },
             f,
         )
@@ -300,6 +303,7 @@ def ivf_topk(
             want = {
                 "n_clusters": n_clusters, "id_col": id_col,
                 "vec_col": vec_col, "seed": seed, "sample_size": sample_size,
+                "num_vectors": ds.count(),
             }
             mismatched = {
                 key: (meta.get(key), val)

@@ -28,7 +28,13 @@ import pyarrow as pa
 import ray
 import ray.data
 
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31-1 for the minhash universal hash: with a, b, x < 2^31
+# the product a*x <= ~2^62 fits int64 EXACTLY and still wraps p many times,
+# so (a*x + b) % p is the genuine universal family.  (A 2^61-1 prime with
+# 64-bit inputs overflows int64 before the modulo; and if a*x+b < p the
+# modulo never wraps, making every "permutation" order-identical — both
+# silently destroy min-wise independence.)
+_MERSENNE = (1 << 31) - 1
 
 
 def _text_hash64(texts: list[str]) -> np.ndarray:
@@ -96,6 +102,9 @@ def exact_dedup(
 
 
 def _minhash_params(num_perm: int, seed: int = 42):
+    # see _MERSENNE note: a, b drawn over [*, p) with p = 2^31-1.  31-bit
+    # shingle ids distort a pair's Jaccard estimate by ~|shingles|^2/2^32 —
+    # ~1e-3 at 1k-shingle documents — far below LSH banding noise.
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
     b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
@@ -110,7 +119,7 @@ def _shingle_hashes(tokens: list[str], shingle: int) -> np.ndarray:
             " ".join(tokens[i : i + shingle])
             for i in range(len(tokens) - shingle + 1)
         ]
-    return _text_hash64(grams).astype(np.int64) & ((1 << 60) - 1)
+    return _text_hash64(grams).astype(np.int64) & ((1 << 31) - 1)
 
 
 def minhash_signatures(
@@ -169,7 +178,8 @@ def minhash_lsh_dedup(
     reaches the threshold are marked.  The exact n-gram kernel
     (:func:`ngram_jaccard`) remains available for final pair verification.
     """
-    assert num_perm % bands == 0
+    if num_perm % bands != 0:  # not assert: survives python -O
+        raise ValueError(f"num_perm={num_perm} must be divisible by bands={bands}")
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle, seed)
 
