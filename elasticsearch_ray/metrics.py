@@ -10,6 +10,9 @@ import math
 
 
 def precision(retrieved: list, relevant: list, k: int | None = None) -> float:
+    """Reference parity quirk (plot_d_functional_metrics.py:86-87): divides
+    by the RETRIEVED set size, not k — a truncated result list can score
+    P@k = 1.0.  Kept verbatim for metric-value compatibility."""
     if not retrieved:
         return 0.0
     if k is not None:

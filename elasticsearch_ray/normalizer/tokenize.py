@@ -94,7 +94,9 @@ def preprocess_boolean_query(query: str, normalizer: Normalizer) -> tuple[str, .
     for word in tokens:
         if word.upper() in BOOLEAN_OPERATORS or word in ("(", ")"):
             processed.append(word.upper())
-        elif word.isalnum() and word not in normalizer.stop_words:
+        elif word not in normalizer.stop_words:
+            # every non-paren token matched [a-z0-9]+, so the reference's
+            # isalnum() check is vacuously true here
             processed.append(normalizer.stemmer.stem(word))
     return tuple(processed)
 

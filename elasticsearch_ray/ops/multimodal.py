@@ -38,6 +38,8 @@ class BinaryFeatureExtractor:
                 "media codecs (PIL/ffmpeg/torchaudio) are not available in "
                 "this environment; plug the real decoder here"
             )
+        if mode != "fake":  # a typo must not silently select the stub path
+            raise ValueError(f"unknown mode {mode!r}; expected 'fake' or 'strict'")
         # 'model' state: fixed projection seeded deterministically
         rng = np.random.default_rng(42)
         self._proj = rng.normal(size=(256, feature_dim)).astype(np.float32)
@@ -72,6 +74,8 @@ class ImageResizeStub:
                  mode: str = "fake"):
         if mode == "strict":
             raise NotImplementedError("plug PIL/cv2 decode+resize here")
+        if mode != "fake":
+            raise ValueError(f"unknown mode {mode!r}; expected 'fake' or 'strict'")
         self.payload_col = payload_col
         self.target = target
 
@@ -101,6 +105,8 @@ class FrameSampleStub:
                  stride: int = 4, max_frames: int = 8, mode: str = "fake"):
         if mode == "strict":
             raise NotImplementedError("plug ffmpeg frame extraction here")
+        if mode != "fake":
+            raise ValueError(f"unknown mode {mode!r}; expected 'fake' or 'strict'")
         self.payload_col = payload_col
         self.frame_bytes = frame_bytes
         self.stride = stride

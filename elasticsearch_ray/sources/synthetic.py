@@ -39,11 +39,15 @@ _FAMILIES = [
 
 
 def _build_vocab(size: int = 2000) -> list[str]:
+    from ..normalizer import ENGLISH_STOPWORDS
+
     seen: set[str] = set()
     vocab: list[str] = []
 
     def add(w: str) -> None:
-        if w not in seen:
+        # vocab words must survive the reference normalizer (len>=2,
+        # non-digit, non-stopword), else a Zipf slot silently has df=0
+        if w not in seen and len(w) >= 2 and w not in ENGLISH_STOPWORDS:
             seen.add(w)
             vocab.append(w)
 
@@ -118,7 +122,9 @@ def generate_chunk(start: int, count: int, seed: int = 42,
         htmls.append(b"<html><body><p>" + text.encode() + b"</p></body></html>")
         texts.append(text)
         r = i % 20
-        langs.append("en" if r < 19 else ("de" if i % 2 == 0 else "fr"))
+        # non-en docs alternate de/fr by corpus position (i%20==19 forces i
+        # odd, so an i%2 test would make one branch unreachable)
+        langs.append("en" if r < 19 else ("de" if (i // 20) % 2 == 0 else "fr"))
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -155,10 +161,14 @@ def write_webtext(
     return paths
 
 
+_CORPUS_V = 2  # bump when the generator's output changes
+
+
 def cached_webtext(num_docs: int, avg_len: int = 500, seed: int = 42,
                    base: str = "/tmp/esray_webtext") -> str:
-    """Generate-once cache used by tests and bench."""
-    out_dir = f"{base}/n{num_docs}_l{avg_len}_s{seed}"
+    """Generate-once cache used by tests and bench.  ``_CORPUS_V`` keys the
+    cache dir so generator changes invalidate stale corpora."""
+    out_dir = f"{base}/v{_CORPUS_V}_n{num_docs}_l{avg_len}_s{seed}"
     marker = os.path.join(out_dir, "_DONE")
     if not os.path.exists(marker):
         write_webtext(out_dir, num_docs, seed=seed, avg_len=avg_len)
