@@ -3,9 +3,10 @@
 All operators stream over a ``ray.data.Dataset`` of documents and return a
 Dataset; none materializes the corpus driver-side.  Scale notes per operator:
 
-* exact:   hash-partition on a 64-bit content hash (``groupby`` shuffle moves
-           only (hash, doc_id) pairs after an early projection), then
-           per-group min-doc-id representative with in-group text verification.
+* exact:   hash-partition on a 128-bit content hash (``groupby`` shuffle
+           moves only (h1, h2, doc_id) after an early projection), then
+           NATIVE min/count aggregates — no per-group Python, no text in
+           the shuffle (collision math in ``_text_hash128``).
 * minhash: shingles -> k permuted min-hashes -> banded LSH buckets ->
            ``groupby(band, key)``; a doc is a duplicate iff some bucket
            contains a smaller doc_id (deterministic, no union-find round).
