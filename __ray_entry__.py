@@ -850,6 +850,69 @@ FROM ranked WHERE rank <= 10 ORDER BY query, rank
 """
 
 
+def _langid_sql() -> str:
+    """Exact twin of the language-ID heuristic: distinct-token ∩ marker-set
+    counts per language, winner by (hits, lang) with 'und' when all zero.
+    Tie-break mirrors Python's max(scores, key=lambda k: (scores[k], k)):
+    lexicographic lang order de < en < fr."""
+    from elasticsearch_ray.ops.textstats import _LANG_MARKERS
+
+    def lit(lang):
+        return "[" + ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang])) + "]"
+
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+    len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+        {lit('en')})) AS en,
+    len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+        {lit('de')})) AS de,
+    len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+        {lit('fr')})) AS fr
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+    CASE WHEN en = 0 AND de = 0 AND fr = 0 THEN 'und'
+         WHEN fr >= en AND fr >= de THEN 'fr'
+         WHEN en >= de THEN 'en'
+         ELSE 'de' END AS lang_pred
+  FROM s
+)
+SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
+def _fingerprints_sql(window: int = 8, base: int = 257,
+                      mod: int = (1 << 31) - 1) -> str:
+    """Exact twin of the winnowing fingerprint's fp_min: min Rabin-Karp
+    rolling hash over byte windows, per-term modular products exactly as the
+    numpy kernel computes them ((b*power) % mod summed, then % mod).  Valid
+    for the sf0.01 corpus: ASCII-only (code point == byte) and every doc
+    longer than the window (shorter docs fall back to blake2b, not SQL)."""
+    powers = [pow(base, e, mod) for e in range(window - 1, -1, -1)]
+    lead_cols = ", ".join(
+        f"lead(b, {t}) OVER (PARTITION BY doc_id ORDER BY i) AS b{t}"
+        if t else "b AS b0"
+        for t in range(window)
+    )
+    terms = " + ".join(f"(b{t} * {powers[t]}) % {mod}" for t in range(window))
+    return f"""
+WITH chars AS (
+  SELECT doc_id, i,
+         CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS b
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM documents)
+),
+led AS (SELECT doc_id, i, {lead_cols} FROM chars),
+h AS (
+  SELECT doc_id, ({terms}) % {mod} AS h
+  FROM led WHERE b{window - 1} IS NOT NULL
+)
+SELECT doc_id, min(h) AS fp_min FROM h GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _boolean_sql() -> str:
     parts = []
     for q in BOOLEAN_QUERIES:
@@ -998,6 +1061,8 @@ reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
 SELECT k.doc_id FROM keep k JOIN reps r ON k.doc_id = r.doc_id
 ORDER BY k.doc_id
 """,
+        "langid_counts": _langid_sql(),
+        "fingerprints": _fingerprints_sql(),
         "word_freq_top50": (
             r"SELECT tok AS token, count(*) AS n FROM ("
             r"SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS tok "
@@ -1064,8 +1129,8 @@ s AS (
 SELECT event_id, CAST(session_seq AS BIGINT) AS session_seq
 FROM s ORDER BY event_id
 """,
-        # minhash_dups, simhash_dups, embedding_dups, ann_ivf_top10,
-        # langid_counts, fingerprints: not SQL-expressible (LSH banding /
+        # minhash_dups, simhash_dups, embedding_dups, ann_ivf_top10:
+        # not SQL-expressible (LSH banding /
         # centroid buckets / heuristic model state) — driver records
         # rows-only checks.  The stemmed/scored entries get exact twins via
         # the engine-emitted token-stream side-output (stemming runs once in
