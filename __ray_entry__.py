@@ -120,6 +120,20 @@ def _ensure_stem_stream(sf_dir: str) -> str:
     return out
 
 
+def _ensure_side_parquet(sf_dir: str, tag: str, make_ds) -> str:
+    """Generic deterministic side-output: bucket/band rows computed ONCE by
+    the engine, parquet'd so SQL twins can verify the join logic."""
+    import shutil
+
+    out = _index_dir_for(sf_dir, tag)
+    done = os.path.join(out, "_done")
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)  # write_parquet APPENDS
+        make_ds().write_parquet(out)
+        open(done, "w").close()
+    return out
+
+
 def _stemmed_query_terms(q: str) -> list[str]:
     from elasticsearch_ray.normalizer import make_normalizer
 
@@ -377,16 +391,24 @@ def _q_exact_dedup(sf_dir: str):
 
 
 def _q_minhash_dups(sf_dir: str):
-    from elasticsearch_ray.ops.dedup import minhash_lsh_dedup
+    from elasticsearch_ray.ops.dedup import minhash_band_rows, minhash_lsh_dedup
 
+    # band-row side-output: signatures/banding run once; the SQL twin
+    # verifies the bucket-join logic over these rows
+    _ensure_side_parquet(
+        sf_dir, "mhbands", lambda: minhash_band_rows(_docs_ds(sf_dir))
+    )
     out = minhash_lsh_dedup(_docs_ds(sf_dir)).take_all()
     ids = sorted(r["doc_id"] for r in out)
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
 
 def _q_simhash_dups(sf_dir: str):
-    from elasticsearch_ray.ops.dedup import simhash_dedup
+    from elasticsearch_ray.ops.dedup import simhash_band_rows, simhash_dedup
 
+    _ensure_side_parquet(
+        sf_dir, "shbands", lambda: simhash_band_rows(_docs_ds(sf_dir))
+    )
     out = simhash_dedup(_docs_ds(sf_dir)).take_all()
     out.sort(key=lambda r: r["doc_id"])
     return pa.table(
@@ -398,8 +420,14 @@ def _q_simhash_dups(sf_dir: str):
 
 
 def _q_embedding_dups(sf_dir: str):
-    from elasticsearch_ray.ops.dedup import embedding_cosine_dedup
+    from elasticsearch_ray.ops.dedup import (
+        embedding_bucket_rows,
+        embedding_cosine_dedup,
+    )
 
+    _ensure_side_parquet(
+        sf_dir, "embuckets", lambda: embedding_bucket_rows(_emb_ds(sf_dir))
+    )
     out = embedding_cosine_dedup(_emb_ds(sf_dir), threshold=0.99).take_all()
     out.sort(key=lambda r: r["vec_id"])
     return pa.table(
@@ -850,6 +878,56 @@ FROM ranked WHERE rank <= 10 ORDER BY query, rank
 """
 
 
+def _minhash_sql() -> str:
+    """Twin over the band-row side-output: a doc is a dup iff some bucket
+    contains a smaller doc_id (the engine's signatures/banding run once;
+    SQL verifies the bucket-join)."""
+    d = _index_dir_for(_DRIVER_SF, "mhbands")
+    return f"""
+WITH b AS (SELECT band, key, doc_id FROM read_parquet('{d}/*.parquet'))
+SELECT DISTINCT e.doc_id
+FROM b e JOIN b f ON e.band = f.band AND e.key = f.key AND f.doc_id < e.doc_id
+ORDER BY e.doc_id
+"""
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """Twin over the chunk-row side-output: per bucket, compare against the
+    min-id representative with bit_count(xor) Hamming distance."""
+    d = _index_dir_for(_DRIVER_SF, "shbands")
+    return f"""
+WITH b AS (SELECT chunk, key, doc_id, sim FROM read_parquet('{d}/*.parquet')),
+rep AS (SELECT chunk, key, min(doc_id) AS rid FROM b GROUP BY chunk, key),
+rsim AS (
+  SELECT r.chunk, r.key, r.rid, rb.sim AS rsim
+  FROM rep r JOIN b rb
+    ON rb.chunk = r.chunk AND rb.key = r.key AND rb.doc_id = r.rid
+),
+cand AS (
+  SELECT e.doc_id, r.rid AS near_of
+  FROM b e JOIN rsim r ON e.chunk = r.chunk AND e.key = r.key
+  WHERE e.doc_id != r.rid AND bit_count(xor(e.sim, r.rsim)) <= {max_hamming}
+)
+SELECT doc_id, min(near_of) AS near_of FROM cand GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _embedding_dups_sql(threshold: float = 0.99) -> str:
+    """Twin over the centroid-bucket side-output: cosine >= threshold to a
+    smaller id sharing a bucket (vectors stored normalized float32)."""
+    d = _index_dir_for(_DRIVER_SF, "embuckets")
+    return f"""
+WITH b AS (SELECT cid, vec_id, vecn FROM read_parquet('{d}/*.parquet')),
+cand AS (
+  SELECT e.vec_id, f.vec_id AS near_of
+  FROM b e JOIN b f ON e.cid = f.cid AND f.vec_id < e.vec_id
+  WHERE list_cosine_similarity(CAST(e.vecn AS DOUBLE[]),
+                               CAST(f.vecn AS DOUBLE[])) >= {threshold}
+)
+SELECT vec_id, min(near_of) AS near_of FROM cand GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 def _langid_sql() -> str:
     """Exact twin of the language-ID heuristic: distinct-token ∩ marker-set
     counts per language, winner by (hits, lang) with 'und' when all zero.
@@ -1061,6 +1139,9 @@ reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
 SELECT k.doc_id FROM keep k JOIN reps r ON k.doc_id = r.doc_id
 ORDER BY k.doc_id
 """,
+        "minhash_dups": _minhash_sql(),
+        "simhash_dups": _simhash_sql(),
+        "embedding_dups": _embedding_dups_sql(),
         "langid_counts": _langid_sql(),
         "fingerprints": _fingerprints_sql(),
         "word_freq_top50": (
@@ -1129,8 +1210,8 @@ s AS (
 SELECT event_id, CAST(session_seq AS BIGINT) AS session_seq
 FROM s ORDER BY event_id
 """,
-        # minhash_dups, simhash_dups, embedding_dups, ann_ivf_top10:
-        # not SQL-expressible (LSH banding /
+        # ann_ivf_top10: not SQL-expressible exactly (float32 probe
+        # ordering /
         # centroid buckets / heuristic model state) — driver records
         # rows-only checks.  The stemmed/scored entries get exact twins via
         # the engine-emitted token-stream side-output (stemming runs once in

@@ -156,7 +156,7 @@ def minhash_signatures(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def minhash_lsh_dedup(
+def minhash_band_rows(
     ds: ray.data.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -164,27 +164,15 @@ def minhash_lsh_dedup(
     bands: int = 16,
     shingle: int = 3,
     seed: int = 42,
-    verify_jaccard: float | None = None,
+    carry_sig: bool = False,
 ) -> ray.data.Dataset:
-    """MinHash+LSH near-duplicate marking.
-
-    Emits (doc_id, is_dup): ``is_dup`` iff the doc shares an LSH band bucket
-    with a smaller doc_id.  Pipeline: signature map -> flat band explode ->
-    ``groupby(band, key)`` shuffle -> per-bucket min -> per-doc any().
-
-    ``verify_jaccard``: if set, bucket candidates are verified against the
-    bucket representative with the MinHash Jaccard ESTIMATE (fraction of
-    agreeing signature components — the classical LSH false-positive
-    filter, no text needed bucket-side); only candidates whose estimate
-    reaches the threshold are marked.  The exact n-gram kernel
-    (:func:`ngram_jaccard`) remains available for final pair verification.
-    """
+    """Exploded LSH band rows (band, key, doc_id [, sig]) — the shuffle
+    input of :func:`minhash_lsh_dedup`, exposed so the bucket-join logic can
+    be verified externally (e.g. an SQL twin over a parquet side-output)."""
     if num_perm % bands != 0:  # not assert: survives python -O
         raise ValueError(f"num_perm={num_perm} must be divisible by bands={bands}")
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle, seed)
-
-    carry_sig = verify_jaccard is not None
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()
@@ -219,7 +207,37 @@ def minhash_lsh_dedup(
             )
         return pa.table(out)
 
-    exploded = sigs.map_batches(explode_bands, batch_format="pyarrow")
+    return sigs.map_batches(explode_bands, batch_format="pyarrow")
+
+
+def minhash_lsh_dedup(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    seed: int = 42,
+    verify_jaccard: float | None = None,
+) -> ray.data.Dataset:
+    """MinHash+LSH near-duplicate marking.
+
+    Emits (doc_id, is_dup): ``is_dup`` iff the doc shares an LSH band bucket
+    with a smaller doc_id.  Pipeline: signature map -> flat band explode ->
+    ``groupby(band, key)`` shuffle -> per-bucket min -> per-doc any().
+
+    ``verify_jaccard``: if set, bucket candidates are verified against the
+    bucket representative with the MinHash Jaccard ESTIMATE (fraction of
+    agreeing signature components — the classical LSH false-positive
+    filter, no text needed bucket-side); only candidates whose estimate
+    reaches the threshold are marked.  The exact n-gram kernel
+    (:func:`ngram_jaccard`) remains available for final pair verification.
+    """
+    carry_sig = verify_jaccard is not None
+    exploded = minhash_band_rows(
+        ds, text_col, id_col, num_perm, bands, shingle, seed,
+        carry_sig=carry_sig,
+    )
 
     def per_bucket(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()
@@ -271,14 +289,13 @@ def simhash64(tokens: list[str]) -> int:
     )
 
 
-def simhash_dedup(
+def simhash_band_rows(
     ds: ray.data.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 3,
 ) -> ray.data.Dataset:
-    """SimHash near-dup marking: 4x16-bit banding, Hamming<=k within buckets.
-    Emits (doc_id, is_dup, near_of)."""
+    """Exploded SimHash chunk rows (chunk, key, doc_id, sim) — the shuffle
+    input of :func:`simhash_dedup`, exposed for external verification."""
 
     def sig(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()
@@ -312,7 +329,18 @@ def simhash_dedup(
             )
         return pa.concat_tables(tables)
 
-    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+    return sigs.map_batches(explode, batch_format="pyarrow")
+
+
+def simhash_dedup(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> ray.data.Dataset:
+    """SimHash near-dup marking: 4x16-bit banding, Hamming<=k within buckets.
+    Emits (doc_id, is_dup, near_of)."""
+    exploded = simhash_band_rows(ds, text_col, id_col)
 
     def per_bucket(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()
@@ -363,6 +391,51 @@ def ngram_jaccard(a_tokens: list[str], b_tokens: list[str], n: int = 3) -> float
     return inter / (len(ga) + len(gb) - inter)
 
 
+def embedding_bucket_rows(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    probes: int = 2,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> ray.data.Dataset | None:
+    """Multi-probe centroid assignment rows (cid, vec_id, vecn: normalized
+    float32) — the bucket input of :func:`embedding_cosine_dedup`, exposed
+    for external verification.  Returns None for an empty dataset."""
+    from .ann import _normalize, kmeans_fit
+
+    sample = np.array(
+        [r[vec_col] for r in ds.limit(sample_size).take_all()], dtype=np.float32
+    )
+    if sample.size == 0:
+        return None
+    cent = _normalize(kmeans_fit(_normalize(sample), n_clusters, seed=seed))
+    cref = ray.put(cent)
+    p = min(probes, cent.shape[0])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        ids = batch.column(id_col).to_numpy()
+        mat = _normalize(np.array(batch.column(vec_col).to_pylist(), dtype=np.float32))
+        sims = mat @ cm.T
+        if p < cm.shape[0]:
+            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        else:
+            top = np.tile(np.arange(cm.shape[0]), (ids.size, 1))
+        return pa.table(
+            {
+                "cid": pa.array(top.ravel().astype(np.int32)),
+                id_col: pa.array(np.repeat(ids, p), pa.int64()),
+                "vecn": pa.array(
+                    list(np.repeat(mat, p, axis=0)), pa.list_(pa.float32())
+                ),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def embedding_cosine_dedup(
     ds: ray.data.Dataset,
     vec_col: str = "embedding",
@@ -393,12 +466,10 @@ def embedding_cosine_dedup(
     Emits (vec_id, is_dup, near_of); ``near_of`` is the SMALLEST qualifying
     bucket-mate id.
     """
-    from .ann import _normalize, kmeans_fit
-
-    sample = np.array(
-        [r[vec_col] for r in ds.limit(sample_size).take_all()], dtype=np.float32
+    assigned = embedding_bucket_rows(
+        ds, vec_col, id_col, n_clusters, probes, sample_size, seed
     )
-    if sample.size == 0:
+    if assigned is None:
         return ray.data.from_arrow(
             pa.table(
                 {
@@ -408,30 +479,6 @@ def embedding_cosine_dedup(
                 }
             )
         )
-    cent = _normalize(kmeans_fit(_normalize(sample), n_clusters, seed=seed))
-    cref = ray.put(cent)
-    p = min(probes, cent.shape[0])
-
-    def assign(batch: pa.Table) -> pa.Table:
-        cm = ray.get(cref)
-        ids = batch.column(id_col).to_numpy()
-        mat = _normalize(np.array(batch.column(vec_col).to_pylist(), dtype=np.float32))
-        sims = mat @ cm.T
-        if p < cm.shape[0]:
-            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
-        else:
-            top = np.tile(np.arange(cm.shape[0]), (ids.size, 1))
-        return pa.table(
-            {
-                "cid": pa.array(top.ravel().astype(np.int32)),
-                id_col: pa.array(np.repeat(ids, p), pa.int64()),
-                "vecn": pa.array(
-                    list(np.repeat(mat, p, axis=0)), pa.list_(pa.float32())
-                ),
-            }
-        )
-
-    assigned = ds.map_batches(assign, batch_format="pyarrow")
 
     def per_bucket(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()
