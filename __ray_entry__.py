@@ -364,6 +364,19 @@ def _q_multifield_top10(sf_dir: str):
     return _score_u_table(lambda q: eng.search(q, size=10))
 
 
+def _q_tfidf_top10_plain(sf_dir: str):
+    """TF-IDF scoring mode (reference F5: (tf/dl)*idf) over the plain
+    analyzer, exact SQL twin."""
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    idx = _ensure_index(sf_dir, "plain")
+    key = f"tfidf::{idx}"
+    if key not in _ENGINES:
+        _ENGINES[key] = QueryEngine(idx, num_searchers=2, scoring="tfidf")
+    eng = _ENGINES[key]
+    return _score_u_table(lambda q: eng.search(q, size=10))
+
+
 def _q_boolean_plain(sf_dir: str):
     eng = _engine(sf_dir, "plain")
     rows_q, rows_d = [], []
@@ -696,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wand_top10": _q_wand_top10,
         "daat_top10": _q_daat_top10,
         "multifield_top10": _q_multifield_top10,
+        "tfidf_top10_plain": _q_tfidf_top10_plain,
         "boolean_plain": _q_boolean_plain,
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
@@ -991,6 +1005,41 @@ SELECT doc_id, min(h) AS fp_min FROM h GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _tfidf_sql() -> str:
+    """TF-IDF twin: s = sum((tf/dl) * idf) with the same idf and skip rule."""
+    qt = []
+    for q in BM25_QUERIES:
+        for t in q.split():
+            qt.append((q, t))
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query, term) AS (VALUES {_bm25_values_sql(qt)}),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         sum((tf.tf * 1.0 / dl.dl) * ln((stats.n + 1.0) / (df.df + 1.0))) AS s
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+  GROUP BY q.query, tf.doc_id
+),
+ranked AS (
+  SELECT query, doc_id, s,
+         row_number() OVER (PARTITION BY query ORDER BY s DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, CAST(rank AS INT) AS rank, doc_id,
+       CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_u
+FROM ranked WHERE rank <= 10 ORDER BY query, rank
+"""
+
+
 def _boolean_sql() -> str:
     parts = []
     for q in BOOLEAN_QUERIES:
@@ -1057,6 +1106,7 @@ def oracle_sql() -> dict[str, str]:
             f"({_stem_tok_sql()}) GROUP BY tok ORDER BY df DESC, term LIMIT 100"
         ),
         "bm25_top10_plain": _bm25_sql(),
+        "tfidf_top10_plain": _tfidf_sql(),
         "bm25_top10": _bm25_stemmed_sql(),
         "wand_top10": _bm25_stemmed_sql(),
         "daat_top10": _bm25_stemmed_sql(),
