@@ -45,6 +45,11 @@ class Normalizer:
     def __init__(self) -> None:
         self.stemmer = PorterStemmer()
         self.stop_words = ENGLISH_STOPWORDS
+        # surface token -> stemmed form, or "" when the token is filtered
+        # (short/digit/stopword).  One dict hit replaces the whole per-token
+        # filter+stem pipeline on repeats; web text is Zipfian, so the hit
+        # rate is ~100% and this is the tokenize hot path's main lever.
+        self._tok_cache: dict[str, str] = {}
 
     def normalize_text(self, text: str) -> str:
         """Steps 1-4: returns the cleaned ``[a-z0-9 ]`` string."""
@@ -64,11 +69,22 @@ class Normalizer:
         """
         stem = self.stemmer.stem
         stop = self.stop_words
+        cache = self._tok_cache
         text = _NON_ALNUM_RE.sub(" ", _URL_EMAIL_RE.sub("", text.lower()))
         out = []
+        append = out.append
         for token in text.split():
-            if len(token) >= 2 and not token.isdigit() and token not in stop:
-                out.append(stem(token))
+            r = cache.get(token)
+            if r is None:
+                r = (
+                    stem(token)
+                    if len(token) >= 2 and not token.isdigit() and token not in stop
+                    else ""
+                )
+                if len(cache) < 4_000_000:  # bound per-actor memory
+                    cache[token] = r
+            if r:
+                append(r)
         return out
 
     def preprocess_query(self, query: str) -> str:
