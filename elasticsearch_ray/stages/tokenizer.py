@@ -101,8 +101,9 @@ class TokenizePartition:
         seg_base = spec.get("seg_base", 0)
         n = tbl.num_rows
         texts, langs, urls = self._aligned_columns(tbl, doc_id_base, n)
+        cleaned = self.normalizer.clean_batch(texts)  # vectorized re2 clean
 
-        tokenize = self.normalizer.tokenize
+        tokenize = self.normalizer.tokenize_cleaned
         post: dict[str, list[int]] = {}
         pos_vals: dict[str, list[int]] = {}  # term -> [npos, p0, dp1, ...]*
         kept_doc_ids: list[int] = []
@@ -112,7 +113,7 @@ class TokenizePartition:
             if self.lang_filter is not None and langs[i] != self.lang_filter:
                 continue
             doc_id = doc_id_base + i
-            tokens = tokenize(texts[i] or "")
+            tokens = tokenize(cleaned[i])
             kept_doc_ids.append(doc_id)
             kept_urls.append(urls[i])
             kept_lens.append(len(tokens))
@@ -254,8 +255,9 @@ class TokenizePartition:
         n = tbl.num_rows
 
         texts, langs, urls = self._aligned_columns(tbl, doc_id_base, n)
+        cleaned = self.normalizer.clean_batch(texts)  # vectorized re2 clean
 
-        tokenize = self.normalizer.tokenize
+        tokenize = self.normalizer.tokenize_cleaned
         hcache = self._hash_cache
         terms: list[str] = []
         ths: list[int] = []
@@ -269,7 +271,7 @@ class TokenizePartition:
             if self.lang_filter is not None and langs[i] != self.lang_filter:
                 continue
             doc_id = doc_id_base + i
-            tokens = tokenize(texts[i] or "")
+            tokens = tokenize(cleaned[i])
             kept_doc_ids.append(doc_id)
             kept_urls.append(urls[i])
             kept_lens.append(len(tokens))

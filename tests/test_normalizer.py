@@ -108,3 +108,32 @@ def test_boolean_query_tokenizer():
     # lowercase operators recognised too (reference upper()s each token)
     toks = preprocess_boolean_query("dogs and cats", N)
     assert toks == ("dog", "AND", "cat")
+
+
+def test_clean_batch_matches_python_re():
+    """Arrow-re2 fast path must be token-identical to the Python re pipeline,
+    including unicode rows (which route through the Python fallback)."""
+    import random
+
+    from elasticsearch_ray.normalizer import make_normalizer
+    from elasticsearch_ray.normalizer.tokenize import _NON_ALNUM_RE, _URL_EMAIL_RE
+
+    n = make_normalizer("reference")
+    rng = random.Random(3)
+    pool = list("abc XYZ123 .,!\xa0 　éÉİß\U0001F600") + [
+        "http://x.y ", "a@b.c ", "www.z ",
+    ]
+    texts = [
+        "".join(rng.choice(pool) for _ in range(rng.randint(0, 40)))
+        for _ in range(500)
+    ] + [None, ""]
+    got = [g.split() for g in n.clean_batch(texts)]
+    exp = [
+        _NON_ALNUM_RE.sub(" ", _URL_EMAIL_RE.sub("", (t or "").lower())).split()
+        for t in texts
+    ]
+    assert got == exp
+    p = make_normalizer("plain")
+    assert [g.split() for g in p.clean_batch(texts)] == [
+        (t or "").lower().split() for t in texts
+    ]
