@@ -68,6 +68,13 @@ class BuildConfig:
     #   than a block are auto-split across range partitions (ordered
     #   salting), so NO task ever holds a whole segment; use for very large
     #   segments / extreme skew.
+    # 'route': like 'combine' but with STATIC ROUTING instead of the
+    #   groupby(seg) sort exchange — the planner knows which doc-ordered
+    #   partitions feed which segment, so each run block (probed once for
+    #   its seg ids) is fetched zero-copy by at most ~2 assembly tasks.
+    #   Raw Ray tasks are justified here because Ray Data's generic groupby
+    #   cannot exploit the planner's partitioning knowledge.  Byte-identical
+    #   output to 'combine' (asserted in test_invariance).
     shuffle: str = "combine"
 
     @property
@@ -242,6 +249,58 @@ def compact_index(index_dir: str) -> dict:
     )
 
 
+@ray.remote
+def _block_segs(*blocks) -> list[list[int]]:
+    import numpy as np
+
+    return [np.unique(b.column("seg").to_numpy()).tolist() for b in blocks]
+
+
+@ray.remote
+def _assemble_one_routed(seg_id: int, infos: dict, index_dir: str, codec: str,
+                         block_size: int, *blocks):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.postings import RUN_SCHEMA, SegmentAssembler
+
+    parts = [
+        b.filter(pc.equal(b.column("seg"), seg_id))
+        for b in blocks
+    ]
+    parts = [p for p in parts if p.num_rows]
+    runs = pa.concat_tables(parts) if parts else RUN_SCHEMA.empty_table()
+    asm = SegmentAssembler(index_dir, infos, codec, block_size)
+    out = asm(runs, seg_id=seg_id)
+    return out.to_pylist()[0]
+
+
+def _assemble_routed(tokenized, infos_ref, pending_seg_ids, index_dir, codec,
+                     block_size) -> list[dict]:
+    """shuffle='route' reducer: block->segments probe, then one raw task per
+    segment over exactly the blocks that contain its runs."""
+    bundles = list(tokenized.iter_internal_ref_bundles())
+    block_refs = [ref for bundle in bundles for ref, _meta in bundle.blocks]
+    # probe in chunks of 16 — one tiny task per block pays ~ms task overhead
+    # times the block count for a metadata-sized answer
+    chunks = [block_refs[i : i + 16] for i in range(0, len(block_refs), 16)]
+    probed = ray.get([_block_segs.remote(*c) for c in chunks])
+    seg_lists = [sl for chunk_res in probed for sl in chunk_res]
+    seg_to_blocks: dict[int, list] = {s: [] for s in pending_seg_ids}
+    for ref, segs_in_block in zip(block_refs, seg_lists):
+        for s in segs_in_block:
+            if s in seg_to_blocks:
+                seg_to_blocks[int(s)].append(ref)
+    futs = [
+        _assemble_one_routed.remote(
+            seg_id, infos_ref, index_dir, codec, block_size,
+            *seg_to_blocks[seg_id],
+        )
+        for seg_id in sorted(seg_to_blocks)
+    ]
+    return ray.get(futs)
+
+
 def _execute_build(
     index_dir: str,
     config: BuildConfig,
@@ -258,8 +317,8 @@ def _execute_build(
     ]
     skipped = len(segs) - len(pending)
 
-    if config.store_positions and config.shuffle != "combine":
-        raise ValueError("store_positions requires shuffle='combine'")
+    if config.store_positions and config.shuffle not in ("combine", "route"):
+        raise ValueError("store_positions requires shuffle='combine' or 'route'")
 
     timings: dict[str, float] = {}
     if pending:
@@ -283,7 +342,7 @@ def _execute_build(
                 lang_column=config.lang_column,
                 lang_filter=config.lang_filter,
                 analyzer=config.analyzer,
-                emit="runs" if config.shuffle == "combine" else "triples",
+                emit="runs" if config.shuffle in ("combine", "route") else "triples",
                 store_positions=config.store_positions,
             ),
             batch_size=1,
@@ -309,7 +368,22 @@ def _execute_build(
         codec_ = config.codec
         block_size_ = config.block_size
 
-        if config.shuffle == "combine":
+        stats_ds = None  # set by the groupby strategies; route skips it
+        if config.shuffle == "route":
+            # Static routing: no sort-based groupby exchange at all.  Each
+            # materialized run block is probed for the segment ids it holds
+            # (partitions are doc-ordered, so a block spans ~1-2 segments);
+            # one raw Ray task per segment then fetches exactly the blocks
+            # covering it zero-copy from the object store and filters its
+            # rows.  Every run byte moves at most twice instead of through
+            # a full sort shuffle.
+            t_stage = time.perf_counter()
+            seg_stats = _assemble_routed(
+                tokenized, infos_ref, [s.seg_id for s in pending],
+                index_dir_, codec_, block_size_,
+            )
+            timings["shuffle_assemble_sec"] = time.perf_counter() - t_stage
+        elif config.shuffle == "combine":
             t_stage = time.perf_counter()
 
             def assemble_runs(batch):
@@ -370,7 +444,8 @@ def _execute_build(
             metrics_dir = os.path.join(index_dir, "metrics")
             os.makedirs(metrics_dir, exist_ok=True)
             with open(os.path.join(metrics_dir, "build_stage_stats.txt"), "w") as f:
-                f.write(stats_ds.stats())
+                if stats_ds is not None:
+                    f.write(stats_ds.stats())
             atomic_write_json(
                 os.path.join(metrics_dir, "build_timings.json"), timings
             )

@@ -288,11 +288,24 @@ class SegmentAssembler:
 
     # -- main --------------------------------------------------------------
 
-    def __call__(self, runs: pa.Table) -> pa.Table:
+    def __call__(self, runs: pa.Table, seg_id: int | None = None) -> pa.Table:
         t0 = time.perf_counter()
-        seg_id = int(runs.column("seg")[0].as_py())
+        if seg_id is None:
+            seg_id = int(runs.column("seg")[0].as_py())
         info = self.seg_infos[seg_id]
         doclens = self._load_doclens(info)
+        if runs.num_rows == 0:
+            # a segment whose docs produced no tokens still needs its files
+            # (doclens, empty term table) so queries and stats can load it
+            stats = self._write_segment(
+                seg_id, info, doclens,
+                pa.array([], pa.large_string()),
+                np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+            )
+            stats["merged_terms"] = 0
+            stats["assemble_sec"] = time.perf_counter() - t0
+            return pa.table({k: [v] for k, v in stats.items()})
 
         runs = runs.sort_by([("term", "ascending"), ("first_doc", "ascending")])
         term = runs.column("term").combine_chunks()

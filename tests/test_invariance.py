@@ -32,7 +32,7 @@ def test_shuffle_modes_byte_identical(tiny_corpus_dir, tmp_path):
     from elasticsearch_ray.pipelines.build import BuildConfig, build_index
 
     md5s = {}
-    for mode in ("combine", "segment", "sort"):
+    for mode in ("combine", "segment", "sort", "route"):
         idx = str(tmp_path / f"idx_{mode}")
         build_index(
             tiny_corpus_dir,
@@ -42,8 +42,9 @@ def test_shuffle_modes_byte_identical(tiny_corpus_dir, tmp_path):
             ),
         )
         md5s[mode] = _seg_md5s(idx)
-    # combine and sort share the term-sorted layout -> byte identical
+    # combine, sort and route share the term-sorted layout -> byte identical
     assert md5s["combine"] == md5s["sort"]
+    assert md5s["combine"] == md5s["route"]
     # segment mode orders terms by hash -> logically equal, verify via df
     import pyarrow.parquet as pq
 
