@@ -219,6 +219,22 @@ def bench_ops(sf_dir: str) -> dict:
         embedding_cosine_dedup(emb, threshold=0.99).count()
         out["embedding_dedup_bucketed_sec"] = round(time.perf_counter() - t0, 3)
 
+    # event-stream operators over the events table
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.exists(ev_path):
+        from elasticsearch_ray.ops.events import asof_join, sessionize, window_agg
+
+        ev = ray.data.read_parquet(ev_path)
+        t0 = time.perf_counter()
+        out["window_agg_rows"] = window_agg(ev).count()
+        out["window_agg_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        out["sessionize_rows"] = sessionize(ev).count()
+        out["sessionize_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        out["asof_join_rows"] = asof_join(ev).count()
+        out["asof_join_sec"] = round(time.perf_counter() - t0, 3)
+
     # composed curation (anti-join form) streaming at sf scale
     import shutil as _sh
 
