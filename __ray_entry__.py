@@ -470,12 +470,36 @@ def _q_ann_top10(sf_dir: str):
     return t.append_column("cos_u", cos_u)
 
 
-def _q_ann_ivf_top10(sf_dir: str):
-    from elasticsearch_ray.ops.ann import ivf_topk
+def _ensure_ivf_index(sf_dir: str) -> str:
+    from elasticsearch_ray.ops.ann import ivf_build
 
-    t = ivf_topk(_emb_ds(sf_dir), _query_vecs(sf_dir), k=10)
-    cos = pa.array([round(c, 6) for c in t.column("cos").to_pylist()], pa.float64())
-    return t.set_column(t.schema.get_field_index("cos"), "cos", cos)
+    d = _index_dir_for(sf_dir, "ivfidx")
+    if not os.path.exists(os.path.join(d, "meta.json")):
+        ivf_build(_emb_ds(sf_dir), d)  # deterministic (seeded k-means)
+    return d
+
+
+def _q_ann_ivf_top10(sf_dir: str):
+    """IVF query with exact float64 re-rank over the probed candidate set.
+
+    The float32 centroid model decides WHICH pairs to score (emitted as the
+    'ivfprobes' side-output); the ranking math is float64 cosine over raw
+    base vectors, so the DuckDB twin recomputes it exactly over the same
+    pairs (pattern of minhash_band_rows)."""
+    import ray.data
+
+    from elasticsearch_ray.ops.ann import ivf_probe_pairs, ivf_query_rescore
+
+    idx = _ensure_ivf_index(sf_dir)
+    qv = _query_vecs(sf_dir)
+    pairs = ivf_probe_pairs(idx, qv, nprobe=4)
+    _ensure_side_parquet(sf_dir, "ivfprobes", lambda: ray.data.from_arrow(pairs))
+    t = ivf_query_rescore(idx, _emb_ds(sf_dir), qv, k=10, nprobe=4, probe_pairs=pairs)
+    cos_u = pa.array(
+        [int(math.floor(c * 1e6 + 0.5)) for c in t.column("cos").to_pylist()], pa.int64()
+    )
+    t = t.remove_column(t.schema.get_field_index("cos"))
+    return t.append_column("cos_u", cos_u)
 
 
 def _q_token_counts(sf_dir: str):
@@ -942,6 +966,31 @@ SELECT vec_id, min(near_of) AS near_of FROM cand GROUP BY vec_id ORDER BY vec_id
 """
 
 
+def _ann_ivf_sql() -> str:
+    """Twin over the probed-pair side-output: float64 cosine ranking over
+    exactly the candidate pairs the IVF index probed (float32 model state
+    is captured by the side-output; the ranking math is SQL-exact)."""
+    d = _index_dir_for(_DRIVER_SF, "ivfprobes")
+    return f"""
+WITH q AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id,
+                  CAST(embedding AS DOUBLE[]) AS qe
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 ORDER BY vec_id LIMIT 5)),
+p AS (SELECT DISTINCT query_id, vec_id FROM read_parquet('{d}/*.parquet')),
+s AS (SELECT p.query_id, p.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos
+      FROM p
+      JOIN embeddings e ON e.vec_id = p.vec_id
+      JOIN q ON q.query_id = p.query_id),
+r AS (SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+       CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_u
+FROM r WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
 def _langid_sql() -> str:
     """Exact twin of the language-ID heuristic: distinct-token ∩ marker-set
     counts per language, winner by (hits, lang) with 'und' when all zero.
@@ -1260,10 +1309,9 @@ s AS (
 SELECT event_id, CAST(session_seq AS BIGINT) AS session_seq
 FROM s ORDER BY event_id
 """,
-        # ann_ivf_top10: not SQL-expressible exactly (float32 probe
-        # ordering /
-        # centroid buckets / heuristic model state) — driver records
-        # rows-only checks.  The stemmed/scored entries get exact twins via
-        # the engine-emitted token-stream side-output (stemming runs once in
-        # the engine; SQL verifies the aggregation + BM25 math).
+        # ann_ivf_top10: the float32 probe decision is model state, captured
+        # by the engine-emitted 'ivfprobes' side-output; SQL recomputes the
+        # float64 cosine ranking over exactly those candidate pairs (same
+        # pattern as the LSH band-row twins).
+        "ann_ivf_top10": _ann_ivf_sql(),
     }

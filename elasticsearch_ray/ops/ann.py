@@ -273,6 +273,140 @@ def ivf_query(
     )
 
 
+def ivf_probe_pairs(
+    index_dir: str,
+    query_vecs: np.ndarray,
+    nprobe: int = 4,
+) -> pa.Table:
+    """The (query_id, vec_id) candidate pairs an IVF query actually probes.
+
+    Verification side-output (pattern of ``minhash_band_rows``): the probe
+    decision — which buckets each query visits — depends on the float32
+    centroid model, so it is not SQL-expressible; emitting the probed pairs
+    lets a DuckDB twin recompute the cosine ranking in float64 over exactly
+    this candidate set.  Bounded by nprobe bucket sizes per query; intended
+    for test-scale gates, not the 100 TB serving path (which keeps
+    candidates distributed, see ``ivf_query``).
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _normalize(np.asarray(query_vecs, dtype=np.float32))
+    nprobe = min(nprobe, cent.shape[0])
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    needed = np.unique(probes)
+    ids_by_bucket: dict[int, np.ndarray] = {}
+    for c in needed:
+        p = os.path.join(index_dir, "buckets", f"cid={int(c)}")
+        if not os.path.isdir(p):
+            continue
+        files = sorted(_glob.glob(os.path.join(p, "*.parquet")))
+        if files:
+            t = pq.read_table(files, columns=[id_col])
+            ids_by_bucket[int(c)] = t.column(id_col).to_numpy()
+    out_q, out_v = [], []
+    for qi in range(q.shape[0]):
+        for c in probes[qi]:
+            ids = ids_by_bucket.get(int(c))
+            if ids is not None and ids.size:
+                out_q.append(np.full(ids.size, qi, dtype=np.int64))
+                out_v.append(ids.astype(np.int64))
+    if out_q:
+        qa, va = np.concatenate(out_q), np.concatenate(out_v)
+    else:
+        qa = va = np.array([], dtype=np.int64)
+    return pa.table(
+        {"query_id": pa.array(qa, pa.int64()), "vec_id": pa.array(va, pa.int64())}
+    )
+
+
+def ivf_query_rescore(
+    index_dir: str,
+    ds: ray.data.Dataset,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_pairs: pa.Table | None = None,
+) -> pa.Table:
+    """IVF query with an exact float64 re-rank over the probed candidates.
+
+    Standard IVF + exact-rerank shape: the float32 index decides WHICH
+    vectors to consider (``ivf_probe_pairs``); the final ranking recomputes
+    cosine in float64 from the RAW base vectors so it is bit-comparable to
+    a SQL oracle using ``list_cosine_similarity(CAST(... AS DOUBLE[]))``
+    over the same pairs.  Candidate membership is broadcast once
+    (``ray.put``); scoring streams over the base table in ``map_batches``
+    with per-block local top-k, so only k·blocks rows reach the driver.
+    Returns (query_id, rank, vec_id, cos) with the (-cos, vec_id) tie-break.
+    """
+    if probe_pairs is None:
+        probe_pairs = ivf_probe_pairs(index_dir, query_vecs, nprobe=nprobe)
+    qraw = np.asarray(query_vecs, dtype=np.float64)
+    qn = _normalize(qraw)
+    nq = qn.shape[0]
+    pq_ids = probe_pairs.column("query_id").to_numpy()
+    pv_ids = probe_pairs.column("vec_id").to_numpy()
+    members = {qi: np.unique(pv_ids[pq_ids == qi]) for qi in range(nq)}
+    bref = ray.put((qn, members))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        qm, mem = ray.get(bref)
+        ids = batch.column(id_col).to_numpy()
+        mat = _normalize(np.array(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(ids, mem[qi])
+            if not mask.any():
+                continue
+            s = mat[mask] @ qm[qi]
+            sub_ids = ids[mask]
+            kk = min(k, sub_ids.size)
+            idx = (
+                np.argpartition(-s, kk - 1)[:kk]
+                if sub_ids.size > kk
+                else np.arange(sub_ids.size)
+            )
+            out_q.extend([qi] * idx.size)
+            out_id.extend(sub_ids[idx].tolist())
+            out_cos.extend(s[idx].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "cos": pa.array(out_cos, pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(fn, batch_format="pyarrow").take_all()
+    qids = np.array([r["query_id"] for r in cand], dtype=np.int64)
+    vids = np.array([r[id_col] for r in cand], dtype=np.int64)
+    coss = np.array([r["cos"] for r in cand], dtype=np.float64)
+    rows_q, rows_r, rows_v, rows_c = [], [], [], []
+    for qi in range(nq):
+        m = qids == qi
+        v, c = vids[m], coss[m]
+        order = np.lexsort((v, -c))[:k]
+        rows_q.extend([qi] * order.size)
+        rows_r.extend(range(1, order.size + 1))
+        rows_v.extend(v[order].tolist())
+        rows_c.extend(c[order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "rank": pa.array(rows_r, pa.int32()),
+            id_col: pa.array(rows_v, pa.int64()),
+            "cos": pa.array(rows_c, pa.float64()),
+        }
+    )
+
+
 def ivf_topk(
     ds: ray.data.Dataset,
     query_vecs: np.ndarray,

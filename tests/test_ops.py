@@ -158,6 +158,38 @@ def test_ann_ivf_recall(emb_ds):
     assert hits >= 9
 
 
+def test_ann_ivf_rescore_matches_brute_over_probes(emb_ds, tmp_path):
+    """The float64 exact-rerank path: for every query, the rescore result
+    must equal brute-force float64 cosine top-k restricted to exactly the
+    probed candidate set (same pairs, same (-cos, vec_id) tie-break)."""
+    from elasticsearch_ray.ops.ann import (
+        ivf_build,
+        ivf_probe_pairs,
+        ivf_query_rescore,
+    )
+
+    ds, vecs = emb_ds
+    q = vecs[:3].astype(np.float64)
+    idx = str(tmp_path / "ivf")
+    ivf_build(ds, idx, n_clusters=4, sample_size=40)
+    pairs = ivf_probe_pairs(idx, q, nprobe=2)
+    assert pairs.num_rows > 0
+    got = ivf_query_rescore(idx, ds, q, k=5, nprobe=2, probe_pairs=pairs)
+    # ground truth: float64 cosine over the probed pairs only
+    vn = vecs.astype(np.float64)
+    vn = vn / np.linalg.norm(vn, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    pq_ = pairs.column("query_id").to_numpy()
+    pv_ = pairs.column("vec_id").to_numpy()
+    for qi in range(3):
+        cand = np.unique(pv_[pq_ == qi])
+        sims = vn[cand] @ qn[qi]
+        order = np.lexsort((cand, -sims))[:5]
+        g = got.filter(pa.compute.equal(got.column("query_id"), qi))
+        assert g.column("vec_id").to_pylist() == cand[order].tolist(), qi
+        assert np.allclose(g.column("cos").to_numpy(), sims[order], atol=1e-12)
+
+
 def test_textstats(docs_ds):
     from elasticsearch_ray.ops.textstats import (
         fingerprints,
