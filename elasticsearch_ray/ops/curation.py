@@ -50,7 +50,7 @@ def curate(
     total = ds.count() if with_counts else None
 
     def qfilter(batch: pa.Table) -> pa.Table:
-        feats = quality_feature_arrays(batch.column(text_col).to_pylist())
+        feats = quality_feature_arrays(batch.column(text_col))
         mask = (feats["quality"] >= min_quality) & (feats["n_words"] >= min_words)
         return batch.filter(pa.array(mask))
 

@@ -190,6 +190,50 @@ def test_ann_ivf_rescore_matches_brute_over_probes(emb_ds, tmp_path):
         assert np.allclose(g.column("cos").to_numpy(), sims[order], atol=1e-12)
 
 
+def test_quality_langid_vectorized_bit_identical():
+    """The ASCII-fast-path quality/langid kernels must be bit-identical to
+    the per-text Python semantics, including unicode/control-char fallbacks,
+    empties and None."""
+    import random
+
+    from elasticsearch_ray.ops.textstats import (
+        _langid_py,
+        _quality_py_row,
+        language_id,
+        quality_feature_arrays,
+    )
+
+    random.seed(11)
+    vocab = ["the", "and", "of", "der", "und", "le", "la", "Foo", "bar123",
+             "élan", "naïve", "データ", "x" * 40, "it's", ";;;", "42",
+             "tab\there", "\x1cctl"]
+    texts = []
+    for _ in range(400):
+        t = " ".join(random.choice(vocab) for _ in range(random.randint(0, 25)))
+        if random.random() < 0.1:
+            t += random.choice(["\n\n", "\x0b", " 𝔘ni", "\x7f"])
+        texts.append(t)
+    texts += [None, "", " ", "\t\n", "the the the", "a" * 500]
+    feats = quality_feature_arrays(pa.array(texts, pa.string()))
+    for i, t in enumerate(texts):
+        exp = _quality_py_row(t)
+        got = (feats["n_chars"][i], feats["n_words"][i], feats["stop_ratio"][i],
+               feats["punct_ratio"][i], feats["digit_ratio"][i],
+               feats["mean_word_len"][i])
+        assert tuple(got) == exp, (i, repr(t)[:60])
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(ds).take_all()}
+    for i, t in enumerate(texts):
+        assert got[i] == _langid_py(t), (i, repr(t)[:60])
+
+
 def test_textstats(docs_ds):
     from elasticsearch_ray.ops.textstats import (
         fingerprints,
