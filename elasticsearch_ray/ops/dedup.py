@@ -219,12 +219,17 @@ def minhash_lsh_dedup(
     shingle: int = 3,
     seed: int = 42,
     verify_jaccard: float | None = None,
+    num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """MinHash+LSH near-duplicate marking.
 
     Emits (doc_id, is_dup): ``is_dup`` iff the doc shares an LSH band bucket
     with a smaller doc_id.  Pipeline: signature map -> flat band explode ->
-    ``groupby(band, key)`` shuffle -> per-bucket min -> per-doc any().
+    coarse hash-partition shuffle on (band, key) -> segmented per-bucket
+    resolve (one Python call per PARTITION, every bucket via numpy segment
+    boundaries — bucket count is ~N x bands, far too many for a per-group
+    kernel dispatch) -> per-doc any().  ``num_partitions`` ~= cluster cores
+    x 2-4.
 
     ``verify_jaccard``: if set, bucket candidates are verified against the
     bucket representative with the MinHash Jaccard ESTIMATE (fraction of
@@ -233,26 +238,38 @@ def minhash_lsh_dedup(
     reaches the threshold are marked.  The exact n-gram kernel
     (:func:`ngram_jaccard`) remains available for final pair verification.
     """
+    from .partition import hash_partition_apply, segment_starts, start_index_of_row
+
     carry_sig = verify_jaccard is not None
     exploded = minhash_band_rows(
         ds, text_col, id_col, num_perm, bands, shingle, seed,
         carry_sig=carry_sig,
     )
 
-    def per_bucket(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy()
-        mpos = int(np.argmin(ids))
-        m = ids[mpos]
-        mask = ids != m
-        if carry_sig and mask.any():
-            sig = np.array(batch.column("sig").to_pylist(), dtype=np.int64)
-            est = (sig == sig[mpos][None, :]).mean(axis=1)
+    def per_part(tbl: pa.Table) -> pa.Table:
+        # segmented bucket resolve: ONE Python call handles every (band, key)
+        # bucket in the partition — sort, segment boundaries, gather the
+        # per-bucket min-id representative; no per-bucket dispatch
+        ids = tbl.column(id_col).to_numpy()
+        band = tbl.column("band").to_numpy()
+        key = tbl.column("key").to_numpy()
+        order = np.lexsort((ids, key, band))
+        ids, band, key = ids[order], band[order], key[order]
+        starts = segment_starts(band, key)
+        mask = ~starts  # bucket min = first row of its segment
+        if ids.size:
+            # dedupe equal ids (adjacent after the sort; covers repeats of
+            # the min id too — original kernel's np.unique(dup))
+            mask[1:] &= ids[1:] != ids[:-1]
+        if carry_sig:
+            sig = np.array(tbl.column("sig").to_pylist(), dtype=np.int64)[order]
+            rep = start_index_of_row(starts)
+            est = (sig == sig[rep]).mean(axis=1)
             mask &= est >= verify_jaccard
-        dup = ids[mask]
-        return pa.table({id_col: pa.array(np.unique(dup), pa.int64())})
+        return pa.table({id_col: pa.array(ids[mask], pa.int64())})
 
-    dup_ids = exploded.groupby(["band", "key"]).map_groups(
-        per_bucket, batch_format="pyarrow"
+    dup_ids = hash_partition_apply(
+        exploded, ["band", "key"], per_part, num_partitions=num_partitions
     )
 
     # distinct doc ids via a NATIVE count aggregate (vectorized) — a
@@ -337,30 +354,42 @@ def simhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """SimHash near-dup marking: 4x16-bit banding, Hamming<=k within buckets.
-    Emits (doc_id, is_dup, near_of)."""
+    Emits (doc_id, is_dup, near_of).  Bucket resolve is a segmented kernel
+    over coarse hash partitions of (chunk, key) — one Python call per
+    partition, vectorized popcount Hamming against each bucket's min-id
+    representative."""
+    from .partition import (
+        hash_partition_apply,
+        popcount64,
+        segment_starts,
+        start_index_of_row,
+    )
+
     exploded = simhash_band_rows(ds, text_col, id_col)
 
-    def per_bucket(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy()
-        sims = batch.column("sim").to_numpy().astype(np.uint64)
-        order = np.argsort(ids)
-        ids, sims = ids[order], sims[order]
-        ref_id, ref_sim = ids[0], sims[0]
-        ham = np.array(
-            [bin(int(ref_sim ^ s)).count("1") for s in sims], dtype=np.int64
-        )
-        mask = (ids != ref_id) & (ham <= max_hamming)
+    def per_part(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy()
+        chunk = tbl.column("chunk").to_numpy()
+        key = tbl.column("key").to_numpy()
+        sims = tbl.column("sim").to_numpy().astype(np.uint64)
+        order = np.lexsort((ids, key, chunk))
+        ids, chunk, key, sims = ids[order], chunk[order], key[order], sims[order]
+        starts = segment_starts(chunk, key)
+        rep = start_index_of_row(starts)  # bucket representative = min id
+        ham = popcount64(sims ^ sims[rep])
+        mask = (ids != ids[rep]) & (ham <= max_hamming)
         return pa.table(
             {
                 id_col: pa.array(ids[mask], pa.int64()),
-                "near_of": pa.array(np.full(int(mask.sum()), ref_id), pa.int64()),
+                "near_of": pa.array(ids[rep][mask], pa.int64()),
             }
         )
 
-    cands = exploded.groupby(["chunk", "key"]).map_groups(
-        per_bucket, batch_format="pyarrow"
+    cands = hash_partition_apply(
+        exploded, ["chunk", "key"], per_part, num_partitions=num_partitions
     )
     # collapse per doc with a NATIVE min aggregate (vectorized), not a
     # per-doc map_groups lambda

@@ -2,14 +2,19 @@
 table: tumbling-window aggregation, gap sessionization, and a per-key as-of
 join — the streaming-window custom operators Ray Data lacks natively,
 expressed as map_batches + native groupby aggregates (window_agg) or a
-keyed ``groupby(user).map_groups`` with a fully vectorized per-group kernel
-(sessionize / asof_join).
+coarse hash-partition shuffle with a SEGMENTED numpy kernel (sessionize /
+asof_join / range_join): one Python call resolves every key in a partition
+via sort + run boundaries + per-key-reset scans, instead of a per-key
+``map_groups`` dispatch that would cost 10^9 interpreter calls at
+10^9-user scale (see ops/partition.py).
 
 Partitioning assumption (documented per the custom-operator contract): for
-sessionize / asof_join one key's events must fit a single task — the shuffle
-is hash-partitioned by ``user_id``, the natural key a real pipeline already
-co-locates on.  window_agg has no such constraint (pre-aggregation happens
-inside map_batches via the native groupby combiner).
+sessionize / asof_join / range_join one partition's events must fit a
+single task — the shuffle is hash-partitioned by ``user_id`` into
+``num_partitions`` ~= cluster cores x 2-4 slices, the natural key a real
+pipeline already co-locates on.  window_agg has no such constraint
+(pre-aggregation happens inside map_batches via the native groupby
+combiner).
 """
 
 from __future__ import annotations
@@ -84,13 +89,18 @@ def sessionize(
     gap_minutes: int = 30,
     ts_col: str = "ts",
     user_col: str = "user_id",
+    num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """Gap sessionization: a user's events sorted by time split into
     sessions wherever the gap exceeds ``gap_minutes``.
 
     Emits (user_id, session_seq starting at 1, n_events, start_us, end_us).
-    The per-group kernel is pure numpy (sort, diff, cumsum, reduceat).
+    Segmented kernel over coarse hash partitions of user_id: one Python
+    call resolves EVERY user in a partition (lexsort + run boundaries +
+    diff/cumsum) — no per-user kernel dispatch at 10^9-user scale.
     """
+    from .partition import hash_partition_apply
+
     gap_us = gap_minutes * 60 * _US
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -101,31 +111,41 @@ def sessionize(
             }
         )
 
-    def per_user(batch: pa.Table) -> pa.Table:
-        ts = np.sort(batch.column("ts_us").to_numpy())
-        uid = batch.column(user_col)[0].as_py()
-        new = np.empty(ts.size, dtype=bool)
-        new[0] = True
-        np.greater(np.diff(ts), gap_us, out=new[1:])
-        starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], ts.size) - 1
-        n = np.diff(np.append(starts, ts.size))
+    def per_part(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column(user_col).to_numpy()
+        ts = tbl.column("ts_us").to_numpy()
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        n = ts.size
+        new_user = np.empty(n, dtype=bool)
+        new_sess = np.empty(n, dtype=bool)
+        if n:
+            new_user[0] = True
+            new_user[1:] = uid[1:] != uid[:-1]
+            new_sess[0] = True
+            new_sess[1:] = new_user[1:] | (ts[1:] - ts[:-1] > gap_us)
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], n) - 1
+        nev = np.diff(np.append(starts, n))
+        # session_seq restarts per user: sessions are contiguous per user
+        su = np.flatnonzero(new_user[starts])  # first-session index per user
+        idx = np.arange(starts.size)
+        seq = idx - np.repeat(su, np.diff(np.append(su, starts.size))) + 1
         return pa.table(
             {
-                user_col: pa.array(np.full(starts.size, uid), pa.int64()),
-                "session_seq": pa.array(
-                    np.arange(1, starts.size + 1, dtype=np.int64)
-                ),
-                "n_events": pa.array(n.astype(np.int64)),
+                user_col: pa.array(uid[starts], pa.int64()),
+                "session_seq": pa.array(seq.astype(np.int64)),
+                "n_events": pa.array(nev.astype(np.int64)),
                 "start_us": pa.array(ts[starts]),
                 "end_us": pa.array(ts[ends]),
             }
         )
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(user_col)
-        .map_groups(per_user, batch_format="pyarrow")
+    return hash_partition_apply(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        [user_col],
+        per_part,
+        num_partitions=num_partitions,
     )
 
 
@@ -182,38 +202,52 @@ def range_join(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
 
-    def per_key(batch: pa.Table) -> pa.Table:
-        side = batch.column("side").to_numpy()
-        empty = pa.table(
-            {
-                left_id: pa.array([], pa.int64()),
-                right_id: pa.array([], pa.int64()),
-            }
-        )
-        l_mask = side == 0
-        r_mask = ~l_mask
-        if not l_mask.any() or not r_mask.any():
-            return empty
-        vals = batch.column("v_lo").to_numpy()
-        lids = batch.column("lid").to_numpy()[l_mask]
-        lvals = vals[l_mask]
-        los = vals[r_mask]
-        his = batch.column("v_hi").to_numpy()[r_mask]
-        rids = batch.column("rid").to_numpy()[r_mask]
-        order = np.argsort(los)
-        los, his, rids = los[order], his[order], rids[order]
-        if not (his[:-1] < los[1:]).all():  # not assert: survives python -O
-            raise ValueError("range_join requires non-overlapping intervals per key")
-        pos = np.searchsorted(los, lvals, side="right") - 1
-        ok = (pos >= 0) & (lvals <= his[np.maximum(pos, 0)])
+    from .partition import hash_partition_apply, start_index_of_row
+
+    def per_part(tbl: pa.Table) -> pa.Table:
+        # segmented per-key resolve, every key in one Python call: sort by
+        # (key, value, rights-first-on-ties); a per-key-reset running max of
+        # right positions gives each left row the latest interval with
+        # lo <= v (ties included since rights sort first); then verify
+        # v <= hi of that interval.
+        key = tbl.column(key_col).to_numpy()
+        vlo = tbl.column("v_lo").to_numpy()
+        vhi = tbl.column("v_hi").to_numpy()
+        rid = tbl.column("rid").to_numpy()
+        lid = tbl.column("lid").to_numpy()
+        side = tbl.column("side").to_numpy()
+        order = np.lexsort((1 - side, vlo, key))  # rights (side=1) first
+        key, vlo, vhi = key[order], vlo[order], vhi[order]
+        rid, lid, side = rid[order], lid[order], side[order]
+        n = key.size
+        starts = np.zeros(n, dtype=bool)
+        if n:
+            starts[0] = True
+            starts[1:] = key[1:] != key[:-1]
+        seg_of = start_index_of_row(starts)
+        is_r = side == 1
+        # non-overlap contract per key (not assert: survives python -O)
+        rpos = np.flatnonzero(is_r)
+        if rpos.size > 1:
+            same = seg_of[rpos[1:]] == seg_of[rpos[:-1]]
+            if not (~same | (vhi[rpos[:-1]] < vlo[rpos[1:]])).all():
+                raise ValueError(
+                    "range_join requires non-overlapping intervals per key"
+                )
+        lr = np.maximum.accumulate(np.where(is_r, np.arange(n), -1))
+        lr = np.where(lr >= seg_of, lr, -1)  # reset across key boundaries
+        lmask = ~is_r
+        cand = lr[lmask]
+        safe = np.maximum(cand, 0)
+        ok = (cand >= 0) & (vlo[lmask] <= vhi[safe])
         return pa.table(
             {
-                left_id: pa.array(lids[ok].astype(np.int64)),
-                right_id: pa.array(rids[np.maximum(pos, 0)][ok].astype(np.int64)),
+                left_id: pa.array(lid[lmask][ok].astype(np.int64)),
+                right_id: pa.array(rid[safe][ok].astype(np.int64)),
             }
         )
 
-    return tagged.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    return hash_partition_apply(tagged, [key_col], per_part)
 
 
 def asof_join(
@@ -247,23 +281,37 @@ def asof_join(
             }
         )
 
-    def per_user(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy()
-        ts = batch.column("ts_us").to_numpy()
-        is_ref = batch.column("is_ref").to_numpy()
-        order = np.lexsort((ids, ts))
-        ids, ts, is_ref = ids[order], ts[order], is_ref[order]
-        ref_idx = np.flatnonzero(is_ref)
-        if ref_idx.size == 0:
-            match = np.full(ids.size, -1, dtype=np.int64)
-        else:
-            # latest ref position with ts <= event ts; sorted by (ts, id) so
-            # equal-ts references resolve to the max event_id deterministically
-            pos = np.searchsorted(ts[ref_idx], ts, side="right") - 1
-            match = np.where(pos >= 0, ref_idx[np.maximum(pos, 0)], -1)
+    from .partition import hash_partition_apply, start_index_of_row
+
+    def per_part(tbl: pa.Table) -> pa.Table:
+        # segmented as-of: sort by (user, ts, id); per-user-reset running max
+        # of reference positions, read at each (user, ts) RUN's last row so
+        # equal-ts references later in the run still count (the original
+        # per-user searchsorted side='right' semantics: ref.ts <= ev.ts,
+        # equal-ts ties resolve to the max ref event_id).
+        uid = tbl.column(user_col).to_numpy()
+        ids = tbl.column(id_col).to_numpy()
+        ts = tbl.column("ts_us").to_numpy()
+        is_ref = tbl.column("is_ref").to_numpy()
+        order = np.lexsort((ids, ts, uid))
+        uid, ids, ts, is_ref = uid[order], ids[order], ts[order], is_ref[order]
+        n = uid.size
+        seg_starts = np.zeros(n, dtype=bool)
+        run_starts = np.zeros(n, dtype=bool)
+        if n:
+            seg_starts[0] = run_starts[0] = True
+            seg_starts[1:] = uid[1:] != uid[:-1]
+            run_starts[1:] = seg_starts[1:] | (ts[1:] != ts[:-1])
+        seg_of = start_index_of_row(seg_starts)
+        rs = np.flatnonzero(run_starts)
+        run_end = np.repeat(np.append(rs[1:], n) - 1, np.diff(np.append(rs, n)))
+        lr = np.maximum.accumulate(np.where(is_ref, np.arange(n), -1))
+        lr = np.where(lr >= seg_of, lr, -1)  # reset across user boundaries
+        match = lr[run_end]
         has = match >= 0
-        ref_ids = np.where(has, ids[np.maximum(match, 0)], -1)
-        lags = np.where(has, ts - ts[np.maximum(match, 0)], -1)
+        safe = np.maximum(match, 0)
+        ref_ids = np.where(has, ids[safe], -1)
+        lags = np.where(has, ts - ts[safe], -1)
         return pa.table(
             {
                 id_col: pa.array(ids),
@@ -272,8 +320,6 @@ def asof_join(
             }
         )
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(user_col)
-        .map_groups(per_user, batch_format="pyarrow")
+    return hash_partition_apply(
+        ds.map_batches(prep, batch_format="pyarrow"), [user_col], per_part
     )
