@@ -339,9 +339,32 @@ def main_single():
         },
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
-        "detail": res,
+        "detail_path": _dump_detail(res),
     }
-    print(json.dumps(line))
+    return line
+
+
+def _dump_detail(res: dict) -> str:
+    """Full per-stage detail goes to a side file so the FINAL stdout line
+    stays compact — the driver parses the last standalone JSON line and has
+    a bounded capture window (round-2 bench went unparsed because 'detail'
+    inflated the line past it)."""
+    os.makedirs("/tmp/esray_bench", exist_ok=True)
+    path = "/tmp/esray_bench/bench_detail.json"
+    with open(path, "w") as f:
+        json.dump(res, f, indent=1)
+    return path
+
+
+def _emit_final(line: dict) -> None:
+    """Shut Ray down FIRST (its teardown can interleave log lines), then
+    print the result as the final standalone stdout line."""
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    sys.stdout.flush()
+    print(json.dumps(line), flush=True)
 
 
 SCALING_LEVELS = (
@@ -418,9 +441,9 @@ def main_scaling():
         "num_cpus": n4,
         "scaling_efficiency": round(eff, 3),
         "deterministic_across_levels": deterministic,
-        "detail": out,
+        "detail_path": _dump_detail(out),
     }
-    print(json.dumps(line))
+    _emit_final(line)
 
 
 def main_scaling_child():
@@ -451,7 +474,4 @@ if __name__ == "__main__":
     elif "--scaling" in sys.argv:
         main_scaling()
     else:
-        main_single()
-        import ray
-
-        ray.shutdown()
+        _emit_final(main_single())
