@@ -96,23 +96,29 @@ class RayBM25Index:
             base_cfg, url_column="url", lang_column=None, lang_filter=None
         )
 
-    @staticmethod
-    def _paths_fingerprint(resolved) -> str:
-        """Cheap identity for a parquet input spec (paths + file sizes) —
-        decides whether a crashed build dir may be resumed."""
+    def _paths_fingerprint(self, resolved) -> str:
+        """Identity for a (parquet input, build config) pair — decides
+        whether a crashed build dir may be resumed.  Covers nested
+        directories recursively and the analyzer/codec/segmentation config:
+        resuming stale segments built under a DIFFERENT config would yield a
+        silently mixed-config index (segment_is_done checks file existence
+        only)."""
+        import dataclasses
         import hashlib
 
         paths = [resolved] if isinstance(resolved, str) else sorted(resolved)
         h = hashlib.md5()
+        h.update(json.dumps(dataclasses.asdict(self.config), sort_keys=True).encode())
         for p in paths:
             h.update(p.encode())
             if os.path.isfile(p):
                 h.update(str(os.path.getsize(p)).encode())
             elif os.path.isdir(p):
-                for f in sorted(os.listdir(p)):
-                    fp = os.path.join(p, f)
-                    h.update(f.encode())
-                    if os.path.isfile(fp):
+                for root, dirs, files in os.walk(p):
+                    dirs.sort()
+                    for f in sorted(files):
+                        fp = os.path.join(root, f)
+                        h.update(os.path.relpath(fp, p).encode())
                         h.update(str(os.path.getsize(fp)).encode())
         return h.hexdigest()
 

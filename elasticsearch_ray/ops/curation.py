@@ -17,6 +17,8 @@ write_parquet appends into existing dirs).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray.data
@@ -86,10 +88,20 @@ def curate(
         # would double every surviving row (and inflate the counts below),
         # so replace the output wholesale.  Partition-level resume would
         # need per-shard done-markers — not implemented; a rerun redoes the
-        # write.
+        # write.  Refuse to clobber a directory curate() did not produce
+        # (marker file check) — rmtree on an arbitrary caller path would
+        # silently destroy unrelated data.
         import shutil
 
+        marker = os.path.join(out_dir, ".esray_curate")
+        if os.path.isdir(out_dir) and not os.path.exists(marker):
+            raise ValueError(
+                f"curate out_dir {out_dir!r} exists and was not produced by "
+                "a prior curate run; remove it yourself or pass a fresh path"
+            )
         shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out_dir, exist_ok=True)
+        open(marker, "w").close()
         kept.write_parquet(out_dir)
         if with_counts:
             # metadata-only count over the written files — no re-execution

@@ -155,6 +155,12 @@ def extend_index(
     return _execute_build(
         index_dir, config, new_segs, resume=True, extra_seg_ids=old_segs,
         tombstones=manifest.get("tombstones", []),
+        # a per-call config override (e.g. update_index's pair-add scratch
+        # parquet with url_column='url') applies to TOKENIZING the new
+        # segments only; the index's persisted config must stay the one it
+        # was created with, or later parquet-path adds silently lose the
+        # original url/lang settings
+        persist_config=BuildConfig(**manifest["config"]),
     )
 
 
@@ -308,6 +314,7 @@ def _execute_build(
     resume: bool = True,
     extra_seg_ids: list[int] | None = None,
     tombstones: list[int] | None = None,
+    persist_config: BuildConfig | None = None,
 ) -> dict:
     t_start = time.perf_counter()
     infos = _seg_infos(segs)
@@ -460,7 +467,8 @@ def _execute_build(
 
     all_seg_ids = sorted({s.seg_id for s in segs} | set(extra_seg_ids or []))
     manifest = _finalize(
-        index_dir, config, all_seg_ids, timings, skipped, tombstones or []
+        index_dir, persist_config or config, all_seg_ids, timings, skipped,
+        tombstones or [],
     )
     return manifest
 

@@ -34,7 +34,7 @@ def main() -> int:
                     choices=["reference", "plain"])
     ap.add_argument("--codec", default="vbyte", choices=["vbyte", "zlib"])
     ap.add_argument("--shuffle", default="combine",
-                    choices=["combine", "segment", "sort"])
+                    choices=["combine", "segment", "sort", "route"])
     ap.add_argument("--docs-per-segment", type=int, default=100_000)
     ap.add_argument("--partition-rows", type=int, default=10_000)
     ap.add_argument("--store-positions", action="store_true")
