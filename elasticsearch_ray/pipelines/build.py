@@ -484,6 +484,43 @@ def _write_empty_segment(index_dir: str, seg_id: int, info: dict,
     asm._write_segment(seg_id, info, doclens, pa.array([], pa.large_string()), e, e, e, e)
 
 
+# terms per df_global shard file (driver fast path; the distributed path
+# shards by sorted write blocks).  Module-level so tests can force >1 shard.
+DF_SHARD_ROWS = 1 << 17
+
+
+def _write_df_shard_index(df_global_dir: str) -> None:
+    """Shard index for the term-sorted, range-sharded df_global parquet:
+    [{file, lo, hi}] ordered by term range.  Parquet footer column stats
+    only — no data read.  UTF-8 byte order == Python code-point order, so
+    query-side bisect on these boundaries is consistent with the sort."""
+    import pyarrow.parquet as pq
+
+    from ..state.manifest import atomic_write_json
+
+    shards = []
+    for f in sorted(os.listdir(df_global_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(df_global_dir, f)).metadata
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # term is the first column
+            st = col.statistics
+            if st is None or st.min is None:
+                continue
+            mn = st.min.decode() if isinstance(st.min, bytes) else st.min
+            mx = st.max.decode() if isinstance(st.max, bytes) else st.max
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if lo is not None:
+            shards.append({"file": f, "lo": lo, "hi": hi})
+    shards.sort(key=lambda s: s["lo"])
+    atomic_write_json(
+        os.path.join(df_global_dir, "_df_shards.json"), {"shards": shards}
+    )
+
+
 def _finalize(index_dir: str, config: BuildConfig, seg_ids: list[int],
               timings: dict, skipped: int,
               tombstones: list[int] | None = None) -> dict:
@@ -527,14 +564,23 @@ def _finalize(index_dir: str, config: BuildConfig, seg_ids: list[int],
             agg = agg.select(["term", "df_sum"]).rename_columns(
                 ["term", "df"]
             ).sort_by("term")
-            pq.write_table(agg, os.path.join(df_global_dir, "df-00000.parquet"))
+            # term-range shards: cold-term df at query time is ONE shard
+            # read (binary search on the shard index), not an all-searcher
+            # gather
+            for i in range(0, max(agg.num_rows, 1), DF_SHARD_ROWS):
+                pq.write_table(
+                    agg.slice(i, DF_SHARD_ROWS),
+                    os.path.join(df_global_dir, f"df-{i // DF_SHARD_ROWS:05d}.parquet"),
+                )
         else:
             df_ds = ray.data.read_parquet(df_dir)
             agg = df_ds.groupby("term").sum("df")
             agg = agg.map_batches(
                 lambda t: t.rename_columns(["term", "df"]), batch_format="pyarrow"
             )
-            agg.write_parquet(df_global_dir)
+            # global sort -> each written file is a disjoint term range
+            agg.sort("term").write_parquet(df_global_dir)
+        _write_df_shard_index(df_global_dir)
     timings["finalize_sec"] = time.perf_counter() - t0
 
     stats = {

@@ -162,6 +162,22 @@ class QueryEngine:
         # which is enough to bound memory without per-hit bookkeeping.
         self._df_cache: dict[str, int] = {}
         self._df_cache_cap = 1_000_000
+        # Term-range-sharded global df (written by _finalize): cold-term df
+        # is ONE shard-file predicate read instead of an all-searcher
+        # gather — at 1e9 terms the gather costs every searcher a postings
+        # probe per cold term, the shard read costs one row-group scan on
+        # shared storage (same storage assumption as the segment files).
+        self._df_shards: list[tuple[str, str, str]] = []  # (lo, hi, path)
+        sh_path = os.path.join(index_dir, "df_global", "_df_shards.json")
+        if os.path.exists(sh_path):
+            with open(sh_path) as f:
+                for s in json.load(f).get("shards", []):
+                    self._df_shards.append(
+                        (s["lo"], s["hi"],
+                         os.path.join(index_dir, "df_global", s["file"]))
+                    )
+            self._df_shards.sort()
+        self._df_shard_los = [s[0] for s in self._df_shards]
 
         manifest_path = os.path.join(index_dir, "manifest.json")
         tombstones: list[int] = []
@@ -207,12 +223,42 @@ class QueryEngine:
 
     # -- df / idf ----------------------------------------------------------
 
+    def _dfs_from_shards(self, terms: list[str]) -> dict[str, int]:
+        """df for each term via the range-sharded df_global parquet: bisect
+        the shard index, one predicate read per touched shard (row-group
+        pruning via the sorted term column).  Terms outside every range are
+        absent from the corpus: df = 0."""
+        import bisect
+        from collections import defaultdict
+
+        import pyarrow.dataset as pads
+
+        out = {t: 0 for t in terms}
+        groups: dict[int, list[str]] = defaultdict(list)
+        for t in terms:
+            i = bisect.bisect_right(self._df_shard_los, t) - 1
+            if i >= 0 and t <= self._df_shards[i][1]:
+                groups[i].append(t)
+        for i, ts in groups.items():
+            tbl = pads.dataset(self._df_shards[i][2]).to_table(
+                columns=["term", "df"],
+                filter=pads.field("term").isin(ts),
+            )
+            for term, df in zip(
+                tbl.column("term").to_pylist(), tbl.column("df").to_pylist()
+            ):
+                out[term] = int(df)
+        return out
+
     def _global_dfs(self, terms: list[str]) -> dict[str, int]:
         missing = sorted({t for t in terms if t not in self._df_cache})
         if missing:
-            parts = self._fanout("dfs", missing)
-            for t in missing:
-                self._df_cache[t] = sum(p[t] for p in parts)
+            if self._df_shards:
+                self._df_cache.update(self._dfs_from_shards(missing))
+            else:  # pre-shard-index layout: gather per-segment dfs
+                parts = self._fanout("dfs", missing)
+                for t in missing:
+                    self._df_cache[t] = sum(p[t] for p in parts)
         out = {t: self._df_cache[t] for t in terms}
         if len(self._df_cache) > self._df_cache_cap:
             # evict oldest-inserted first; dicts preserve insertion order

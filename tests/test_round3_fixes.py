@@ -106,6 +106,44 @@ def test_create_index_resume_fingerprint_includes_config(tmp_path):
     assert ix._paths_fingerprint(str(tmp_path / "nested")) != fp3
 
 
+def test_df_sharded_global_stats(tmp_path, monkeypatch):
+    """Cold-term df comes from the term-range-sharded df_global parquet
+    (one shard read, no all-searcher gather) and must equal the searcher
+    gather at >1 shard."""
+    from elasticsearch_ray.pipelines import build as build_mod
+    from elasticsearch_ray.pipelines.build import build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    monkeypatch.setattr(build_mod, "DF_SHARD_ROWS", 8)  # force many shards
+    texts = [
+        " ".join(f"w{i:03d}" for i in range(d, d + 12)) for d in range(40)
+    ]
+    src = str(tmp_path / "src.parquet")
+    pa.parquet.write_table(
+        pa.table(
+            {
+                "url": pa.array([f"u{d}" for d in range(40)]),
+                "text": pa.array(texts),
+            }
+        ),
+        src,
+    )
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, build_mod.BuildConfig(
+        target_partition_rows=10, docs_per_segment=20))
+    shidx = json.load(open(os.path.join(idx, "df_global", "_df_shards.json")))
+    assert len(shidx["shards"]) > 1
+    eng = QueryEngine(idx, num_searchers=0)
+    assert eng._df_shards  # shard path active
+    terms = [f"w{i:03d}" for i in range(0, 52, 5)] + ["zzz_absent"]
+    got = eng._global_dfs(terms)
+    # ground truth: embedded searcher postings gather (the legacy path)
+    exp = {t: eng._fanout("dfs", terms)[0][t] for t in terms}
+    assert got == exp
+    assert got["zzz_absent"] == 0
+    eng.close()
+
+
 def test_curate_refuses_foreign_out_dir(tmp_path, docs_for_curate=None):
     from elasticsearch_ray.ops.curation import curate
 
