@@ -2,17 +2,28 @@
 100 TB pretraining-data run takes, built from the ops in this package:
 
     read -> quality filter (inline Arrow-mask, payload streams through)
-         -> exact-dedup representative semi-join
-         -> (optional) MinHash near-dup anti-join
+         -> exact-dedup keep decision (broadcast dup-group map, join fallback)
+         -> (optional) MinHash near-dup drop (broadcast id set, join fallback)
          -> resumable partitioned parquet out + per-stage kept/dropped counts
 
-Everything stays in the cluster: keep/drop decisions are hash-partitioned
-semi-/anti-joins on doc_id (``Dataset.join``), never driver-side id sets,
-and the quality filter is a vectorized per-batch mask, never a per-row
-Python lambda.  The only driver-side values are the stage counters (scalar
-aggregates).  Output is written as partitioned Parquet (one file per
-block); a retried run replaces the output directory wholesale (Ray's
-write_parquet appends into existing dirs).
+Execution strategy is SIZE-AWARE, picked at runtime per drop-set:
+
+* The drop sets are small in any realistic corpus — the exact-dup GROUP
+  table is proportional to the duplicate rate (not corpus size), and the
+  MinHash output is only the marked near-dups.  Each is probed with
+  ``limit(max+1).take_all()`` (one early-stopping execution); when it fits
+  under ``broadcast_max_rows`` it is ``ray.put`` once and every keep
+  decision happens inline in ONE streaming ``map_batches`` pass over the
+  corpus — no join shuffle at all.
+* When a probe overflows (pathological dup rate x corpus size), that side
+  falls back to the hash-partitioned semi-/anti-``Dataset.join`` — the
+  payload still never reaches the driver.
+
+Either way the quality filter is a vectorized per-batch mask, never a
+per-row Python lambda, and the only driver-side values are the probed
+small tables and the stage counters.  Output is written as partitioned
+Parquet (one file per block); a retried run replaces the output directory
+wholesale (Ray's write_parquet appends into existing dirs).
 """
 
 from __future__ import annotations
@@ -21,10 +32,23 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data
 
-from .dedup import exact_dedup, minhash_lsh_dedup
+from .dedup import _text_hash128, exact_dedup, exact_dup_groups, minhash_lsh_dedup
 from .textstats import quality_feature_arrays
+
+# Max drop-set rows pinned per worker via ray.put.  256k dup-group entries
+# ≈ tens of MB as a Python dict — cheap against one join shuffle.  At
+# 10^12 docs x 1% dup rate the probe overflows and the join path runs.
+BROADCAST_MAX_ROWS = 1 << 18
+
+
+def _probe_small(ds: ray.data.Dataset, max_rows: int) -> list | None:
+    """One early-stopping execution: the full result if it has at most
+    ``max_rows`` rows, else None (caller takes the join fallback)."""
+    rows = ds.limit(max_rows + 1).take_all()
+    return rows if len(rows) <= max_rows else None
 
 
 def curate(
@@ -37,6 +61,7 @@ def curate(
     out_dir: str | None = None,
     num_partitions: int = 16,
     with_counts: bool = True,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
 ) -> dict:
     """Returns per-stage counts + the surviving-rows Dataset (``kept_ds``).
 
@@ -44,45 +69,119 @@ def curate(
     doc is its duplicate-group representative (min doc_id) AND (optionally)
     not a MinHash near-duplicate of a smaller doc.
 
-    ``num_partitions`` sizes the join shuffle (≈ cluster cores at scale).
-    ``with_counts=False`` skips the intermediate stage counters (each is a
-    full-pipeline scalar aggregate) for production runs that only want the
-    output.
+    ``num_partitions`` sizes the fallback join shuffle (≈ cluster cores at
+    scale).  ``with_counts=False`` skips the stage counters (one extra
+    counting pass in broadcast mode; full-pipeline scalar aggregates in
+    join mode) for production runs that only want the output.
     """
-    total = ds.count() if with_counts else None
-
-    def qfilter(batch: pa.Table) -> pa.Table:
-        feats = quality_feature_arrays(batch.column(text_col))
-        mask = (feats["quality"] >= min_quality) & (feats["n_words"] >= min_words)
-        return batch.filter(pa.array(mask))
-
-    q_keep = ds.map_batches(qfilter, batch_format="pyarrow")
-    n_quality = q_keep.count() if with_counts else None
-
-    reps = exact_dedup(ds, text_col=text_col, id_col=id_col).select_columns(
-        [id_col]
+    # -- probe the drop sets (each: one early-stopping pipeline execution) --
+    grows = _probe_small(
+        exact_dup_groups(ds, text_col=text_col, id_col=id_col),
+        broadcast_max_rows,
     )
-    n_exact = reps.count() if with_counts else None
-
-    # quality-passing rows whose id is an exact-dedup representative:
-    # hash-partitioned semi-join, payload never leaves the cluster
-    kept = q_keep.join(
-        reps, join_type="left_semi", num_partitions=num_partitions, on=(id_col,)
+    rep_map = (
+        {(int(r["h1"]), int(r["h2"])): r["rep"] for r in grows}
+        if grows is not None
+        else None
     )
-    n_after_exact = None
-    near_dropped = None
+    dup_set = None
+    dups_ds = None
     if near_dedup:
-        if with_counts:
-            n_after_exact = kept.count()
-        dups = minhash_lsh_dedup(
+        dups_ds = minhash_lsh_dedup(
             ds, text_col=text_col, id_col=id_col
         ).select_columns([id_col])
-        kept = kept.join(
-            dups, join_type="left_anti", num_partitions=num_partitions,
+        drows = _probe_small(dups_ds, broadcast_max_rows)
+        dup_set = {r[id_col] for r in drows} if drows is not None else None
+
+    broadcast_all = rep_map is not None and (not near_dedup or dup_set is not None)
+
+    if broadcast_all:
+        # ---- single-pass streaming keep decision, zero join shuffles ----
+        bref = ray.put((rep_map, dup_set))
+
+        def _masks(batch: pa.Table):
+            feats = quality_feature_arrays(batch.column(text_col))
+            q = (feats["quality"] >= min_quality) & (feats["n_words"] >= min_words)
+            rmap, dset = ray.get(bref)
+            ids = batch.column(id_col).to_pylist()
+            rep = np.ones(len(ids), dtype=bool)
+            near = np.ones(len(ids), dtype=bool)
+            if rmap:
+                # hash only rows that might be in a dup group is not
+                # possible without the hash — blake2b per row is the cost
+                # floor of content-equality either way
+                h1, h2 = _text_hash128(batch.column(text_col).to_pylist())
+                for i, d in enumerate(ids):
+                    r = rmap.get((int(h1[i]), int(h2[i])))
+                    if r is not None and d != r:
+                        rep[i] = False
+            if dset:
+                for i, d in enumerate(ids):
+                    if d in dset:
+                        near[i] = False
+            return q, rep, near
+
+        def keep_fn(batch: pa.Table) -> pa.Table:
+            q, rep, near = _masks(batch)
+            return batch.filter(pa.array(q & rep & near))
+
+        kept = ds.map_batches(keep_fn, batch_format="pyarrow")
+
+        total = n_quality = n_exact = n_after_exact = None
+        if with_counts:
+            # one extra streaming pass emitting 1-row partials; summed on
+            # the driver (bounded by block count, not corpus size)
+            def count_fn(batch: pa.Table) -> pa.Table:
+                q, rep, near = _masks(batch)
+                return pa.table(
+                    {
+                        "n": pa.array([len(q)], pa.int64()),
+                        "nq": pa.array([int(q.sum())], pa.int64()),
+                        "nqr": pa.array([int((q & rep).sum())], pa.int64()),
+                    }
+                )
+
+            parts = ds.map_batches(count_fn, batch_format="pyarrow").take_all()
+            total = sum(r["n"] for r in parts)
+            n_quality = sum(r["nq"] for r in parts)
+            n_after_exact = sum(r["nqr"] for r in parts)
+            # representatives over the FULL corpus = total rows minus the
+            # non-representative members of each dup group
+            n_exact = total - sum(int(r["dupes"]) - 1 for r in grows)
+    else:
+        # ---- join fallback: payload never leaves the cluster ----
+        total = ds.count() if with_counts else None
+
+        def qfilter(batch: pa.Table) -> pa.Table:
+            feats = quality_feature_arrays(batch.column(text_col))
+            mask = (feats["quality"] >= min_quality) & (
+                feats["n_words"] >= min_words
+            )
+            return batch.filter(pa.array(mask))
+
+        q_keep = ds.map_batches(qfilter, batch_format="pyarrow")
+        n_quality = q_keep.count() if with_counts else None
+
+        reps = exact_dedup(ds, text_col=text_col, id_col=id_col).select_columns(
+            [id_col]
+        )
+        n_exact = reps.count() if with_counts else None
+
+        kept = q_keep.join(
+            reps, join_type="left_semi", num_partitions=num_partitions,
             on=(id_col,),
         )
+        n_after_exact = None
+        if near_dedup:
+            if with_counts:
+                n_after_exact = kept.count()
+            kept = kept.join(
+                dups_ds, join_type="left_anti",
+                num_partitions=num_partitions, on=(id_col,),
+            )
 
     n_kept = None
+    near_dropped = None
     if out_dir is not None:
         # Ray's write_parquet APPENDS into an existing dir; a retried run
         # would double every surviving row (and inflate the counts below),
@@ -106,7 +205,7 @@ def curate(
         if with_counts:
             # metadata-only count over the written files — no re-execution
             n_kept = ray.data.read_parquet(out_dir).count()
-            kept = ray.data.read_parquet(out_dir)
+        kept = ray.data.read_parquet(out_dir)
     elif with_counts:
         n_kept = kept.count()
     if with_counts and near_dedup:

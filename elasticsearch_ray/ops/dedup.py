@@ -102,6 +102,52 @@ def exact_dedup(
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def exact_dup_groups(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Only the content-hash groups that actually have duplicates:
+    (h1, h2, rep, dupes) with dupes >= 2, rep = min id of the group.
+
+    Same shuffle shape as :func:`exact_dedup` (16-byte hash projection,
+    native Min/Count aggregates), but the output is the DUP-GROUP table —
+    proportional to the corpus's duplicate rate, not its size.  At a
+    realistic web-crawl dup rate this is the small side that
+    :func:`~elasticsearch_ray.ops.curation.curate` can broadcast instead of
+    paying a representative semi-join over every row.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h1, h2 = _text_hash128(batch.column(text_col).to_pylist())
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+            }
+        )
+
+    agg = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .aggregate(Min(id_col), Count())
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch.column("count()"), 1))
+        return pa.table(
+            {
+                "h1": t.column("h1"),
+                "h2": t.column("h2"),
+                "rep": t.column(f"min({id_col})"),
+                "dupes": t.column("count()"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _minhash_params(num_perm: int, seed: int = 42):
     # see _MERSENNE note: a, b drawn over [*, p) with p = 2^31-1.  31-bit
     # shingle ids distort a pair's Jaccard estimate by ~|shingles|^2/2^32 —

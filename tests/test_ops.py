@@ -355,6 +355,31 @@ def test_multimodal_resize_and_frames(docs_ds):
         FrameSampleStub(mode="strict")
 
 
+def test_curate_broadcast_matches_join_fallback(docs_ds):
+    """The size-aware broadcast path and the join fallback must make the
+    same keep decisions and report the same stage counts."""
+    from elasticsearch_ray.ops.curation import curate
+
+    kw = dict(min_quality=0.0, min_words=2, near_dedup=True, num_partitions=2)
+    bres = curate(docs_ds, **kw)  # small drop sets -> broadcast path
+    jres = curate(docs_ds, broadcast_max_rows=0, **kw)  # forced join path
+    bids = sorted(r["doc_id"] for r in bres["kept_ds"].take_all())
+    jids = sorted(r["doc_id"] for r in jres["kept_ds"].take_all())
+    assert bids == jids
+    for k in ("total", "after_quality", "exact_dedup_reps",
+              "near_dups_dropped", "kept"):
+        assert bres[k] == jres[k], k
+
+
+def test_exact_dup_groups(docs_ds):
+    from elasticsearch_ray.ops.dedup import exact_dup_groups
+
+    rows = exact_dup_groups(docs_ds).take_all()
+    # only ONE content value is duplicated (docs 0,1,5)
+    assert len(rows) == 1
+    assert rows[0]["rep"] == 0 and rows[0]["dupes"] == 3
+
+
 def test_curation_pipeline(docs_ds, tmp_path):
     from elasticsearch_ray.ops.curation import curate
 
