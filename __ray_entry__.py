@@ -43,6 +43,14 @@ def _ensure_index(sf_dir: str, analyzer: str, positions: bool = False) -> str:
 
     tag = analyzer + ("_pos" if positions else "")
     idx = _index_dir_for(sf_dir, tag)
+    if positions and os.path.exists(os.path.join(idx, "manifest.json")):
+        # purge a cached index whose positions cells predate layout v2
+        import json as _json
+        import shutil as _shutil
+
+        with open(os.path.join(idx, "manifest.json")) as f:
+            if _json.load(f).get("positions_layout") != 2:
+                _shutil.rmtree(idx, ignore_errors=True)
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         build_index(
             os.path.join(sf_dir, "documents.parquet"),

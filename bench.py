@@ -79,7 +79,8 @@ def make_queryset() -> list[str]:
 
 def bench_build(corpus_dir: str, index_dir: str,
                 docs_per_segment: int, partition_rows: int,
-                tokenize_concurrency: int | None = None) -> dict:
+                tokenize_concurrency: int | None = None,
+                **cfg_kw) -> dict:
     import shutil
 
     from elasticsearch_ray.pipelines.build import BuildConfig, build_index
@@ -89,6 +90,7 @@ def bench_build(corpus_dir: str, index_dir: str,
         target_partition_rows=partition_rows,
         docs_per_segment=docs_per_segment,
         tokenize_concurrency=tokenize_concurrency,
+        **cfg_kw,
     )
     t0 = time.perf_counter()
     manifest = build_index(corpus_dir, index_dir, cfg)
@@ -164,6 +166,56 @@ def bench_queries(index_dir: str, queryset: list[str]) -> dict:
         out["qps_sustained_embedded"] = round(n / (time.perf_counter() - t0), 1)
     finally:
         emb.close()
+    return out
+
+
+def make_phrase_queryset(corpus_dir: str, n: int = 40) -> list[str]:
+    """Quoted bigrams sampled from real adjacent word pairs in the corpus
+    (plain analyzer keeps every token, so raw adjacency == position
+    adjacency)."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    frag = next(
+        f for f in sorted(os.listdir(corpus_dir)) if f.endswith(".parquet")
+    )
+    texts = pq.read_table(
+        os.path.join(corpus_dir, frag), columns=["text"]
+    ).column("text").to_pylist()[:200]
+    rng = random.Random(7)
+    qs = []
+    while len(qs) < n and texts:
+        words = rng.choice(texts).split()
+        if len(words) < 2:
+            continue
+        i = rng.randrange(len(words) - 1)
+        qs.append(f'"{words[i]} {words[i + 1]}"')
+    return qs
+
+
+def bench_phrase(index_dir: str, queryset: list[str]) -> dict:
+    """Latency + sustained QPS for quoted-phrase retrieval over a
+    positions-enabled index (the beyond-reference feature, VERDICT r2 #7)."""
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(index_dir)
+    try:
+        eng.batch_search(queryset[:10])  # warmup
+        lats = []
+        for q in queryset:
+            t0 = time.perf_counter()
+            eng.search(q)
+            lats.append((time.perf_counter() - t0) * 1e3)
+        out = {"phrase": _percentiles(lats)}
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < 3.0:
+            eng.search(queryset[n % len(queryset)])
+            n += 1
+        out["qps_sustained_phrase"] = round(n / (time.perf_counter() - t0), 1)
+    finally:
+        eng.close()
     return out
 
 
@@ -298,6 +350,19 @@ def run_bench(num_cpus: int, include_ops: bool = True) -> dict:
         f"/tmp/esray_bench/idx_webtext_{num_cpus}", make_queryset()
     )
 
+    # 3b. positions-on build + phrase serving (plain analyzer: raw word
+    # adjacency == position adjacency, matching the `phrase` twin's setup)
+    pos_idx = f"/tmp/esray_bench/idx_webtext_pos_{num_cpus}"
+    results["build_webtext_positions"] = bench_build(
+        corpus, pos_idx,
+        docs_per_segment=max(2000, WEBTEXT_DOCS // 8),
+        partition_rows=1000,
+        analyzer="plain", store_positions=True,
+    )
+    results["query_phrase"] = bench_phrase(
+        pos_idx, make_phrase_queryset(corpus)
+    )
+
     # 4. training-data ops over the sf tables
     if include_ops:
         results["ops"] = bench_ops(SF_DIR)
@@ -325,6 +390,10 @@ def main_single():
                 else {}
             ),
             "build_documents": res["build_documents"]["sec"],
+            "build_webtext_positions": res["build_webtext_positions"]["sec"],
+            "query_phrase_p50_ms": res["query_phrase"]["phrase"]["p50_ms"],
+            "query_phrase_p99_ms": res["query_phrase"]["phrase"]["p99_ms"],
+            "query_qps_phrase": res["query_phrase"]["qps_sustained_phrase"],
             "query_taat_p50_ms": res["query"]["taat"]["p50_ms"],
             "query_taat_p99_ms": res["query"]["taat"]["p99_ms"],
             "query_wand_p50_ms": res["query"]["wand"]["p50_ms"],

@@ -599,6 +599,10 @@ def _finalize(index_dir: str, config: BuildConfig, seg_ids: list[int],
         "segments_skipped_resume": skipped,
         "timings": timings,
         "config": asdict(config),
+        # v2 = deltas-only positions cells (count == tf); readers of a
+        # positions-bearing index must see this marker (layout v1 interleaved
+        # [npos, deltas...] streams would silently misdecode)
+        "positions_layout": 2 if config.store_positions else None,
     }
     atomic_write_json(os.path.join(index_dir, "stats.json"), stats)
     manifest = dict(stats)

@@ -47,19 +47,25 @@ def compact_segment(
         tf_parts.append(tfs[mask])
         dfs.append(int(mask.sum()))
         if pos_cells is not None:
-            vals = vbyte_decode(reader._cell("positions", row))
-            kept_vals: list[int] = []
-            p = 0
-            for keep in mask:
-                npos = int(vals[p])
-                chunk = vals[p : p + 1 + npos]
-                if keep:
-                    kept_vals.extend(chunk.tolist())
-                p += 1 + npos
+            # layout v2: deltas only, per-doc count == tf.  Dropping a doc
+            # removes its contiguous delta chunk; surviving chunks are
+            # unchanged (each starts with an absolute in-doc position), so
+            # the filter is one vectorized ragged gather.
+            deltas = vbyte_decode(reader._cell("positions", row))
+            offsets = np.zeros(tfs.size + 1, dtype=np.int64)
+            np.cumsum(tfs, out=offsets[1:])
+            sel_off = offsets[:-1][mask]
+            sel_cnt = tfs[mask].astype(np.int64, copy=False)
+            total_kept = int(sel_cnt.sum())
+            dst0 = np.zeros(sel_cnt.size, dtype=np.int64)
+            if sel_cnt.size:
+                np.cumsum(sel_cnt[:-1], out=dst0[1:])
+            gather = (
+                np.repeat(sel_off - dst0, sel_cnt)
+                + np.arange(total_kept, dtype=np.int64)
+            )
             pos_cells.append(
-                vbyte_encode_with_lengths(
-                    np.asarray(kept_vals, dtype=np.int64)
-                )[0]
+                vbyte_encode_with_lengths(deltas[gather])[0]
             )
 
     out_df = np.asarray(dfs, dtype=np.int64)

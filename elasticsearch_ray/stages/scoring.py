@@ -435,60 +435,82 @@ def phrase_eval(
     whose PHRASE grammar was never implemented — ``README.md:39-48`` vs the
     discarded position data).  A doc matches iff every phrase occurs with
     adjacent PROCESSED-token positions and contains every residual term.
-    Returns (first `size` matching global doc_ids ascending, local count)."""
-    cand: np.ndarray | None = None
+    Returns (first `size` matching global doc_ids ascending, local count).
+
+    Fully vectorized: adjacency for ALL candidate docs at once via
+    composite ``slot<<32 | position`` keys — ``keys(t_i) + 1`` intersected
+    with ``keys(t_{i+1})`` walks the phrase left to right (positions are
+    < 2^32, so +1 never carries into the slot half).  No per-candidate
+    Python loop."""
     empty = np.empty(0, dtype=np.int64)
 
     def intersect(a, b):
-        return np.intersect1d(a, b, assume_unique=True)
+        """Intersection of two SORTED-unique arrays: binary-search the
+        smaller into the larger — O(min log max), no re-sort (intersect1d
+        sorts the concatenation even with assume_unique)."""
+        if a.size > b.size:
+            a, b = b, a
+        if not a.size:
+            return a
+        idx = np.searchsorted(b, a)
+        idx[idx == b.size] = 0
+        return a[b[idx] == a]
 
+    # candidate docs: every phrase term and residual term present
+    cand: np.ndarray | None = None
     phrase_data = []
     for phrase in phrases:
         datas = []
         for t in phrase:
-            res = reader.positions_slots(t)
+            res = reader.positions_flat(t)
             if res is None:
                 return empty, 0
             datas.append(res)
-        inter = datas[0][0]
-        for slots, _ in datas[1:]:
-            inter = intersect(inter, slots)
-            if not inter.size:
+            cand = res[0] if cand is None else intersect(cand, res[0])
+            if not cand.size:
                 return empty, 0
-        cand = inter if cand is None else intersect(cand, inter)
-        if not cand.size:
-            return empty, 0
         phrase_data.append(datas)
     for t in residual_terms:
         res = reader.postings_slots(t)
         if res is None:
             return empty, 0
         cand = res[0] if cand is None else intersect(cand, res[0])
-        if cand is not None and not cand.size:
+        if not cand.size:
             return empty, 0
     if cand is None:
         return empty, 0
     cand = cand[reader.doc_lens[cand] >= 0]  # tombstones
 
-    # adjacency verification per candidate
-    matched = []
-    for slot in cand:
-        ok = True
-        for phrase, datas in zip(phrases, phrase_data):
-            cur = None
-            for slots_t, pos_t in datas:
-                idx = int(np.searchsorted(slots_t, slot))
-                p = pos_t[idx]
-                cur = p if cur is None else np.intersect1d(cur + 1, p)
-                if cur.size == 0:
-                    ok = False
-                    break
-            if not ok:
+    def term_keys(data, cand_now: np.ndarray) -> np.ndarray:
+        """Sorted unique (slot<<32 | pos) keys restricted to cand_now
+        (cand_now ⊆ data's slots by construction): one ragged gather."""
+        slots, counts, flat, offsets = data
+        idx = np.searchsorted(slots, cand_now)
+        sel_cnt = counts[idx]
+        sel_off = offsets[idx]
+        total = int(sel_cnt.sum())
+        dst0 = np.zeros(sel_cnt.size, dtype=np.int64)
+        if sel_cnt.size:
+            np.cumsum(sel_cnt[:-1], out=dst0[1:])
+        gather = (
+            np.repeat(sel_off - dst0, sel_cnt)
+            + np.arange(total, dtype=np.int64)
+        )
+        doc_rep = np.repeat(cand_now, sel_cnt)
+        return (doc_rep << np.int64(32)) | flat[gather].astype(np.int64, copy=False)
+
+    # verify each phrase over the surviving candidates (keys shrink as
+    # earlier phrases prune cand)
+    for datas in phrase_data:
+        if not cand.size:
+            break
+        cur = term_keys(datas[0], cand)
+        for data in datas[1:]:
+            if not cur.size:
                 break
-        if ok:
-            matched.append(int(slot))
-    m = np.array(matched, dtype=np.int64)
-    return m[:size] + reader.doc_id_base, int(m.size)
+            cur = intersect(cur + 1, term_keys(data, cand))
+        cand = np.unique(cur >> np.int64(32)) if cur.size else empty
+    return cand[:size] + reader.doc_id_base, int(cand.size)
 
 
 class _LazyTerm:

@@ -120,6 +120,11 @@ class TokenizePartition:
             if tokens:
                 slot = doc_id - seg_base
                 if self.store_positions:
+                    # positions cell layout v2: per doc [p0, dp1, ...] —
+                    # deltas ONLY; the per-doc count is the tf already in
+                    # the tfs cell, so the stream decodes fully vectorized
+                    # (segmented cumsum keyed by tfs, segment.py
+                    # positions_flat) with no interleaved-count scan
                     posmap: dict[str, list[int]] = {}
                     for p, term in enumerate(tokens):
                         pl = posmap.get(term)
@@ -134,7 +139,6 @@ class TokenizePartition:
                         lst.append(slot)
                         lst.append(len(plist))
                         pv = pos_vals[term]
-                        pv.append(len(plist))
                         pv.append(plist[0])
                         for j in range(1, len(plist)):
                             pv.append(plist[j] - plist[j - 1])

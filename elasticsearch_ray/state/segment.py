@@ -106,6 +106,12 @@ class SegmentReader:
                 self.doc_lens[slots] = -1
         self._terms = self.table.column("term")
         self._df = self.table.column("df").to_numpy()
+        # decoded-positions LRU (see positions_flat); ~16 MB of int64 values
+        from collections import OrderedDict
+
+        self._pos_cache: OrderedDict[int, tuple] = OrderedDict()
+        self._pos_cache_vals = 0
+        self._POS_CACHE_BUDGET = 2_000_000
         # Zero-copy views over the mmap'd binary columns: per-cell access is
         # a numpy slice, no bytes copy (hot path for every query term).
         self._cells = {}
@@ -221,22 +227,57 @@ class SegmentReader:
         offsets, data = self._cells["positions"]
         return data.size > 0
 
-    def positions_slots(self, term: str):
-        """(slots, [positions array per doc]) or None.  Position streams are
-        [npos, p0, dp1, ...] per doc in postings order."""
+    def positions_flat(self, term: str):
+        """(slots, counts, flat_positions, offsets) or None — the fully
+        vectorized positions decode (layout v2, no Python loop).
+
+        The positions cell holds ONLY per-doc delta streams ``[p0, dp1,
+        ...]`` concatenated in postings order; the per-doc count is the tf
+        (positions-per-doc == term frequency by construction), so decode is
+        one VByte pass + one segmented cumsum.  ``offsets`` has len df+1;
+        doc i's positions are ``flat[offsets[i]:offsets[i+1]]``."""
         row = self._term_row.get(term)
         if row is None:
             return None
-        slots, _tfs = self.postings_slots_by_row(row)
-        vals = vbyte_decode(self._cell("positions", row))
-        out = []
-        p = 0
-        for _ in range(slots.size):
-            npos = int(vals[p])
-            deltas = vals[p + 1 : p + 1 + npos]
-            out.append(np.cumsum(deltas))
-            p += 1 + npos
-        return slots, out
+        cached = self._pos_cache.get(row)
+        if cached is not None:
+            self._pos_cache.move_to_end(row)
+            return cached
+        slots, tfs = self.postings_slots_by_row(row)
+        deltas = vbyte_decode(self._cell("positions", row))
+        counts = tfs.astype(np.int64, copy=False)
+        offsets = np.zeros(counts.size + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        cs = np.cumsum(deltas)
+        if counts.size:
+            starts = offsets[:-1]
+            prev = np.empty(counts.size, dtype=cs.dtype if cs.size else np.int64)
+            prev[0] = 0
+            if counts.size > 1:
+                prev[1:] = cs[starts[1:] - 1]
+            flat = cs - np.repeat(prev, counts)
+        else:
+            flat = cs
+        res = (slots, counts, flat, offsets)
+        # bounded decoded-positions LRU: phrase workloads are Zipf-heavy, so
+        # hot terms ("the", "of") pay the big VByte decode once per actor,
+        # not once per query.  Budget counts decoded int64 values.
+        self._pos_cache[row] = res
+        self._pos_cache_vals += flat.size + slots.size * 2
+        while self._pos_cache_vals > self._POS_CACHE_BUDGET and len(self._pos_cache) > 1:
+            _, old = self._pos_cache.popitem(last=False)
+            self._pos_cache_vals -= old[2].size + old[0].size * 2
+        return res
+
+    def positions_slots(self, term: str):
+        """Compat shim: (slots, [positions array per doc]) or None."""
+        res = self.positions_flat(term)
+        if res is None:
+            return None
+        slots, _counts, flat, offsets = res
+        return slots, [
+            flat[offsets[i] : offsets[i + 1]] for i in range(slots.size)
+        ]
 
     def present_doc_ids(self) -> np.ndarray:
         """Local doc universe (for boolean NOT): every kept doc, including
