@@ -456,42 +456,61 @@ def _index_md5s(index_dir: str) -> dict:
     return out
 
 
-def main_scaling():
-    """Same job, same input, two fresh ray sessions at N and 4N CPUs.
+def _run_scaling_child(cpus: int, shuffle: str | None = None) -> dict | None:
+    env = dict(os.environ)
+    env["RAY_GRAFT_CPUS"] = str(cpus)
+    if shuffle:
+        env["BENCH_SHUFFLE"] = shuffle
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scaling-child"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    last = [l for l in p.stdout.splitlines() if l.startswith("{")]
+    if not last:
+        sys.stderr.write(f"child {cpus} failed: {p.stderr[-2000:]}\n")
+        return None
+    return json.loads(last[-1])
 
-    Best-of-R per level: this sandbox is a shared VM with up to ~40%
-    run-to-run wall-time noise (see BASELINE.md 'host contention'), so the
-    minimum is the honest estimate of each level's capability.
+
+def main_scaling():
+    """Same job, same input, fresh ray sessions at N and 4N CPUs.
+
+    Multi-draw protocol (VERDICT r2 #5): R draws per level, each child
+    stamped with a fixed-size noise canary.  Headline efficiency uses the
+    best (fastest) draw per level; the quiet-window efficiency re-computes
+    it over draws whose canary is within 25% of the best canary seen —
+    draws outside that band ran while the shared VM was contended and say
+    nothing about the engine.
     """
-    out = {}
-    for cpus in SCALING_LEVELS:
-        best = None
-        for _ in range(SCALING_REPEATS):
-            env = dict(os.environ)
-            env["RAY_GRAFT_CPUS"] = str(cpus)
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scaling-child"],
-                env=env,
-                capture_output=True,
-                text=True,
-                timeout=3600,
-            )
-            last = [l for l in p.stdout.splitlines() if l.startswith("{")]
-            if not last:
-                print(
-                    json.dumps(
-                        {"error": f"child {cpus} failed", "stderr": p.stderr[-2000:]}
-                    )
-                )
+    draws: dict[int, list[dict]] = {c: [] for c in SCALING_LEVELS}
+    for _ in range(SCALING_REPEATS):
+        for cpus in SCALING_LEVELS:
+            r = _run_scaling_child(cpus)
+            if r is None:
+                print(json.dumps({"error": f"child {cpus} failed"}))
                 return
-            r = json.loads(last[-1])
-            if best is None or r["sec"] < best["sec"]:
-                best = r
-        out[cpus] = best
+            draws[cpus].append(r)
+    out = {c: min(ds, key=lambda r: r["sec"]) for c, ds in draws.items()}
     n, n4 = SCALING_LEVELS
     thr_n = out[n]["docs_per_sec"]
     thr_4n = out[n4]["docs_per_sec"]
     eff = (thr_4n / thr_n) / (n4 / n) if thr_n else 0.0
+    # quiet-window efficiency: restrict to canary-quiet draws
+    best_canary = min(
+        r["canary_sec"] for ds in draws.values() for r in ds
+    )
+    quiet = {
+        c: [r for r in ds if r["canary_sec"] <= best_canary * 1.25]
+        for c, ds in draws.items()
+    }
+    eff_quiet = None
+    if quiet[n] and quiet[n4]:
+        qn = max(r["docs_per_sec"] for r in quiet[n])
+        q4 = max(r["docs_per_sec"] for r in quiet[n4])
+        eff_quiet = round((q4 / qn) / (n4 / n), 3)
     # determinism across parallelism levels: segment bytes must be identical
     deterministic = _index_md5s(
         f"/tmp/esray_bench/idx_scaling_{n}"
@@ -509,15 +528,79 @@ def main_scaling():
         "sf": SF_DIR,
         "num_cpus": n4,
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_quiet": eff_quiet,
+        "canary_secs": {
+            c: [r["canary_sec"] for r in ds] for c, ds in draws.items()
+        },
         "deterministic_across_levels": deterministic,
-        "detail_path": _dump_detail(out),
+        "detail_path": _dump_detail({"best": out, "draws": draws}),
     }
     _emit_final(line)
+
+
+def main_shuffle_draws():
+    """route-vs-combine decision protocol (VERDICT r2 #5): K alternating
+    build draws per shuffle mode at a fixed CPU count, canary-stamped.
+    Prints one JSON line with per-mode best / quiet-best times."""
+    k = int(os.environ.get("BENCH_SHUFFLE_DRAWS", "5"))
+    cpus = int(os.environ.get("BENCH_SHUFFLE_CPUS", "8"))
+    draws: dict[str, list[dict]] = {"combine": [], "route": []}
+    for _ in range(k):
+        for mode in ("combine", "route"):
+            r = _run_scaling_child(cpus, shuffle=mode)
+            if r is not None:
+                draws[mode].append(r)
+    best_canary = min(
+        (r["canary_sec"] for ds in draws.values() for r in ds), default=0.0
+    )
+    line: dict = {
+        "metric": f"build shuffle mode draws ({cpus} CPUs, {k} per mode)",
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": cpus,
+        "queries": {},
+    }
+    for mode, ds in draws.items():
+        if not ds:
+            continue
+        quiet = [r for r in ds if r["canary_sec"] <= best_canary * 1.25]
+        line["queries"][f"{mode}_best_sec"] = min(r["sec"] for r in ds)
+        line["queries"][f"{mode}_best_docs_per_sec"] = max(
+            r["docs_per_sec"] for r in ds
+        )
+        if quiet:
+            line["queries"][f"{mode}_quiet_best_docs_per_sec"] = max(
+                r["docs_per_sec"] for r in quiet
+            )
+        line["queries"][f"{mode}_all_sec"] = [r["sec"] for r in ds]
+    line["value"] = line["queries"].get("route_best_sec", 0.0)
+    line["detail_path"] = _dump_detail(draws)
+    _emit_final(line)
+
+
+def _noise_canary() -> float:
+    """Fixed-size single-process kernel timed before the measured job — a
+    host-contention detector for this shared VM (BASELINE.md: wall-time
+    noise is BIMODAL, quiet vs 2-4x-slow windows).  Draws whose canary is
+    far off the best canary ran in a noisy window; the scaling protocol
+    computes its headline efficiency over quiet-window draws only."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((1500, 512))
+    b = rng.standard_normal((512, 1500))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (a @ b).sum()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
 
 
 def main_scaling_child():
     import ray
 
+    canary = _noise_canary()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -532,7 +615,9 @@ def main_scaling_child():
         f"/tmp/esray_bench/idx_scaling_{NUM_CPUS}",
         docs_per_segment=max(2000, SCALING_DOCS // 24),
         partition_rows=1000,
+        shuffle=os.environ.get("BENCH_SHUFFLE", "combine"),
     )
+    res["canary_sec"] = canary
     ray.shutdown()
     print(json.dumps(res))
 
@@ -542,5 +627,7 @@ if __name__ == "__main__":
         main_scaling_child()
     elif "--scaling" in sys.argv:
         main_scaling()
+    elif "--shuffle-draws" in sys.argv:
+        main_shuffle_draws()
     else:
         _emit_final(main_single())

@@ -332,6 +332,81 @@ def minhash_lsh_dedup(
     )
 
 
+def lsh_candidate_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    seed: int = 42,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Distinct LSH candidate pairs (a = bucket-min representative, b =
+    other member, a != b) — the verification work-list for exact
+    :func:`ngram_jaccard`.  Same segmented bucket resolve as
+    :func:`minhash_lsh_dedup`; pair volume is duplicate-rate-proportional,
+    never all-pairs."""
+    from .partition import hash_partition_apply, segment_starts, start_index_of_row
+
+    exploded = minhash_band_rows(
+        ds, text_col, id_col, num_perm, bands, shingle, seed
+    )
+
+    def per_part(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy()
+        band = tbl.column("band").to_numpy()
+        key = tbl.column("key").to_numpy()
+        order = np.lexsort((ids, key, band))
+        ids, band, key = ids[order], band[order], key[order]
+        starts = segment_starts(band, key)
+        rep_ids = ids[start_index_of_row(starts)]
+        mask = ~starts & (ids != rep_ids)
+        return pa.table(
+            {
+                "a": pa.array(rep_ids[mask], pa.int64()),
+                "b": pa.array(ids[mask], pa.int64()),
+            }
+        )
+
+    pairs = hash_partition_apply(
+        exploded, ["band", "key"], per_part, num_partitions=num_partitions
+    )
+    distinct = pairs.groupby(["a", "b"]).count()
+    return distinct.select_columns(["a", "b"])
+
+
+def shingle_rows(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+) -> ray.data.Dataset:
+    """(doc_id, sh) — the DISTINCT 31-bit shingle hashes of each doc, the
+    exact-Jaccard ground set (docs with no tokens emit no rows)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        texts = batch.column(text_col).to_pylist()
+        parts = [
+            np.unique(_shingle_hashes((t or "").split(), shingle))
+            for t in texts
+        ]
+        counts = np.fromiter((p.size for p in parts), np.int64, len(parts))
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, counts), pa.int64()),
+                "sh": pa.array(
+                    np.concatenate(parts) if parts else
+                    np.empty(0, dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def simhash64(tokens: list[str]) -> int:
     """Weighted 64-bit SimHash over token hashes (tf weights)."""
     from collections import Counter

@@ -55,12 +55,12 @@ class BuildConfig:
     block_size: int = BLOCK_SIZE
     # store token positions (enables quoted-"phrase" queries; positions are
     # indices in the PROCESSED token stream, the standard IR compromise).
-    # Only the 'combine' shuffle carries positions.
+    # Only the 'combine' and 'route' shuffles carry positions.
     store_positions: bool = False
     tokenize_concurrency: int | None = None  # None -> cluster CPUs
     # 'combine': map-side combiner — tokenize tasks invert their partition
     #   locally and shuffle compressed per-term RUNS (~10x fewer bytes); the
-    #   assembler merges doc-disjoint runs per term.  Fastest; default.
+    #   assembler merges doc-disjoint runs per term.
     # 'segment': one groupby('seg') moves each raw triple once; the inversion
     #   is a local numeric lexsort in the assembly task.  Task memory is
     #   O(segment triples) — docs_per_segment bounds it.
@@ -74,8 +74,11 @@ class BuildConfig:
     #   its seg ids) is fetched zero-copy by at most ~2 assembly tasks.
     #   Raw Ray tasks are justified here because Ray Data's generic groupby
     #   cannot exploit the planner's partitioning knowledge.  Byte-identical
-    #   output to 'combine' (asserted in test_invariance).
-    shuffle: str = "combine"
+    #   output to 'combine' (asserted in test_invariance).  DEFAULT since
+    #   round 3: beat 'combine' in 5/5 canary-stamped 100k-doc draws at 8
+    #   CPUs (best 8.4s vs 12.6s — BASELINE.md round-3 section); its lower
+    #   exchange volume is also the multi-node win.
+    shuffle: str = "route"
 
     @property
     def identifier(self) -> str:

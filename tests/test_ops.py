@@ -355,6 +355,23 @@ def test_multimodal_resize_and_frames(docs_ds):
         FrameSampleStub(mode="strict")
 
 
+def test_lsh_candidate_pairs_and_shingles(docs_ds):
+    from elasticsearch_ray.ops.dedup import lsh_candidate_pairs, shingle_rows
+
+    pairs = {(r["a"], r["b"]) for r in lsh_candidate_pairs(docs_ds).take_all()}
+    # exact dups of doc 0 must be candidates of rep 0; a != b everywhere
+    assert (0, 1) in pairs and (0, 5) in pairs
+    assert all(a != b for a, b in pairs)
+
+    sh = {}
+    for r in shingle_rows(docs_ds).take_all():
+        sh.setdefault(r["doc_id"], set()).add(r["sh"])
+    assert 7 not in sh  # empty doc emits no shingle rows
+    assert sh[0] == sh[1] == sh[5]  # identical texts -> identical sets
+    ja = len(sh[0] & sh[2]) / len(sh[0] | sh[2])
+    assert 0.0 < ja < 1.0  # near-dup overlaps but differs
+
+
 def test_curate_broadcast_matches_join_fallback(docs_ds):
     """The size-aware broadcast path and the join fallback must make the
     same keep decisions and report the same stage counts."""
