@@ -51,6 +51,38 @@ def _probe_small(ds: ray.data.Dataset, max_rows: int) -> list | None:
     return rows if len(rows) <= max_rows else None
 
 
+def _make_broadcast_masks(
+    bref, text_col: str, id_col: str, min_quality: float, min_words: int
+):
+    """Per-batch (quality, representative, non-near-dup) mask closure over a
+    ``ray.put`` (rep_map, dup_set) pair — the broadcast keep decision shared
+    by :func:`curate` and :func:`curate_resumable`."""
+
+    def _masks(batch: pa.Table):
+        feats = quality_feature_arrays(batch.column(text_col))
+        q = (feats["quality"] >= min_quality) & (feats["n_words"] >= min_words)
+        rmap, dset = ray.get(bref)
+        ids = batch.column(id_col).to_pylist()
+        rep = np.ones(len(ids), dtype=bool)
+        near = np.ones(len(ids), dtype=bool)
+        if rmap:
+            # hashing only rows that might be in a dup group is not
+            # possible without the hash — blake2b per row is the cost
+            # floor of content-equality either way
+            h1, h2 = _text_hash128(batch.column(text_col).to_pylist())
+            for i, d in enumerate(ids):
+                r = rmap.get((int(h1[i]), int(h2[i])))
+                if r is not None and d != r:
+                    rep[i] = False
+        if dset:
+            for i, d in enumerate(ids):
+                if d in dset:
+                    near[i] = False
+        return q, rep, near
+
+    return _masks
+
+
 def curate(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -98,28 +130,9 @@ def curate(
     if broadcast_all:
         # ---- single-pass streaming keep decision, zero join shuffles ----
         bref = ray.put((rep_map, dup_set))
-
-        def _masks(batch: pa.Table):
-            feats = quality_feature_arrays(batch.column(text_col))
-            q = (feats["quality"] >= min_quality) & (feats["n_words"] >= min_words)
-            rmap, dset = ray.get(bref)
-            ids = batch.column(id_col).to_pylist()
-            rep = np.ones(len(ids), dtype=bool)
-            near = np.ones(len(ids), dtype=bool)
-            if rmap:
-                # hash only rows that might be in a dup group is not
-                # possible without the hash — blake2b per row is the cost
-                # floor of content-equality either way
-                h1, h2 = _text_hash128(batch.column(text_col).to_pylist())
-                for i, d in enumerate(ids):
-                    r = rmap.get((int(h1[i]), int(h2[i])))
-                    if r is not None and d != r:
-                        rep[i] = False
-            if dset:
-                for i, d in enumerate(ids):
-                    if d in dset:
-                        near[i] = False
-            return q, rep, near
+        _masks = _make_broadcast_masks(
+            bref, text_col, id_col, min_quality, min_words
+        )
 
         def keep_fn(batch: pa.Table) -> pa.Table:
             q, rep, near = _masks(batch)
@@ -218,4 +231,174 @@ def curate(
         "near_dups_dropped": near_dropped,
         "kept": n_kept,
         "kept_ds": kept,
+    }
+
+
+def _list_parquet_files(input_path: str | list[str]) -> list[str]:
+    if isinstance(input_path, str):
+        if os.path.isdir(input_path):
+            return sorted(
+                os.path.join(input_path, f)
+                for f in os.listdir(input_path)
+                if f.endswith(".parquet")
+            )
+        return [input_path]
+    return sorted(input_path)
+
+
+def curate_resumable(
+    input_path: str | list[str],
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    min_words: int = 3,
+    near_dedup: bool = True,
+    files_per_shard: int = 4,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+) -> dict:
+    """Shard-resumable curation — same keep semantics as :func:`curate`,
+    laid out for 100 TB runs that must survive preemption:
+
+    * The global drop sets (exact-dup groups, MinHash near-dup ids) are
+      computed ONCE and persisted under ``out_dir/_state/`` behind a done
+      marker — a restarted run reloads them instead of re-shuffling the
+      corpus.
+    * The corpus is processed as SHARDS of whole input files; each shard
+      writes to ``out_dir/shard=NNNNN/`` with a ``_done.json`` marker
+      carrying its per-stage counts.  A restarted run skips marked shards
+      wholesale — only the shard that was mid-flight is redone.
+    * Counts are summed from the markers, so they are exact even across
+      resumes.  ``kept_ds`` reads the shard directories (``_state`` is
+      ignored by parquet discovery — '_'-prefixed).
+
+    Broadcast-mode only: raises if a drop set overflows
+    ``broadcast_max_rows`` (at that dup volume use :func:`curate`'s join
+    path, which has no resumable-output variant yet)."""
+    import json
+    import shutil
+
+    files = _list_parquet_files(input_path)
+    if not files:
+        raise ValueError(f"no parquet files under {input_path!r}")
+    marker = os.path.join(out_dir, ".esray_curate")
+    if os.path.isdir(out_dir) and os.listdir(out_dir) and not os.path.exists(marker):
+        raise ValueError(
+            f"curate out_dir {out_dir!r} exists and was not produced by "
+            "a prior curate run; remove it yourself or pass a fresh path"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    open(marker, "w").close()
+
+    # ---- stage A (once): global drop sets, persisted ----
+    state_dir = os.path.join(out_dir, "_state")
+    state_done = os.path.join(state_dir, "_done.json")
+    if not os.path.exists(state_done):
+        shutil.rmtree(state_dir, ignore_errors=True)
+        ds = ray.data.read_parquet(files)
+        exact_dup_groups(ds, text_col=text_col, id_col=id_col).write_parquet(
+            os.path.join(state_dir, "dupgroups")
+        )
+        if near_dedup:
+            minhash_lsh_dedup(
+                ds, text_col=text_col, id_col=id_col
+            ).select_columns([id_col]).write_parquet(
+                os.path.join(state_dir, "neardups")
+            )
+        with open(state_done + ".tmp", "w") as f:
+            json.dump({"files": files, "near_dedup": near_dedup}, f)
+        os.replace(state_done + ".tmp", state_done)
+
+    grows = _probe_small(
+        ray.data.read_parquet(os.path.join(state_dir, "dupgroups")),
+        broadcast_max_rows,
+    )
+    if grows is None:
+        raise ValueError(
+            "exact-dup group table exceeds broadcast_max_rows; use curate()"
+        )
+    rep_map = {(int(r["h1"]), int(r["h2"])): r["rep"] for r in grows}
+    dup_set = None
+    if near_dedup:
+        drows = _probe_small(
+            ray.data.read_parquet(os.path.join(state_dir, "neardups")),
+            broadcast_max_rows,
+        )
+        if drows is None:
+            raise ValueError(
+                "near-dup id set exceeds broadcast_max_rows; use curate()"
+            )
+        dup_set = {r[id_col] for r in drows}
+    bref = ray.put((rep_map, dup_set))
+    _masks = _make_broadcast_masks(bref, text_col, id_col, min_quality, min_words)
+
+    def keep_and_count(batch: pa.Table):
+        q, rep, near = _masks(batch)
+        return batch.filter(pa.array(q & rep & near)), (
+            len(q), int(q.sum()), int((q & rep).sum()),
+        )
+
+    # ---- stage B: per-shard streaming pass, skip finished shards ----
+    shards = [
+        files[i : i + files_per_shard]
+        for i in range(0, len(files), files_per_shard)
+    ]
+    totals = {"n": 0, "nq": 0, "nqr": 0, "kept": 0}
+    redone = 0
+    for si, fs in enumerate(shards):
+        sdir = os.path.join(out_dir, f"shard={si:05d}")
+        sdone = os.path.join(sdir, "_done.json")
+        if os.path.exists(sdone):
+            with open(sdone) as f:
+                c = json.load(f)
+        else:
+            redone += 1
+            shutil.rmtree(sdir, ignore_errors=True)  # write_parquet APPENDS
+            # two bounded passes per shard: write kept rows, then 1-row
+            # count partials (both stream; shard size bounds the work)
+            sds = ray.data.read_parquet(fs)
+            sds.map_batches(
+                lambda b: keep_and_count(b)[0], batch_format="pyarrow"
+            ).write_parquet(sdir)
+
+            def count_fn(batch: pa.Table) -> pa.Table:
+                n, nq, nqr = keep_and_count(batch)[1]
+                return pa.table(
+                    {
+                        "n": pa.array([n], pa.int64()),
+                        "nq": pa.array([nq], pa.int64()),
+                        "nqr": pa.array([nqr], pa.int64()),
+                    }
+                )
+
+            parts = (
+                ray.data.read_parquet(fs)
+                .map_batches(count_fn, batch_format="pyarrow")
+                .take_all()
+            )
+            c = {
+                "n": sum(r["n"] for r in parts),
+                "nq": sum(r["nq"] for r in parts),
+                "nqr": sum(r["nqr"] for r in parts),
+                "kept": ray.data.read_parquet(sdir).count(),
+                "files": fs,
+            }
+            with open(sdone + ".tmp", "w") as f:
+                json.dump(c, f)
+            os.replace(sdone + ".tmp", sdone)
+        for k in ("n", "nq", "nqr", "kept"):
+            totals[k] += c[k]
+
+    # parquet discovery skips '_'/'.'-prefixed entries, so _state, the
+    # markers and .esray_curate are invisible here — only shard data reads
+    kept_ds = ray.data.read_parquet(out_dir)
+    return {
+        "total": totals["n"],
+        "after_quality": totals["nq"],
+        "exact_dedup_reps": totals["n"] - sum(int(r["dupes"]) - 1 for r in grows),
+        "near_dups_dropped": (totals["nqr"] - totals["kept"]) if near_dedup else None,
+        "kept": totals["kept"],
+        "kept_ds": kept_ds,
+        "shards": len(shards),
+        "shards_redone": redone,
     }

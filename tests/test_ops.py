@@ -397,6 +397,44 @@ def test_exact_dup_groups(docs_ds):
     assert rows[0]["rep"] == 0 and rows[0]["dupes"] == 3
 
 
+def test_curate_resumable(docs_ds, tmp_path):
+    """Shard-resumable curate: same keep set as curate(); a rerun skips
+    finished shards; a shard with a missing marker is redone."""
+    import json
+    import os
+    import time
+
+    from elasticsearch_ray.ops.curation import curate, curate_resumable
+
+    src = str(tmp_path / "src")
+    docs_ds.repartition(4).write_parquet(src)
+    out = str(tmp_path / "cur_resume")
+    kw = dict(min_quality=0.0, min_words=2, near_dedup=True)
+    res = curate_resumable(src, out, files_per_shard=1, **kw)
+    assert res["shards"] >= 2 and res["shards_redone"] == res["shards"]
+    ids1 = sorted(r["doc_id"] for r in res["kept_ds"].take_all())
+
+    ref = curate(docs_ds, **kw)
+    assert ids1 == sorted(r["doc_id"] for r in ref["kept_ds"].take_all())
+    for k in ("total", "after_quality", "exact_dedup_reps",
+              "near_dups_dropped", "kept"):
+        assert res[k] == ref[k], k
+
+    # resume: all shards marked -> nothing redone, counts identical
+    res2 = curate_resumable(src, out, files_per_shard=1, **kw)
+    assert res2["shards_redone"] == 0 and res2["kept"] == res["kept"]
+
+    # knock out one shard's marker -> exactly that shard is redone
+    victim = os.path.join(out, "shard=00001", "_done.json")
+    os.remove(victim)
+    res3 = curate_resumable(src, out, files_per_shard=1, **kw)
+    assert res3["shards_redone"] == 1 and res3["kept"] == res["kept"]
+    assert json.load(open(victim))["kept"] >= 0
+    assert sorted(
+        r["doc_id"] for r in res3["kept_ds"].take_all()
+    ) == ids1
+
+
 def test_curation_pipeline(docs_ds, tmp_path):
     from elasticsearch_ray.ops.curation import curate
 
