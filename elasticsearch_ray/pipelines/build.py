@@ -258,11 +258,24 @@ def compact_index(index_dir: str) -> dict:
     )
 
 
-@ray.remote
-def _block_segs(*blocks) -> list[list[int]]:
-    import numpy as np
+@ray.remote(num_cpus=0)
+def _warm_worker() -> bool:
+    """Pre-pay the import chain in a fresh Ray task worker.
 
-    return [np.unique(b.column("seg").to_numpy()).tolist() for b in blocks]
+    The first task a brand-new worker process runs pays the full
+    numpy/pyarrow/engine import (~4 s on a contended VM) INSIDE its task
+    wall-time; launched concurrently (num_cpus=0 so they don't take slots
+    from the tokenize actor pool) while tokenize runs, these force the
+    worker pool to spawn + import ahead of the assemble wave.  Measured
+    effect: the assemble stage's 2-3 first-wave ~4 s straggler tasks drop
+    to the ~0.2 s steady-state, and the stage's 2->8-CPU scaling stops
+    being gated by a constant straggler floor."""
+    import pyarrow.compute  # noqa: F401
+
+    from ..functions import vbyte  # noqa: F401
+    from ..stages.postings import RUN_SCHEMA, SegmentAssembler  # noqa: F401
+
+    return True
 
 
 @ray.remote
@@ -284,30 +297,116 @@ def _assemble_one_routed(seg_id: int, infos: dict, index_dir: str, codec: str,
     return out.to_pylist()[0]
 
 
-def _assemble_routed(tokenized, infos_ref, pending_seg_ids, index_dir, codec,
-                     block_size) -> list[dict]:
-    """shuffle='route' reducer: block->segments probe, then one raw task per
-    segment over exactly the blocks that contain its runs."""
-    bundles = list(tokenized.iter_internal_ref_bundles())
-    block_refs = [ref for bundle in bundles for ref, _meta in bundle.blocks]
-    # probe in chunks of 16 — one tiny task per block pays ~ms task overhead
-    # times the block count for a metadata-sized answer
-    chunks = [block_refs[i : i + 16] for i in range(0, len(block_refs), 16)]
-    probed = ray.get([_block_segs.remote(*c) for c in chunks])
-    seg_lists = [sl for chunk_res in probed for sl in chunk_res]
-    seg_to_blocks: dict[int, list] = {s: [] for s in pending_seg_ids}
-    for ref, segs_in_block in zip(block_refs, seg_lists):
-        for s in segs_in_block:
-            if s in seg_to_blocks:
-                seg_to_blocks[int(s)].append(ref)
-    futs = [
-        _assemble_one_routed.remote(
-            seg_id, infos_ref, index_dir, codec, block_size,
-            *seg_to_blocks[seg_id],
+def _build_route_pipelined(
+    index_dir: str,
+    config: BuildConfig,
+    pending: list[SegmentSpec],
+    infos: dict,
+    n_cpus: int,
+    timings: dict,
+) -> list[dict]:
+    """shuffle='route' executor: fully PIPELINED tokenize→assemble on ONE
+    warm actor pool with driver-side work-stealing dispatch.
+
+    The partition→segment mapping is static (every partition spec carries
+    its seg_id), so there is nothing to shuffle OR probe.  Exactly
+    ``n_cpus`` actors (num_cpus=1 — honest core accounting, no
+    oversubscription) run BOTH kinds of work: the driver keeps each
+    actor's queue at ≤2 in-flight tasks and dispatches, assemble-first,
+    whichever job is ready — so the moment a segment's last partition
+    lands, its assembly starts on the next free warm actor (ObjectRefs
+    passed through, zero-copy plasma reads) while other actors are still
+    tokenizing.  No whole-corpus materialize barrier, no sort exchange,
+    and no cold task workers: the pool paid the import once, so the
+    cold-start stragglers that gated the old probe-based route's assemble
+    wave (~4 s first task per fresh worker) cannot occur.  Wall-clock →
+    (tokenize_work + assemble_work) / n_cpus + last-segment tail.
+    """
+    from collections import deque
+
+    t0 = time.perf_counter()
+    TokActor = ray.remote(num_cpus=1)(TokenizePartition)
+    n_parts = sum(len(s.partitions) for s in pending)
+    n_act = min(n_cpus, max(1, n_parts))
+    actors = [
+        TokActor.remote(
+            index_dir=index_dir,
+            text_column=config.text_column,
+            prefix_columns=list(config.prefix_columns),
+            url_column=config.url_column,
+            lang_column=config.lang_column,
+            lang_filter=config.lang_filter,
+            analyzer=config.analyzer,
+            emit="runs",
+            store_positions=config.store_positions,
         )
-        for seg_id in sorted(seg_to_blocks)
+        for _ in range(n_act)
     ]
-    return ray.get(futs)
+    infos_ref = ray.put(infos)
+    seg_need: dict[int, set] = {
+        s.seg_id: {p.part_id for p in s.partitions} for s in pending
+    }
+    seg_runs: dict[int, list] = {s.seg_id: [] for s in pending}
+    jobs_tok = deque(
+        (p.to_row(), s.seg_id, p.part_id)
+        for s in pending
+        for p in s.partitions
+    )
+    jobs_asm: deque = deque()
+    load = [0] * n_act
+    ref_meta: dict = {}
+
+    def dispatch():
+        progressed = True
+        while progressed and (jobs_asm or jobs_tok):
+            progressed = False
+            a = min(range(n_act), key=load.__getitem__)
+            if load[a] >= 2:
+                break
+            if jobs_asm:  # assemble-priority: frees plasma runs earliest
+                seg_id, refs = jobs_asm.popleft()
+                r = actors[a].assemble_segment.remote(
+                    seg_id, infos_ref, config.codec, config.block_size,
+                    *refs,
+                )
+                ref_meta[r] = (a, "asm", seg_id)
+            else:
+                spec, seg_id, part_id = jobs_tok.popleft()
+                r = actors[a].process_spec.remote(spec)
+                ref_meta[r] = (a, "tok", (seg_id, part_id))
+            load[a] += 1
+            progressed = True
+
+    dispatch()
+    seg_stats: list[dict] = []
+    tok_left = n_parts
+    t_last_tok = t0
+    while ref_meta:
+        done, _ = ray.wait(list(ref_meta), num_returns=1)
+        for r in done:
+            a, kind, meta = ref_meta.pop(r)
+            load[a] -= 1
+            if kind == "tok":
+                seg_id, part_id = meta
+                seg_runs[seg_id].append(r)
+                need = seg_need[seg_id]
+                need.discard(part_id)
+                if not need:
+                    jobs_asm.append((seg_id, seg_runs.pop(seg_id)))
+                tok_left -= 1
+                if tok_left == 0:
+                    t_last_tok = time.perf_counter()
+            else:
+                seg_stats.append(ray.get(r))
+        dispatch()
+    # free the reserved cores BEFORE finalize (its distributed df pass is
+    # a Ray Data job that needs them)
+    for a in actors:
+        ray.kill(a)
+    timings["tokenize_sec"] = t_last_tok - t0
+    # overlapped stages: "assemble" here is only the post-tokenize TAIL
+    timings["shuffle_assemble_sec"] = time.perf_counter() - t_last_tok
+    return seg_stats
 
 
 def _execute_build(
@@ -341,6 +440,26 @@ def _execute_build(
             seg_bases[sid] = info["doc_id_base"]
         codec = config.codec
 
+        # spawn+import fresh task workers for the assemble wave while the
+        # actor pool tokenizes (see _warm_worker) — one per expected
+        # concurrent assemble task
+        warm_futs = [
+            _warm_worker.remote()
+            for _ in range(min(int(n_cpus), max(1, len(pending))))
+        ]
+
+        if config.shuffle == "route":
+            seg_stats = _build_route_pipelined(
+                index_dir, config, pending, infos, int(n_cpus), timings
+            )
+            ray.get(warm_futs)
+            timings["pipeline_sec"] = time.perf_counter() - t_start
+            stats_ds = None
+            return _finish_build(
+                index_dir, config, segs, pending, infos, seg_stats, stats_ds,
+                timings, skipped, extra_seg_ids, tombstones, persist_config,
+            )
+
         ds = ray.data.from_items(items)
         tokenized = ds.map_batches(
             TokenizePartition,
@@ -368,6 +487,7 @@ def _execute_build(
         t_stage = time.perf_counter()
         tokenized = tokenized.materialize()
         timings["tokenize_sec"] = time.perf_counter() - t_stage
+        ray.get(warm_futs)  # long done by now; surfaces warm-up errors
 
         # Stateless assembly tasks (warm-worker reuse, no actor-pool ramp-up;
         # a fixed-size actor pool here would also reserve every CPU and
@@ -378,22 +498,8 @@ def _execute_build(
         codec_ = config.codec
         block_size_ = config.block_size
 
-        stats_ds = None  # set by the groupby strategies; route skips it
-        if config.shuffle == "route":
-            # Static routing: no sort-based groupby exchange at all.  Each
-            # materialized run block is probed for the segment ids it holds
-            # (partitions are doc-ordered, so a block spans ~1-2 segments);
-            # one raw Ray task per segment then fetches exactly the blocks
-            # covering it zero-copy from the object store and filters its
-            # rows.  Every run byte moves at most twice instead of through
-            # a full sort shuffle.
-            t_stage = time.perf_counter()
-            seg_stats = _assemble_routed(
-                tokenized, infos_ref, [s.seg_id for s in pending],
-                index_dir_, codec_, block_size_,
-            )
-            timings["shuffle_assemble_sec"] = time.perf_counter() - t_stage
-        elif config.shuffle == "combine":
+        stats_ds = None  # set by the groupby strategies
+        if config.shuffle == "combine":
             t_stage = time.perf_counter()
 
             def assemble_runs(batch):
@@ -446,7 +552,34 @@ def _execute_build(
             seg_stats = stats_ds.take_all()
             timings["assemble_sec"] = time.perf_counter() - t_stage
         timings["pipeline_sec"] = time.perf_counter() - t_start
+        return _finish_build(
+            index_dir, config, segs, pending, infos, seg_stats, stats_ds,
+            timings, skipped, extra_seg_ids, tombstones, persist_config,
+        )
 
+    return _finish_build(
+        index_dir, config, segs, [], infos, [], None, timings, skipped,
+        extra_seg_ids, tombstones, persist_config,
+    )
+
+
+def _finish_build(
+    index_dir: str,
+    config: BuildConfig,
+    segs: list[SegmentSpec],
+    pending: list[SegmentSpec],
+    infos: dict,
+    seg_stats: list[dict],
+    stats_ds,
+    timings: dict,
+    skipped: int,
+    extra_seg_ids: list[int] | None,
+    tombstones: list[int] | None,
+    persist_config: BuildConfig | None,
+) -> dict:
+    """Shared build epilogue: per-stage metrics, empty-segment files for
+    zero-triple segments, and the finalize pass."""
+    if pending:
         # Per-stage Ray Data metrics emitted alongside the segment manifests
         # (north_star: the reference's benchmarking harness re-expressed as
         # per-stage metrics).

@@ -70,6 +70,31 @@ class TokenizePartition:
         self.lang_column = lang_column
         self.lang_filter = lang_filter
 
+    def process_spec(self, spec: dict) -> pa.Table:
+        """Tokenize ONE partition spec — the raw-actor entrypoint of the
+        pipelined 'route' build (``build.py::_build_route_pipelined``), so a
+        segment can assemble as soon as ITS partitions are done instead of
+        behind a whole-corpus barrier."""
+        if self.emit == "runs":
+            return self._process_partition_runs(spec)
+        return self._process_partition(spec)
+
+    def assemble_segment(
+        self, seg_id: int, infos: dict, codec: str, block_size: int, *runs
+    ) -> dict:
+        """Assemble ONE segment from its partitions' run tables — runs on
+        the SAME warm actor pool as tokenization (pipelined 'route' build):
+        the worker already paid the numpy/pyarrow/engine import, so there is
+        no cold-start straggler, and the driver's work-stealing dispatch
+        keeps every core busy on whichever of the two kinds of work is
+        ready."""
+        from .postings import RUN_SCHEMA, SegmentAssembler
+
+        parts = [r for r in runs if r.num_rows]
+        tbl = pa.concat_tables(parts) if parts else RUN_SCHEMA.empty_table()
+        asm = SegmentAssembler(self.index_dir, infos, codec, block_size)
+        return asm(tbl, seg_id=seg_id).to_pylist()[0]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_tables = []
         for spec in batch.to_pylist():
