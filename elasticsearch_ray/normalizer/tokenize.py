@@ -93,6 +93,25 @@ class Normalizer:
                 append(r)
         return out
 
+    def map_token(self, token: str) -> str:
+        """One surface token -> stemmed form, or '' when filtered
+        (short/digit/stopword) — the per-token decision of
+        :meth:`tokenize_cleaned`, exposed for the vectorized batch path
+        (``tokenize_rows_flat``) that applies it once per UNIQUE token."""
+        cache = self._tok_cache
+        r = cache.get(token)
+        if r is None:
+            r = (
+                self.stemmer.stem(token)
+                if len(token) >= 2
+                and not token.isdigit()
+                and token not in self.stop_words
+                else ""
+            )
+            if len(cache) < 4_000_000:
+                cache[token] = r
+        return r
+
     def clean_batch(self, texts: list[str | None]) -> list[str]:
         """Vectorized lower + URL/e-mail strip + non-alnum blank for a whole
         batch via Arrow's C++ re2 kernels (~5x the Python re loop).
@@ -180,6 +199,9 @@ class PlainNormalizer:
     def tokenize_cleaned(self, cleaned: str) -> list[str]:
         return cleaned.split()
 
+    def map_token(self, token: str) -> str:
+        return token
+
     def clean_batch(self, texts: list[str | None]) -> list[str]:
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -198,6 +220,65 @@ class PlainNormalizer:
 
     def preprocess_query_list(self, query: str) -> list[str]:
         return self.tokenize(query)
+
+
+def tokenize_rows_flat(normalizer, cleaned: list[str]):
+    """Vectorized batch tokenizer: cleaned rows -> flat token stream.
+
+    Returns ``(tok_doc, codes, terms)`` where ``tok_doc[i]`` is the row
+    index of the i-th KEPT token (row-major, in-document order), ``codes[i]``
+    indexes into ``terms`` (the distinct mapped/stemmed term strings, in
+    first-appearance order of their surface forms), and dropped tokens
+    (short/digit/stopword per ``normalizer.map_token``) are already removed.
+
+    Token streams are identical to ``[normalizer.tokenize_cleaned(r) for r
+    in cleaned]`` (property-tested): the whitespace split runs in Arrow C++
+    (``utf8_split_whitespace``), the per-token filter+stem decision runs
+    ONCE PER UNIQUE surface token (``dictionary_encode``), and everything
+    per-token is a numpy gather — no Python loop over the corpus.  Non-ASCII
+    rows are pre-split with Python ``str.split`` semantics (Arrow's unicode
+    whitespace classes differ from Python's on a few control chars) and
+    re-joined with single spaces, after which the Arrow split agrees.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(cleaned, pa.string())
+    ascii_ok = pc.string_is_ascii(arr)
+    if not pc.all(ascii_ok).as_py():
+        fixed = list(cleaned)
+        for i, ok in enumerate(ascii_ok.to_pylist()):
+            if not ok:
+                fixed[i] = " ".join(fixed[i].split())
+        arr = pa.array(fixed, pa.string())
+    split = pc.utf8_split_whitespace(arr)
+    lens = pc.list_value_length(split).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(split)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    tok_doc = np.repeat(np.arange(len(cleaned), dtype=np.int64), lens)
+    denc = flat.dictionary_encode()
+    indices = denc.indices.to_numpy(zero_copy_only=False)
+    uniq = denc.dictionary.to_pylist()
+    # per-UNIQUE mapping: '' (and Arrow's edge empty tokens) drop to -1
+    mapped = np.empty(len(uniq), dtype=np.int64)
+    terms: list[str] = []
+    term_id: dict[str, int] = {}
+    map_token = normalizer.map_token
+    for j, u in enumerate(uniq):
+        r = map_token(u) if u else ""
+        if r:
+            tid = term_id.get(r)
+            if tid is None:
+                term_id[r] = tid = len(terms)
+                terms.append(r)
+            mapped[j] = tid
+        else:
+            mapped[j] = -1
+    codes = mapped[indices]
+    keep = codes >= 0
+    return tok_doc[keep], codes[keep], terms
 
 
 def make_normalizer(analyzer: str = "reference"):

@@ -121,81 +121,71 @@ class TokenizePartition:
         from ..functions.vbyte import vbyte_encode_with_lengths
         from .postings import RUN_SCHEMA, _binary_from_slices
 
+        from ..normalizer.tokenize import tokenize_rows_flat
+
         tbl = self._read_rows(spec)
         doc_id_base = spec["doc_id_base"]
         seg_base = spec.get("seg_base", 0)
         n = tbl.num_rows
         texts, langs, urls = self._aligned_columns(tbl, doc_id_base, n)
+
+        # lang filter as a row mask BEFORE tokenize (cheapest point)
+        if self.lang_filter is not None:
+            keep_rows = np.fromiter(
+                (i for i in range(n) if langs[i] == self.lang_filter),
+                np.int64,
+            )
+            texts = [texts[i] for i in keep_rows]
+            urls = [urls[i] for i in keep_rows]
+        else:
+            keep_rows = np.arange(n, dtype=np.int64)
+        m = len(keep_rows)
+
         cleaned = self.normalizer.clean_batch(texts)  # vectorized re2 clean
+        # flat token stream: no Python loop over tokens (normalizer decides
+        # once per UNIQUE surface token; everything else is Arrow/numpy)
+        tok_doc, codes, term_strs = tokenize_rows_flat(
+            self.normalizer, cleaned
+        )
+        kept_lens = (
+            np.bincount(tok_doc, minlength=m)
+            if m
+            else np.zeros(0, dtype=np.int64)
+        )
+        kept_doc_ids = (keep_rows + doc_id_base).tolist()
+        self._write_docmap_part(spec, kept_doc_ids, urls, kept_lens.tolist())
 
-        tokenize = self.normalizer.tokenize_cleaned
-        post: dict[str, list[int]] = {}
-        pos_vals: dict[str, list[int]] = {}  # term -> [npos, p0, dp1, ...]*
-        kept_doc_ids: list[int] = []
-        kept_urls: list[str] = []
-        kept_lens: list[int] = []
-        for i in range(n):
-            if self.lang_filter is not None and langs[i] != self.lang_filter:
-                continue
-            doc_id = doc_id_base + i
-            tokens = tokenize(cleaned[i])
-            kept_doc_ids.append(doc_id)
-            kept_urls.append(urls[i])
-            kept_lens.append(len(tokens))
-            if tokens:
-                slot = doc_id - seg_base
-                if self.store_positions:
-                    # positions cell layout v2: per doc [p0, dp1, ...] —
-                    # deltas ONLY; the per-doc count is the tf already in
-                    # the tfs cell, so the stream decodes fully vectorized
-                    # (segmented cumsum keyed by tfs, segment.py
-                    # positions_flat) with no interleaved-count scan
-                    posmap: dict[str, list[int]] = {}
-                    for p, term in enumerate(tokens):
-                        pl = posmap.get(term)
-                        if pl is None:
-                            posmap[term] = pl = []
-                        pl.append(p)
-                    for term, plist in posmap.items():
-                        lst = post.get(term)
-                        if lst is None:
-                            post[term] = lst = []
-                            pos_vals[term] = []
-                        lst.append(slot)
-                        lst.append(len(plist))
-                        pv = pos_vals[term]
-                        pv.append(plist[0])
-                        for j in range(1, len(plist)):
-                            pv.append(plist[j] - plist[j - 1])
-                else:
-                    for term, tf in Counter(tokens).items():
-                        lst = post.get(term)
-                        if lst is None:
-                            post[term] = lst = []
-                        lst.append(slot)
-                        lst.append(tf)
-
-        self._write_docmap_part(spec, kept_doc_ids, kept_urls, kept_lens)
-
-        nterms = len(post)
-        if nterms == 0:
+        if len(codes) == 0:
             return RUN_SCHEMA.empty_table()
-        terms = list(post.keys())
-        dfs = np.fromiter((len(v) >> 1 for v in post.values()), np.int64, nterms)
-        total = int(dfs.sum())
-        # flatten [slot, tf, slot, tf, ...] per term into two arrays
-        allv = np.empty(total * 2, dtype=np.int64)
-        pos = 0
-        for v in post.values():
-            allv[pos : pos + len(v)] = v
-            pos += len(v)
-        pairs = allv.reshape(total, 2)
-        slots = np.ascontiguousarray(pairs[:, 0])
-        tfs = np.ascontiguousarray(pairs[:, 1])
 
-        tstarts = np.zeros(nterms, dtype=np.int64)
-        np.cumsum(dfs[:-1], out=tstarts[1:])
-        deltas = np.empty(total, dtype=np.int64)
+        # stable sort by term code: within a code, doc order (and position
+        # order inside a doc) is preserved from the row-major token stream
+        order = np.argsort(codes, kind="stable")
+        c_s = codes[order]
+        d_s = tok_doc[order]
+        ntok = len(c_s)
+
+        # (code, doc) groups -> one posting each; token-major boundaries
+        gmask = np.empty(ntok, dtype=bool)
+        gmask[0] = True
+        np.logical_or(c_s[1:] != c_s[:-1], d_s[1:] != d_s[:-1], out=gmask[1:])
+        gstart = np.flatnonzero(gmask)
+        g_code = c_s[gstart]
+        g_doc = d_s[gstart]
+        tfs = np.diff(np.append(gstart, ntok))
+
+        # per-term group ranges
+        tmask = np.empty(len(g_code), dtype=bool)
+        tmask[0] = True
+        np.not_equal(g_code[1:], g_code[:-1], out=tmask[1:])
+        tstarts = np.flatnonzero(tmask)
+        nterms = len(tstarts)
+        dfs = np.diff(np.append(tstarts, len(g_code)))
+        terms = [term_strs[c] for c in g_code[tstarts]]
+
+        slot_of_row = keep_rows + (doc_id_base - seg_base)
+        slots = slot_of_row[g_doc]
+        deltas = np.empty(len(slots), dtype=np.int64)
         deltas[1:] = slots[1:] - slots[:-1]
         deltas[tstarts] = slots[tstarts]  # absolute-in-segment first element
         data, vlens = vbyte_encode_with_lengths(deltas)
@@ -204,21 +194,21 @@ class TokenizePartition:
         tfs_arr = _binary_from_slices(tf_data, np.add.reduceat(tf_vlens, tstarts))
 
         if self.store_positions:
-            # one vectorized VByte pass over every term's position stream
-            counts = np.fromiter(
-                (len(pos_vals[t]) for t in terms), np.int64, nterms
-            )
-            flat_pos = np.empty(int(counts.sum()), dtype=np.int64)
-            pos_p = 0
-            for t in terms:
-                v = pos_vals[t]
-                flat_pos[pos_p : pos_p + len(v)] = v
-                pos_p += len(v)
-            p_data, p_vlens = vbyte_encode_with_lengths(flat_pos)
-            pstarts = np.zeros(nterms, dtype=np.int64)
-            np.cumsum(counts[:-1], out=pstarts[1:])
+            # positions cell layout v2: per doc [p0, dp1, ...] — deltas
+            # ONLY; the per-doc count is the tf already in the tfs cell.
+            # pos within doc = rank among that doc's kept tokens
+            doc_first = np.zeros(m + 1, dtype=np.int64)
+            np.cumsum(kept_lens, out=doc_first[1:])
+            pos_all = np.arange(ntok, dtype=np.int64) - doc_first[tok_doc]
+            p_s = pos_all[order]
+            pdeltas = np.empty(ntok, dtype=np.int64)
+            pdeltas[1:] = p_s[1:] - p_s[:-1]
+            pdeltas[gstart] = p_s[gstart]  # absolute at each doc boundary
+            # token-level term boundaries for the per-term byte slices
+            tok_tstarts = gstart[tstarts]
+            p_data, p_vlens = vbyte_encode_with_lengths(pdeltas)
             positions_arr = _binary_from_slices(
-                p_data, np.add.reduceat(p_vlens, pstarts)
+                p_data, np.add.reduceat(p_vlens, tok_tstarts)
             )
         else:
             positions_arr = _binary_from_slices(

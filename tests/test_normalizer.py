@@ -137,3 +137,39 @@ def test_clean_batch_matches_python_re():
     assert [g.split() for g in p.clean_batch(texts)] == [
         (t or "").lower().split() for t in texts
     ]
+
+
+def test_tokenize_rows_flat_matches_per_row():
+    """The vectorized batch tokenizer (Arrow split + dictionary-encode +
+    per-unique map, ``tokenize_rows_flat``) must reproduce the per-row
+    ``tokenize_cleaned`` token streams exactly — including unicode
+    whitespace, ASCII control chars Python treats as whitespace, empty
+    rows, and Arrow's edge-empty-token artifacts."""
+    import random
+
+    from elasticsearch_ray.normalizer import make_normalizer
+    from elasticsearch_ray.normalizer.tokenize import tokenize_rows_flat
+
+    rng = random.Random(11)
+    pool = (
+        ["run", "running", "studies", "the", "and", "a", "x", "42", "1999"]
+        + ["caf\xe9", "ß", "straße"]
+        + [" ", "\t", "\n", "  ", "\x1c", "\x1d", "\x85", "\xa0", " "]
+    )
+    for analyzer in ("reference", "plain"):
+        n = make_normalizer(analyzer)
+        rows = [
+            "".join(rng.choice(pool) for _ in range(rng.randint(0, 30)))
+            for _ in range(300)
+        ] + ["", " ", "\x1c\x1d", "a\x1cb", "q  r "]
+        cleaned = (
+            n.clean_batch(rows)
+            if analyzer == "reference"
+            else [r.lower() for r in rows]
+        )
+        exp = [n.tokenize_cleaned(c) for c in cleaned]
+        tok_doc, codes, terms = tokenize_rows_flat(n, cleaned)
+        got = [[] for _ in cleaned]
+        for d, c in zip(tok_doc.tolist(), codes.tolist()):
+            got[d].append(terms[c])
+        assert got == exp, analyzer
