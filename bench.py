@@ -441,7 +441,11 @@ SCALING_LEVELS = (
     int(os.environ.get("BENCH_SCALE_4N", "8")),
 )
 SCALING_REPEATS = int(os.environ.get("BENCH_SCALE_REPEATS", "2"))
-SCALING_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "100000"))
+# 300k docs (~150M tokens): sized so the parallel work dominates the
+# ~2 s fixed cost (actor-pool import + planning) at BOTH levels — at 100k
+# the fixed cost was ~35% of the 8-CPU wall time and capped measurable
+# efficiency at ~0.7 regardless of the engine
+SCALING_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", "300000"))
 
 
 def _index_md5s(index_dir: str) -> dict:
@@ -623,7 +627,13 @@ def main_scaling_child():
         f"/tmp/esray_bench/idx_scaling_{NUM_CPUS}",
         docs_per_segment=max(2000, SCALING_DOCS // 24),
         partition_rows=1000,
-        shuffle=os.environ.get("BENCH_SHUFFLE", "combine"),
+        # default = the engine's default strategy (BuildConfig.shuffle,
+        # i.e. the pipelined 'route'); BENCH_SHUFFLE overrides for A/Bs
+        **(
+            {"shuffle": os.environ["BENCH_SHUFFLE"]}
+            if os.environ.get("BENCH_SHUFFLE")
+            else {}
+        ),
     )
     res["canary_sec"] = canary
     ray.shutdown()

@@ -15,7 +15,6 @@ so task retries are idempotent.
 from __future__ import annotations
 
 import os
-from collections import Counter
 
 import numpy as np
 import pyarrow as pa
@@ -273,51 +272,80 @@ class TokenizePartition:
         doc_id_base = spec["doc_id_base"]
         n = tbl.num_rows
 
+        from ..normalizer.tokenize import tokenize_rows_flat
+
         texts, langs, urls = self._aligned_columns(tbl, doc_id_base, n)
+        if self.lang_filter is not None:
+            keep_rows = np.fromiter(
+                (i for i in range(n) if langs[i] == self.lang_filter),
+                np.int64,
+            )
+            texts = [texts[i] for i in keep_rows]
+            urls = [urls[i] for i in keep_rows]
+        else:
+            keep_rows = np.arange(n, dtype=np.int64)
+        m = len(keep_rows)
+
         cleaned = self.normalizer.clean_batch(texts)  # vectorized re2 clean
+        tok_doc, codes, term_strs = tokenize_rows_flat(
+            self.normalizer, cleaned
+        )
+        kept_lens = (
+            np.bincount(tok_doc, minlength=m)
+            if m
+            else np.zeros(0, dtype=np.int64)
+        )
+        kept_doc_ids = (keep_rows + doc_id_base).tolist()
+        self._write_docmap_part(spec, kept_doc_ids, urls, kept_lens.tolist())
 
-        tokenize = self.normalizer.tokenize_cleaned
+        # (code, doc) tf groups from one stable sort; triple emission order
+        # is irrelevant downstream (the wide shuffle sorts by (th, doc_id))
+        order = np.argsort(codes, kind="stable")
+        c_s = codes[order]
+        d_s = tok_doc[order]
+        ntok = len(c_s)
+        if ntok == 0:
+            g_code = np.zeros(0, dtype=np.int64)
+            g_doc = np.zeros(0, dtype=np.int64)
+            g_tf = np.zeros(0, dtype=np.int64)
+        else:
+            gmask = np.empty(ntok, dtype=bool)
+            gmask[0] = True
+            np.logical_or(
+                c_s[1:] != c_s[:-1], d_s[1:] != d_s[:-1], out=gmask[1:]
+            )
+            gstart = np.flatnonzero(gmask)
+            g_code = c_s[gstart]
+            g_doc = d_s[gstart]
+            g_tf = np.diff(np.append(gstart, ntok))
+
+        # term hash once per unique term (memoized across partitions)
         hcache = self._hash_cache
-        terms: list[str] = []
-        ths: list[int] = []
-        doc_ids: list[int] = []
-        tfs: list[int] = []
-        kept_doc_ids: list[int] = []
-        kept_urls: list[str] = []
-        kept_lens: list[int] = []
+        code_th = np.empty(len(term_strs), dtype=np.int64)
+        for j, term in enumerate(term_strs):
+            h = hcache.get(term)
+            if h is None:
+                h = _term_hash(term)
+                if len(hcache) < 4_000_000:
+                    hcache[term] = h
+            code_th[j] = h
 
-        for i in range(n):
-            if self.lang_filter is not None and langs[i] != self.lang_filter:
-                continue
-            doc_id = doc_id_base + i
-            tokens = tokenize(cleaned[i])
-            kept_doc_ids.append(doc_id)
-            kept_urls.append(urls[i])
-            kept_lens.append(len(tokens))
-            if tokens:
-                counts = Counter(tokens)
-                for term in counts:
-                    h = hcache.get(term)
-                    if h is None:
-                        h = _term_hash(term)
-                        if len(hcache) < 4_000_000:
-                            hcache[term] = h
-                    ths.append(h)
-                terms.extend(counts.keys())
-                tfs.extend(counts.values())
-                doc_ids.extend([doc_id] * len(counts))
-
-        self._write_docmap_part(spec, kept_doc_ids, kept_urls, kept_lens)
-
+        terms_arr = pa.array(term_strs, pa.large_string()).take(
+            pa.array(g_code)
+        )
         return pa.table(
             {
                 "seg": pa.array(
-                    np.full(len(terms), spec["seg_id"], dtype=np.int32)
+                    np.full(len(g_code), spec["seg_id"], dtype=np.int32)
                 ),
-                "th": pa.array(np.asarray(ths, dtype=np.int64)),
-                "term": pa.array(terms, pa.large_string()),
-                "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64)),
-                "tf": pa.array(np.asarray(tfs, dtype=np.int32)),
+                "th": pa.array(
+                    code_th[g_code]
+                    if len(g_code)
+                    else np.zeros(0, dtype=np.int64)
+                ),
+                "term": terms_arr,
+                "doc_id": pa.array(keep_rows[g_doc] + doc_id_base),
+                "tf": pa.array(g_tf.astype(np.int32)),
             },
             schema=TRIPLE_SCHEMA,
         )
