@@ -622,6 +622,51 @@ def _q_fingerprints(sf_dir: str):
     )
 
 
+def _q_bigrams_top20(sf_dir: str):
+    """Corpus bigram frequency (contamination/memorization check op):
+    map-side partial counts, shuffle moves distinct-bigrams-per-batch."""
+    from elasticsearch_ray.ops.corpus import bigram_counts
+
+    out = bigram_counts(_docs_ds(sf_dir), top_k=20).take_all()
+    return pa.table(
+        {
+            "bigram": pa.array([r["bigram"] for r in out], pa.string()),
+            "n": pa.array([r["n"] for r in out], pa.int64()),
+        }
+    )
+
+
+def _q_source_quota(sf_dir: str):
+    """Per-domain quota: top-3 docs per source by (n_chars DESC, doc_id),
+    ranked with the segmented partition kernel (no per-key dispatch)."""
+    from elasticsearch_ray.ops.corpus import source_quota
+
+    out = source_quota(_docs_ds(sf_dir), n_per_key=3).take_all()
+    out.sort(key=lambda r: r["doc_id"])
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in out], pa.int64()),
+            "source": pa.array([r["source"] for r in out], pa.string()),
+            "n_chars": pa.array([r["n_chars"] for r in out], pa.int64()),
+        }
+    )
+
+
+def _q_hash_split(sf_dir: str):
+    """Deterministic content-hash train/val/test split (md5-keyed, exact
+    DuckDB md5() parity)."""
+    from elasticsearch_ray.ops.corpus import hash_split_counts
+
+    out = hash_split_counts(_docs_ds(sf_dir)).take_all()
+    out.sort(key=lambda r: r["split"])
+    return pa.table(
+        {
+            "split": pa.array([r["split"] for r in out], pa.string()),
+            "n_docs": pa.array([r["n_docs"] for r in out], pa.int64()),
+        }
+    )
+
+
 def _q_multimodal_sizes(sf_dir: str):
     """Binary-column plumbing: text bytes as an opaque payload through the
     actor-pool feature extractor; SQL twin checks the size accounting."""
@@ -805,6 +850,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": _q_embedding_dups,
         "ann_top10": _q_ann_top10,
         "ann_ivf_top10": _q_ann_ivf_top10,
+        "bigrams_top20": _q_bigrams_top20,
+        "source_quota": _q_source_quota,
+        "hash_split": _q_hash_split,
         "token_counts": _q_token_counts,
         "quality_sizes": _q_quality_sizes,
         "langid_counts": _q_langid_counts,
@@ -1273,6 +1321,24 @@ SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
        CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_u
 FROM r WHERE rank <= 10 ORDER BY query_id, rank
 """,
+        "bigrams_top20": (
+            "WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents), "
+            "u AS (SELECT doc_id, unnest(generate_series(1, len(l)-1)) AS i, l FROM t) "
+            "SELECT l[i] || ' ' || l[i+1] AS bigram, count(*)::BIGINT AS n "
+            "FROM u GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"
+        ),
+        "source_quota": (
+            "SELECT doc_id, source, n_chars FROM ("
+            "  SELECT *, row_number() OVER ("
+            "    PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS r"
+            "  FROM documents) WHERE r <= 3 ORDER BY doc_id"
+        ),
+        "hash_split": (
+            "SELECT CASE WHEN b < 950 THEN 'train' WHEN b < 975 THEN 'val' "
+            "ELSE 'test' END AS split, count(*)::BIGINT AS n_docs "
+            "FROM (SELECT ('0x' || substr(md5(text),1,8))::BIGINT % 1000 AS b "
+            "FROM documents) GROUP BY 1 ORDER BY split"
+        ),
         "token_counts": (
             r"SELECT doc_id, length(string_split(text, ' ')) AS ws_tokens, "
             r"length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]{1,3}|[^\sa-zA-Z0-9]')) "

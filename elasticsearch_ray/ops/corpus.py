@@ -1,0 +1,222 @@
+"""Corpus-level curation ops for LLM training-data pipelines: n-gram
+statistics (contamination / memorization checks), per-domain quotas, and
+deterministic hash-based train/val splits.
+
+All three are shuffle-light by construction:
+
+- :func:`bigram_counts` pre-aggregates INSIDE each batch (map-side
+  combiner), so the ``groupby`` exchange moves one row per distinct bigram
+  per batch — not one row per corpus token.
+- :func:`source_quota` routes rows through the coarse
+  :func:`~.partition.hash_partition_apply` exchange (one kernel call per
+  partition, segmented numpy per key) — never one Python call per domain.
+- :func:`hash_split` is embarrassingly parallel (a pure map), with the
+  split decision derived from a content hash so it is deterministic across
+  runs, cluster sizes, and row order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _space_split(batch_texts: pa.ChunkedArray | pa.Array) -> pa.ListArray:
+    """``string_split(text, ' ')`` semantics (NOT whitespace-class split):
+    empty pieces between consecutive spaces are preserved, matching
+    DuckDB's ``string_split`` exactly so the twins compare bit-for-bit."""
+    arr = batch_texts
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pc.split_pattern(arr, pattern=" ")
+
+
+def bigram_counts(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> ray.data.Dataset:
+    """Top-k within-document adjacent word pairs across the corpus.
+
+    Per batch: Arrow split -> flat token array -> dictionary-encode ->
+    adjacent (code_i, code_(i+1)) pairs masked to same-document -> one
+    ``np.unique`` over packed 64-bit pair keys = the batch-local partial
+    count.  The shuffle then sums partials per bigram string — rows moved
+    are distinct-bigrams-per-batch, not corpus tokens.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        split = _space_split(batch.column(text_col))
+        lens = pc.list_value_length(split).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(split)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        ntok = len(flat)
+        if ntok < 2:
+            return pa.table(
+                {
+                    "bigram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        denc = flat.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # adjacency mask: pair (i, i+1) valid unless i+1 starts a new doc
+        doc_first = np.zeros(ntok, dtype=bool)
+        doc_first[np.cumsum(lens[:-1])] = True
+        valid = ~doc_first[1:]
+        left = codes[:-1][valid]
+        right = codes[1:][valid]
+        keys = (left << 32) | right
+        uniq, counts = np.unique(keys, return_counts=True)
+        lcode = (uniq >> 32).astype(np.int64)
+        rcode = (uniq & 0xFFFFFFFF).astype(np.int64)
+        d = denc.dictionary
+        bigrams = pc.binary_join_element_wise(
+            d.take(pa.array(lcode)), d.take(pa.array(rcode)), " "
+        )
+        return pa.table(
+            {"bigram": bigrams.cast(pa.string()), "n": pa.array(counts)}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .sum("n")
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bigram": batch.column("bigram"),
+                "n": batch.column("sum(n)").cast(pa.int64()),
+            }
+        )
+
+    out = agg.map_batches(rename, batch_format="pyarrow")
+    return out.sort(["n", "bigram"], descending=[True, False]).limit(top_k)
+
+
+def source_quota(
+    ds: ray.data.Dataset,
+    key_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_per_key: int = 5,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-domain quota: keep the top ``n_per_key`` rows of each key by
+    ``(order_col DESC, id_col ASC)`` — the standard "cap any one domain's
+    contribution" curation step.
+
+    Scale shape: the string key is hashed to int64 once per UNIQUE value
+    per batch (dictionary encode), rows ride ONE coarse hash exchange
+    (:func:`hash_partition_apply`), and the kernel ranks every key in its
+    partition with a single ``np.lexsort`` — no per-key Python dispatch.
+    """
+    from .partition import hash_partition_apply
+
+    def add_key_hash(batch: pa.Table) -> pa.Table:
+        col = batch.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        denc = col.dictionary_encode()
+        uniq = denc.dictionary.to_pylist()
+        hv = np.empty(len(uniq), dtype=np.int64)
+        for i, u in enumerate(uniq):
+            hv[i] = int.from_bytes(
+                hashlib.blake2b(
+                    (u or "").encode(), digest_size=8
+                ).digest(),
+                "little",
+                signed=True,
+            )
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        return batch.append_column("__kh", pa.array(hv[codes]))
+
+    def rank_kernel(tbl: pa.Table) -> pa.Table:
+        kh = tbl.column("__kh").to_numpy()
+        order_v = tbl.column(order_col).to_numpy()
+        ids = tbl.column(id_col).to_numpy()
+        # sort: key, then order desc, then id asc
+        perm = np.lexsort((ids, -order_v, kh))
+        kh_s = kh[perm]
+        starts = np.zeros(len(kh_s), dtype=bool)
+        if len(kh_s):
+            starts[0] = True
+            starts[1:] = kh_s[1:] != kh_s[:-1]
+        seg_first = np.repeat(
+            np.flatnonzero(starts),
+            np.diff(np.append(np.flatnonzero(starts), len(kh_s))),
+        )
+        rank = np.arange(len(kh_s)) - seg_first
+        keep = perm[rank < n_per_key]
+        return tbl.take(pa.array(np.sort(keep))).drop_columns(["__kh"])
+
+    with_kh = ds.map_batches(add_key_hash, batch_format="pyarrow")
+    return hash_partition_apply(
+        with_kh, ["__kh"], rank_kernel, num_partitions=num_partitions
+    )
+
+
+_SPLITS = (("train", 0, 950), ("val", 950, 975), ("test", 975, 1000))
+
+
+def hash_split(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Deterministic content-hash split: bucket = first 8 hex chars of
+    ``md5(text)`` mod 1000 -> train/val/test at 95/2.5/2.5.
+
+    Content-keyed (not id- or position-keyed) so the assignment survives
+    re-sharding, re-ordering, and incremental re-runs; md5 keeps the twin
+    exact (DuckDB's ``md5()`` matches hashlib byte-for-byte).  Pure map —
+    no shuffle at all; the per-row md5 is C-speed (hashlib) over docs,
+    not tokens.
+    """
+
+    def assign(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        buckets = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            h = hashlib.md5((t or "").encode()).hexdigest()
+            buckets[i] = int(h[:8], 16) % 1000
+        split = np.full(len(texts), "train", dtype=object)
+        for name, lo, hi in _SPLITS:
+            split[(buckets >= lo) & (buckets < hi)] = name
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "split": pa.array(split.tolist(), pa.string()),
+                "bucket": pa.array(buckets),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def hash_split_counts(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(split, n_docs) summary of :func:`hash_split` — the checkable twin
+    surface (exact md5 parity with DuckDB)."""
+    assigned = hash_split(ds, text_col=text_col, id_col=id_col)
+    agg = assigned.groupby("split").count()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "split": batch.column("split"),
+                "n_docs": batch.column("count()").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")

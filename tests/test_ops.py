@@ -455,3 +455,77 @@ def test_curation_pipeline(docs_ds, tmp_path):
     import os
     out = str(tmp_path / "curated")
     assert any(f.endswith(".parquet") for f in os.listdir(out))
+
+
+def test_corpus_bigrams_randomized():
+    """bigram_counts vs a pure-python Counter over str.split(' ') pairs."""
+    import random
+    from collections import Counter
+
+    from elasticsearch_ray.ops.corpus import bigram_counts
+
+    rng = random.Random(5)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+        for _ in range(200)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    exp = Counter()
+    for t in texts:
+        parts = t.split(" ")
+        for a, b in zip(parts, parts[1:]):
+            exp[f"{a} {b}"] += 1
+    top = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r["bigram"], r["n"]) for r in bigram_counts(ds, top_k=10).take_all()]
+    assert got == top
+
+
+def test_corpus_source_quota_randomized():
+    """source_quota vs a pure-python per-key top-N."""
+    import random
+
+    from elasticsearch_ray.ops.corpus import source_quota
+
+    rng = random.Random(9)
+    rows = [
+        {"doc_id": i, "source": f"s{rng.randint(0, 7)}",
+         "n_chars": rng.randint(0, 50)}
+        for i in range(300)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]})
+    )
+    exp = set()
+    bykey: dict = {}
+    for r in rows:
+        bykey.setdefault(r["source"], []).append(r)
+    for k, rs in bykey.items():
+        rs.sort(key=lambda r: (-r["n_chars"], r["doc_id"]))
+        exp.update(r["doc_id"] for r in rs[:4])
+    got = {r["doc_id"] for r in source_quota(ds, n_per_key=4).take_all()}
+    assert got == exp
+
+
+def test_corpus_hash_split_deterministic():
+    """hash_split is content-keyed: identical across row orders; buckets
+    match hashlib.md5 exactly."""
+    import hashlib
+
+    from elasticsearch_ray.ops.corpus import hash_split
+
+    texts = [f"document number {i} with content" for i in range(100)]
+    tbl = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out1 = {r["doc_id"]: (r["split"], r["bucket"])
+            for r in hash_split(ray.data.from_arrow(tbl)).take_all()}
+    shuffled = tbl.take(pa.array(list(reversed(range(100)))))
+    out2 = {r["doc_id"]: (r["split"], r["bucket"])
+            for r in hash_split(ray.data.from_arrow(shuffled)).take_all()}
+    assert out1 == out2
+    for i, t in enumerate(texts):
+        b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 1000
+        assert out1[i][1] == b
