@@ -19,7 +19,13 @@ _RAW_TOKEN_RE = re.compile(r"\b\w+\b")
 
 
 class _Tokens:
-    """Actor-pool stage: text -> one row per token (raw or preprocessed)."""
+    """Actor-pool stage: text batch -> PARTIAL (token, n) counts.
+
+    Map-side combiner: the batch's token stream is counted locally (one
+    ``np.unique`` over dictionary codes), so the ``groupby(token)``
+    exchange moves one row per distinct token per batch — not one row per
+    corpus token (at 100 TB the raw-token explode would shuffle ~10^13
+    rows; distinct-per-batch is bounded by batch vocabulary)."""
 
     def __init__(self, text_col: str, preprocessed: bool, analyzer: str):
         self.text_col = text_col
@@ -27,15 +33,42 @@ class _Tokens:
         self.normalizer = make_normalizer(analyzer)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..normalizer.tokenize import tokenize_rows_flat
+
+        texts = [t or "" for t in batch.column(self.text_col).to_pylist()]
+        if self.preprocessed:
+            cleaned = self.normalizer.clean_batch(texts)
+            _, codes, terms = tokenize_rows_flat(self.normalizer, cleaned)
+            if len(codes) == 0:
+                return pa.table(
+                    {
+                        "token": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            counts = np.bincount(codes, minlength=len(terms))
+            return pa.table(
+                {
+                    "token": pa.array(terms, pa.string()),
+                    "n": pa.array(counts.astype(np.int64)),
+                }
+            )
+        # reference raw tokenizer: re.findall(r'\b\w+\b', text.lower())
         toks: list[str] = []
-        for t in batch.column(self.text_col).to_pylist():
-            t = t or ""
-            if self.preprocessed:
-                toks.extend(self.normalizer.tokenize(t))
-            else:
-                # reference raw tokenizer: re.findall(r'\b\w+\b', text.lower())
-                toks.extend(_RAW_TOKEN_RE.findall(t.lower()))
-        return pa.table({"token": pa.array(toks, pa.string())})
+        for t in texts:
+            toks.extend(_RAW_TOKEN_RE.findall(t.lower()))
+        arr = pa.array(toks, pa.string())
+        denc = arr.dictionary_encode()
+        idx = denc.indices.to_numpy(zero_copy_only=False)
+        counts = np.bincount(idx, minlength=len(denc.dictionary))
+        return pa.table(
+            {
+                "token": denc.dictionary.cast(pa.string()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
 
 
 def token_frequencies(
@@ -54,12 +87,15 @@ def token_frequencies(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    counts = toks.groupby("token").count()
+    counts = toks.groupby("token").sum("n")
     # select by NAME (not positional rename): aggregate column order is a
     # version-dependent trap — see build.py _finalize
     return counts.map_batches(
         lambda t: pa.table(
-            {"token": t.column("token"), "n": t.column("count()")}
+            {
+                "token": t.column("token"),
+                "n": t.column("sum(n)").cast(pa.int64()),
+            }
         ),
         batch_format="pyarrow",
     )
