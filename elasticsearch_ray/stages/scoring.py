@@ -481,34 +481,62 @@ def phrase_eval(
         return empty, 0
     cand = cand[reader.doc_lens[cand] >= 0]  # tombstones
 
+    _tk_cache: dict = {}
+
     def term_keys(data, cand_now: np.ndarray) -> np.ndarray:
         """Sorted unique (slot<<32 | pos) keys restricted to cand_now
-        (cand_now ⊆ data's slots by construction): one ragged gather."""
+        (cand_now ⊆ data's slots by construction): one ragged gather.
+        Memoized per (term-data, cand) identity — a repeated-word phrase
+        ("tawe tawe") computes its key set once, not per occurrence."""
+        memo_key = (id(data), id(cand_now))
+        hit = _tk_cache.get(memo_key)
+        if hit is not None:
+            return hit
         slots, counts, flat, offsets = data
-        idx = np.searchsorted(slots, cand_now)
-        sel_cnt = counts[idx]
-        sel_off = offsets[idx]
-        total = int(sel_cnt.sum())
-        dst0 = np.zeros(sel_cnt.size, dtype=np.int64)
-        if sel_cnt.size:
-            np.cumsum(sel_cnt[:-1], out=dst0[1:])
-        gather = (
-            np.repeat(sel_off - dst0, sel_cnt)
-            + np.arange(total, dtype=np.int64)
-        )
-        doc_rep = np.repeat(cand_now, sel_cnt)
-        return (doc_rep << np.int64(32)) | flat[gather].astype(np.int64, copy=False)
+        if cand_now.size == slots.size:
+            # no candidate pruning yet: the gather is the identity
+            doc_rep = np.repeat(cand_now, counts)
+            res = (doc_rep << np.int64(32)) | flat
+        else:
+            idx = np.searchsorted(slots, cand_now)
+            sel_cnt = counts[idx]
+            sel_off = offsets[idx]
+            total = int(sel_cnt.sum())
+            dst0 = np.zeros(sel_cnt.size, dtype=np.int64)
+            if sel_cnt.size:
+                np.cumsum(sel_cnt[:-1], out=dst0[1:])
+            gather = (
+                np.repeat(sel_off - dst0, sel_cnt)
+                + np.arange(total, dtype=np.int64)
+            )
+            doc_rep = np.repeat(cand_now, sel_cnt)
+            res = (doc_rep << np.int64(32)) | flat[gather].astype(
+                np.int64, copy=False
+            )
+        _tk_cache[memo_key] = res
+        return res
 
     # verify each phrase over the surviving candidates (keys shrink as
     # earlier phrases prune cand)
     for datas in phrase_data:
         if not cand.size:
             break
+        # memo scope = one phrase's inner loop (cand constant there); a
+        # freed array's id could be reused across phrases, so clear
+        _tk_cache.clear()
         cur = term_keys(datas[0], cand)
         for data in datas[1:]:
             if not cur.size:
                 break
-            cur = intersect(cur + 1, term_keys(data, cand))
+            nxt = term_keys(data, cand)
+            if nxt is cur:
+                # repeated-word step ("tawe tawe"): keys are sorted and
+                # consecutive same-doc positions are ADJACENT in the
+                # array, so intersect(cur+1, cur) is one O(n) comparison
+                # — no binary search over the Zipf-head stream
+                cur = cur[1:][cur[1:] == cur[:-1] + 1]
+            else:
+                cur = intersect(cur + 1, nxt)
         cand = np.unique(cur >> np.int64(32)) if cur.size else empty
     return cand[:size] + reader.doc_id_base, int(cand.size)
 

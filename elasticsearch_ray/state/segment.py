@@ -106,12 +106,12 @@ class SegmentReader:
                 self.doc_lens[slots] = -1
         self._terms = self.table.column("term")
         self._df = self.table.column("df").to_numpy()
-        # decoded-positions LRU (see positions_flat); ~16 MB of int64 values
+        # decoded-positions LRU (see positions_flat); ~64 MB of int64 values
         from collections import OrderedDict
 
         self._pos_cache: OrderedDict[int, tuple] = OrderedDict()
         self._pos_cache_vals = 0
-        self._POS_CACHE_BUDGET = 2_000_000
+        self._POS_CACHE_BUDGET = 8_000_000
         # Zero-copy views over the mmap'd binary columns: per-cell access is
         # a numpy slice, no bytes copy (hot path for every query term).
         self._cells = {}
