@@ -398,6 +398,25 @@ def _q_boolean_plain(sf_dir: str):
     )
 
 
+WILDCARD_QUERIES = ["merg*", "ba*ch", "slo?", "*dow", "s*a?k", "filter*"]
+
+
+def _q_wildcard_plain(sf_dir: str):
+    """ES wildcard/prefix term queries over the plain-analyzer index:
+    dictionary range-scan (sorted terms, binary-searched prefix) + regex
+    filter + postings OR — docs ascending, exact totals."""
+    eng = _engine(sf_dir, "plain")
+    rows_q, rows_d = [], []
+    for q in WILDCARD_QUERIES:
+        res = eng.search(q, size=20)
+        for r in res["results"]:
+            rows_q.append(q)
+            rows_d.append(r["doc_id"])
+    return pa.table(
+        {"query": pa.array(rows_q, pa.string()), "doc_id": pa.array(rows_d, pa.int64())}
+    )
+
+
 def _q_exact_dedup(sf_dir: str):
     from elasticsearch_ray.ops.dedup import exact_dedup
 
@@ -843,6 +862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multifield_top10": _q_multifield_top10,
         "tfidf_top10_plain": _q_tfidf_top10_plain,
         "boolean_plain": _q_boolean_plain,
+        "wildcard_plain": _q_wildcard_plain,
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
         "jaccard_verify": _q_jaccard_verify,
@@ -1230,6 +1250,18 @@ FROM ranked WHERE rank <= 10 ORDER BY query, rank
 """
 
 
+def _wildcard_sql() -> str:
+    parts = []
+    for q in WILDCARD_QUERIES:
+        like = q.replace("*", "%").replace("?", "_")
+        parts.append(
+            f"SELECT '{q}' AS query, doc_id FROM ("
+            f"SELECT DISTINCT doc_id FROM tok WHERE tok LIKE '{like}' "
+            f"ORDER BY doc_id LIMIT 20)"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
 def _boolean_sql() -> str:
     parts = []
     for q in BOOLEAN_QUERIES:
@@ -1302,6 +1334,7 @@ def oracle_sql() -> dict[str, str]:
         "daat_top10": _bm25_stemmed_sql(),
         "multifield_top10": _multifield_sql(),
         "boolean_plain": _boolean_sql(),
+        "wildcard_plain": _wildcard_sql(),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dupes FROM documents "
             "GROUP BY text ORDER BY doc_id"

@@ -25,11 +25,15 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 
 import numpy as np
 import ray
 
 from ..normalizer import make_normalizer, preprocess_boolean_query
+
+# one bare term containing * or ? -> ES wildcard-query routing
+_WILDCARD_RE = re.compile(r"^(?=.*[*?])[A-Za-z0-9*?]+$")
 from ..oracle.oracle import looks_boolean, to_rpn
 from ..stages import scoring as sc
 from ..state.segment import SegmentReader
@@ -109,6 +113,17 @@ class Searcher:
         total = 0
         for r in self.readers:  # readers sorted by doc range -> output sorted
             ids, n = sc.boolean_eval(r, rpn, k)
+            total += n
+            out.append(ids)
+        ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        return ids[:k], total
+
+    def search_wildcard(self, pattern: str, k: int,
+                        max_expansions: int | None = None):
+        out: list[np.ndarray] = []
+        total = 0
+        for r in self.readers:
+            ids, n = sc.wildcard_eval(r, pattern, k, max_expansions)
             total += n
             out.append(ids)
         ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
@@ -290,6 +305,8 @@ class QueryEngine:
         tiny k-row join)."""
         if '"' in query_text and self.has_positions:
             res = self._search_phrase(query_text, size, mode)
+        elif _WILDCARD_RE.match(query_text.strip()):
+            res = self._search_wildcard(query_text.strip(), size)
         elif looks_boolean(query_text):
             res = self._search_boolean(query_text, size)
         else:
@@ -346,6 +363,22 @@ class QueryEngine:
             return self._search_ranked(stripped, size, mode or self.mode)
         parts = self._fanout("search_phrase", phrases, residual, size)
         ids = np.concatenate([p[0] for p in parts])
+        total = int(sum(p[1] for p in parts))
+        return {
+            "query": query_text,
+            "total_hits": total,
+            "results": [{"doc_id": int(d), "score": 1.0} for d in ids[:size]],
+        }
+
+    def _search_wildcard(self, query_text: str, size: int,
+                         max_expansions: int | None = None) -> dict:
+        """ES wildcard/prefix query (``merg*``, ``ba*ch``, ``slo?``): the
+        pattern is lowercased but NOT analyzed (ES wildcard behavior —
+        it matches stored dictionary terms, which are stems under the
+        'reference' analyzer and raw words under 'plain')."""
+        pattern = query_text.lower()
+        parts = self._fanout("search_wildcard", pattern, size, max_expansions)
+        ids = np.concatenate([p[0] for p in parts])  # actor order == doc order
         total = int(sum(p[1] for p in parts))
         return {
             "query": query_text,

@@ -541,6 +541,26 @@ def phrase_eval(
     return cand[:size] + reader.doc_id_base, int(cand.size)
 
 
+def wildcard_eval(
+    reader: SegmentReader,
+    pattern: str,
+    size: int,
+    max_expansions: int | None = None,
+):
+    """ES wildcard/prefix term query: docs containing ANY dictionary term
+    matching the glob pattern (boolean-OR semantics, doc_id ascending,
+    exact total).  Wildcard queries are NOT analyzed (ES behavior): the
+    lowercased pattern matches the stored dictionary terms directly.
+    Returns (first ``size`` matching global doc_ids, local match count)."""
+    rows = reader.term_rows_matching(pattern, max_expansions)
+    if not rows:
+        return np.empty(0, dtype=np.int64), 0
+    arrs = [reader.postings_slots_by_row(r)[0] for r in rows]
+    slots = np.unique(np.concatenate(arrs)) if len(arrs) > 1 else arrs[0]
+    slots = slots[reader.doc_lens[slots] >= 0]  # tombstones
+    return slots[:size] + reader.doc_id_base, int(slots.size)
+
+
 class _LazyTerm:
     """Un-decoded posting list on the boolean stack — lets AND use the
     128-block skip structure (decode only blocks that can intersect the

@@ -149,6 +149,49 @@ class SegmentReader:
     def df_by_row(self, row: int) -> int:
         return int(self._df[row])
 
+    def term_rows_matching(
+        self, pattern: str, max_expansions: int | None = None
+    ) -> list[int]:
+        """Rows whose term matches a glob pattern (``*``/``?`` — the ES
+        wildcard-query surface).  The term column is sorted (assembler
+        invariant), so the literal prefix before the first wildcard narrows
+        to a binary-searched row range; only that slice is regex-scanned.
+        A leading-wildcard pattern degrades to a full dictionary scan of
+        THIS segment (documented ES behavior for ``*foo`` too)."""
+        import bisect
+        import fnmatch
+        import re
+
+        prefix = re.split(r"[*?]", pattern, maxsplit=1)[0]
+        terms = self._terms
+
+        class _View:
+            def __getitem__(self, i):
+                return terms[i].as_py()
+
+            def __len__(self):
+                return len(terms)
+
+        v = _View()
+        lo = bisect.bisect_left(v, prefix)
+        hi = (
+            bisect.bisect_left(v, prefix + "\U0010FFFF")
+            if prefix
+            else len(terms)
+        )
+        if prefix == pattern:  # no wildcard: exact lookup
+            row = self._term_row.get(pattern)
+            return [row] if row is not None else []
+        rx = re.compile(fnmatch.translate(pattern))
+        out: list[int] = []
+        span = terms.slice(lo, hi - lo).to_pylist()
+        for off, t in enumerate(span):
+            if rx.match(t):
+                out.append(lo + off)
+                if max_expansions is not None and len(out) >= max_expansions:
+                    break
+        return out
+
     def _slots_from_deltas(self, deltas: np.ndarray) -> np.ndarray:
         """Reconstruct slots from block-reset deltas (absolute value at every
         ``block_size``-th position, plain delta elsewhere)."""

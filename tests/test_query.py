@@ -149,3 +149,60 @@ def test_stats_and_urls(tiny_engine):
         urls = tiny_engine.lookup_urls(ids)
         assert set(urls) == set(ids)
         assert all(u.startswith("https://site") for u in urls.values())
+
+
+def test_wildcard_query(tmp_path):
+    """ES wildcard/prefix term query: sorted-dictionary range scan + regex
+    + postings OR, vs a pure-python scan of the corpus."""
+    import fnmatch
+    import re
+
+    import ray
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    texts = [
+        "merge merging merged batch batching slow slot window",
+        "shadow meadow merge spark scan",
+        "batch slip slap slot merge nothing",
+        "unrelated words entirely here",
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(src / "part.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "part.parquet")],
+        idx,
+        BuildConfig(
+            analyzer="plain", url_column=None, lang_column=None,
+            docs_per_segment=2, target_partition_rows=2,
+        ),
+    )
+    eng = QueryEngine(idx, num_searchers=0)  # embedded
+    try:
+        for pat in ("merg*", "sl*t", "s?an", "*dow", "batch*", "zz*"):
+            rx = re.compile(fnmatch.translate(pat))
+            exp = sorted(
+                i
+                for i, t in enumerate(texts)
+                if any(rx.match(w) for w in t.split())
+            )
+            res = eng.search(pat, size=10)
+            got = [r["doc_id"] for r in res["results"]]
+            assert got == exp, (pat, got, exp)
+            assert res["total_hits"] == len(exp)
+    finally:
+        eng.close()
