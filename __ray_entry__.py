@@ -43,14 +43,18 @@ def _ensure_index(sf_dir: str, analyzer: str, positions: bool = False) -> str:
 
     tag = analyzer + ("_pos" if positions else "")
     idx = _index_dir_for(sf_dir, tag)
-    if positions and os.path.exists(os.path.join(idx, "manifest.json")):
-        # purge a cached index whose positions cells predate layout v2
+    if os.path.exists(os.path.join(idx, "manifest.json")):
+        # purge a cached index predating positions layout v2 / facet
+        # doc-values (round-3 docmap columns)
         import json as _json
         import shutil as _shutil
 
         with open(os.path.join(idx, "manifest.json")) as f:
-            if _json.load(f).get("positions_layout") != 2:
-                _shutil.rmtree(idx, ignore_errors=True)
+            m = _json.load(f)
+        if (positions and m.get("positions_layout") != 2) or not m.get(
+            "config", {}
+        ).get("facet_columns"):
+            _shutil.rmtree(idx, ignore_errors=True)
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         build_index(
             os.path.join(sf_dir, "documents.parquet"),
@@ -63,6 +67,8 @@ def _ensure_index(sf_dir: str, analyzer: str, positions: bool = False) -> str:
                 target_partition_rows=500,
                 docs_per_segment=2_000,
                 store_positions=positions,
+                # doc-values for the ES terms-aggregation entry
+                facet_columns=("source", "lang"),
             ),
         )
     return idx
@@ -399,6 +405,36 @@ def _q_boolean_plain(sf_dir: str):
 
 
 WILDCARD_QUERIES = ["merg*", "ba*ch", "slo?", "*dow", "s*a?k", "filter*"]
+
+FACET_QUERIES = [
+    ("merge", "source"),
+    ("merge AND hash", "lang"),
+    ("merg*", "lang"),
+    ("scan OR join", "source"),
+]
+
+
+def _q_facet_counts(sf_dir: str):
+    """ES terms aggregation (faceted search): per-value doc counts over the
+    FULL hit set, from build-time docmap doc-values — no source-table scan
+    at query time."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "field": [], "key": [], "doc_count": []}
+    for q, fld in FACET_QUERIES:
+        res = eng.search_facets(q, fld, size=10)
+        for b in res["buckets"]:
+            rows["query"].append(q)
+            rows["field"].append(fld)
+            rows["key"].append(b["key"])
+            rows["doc_count"].append(b["doc_count"])
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "field": pa.array(rows["field"], pa.string()),
+            "key": pa.array(rows["key"], pa.string()),
+            "doc_count": pa.array(rows["doc_count"], pa.int64()),
+        }
+    )
 
 
 def _q_wildcard_plain(sf_dir: str):
@@ -863,6 +899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top10_plain": _q_tfidf_top10_plain,
         "boolean_plain": _q_boolean_plain,
         "wildcard_plain": _q_wildcard_plain,
+        "facet_counts": _q_facet_counts,
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
         "jaccard_verify": _q_jaccard_verify,
@@ -1250,6 +1287,32 @@ FROM ranked WHERE rank <= 10 ORDER BY query, rank
 """
 
 
+def _facet_sql() -> str:
+    parts = []
+    for q, fld in FACET_QUERIES:
+        if q == "merge":
+            hits = "SELECT DISTINCT doc_id FROM tok WHERE tok='merge'"
+        elif q == "merge AND hash":
+            hits = (
+                "SELECT doc_id FROM tok WHERE tok='merge' INTERSECT "
+                "SELECT doc_id FROM tok WHERE tok='hash'"
+            )
+        elif q == "merg*":
+            hits = "SELECT DISTINCT doc_id FROM tok WHERE tok LIKE 'merg%'"
+        else:  # scan OR join
+            hits = (
+                "SELECT doc_id FROM tok WHERE tok='scan' UNION "
+                "SELECT doc_id FROM tok WHERE tok='join'"
+            )
+        parts.append(
+            f"SELECT '{q}' AS query, '{fld}' AS field, key, doc_count FROM ("
+            f"SELECT {fld} AS key, count(*)::BIGINT AS doc_count "
+            f"FROM documents WHERE doc_id IN ({hits}) "
+            f"GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 10)"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
 def _wildcard_sql() -> str:
     parts = []
     for q in WILDCARD_QUERIES:
@@ -1335,6 +1398,7 @@ def oracle_sql() -> dict[str, str]:
         "multifield_top10": _multifield_sql(),
         "boolean_plain": _boolean_sql(),
         "wildcard_plain": _wildcard_sql(),
+        "facet_counts": _facet_sql(),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dupes FROM documents "
             "GROUP BY text ORDER BY doc_id"

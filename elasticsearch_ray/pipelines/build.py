@@ -57,6 +57,10 @@ class BuildConfig:
     # indices in the PROCESSED token stream, the standard IR compromise).
     # Only the 'combine' and 'route' shuffles carry positions.
     store_positions: bool = False
+    # metadata columns copied into the docmap parts (the doc-values
+    # equivalent) — enables ES-style terms aggregations (facet counts)
+    # at query time without touching the source table
+    facet_columns: tuple[str, ...] = ()
     tokenize_concurrency: int | None = None  # None -> cluster CPUs
     # 'combine': map-side combiner — tokenize tasks invert their partition
     #   locally and shuffle compressed per-term RUNS (~10x fewer bytes); the
@@ -339,6 +343,7 @@ def _build_route_pipelined(
             analyzer=config.analyzer,
             emit="runs",
             store_positions=config.store_positions,
+            facet_columns=list(config.facet_columns),
         )
         for _ in range(n_act)
     ]
@@ -473,6 +478,7 @@ def _execute_build(
                 analyzer=config.analyzer,
                 emit="runs" if config.shuffle in ("combine", "route") else "triples",
                 store_positions=config.store_positions,
+                facet_columns=list(config.facet_columns),
             ),
             batch_size=1,
             batch_format="pyarrow",

@@ -45,13 +45,81 @@ class Searcher:
 
     def __init__(self, index_dir: str, seg_ids: list[int],
                  tombstones: list[int] | None = None):
+        self.index_dir = index_dir
         self.readers = [
             SegmentReader(index_dir, s, tombstones=tombstones)
             for s in sorted(seg_ids)
         ]
+        # facet doc-values, loaded lazily once per actor per field:
+        # field -> list of (codes per slot, category strings) per reader
+        self._facet_vals: dict[str, list] = {}
 
     def ready(self) -> int:
         return sum(r.num_terms for r in self.readers)
+
+    def _facet_column(self, field: str) -> list:
+        cached = self._facet_vals.get(field)
+        if cached is not None:
+            return cached
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(
+            os.path.join(self.index_dir, "docmap"), format="parquet"
+        )
+        per_reader = []
+        for r in self.readers:
+            lo = r.doc_id_base
+            hi = lo + r.doc_lens.size
+            tbl = dset.to_table(
+                columns=["doc_id", field],
+                filter=(pads.field("doc_id") >= lo)
+                & (pads.field("doc_id") < hi),
+            ).sort_by("doc_id")
+            col = tbl.column(field).combine_chunks()
+            denc = col.dictionary_encode()
+            codes = np.full(r.doc_lens.size, -1, dtype=np.int64)
+            slots = tbl.column("doc_id").to_numpy() - lo
+            codes[slots] = denc.indices.to_numpy(zero_copy_only=False)
+            per_reader.append((codes, denc.dictionary.to_pylist()))
+        self._facet_vals[field] = per_reader
+        return per_reader
+
+    def facet_counts(self, kind: str, payload, field: str) -> dict:
+        """ES terms-aggregation: count FULL match set per facet value.
+        kind: 'bool' (payload=rpn) | 'wildcard' (payload=pattern) |
+        'terms' (payload=term list -> match-query OR semantics)."""
+        per_reader = self._facet_column(field)
+        out: dict[str, int] = {}
+        for r, (codes, cats) in zip(self.readers, per_reader):
+            if kind == "bool":
+                ids, _ = sc.boolean_eval(r, payload, None)
+            elif kind == "wildcard":
+                ids, _ = sc.wildcard_eval(r, payload, None)
+            else:  # 'terms': OR of term postings (match-query hit set)
+                parts = [
+                    res[0]
+                    for t in payload
+                    if (res := r.postings_slots(t)) is not None
+                ]
+                if not parts:
+                    continue
+                slots = (
+                    np.unique(np.concatenate(parts))
+                    if len(parts) > 1
+                    else parts[0]
+                )
+                slots = slots[r.doc_lens[slots] >= 0]
+                ids = slots + r.doc_id_base
+            slots = ids - r.doc_id_base
+            c = codes[slots]
+            c = c[c >= 0]
+            if not c.size:
+                continue
+            counts = np.bincount(c, minlength=len(cats))
+            for i in np.flatnonzero(counts):
+                v = cats[i]
+                out[v] = out.get(v, 0) + int(counts[i])
+        return out
 
     def dfs(self, terms: list[str]) -> dict[str, int]:
         return {t: sum(r.df(t) for r in self.readers) for t in terms}
@@ -368,6 +436,36 @@ class QueryEngine:
             "query": query_text,
             "total_hits": total,
             "results": [{"doc_id": int(d), "score": 1.0} for d in ids[:size]],
+        }
+
+    def search_facets(self, query_text: str, field: str,
+                      size: int = 10) -> dict:
+        """ES terms aggregation: per-value doc counts over the FULL hit set
+        of ``query_text`` (boolean / wildcard / free-text match semantics),
+        using the docmap facet columns (build-time doc-values;
+        ``BuildConfig.facet_columns``).  Buckets sorted (count desc, value
+        asc), ES bucket shape."""
+        q = query_text.strip()
+        if _WILDCARD_RE.match(q):
+            kind, payload = "wildcard", q.lower()
+        elif looks_boolean(q):
+            kind, payload = "bool", to_rpn(
+                preprocess_boolean_query(q, self.normalizer)
+            )
+        else:
+            kind, payload = "terms", self.normalizer.preprocess_query_list(q)
+        parts = self._fanout("facet_counts", kind, payload, field)
+        merged: dict[str, int] = {}
+        for p in parts:
+            for v, n in p.items():
+                merged[v] = merged.get(v, 0) + n
+        buckets = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+        return {
+            "query": query_text,
+            "field": field,
+            "buckets": [
+                {"key": v, "doc_count": n} for v, n in buckets[:size]
+            ],
         }
 
     def _search_wildcard(self, query_text: str, size: int,

@@ -57,9 +57,11 @@ class TokenizePartition:
         emit: str = "triples",  # 'triples' | 'runs' (map-side combiner)
         store_positions: bool = False,
         prefix_columns: list[str] | None = None,
+        facet_columns: list[str] | None = None,
     ):
         self.store_positions = store_positions
         self.prefix_columns = prefix_columns or []
+        self.facet_columns = facet_columns or []
         self.normalizer = make_normalizer(analyzer)  # once per actor
         self._hash_cache: dict[str, int] = {}  # Zipf -> near-100% hit rate
         self.emit = emit
@@ -152,7 +154,13 @@ class TokenizePartition:
             else np.zeros(0, dtype=np.int64)
         )
         kept_doc_ids = (keep_rows + doc_id_base).tolist()
-        self._write_docmap_part(spec, kept_doc_ids, urls, kept_lens.tolist())
+        facets = {
+            fc: tbl.column(fc).take(pa.array(keep_rows))
+            for fc in self.facet_columns
+        }
+        self._write_docmap_part(
+            spec, kept_doc_ids, urls, kept_lens.tolist(), facets
+        )
 
         if len(codes) == 0:
             return RUN_SCHEMA.empty_table()
@@ -235,6 +243,9 @@ class TokenizePartition:
             columns.append(self.url_column)
         if self.lang_column:
             columns.append(self.lang_column)
+        for fc in self.facet_columns:
+            if fc not in columns:
+                columns.append(fc)
         pf = pq.ParquetFile(spec["path"])
         tbl = pf.read_row_groups(
             list(range(spec["row_group_start"], spec["row_group_end"])),
@@ -296,7 +307,13 @@ class TokenizePartition:
             else np.zeros(0, dtype=np.int64)
         )
         kept_doc_ids = (keep_rows + doc_id_base).tolist()
-        self._write_docmap_part(spec, kept_doc_ids, urls, kept_lens.tolist())
+        facets = {
+            fc: tbl.column(fc).take(pa.array(keep_rows))
+            for fc in self.facet_columns
+        }
+        self._write_docmap_part(
+            spec, kept_doc_ids, urls, kept_lens.tolist(), facets
+        )
 
         # (code, doc) tf groups from one stable sort; triple emission order
         # is irrelevant downstream (the wide shuffle sorts by (th, doc_id))
@@ -350,17 +367,20 @@ class TokenizePartition:
             schema=TRIPLE_SCHEMA,
         )
 
-    def _write_docmap_part(self, spec, doc_ids, urls, lens) -> None:
+    def _write_docmap_part(
+        self, spec, doc_ids, urls, lens, extra: dict | None = None
+    ) -> None:
         part_dir = os.path.join(self.index_dir, "docmap")
         os.makedirs(part_dir, exist_ok=True)
         path = os.path.join(part_dir, f"part-{spec['part_id']:06d}.parquet")
-        tbl = pa.table(
-            {
-                "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64)),
-                "url": pa.array(urls, pa.string()),
-                "doc_len": pa.array(np.asarray(lens, dtype=np.int32)),
-            }
-        )
+        cols = {
+            "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64)),
+            "url": pa.array(urls, pa.string()),
+            "doc_len": pa.array(np.asarray(lens, dtype=np.int32)),
+        }
+        if extra:
+            cols.update(extra)  # facet columns (doc-values for aggs)
+        tbl = pa.table(cols)
         tmp = path + ".tmp"
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)

@@ -206,3 +206,57 @@ def test_wildcard_query(tmp_path):
             assert res["total_hits"] == len(exp)
     finally:
         eng.close()
+
+
+def test_facet_counts(tmp_path):
+    """ES terms aggregation over build-time docmap doc-values: counts of
+    the FULL hit set per facet value, vs a pure-python scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(4)
+    vocab = ["merge", "hash", "scan", "join", "other", "words"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(8)),
+            "source": f"s{rng.randint(0, 3)}",
+        }
+        for i in range(120)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("source",), docs_per_segment=50,
+                    target_partition_rows=25),
+    )
+    eng = QueryEngine(idx, num_searchers=0)
+    try:
+        for q, pred in (
+            ("merge", lambda t: "merge" in t.split()),
+            ("merge AND hash",
+             lambda t: "merge" in t.split() and "hash" in t.split()),
+            ("merg*", lambda t: any(w.startswith("merg") for w in t.split())),
+        ):
+            exp: dict = {}
+            for r in rows:
+                if pred(r["text"]):
+                    exp[r["source"]] = exp.get(r["source"], 0) + 1
+            expected = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+            got = [
+                (b["key"], b["doc_count"])
+                for b in eng.search_facets(q, "source", size=10)["buckets"]
+            ]
+            assert got == expected, (q, got, expected)
+    finally:
+        eng.close()
