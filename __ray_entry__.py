@@ -51,9 +51,9 @@ def _ensure_index(sf_dir: str, analyzer: str, positions: bool = False) -> str:
 
         with open(os.path.join(idx, "manifest.json")) as f:
             m = _json.load(f)
-        if (positions and m.get("positions_layout") != 2) or not m.get(
-            "config", {}
-        ).get("facet_columns"):
+        if (positions and m.get("positions_layout") != 2) or list(
+            m.get("config", {}).get("facet_columns") or []
+        ) != ["source", "lang", "n_chars"]:
             _shutil.rmtree(idx, ignore_errors=True)
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         build_index(
@@ -67,8 +67,8 @@ def _ensure_index(sf_dir: str, analyzer: str, positions: bool = False) -> str:
                 target_partition_rows=500,
                 docs_per_segment=2_000,
                 store_positions=positions,
-                # doc-values for the ES terms-aggregation entry
-                facet_columns=("source", "lang"),
+                # doc-values for the ES terms/stats-aggregation entries
+                facet_columns=("source", "lang", "n_chars"),
             ),
         )
     return idx
@@ -450,6 +450,36 @@ def _q_wildcard_plain(sf_dir: str):
             rows_d.append(r["doc_id"])
     return pa.table(
         {"query": pa.array(rows_q, pa.string()), "doc_id": pa.array(rows_d, pa.int64())}
+    )
+
+
+STATS_QUERIES = ["merge", "merge AND hash", "merg*", "scan OR join"]
+
+
+def _q_stats_agg(sf_dir: str):
+    """ES stats aggregation: exact count/sum/min/max (+avg as a scaled
+    int) of the n_chars doc-value over each query's full hit set."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "n": [], "sum": [], "min": [], "max": [], "avg_u": []}
+    for q in STATS_QUERIES:
+        s = eng.search_stats(q, "n_chars")
+        rows["query"].append(q)
+        rows["n"].append(s["count"])
+        rows["sum"].append(s["sum"])
+        rows["min"].append(s["min"])
+        rows["max"].append(s["max"])
+        rows["avg_u"].append(
+            int(math.floor(s["avg"] * 1e6 + 0.5)) if s["avg"] is not None else 0
+        )
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "sum": pa.array(rows["sum"], pa.int64()),
+            "min": pa.array(rows["min"], pa.int64()),
+            "max": pa.array(rows["max"], pa.int64()),
+            "avg_u": pa.array(rows["avg_u"], pa.int64()),
+        }
     )
 
 
@@ -900,6 +930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_plain": _q_boolean_plain,
         "wildcard_plain": _q_wildcard_plain,
         "facet_counts": _q_facet_counts,
+        "stats_agg": _q_stats_agg,
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
         "jaccard_verify": _q_jaccard_verify,
@@ -1313,6 +1344,31 @@ def _facet_sql() -> str:
     return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
 
 
+def _stats_sql() -> str:
+    parts = []
+    hits_by_q = {
+        "merge": "SELECT DISTINCT doc_id FROM tok WHERE tok='merge'",
+        "merge AND hash": (
+            "SELECT doc_id FROM tok WHERE tok='merge' INTERSECT "
+            "SELECT doc_id FROM tok WHERE tok='hash'"
+        ),
+        "merg*": "SELECT DISTINCT doc_id FROM tok WHERE tok LIKE 'merg%'",
+        "scan OR join": (
+            "SELECT doc_id FROM tok WHERE tok='scan' UNION "
+            "SELECT doc_id FROM tok WHERE tok='join'"
+        ),
+    }
+    for q in STATS_QUERIES:
+        parts.append(
+            f"SELECT '{q}' AS query, count(*)::BIGINT AS n, "
+            f"sum(n_chars)::BIGINT AS sum, min(n_chars) AS min, "
+            f"max(n_chars) AS max, "
+            f"CAST(floor(avg(n_chars) * 1000000 + 0.5) AS BIGINT) AS avg_u "
+            f"FROM documents WHERE doc_id IN ({hits_by_q[q]})"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
 def _wildcard_sql() -> str:
     parts = []
     for q in WILDCARD_QUERIES:
@@ -1399,6 +1455,7 @@ def oracle_sql() -> dict[str, str]:
         "boolean_plain": _boolean_sql(),
         "wildcard_plain": _wildcard_sql(),
         "facet_counts": _facet_sql(),
+        "stats_agg": _stats_sql(),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dupes FROM documents "
             "GROUP BY text ORDER BY doc_id"

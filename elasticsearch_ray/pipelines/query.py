@@ -84,6 +84,74 @@ class Searcher:
         self._facet_vals[field] = per_reader
         return per_reader
 
+    def _facet_numeric(self, field: str) -> list:
+        key = "\0num\0" + field
+        cached = self._facet_vals.get(key)
+        if cached is not None:
+            return cached
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(
+            os.path.join(self.index_dir, "docmap"), format="parquet"
+        )
+        per_reader = []
+        for r in self.readers:
+            lo = r.doc_id_base
+            hi = lo + r.doc_lens.size
+            tbl = dset.to_table(
+                columns=["doc_id", field],
+                filter=(pads.field("doc_id") >= lo)
+                & (pads.field("doc_id") < hi),
+            ).sort_by("doc_id")
+            vals = np.full(r.doc_lens.size, np.iinfo(np.int64).min, np.int64)
+            slots = tbl.column("doc_id").to_numpy() - lo
+            vals[slots] = tbl.column(field).to_numpy().astype(np.int64)
+            per_reader.append(vals)
+        self._facet_vals[key] = per_reader
+        return per_reader
+
+    def _match_slots(self, r, kind: str, payload) -> np.ndarray:
+        """FULL local hit set (slots) for an aggregation query."""
+        if kind == "bool":
+            ids, _ = sc.boolean_eval(r, payload, None)
+        elif kind == "wildcard":
+            ids, _ = sc.wildcard_eval(r, payload, None)
+        else:  # 'terms': OR of term postings (match-query hit set)
+            parts = [
+                res[0]
+                for t in payload
+                if (res := r.postings_slots(t)) is not None
+            ]
+            if not parts:
+                return np.empty(0, dtype=np.int64)
+            slots = (
+                np.unique(np.concatenate(parts))
+                if len(parts) > 1
+                else parts[0]
+            )
+            return slots[r.doc_lens[slots] >= 0]
+        return ids - r.doc_id_base
+
+    def stats_agg(self, kind: str, payload, field: str) -> dict:
+        """ES stats aggregation over an INTEGER doc-value field: exact
+        (count, sum, min, max) of the full hit set; driver merges."""
+        per_reader = self._facet_numeric(field)
+        n = 0
+        s = 0
+        mn: int | None = None
+        mx: int | None = None
+        for r, vals in zip(self.readers, per_reader):
+            slots = self._match_slots(r, kind, payload)
+            v = vals[slots]
+            v = v[v != np.iinfo(np.int64).min]  # lang-filtered gaps
+            if not v.size:
+                continue
+            n += int(v.size)
+            s += int(v.sum())
+            mn = int(v.min()) if mn is None else min(mn, int(v.min()))
+            mx = int(v.max()) if mx is None else max(mx, int(v.max()))
+        return {"count": n, "sum": s, "min": mn, "max": mx}
+
     def facet_counts(self, kind: str, payload, field: str) -> dict:
         """ES terms-aggregation: count FULL match set per facet value.
         kind: 'bool' (payload=rpn) | 'wildcard' (payload=pattern) |
@@ -91,26 +159,7 @@ class Searcher:
         per_reader = self._facet_column(field)
         out: dict[str, int] = {}
         for r, (codes, cats) in zip(self.readers, per_reader):
-            if kind == "bool":
-                ids, _ = sc.boolean_eval(r, payload, None)
-            elif kind == "wildcard":
-                ids, _ = sc.wildcard_eval(r, payload, None)
-            else:  # 'terms': OR of term postings (match-query hit set)
-                parts = [
-                    res[0]
-                    for t in payload
-                    if (res := r.postings_slots(t)) is not None
-                ]
-                if not parts:
-                    continue
-                slots = (
-                    np.unique(np.concatenate(parts))
-                    if len(parts) > 1
-                    else parts[0]
-                )
-                slots = slots[r.doc_lens[slots] >= 0]
-                ids = slots + r.doc_id_base
-            slots = ids - r.doc_id_base
+            slots = self._match_slots(r, kind, payload)
             c = codes[slots]
             c = c[c >= 0]
             if not c.size:
@@ -445,15 +494,7 @@ class QueryEngine:
         using the docmap facet columns (build-time doc-values;
         ``BuildConfig.facet_columns``).  Buckets sorted (count desc, value
         asc), ES bucket shape."""
-        q = query_text.strip()
-        if _WILDCARD_RE.match(q):
-            kind, payload = "wildcard", q.lower()
-        elif looks_boolean(q):
-            kind, payload = "bool", to_rpn(
-                preprocess_boolean_query(q, self.normalizer)
-            )
-        else:
-            kind, payload = "terms", self.normalizer.preprocess_query_list(q)
+        kind, payload = self._agg_route(query_text)
         parts = self._fanout("facet_counts", kind, payload, field)
         merged: dict[str, int] = {}
         for p in parts:
@@ -467,6 +508,35 @@ class QueryEngine:
                 {"key": v, "doc_count": n} for v, n in buckets[:size]
             ],
         }
+
+    def search_stats(self, query_text: str, field: str) -> dict:
+        """ES stats aggregation: exact count/sum/min/max/avg of an integer
+        doc-value field over the full hit set of ``query_text``."""
+        kind, payload = self._agg_route(query_text)
+        parts = self._fanout("stats_agg", kind, payload, field)
+        n = sum(p["count"] for p in parts)
+        s = sum(p["sum"] for p in parts)
+        mns = [p["min"] for p in parts if p["min"] is not None]
+        mxs = [p["max"] for p in parts if p["max"] is not None]
+        return {
+            "query": query_text,
+            "field": field,
+            "count": n,
+            "sum": s,
+            "min": min(mns) if mns else None,
+            "max": max(mxs) if mxs else None,
+            "avg": (s / n) if n else None,
+        }
+
+    def _agg_route(self, query_text: str):
+        q = query_text.strip()
+        if _WILDCARD_RE.match(q):
+            return "wildcard", q.lower()
+        if looks_boolean(q):
+            return "bool", to_rpn(
+                preprocess_boolean_query(q, self.normalizer)
+            )
+        return "terms", self.normalizer.preprocess_query_list(q)
 
     def _search_wildcard(self, query_text: str, size: int,
                          max_expansions: int | None = None) -> dict:
