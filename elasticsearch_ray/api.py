@@ -263,3 +263,18 @@ class RayBM25Index:
     def get_stats(self) -> dict:
         assert self.engine is not None, "load_index first"
         return self.engine.get_stats()
+
+    # -- aggregations (beyond the reference contract: ES aggs surface) ----
+
+    def facets(self, query: str, field: str, size: int = 10) -> dict:
+        """ES terms aggregation over a build-time facet column
+        (``BuildConfig.facet_columns``): per-value doc counts of the FULL
+        hit set, ES bucket shape."""
+        assert self.engine is not None, "load_index first"
+        return self.engine.search_facets(query, field, size=size)
+
+    def stats(self, query: str, field: str) -> dict:
+        """ES stats aggregation (count/sum/min/max/avg) of an integer
+        facet column over the full hit set."""
+        assert self.engine is not None, "load_index first"
+        return self.engine.search_stats(query, field)

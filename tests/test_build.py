@@ -81,6 +81,7 @@ def test_html_never_read(tiny_corpus_dir):
     tok = TokenizePartition.__new__(TokenizePartition)
     tok.text_column = "text"
     tok.prefix_columns = []
+    tok.facet_columns = []
     tok.url_column = "url"
     tok.lang_column = "lang"
     f = [f for f in os.listdir(tiny_corpus_dir) if f.endswith(".parquet")][0]
