@@ -223,6 +223,64 @@ def bench_phrase(index_dir: str, queryset: list[str]) -> dict:
     return out
 
 
+def bench_aggs(index_dir: str, docs_parquet: str) -> dict:
+    """Latency for the round-3 ES query surfaces over an index built with
+    facet doc-values: terms aggregation (facets), stats aggregation, and
+    wildcard/prefix dictionary expansion."""
+    import collections
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    # derive an in-vocabulary queryset from the corpus itself (the sf
+    # documents table has a different vocabulary than synthetic webtext)
+    sample = pq.read_table(
+        docs_parquet, columns=["text"]
+    ).column("text").to_pylist()[:300]
+    freq = collections.Counter(
+        w
+        for t in sample
+        for w in _re.findall(r"[a-z]{4,12}", (t or "").lower())
+    )
+    terms = [w for w, _ in freq.most_common(60)]
+    if len(terms) < 4:
+        terms = ["data"] * 4  # degenerate corpus; keep the harness alive
+    n = len(terms)
+    queries = terms[:10] + [
+        f"{terms[i % n]} {terms[(i + n // 2) % n]}" for i in range(10)
+    ]
+    patterns = [t[:4] + "*" for t in (terms[40:50] or terms[:10])]
+
+    eng = QueryEngine(index_dir)
+    out = {}
+    try:
+        eng.batch_search(queries)  # warmup (df cache + mmap first-touch)
+        for q in queries[:5]:
+            eng.search_facets(q, "source")
+            eng.search_stats(q, "n_chars")
+        lats: dict[str, list[float]] = {"facets": [], "stats": []}
+        for q in queries:
+            t0 = time.perf_counter()
+            eng.search_facets(q, "source")
+            lats["facets"].append((time.perf_counter() - t0) * 1e3)
+            t0 = time.perf_counter()
+            eng.search_stats(q, "n_chars")
+            lats["stats"].append((time.perf_counter() - t0) * 1e3)
+        wl = []
+        for p in patterns:
+            t0 = time.perf_counter()
+            eng.search(p)
+            wl.append((time.perf_counter() - t0) * 1e3)
+        out["facets"] = _percentiles(lats["facets"])
+        out["stats"] = _percentiles(lats["stats"])
+        out["wildcard"] = _percentiles(wl)
+    finally:
+        eng.close()
+    return out
+
+
 def bench_ops(sf_dir: str) -> dict:
     import ray.data
 
@@ -291,6 +349,23 @@ def bench_ops(sf_dir: str) -> dict:
         out["asof_join_rows"] = asof_join(ev).count()
         out["asof_join_sec"] = round(time.perf_counter() - t0, 3)
 
+    # corpus curation ops (round 3): bigram stats, domain quota, hash split
+    from elasticsearch_ray.ops.corpus import (
+        bigram_counts,
+        hash_split_counts,
+        source_quota,
+    )
+
+    t0 = time.perf_counter()
+    bigram_counts(docs, top_k=50).take_all()
+    out["bigrams_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    source_quota(docs, n_per_key=5).count()
+    out["source_quota_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    hash_split_counts(docs).take_all()
+    out["hash_split_sec"] = round(time.perf_counter() - t0, 3)
+
     # composed curation (anti-join form) streaming at sf scale
     import shutil as _sh
 
@@ -347,6 +422,13 @@ def run_bench(num_cpus: int, include_ops: bool = True) -> dict:
         f"/tmp/esray_bench/idx_docs_{num_cpus}",
         docs_per_segment=2000,
         partition_rows=500,
+        facet_columns=("source", "lang", "n_chars"),
+    )
+
+    # 2b. ES aggregation + wildcard surfaces over the facet-enabled index
+    results["query_aggs"] = bench_aggs(
+        f"/tmp/esray_bench/idx_docs_{num_cpus}",
+        os.path.join(SF_DIR, "documents.parquet"),
     )
 
     # 3. query latency percentiles + QPS over the webtext index
@@ -398,6 +480,9 @@ def main_single():
             "query_phrase_p50_ms": res["query_phrase"]["phrase"]["p50_ms"],
             "query_phrase_p99_ms": res["query_phrase"]["phrase"]["p99_ms"],
             "query_qps_phrase": res["query_phrase"]["qps_sustained_phrase"],
+            "query_facets_p50_ms": res["query_aggs"]["facets"]["p50_ms"],
+            "query_stats_p50_ms": res["query_aggs"]["stats"]["p50_ms"],
+            "query_wildcard_p50_ms": res["query_aggs"]["wildcard"]["p50_ms"],
             "query_taat_p50_ms": res["query"]["taat"]["p50_ms"],
             "query_taat_p99_ms": res["query"]["taat"]["p99_ms"],
             "query_wand_p50_ms": res["query"]["wand"]["p50_ms"],
