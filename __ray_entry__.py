@@ -483,6 +483,31 @@ def _q_stats_agg(sf_dir: str):
     )
 
 
+# (query or None=match_all, gte, lte) — bounds inclusive, ES range query
+RANGE_QUERIES = [
+    (None, 120, 400),
+    ("merge", 150, None),
+    ("merge AND hash", None, 450),
+    ("merg*", 100, 900),
+]
+
+
+def _q_range_filter(sf_dir: str):
+    """ES range query over the n_chars doc-value (inclusive gte/lte,
+    either bound optional), standalone (match_all) or intersected with a
+    match/boolean/wildcard hit set; filter-context results doc_id asc."""
+    eng = _engine(sf_dir, "plain")
+    rows_q, rows_d = [], []
+    for q, gte, lte in RANGE_QUERIES:
+        res = eng.search_range(q, "n_chars", gte=gte, lte=lte, size=20)
+        for r in res["results"]:
+            rows_q.append(q or "")
+            rows_d.append(r["doc_id"])
+    return pa.table(
+        {"query": pa.array(rows_q, pa.string()), "doc_id": pa.array(rows_d, pa.int64())}
+    )
+
+
 def _q_exact_dedup(sf_dir: str):
     from elasticsearch_ray.ops.dedup import exact_dedup
 
@@ -931,6 +956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_plain": _q_wildcard_plain,
         "facet_counts": _q_facet_counts,
         "stats_agg": _q_stats_agg,
+        "range_filter": _q_range_filter,
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
         "jaccard_verify": _q_jaccard_verify,
@@ -1381,6 +1407,32 @@ def _wildcard_sql() -> str:
     return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
 
 
+def _range_sql() -> str:
+    hits_by_q = {
+        None: "SELECT doc_id FROM documents",
+        "merge": "SELECT DISTINCT doc_id FROM tok WHERE tok='merge'",
+        "merge AND hash": (
+            "SELECT doc_id FROM tok WHERE tok='merge' INTERSECT "
+            "SELECT doc_id FROM tok WHERE tok='hash'"
+        ),
+        "merg*": "SELECT DISTINCT doc_id FROM tok WHERE tok LIKE 'merg%'",
+    }
+    parts = []
+    for q, gte, lte in RANGE_QUERIES:
+        conds = [f"doc_id IN ({hits_by_q[q]})"]
+        if gte is not None:
+            conds.append(f"n_chars >= {gte}")
+        if lte is not None:
+            conds.append(f"n_chars <= {lte}")
+        label = (q or "").replace("'", "''")
+        parts.append(
+            f"SELECT '{label}' AS query, doc_id FROM ("
+            f"SELECT doc_id FROM documents WHERE {' AND '.join(conds)} "
+            f"ORDER BY doc_id LIMIT 20)"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
 def _boolean_sql() -> str:
     parts = []
     for q in BOOLEAN_QUERIES:
@@ -1456,6 +1508,7 @@ def oracle_sql() -> dict[str, str]:
         "wildcard_plain": _wildcard_sql(),
         "facet_counts": _facet_sql(),
         "stats_agg": _stats_sql(),
+        "range_filter": _range_sql(),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dupes FROM documents "
             "GROUP BY text ORDER BY doc_id"

@@ -278,3 +278,13 @@ class RayBM25Index:
         facet column over the full hit set."""
         assert self.engine is not None, "load_index first"
         return self.engine.search_stats(query, field)
+
+    def range_query(self, query: str | None, field: str,
+                    gte: int | None = None, lte: int | None = None,
+                    size: int = 10) -> dict:
+        """ES range query over an integer facet column, optionally
+        intersected with a match/boolean/wildcard query (None =
+        match_all); filter-context shape (doc_id asc, unscored)."""
+        assert self.engine is not None, "load_index first"
+        return self.engine.search_range(query, field, gte=gte, lte=lte,
+                                        size=size)

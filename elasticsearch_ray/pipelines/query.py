@@ -112,6 +112,8 @@ class Searcher:
 
     def _match_slots(self, r, kind: str, payload) -> np.ndarray:
         """FULL local hit set (slots) for an aggregation query."""
+        if kind == "all":  # match_all: every live (non-tombstoned) doc
+            return np.flatnonzero(r.doc_lens >= 0)
         if kind == "bool":
             ids, _ = sc.boolean_eval(r, payload, None)
         elif kind == "wildcard":
@@ -169,6 +171,31 @@ class Searcher:
                 v = cats[i]
                 out[v] = out.get(v, 0) + int(counts[i])
         return out
+
+    def search_range(self, kind: str, payload, field: str,
+                     lo: int | None, hi: int | None, k: int):
+        """ES range query (``gte``/``lte`` inclusive bounds, either side
+        optional) over an INTEGER doc-value field, filtering the hit set of
+        a match/bool/wildcard query (kind 'all' = standalone range).
+        Returns (first k local doc_ids ascending, exact local total)."""
+        per_reader = self._facet_numeric(field)
+        parts: list[np.ndarray] = []
+        total = 0
+        for r, vals in zip(self.readers, per_reader):
+            slots = self._match_slots(r, kind, payload)
+            v = vals[slots]
+            mask = v != np.iinfo(np.int64).min  # docmap gaps never match
+            if lo is not None:
+                mask &= v >= lo
+            if hi is not None:
+                mask &= v <= hi
+            hit = slots[mask]  # ascending within a reader
+            total += int(hit.size)
+            parts.append(hit[:k] + r.doc_id_base)
+        ids = (
+            np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+        )
+        return ids[:k], total  # readers are doc_id-ordered -> global asc
 
     def dfs(self, terms: list[str]) -> dict[str, int]:
         return {t: sum(r.df(t) for r in self.readers) for t in terms}
@@ -526,6 +553,32 @@ class QueryEngine:
             "min": min(mns) if mns else None,
             "max": max(mxs) if mxs else None,
             "avg": (s / n) if n else None,
+        }
+
+    def search_range(self, query_text: str | None, field: str,
+                     gte: int | None = None, lte: int | None = None,
+                     size: int = 10) -> dict:
+        """ES range query: docs whose integer doc-value ``field`` lies in
+        [gte, lte] (inclusive, either bound optional), optionally
+        intersected with the full hit set of ``query_text`` (match /
+        boolean / wildcard semantics; None or blank = match_all).  Results
+        doc_id-ascending with exact totals (ES filter-context shape:
+        unscored)."""
+        if query_text and query_text.strip():
+            kind, payload = self._agg_route(query_text)
+        else:
+            kind, payload = "all", None
+        parts = self._fanout("search_range", kind, payload, field, gte, lte,
+                             size)
+        ids = np.concatenate([p[0] for p in parts])
+        total = int(sum(p[1] for p in parts))
+        return {
+            "query": query_text or "",
+            "field": field,
+            "gte": gte,
+            "lte": lte,
+            "total_hits": total,
+            "results": [{"doc_id": int(d), "score": 1.0} for d in ids[:size]],
         }
 
     def _agg_route(self, query_text: str):

@@ -260,3 +260,61 @@ def test_facet_counts(tmp_path):
             assert got == expected, (q, got, expected)
     finally:
         eng.close()
+
+
+def test_range_query(tmp_path):
+    """ES range query over an integer doc-value: standalone (match_all)
+    and intersected with match/bool/wildcard hit sets, vs a pure-python
+    scan — doc_id ascending, exact totals."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(7)
+    vocab = ["merge", "hash", "scan", "join", "other", "words"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(8)),
+            "n_bytes": rng.randint(0, 999),
+        }
+        for i in range(150)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("n_bytes",), docs_per_segment=60,
+                    target_partition_rows=25),
+    )
+    eng = QueryEngine(idx, num_searchers=0)
+    try:
+        cases = [
+            (None, 200, 700, lambda t: True),
+            ("merge", 300, None, lambda t: "merge" in t.split()),
+            ("merge AND hash", None, 500,
+             lambda t: "merge" in t.split() and "hash" in t.split()),
+            ("merg*", 100, 900,
+             lambda t: any(w.startswith("merg") for w in t.split())),
+        ]
+        for q, gte, lte, pred in cases:
+            exp = [
+                r["doc_id"] for r in rows
+                if pred(r["text"])
+                and (gte is None or r["n_bytes"] >= gte)
+                and (lte is None or r["n_bytes"] <= lte)
+            ]
+            res = eng.search_range(q, "n_bytes", gte=gte, lte=lte, size=15)
+            got = [r["doc_id"] for r in res["results"]]
+            assert got == exp[:15], (q, got, exp[:15])
+            assert res["total_hits"] == len(exp), (q, res["total_hits"])
+    finally:
+        eng.close()
