@@ -453,6 +453,27 @@ def _q_wildcard_plain(sf_dir: str):
     )
 
 
+FUZZY_QUERIES = ["merje~1", "scna~", "hsah~2", "windoq~", "filtr~", "jion~2"]
+
+
+def _q_fuzzy_plain(sf_dir: str):
+    """ES fuzzy term queries (Lucene ``term~``/``term~1``/``term~2``,
+    bare ``~`` = fuzziness AUTO) over the plain-analyzer index: dictionary
+    expansion via a vectorized Levenshtein DP (transpositions=false, so
+    the metric is SQL ``levenshtein()``) + postings OR — docs ascending,
+    exact totals."""
+    eng = _engine(sf_dir, "plain")
+    rows_q, rows_d = [], []
+    for q in FUZZY_QUERIES:
+        res = eng.search(q, size=20)
+        for r in res["results"]:
+            rows_q.append(q)
+            rows_d.append(r["doc_id"])
+    return pa.table(
+        {"query": pa.array(rows_q, pa.string()), "doc_id": pa.array(rows_d, pa.int64())}
+    )
+
+
 STATS_QUERIES = ["merge", "merge AND hash", "merg*", "scan OR join"]
 
 
@@ -954,6 +975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top10_plain": _q_tfidf_top10_plain,
         "boolean_plain": _q_boolean_plain,
         "wildcard_plain": _q_wildcard_plain,
+        "fuzzy_plain": _q_fuzzy_plain,
         "facet_counts": _q_facet_counts,
         "stats_agg": _q_stats_agg,
         "range_filter": _q_range_filter,
@@ -1407,6 +1429,23 @@ def _wildcard_sql() -> str:
     return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
 
 
+def _fuzzy_sql() -> str:
+    from elasticsearch_ray.pipelines.query import _FUZZY_RE, fuzzy_auto_edits
+
+    parts = []
+    for q in FUZZY_QUERIES:
+        m = _FUZZY_RE.match(q)
+        term = m.group(1).lower()
+        edits = int(m.group(2)) if m.group(2) else fuzzy_auto_edits(term)
+        parts.append(
+            f"SELECT '{q}' AS query, doc_id FROM ("
+            f"SELECT DISTINCT doc_id FROM tok "
+            f"WHERE levenshtein(tok, '{term}') <= {edits} "
+            f"ORDER BY doc_id LIMIT 20)"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
 def _range_sql() -> str:
     hits_by_q = {
         None: "SELECT doc_id FROM documents",
@@ -1506,6 +1545,7 @@ def oracle_sql() -> dict[str, str]:
         "multifield_top10": _multifield_sql(),
         "boolean_plain": _boolean_sql(),
         "wildcard_plain": _wildcard_sql(),
+        "fuzzy_plain": _fuzzy_sql(),
         "facet_counts": _facet_sql(),
         "stats_agg": _stats_sql(),
         "range_filter": _range_sql(),

@@ -273,9 +273,20 @@ def bench_aggs(index_dir: str, docs_parquet: str) -> dict:
             t0 = time.perf_counter()
             eng.search(p)
             wl.append((time.perf_counter() - t0) * 1e3)
+        # fuzzy: one-char corruption of in-vocabulary terms, fuzziness AUTO
+        fuzz_qs = [
+            (t[:2] + ("x" if t[2] != "x" else "y") + t[3:]) + "~"
+            for t in (terms[20:30] or terms[:10])
+        ]
+        fl = []
+        for q in fuzz_qs:
+            t0 = time.perf_counter()
+            eng.search(q)
+            fl.append((time.perf_counter() - t0) * 1e3)
         out["facets"] = _percentiles(lats["facets"])
         out["stats"] = _percentiles(lats["stats"])
         out["wildcard"] = _percentiles(wl)
+        out["fuzzy"] = _percentiles(fl)
     finally:
         eng.close()
     return out
@@ -483,6 +494,7 @@ def main_single():
             "query_facets_p50_ms": res["query_aggs"]["facets"]["p50_ms"],
             "query_stats_p50_ms": res["query_aggs"]["stats"]["p50_ms"],
             "query_wildcard_p50_ms": res["query_aggs"]["wildcard"]["p50_ms"],
+            "query_fuzzy_p50_ms": res["query_aggs"]["fuzzy"]["p50_ms"],
             "query_taat_p50_ms": res["query"]["taat"]["p50_ms"],
             "query_taat_p99_ms": res["query"]["taat"]["p99_ms"],
             "query_wand_p50_ms": res["query"]["wand"]["p50_ms"],

@@ -34,6 +34,14 @@ from ..normalizer import make_normalizer, preprocess_boolean_query
 
 # one bare term containing * or ? -> ES wildcard-query routing
 _WILDCARD_RE = re.compile(r"^(?=.*[*?])[A-Za-z0-9*?]+$")
+# Lucene fuzzy syntax: term~ (AUTO), term~1, term~2
+_FUZZY_RE = re.compile(r"^([A-Za-z0-9]+)~([0-2]?)$")
+
+
+def fuzzy_auto_edits(term: str) -> int:
+    """ES ``fuzziness=AUTO``: 0 edits for length <=2, 1 for 3-5, 2 above."""
+    n = len(term)
+    return 0 if n <= 2 else (1 if n <= 5 else 2)
 from ..oracle.oracle import looks_boolean, to_rpn
 from ..stages import scoring as sc
 from ..state.segment import SegmentReader
@@ -118,6 +126,8 @@ class Searcher:
             ids, _ = sc.boolean_eval(r, payload, None)
         elif kind == "wildcard":
             ids, _ = sc.wildcard_eval(r, payload, None)
+        elif kind == "fuzzy":
+            ids, _ = sc.fuzzy_eval(r, payload[0], payload[1], None)
         else:  # 'terms': OR of term postings (match-query hit set)
             parts = [
                 res[0]
@@ -257,6 +267,17 @@ class Searcher:
         total = 0
         for r in self.readers:  # readers sorted by doc range -> output sorted
             ids, n = sc.boolean_eval(r, rpn, k)
+            total += n
+            out.append(ids)
+        ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        return ids[:k], total
+
+    def search_fuzzy(self, term: str, max_edits: int, k: int,
+                     max_expansions: int | None = None):
+        out: list[np.ndarray] = []
+        total = 0
+        for r in self.readers:
+            ids, n = sc.fuzzy_eval(r, term, max_edits, k, max_expansions)
             total += n
             out.append(ids)
         ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
@@ -451,6 +472,8 @@ class QueryEngine:
             res = self._search_phrase(query_text, size, mode)
         elif _WILDCARD_RE.match(query_text.strip()):
             res = self._search_wildcard(query_text.strip(), size)
+        elif _FUZZY_RE.match(query_text.strip()):
+            res = self._search_fuzzy(query_text.strip(), size)
         elif looks_boolean(query_text):
             res = self._search_boolean(query_text, size)
         else:
@@ -585,6 +608,12 @@ class QueryEngine:
         q = query_text.strip()
         if _WILDCARD_RE.match(q):
             return "wildcard", q.lower()
+        fz = _FUZZY_RE.match(q)
+        if fz:
+            t = fz.group(1).lower()
+            return "fuzzy", (
+                t, int(fz.group(2)) if fz.group(2) else fuzzy_auto_edits(t)
+            )
         if looks_boolean(q):
             return "bool", to_rpn(
                 preprocess_boolean_query(q, self.normalizer)
@@ -599,6 +628,26 @@ class QueryEngine:
         'reference' analyzer and raw words under 'plain')."""
         pattern = query_text.lower()
         parts = self._fanout("search_wildcard", pattern, size, max_expansions)
+        ids = np.concatenate([p[0] for p in parts])  # actor order == doc order
+        total = int(sum(p[1] for p in parts))
+        return {
+            "query": query_text,
+            "total_hits": total,
+            "results": [{"doc_id": int(d), "score": 1.0} for d in ids[:size]],
+        }
+
+    def _search_fuzzy(self, query_text: str, size: int,
+                      max_expansions: int | None = None) -> dict:
+        """ES fuzzy term query, Lucene syntax ``term~`` / ``term~1`` /
+        ``term~2`` (bare ``~`` = fuzziness AUTO).  The term is lowercased
+        but NOT analyzed (ES behavior); expansion runs against each
+        segment's sorted dictionary with a vectorized Levenshtein DP."""
+        m = _FUZZY_RE.match(query_text.strip())
+        assert m is not None
+        term = m.group(1).lower()
+        edits = int(m.group(2)) if m.group(2) else fuzzy_auto_edits(term)
+        parts = self._fanout("search_fuzzy", term, edits, size,
+                             max_expansions)
         ids = np.concatenate([p[0] for p in parts])  # actor order == doc order
         total = int(sum(p[1] for p in parts))
         return {

@@ -561,6 +561,27 @@ def wildcard_eval(
     return slots[:size] + reader.doc_id_base, int(slots.size)
 
 
+def fuzzy_eval(
+    reader: SegmentReader,
+    term: str,
+    max_edits: int,
+    size: int,
+    max_expansions: int | None = None,
+):
+    """ES fuzzy term query: docs containing ANY dictionary term within
+    Levenshtein distance ``max_edits`` of ``term`` (boolean-OR over the
+    expanded terms, doc_id ascending, exact total).  Like wildcard, fuzzy
+    terms are NOT analyzed (ES behavior) — the lowercased term matches
+    stored dictionary terms; ``transpositions=false`` metric."""
+    rows = reader.term_rows_fuzzy(term, max_edits, max_expansions)
+    if not rows:
+        return np.empty(0, dtype=np.int64), 0
+    arrs = [reader.postings_slots_by_row(r)[0] for r in rows]
+    slots = np.unique(np.concatenate(arrs)) if len(arrs) > 1 else arrs[0]
+    slots = slots[reader.doc_lens[slots] >= 0]  # tombstones
+    return slots[:size] + reader.doc_id_base, int(slots.size)
+
+
 class _LazyTerm:
     """Un-decoded posting list on the boolean stack — lets AND use the
     128-block skip structure (decode only blocks that can intersect the

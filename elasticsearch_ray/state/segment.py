@@ -132,7 +132,9 @@ class SegmentReader:
             )
             self._cells[name] = (offsets, data)
         # term -> row dict; ~tens of MB for 1M terms, built once per actor.
-        self._term_row = {t: i for i, t in enumerate(self._terms.to_pylist())}
+        self._term_list = self._terms.to_pylist()
+        self._term_row = {t: i for i, t in enumerate(self._term_list)}
+        self._term_lens: np.ndarray | None = None  # lazy (fuzzy only)
 
     def _cell(self, name: str, row: int) -> np.ndarray:
         offsets, data = self._cells[name]
@@ -190,6 +192,69 @@ class SegmentReader:
                 out.append(lo + off)
                 if max_expansions is not None and len(out) >= max_expansions:
                     break
+        return out
+
+    def term_rows_fuzzy(
+        self, term: str, max_edits: int,
+        max_expansions: int | None = None,
+    ) -> list[int]:
+        """Rows whose term is within Levenshtein distance ``max_edits`` of
+        ``term`` (ES fuzzy-query surface, ``transpositions=false`` so the
+        metric matches SQL ``levenshtein()`` exactly).  Vectorized DP: one
+        (candidates x query_len) numpy table advanced a character column at
+        a time over the length-prefiltered dictionary slice — no
+        per-candidate Python loop."""
+        if max_edits <= 0:
+            row = self._term_row.get(term)
+            return [row] if row is not None else []
+        if self._term_lens is None:
+            self._term_lens = np.array(
+                [len(t) for t in self._term_list], dtype=np.int32
+            )
+        m = len(term)
+        cand = np.flatnonzero(np.abs(self._term_lens - m) <= max_edits)
+        if cand.size == 0:
+            return []
+        lens = self._term_lens[cand]
+        lmax = int(lens.max())
+        # candidate chars as one padded codepoint matrix: Arrow take+rpad,
+        # a single utf-32 encode of the joined slab — no per-term loop
+        import pyarrow.compute as pc
+
+        padded = pc.utf8_rpad(
+            pc.take(self._terms, pa.array(cand)), lmax, "\x00"
+        )
+        slab = "".join(padded.to_pylist())  # C-level join, one pass
+        chars = np.frombuffer(
+            slab.encode("utf-32-le"), dtype=np.uint32
+        ).reshape(cand.size, lmax)
+        q = np.frombuffer(term.encode("utf-32-le"), dtype=np.uint32)
+        n = cand.size
+        prev = np.broadcast_to(
+            np.arange(m + 1, dtype=np.int32), (n, m + 1)
+        ).copy()
+        final = np.full(n, np.iinfo(np.int32).max, dtype=np.int32)
+        alive = np.ones(n, dtype=bool)
+        for j in range(lmax):
+            cur = np.empty_like(prev)
+            cur[:, 0] = j + 1
+            cj = chars[:, j]
+            for k in range(1, m + 1):
+                sub = prev[:, k - 1] + (cj != q[k - 1])
+                cur[:, k] = np.minimum(
+                    np.minimum(prev[:, k] + 1, cur[:, k - 1] + 1), sub
+                )
+            done = lens == j + 1
+            if done.any():
+                final[done] = cur[done, m]
+            alive &= ~done
+            if not alive.any():
+                break
+            prev = cur
+        hits = cand[final <= max_edits]
+        out = [int(r) for r in hits]
+        if max_expansions is not None:
+            out = out[:max_expansions]
         return out
 
     def _slots_from_deltas(self, deltas: np.ndarray) -> np.ndarray:

@@ -208,6 +208,80 @@ def test_wildcard_query(tmp_path):
         eng.close()
 
 
+def test_fuzzy_query(tmp_path):
+    """ES fuzzy term query (Lucene term~ / term~1 / term~2, bare ~ = AUTO):
+    vectorized Levenshtein dictionary expansion + postings OR, vs a
+    pure-python edit-distance scan of the corpus (transpositions=false)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine, fuzzy_auto_edits
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    texts = [
+        "merge merging merged batch batching slow slot window",
+        "shadow meadow merge spark scan",
+        "batch slip slap slot merge nothing",
+        "unrelated words entirely here",
+        "me ma do xx",
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(src / "part.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "part.parquet")],
+        idx,
+        BuildConfig(
+            analyzer="plain", url_column=None, lang_column=None,
+            docs_per_segment=2, target_partition_rows=2,
+        ),
+    )
+    eng = QueryEngine(idx, num_searchers=0)  # embedded
+    try:
+        cases = ["merje~1", "slpt~1", "batc~", "shadw~2", "me~", "zzzz~2",
+                 "windoq~", "slo~1"]
+        for q in cases:
+            term, _, suf = q.partition("~")
+            edits = int(suf) if suf else fuzzy_auto_edits(term)
+            exp = sorted(
+                i
+                for i, t in enumerate(texts)
+                if any(lev(term, w) <= edits for w in t.split())
+            )
+            res = eng.search(q, size=10)
+            got = [r["doc_id"] for r in res["results"]]
+            assert got == exp, (q, edits, got, exp)
+            assert res["total_hits"] == len(exp)
+        # AUTO thresholds: <=2 chars exact, 3-5 one edit, 6+ two edits
+        assert fuzzy_auto_edits("ab") == 0
+        assert fuzzy_auto_edits("abcde") == 1
+        assert fuzzy_auto_edits("abcdef") == 2
+        # max_expansions caps the dictionary expansion (first rows win)
+        full = eng.search("merje~2", size=10)
+        capped = eng._search_fuzzy("merje~2", 10, max_expansions=1)
+        assert capped["total_hits"] <= full["total_hits"]
+    finally:
+        eng.close()
+
+
 def test_facet_counts(tmp_path):
     """ES terms aggregation over build-time docmap doc-values: counts of
     the FULL hit set per facet value, vs a pure-python scan."""
