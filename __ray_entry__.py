@@ -474,6 +474,37 @@ def _q_fuzzy_plain(sf_dir: str):
     )
 
 
+SUGGEST_QUERIES = [
+    "custmer", "streem", "windoq", "colunm", "sow", "quer", "hask", "zzz",
+]
+
+
+def _q_suggest_plain(sf_dir: str):
+    """ES term suggester (did-you-mean): top-3 dictionary terms within
+    Levenshtein distance AUTO of each (misspelled) query term, input term
+    excluded, ordered by (distance, df desc, term) — df is the global doc
+    count summed across shards."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "rank": [], "text": [], "dist": [], "df": []}
+    res = eng.suggest(" ".join(SUGGEST_QUERIES), size=3)
+    for entry in res["suggest"]:
+        for i, o in enumerate(entry["options"]):
+            rows["query"].append(entry["text"])
+            rows["rank"].append(i + 1)
+            rows["text"].append(o["text"])
+            rows["dist"].append(o["dist"])
+            rows["df"].append(o["df"])
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "text": pa.array(rows["text"], pa.string()),
+            "dist": pa.array(rows["dist"], pa.int64()),
+            "df": pa.array(rows["df"], pa.int64()),
+        }
+    )
+
+
 STATS_QUERIES = ["merge", "merge AND hash", "merg*", "scan OR join"]
 
 
@@ -976,6 +1007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_plain": _q_boolean_plain,
         "wildcard_plain": _q_wildcard_plain,
         "fuzzy_plain": _q_fuzzy_plain,
+        "suggest_plain": _q_suggest_plain,
         "facet_counts": _q_facet_counts,
         "stats_agg": _q_stats_agg,
         "range_filter": _q_range_filter,
@@ -1446,6 +1478,27 @@ def _fuzzy_sql() -> str:
     return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
 
 
+def _suggest_sql() -> str:
+    from elasticsearch_ray.pipelines.query import fuzzy_auto_edits
+
+    parts = []
+    for q in SUGGEST_QUERIES:
+        edits = fuzzy_auto_edits(q)
+        parts.append(
+            f"SELECT '{q}' AS query, "
+            f"row_number() OVER (ORDER BY dist, df DESC, text) AS rank, "
+            f"text, dist, df FROM ("
+            f"SELECT tok AS text, levenshtein(tok, '{q}') AS dist, df "
+            f"FROM d WHERE levenshtein(tok, '{q}') BETWEEN 1 AND {edits} "
+            f"ORDER BY dist, df DESC, text LIMIT 3)"
+        )
+    return (
+        f"WITH tok AS ({_TOK}), "
+        f"d AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok) "
+        + " UNION ALL ".join(parts)
+    )
+
+
 def _range_sql() -> str:
     hits_by_q = {
         None: "SELECT doc_id FROM documents",
@@ -1546,6 +1599,7 @@ def oracle_sql() -> dict[str, str]:
         "boolean_plain": _boolean_sql(),
         "wildcard_plain": _wildcard_sql(),
         "fuzzy_plain": _fuzzy_sql(),
+        "suggest_plain": _suggest_sql(),
         "facet_counts": _facet_sql(),
         "stats_agg": _stats_sql(),
         "range_filter": _range_sql(),

@@ -283,6 +283,24 @@ class Searcher:
         ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
         return ids[:k], total
 
+    def suggest_term(self, term: str, max_edits: int):
+        """Per-shard term-suggester candidates: dictionary terms within
+        Levenshtein distance ``max_edits`` of ``term``, each with its edit
+        distance and df summed over this shard's live segments.  Returned
+        as parallel lists (cheap actor serialization)."""
+        agg: dict[str, list[int]] = {}
+        for r in self.readers:
+            rows, dists = r.term_rows_fuzzy(term, max_edits, with_dist=True)
+            for row, d in zip(rows, dists):
+                t = r.term_by_row(row)
+                cur = agg.get(t)
+                if cur is None:
+                    agg[t] = [d, r.df_by_row(row)]
+                else:
+                    cur[1] += r.df_by_row(row)
+        terms = list(agg)
+        return terms, [agg[t][0] for t in terms], [agg[t][1] for t in terms]
+
     def search_wildcard(self, pattern: str, k: int,
                         max_expansions: int | None = None):
         out: list[np.ndarray] = []
@@ -655,6 +673,44 @@ class QueryEngine:
             "total_hits": total,
             "results": [{"doc_id": int(d), "score": 1.0} for d in ids[:size]],
         }
+
+    def suggest(self, text: str, size: int = 5,
+                max_edits: int | None = None) -> dict:
+        """ES term suggester (did-you-mean): for each whitespace token of
+        ``text`` (lowercased, NOT analyzed — same convention as the fuzzy
+        and wildcard surfaces), the top ``size`` dictionary terms within
+        Levenshtein distance (fuzziness AUTO unless ``max_edits`` is given),
+        the input term itself excluded, ordered by (distance asc, df desc,
+        term asc).  ES orders suggestions by score then frequency; the df
+        tie-break here is the deterministic, SQL-twinnable equivalent.
+        df is the global live doc count, summed across shards/segments."""
+        out = []
+        for raw in text.split():
+            term = raw.lower()
+            edits = (
+                max_edits if max_edits is not None else fuzzy_auto_edits(term)
+            )
+            merged: dict[str, list[int]] = {}
+            for terms, dists, dfs in self._fanout("suggest_term", term, edits):
+                for t, d, f in zip(terms, dists, dfs):
+                    cur = merged.get(t)
+                    if cur is None:
+                        merged[t] = [d, f]
+                    else:
+                        cur[1] += f
+            opts = sorted(
+                (d, -f, t) for t, (d, f) in merged.items() if d > 0
+            )[:size]
+            out.append(
+                {
+                    "text": term,
+                    "options": [
+                        {"text": t, "dist": d, "df": -nf}
+                        for d, nf, t in opts
+                    ],
+                }
+            )
+        return {"suggest": out}
 
     def _search_boolean(self, query_text: str, size: int) -> dict:
         tokens = preprocess_boolean_query(query_text, self.normalizer)

@@ -151,6 +151,9 @@ class SegmentReader:
     def df_by_row(self, row: int) -> int:
         return int(self._df[row])
 
+    def term_by_row(self, row: int) -> str:
+        return self._term_list[row]
+
     def term_rows_matching(
         self, pattern: str, max_expansions: int | None = None
     ) -> list[int]:
@@ -197,16 +200,19 @@ class SegmentReader:
     def term_rows_fuzzy(
         self, term: str, max_edits: int,
         max_expansions: int | None = None,
-    ) -> list[int]:
+        with_dist: bool = False,
+    ):
         """Rows whose term is within Levenshtein distance ``max_edits`` of
         ``term`` (ES fuzzy-query surface, ``transpositions=false`` so the
         metric matches SQL ``levenshtein()`` exactly).  Vectorized DP: one
         (candidates x query_len) numpy table advanced a character column at
         a time over the length-prefiltered dictionary slice — no
-        per-candidate Python loop."""
+        per-candidate Python loop.  ``with_dist=True`` returns
+        ``(rows, dists)`` (suggester surface) instead of ``rows``."""
         if max_edits <= 0:
             row = self._term_row.get(term)
-            return [row] if row is not None else []
+            rows = [row] if row is not None else []
+            return (rows, [0] * len(rows)) if with_dist else rows
         if self._term_lens is None:
             self._term_lens = np.array(
                 [len(t) for t in self._term_list], dtype=np.int32
@@ -251,10 +257,14 @@ class SegmentReader:
             if not alive.any():
                 break
             prev = cur
-        hits = cand[final <= max_edits]
+        ok = final <= max_edits
+        hits = cand[ok]
         out = [int(r) for r in hits]
         if max_expansions is not None:
             out = out[:max_expansions]
+        if with_dist:
+            dists = [int(d) for d in final[ok][: len(out)]]
+            return out, dists
         return out
 
     def _slots_from_deltas(self, deltas: np.ndarray) -> np.ndarray:

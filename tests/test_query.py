@@ -282,6 +282,64 @@ def test_fuzzy_query(tmp_path):
         eng.close()
 
 
+def test_term_suggester(tmp_path):
+    """ES term suggester: per misspelled token, dictionary candidates within
+    AUTO edit distance ordered (dist, df desc, term), input term excluded —
+    vs a pure-python Levenshtein scan with python-computed dfs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine, fuzzy_auto_edits
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    texts = [
+        "merge slow slot window shadow",
+        "slow slot merge spark scan",
+        "batch slip slap slot merge",
+        "window shadow meadow slow",
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        str(src / "part.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "part.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    docs_per_segment=2, target_partition_rows=2),
+    )
+    vocab: dict[str, set[int]] = {}
+    for i, t in enumerate(texts):
+        for w in t.split():
+            vocab.setdefault(w, set()).add(i)
+    eng = QueryEngine(idx, num_searchers=0)
+    try:
+        for probe in ["slo", "windoq", "shadw", "merje", "slxp", "zzz"]:
+            edits = fuzzy_auto_edits(probe)
+            exp = sorted(
+                (lev(probe, w), -len(ids), w)
+                for w, ids in vocab.items()
+                if 0 < lev(probe, w) <= edits
+            )[:5]
+            got = eng.suggest(probe, size=5)["suggest"][0]["options"]
+            assert [(o["dist"], -o["df"], o["text"]) for o in got] == exp, (
+                probe, got, exp)
+    finally:
+        eng.close()
+
+
 def test_facet_counts(tmp_path):
     """ES terms aggregation over build-time docmap doc-values: counts of
     the FULL hit set per facet value, vs a pure-python scan."""
