@@ -872,6 +872,28 @@ def _q_phrase(sf_dir: str):
     )
 
 
+PHRASE_SLOP_QUERIES = ['"join hash"~1', '"customer join"~2', '"spark window join"~3']
+
+
+def _q_phrase_slop(sf_dir: str):
+    """Sloppy-phrase retrieval (Lucene proximity ``"a b"~N``) over the
+    positions-enabled PLAIN index: in-order match with total slack
+    (p_n - p_1) - (n - 1) <= N.
+
+    SQL twin: n-way self-join on token position with the window bound
+    (strictly increasing positions, span <= (n - 1) + slop)."""
+    eng = _engine(sf_dir, "plain", positions=True)
+    rows_q, rows_d = [], []
+    for q in PHRASE_SLOP_QUERIES:
+        res = eng.search(q, size=50)
+        for r in res["results"]:
+            rows_q.append(q)
+            rows_d.append(r["doc_id"])
+    return pa.table(
+        {"query": pa.array(rows_q, pa.string()), "doc_id": pa.array(rows_d, pa.int64())}
+    )
+
+
 def _q_word_freq_top50(sf_dir: str):
     from elasticsearch_ray.ops.wordfreq import top_words
 
@@ -1029,6 +1051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_freq_top50": _q_word_freq_top50,
         "token_stats": _q_token_stats,
         "phrase": _q_phrase,
+        "phrase_slop": _q_phrase_slop,
         "curation_keep": _q_curation_keep,
         "window_agg": _q_window_agg,
         "sessions": _q_sessions,
@@ -1675,6 +1698,29 @@ UNION ALL
 SELECT '"customer order"' AS query, doc_id FROM (SELECT doc_id FROM p2 ORDER BY doc_id LIMIT 50)
 UNION ALL
 SELECT '"window batch" spark' AS query, doc_id FROM (SELECT doc_id FROM p3 ORDER BY doc_id LIMIT 50)
+""",
+        "phrase_slop": r"""
+WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+tok AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS pos
+  FROM lists
+),
+p1 AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+       ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2
+       WHERE a.tok = 'join' AND b.tok = 'hash'),
+p2 AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+       ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+       WHERE a.tok = 'customer' AND b.tok = 'join'),
+p3 AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+       ON a.doc_id = b.doc_id AND b.pos > a.pos
+       JOIN tok c ON a.doc_id = c.doc_id AND c.pos > b.pos
+       AND c.pos - a.pos <= 5
+       WHERE a.tok = 'spark' AND b.tok = 'window' AND c.tok = 'join')
+SELECT '"join hash"~1' AS query, doc_id FROM (SELECT doc_id FROM p1 ORDER BY doc_id LIMIT 50)
+UNION ALL
+SELECT '"customer join"~2' AS query, doc_id FROM (SELECT doc_id FROM p2 ORDER BY doc_id LIMIT 50)
+UNION ALL
+SELECT '"spark window join"~3' AS query, doc_id FROM (SELECT doc_id FROM p3 ORDER BY doc_id LIMIT 50)
 """,
         "curation_keep": """
 WITH f AS (

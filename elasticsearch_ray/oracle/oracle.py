@@ -231,13 +231,14 @@ class OracleIndex:
     def query_phrase(self, query_text: str, size: int = 10) -> dict:
         import re as _re
 
-        spans = _re.findall(r'"([^"]*)"', query_text)
-        residual_text = _re.sub(r'"[^"]*"', " ", query_text)
-        phrases = [
-            self.normalizer.preprocess_query_list(s)
-            for s in spans
-            if self.normalizer.preprocess_query_list(s)
-        ]
+        spans = _re.findall(r'"([^"]*)"(?:~(\d+))?', query_text)
+        residual_text = _re.sub(r'"[^"]*"(?:~\d+)?', " ", query_text)
+        phrases, slops = [], []
+        for text, slop in spans:
+            terms = self.normalizer.preprocess_query_list(text)
+            if terms:
+                phrases.append(terms)
+                slops.append(int(slop) if slop else 0)
         residual = self.normalizer.preprocess_query_list(residual_text)
         if not phrases:
             stripped = query_text.replace('"', " ")
@@ -257,12 +258,23 @@ class OracleIndex:
         matched = []
         for d in sorted(cand or ()):
             ok = True
-            for phrase in phrases:
-                cur = None
-                for t in phrase:
-                    p = set(self.positions[t][d])
-                    cur = p if cur is None else {x + 1 for x in cur} & p
-                    if not cur:
+            for phrase, slop in zip(phrases, slops):
+                # brute-force in-order DP: frontier maps end-position ->
+                # min slack spent; same semantics as the engine's
+                # slack-budget DP (scoring.phrase_eval slops)
+                frontier = {p: 0 for p in self.positions[phrase[0]][d]}
+                for t in phrase[1:]:
+                    new: dict[int, int] = {}
+                    for p in self.positions[t][d]:
+                        costs = [
+                            c + (p - q - 1)
+                            for q, c in frontier.items()
+                            if q < p and c + (p - q - 1) <= slop
+                        ]
+                        if costs:
+                            new[p] = min(costs)
+                    frontier = new
+                    if not frontier:
                         ok = False
                         break
                 if not ok:

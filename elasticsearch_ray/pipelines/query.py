@@ -252,11 +252,12 @@ class Searcher:
         ids, scores = sc._topk_by_score(ids, scores, k)
         return ids, scores, total
 
-    def search_phrase(self, phrases: list[list[str]], residual: list[str], k: int):
+    def search_phrase(self, phrases: list[list[str]], residual: list[str], k: int,
+                      slops: list[int] | None = None):
         out: list[np.ndarray] = []
         total = 0
         for r in self.readers:
-            ids, n = sc.phrase_eval(r, phrases, residual, k)
+            ids, n = sc.phrase_eval(r, phrases, residual, k, slops=slops)
             total += n
             out.append(ids)
         ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
@@ -522,23 +523,27 @@ class QueryEngine:
         return {"query": query_text, "total_hits": total, "results": results}
 
     @staticmethod
-    def parse_phrases(query_text: str, normalizer) -> tuple[list[list[str]], list[str]]:
-        """Extract quoted phrase term-lists + residual free terms."""
+    def parse_phrases(
+        query_text: str, normalizer
+    ) -> tuple[list[list[str]], list[str], list[int]]:
+        """Extract quoted phrase term-lists + residual free terms + per-phrase
+        slops (Lucene proximity syntax ``"a b"~N``; bare quotes -> slop 0)."""
         import re as _re
 
-        spans = _re.findall(r'"([^"]*)"', query_text)
-        residual_text = _re.sub(r'"[^"]*"', " ", query_text)
-        phrases = [
-            normalizer.preprocess_query_list(s)
-            for s in spans
-            if normalizer.preprocess_query_list(s)
-        ]
+        spans = _re.findall(r'"([^"]*)"(?:~(\d+))?', query_text)
+        residual_text = _re.sub(r'"[^"]*"(?:~\d+)?', " ", query_text)
+        phrases, slops = [], []
+        for text, slop in spans:
+            terms = normalizer.preprocess_query_list(text)
+            if terms:
+                phrases.append(terms)
+                slops.append(int(slop) if slop else 0)
         residual = normalizer.preprocess_query_list(residual_text)
-        return phrases, residual
+        return phrases, residual, slops
 
     def _search_phrase(self, query_text: str, size: int,
                        mode: str | None = None) -> dict:
-        phrases, residual = self.parse_phrases(query_text, self.normalizer)
+        phrases, residual, slops = self.parse_phrases(query_text, self.normalizer)
         if not phrases:
             # no usable quoted span -> normal routing on the unquoted text,
             # honoring the caller's per-call mode
@@ -546,7 +551,7 @@ class QueryEngine:
             if looks_boolean(stripped):
                 return self._search_boolean(stripped, size)
             return self._search_ranked(stripped, size, mode or self.mode)
-        parts = self._fanout("search_phrase", phrases, residual, size)
+        parts = self._fanout("search_phrase", phrases, residual, size, slops)
         ids = np.concatenate([p[0] for p in parts])
         total = int(sum(p[1] for p in parts))
         return {

@@ -430,6 +430,7 @@ def phrase_eval(
     phrases: list[list[str]],
     residual_terms: list[str],
     size: int,
+    slops: list[int] | None = None,
 ):
     """Quoted-phrase retrieval over stored positions (beyond the reference,
     whose PHRASE grammar was never implemented — ``README.md:39-48`` vs the
@@ -441,7 +442,20 @@ def phrase_eval(
     composite ``slot<<32 | position`` keys — ``keys(t_i) + 1`` intersected
     with ``keys(t_{i+1})`` walks the phrase left to right (positions are
     < 2^32, so +1 never carries into the slot half).  No per-candidate
-    Python loop."""
+    Python loop.
+
+    ``slops[i]`` relaxes phrase i to Lucene proximity syntax
+    (``"a b"~N``): terms must appear IN ORDER at strictly increasing
+    positions p_1 < ... < p_n with total slack
+    ``(p_n - p_1) - (n - 1) <= slop``.  (This is the in-order subset of
+    Lucene's sloppy-phrase move metric — out-of-order matches, which
+    Lucene admits at slop >= 2 by counting each transposition as two
+    moves, are intentionally NOT matched; the in-order window semantics
+    is exactly SQL-twinnable.)  Implemented as a slack-budget DP over the
+    same composite keys: R[c] = positions where the prefix can end having
+    spent <= c slack; each step intersects
+    ``union_d(R[c-d] + 1 + d)`` with the next term's keys — O(slop^2)
+    vector ops per term, zero per-candidate work."""
     empty = np.empty(0, dtype=np.int64)
 
     def intersect(a, b):
@@ -518,25 +532,47 @@ def phrase_eval(
 
     # verify each phrase over the surviving candidates (keys shrink as
     # earlier phrases prune cand)
-    for datas in phrase_data:
+    for pi, datas in enumerate(phrase_data):
         if not cand.size:
             break
+        slop = slops[pi] if slops else 0
         # memo scope = one phrase's inner loop (cand constant there); a
         # freed array's id could be reused across phrases, so clear
         _tk_cache.clear()
-        cur = term_keys(datas[0], cand)
-        for data in datas[1:]:
-            if not cur.size:
-                break
-            nxt = term_keys(data, cand)
-            if nxt is cur:
-                # repeated-word step ("tawe tawe"): keys are sorted and
-                # consecutive same-doc positions are ADJACENT in the
-                # array, so intersect(cur+1, cur) is one O(n) comparison
-                # — no binary search over the Zipf-head stream
-                cur = cur[1:][cur[1:] == cur[:-1] + 1]
-            else:
-                cur = intersect(cur + 1, nxt)
+        if slop <= 0:
+            cur = term_keys(datas[0], cand)
+            for data in datas[1:]:
+                if not cur.size:
+                    break
+                nxt = term_keys(data, cand)
+                if nxt is cur:
+                    # repeated-word step ("tawe tawe"): keys are sorted and
+                    # consecutive same-doc positions are ADJACENT in the
+                    # array, so intersect(cur+1, cur) is one O(n) comparison
+                    # — no binary search over the Zipf-head stream
+                    cur = cur[1:][cur[1:] == cur[:-1] + 1]
+                else:
+                    cur = intersect(cur + 1, nxt)
+        else:
+            # slack-budget DP: R[c] = sorted keys where the prefix ends
+            # with total slack <= c (so R[c] ⊆ R[c+1]); first term costs 0
+            first = term_keys(datas[0], cand)
+            R = [first] * (slop + 1)
+            for data in datas[1:]:
+                if not R[slop].size:
+                    break
+                nxt = term_keys(data, cand)
+                newR = []
+                for c in range(slop + 1):
+                    parts = [R[c - d] + np.int64(1 + d) for d in range(c + 1)]
+                    u = (
+                        np.unique(np.concatenate(parts))
+                        if len(parts) > 1
+                        else parts[0]
+                    )
+                    newR.append(intersect(u, nxt))
+                R = newR
+            cur = R[slop]
         cand = np.unique(cur >> np.int64(32)) if cur.size else empty
     return cand[:size] + reader.doc_id_base, int(cand.size)
 

@@ -152,3 +152,93 @@ def test_batch_search_routes_phrases(phrase_setup):
     batch = eng.batch_search(qs)
     for q, r in zip(qs, batch):
         assert r == eng.search(q), q
+
+
+def test_phrase_slop_semantics(phrase_setup):
+    """Lucene proximity syntax ``"a b"~N``: in-order match with total slack
+    (p_n - p_1) - (n - 1) <= N over PROCESSED positions (stopwords removed
+    before position assignment)."""
+    eng, _ = phrase_setup
+    # doc 6 "machine separated by stuff from learning" -> processed stream
+    # [machin, separ, stuff, learn]: machin..learn slack = 2
+    assert [r["doc_id"] for r in eng.search('"machine learning"~1')["results"]] == [0, 2, 4]
+    assert [r["doc_id"] for r in eng.search('"machine learning"~2')["results"]] == [0, 2, 4, 6]
+    # in-order only: doc 1 has learn BEFORE machin -> never matches
+    assert 1 not in [r["doc_id"] for r in eng.search('"machine learning"~9')["results"]]
+    # slop composes with residual terms and multiple phrases
+    r = eng.search('"machine learning"~2 reversed')
+    assert [x["doc_id"] for x in r["results"]] == []
+    r = eng.search('"machine learning"~2 "big data"')
+    assert [x["doc_id"] for x in r["results"]] == [0, 2]
+    # 3-term sloppy phrase: doc 0 [machin, learn, model, train, big, data]
+    # machin..model slack 0; machin..train needs 1
+    assert [r["doc_id"] for r in eng.search('"machine learning train"~1')["results"]] == [0]
+    assert eng.search('"machine learning train"')["total_hits"] == 0
+
+
+def test_phrase_slop_matches_oracle(phrase_setup):
+    eng, o = phrase_setup
+    for q in [
+        '"machine learning"~1',
+        '"machine learning"~2',
+        '"machine data"~3',
+        '"machine learning data"~2',
+        '"big data" "machine learning"~2',
+        '"machine"~5',
+    ]:
+        got = eng.search(q)
+        exp = o.query(q)
+        assert got["total_hits"] == exp["total_hits"], q
+        assert [r["doc_id"] for r in got["results"]] == [
+            r["doc_id"] for r in exp["results"]
+        ], q
+
+
+def test_phrase_slop_randomized_conformance(tmp_path_factory):
+    """Random corpus / random sloppy queries: engine DP vs the oracle's
+    brute-force frontier DP must agree exactly (hits AND totals)."""
+    import random
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    rng = random.Random(4242)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 14)))
+        for _ in range(48)
+    ]
+    d = tmp_path_factory.mktemp("phrase_slop_rand")
+    src = str(d / "docs.parquet")
+    pq.write_table(
+        pa.table({"text": pa.array(texts, pa.string())}), src, row_group_size=16
+    )
+    idx = str(d / "idx")
+    build_index(
+        src,
+        idx,
+        BuildConfig(
+            target_partition_rows=16,
+            docs_per_segment=20,
+            url_column=None,
+            lang_column=None,
+            store_positions=True,
+        ),
+    )
+    o = OracleIndex(store_positions=True)
+    o.build(list(enumerate(texts)))
+    eng = QueryEngine(idx, num_searchers=2)
+    try:
+        for _ in range(60):
+            n = rng.randint(2, 4)
+            phrase = " ".join(rng.choice(vocab) for _ in range(n))
+            slop = rng.randint(0, 4)
+            q = f'"{phrase}"~{slop}' if slop else f'"{phrase}"'
+            got = eng.search(q, size=50)
+            exp = o.query(q, size=50)
+            assert got["total_hits"] == exp["total_hits"], q
+            assert [r["doc_id"] for r in got["results"]] == [
+                r["doc_id"] for r in exp["results"]
+            ], q
+    finally:
+        eng.close()
