@@ -894,6 +894,28 @@ def _q_phrase_slop(sf_dir: str):
     )
 
 
+PHRASE_PREFIX_QUERIES = ['"join ha*"', '"customer jo*"~2', '"spark b*"~1']
+
+
+def _q_phrase_prefix(sf_dir: str):
+    """match_phrase_prefix (ES): trailing ``*`` makes the last word a
+    dictionary-prefix term, expanded per segment; composes with slop.
+
+    SQL twin: positional self-join with ``LIKE 'prefix%'`` on the last
+    token (expansions at this scale are far below the engine's
+    max_expansions=50 per segment, so the capped engine == uncapped SQL)."""
+    eng = _engine(sf_dir, "plain", positions=True)
+    rows_q, rows_d = [], []
+    for q in PHRASE_PREFIX_QUERIES:
+        res = eng.search(q, size=50)
+        for r in res["results"]:
+            rows_q.append(q)
+            rows_d.append(r["doc_id"])
+    return pa.table(
+        {"query": pa.array(rows_q, pa.string()), "doc_id": pa.array(rows_d, pa.int64())}
+    )
+
+
 def _q_word_freq_top50(sf_dir: str):
     from elasticsearch_ray.ops.wordfreq import top_words
 
@@ -1052,6 +1074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "phrase": _q_phrase,
         "phrase_slop": _q_phrase_slop,
+        "phrase_prefix": _q_phrase_prefix,
         "curation_keep": _q_curation_keep,
         "window_agg": _q_window_agg,
         "sessions": _q_sessions,
@@ -1721,6 +1744,27 @@ UNION ALL
 SELECT '"customer join"~2' AS query, doc_id FROM (SELECT doc_id FROM p2 ORDER BY doc_id LIMIT 50)
 UNION ALL
 SELECT '"spark window join"~3' AS query, doc_id FROM (SELECT doc_id FROM p3 ORDER BY doc_id LIMIT 50)
+""",
+        "phrase_prefix": r"""
+WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+tok AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS pos
+  FROM lists
+),
+p1 AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+       ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.tok = 'join' AND b.tok LIKE 'ha%'),
+p2 AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+       ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+       WHERE a.tok = 'customer' AND b.tok LIKE 'jo%'),
+p3 AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+       ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2
+       WHERE a.tok = 'spark' AND b.tok LIKE 'b%')
+SELECT '"join ha*"' AS query, doc_id FROM (SELECT doc_id FROM p1 ORDER BY doc_id LIMIT 50)
+UNION ALL
+SELECT '"customer jo*"~2' AS query, doc_id FROM (SELECT doc_id FROM p2 ORDER BY doc_id LIMIT 50)
+UNION ALL
+SELECT '"spark b*"~1' AS query, doc_id FROM (SELECT doc_id FROM p3 ORDER BY doc_id LIMIT 50)
 """,
         "curation_keep": """
 WITH f AS (

@@ -235,7 +235,18 @@ class OracleIndex:
         residual_text = _re.sub(r'"[^"]*"(?:~\d+)?', " ", query_text)
         phrases, slops = [], []
         for text, slop in spans:
+            # match_phrase_prefix: raw last word -> lowercased UNanalyzed
+            # prefix term (mirrors QueryEngine.parse_phrases)
+            prefix_term = None
+            if text.rstrip().endswith("*"):
+                body = text.rstrip().rstrip("*")
+                head, _, last = body.rpartition(" ")
+                last = _re.sub(r"[^a-z0-9]", "", last.lower())
+                if last:
+                    prefix_term, text = last + "*", head
             terms = self.normalizer.preprocess_query_list(text)
+            if prefix_term is not None:
+                terms.append(prefix_term)
             if terms:
                 phrases.append(terms)
                 slops.append(int(slop) if slop else 0)
@@ -246,11 +257,25 @@ class OracleIndex:
                 return self.query_boolean(stripped, size)
             return self.query_taat(stripped, size)
 
+        def pos_map(t: str) -> dict:
+            """doc -> sorted positions; a trailing-* term merges every
+            vocabulary term sharing the prefix (match_phrase_prefix; no
+            expansion cap — test corpora stay under the engine's 50)."""
+            if len(t) > 1 and t.endswith("*"):
+                merged: dict[int, list[int]] = {}
+                for vt, m in self.positions.items():
+                    if vt.startswith(t[:-1]):
+                        for d, ps in m.items():
+                            merged.setdefault(d, []).extend(ps)
+                return {d: sorted(ps) for d, ps in merged.items()}
+            return self.positions.get(t, {})
+
+        phrase_maps = [[pos_map(t) for t in phrase] for phrase in phrases]
         cand: set[int] | None = None
-        for phrase in phrases:
+        for maps in phrase_maps:
             docs = None
-            for t in phrase:
-                s = set(self.positions.get(t, {}))
+            for m in maps:
+                s = set(m)
                 docs = s if docs is None else docs & s
             cand = docs if cand is None else cand & docs
         for t in residual:
@@ -258,14 +283,14 @@ class OracleIndex:
         matched = []
         for d in sorted(cand or ()):
             ok = True
-            for phrase, slop in zip(phrases, slops):
+            for maps, slop in zip(phrase_maps, slops):
                 # brute-force in-order DP: frontier maps end-position ->
                 # min slack spent; same semantics as the engine's
                 # slack-budget DP (scoring.phrase_eval slops)
-                frontier = {p: 0 for p in self.positions[phrase[0]][d]}
-                for t in phrase[1:]:
+                frontier = {p: 0 for p in maps[0][d]}
+                for m in maps[1:]:
                     new: dict[int, int] = {}
-                    for p in self.positions[t][d]:
+                    for p in m[d]:
                         costs = [
                             c + (p - q - 1)
                             for q, c in frontier.items()

@@ -527,14 +527,30 @@ class QueryEngine:
         query_text: str, normalizer
     ) -> tuple[list[list[str]], list[str], list[int]]:
         """Extract quoted phrase term-lists + residual free terms + per-phrase
-        slops (Lucene proximity syntax ``"a b"~N``; bare quotes -> slop 0)."""
+        slops (Lucene proximity syntax ``"a b"~N``; bare quotes -> slop 0).
+
+        A span whose raw text ends in ``*`` is a match_phrase_prefix (ES):
+        the raw LAST word becomes the prefix term — lowercased but NOT
+        analyzed (same rule as the wildcard surface; analyzing could drop or
+        stem it away), trailing ``*`` kept so ``phrase_eval`` expands it
+        against the segment dictionary.  The leading words analyze
+        normally."""
         import re as _re
 
         spans = _re.findall(r'"([^"]*)"(?:~(\d+))?', query_text)
         residual_text = _re.sub(r'"[^"]*"(?:~\d+)?', " ", query_text)
         phrases, slops = [], []
         for text, slop in spans:
+            prefix_term = None
+            if text.rstrip().endswith("*"):
+                body = text.rstrip().rstrip("*")
+                head, _, last = body.rpartition(" ")
+                last = _re.sub(r"[^a-z0-9]", "", last.lower())
+                if last:
+                    prefix_term, text = last + "*", head
             terms = normalizer.preprocess_query_list(text)
+            if prefix_term is not None:
+                terms.append(prefix_term)
             if terms:
                 phrases.append(terms)
                 slops.append(int(slop) if slop else 0)

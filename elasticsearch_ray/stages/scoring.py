@@ -431,6 +431,7 @@ def phrase_eval(
     residual_terms: list[str],
     size: int,
     slops: list[int] | None = None,
+    max_expansions: int = 50,
 ):
     """Quoted-phrase retrieval over stored positions (beyond the reference,
     whose PHRASE grammar was never implemented — ``README.md:39-48`` vs the
@@ -455,7 +456,13 @@ def phrase_eval(
     same composite keys: R[c] = positions where the prefix can end having
     spent <= c slack; each step intersects
     ``union_d(R[c-d] + 1 + d)`` with the next term's keys — O(slop^2)
-    vector ops per term, zero per-candidate work."""
+    vector ops per term, zero per-candidate work.
+
+    A phrase term ending in ``*`` is a PREFIX term (ES match_phrase_prefix):
+    it expands to at most ``max_expansions`` dictionary terms per segment
+    (sorted-dictionary range scan, ES's per-shard expansion semantics) and
+    its key set is the union of the expansions' position keys — composes
+    with slop unchanged."""
     empty = np.empty(0, dtype=np.int64)
 
     def intersect(a, b):
@@ -476,11 +483,25 @@ def phrase_eval(
     for phrase in phrases:
         datas = []
         for t in phrase:
-            res = reader.positions_flat(t)
-            if res is None:
-                return empty, 0
-            datas.append(res)
-            cand = res[0] if cand is None else intersect(cand, res[0])
+            if len(t) > 1 and t.endswith("*") and "*" not in t[:-1]:
+                rows = reader.term_rows_matching(t, max_expansions)
+                subs = [reader.positions_flat_by_row(r) for r in rows]
+                if not subs:
+                    return empty, 0
+                slots_u = (
+                    np.unique(np.concatenate([d[0] for d in subs]))
+                    if len(subs) > 1
+                    else subs[0][0]
+                )
+                datas.append(subs)  # list marks a prefix expansion
+                docs = slots_u
+            else:
+                res = reader.positions_flat(t)
+                if res is None:
+                    return empty, 0
+                datas.append(res)
+                docs = res[0]
+            cand = docs if cand is None else intersect(cand, docs)
             if not cand.size:
                 return empty, 0
         phrase_data.append(datas)
@@ -530,6 +551,23 @@ def phrase_eval(
         _tk_cache[memo_key] = res
         return res
 
+    def keys_for(entry, cand_now: np.ndarray) -> np.ndarray:
+        """Key set for a phrase slot: plain term -> term_keys; prefix
+        expansion -> union of each expansion's keys (each restricted to the
+        candidates it actually contains — term_keys requires cand ⊆ slots)."""
+        if isinstance(entry, list):  # prefix expansion
+            parts = []
+            for data in entry:
+                c = intersect(cand_now, data[0])
+                if c.size:
+                    parts.append(term_keys(data, c))
+            if not parts:
+                return empty
+            return (
+                np.unique(np.concatenate(parts)) if len(parts) > 1 else parts[0]
+            )
+        return term_keys(entry, cand_now)
+
     # verify each phrase over the surviving candidates (keys shrink as
     # earlier phrases prune cand)
     for pi, datas in enumerate(phrase_data):
@@ -540,11 +578,11 @@ def phrase_eval(
         # freed array's id could be reused across phrases, so clear
         _tk_cache.clear()
         if slop <= 0:
-            cur = term_keys(datas[0], cand)
+            cur = keys_for(datas[0], cand)
             for data in datas[1:]:
                 if not cur.size:
                     break
-                nxt = term_keys(data, cand)
+                nxt = keys_for(data, cand)
                 if nxt is cur:
                     # repeated-word step ("tawe tawe"): keys are sorted and
                     # consecutive same-doc positions are ADJACENT in the
@@ -556,12 +594,12 @@ def phrase_eval(
         else:
             # slack-budget DP: R[c] = sorted keys where the prefix ends
             # with total slack <= c (so R[c] ⊆ R[c+1]); first term costs 0
-            first = term_keys(datas[0], cand)
+            first = keys_for(datas[0], cand)
             R = [first] * (slop + 1)
             for data in datas[1:]:
                 if not R[slop].size:
                     break
-                nxt = term_keys(data, cand)
+                nxt = keys_for(data, cand)
                 newR = []
                 for c in range(slop + 1):
                     parts = [R[c - d] + np.int64(1 + d) for d in range(c + 1)]

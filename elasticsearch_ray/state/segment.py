@@ -357,6 +357,11 @@ class SegmentReader:
         row = self._term_row.get(term)
         if row is None:
             return None
+        return self.positions_flat_by_row(row)
+
+    def positions_flat_by_row(self, row: int):
+        """``positions_flat`` keyed by dictionary row (prefix/wildcard
+        expansions resolve rows first); shares the decoded-positions LRU."""
         cached = self._pos_cache.get(row)
         if cached is not None:
             self._pos_cache.move_to_end(row)

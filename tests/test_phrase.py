@@ -194,6 +194,37 @@ def test_phrase_slop_matches_oracle(phrase_setup):
         ], q
 
 
+def test_phrase_prefix_semantics(phrase_setup):
+    """ES match_phrase_prefix: trailing ``*`` in the quoted span makes the
+    last analyzed token a dictionary-prefix term, expanded per segment."""
+    eng, _ = phrase_setup
+    # "lear*" expands to the stemmed dictionary term "learn"
+    assert [r["doc_id"] for r in eng.search('"machine lear*"')["results"]] == [0, 2, 4]
+    assert [r["doc_id"] for r in eng.search('"machine l*"')["results"]] == [0, 2, 4]
+    # doc 0 "machine learning models": machin..model needs slop 1
+    assert eng.search('"machine mo*"')["total_hits"] == 0
+    assert [r["doc_id"] for r in eng.search('"machine mo*"~1')["results"]] == [0]
+    # no dictionary term matches -> no hits
+    assert eng.search('"machine zz*"')["total_hits"] == 0
+
+
+def test_phrase_prefix_matches_oracle(phrase_setup):
+    eng, o = phrase_setup
+    for q in [
+        '"machine lear*"',
+        '"big d*"',
+        '"machine le*"~2',
+        '"learning ma*"',
+        '"machine lear*" data',
+    ]:
+        got = eng.search(q)
+        exp = o.query(q)
+        assert got["total_hits"] == exp["total_hits"], q
+        assert [r["doc_id"] for r in got["results"]] == [
+            r["doc_id"] for r in exp["results"]
+        ], q
+
+
 def test_phrase_slop_randomized_conformance(tmp_path_factory):
     """Random corpus / random sloppy queries: engine DP vs the oracle's
     brute-force frontier DP must agree exactly (hits AND totals)."""
@@ -231,7 +262,10 @@ def test_phrase_slop_randomized_conformance(tmp_path_factory):
     try:
         for _ in range(60):
             n = rng.randint(2, 4)
-            phrase = " ".join(rng.choice(vocab) for _ in range(n))
+            words = [rng.choice(vocab) for _ in range(n)]
+            if rng.random() < 0.4:  # match_phrase_prefix variant
+                words[-1] = words[-1][: rng.randint(1, 3)] + "*"
+            phrase = " ".join(words)
             slop = rng.randint(0, 4)
             q = f'"{phrase}"~{slop}' if slop else f'"{phrase}"'
             got = eng.search(q, size=50)
