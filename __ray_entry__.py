@@ -535,6 +535,76 @@ def _q_stats_agg(sf_dir: str):
     )
 
 
+HISTOGRAM_QUERIES = [("merge", 100), ("merge AND hash", 50), ("scan OR join", 200)]
+
+
+def _q_histogram_agg(sf_dir: str):
+    """ES histogram aggregation: fixed-interval buckets
+    (key = floor(v/interval)*interval) of the n_chars doc-value with exact
+    doc counts over each query's full hit set (min_doc_count=1: only
+    populated buckets, which is exactly SQL GROUP BY)."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "key": [], "doc_count": []}
+    for q, interval in HISTOGRAM_QUERIES:
+        res = eng.search_histogram(q, "n_chars", interval)
+        for b in res["buckets"]:
+            rows["query"].append(q)
+            rows["key"].append(b["key"])
+            rows["doc_count"].append(b["doc_count"])
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "key": pa.array(rows["key"], pa.int64()),
+            "doc_count": pa.array(rows["doc_count"], pa.int64()),
+        }
+    )
+
+
+PERCENTILE_QUERIES = ["merge", "merg*", "scan OR join"]
+
+
+def _q_percentiles_agg(sf_dir: str):
+    """ES percentiles aggregation over the n_chars doc-value — EXACT
+    discrete nearest-rank (value at cumulative rank ceil(p/100*n), i.e.
+    SQL percentile_disc; verified convention-identical to DuckDB), not
+    ES's t-digest approximation."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "n": [], "p25": [], "p50": [], "p75": [], "p95": [], "p99": []}
+    for q in PERCENTILE_QUERIES:
+        res = eng.search_percentiles(q, "n_chars")
+        rows["query"].append(q)
+        rows["n"].append(res["count"])
+        for p in (25, 50, 75, 95, 99):
+            rows[f"p{p}"].append(res["values"][f"p{p}"])
+    return pa.table(
+        {k: pa.array(v, pa.string() if k == "query" else pa.int64())
+         for k, v in rows.items()}
+    )
+
+
+CARDINALITY_QUERIES = [("merge", "source"), ("merge AND hash", "lang"),
+                       ("scan OR join", "n_chars")]
+
+
+def _q_cardinality_agg(sf_dir: str):
+    """ES cardinality aggregation — EXACT distinct count of a doc-value
+    field (string or integer) over each query's full hit set."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "field": [], "cardinality": []}
+    for q, fld in CARDINALITY_QUERIES:
+        res = eng.search_cardinality(q, fld)
+        rows["query"].append(q)
+        rows["field"].append(fld)
+        rows["cardinality"].append(res["cardinality"])
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "field": pa.array(rows["field"], pa.string()),
+            "cardinality": pa.array(rows["cardinality"], pa.int64()),
+        }
+    )
+
+
 # (query or None=match_all, gte, lte) — bounds inclusive, ES range query
 RANGE_QUERIES = [
     (None, 120, 400),
@@ -1054,6 +1124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_plain": _q_suggest_plain,
         "facet_counts": _q_facet_counts,
         "stats_agg": _q_stats_agg,
+        "histogram_agg": _q_histogram_agg,
+        "percentiles_agg": _q_percentiles_agg,
+        "cardinality_agg": _q_cardinality_agg,
         "range_filter": _q_range_filter,
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
@@ -1495,6 +1568,58 @@ def _stats_sql() -> str:
     return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
 
 
+_AGG_HITS = {
+    "merge": "SELECT DISTINCT doc_id FROM tok WHERE tok='merge'",
+    "merge AND hash": (
+        "SELECT doc_id FROM tok WHERE tok='merge' INTERSECT "
+        "SELECT doc_id FROM tok WHERE tok='hash'"
+    ),
+    "merg*": "SELECT DISTINCT doc_id FROM tok WHERE tok LIKE 'merg%'",
+    "scan OR join": (
+        "SELECT doc_id FROM tok WHERE tok='scan' UNION "
+        "SELECT doc_id FROM tok WHERE tok='join'"
+    ),
+}
+
+
+def _histogram_sql() -> str:
+    parts = []
+    for q, interval in HISTOGRAM_QUERIES:
+        parts.append(
+            f"SELECT '{q}' AS query, key, doc_count FROM ("
+            f"SELECT CAST(floor(n_chars / {interval}.0) AS BIGINT) * {interval} "
+            f"AS key, count(*)::BIGINT AS doc_count "
+            f"FROM documents WHERE doc_id IN ({_AGG_HITS[q]}) "
+            f"GROUP BY 1 ORDER BY key)"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
+def _percentiles_sql() -> str:
+    parts = []
+    for q in PERCENTILE_QUERIES:
+        cols = ", ".join(
+            f"percentile_disc({p / 100.0}) WITHIN GROUP (ORDER BY n_chars) AS p{p}"
+            for p in (25, 50, 75, 95, 99)
+        )
+        parts.append(
+            f"SELECT '{q}' AS query, count(*)::BIGINT AS n, {cols} "
+            f"FROM documents WHERE doc_id IN ({_AGG_HITS[q]})"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
+def _cardinality_sql() -> str:
+    parts = []
+    for q, fld in CARDINALITY_QUERIES:
+        parts.append(
+            f"SELECT '{q}' AS query, '{fld}' AS field, "
+            f"count(DISTINCT {fld})::BIGINT AS cardinality "
+            f"FROM documents WHERE doc_id IN ({_AGG_HITS[q]})"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
 def _wildcard_sql() -> str:
     parts = []
     for q in WILDCARD_QUERIES:
@@ -1648,6 +1773,9 @@ def oracle_sql() -> dict[str, str]:
         "suggest_plain": _suggest_sql(),
         "facet_counts": _facet_sql(),
         "stats_agg": _stats_sql(),
+        "histogram_agg": _histogram_sql(),
+        "percentiles_agg": _percentiles_sql(),
+        "cardinality_agg": _cardinality_sql(),
         "range_filter": _range_sql(),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dupes FROM documents "

@@ -279,6 +279,27 @@ class RayBM25Index:
         assert self.engine is not None, "load_index first"
         return self.engine.search_stats(query, field)
 
+    def histogram(self, query: str, field: str, interval: int,
+                  min_doc_count: int = 1) -> dict:
+        """ES histogram aggregation: fixed-interval buckets with exact doc
+        counts over the full hit set of ``query``."""
+        assert self.engine is not None, "load_index first"
+        return self.engine.search_histogram(query, field, interval,
+                                            min_doc_count=min_doc_count)
+
+    def percentiles(self, query: str, field: str,
+                    percents: tuple = (25.0, 50.0, 75.0, 95.0, 99.0)) -> dict:
+        """ES percentiles aggregation — exact discrete nearest-rank values
+        (SQL ``percentile_disc``), not a t-digest approximation."""
+        assert self.engine is not None, "load_index first"
+        return self.engine.search_percentiles(query, field, percents=percents)
+
+    def cardinality(self, query: str, field: str) -> dict:
+        """ES cardinality aggregation — exact distinct count of a facet
+        column over the full hit set."""
+        assert self.engine is not None, "load_index first"
+        return self.engine.search_cardinality(query, field)
+
     def range_query(self, query: str | None, field: str,
                     gte: int | None = None, lte: int | None = None,
                     size: int = 10) -> dict:

@@ -164,6 +164,59 @@ class Searcher:
             mx = int(v.max()) if mx is None else max(mx, int(v.max()))
         return {"count": n, "sum": s, "min": mn, "max": mx}
 
+    def histogram_agg(self, kind: str, payload, field: str,
+                      interval: int) -> dict:
+        """ES histogram aggregation over an INTEGER doc-value field: bucket
+        key = floor(v / interval) * interval (ES's Math.floor semantics,
+        correct for negatives), exact doc counts over the full hit set.
+        Returns {bucket_key: count}; driver merges by key."""
+        per_reader = self._facet_numeric(field)
+        out: dict[int, int] = {}
+        for r, vals in zip(self.readers, per_reader):
+            slots = self._match_slots(r, kind, payload)
+            v = vals[slots]
+            v = v[v != np.iinfo(np.int64).min]
+            if not v.size:
+                continue
+            keys = np.floor_divide(v, interval) * interval
+            uk, cnt = np.unique(keys, return_counts=True)
+            for k_, c in zip(uk.tolist(), cnt.tolist()):
+                out[k_] = out.get(k_, 0) + c
+        return out
+
+    def value_counts_agg(self, kind: str, payload, field: str,
+                         numeric: bool) -> dict:
+        """Exact per-value doc counts of a doc-value field over the full hit
+        set — the merge primitive behind the percentiles and cardinality
+        aggregations.  Exact up to the field's value cardinality (bounded
+        doc-value domains; a 100 TB high-cardinality field would swap in a
+        t-digest/HLL sketch at this same merge point)."""
+        out: dict = {}
+        if numeric:
+            for r, vals in zip(self.readers, self._facet_numeric(field)):
+                slots = self._match_slots(r, kind, payload)
+                v = vals[slots]
+                v = v[v != np.iinfo(np.int64).min]
+                if not v.size:
+                    continue
+                uk, cnt = np.unique(v, return_counts=True)
+                for k_, c in zip(uk.tolist(), cnt.tolist()):
+                    out[k_] = out.get(k_, 0) + c
+        else:
+            for r, (codes, cats) in zip(
+                self.readers, self._facet_column(field)
+            ):
+                slots = self._match_slots(r, kind, payload)
+                c = codes[slots]
+                c = c[c >= 0]
+                if not c.size:
+                    continue
+                counts = np.bincount(c, minlength=len(cats))
+                for i in np.flatnonzero(counts):
+                    v = cats[i]
+                    out[v] = out.get(v, 0) + int(counts[i])
+        return out
+
     def facet_counts(self, kind: str, payload, field: str) -> dict:
         """ES terms-aggregation: count FULL match set per facet value.
         kind: 'bool' (payload=rpn) | 'wildcard' (payload=pattern) |
@@ -616,6 +669,80 @@ class QueryEngine:
             "max": max(mxs) if mxs else None,
             "avg": (s / n) if n else None,
         }
+
+    def search_histogram(self, query_text: str, field: str, interval: int,
+                         min_doc_count: int = 1) -> dict:
+        """ES histogram aggregation: fixed-interval buckets
+        (key = floor(v / interval) * interval) with exact doc counts over
+        the full hit set; ``min_doc_count=0`` fills empty buckets between
+        the min and max populated keys (ES default shape)."""
+        if interval <= 0:
+            raise ValueError("interval must be > 0")
+        kind, payload = self._agg_route(query_text)
+        parts = self._fanout("histogram_agg", kind, payload, field, interval)
+        merged: dict[int, int] = {}
+        for p in parts:
+            for k_, n in p.items():
+                merged[k_] = merged.get(k_, 0) + n
+        if merged and min_doc_count == 0:
+            for k_ in range(min(merged), max(merged) + interval, interval):
+                merged.setdefault(k_, 0)
+        buckets = [
+            {"key": k_, "doc_count": merged[k_]}
+            for k_ in sorted(merged)
+            if merged[k_] >= min_doc_count or min_doc_count == 0
+        ]
+        return {"query": query_text, "field": field, "interval": interval,
+                "buckets": buckets}
+
+    def _merged_value_counts(self, query_text: str, field: str):
+        import pyarrow.dataset as pads
+        import pyarrow.types as pat
+
+        ftype = pads.dataset(
+            os.path.join(self.index_dir, "docmap"), format="parquet"
+        ).schema.field(field).type
+        numeric = not (pat.is_string(ftype) or pat.is_large_string(ftype))
+        kind, payload = self._agg_route(query_text)
+        parts = self._fanout("value_counts_agg", kind, payload, field, numeric)
+        merged: dict = {}
+        for p in parts:
+            for v, n in p.items():
+                merged[v] = merged.get(v, 0) + n
+        return merged
+
+    def search_percentiles(
+        self, query_text: str, field: str,
+        percents: tuple = (25.0, 50.0, 75.0, 95.0, 99.0),
+    ) -> dict:
+        """ES percentiles aggregation over an integer doc-value field —
+        EXACT (discrete nearest-rank, the value at cumulative rank
+        ``ceil(p/100 * n)``, i.e. SQL ``percentile_disc``), not ES's
+        t-digest approximation: per-searcher value-count maps merge
+        losslessly, so exactness costs one small map per searcher."""
+        merged = self._merged_value_counts(query_text, field)
+        vals = np.array(sorted(merged), dtype=np.int64)
+        cum = np.cumsum([merged[int(v)] for v in vals], dtype=np.int64)
+        n = int(cum[-1]) if vals.size else 0
+        out: dict[str, int | None] = {}
+        for p in percents:
+            if n == 0:
+                out[f"p{p:g}"] = None
+                continue
+            rank = max(1, math.ceil(p / 100.0 * n))
+            out[f"p{p:g}"] = int(vals[np.searchsorted(cum, rank)])
+        return {"query": query_text, "field": field, "count": n,
+                "values": out}
+
+    def search_cardinality(self, query_text: str, field: str) -> dict:
+        """ES cardinality aggregation — EXACT distinct count of the
+        doc-value field over the full hit set (ES uses HyperLogLog++; the
+        exact per-searcher value sets merge losslessly at doc-value
+        cardinalities; a 100 TB unbounded field would swap an HLL sketch
+        into the same merge)."""
+        merged = self._merged_value_counts(query_text, field)
+        return {"query": query_text, "field": field,
+                "cardinality": len(merged)}
 
     def search_range(self, query_text: str | None, field: str,
                      gte: int | None = None, lte: int | None = None,

@@ -394,6 +394,84 @@ def test_facet_counts(tmp_path):
         eng.close()
 
 
+def test_histogram_percentiles_cardinality(tmp_path):
+    """ES histogram / percentiles / cardinality aggregations over docmap
+    doc-values vs pure-python scans (percentiles: nearest-rank
+    ceil(p/100*n) == SQL percentile_disc); distributed (2 searchers) to
+    exercise the shard merge."""
+    import math
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    rng = random.Random(11)
+    vocab = ["merge", "hash", "scan", "join", "other", "words"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(8)),
+            "source": f"s{rng.randint(0, 5)}",
+            "n_bytes": rng.randint(-50, 999),  # negatives: floor semantics
+        }
+        for i in range(200)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("source", "n_bytes"), docs_per_segment=50,
+                    target_partition_rows=25),
+    )
+    eng = QueryEngine(idx, num_searchers=2)
+    preds = {
+        "merge": lambda t: "merge" in t.split(),
+        "merge AND hash":
+            lambda t: "merge" in t.split() and "hash" in t.split(),
+        "merg*": lambda t: any(w.startswith("merg") for w in t.split()),
+    }
+    try:
+        for q, pred in preds.items():
+            hits = [r for r in rows if pred(r["text"])]
+            # histogram (interval 100, floor semantics incl. negatives)
+            exp_h: dict = {}
+            for r in hits:
+                k = math.floor(r["n_bytes"] / 100) * 100
+                exp_h[k] = exp_h.get(k, 0) + 1
+            got = eng.search_histogram(q, "n_bytes", 100)["buckets"]
+            assert [(b["key"], b["doc_count"]) for b in got] == sorted(
+                exp_h.items()
+            ), q
+            # min_doc_count=0 fills gaps
+            got0 = eng.search_histogram(q, "n_bytes", 100, min_doc_count=0)
+            keys0 = [b["key"] for b in got0["buckets"]]
+            assert keys0 == list(range(min(exp_h), max(exp_h) + 100, 100)), q
+            # percentiles (nearest-rank)
+            vals = sorted(r["n_bytes"] for r in hits)
+            res = eng.search_percentiles(q, "n_bytes")
+            assert res["count"] == len(vals), q
+            for p in (25.0, 50.0, 75.0, 95.0, 99.0):
+                exp_v = vals[max(1, math.ceil(p / 100 * len(vals))) - 1]
+                assert res["values"][f"p{p:g}"] == exp_v, (q, p)
+            # cardinality: string and integer fields
+            assert eng.search_cardinality(q, "source")["cardinality"] == len(
+                {r["source"] for r in hits}
+            ), q
+            assert eng.search_cardinality(q, "n_bytes")["cardinality"] == len(
+                {r["n_bytes"] for r in hits}
+            ), q
+    finally:
+        eng.close()
+
+
 def test_range_query(tmp_path):
     """ES range query over an integer doc-value: standalone (match_all)
     and intersected with match/bool/wildcard hit sets, vs a pure-python
