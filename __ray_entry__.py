@@ -336,6 +336,51 @@ def _q_bm25_top10(sf_dir: str):
                           int_scores=True)
 
 
+def _page_table(eng, from_: int = 0, cursor: bool = False) -> pa.Table:
+    """(query, rank, doc_id, score_u) for result page 2 of BM25_QUERIES —
+    via ES ``from``/size offset pagination (cursor=False) or a
+    ``search_after`` (score, doc_id) cursor walk (cursor=True); ranks are
+    global (from_+i), matching the SQL twin's row_number window."""
+    rows = {"query": [], "rank": [], "doc_id": [], "score": []}
+    for q in BM25_QUERIES:
+        if cursor:
+            p1 = eng.search(q, size=from_)["results"]
+            if len(p1) < from_:
+                continue  # fewer hits than one page: page 2 empty (SQL too)
+            last = p1[-1]
+            res = eng.search(
+                q, size=10, search_after=(last["score"], last["doc_id"])
+            )
+        else:
+            res = eng.search(q, size=10, from_=from_)
+        for i, r in enumerate(res["results"], from_ + 1):
+            rows["query"].append(q)
+            rows["rank"].append(i)
+            rows["doc_id"].append(r["doc_id"])
+            rows["score"].append(int(math.floor(r["score"] * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score_u": pa.array(rows["score"], pa.int64()),
+        }
+    )
+
+
+def _q_bm25_page2(sf_dir: str):
+    """ES from/size pagination: ranks 11-20 of the plain-analyzer BM25
+    ranking (every shard fetches from+size; driver merge slices)."""
+    return _page_table(_engine(sf_dir, "plain"), from_=10)
+
+
+def _q_bm25_search_after(sf_dir: str):
+    """ES search_after cursor pagination: the same ranks 11-20 reached via
+    the (score, doc_id) cursor of page 1's last hit — exhaustive scoring
+    behind a strict (-score, doc_id) order filter."""
+    return _page_table(_engine(sf_dir, "plain"), from_=10, cursor=True)
+
+
 def _score_u_table(search_fn) -> pa.Table:
     """(query, rank, doc_id, score_u) over BM25_QUERIES — score in integer
     micro-units (floor(s*1e6+0.5)), the repo-wide hash-safe convention."""
@@ -1113,6 +1158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df_nostem_top100": _q_term_df_nostem_top100,
         "term_df_stemmed_top100": _q_term_df_stemmed_top100,
         "bm25_top10_plain": _q_bm25_top10_plain,
+        "bm25_page2": _q_bm25_page2,
+        "bm25_search_after": _q_bm25_search_after,
         "bm25_top10": _q_bm25_top10,
         "wand_top10": _q_wand_top10,
         "daat_top10": _q_daat_top10,
@@ -1175,7 +1222,7 @@ def _bm25_values_sql(queries_terms: list[tuple[str, str]]) -> str:
     return ", ".join(f"('{q}', '{t}')" for q, t in queries_terms)
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(lo: int = 1, hi: int = 10) -> str:
     qt = []
     for q in BM25_QUERIES:
         for t in q.split():
@@ -1207,7 +1254,7 @@ ranked AS (
 )
 SELECT query, CAST(rank AS INT) AS rank, doc_id,
        CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_u
-FROM ranked WHERE rank <= 10 ORDER BY query, rank
+FROM ranked WHERE rank BETWEEN {lo} AND {hi} ORDER BY query, rank
 """
 
 
@@ -1762,6 +1809,8 @@ def oracle_sql() -> dict[str, str]:
             f"({_stem_tok_sql()}) GROUP BY tok ORDER BY df DESC, term LIMIT 100"
         ),
         "bm25_top10_plain": _bm25_sql(),
+        "bm25_page2": _bm25_sql(11, 20),
+        "bm25_search_after": _bm25_sql(11, 20),
         "tfidf_top10_plain": _tfidf_sql(),
         "bm25_top10": _bm25_stemmed_sql(),
         "wand_top10": _bm25_stemmed_sql(),

@@ -273,9 +273,38 @@ class Searcher:
         b: float,
         avgdl: float,
         mode: str,
+        after: tuple[float, int] | None = None,
     ):
         all_ids: list[np.ndarray] = []
         all_scores: list[np.ndarray] = []
+        if after is not None:
+            # search_after cursor (score, doc_id): exhaustive per-segment
+            # scoring (cursor docs can hide arbitrarily deep under ties, so
+            # heap-based early termination can't bound what survives the
+            # filter), mask strictly-after in (-score, doc_id) order, THEN
+            # the local top-k.  Exact for every mode (taat/daat/wand are
+            # rank-identical by conformance).
+            s_a, d_a = float(after[0]), int(after[1])
+            total = 0
+            for r in self.readers:
+                slots, scores = sc.taat_candidates(
+                    r, terms, idfs, scoring, k1, b, avgdl
+                )
+                total += int(slots.size)
+                ids = slots + r.doc_id_base
+                m = (scores < s_a) | ((scores == s_a) & (ids > d_a))
+                all_ids.append(ids[m])
+                all_scores.append(scores[m])
+            ids = (
+                np.concatenate(all_ids) if all_ids
+                else np.empty(0, dtype=np.int64)
+            )
+            scores = (
+                np.concatenate(all_scores) if all_scores
+                else np.empty(0, dtype=np.float64)
+            )
+            ids, scores = sc._topk_by_score(ids, scores, k)
+            return ids, scores, total
         total = -1 if mode == "wand" else 0
         threshold = 0.0  # WAND: carry the k-th score across segments
         for r in self.readers:
@@ -536,40 +565,63 @@ class QueryEngine:
         size: int = 10,
         mode: str | None = None,
         include_urls: bool = False,
+        from_: int = 0,
+        search_after: tuple[float, int] | None = None,
     ) -> dict:
         """Reference result shape (``selfindex_q_taat.py:203-208``);
         ``include_urls`` joins the top-k against the docmap (reference J1,
-        tiny k-row join)."""
-        if '"' in query_text and self.has_positions:
-            res = self._search_phrase(query_text, size, mode)
+        tiny k-row join).
+
+        Pagination (ES surface): ``from_`` skips the first N results (every
+        shard fetches from_+size, the driver merge slices — ES's from/size
+        shallow pagination, same cost growth with depth); ``search_after``
+        =(score, doc_id) of the previous page's last hit paginates ranked
+        queries with a cursor filter in strict (-score, doc_id) order —
+        constant result transfer per page.  ``search_after`` wins if both
+        are given (ES behavior: from must be 0 with search_after)."""
+        if search_after is not None and not (
+            '"' in query_text and self.has_positions
+        ) and not _WILDCARD_RE.match(query_text.strip()) and not _FUZZY_RE.match(
+            query_text.strip()
+        ) and not looks_boolean(query_text):
+            res = self._search_ranked(
+                query_text, size, mode or self.mode, after=search_after
+            )
+        elif '"' in query_text and self.has_positions:
+            res = self._search_phrase(query_text, size, mode, from_=from_)
         elif _WILDCARD_RE.match(query_text.strip()):
-            res = self._search_wildcard(query_text.strip(), size)
+            res = self._search_wildcard(query_text.strip(), size, from_=from_)
         elif _FUZZY_RE.match(query_text.strip()):
-            res = self._search_fuzzy(query_text.strip(), size)
+            res = self._search_fuzzy(query_text.strip(), size, from_=from_)
         elif looks_boolean(query_text):
-            res = self._search_boolean(query_text, size)
+            res = self._search_boolean(query_text, size, from_=from_)
         else:
-            res = self._search_ranked(query_text, size, mode or self.mode)
+            res = self._search_ranked(
+                query_text, size, mode or self.mode, from_=from_
+            )
         if include_urls and res["results"]:
             urls = self.lookup_urls([r["doc_id"] for r in res["results"]])
             for r in res["results"]:
                 r["url"] = urls.get(r["doc_id"])
         return res
 
-    def _search_ranked(self, query_text: str, size: int, mode: str) -> dict:
+    def _search_ranked(self, query_text: str, size: int, mode: str,
+                       from_: int = 0,
+                       after: tuple[float, int] | None = None) -> dict:
         terms = self.normalizer.preprocess_query_list(query_text)
         if not terms or self.doc_count == 0:
             return {"query": query_text, "total_hits": 0, "results": []}
         idfs = self._idfs(terms)
+        fetch = from_ + size
         parts = self._fanout(
-            "search_ranked", terms, idfs, size, self.scoring, self.k1, self.b,
-            self.avgdl, mode,
+            "search_ranked", terms, idfs, fetch, self.scoring, self.k1,
+            self.b, self.avgdl, mode, after,
         )
         ids = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])
         totals = [p[2] for p in parts]
         total = -1 if any(t < 0 for t in totals) else int(sum(totals))
-        order = np.lexsort((ids, -scores))[:size]
+        order = np.lexsort((ids, -scores))[from_:fetch]
         results = [
             {"doc_id": int(ids[i]), "score": float(scores[i])} for i in order
         ]
@@ -611,22 +663,25 @@ class QueryEngine:
         return phrases, residual, slops
 
     def _search_phrase(self, query_text: str, size: int,
-                       mode: str | None = None) -> dict:
+                       mode: str | None = None, from_: int = 0) -> dict:
         phrases, residual, slops = self.parse_phrases(query_text, self.normalizer)
         if not phrases:
             # no usable quoted span -> normal routing on the unquoted text,
             # honoring the caller's per-call mode
             stripped = query_text.replace('"', " ")
             if looks_boolean(stripped):
-                return self._search_boolean(stripped, size)
-            return self._search_ranked(stripped, size, mode or self.mode)
-        parts = self._fanout("search_phrase", phrases, residual, size, slops)
+                return self._search_boolean(stripped, size, from_=from_)
+            return self._search_ranked(stripped, size, mode or self.mode,
+                                       from_=from_)
+        fetch = from_ + size
+        parts = self._fanout("search_phrase", phrases, residual, fetch, slops)
         ids = np.concatenate([p[0] for p in parts])
         total = int(sum(p[1] for p in parts))
         return {
             "query": query_text,
             "total_hits": total,
-            "results": [{"doc_id": int(d), "score": 1.0} for d in ids[:size]],
+            "results": [{"doc_id": int(d), "score": 1.0}
+                        for d in ids[from_:fetch]],
         }
 
     def search_facets(self, query_text: str, field: str,
@@ -787,23 +842,27 @@ class QueryEngine:
         return "terms", self.normalizer.preprocess_query_list(q)
 
     def _search_wildcard(self, query_text: str, size: int,
-                         max_expansions: int | None = None) -> dict:
+                         max_expansions: int | None = None,
+                         from_: int = 0) -> dict:
         """ES wildcard/prefix query (``merg*``, ``ba*ch``, ``slo?``): the
         pattern is lowercased but NOT analyzed (ES wildcard behavior —
         it matches stored dictionary terms, which are stems under the
         'reference' analyzer and raw words under 'plain')."""
         pattern = query_text.lower()
-        parts = self._fanout("search_wildcard", pattern, size, max_expansions)
+        fetch = from_ + size
+        parts = self._fanout("search_wildcard", pattern, fetch, max_expansions)
         ids = np.concatenate([p[0] for p in parts])  # actor order == doc order
         total = int(sum(p[1] for p in parts))
         return {
             "query": query_text,
             "total_hits": total,
-            "results": [{"doc_id": int(d), "score": 1.0} for d in ids[:size]],
+            "results": [{"doc_id": int(d), "score": 1.0}
+                        for d in ids[from_:fetch]],
         }
 
     def _search_fuzzy(self, query_text: str, size: int,
-                      max_expansions: int | None = None) -> dict:
+                      max_expansions: int | None = None,
+                      from_: int = 0) -> dict:
         """ES fuzzy term query, Lucene syntax ``term~`` / ``term~1`` /
         ``term~2`` (bare ``~`` = fuzziness AUTO).  The term is lowercased
         but NOT analyzed (ES behavior); expansion runs against each
@@ -812,14 +871,16 @@ class QueryEngine:
         assert m is not None
         term = m.group(1).lower()
         edits = int(m.group(2)) if m.group(2) else fuzzy_auto_edits(term)
-        parts = self._fanout("search_fuzzy", term, edits, size,
+        fetch = from_ + size
+        parts = self._fanout("search_fuzzy", term, edits, fetch,
                              max_expansions)
         ids = np.concatenate([p[0] for p in parts])  # actor order == doc order
         total = int(sum(p[1] for p in parts))
         return {
             "query": query_text,
             "total_hits": total,
-            "results": [{"doc_id": int(d), "score": 1.0} for d in ids[:size]],
+            "results": [{"doc_id": int(d), "score": 1.0}
+                        for d in ids[from_:fetch]],
         }
 
     def suggest(self, text: str, size: int = 5,
@@ -860,16 +921,19 @@ class QueryEngine:
             )
         return {"suggest": out}
 
-    def _search_boolean(self, query_text: str, size: int) -> dict:
+    def _search_boolean(self, query_text: str, size: int,
+                        from_: int = 0) -> dict:
         tokens = preprocess_boolean_query(query_text, self.normalizer)
         rpn = to_rpn(tokens)
-        parts = self._fanout("search_boolean", rpn, size)
+        fetch = from_ + size
+        parts = self._fanout("search_boolean", rpn, fetch)
         ids = np.concatenate([p[0] for p in parts])  # actor order == doc order
         total = int(sum(p[1] for p in parts))
         return {
             "query": query_text,
             "total_hits": total,
-            "results": [{"doc_id": int(d), "score": 1.0} for d in ids[:size]],
+            "results": [{"doc_id": int(d), "score": 1.0}
+                        for d in ids[from_:fetch]],
         }
 
     def batch_search(self, queries: list[str], size: int = 10,

@@ -394,6 +394,44 @@ def test_facet_counts(tmp_path):
         eng.close()
 
 
+def test_pagination_from_and_search_after(tiny_engine, tiny_oracle):
+    """ES pagination: ``from_`` slices the merged ranking identically to the
+    oracle's full list; ``search_after`` walks the whole ranking page by
+    page through the (score, doc_id) cursor with no overlap or gap."""
+    q = "news sky work"
+    full = tiny_oracle.query(q, size=200)["results"]
+    assert len(full) > 15, "fixture query too narrow"
+    # from_/size pages tile the oracle ranking
+    for frm, size in [(0, 5), (5, 5), (10, 7), (3, 50), (190, 20)]:
+        got = tiny_engine.search(q, size=size, from_=frm)["results"]
+        exp = full[frm:frm + size]
+        assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+            (r["doc_id"], round(r["score"], 9)) for r in exp
+        ], (frm, size)
+    # search_after cursor walk reconstructs the full ranking exactly
+    for mode in ("taat", "daat", "wand"):
+        walked = tiny_engine.search(q, size=7, mode=mode)["results"]
+        while True:
+            last = walked[-1]
+            page = tiny_engine.search(
+                q, size=7, mode=mode,
+                search_after=(last["score"], last["doc_id"]),
+            )["results"]
+            if not page:
+                break
+            walked.extend(page)
+        assert [r["doc_id"] for r in walked] == [r["doc_id"] for r in full], mode
+    # doc_id-ordered kinds: from_ slices the ascending hit list
+    for bq in ("news AND sky", "new*"):
+        all_ids = [
+            r["doc_id"] for r in tiny_engine.search(bq, size=100)["results"]
+        ]
+        if len(all_ids) < 4:
+            continue
+        page = tiny_engine.search(bq, size=2, from_=2)["results"]
+        assert [r["doc_id"] for r in page] == all_ids[2:4], bq
+
+
 def test_histogram_percentiles_cardinality(tmp_path):
     """ES histogram / percentiles / cardinality aggregations over docmap
     doc-values vs pure-python scans (percentiles: nearest-rank
