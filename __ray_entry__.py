@@ -51,9 +51,12 @@ def _ensure_index(sf_dir: str, analyzer: str, positions: bool = False) -> str:
 
         with open(os.path.join(idx, "manifest.json")) as f:
             m = _json.load(f)
-        if (positions and m.get("positions_layout") != 2) or list(
-            m.get("config", {}).get("facet_columns") or []
-        ) != ["source", "lang", "n_chars"]:
+        if (
+            (positions and m.get("positions_layout") != 2)
+            or list(m.get("config", {}).get("facet_columns") or [])
+            != ["source", "lang", "n_chars"]
+            or not m.get("config", {}).get("store_source")
+        ):
             _shutil.rmtree(idx, ignore_errors=True)
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         build_index(
@@ -69,6 +72,8 @@ def _ensure_index(sf_dir: str, analyzer: str, positions: bool = False) -> str:
                 store_positions=positions,
                 # doc-values for the ES terms/stats-aggregation entries
                 facet_columns=("source", "lang", "n_chars"),
+                # _source for the GET-by-id / highlight entries
+                store_source=True,
             ),
         )
     return idx
@@ -379,6 +384,60 @@ def _q_bm25_search_after(sf_dir: str):
     the (score, doc_id) cursor of page 1's last hit — exhaustive scoring
     behind a strict (-score, doc_id) order filter."""
     return _page_table(_engine(sf_dir, "plain"), from_=10, cursor=True)
+
+
+def _q_highlight(sf_dir: str):
+    """ES highlight over the plain index (built with store_source): for
+    each BM25 top-10 hit and each query term present in the doc, the
+    <em>-tagged raw-token window (3 before / 3 after) around the term's
+    first occurrence.
+
+    SQL twin: the bm25 ranked CTE joined back to documents;
+    list_position/list slicing reconstruct the identical fragment."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "doc_id": [], "term": [], "pos": [], "frag": []}
+    for q in BM25_QUERIES:
+        res = eng.highlight(q, size=10)
+        for r in res["results"]:
+            for f in r["highlight"]:
+                rows["query"].append(q)
+                rows["doc_id"].append(r["doc_id"])
+                rows["term"].append(f["term"])
+                rows["pos"].append(f["pos"])
+                rows["frag"].append(f["fragment"])
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "term": pa.array(rows["term"], pa.string()),
+            "pos": pa.array(rows["pos"], pa.int64()),
+            "frag": pa.array(rows["frag"], pa.string()),
+        }
+    )
+
+
+GET_DOC_IDS = [0, 7, 123, 456, 499]
+
+
+def _q_get_doc(sf_dir: str):
+    """ES GET /index/_doc/{id}: stored _source retrieval by doc id (one
+    row-group-pruned docmap read per id)."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"doc_id": [], "url": [], "source": []}
+    for d in GET_DOC_IDS:
+        got = eng.get_doc(d)
+        if got is None:
+            continue
+        rows["doc_id"].append(d)
+        rows["url"].append(got["url"])
+        rows["source"].append(got["source"])
+    return pa.table(
+        {
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "url": pa.array(rows["url"], pa.string()),
+            "source": pa.array(rows["source"], pa.string()),
+        }
+    )
 
 
 def _score_u_table(search_fn) -> pa.Table:
@@ -1160,6 +1219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top10_plain": _q_bm25_top10_plain,
         "bm25_page2": _q_bm25_page2,
         "bm25_search_after": _q_bm25_search_after,
+        "highlight": _q_highlight,
+        "get_doc": _q_get_doc,
         "bm25_top10": _q_bm25_top10,
         "wand_top10": _q_wand_top10,
         "daat_top10": _q_daat_top10,
@@ -1629,6 +1690,70 @@ _AGG_HITS = {
 }
 
 
+def _highlight_sql() -> str:
+    """bm25 top-10 hit set per query (same ranked CTE as the bm25 twins)
+    joined to documents; fragment = list-sliced window with the matched
+    token <em>-wrapped (DuckDB 1-based inclusive slices; engine pos is
+    0-based, so pos = list_position - 1)."""
+    qt = []
+    for q in BM25_QUERIES:
+        for t in q.split():
+            qt.append((q, t))
+    vals = _bm25_values_sql(qt)
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query, term) AS (VALUES {vals}),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         sum(ln((stats.n + 1.0) / (df.df + 1.0))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+  GROUP BY q.query, tf.doc_id
+),
+hits AS (
+  SELECT query, doc_id FROM (
+    SELECT query, doc_id,
+           row_number() OVER (PARTITION BY query ORDER BY s DESC, doc_id) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+),
+frag AS (
+  SELECT h.query, h.doc_id, q.term,
+         string_split(d.text, ' ') AS l,
+         list_position(string_split(d.text, ' '), q.term) AS P
+  FROM hits h
+  JOIN q ON q.query = h.query
+  JOIN documents d ON d.doc_id = h.doc_id
+)
+SELECT query, doc_id, term, CAST(P - 1 AS BIGINT) AS pos,
+       array_to_string(
+         list_concat(
+           list_concat(l[greatest(1, P - 3):P - 1],
+                       ['<em>' || l[P] || '</em>']),
+           l[P + 1:least(len(l), P + 3)]
+         ), ' ') AS frag
+FROM frag WHERE P > 0
+"""
+
+
+def _get_doc_sql() -> str:
+    ids = ", ".join(str(d) for d in GET_DOC_IDS)
+    return (
+        "SELECT doc_id, 'row-' || doc_id AS url, text AS source "
+        f"FROM documents WHERE doc_id IN ({ids}) ORDER BY doc_id"
+    )
+
+
 def _histogram_sql() -> str:
     parts = []
     for q, interval in HISTOGRAM_QUERIES:
@@ -1811,6 +1936,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top10_plain": _bm25_sql(),
         "bm25_page2": _bm25_sql(11, 20),
         "bm25_search_after": _bm25_sql(11, 20),
+        "highlight": _highlight_sql(),
+        "get_doc": _get_doc_sql(),
         "tfidf_top10_plain": _tfidf_sql(),
         "bm25_top10": _bm25_stemmed_sql(),
         "wand_top10": _bm25_stemmed_sql(),

@@ -279,6 +279,20 @@ class RayBM25Index:
         assert self.engine is not None, "load_index first"
         return self.engine.search_stats(query, field)
 
+    def get_doc(self, doc_id: int) -> dict | None:
+        """ES GET /index/_doc/{id}: url + stored _source (requires
+        ``store_source=True`` at build time for the source field)."""
+        assert self.engine is not None, "load_index first"
+        return self.engine.get_doc(doc_id)
+
+    def highlight(self, query: str, size: int = 10,
+                  before: int = 3, after: int = 3) -> dict:
+        """ES highlight: per-hit ``<em>``-tagged fragments around the first
+        occurrence of each analyzed query term (requires store_source)."""
+        assert self.engine is not None, "load_index first"
+        return self.engine.highlight(query, size=size, before=before,
+                                     after=after)
+
     def histogram(self, query: str, field: str, interval: int,
                   min_doc_count: int = 1) -> dict:
         """ES histogram aggregation: fixed-interval buckets with exact doc

@@ -61,6 +61,11 @@ class BuildConfig:
     # equivalent) — enables ES-style terms aggregations (facet counts)
     # at query time without touching the source table
     facet_columns: tuple[str, ...] = ()
+    # ES _source: persist the (concatenated) analyzed text as a docmap
+    # column — enables GET-by-id and highlighting at the cost of docmap
+    # size (off by default; at web scale, store source only when the
+    # serving tier needs it)
+    store_source: bool = False
     tokenize_concurrency: int | None = None  # None -> cluster CPUs
     # 'combine': map-side combiner — tokenize tasks invert their partition
     #   locally and shuffle compressed per-term RUNS (~10x fewer bytes); the
@@ -344,6 +349,7 @@ def _build_route_pipelined(
             emit="runs",
             store_positions=config.store_positions,
             facet_columns=list(config.facet_columns),
+            store_source=config.store_source,
         )
         for _ in range(n_act)
     ]
@@ -479,6 +485,7 @@ def _execute_build(
                 emit="runs" if config.shuffle in ("combine", "route") else "triples",
                 store_positions=config.store_positions,
                 facet_columns=list(config.facet_columns),
+                store_source=config.store_source,
             ),
             batch_size=1,
             batch_format="pyarrow",

@@ -471,6 +471,7 @@ class QueryEngine:
             # extend or a prior larger build would otherwise be globbed in
             # with collection stats (N, avgdl) that don't include them.
             seg_ids = sorted(int(s) for s in manifest.get("segments", []))
+        self.tombstones = set(tombstones)
         if not seg_ids:
             seg_ids = sorted(
                 int(f.split("-")[1].split(".")[0])
@@ -1027,6 +1028,98 @@ class QueryEngine:
             filter=pads.field("doc_id").isin(list(doc_ids)),
         )
         return dict(zip(t.column("doc_id").to_pylist(), t.column("url").to_pylist()))
+
+    def _lookup_sources(self, doc_ids: list[int]) -> dict[int, str]:
+        """Stored ``_source`` text for a bounded id set (k-row filtered
+        docmap read, same pattern as ``lookup_urls``).  Requires the index
+        to have been built with ``BuildConfig.store_source=True``."""
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(os.path.join(self.index_dir, "docmap"))
+        if "source_text" not in dset.schema.names:
+            raise ValueError(
+                "index was built without store_source=True; no _source"
+            )
+        t = dset.to_table(
+            columns=["doc_id", "source_text"],
+            filter=pads.field("doc_id").isin(list(doc_ids)),
+        )
+        return dict(
+            zip(t.column("doc_id").to_pylist(),
+                t.column("source_text").to_pylist())
+        )
+
+    def get_doc(self, doc_id: int) -> dict | None:
+        """ES GET /index/_doc/{id}: url + stored source for one doc (None
+        if absent or tombstoned).  One row-group-pruned docmap read."""
+        import pyarrow.dataset as pads
+
+        if self.tombstones and doc_id in self.tombstones:
+            return None
+        dset = pads.dataset(os.path.join(self.index_dir, "docmap"))
+        cols = ["doc_id", "url"]
+        if "source_text" in dset.schema.names:
+            cols.append("source_text")
+        t = dset.to_table(
+            columns=cols, filter=pads.field("doc_id") == doc_id
+        )
+        if t.num_rows == 0:
+            return None
+        row = t.to_pylist()[0]
+        return {
+            "doc_id": doc_id,
+            "url": row.get("url"),
+            "source": row.get("source_text"),
+        }
+
+    def highlight(self, query_text: str, size: int = 10,
+                  before: int = 3, after: int = 3) -> dict:
+        """ES highlight: for each top hit and each analyzed query term
+        PRESENT in the doc, the raw-token window around the term's FIRST
+        occurrence with the match wrapped in ``<em>``/``</em>``.
+
+        Matching is analyzer-aware: each raw whitespace token of the stored
+        source matches a query term iff its analyzed form equals the term
+        (so 'running' highlights for the stemmed query term 'run' under the
+        'reference' analyzer).  Driver-side cost is O(k hit docs) — the
+        bounded top-k, never the corpus."""
+        res = self.search(query_text, size=size)
+        hits = res["results"]
+        terms = self.normalizer.preprocess_query_list(
+            re.sub(r'["~*?()]|\bAND\b|\bOR\b|\bNOT\b', " ", query_text)
+        )
+        srcs = self._lookup_sources([r["doc_id"] for r in hits]) if hits else {}
+        memo: dict[str, str | None] = {}
+
+        def norm_one(tok: str) -> str | None:
+            got = memo.get(tok)
+            if got is None and tok not in memo:
+                lst = self.normalizer.preprocess_query_list(tok)
+                got = lst[0] if lst else None
+                memo[tok] = got
+            return got
+
+        out = []
+        for r in hits:
+            text = srcs.get(r["doc_id"])
+            frags = []
+            if text:
+                toks = text.split()
+                norm = [norm_one(t) for t in toks]
+                for term in terms:
+                    try:
+                        p = norm.index(term)
+                    except ValueError:
+                        continue
+                    window = toks[max(0, p - before): p + after + 1]
+                    window[min(p, before)] = f"<em>{toks[p]}</em>"
+                    frags.append(
+                        {"term": term, "pos": p, "fragment": " ".join(window)}
+                    )
+            out.append({"doc_id": r["doc_id"], "score": r["score"],
+                        "highlight": frags})
+        return {"query": query_text, "total_hits": res["total_hits"],
+                "results": out}
 
     def get_stats(self) -> dict:
         return {

@@ -58,8 +58,12 @@ class TokenizePartition:
         store_positions: bool = False,
         prefix_columns: list[str] | None = None,
         facet_columns: list[str] | None = None,
+        store_source: bool = False,
     ):
         self.store_positions = store_positions
+        # ES _source: keep the (concatenated) analyzed text in the docmap,
+        # enabling GET-by-id and highlighting; off by default (index size)
+        self.store_source = store_source
         self.prefix_columns = prefix_columns or []
         self.facet_columns = facet_columns or []
         self.normalizer = make_normalizer(analyzer)  # once per actor
@@ -158,6 +162,8 @@ class TokenizePartition:
             fc: tbl.column(fc).take(pa.array(keep_rows))
             for fc in self.facet_columns
         }
+        if self.store_source:
+            facets["source_text"] = pa.array(texts, pa.string())
         self._write_docmap_part(
             spec, kept_doc_ids, urls, kept_lens.tolist(), facets
         )
@@ -311,6 +317,8 @@ class TokenizePartition:
             fc: tbl.column(fc).take(pa.array(keep_rows))
             for fc in self.facet_columns
         }
+        if self.store_source:
+            facets["source_text"] = pa.array(texts, pa.string())
         self._write_docmap_part(
             spec, kept_doc_ids, urls, kept_lens.tolist(), facets
         )

@@ -394,6 +394,60 @@ def test_facet_counts(tmp_path):
         eng.close()
 
 
+def test_highlight_and_get_doc(tmp_path):
+    """ES _source surface: store_source=True keeps the analyzed text in the
+    docmap; get_doc retrieves it (and respects tombstones); highlight wraps
+    the first analyzer-aware match per query term (stemmed query 'running'
+    highlights the raw token 'runs')."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import (
+        BuildConfig, add_tombstones, build_index,
+    )
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    texts = [
+        "the dog runs fast over the green hill every day",
+        "cats sleep all day long on the warm mat",
+        "a runner running beside the dog barked loudly",
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({"text": pa.array(texts)}), src)
+    idx = str(tmp_path / "idx")
+    build_index(
+        src, idx,
+        BuildConfig(target_partition_rows=2, docs_per_segment=2,
+                    url_column=None, lang_column=None, store_source=True),
+    )
+    eng = QueryEngine(idx, num_searchers=2)
+    try:
+        # GET by id returns the stored source
+        assert eng.get_doc(1)["source"] == texts[1]
+        assert eng.get_doc(99) is None
+        # stemmed matching: query 'running' -> term 'run' -> raw 'runs'
+        res = eng.highlight("running dog", size=10)
+        by_doc = {r["doc_id"]: r["highlight"] for r in res["results"]}
+        f0 = {f["term"]: f for f in by_doc[0]}
+        assert f0["run"]["fragment"] == "the dog <em>runs</em> fast over the"
+        assert f0["run"]["pos"] == 2
+        assert f0["dog"]["fragment"] == "the <em>dog</em> runs fast over"
+        # doc 2: first analyzed 'run' match is 'running' (Porter keeps
+        # 'runner' as-is); window clipped at the start of the doc
+        f2 = {f["term"]: f for f in by_doc[2]}
+        assert f2["run"]["fragment"] == "a runner <em>running</em> beside the dog"
+        assert f2["run"]["pos"] == 2
+    finally:
+        eng.close()
+    add_tombstones(idx, [1])
+    eng = QueryEngine(idx, num_searchers=0)
+    try:
+        assert eng.get_doc(1) is None  # tombstoned
+        assert eng.get_doc(0)["source"] == texts[0]
+    finally:
+        eng.close()
+
+
 def test_pagination_from_and_search_after(tiny_engine, tiny_oracle):
     """ES pagination: ``from_`` slices the merged ranking identically to the
     oracle's full list; ``search_after`` walks the whole ranking page by
