@@ -386,6 +386,18 @@ def _q_bm25_search_after(sf_dir: str):
     return _page_table(_engine(sf_dir, "plain"), from_=10, cursor=True)
 
 
+def _q_bm25_msm2(sf_dir: str):
+    """ES minimum_should_match=2: BM25 ranking restricted to docs matching
+    at least 2 distinct query terms (distinct-term count accumulator in the
+    exhaustive TAAT pass).
+
+    SQL twin: the bm25 scored CTE with HAVING count(DISTINCT term) >= 2."""
+    eng = _engine(sf_dir, "plain")
+    return _score_u_table(
+        lambda q: eng.search(q, minimum_should_match=2)
+    )
+
+
 def _q_highlight(sf_dir: str):
     """ES highlight over the plain index (built with store_source): for
     each BM25 top-10 hit and each query term present in the doc, the
@@ -1221,6 +1233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search_after": _q_bm25_search_after,
         "highlight": _q_highlight,
         "get_doc": _q_get_doc,
+        "bm25_msm2": _q_bm25_msm2,
         "bm25_top10": _q_bm25_top10,
         "wand_top10": _q_wand_top10,
         "daat_top10": _q_daat_top10,
@@ -1283,11 +1296,14 @@ def _bm25_values_sql(queries_terms: list[tuple[str, str]]) -> str:
     return ", ".join(f"('{q}', '{t}')" for q, t in queries_terms)
 
 
-def _bm25_sql(lo: int = 1, hi: int = 10) -> str:
+def _bm25_sql(lo: int = 1, hi: int = 10, msm: int = 0) -> str:
     qt = []
     for q in BM25_QUERIES:
         for t in q.split():
             qt.append((q, t))
+    having = (
+        f"HAVING count(DISTINCT q.term) >= {msm}" if msm > 1 else ""
+    )
     return f"""
 WITH tok AS ({_TOK}),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
@@ -1307,6 +1323,7 @@ scored AS (
   CROSS JOIN stats
   WHERE ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
   GROUP BY q.query, tf.doc_id
+  {having}
 ),
 ranked AS (
   SELECT query, doc_id, s,
@@ -1938,6 +1955,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search_after": _bm25_sql(11, 20),
         "highlight": _highlight_sql(),
         "get_doc": _get_doc_sql(),
+        "bm25_msm2": _bm25_sql(msm=2),
         "tfidf_top10_plain": _tfidf_sql(),
         "bm25_top10": _bm25_stemmed_sql(),
         "wand_top10": _bm25_stemmed_sql(),

@@ -150,19 +150,28 @@ class OracleIndex:
         return (tf / doc_len) * idf
 
     def query_taat(
-        self, query_text: str, size: int = 10, scoring: str = "bm25"
+        self, query_text: str, size: int = 10, scoring: str = "bm25",
+        minimum_should_match: int = 0,
     ) -> dict:
         terms = self.normalizer.preprocess_query_list(query_text)
         doc_scores: dict[int, float] = {}
-        for term in terms:
+        nmatch: dict[int, int] = {}
+        for term in dict.fromkeys(terms):  # distinct, order kept
             if term not in self.inverted_index:
                 continue
             idf = self.idf_cache.get(term, 0.0)
             if idf == 0.0:
                 continue
+            reps = terms.count(term)
             for doc_id in self.inverted_index[term]:
-                s = self._score(term, doc_id, scoring)
+                s = self._score(term, doc_id, scoring) * reps
                 doc_scores[doc_id] = doc_scores.get(doc_id, 0.0) + s
+                nmatch[doc_id] = nmatch.get(doc_id, 0) + 1
+        if minimum_should_match > 1:
+            doc_scores = {
+                d: s for d, s in doc_scores.items()
+                if nmatch[d] >= minimum_should_match
+            }
         return self._topk(query_text, doc_scores, size)
 
     def query_daat(

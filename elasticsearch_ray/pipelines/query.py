@@ -274,6 +274,7 @@ class Searcher:
         avgdl: float,
         mode: str,
         after: tuple[float, int] | None = None,
+        msm: int = 0,
     ):
         all_ids: list[np.ndarray] = []
         all_scores: list[np.ndarray] = []
@@ -303,6 +304,23 @@ class Searcher:
                 np.concatenate(all_scores) if all_scores
                 else np.empty(0, dtype=np.float64)
             )
+            ids, scores = sc._topk_by_score(ids, scores, k)
+            return ids, scores, total
+        if msm > 1:
+            # minimum_should_match: exhaustive TAAT with the distinct-term
+            # count accumulator (heap early-termination can't know a doc's
+            # final match count until every term's postings are seen)
+            total = 0
+            for r in self.readers:
+                slots, scores = sc.taat_candidates(
+                    r, terms, idfs, scoring, k1, b, avgdl,
+                    min_should_match=msm,
+                )
+                total += int(slots.size)
+                all_ids.append(slots + r.doc_id_base)
+                all_scores.append(scores)
+            ids = np.concatenate(all_ids)
+            scores = np.concatenate(all_scores)
             ids, scores = sc._topk_by_score(ids, scores, k)
             return ids, scores, total
         total = -1 if mode == "wand" else 0
@@ -568,6 +586,7 @@ class QueryEngine:
         include_urls: bool = False,
         from_: int = 0,
         search_after: tuple[float, int] | None = None,
+        minimum_should_match: int = 0,
     ) -> dict:
         """Reference result shape (``selfindex_q_taat.py:203-208``);
         ``include_urls`` joins the top-k against the docmap (reference J1,
@@ -598,7 +617,8 @@ class QueryEngine:
             res = self._search_boolean(query_text, size, from_=from_)
         else:
             res = self._search_ranked(
-                query_text, size, mode or self.mode, from_=from_
+                query_text, size, mode or self.mode, from_=from_,
+                msm=minimum_should_match,
             )
         if include_urls and res["results"]:
             urls = self.lookup_urls([r["doc_id"] for r in res["results"]])
@@ -608,7 +628,8 @@ class QueryEngine:
 
     def _search_ranked(self, query_text: str, size: int, mode: str,
                        from_: int = 0,
-                       after: tuple[float, int] | None = None) -> dict:
+                       after: tuple[float, int] | None = None,
+                       msm: int = 0) -> dict:
         terms = self.normalizer.preprocess_query_list(query_text)
         if not terms or self.doc_count == 0:
             return {"query": query_text, "total_hits": 0, "results": []}
@@ -616,7 +637,7 @@ class QueryEngine:
         fetch = from_ + size
         parts = self._fanout(
             "search_ranked", terms, idfs, fetch, self.scoring, self.k1,
-            self.b, self.avgdl, mode, after,
+            self.b, self.avgdl, mode, after, msm,
         )
         ids = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])

@@ -70,11 +70,20 @@ def taat_candidates(
     k1: float,
     b: float,
     avgdl: float,
+    min_should_match: int = 0,
 ):
     """Vectorized term-at-a-time over one segment; returns ALL candidate
     (slots, scores) — callers merge across segments and take ONE top-k
-    (cheaper than a per-segment sort when a searcher holds many segments)."""
+    (cheaper than a per-segment sort when a searcher holds many segments).
+
+    ``min_should_match`` (ES minimum_should_match): keep only docs matching
+    at least that many DISTINCT scoring query terms (terms with idf == 0 —
+    df == N degenerates — neither score nor count, mirroring the oracle /
+    SQL-twin convention).  One extra int32 accumulator, still no per-doc
+    Python work."""
     acc = None
+    nmatch = None
+    seen: set[str] = set()
     touched: list[np.ndarray] = []
     for term in terms:
         idf = idfs.get(term, 0.0)
@@ -90,11 +99,18 @@ def taat_candidates(
             acc = np.zeros(reader.num_docs, dtype=np.float64)
         acc[slots] += s
         touched.append(slots)
+        if min_should_match > 1 and term not in seen:
+            seen.add(term)
+            if nmatch is None:
+                nmatch = np.zeros(reader.num_docs, dtype=np.int32)
+            nmatch[slots] += 1
     if acc is None:
         e = np.empty(0, dtype=np.int64)
         return e, np.empty(0, dtype=np.float64)
     cand = np.unique(np.concatenate(touched))
     cand = cand[reader.doc_lens[cand] > 0]  # drop tombstoned (-1) docs
+    if min_should_match > 1 and nmatch is not None:
+        cand = cand[nmatch[cand] >= min_should_match]
     return cand, acc[cand]
 
 

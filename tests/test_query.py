@@ -394,6 +394,25 @@ def test_facet_counts(tmp_path):
         eng.close()
 
 
+def test_minimum_should_match(tiny_engine, tiny_oracle):
+    """ES minimum_should_match: docs must match >= N distinct query terms;
+    engine (distributed, exhaustive TAAT + count accumulator) vs the
+    oracle's per-doc count — identical hits, scores, and totals."""
+    for q in ("news sky work", "home new sky family", "news sky"):
+        base = tiny_engine.search(q, size=200)
+        for m in (2, 3):
+            got = tiny_engine.search(q, size=200, minimum_should_match=m)
+            exp = tiny_oracle.query_taat(q, size=200, minimum_should_match=m)
+            assert got["total_hits"] == exp["total_hits"], (q, m)
+            assert [
+                (r["doc_id"], round(r["score"], 9)) for r in got["results"]
+            ] == [
+                (r["doc_id"], round(r["score"], 9)) for r in exp["results"]
+            ], (q, m)
+            # msm result set shrinks (or holds) as m grows
+            assert got["total_hits"] <= base["total_hits"], (q, m)
+
+
 def test_highlight_and_get_doc(tmp_path):
     """ES _source surface: store_source=True keeps the analyzed text in the
     docmap; get_doc retrieves it (and respects tombstones); highlight wraps
