@@ -398,6 +398,50 @@ def _q_bm25_msm2(sf_dir: str):
     )
 
 
+# (label, ES filter clause, SQL predicate over documents) — the label keys
+# the output rows; engine filter and SQL predicate must agree exactly
+BM25_FILTER_CASES = [
+    ("nchars_100_300",
+     {"range": {"n_chars": {"gte": 100, "lte": 300}}},
+     "n_chars BETWEEN 100 AND 300"),
+    ("nchars_ge_350",
+     {"range": {"n_chars": {"gte": 350}}},
+     "n_chars >= 350"),
+    ("source_src7",
+     {"term": {"source": "src7"}},
+     "source = 'src7'"),
+]
+
+
+def _q_bm25_filtered(sf_dir: str):
+    """ES bool filter context: BM25 top-10 restricted to docs passing a
+    doc-value predicate (range over n_chars / term over source), scores
+    untouched (filter context is non-scoring).
+
+    SQL twin: the bm25 scored CTE with the ranking restricted to doc_ids
+    satisfying the same predicate on the documents table."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "flt": [], "rank": [], "doc_id": [], "score": []}
+    for q in BM25_QUERIES:
+        for label, fdict, _ in BM25_FILTER_CASES:
+            res = eng.search(q, size=10, filter=fdict)
+            for rank, r in enumerate(res["results"], 1):
+                rows["query"].append(q)
+                rows["flt"].append(label)
+                rows["rank"].append(rank)
+                rows["doc_id"].append(r["doc_id"])
+                rows["score"].append(int(math.floor(r["score"] * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "flt": pa.array(rows["flt"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score_u": pa.array(rows["score"], pa.int64()),
+        }
+    )
+
+
 def _q_highlight(sf_dir: str):
     """ES highlight over the plain index (built with store_source): for
     each BM25 top-10 hit and each query term present in the doc, the
@@ -1234,6 +1278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "highlight": _q_highlight,
         "get_doc": _q_get_doc,
         "bm25_msm2": _q_bm25_msm2,
+        "bm25_filtered": _q_bm25_filtered,
         "bm25_top10": _q_bm25_top10,
         "wand_top10": _q_wand_top10,
         "daat_top10": _q_daat_top10,
@@ -1333,6 +1378,52 @@ ranked AS (
 SELECT query, CAST(rank AS INT) AS rank, doc_id,
        CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_u
 FROM ranked WHERE rank BETWEEN {lo} AND {hi} ORDER BY query, rank
+"""
+
+
+def _bm25_filtered_sql() -> str:
+    qt = []
+    for q in BM25_QUERIES:
+        for t in q.split():
+            qt.append((q, t))
+    ranked_ctes = []
+    selects = []
+    for i, (label, _, pred) in enumerate(BM25_FILTER_CASES):
+        ranked_ctes.append(f"""
+ranked_{i} AS (
+  SELECT '{label}' AS flt, query, doc_id, s,
+         row_number() OVER (PARTITION BY query ORDER BY s DESC, doc_id) AS rank
+  FROM scored
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE {pred})
+)""")
+        selects.append(
+            f"SELECT query, flt, CAST(rank AS INT) AS rank, doc_id, "
+            f"CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_u "
+            f"FROM ranked_{i} WHERE rank <= 10"
+        )
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query, term) AS (VALUES {_bm25_values_sql(qt)}),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         sum(ln((stats.n + 1.0) / (df.df + 1.0))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+  GROUP BY q.query, tf.doc_id
+),
+{",".join(ranked_ctes)}
+{" UNION ALL ".join(selects)}
+ORDER BY query, flt, rank
 """
 
 
@@ -1956,6 +2047,7 @@ def oracle_sql() -> dict[str, str]:
         "highlight": _highlight_sql(),
         "get_doc": _get_doc_sql(),
         "bm25_msm2": _bm25_sql(msm=2),
+        "bm25_filtered": _bm25_filtered_sql(),
         "tfidf_top10_plain": _tfidf_sql(),
         "bm25_top10": _bm25_stemmed_sql(),
         "wand_top10": _bm25_stemmed_sql(),

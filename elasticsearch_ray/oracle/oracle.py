@@ -152,6 +152,7 @@ class OracleIndex:
     def query_taat(
         self, query_text: str, size: int = 10, scoring: str = "bm25",
         minimum_should_match: int = 0,
+        doc_filter: set[int] | None = None,
     ) -> dict:
         terms = self.normalizer.preprocess_query_list(query_text)
         doc_scores: dict[int, float] = {}
@@ -171,6 +172,10 @@ class OracleIndex:
             doc_scores = {
                 d: s for d, s in doc_scores.items()
                 if nmatch[d] >= minimum_should_match
+            }
+        if doc_filter is not None:  # ES filter context: non-scoring
+            doc_scores = {
+                d: s for d, s in doc_scores.items() if d in doc_filter
             }
         return self._topk(query_text, doc_scores, size)
 

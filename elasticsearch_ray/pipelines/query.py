@@ -118,6 +118,28 @@ class Searcher:
         self._facet_vals[key] = per_reader
         return per_reader
 
+    def _flt_mask(self, ri: int, flt: tuple, slots: np.ndarray) -> np.ndarray:
+        """ES filter-context predicate over candidate slots of reader ``ri``
+        (doc-value lookup, never touches postings; scores unaffected).
+        ``flt``: ('range', field, gte|None, lte|None) over an integer
+        doc-value, or ('term', field, value) over a categorical one."""
+        if flt[0] == "range":
+            _, field, lo, hi = flt
+            vals = self._facet_numeric(field)[ri][slots]
+            m = vals != np.iinfo(np.int64).min  # docmap gaps never match
+            if lo is not None:
+                m &= vals >= lo
+            if hi is not None:
+                m &= vals <= hi
+            return m
+        _, field, value = flt
+        codes, cats = self._facet_column(field)[ri]
+        try:
+            code = cats.index(value)
+        except ValueError:
+            return np.zeros(slots.size, dtype=bool)
+        return codes[slots] == code
+
     def _match_slots(self, r, kind: str, payload) -> np.ndarray:
         """FULL local hit set (slots) for an aggregation query."""
         if kind == "all":  # match_all: every live (non-tombstoned) doc
@@ -275,6 +297,7 @@ class Searcher:
         mode: str,
         after: tuple[float, int] | None = None,
         msm: int = 0,
+        flt: tuple | None = None,
     ):
         all_ids: list[np.ndarray] = []
         all_scores: list[np.ndarray] = []
@@ -306,16 +329,22 @@ class Searcher:
             )
             ids, scores = sc._topk_by_score(ids, scores, k)
             return ids, scores, total
-        if msm > 1:
-            # minimum_should_match: exhaustive TAAT with the distinct-term
-            # count accumulator (heap early-termination can't know a doc's
-            # final match count until every term's postings are seen)
+        if msm > 1 or flt is not None:
+            # minimum_should_match / filter context: exhaustive TAAT (heap
+            # early-termination can't know a doc's final match count until
+            # every term's postings are seen; the filter needs the exact
+            # post-predicate total).  Filter masks candidates against the
+            # actor-cached doc-values — scores are untouched (ES filter
+            # context is non-scoring).
             total = 0
-            for r in self.readers:
+            for ri, r in enumerate(self.readers):
                 slots, scores = sc.taat_candidates(
                     r, terms, idfs, scoring, k1, b, avgdl,
                     min_should_match=msm,
                 )
+                if flt is not None and slots.size:
+                    m = self._flt_mask(ri, flt, slots)
+                    slots, scores = slots[m], scores[m]
                 total += int(slots.size)
                 all_ids.append(slots + r.doc_id_base)
                 all_scores.append(scores)
@@ -427,6 +456,22 @@ class Searcher:
 
 
 SegmentSearcher = ray.remote(Searcher)
+
+
+def _compile_filter(filter: dict | None) -> tuple | None:
+    """ES filter-context clause -> internal tuple.  Accepts the ES shapes
+    ``{"range": {field: {"gte": lo, "lte": hi}}}`` (inclusive bounds, either
+    side optional, integer doc-value field) and ``{"term": {field: value}}``
+    (categorical doc-value field)."""
+    if filter is None:
+        return None
+    if "range" in filter:
+        ((field, bounds),) = filter["range"].items()
+        return ("range", field, bounds.get("gte"), bounds.get("lte"))
+    if "term" in filter:
+        ((field, value),) = filter["term"].items()
+        return ("term", field, value)
+    raise ValueError(f"unsupported filter clause: {sorted(filter)}")
 
 
 class QueryEngine:
@@ -587,6 +632,7 @@ class QueryEngine:
         from_: int = 0,
         search_after: tuple[float, int] | None = None,
         minimum_should_match: int = 0,
+        filter: dict | None = None,
     ) -> dict:
         """Reference result shape (``selfindex_q_taat.py:203-208``);
         ``include_urls`` joins the top-k against the docmap (reference J1,
@@ -618,7 +664,7 @@ class QueryEngine:
         else:
             res = self._search_ranked(
                 query_text, size, mode or self.mode, from_=from_,
-                msm=minimum_should_match,
+                msm=minimum_should_match, flt=_compile_filter(filter),
             )
         if include_urls and res["results"]:
             urls = self.lookup_urls([r["doc_id"] for r in res["results"]])
@@ -629,7 +675,7 @@ class QueryEngine:
     def _search_ranked(self, query_text: str, size: int, mode: str,
                        from_: int = 0,
                        after: tuple[float, int] | None = None,
-                       msm: int = 0) -> dict:
+                       msm: int = 0, flt: tuple | None = None) -> dict:
         terms = self.normalizer.preprocess_query_list(query_text)
         if not terms or self.doc_count == 0:
             return {"query": query_text, "total_hits": 0, "results": []}
@@ -637,7 +683,7 @@ class QueryEngine:
         fetch = from_ + size
         parts = self._fanout(
             "search_ranked", terms, idfs, fetch, self.scoring, self.k1,
-            self.b, self.avgdl, mode, after, msm,
+            self.b, self.avgdl, mode, after, msm, flt,
         )
         ids = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])

@@ -394,6 +394,81 @@ def test_facet_counts(tmp_path):
         eng.close()
 
 
+def test_filtered_ranked_query(tmp_path):
+    """ES bool filter context: BM25 ranking restricted to docs passing a
+    doc-value predicate (range over an integer field / term over a
+    categorical one); scores identical to the unfiltered query (filter
+    context is non-scoring), hits + totals match the oracle over the
+    predicate's doc set — distributed (2 searchers) and embedded agree."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.oracle.oracle import OracleIndex
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(11)
+    vocab = ["merge", "hash", "scan", "join", "other", "words", "table"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 12))),
+            "source": f"s{rng.randint(0, 3)}",
+            "n_chars": rng.randint(50, 500),
+        }
+        for i in range(150)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("source", "n_chars"), docs_per_segment=40,
+                    target_partition_rows=30),
+    )
+    oracle = OracleIndex()
+    oracle.normalizer = QueryEngine(idx, num_searchers=0).normalizer
+    oracle.build([(r["doc_id"], r["text"]) for r in rows])
+    filters = [
+        ({"range": {"n_chars": {"gte": 100, "lte": 300}}},
+         {r["doc_id"] for r in rows if 100 <= r["n_chars"] <= 300}),
+        ({"range": {"n_chars": {"gte": 250}}},
+         {r["doc_id"] for r in rows if r["n_chars"] >= 250}),
+        ({"term": {"source": "s2"}},
+         {r["doc_id"] for r in rows if r["source"] == "s2"}),
+        ({"term": {"source": "nope"}}, set()),
+    ]
+    for eng in (QueryEngine(idx, num_searchers=2),
+                QueryEngine(idx, num_searchers=0)):
+        try:
+            for q in ("merge hash", "scan join table"):
+                unf = {
+                    r["doc_id"]: r["score"]
+                    for r in eng.search(q, size=200)["results"]
+                }
+                for fdict, allowed in filters:
+                    got = eng.search(q, size=200, filter=fdict)
+                    exp = oracle.query_taat(q, size=200, doc_filter=allowed)
+                    assert got["total_hits"] == exp["total_hits"], (q, fdict)
+                    assert [
+                        (r["doc_id"], round(r["score"], 9))
+                        for r in got["results"]
+                    ] == [
+                        (r["doc_id"], round(r["score"], 9))
+                        for r in exp["results"]
+                    ], (q, fdict)
+                    for r in got["results"]:  # non-scoring filter context
+                        assert r["doc_id"] in allowed
+                        assert r["score"] == unf[r["doc_id"]]
+        finally:
+            eng.close()
+
+
 def test_minimum_should_match(tiny_engine, tiny_oracle):
     """ES minimum_should_match: docs must match >= N distinct query terms;
     engine (distributed, exhaustive TAAT + count accumulator) vs the
