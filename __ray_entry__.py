@@ -790,6 +790,62 @@ def _q_range_filter(sf_dir: str):
     )
 
 
+# queries for the sort-by-field and _count surfaces (None = match_all);
+# mirrored by _AGG_HITS_SQL below
+SORT_COUNT_QUERIES = [None, "merge", "merge AND hash", "merg*"]
+
+_AGG_HITS_SQL = {
+    None: "SELECT doc_id FROM documents",
+    "merge": "SELECT DISTINCT doc_id FROM tok WHERE tok='merge'",
+    "merge AND hash": (
+        "SELECT doc_id FROM tok WHERE tok='merge' INTERSECT "
+        "SELECT doc_id FROM tok WHERE tok='hash'"
+    ),
+    "merg*": "SELECT DISTINCT doc_id FROM tok WHERE tok LIKE 'merg%'",
+}
+
+
+def _q_sort_nchars(sf_dir: str):
+    """ES sort: match/boolean/wildcard/match_all hit sets ordered by the
+    n_chars doc-value (desc and asc, (value, doc_id asc) tie-break), top-15
+    per query — scoring skipped entirely (ES sort-by-field surface)."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "ord": [], "rank": [], "doc_id": [], "n_chars": []}
+    for q in SORT_COUNT_QUERIES:
+        for order in ("desc", "asc"):
+            res = eng.search_sort(q, "n_chars", order=order, size=15)
+            for rank, r in enumerate(res["results"], 1):
+                rows["query"].append(q or "")
+                rows["ord"].append(order)
+                rows["rank"].append(rank)
+                rows["doc_id"].append(r["doc_id"])
+                rows["n_chars"].append(r["sort"][0])
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "ord": pa.array(rows["ord"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "n_chars": pa.array(rows["n_chars"], pa.int64()),
+        }
+    )
+
+
+def _q_count_api(sf_dir: str):
+    """ES _count API: exact hit counts, no scoring/fetch phase."""
+    eng = _engine(sf_dir, "plain")
+    qs, counts = [], []
+    for q in SORT_COUNT_QUERIES:
+        qs.append(q or "")
+        counts.append(eng.count(q)["count"])
+    return pa.table(
+        {
+            "query": pa.array(qs, pa.string()),
+            "count": pa.array(counts, pa.int64()),
+        }
+    )
+
+
 def _q_exact_dedup(sf_dir: str):
     from elasticsearch_ray.ops.dedup import exact_dedup
 
@@ -1294,6 +1350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentiles_agg": _q_percentiles_agg,
         "cardinality_agg": _q_cardinality_agg,
         "range_filter": _q_range_filter,
+        "sort_nchars": _q_sort_nchars,
+        "count_api": _q_count_api,
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
         "jaccard_verify": _q_jaccard_verify,
@@ -1951,15 +2009,7 @@ def _suggest_sql() -> str:
 
 
 def _range_sql() -> str:
-    hits_by_q = {
-        None: "SELECT doc_id FROM documents",
-        "merge": "SELECT DISTINCT doc_id FROM tok WHERE tok='merge'",
-        "merge AND hash": (
-            "SELECT doc_id FROM tok WHERE tok='merge' INTERSECT "
-            "SELECT doc_id FROM tok WHERE tok='hash'"
-        ),
-        "merg*": "SELECT DISTINCT doc_id FROM tok WHERE tok LIKE 'merg%'",
-    }
+    hits_by_q = _AGG_HITS_SQL
     parts = []
     for q, gte, lte in RANGE_QUERIES:
         conds = [f"doc_id IN ({hits_by_q[q]})"]
@@ -1972,6 +2022,38 @@ def _range_sql() -> str:
             f"SELECT '{label}' AS query, doc_id FROM ("
             f"SELECT doc_id FROM documents WHERE {' AND '.join(conds)} "
             f"ORDER BY doc_id LIMIT 20)"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
+def _sort_nchars_sql() -> str:
+    parts = []
+    for q in SORT_COUNT_QUERIES:
+        label = (q or "").replace("'", "''")
+        for order in ("desc", "asc"):
+            direction = "DESC" if order == "desc" else "ASC"
+            parts.append(f"""
+SELECT '{label}' AS query, '{order}' AS ord,
+       CAST(row_number() OVER (ORDER BY n_chars {direction}, doc_id) AS INT)
+         AS rank,
+       doc_id, n_chars
+FROM documents
+WHERE doc_id IN ({_AGG_HITS_SQL[q]})
+ORDER BY n_chars {direction}, doc_id LIMIT 15""")
+    return (
+        f"WITH tok AS ({_TOK}) SELECT * FROM ("
+        + " UNION ALL ".join(f"({p})" for p in parts)
+        + ") ORDER BY query, ord, rank"
+    )
+
+
+def _count_api_sql() -> str:
+    parts = []
+    for q in SORT_COUNT_QUERIES:
+        label = (q or "").replace("'", "''")
+        parts.append(
+            f"SELECT '{label}' AS query, count(*)::BIGINT AS count "
+            f"FROM ({_AGG_HITS_SQL[q]})"
         )
     return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
 
@@ -2063,6 +2145,8 @@ def oracle_sql() -> dict[str, str]:
         "percentiles_agg": _percentiles_sql(),
         "cardinality_agg": _cardinality_sql(),
         "range_filter": _range_sql(),
+        "sort_nchars": _sort_nchars_sql(),
+        "count_api": _count_api_sql(),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dupes FROM documents "
             "GROUP BY text ORDER BY doc_id"

@@ -282,6 +282,41 @@ class Searcher:
         )
         return ids[:k], total  # readers are doc_id-ordered -> global asc
 
+    def search_sort(self, kind: str, payload, field: str, desc: bool,
+                    k: int):
+        """ES sort-by-field: the full hit set ordered by (doc-value,
+        doc_id asc) over an INTEGER doc-value field; local top-k per shard,
+        driver merges k*shards rows.  Docs with no doc-value (docmap gaps,
+        e.g. lang-filtered) are excluded — ES 'missing' docs sort last and
+        never reach a bounded top-k here."""
+        per_reader = self._facet_numeric(field)
+        out_ids: list[np.ndarray] = []
+        out_vals: list[np.ndarray] = []
+        total = 0
+        for r, vals in zip(self.readers, per_reader):
+            slots = self._match_slots(r, kind, payload)
+            v = vals[slots]
+            m = v != np.iinfo(np.int64).min
+            slots, v = slots[m], v[m]
+            total += int(slots.size)
+            order = np.lexsort((slots, -v if desc else v))[:k]
+            out_ids.append(slots[order] + r.doc_id_base)
+            out_vals.append(v[order])
+        ids = (
+            np.concatenate(out_ids) if out_ids else np.empty(0, np.int64)
+        )
+        vals = (
+            np.concatenate(out_vals) if out_vals else np.empty(0, np.int64)
+        )
+        return ids, vals, total
+
+    def count(self, kind: str, payload) -> int:
+        """ES _count API: exact live hit count, no scoring, no fetch."""
+        return sum(
+            int(self._match_slots(r, kind, payload).size)
+            for r in self.readers
+        )
+
     def dfs(self, terms: list[str]) -> dict[str, int]:
         return {t: sum(r.df(t) for r in self.readers) for t in terms}
 
@@ -892,6 +927,49 @@ class QueryEngine:
             "total_hits": total,
             "results": [{"doc_id": int(d), "score": 1.0} for d in ids[:size]],
         }
+
+    def search_sort(self, query_text: str | None, field: str,
+                    order: str = "desc", size: int = 10,
+                    from_: int = 0) -> dict:
+        """ES sort: the hit set of ``query_text`` (match / boolean /
+        wildcard; None or blank = match_all) ordered by an integer
+        doc-value ``field`` with the deterministic (value, doc_id asc)
+        tie-break, instead of _score.  Each shard returns its local top
+        from_+size rows; the driver merge touches shards*(from_+size)
+        rows, never the corpus."""
+        if query_text and query_text.strip():
+            kind, payload = self._agg_route(query_text)
+        else:
+            kind, payload = "all", None
+        desc = order == "desc"
+        fetch = from_ + size
+        parts = self._fanout("search_sort", kind, payload, field, desc,
+                             fetch)
+        ids = np.concatenate([p[0] for p in parts])
+        vals = np.concatenate([p[1] for p in parts])
+        total = int(sum(p[2] for p in parts))
+        keys = -vals if desc else vals
+        sel = np.lexsort((ids, keys))[from_:fetch]
+        return {
+            "query": query_text or "",
+            "field": field,
+            "order": order,
+            "total_hits": total,
+            "results": [
+                {"doc_id": int(ids[i]), "sort": [int(vals[i])]} for i in sel
+            ],
+        }
+
+    def count(self, query_text: str | None = None) -> dict:
+        """ES _count API: exact hit count of a match / boolean / wildcard
+        query (None or blank = match_all, i.e. live doc count), no
+        scoring, no fetch phase."""
+        if query_text and query_text.strip():
+            kind, payload = self._agg_route(query_text)
+        else:
+            kind, payload = "all", None
+        parts = self._fanout("count", kind, payload)
+        return {"query": query_text or "", "count": int(sum(parts))}
 
     def _agg_route(self, query_text: str):
         q = query_text.strip()

@@ -469,6 +469,78 @@ def test_filtered_ranked_query(tmp_path):
             eng.close()
 
 
+def test_sort_by_field_and_count(tmp_path):
+    """ES sort-by-doc-value + _count API vs a pure-python scan: hit set of
+    match/boolean/wildcard/match_all queries ordered by (n_chars, doc_id)
+    both directions, pagination offsets, and exact counts — distributed
+    and embedded engines agree."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(7)
+    vocab = ["merge", "hash", "scan", "join", "other", "words"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(6)),
+            "n_chars": rng.randint(10, 99),
+        }
+        for i in range(130)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("n_chars",), docs_per_segment=40,
+                    target_partition_rows=30),
+    )
+    preds = {
+        None: lambda t: True,
+        "merge": lambda t: "merge" in t.split(),
+        "merge AND hash":
+            lambda t: "merge" in t.split() and "hash" in t.split(),
+        "merg*": lambda t: any(w.startswith("merg") for w in t.split()),
+    }
+    for eng in (QueryEngine(idx, num_searchers=2),
+                QueryEngine(idx, num_searchers=0)):
+        try:
+            for q, pred in preds.items():
+                hits = [r for r in rows if pred(r["text"])]
+                cnt = eng.count(q)
+                assert cnt["count"] == len(hits), q
+                for order in ("desc", "asc"):
+                    sgn = -1 if order == "desc" else 1
+                    exp = sorted(
+                        hits, key=lambda r: (sgn * r["n_chars"], r["doc_id"])
+                    )
+                    got = eng.search_sort(q, "n_chars", order=order, size=15)
+                    assert got["total_hits"] == len(hits), (q, order)
+                    assert [
+                        (r["doc_id"], r["sort"][0]) for r in got["results"]
+                    ] == [
+                        (r["doc_id"], r["n_chars"]) for r in exp[:15]
+                    ], (q, order)
+                    page2 = eng.search_sort(
+                        q, "n_chars", order=order, size=5, from_=15
+                    )
+                    assert [
+                        (r["doc_id"], r["sort"][0]) for r in page2["results"]
+                    ] == [
+                        (r["doc_id"], r["n_chars"]) for r in exp[15:20]
+                    ], (q, order)
+        finally:
+            eng.close()
+
+
 def test_minimum_should_match(tiny_engine, tiny_oracle):
     """ES minimum_should_match: docs must match >= N distinct query terms;
     engine (distributed, exhaustive TAAT + count accumulator) vs the
