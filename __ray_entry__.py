@@ -790,6 +790,34 @@ def _q_range_filter(sf_dir: str):
     )
 
 
+def _q_collapse_source(sf_dir: str):
+    """ES field collapse: BM25 ranking keeping only the best-scoring doc
+    per source doc-value, groups ordered by winner (-score, doc_id),
+    top-10 groups per query.
+
+    SQL twin: QUALIFY row_number per (query, source) = 1 over the scored
+    CTE, then rank groups per query."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "rank": [], "doc_id": [], "src": [], "score": []}
+    for q in BM25_QUERIES:
+        res = eng.search_collapse(q, "source", size=10)
+        for rank, r in enumerate(res["results"], 1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r["doc_id"])
+            rows["src"].append(r["fields"]["source"])
+            rows["score"].append(int(math.floor(r["score"] * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "src": pa.array(rows["src"], pa.string()),
+            "score_u": pa.array(rows["score"], pa.int64()),
+        }
+    )
+
+
 # queries for the sort-by-field and _count surfaces (None = match_all);
 # mirrored by _AGG_HITS_SQL below
 SORT_COUNT_QUERIES = [None, "merge", "merge AND hash", "merg*"]
@@ -1352,6 +1380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_filter": _q_range_filter,
         "sort_nchars": _q_sort_nchars,
         "count_api": _q_count_api,
+        "collapse_source": _q_collapse_source,
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
         "jaccard_verify": _q_jaccard_verify,
@@ -2047,6 +2076,49 @@ ORDER BY n_chars {direction}, doc_id LIMIT 15""")
     )
 
 
+def _collapse_sql() -> str:
+    qt = []
+    for q in BM25_QUERIES:
+        for t in q.split():
+            qt.append((q, t))
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query, term) AS (VALUES {_bm25_values_sql(qt)}),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         sum(ln((stats.n + 1.0) / (df.df + 1.0))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+  GROUP BY q.query, tf.doc_id
+),
+winners AS (
+  SELECT sc.query, sc.doc_id, d.source AS src, sc.s,
+         row_number() OVER (PARTITION BY sc.query, d.source
+                            ORDER BY sc.s DESC, sc.doc_id) AS rn
+  FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
+),
+groups AS (
+  SELECT query, doc_id, src, s,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY s DESC, doc_id) AS rank
+  FROM winners WHERE rn = 1
+)
+SELECT query, CAST(rank AS INT) AS rank, doc_id, src,
+       CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_u
+FROM groups WHERE rank <= 10 ORDER BY query, rank
+"""
+
+
 def _count_api_sql() -> str:
     parts = []
     for q in SORT_COUNT_QUERIES:
@@ -2147,6 +2219,7 @@ def oracle_sql() -> dict[str, str]:
         "range_filter": _range_sql(),
         "sort_nchars": _sort_nchars_sql(),
         "count_api": _count_api_sql(),
+        "collapse_source": _collapse_sql(),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dupes FROM documents "
             "GROUP BY text ORDER BY doc_id"

@@ -310,6 +310,52 @@ class Searcher:
         )
         return ids, vals, total
 
+    def search_collapse(self, terms: list[str], idfs: dict[str, float],
+                        field: str, scoring: str, k1: float, b: float,
+                        avgdl: float):
+        """ES field collapse: the best-scoring live doc per value of a
+        categorical doc-value field, over the FULL ranked hit set
+        (exhaustive TAAT — the winner of a group can hide arbitrarily deep
+        in score order).  Returns (values, scores, doc_ids, total): one row
+        per group TOUCHED by this shard — bounded by the field's value
+        cardinality, never the corpus; the driver re-reduces across shards.
+        Vectorized: one lexsort + unique-first per reader, no per-group
+        Python."""
+        best: dict[str, tuple[float, int]] = {}
+        total = 0
+        for (codes, cats), r in zip(
+            self._facet_column(field), self.readers
+        ):
+            slots, scores = sc.taat_candidates(
+                r, terms, idfs, scoring, k1, b, avgdl
+            )
+            total += int(slots.size)
+            if not slots.size:
+                continue
+            c = codes[slots]
+            m = c >= 0  # docs with no doc-value can't be grouped
+            slots, scores, c = slots[m], scores[m], c[m]
+            # (-score, doc_id) order, then the first row per code is the
+            # group winner (np.unique returns first occurrences on sorted-
+            # stable order via return_index on the ordered code array)
+            order = np.lexsort((slots, -scores))
+            c_ord = c[order]
+            uniq, first = np.unique(c_ord, return_index=True)
+            for code, i in zip(uniq.tolist(), first.tolist()):
+                s = float(scores[order[i]])
+                d = int(slots[order[i]] + r.doc_id_base)
+                v = cats[code]
+                cur = best.get(v)
+                if cur is None or (-s, d) < (-cur[0], cur[1]):
+                    best[v] = (s, d)
+        vals = list(best)
+        return (
+            vals,
+            [best[v][0] for v in vals],
+            [best[v][1] for v in vals],
+            total,
+        )
+
     def count(self, kind: str, payload) -> int:
         """ES _count API: exact live hit count, no scoring, no fetch."""
         return sum(
@@ -957,6 +1003,40 @@ class QueryEngine:
             "total_hits": total,
             "results": [
                 {"doc_id": int(ids[i]), "sort": [int(vals[i])]} for i in sel
+            ],
+        }
+
+    def search_collapse(self, query_text: str, field: str,
+                        size: int = 10) -> dict:
+        """ES field collapse (collapse.field): ranked results keep only
+        the single best-scoring doc per value of a categorical doc-value
+        field, groups ordered by their winner's (-score, doc_id).  Shards
+        return one winner per touched group (bounded by the field's value
+        cardinality); the driver reduce is over groups, not docs."""
+        terms = self.normalizer.preprocess_query_list(query_text)
+        if not terms or self.doc_count == 0:
+            return {"query": query_text, "total_hits": 0, "results": []}
+        idfs = self._idfs(terms)
+        parts = self._fanout(
+            "search_collapse", terms, idfs, field, self.scoring, self.k1,
+            self.b, self.avgdl,
+        )
+        best: dict[str, tuple[float, int]] = {}
+        total = 0
+        for vals, scores, ids, n in parts:
+            total += n
+            for v, s, d in zip(vals, scores, ids):
+                cur = best.get(v)
+                if cur is None or (-s, d) < (-cur[0], cur[1]):
+                    best[v] = (s, d)
+        top = sorted(best.items(), key=lambda kv: (-kv[1][0], kv[1][1]))
+        return {
+            "query": query_text,
+            "field": field,
+            "total_hits": total,
+            "results": [
+                {"doc_id": d, "score": s, "fields": {field: v}}
+                for v, (s, d) in top[:size]
             ],
         }
 

@@ -541,6 +541,65 @@ def test_sort_by_field_and_count(tmp_path):
             eng.close()
 
 
+def test_field_collapse(tmp_path):
+    """ES field collapse: best-scoring doc per doc-value group, groups
+    ordered by winner (-score, doc_id) — vs the oracle's full ranking
+    reduced per group in python; distributed and embedded engines agree."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.oracle.oracle import OracleIndex
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(13)
+    vocab = ["merge", "hash", "scan", "join", "other", "words", "table"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 10))),
+            "source": f"s{rng.randint(0, 5)}",
+        }
+        for i in range(140)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("source",), docs_per_segment=40,
+                    target_partition_rows=30),
+    )
+    oracle = OracleIndex()
+    oracle.normalizer = QueryEngine(idx, num_searchers=0).normalizer
+    oracle.build([(r["doc_id"], r["text"]) for r in rows])
+    src_of = {r["doc_id"]: r["source"] for r in rows}
+    for eng in (QueryEngine(idx, num_searchers=2),
+                QueryEngine(idx, num_searchers=0)):
+        try:
+            for q in ("merge hash", "scan join table", "words"):
+                full = oracle.query_taat(q, size=10_000)
+                best: dict[str, tuple] = {}
+                for r in full["results"]:  # already (-score, doc_id) order
+                    g = src_of[r["doc_id"]]
+                    if g not in best:
+                        best[g] = (r["score"], r["doc_id"], g)
+                exp = sorted(best.values(), key=lambda t: (-t[0], t[1]))
+                got = eng.search_collapse(q, "source", size=10)
+                assert got["total_hits"] == full["total_hits"], q
+                assert [
+                    (round(r["score"], 9), r["doc_id"], r["fields"]["source"])
+                    for r in got["results"]
+                ] == [(round(s, 9), d, g) for s, d, g in exp[:10]], q
+        finally:
+            eng.close()
+
+
 def test_minimum_should_match(tiny_engine, tiny_oracle):
     """ES minimum_should_match: docs must match >= N distinct query terms;
     engine (distributed, exhaustive TAAT + count accumulator) vs the
