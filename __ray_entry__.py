@@ -613,6 +613,26 @@ def _q_wildcard_plain(sf_dir: str):
     )
 
 
+REGEXP_QUERIES = ["merg.*", ".*ash", "(scan|join)", "jo.n", "filters?",
+                  "[wv]indow"]
+
+
+def _q_regexp_plain(sf_dir: str):
+    """ES regexp term queries (anchored RE2 over the sorted dictionary,
+    literal-prefix range narrowing + Arrow re2 scan of the slice) — docs
+    ascending, exact totals."""
+    eng = _engine(sf_dir, "plain")
+    rows_q, rows_d = [], []
+    for q in REGEXP_QUERIES:
+        res = eng.regexp(q, size=20)
+        for r in res["results"]:
+            rows_q.append(q)
+            rows_d.append(r["doc_id"])
+    return pa.table(
+        {"query": pa.array(rows_q, pa.string()), "doc_id": pa.array(rows_d, pa.int64())}
+    )
+
+
 FUZZY_QUERIES = ["merje~1", "scna~", "hsah~2", "windoq~", "filtr~", "jion~2"]
 
 
@@ -1370,6 +1390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top10_plain": _q_tfidf_top10_plain,
         "boolean_plain": _q_boolean_plain,
         "wildcard_plain": _q_wildcard_plain,
+        "regexp_plain": _q_regexp_plain,
         "fuzzy_plain": _q_fuzzy_plain,
         "suggest_plain": _q_suggest_plain,
         "facet_counts": _q_facet_counts,
@@ -1999,6 +2020,19 @@ def _wildcard_sql() -> str:
     return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
 
 
+def _regexp_sql() -> str:
+    parts = []
+    for q in REGEXP_QUERIES:
+        pat = q.replace("'", "''")
+        parts.append(
+            f"SELECT '{pat}' AS query, doc_id FROM ("
+            f"SELECT DISTINCT doc_id FROM tok "
+            f"WHERE regexp_full_match(tok, '{pat}') "
+            f"ORDER BY doc_id LIMIT 20)"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
 def _fuzzy_sql() -> str:
     from elasticsearch_ray.pipelines.query import _FUZZY_RE, fuzzy_auto_edits
 
@@ -2209,6 +2243,7 @@ def oracle_sql() -> dict[str, str]:
         "multifield_top10": _multifield_sql(),
         "boolean_plain": _boolean_sql(),
         "wildcard_plain": _wildcard_sql(),
+        "regexp_plain": _regexp_sql(),
         "fuzzy_plain": _fuzzy_sql(),
         "suggest_plain": _suggest_sql(),
         "facet_counts": _facet_sql(),

@@ -512,6 +512,17 @@ class Searcher:
         terms = list(agg)
         return terms, [agg[t][0] for t in terms], [agg[t][1] for t in terms]
 
+    def search_regexp(self, pattern: str, k: int,
+                      max_expansions: int | None = None):
+        out: list[np.ndarray] = []
+        total = 0
+        for r in self.readers:
+            ids, n = sc.regexp_eval(r, pattern, k, max_expansions)
+            total += n
+            out.append(ids)
+        ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        return ids[:k], total
+
     def search_wildcard(self, pattern: str, k: int,
                         max_expansions: int | None = None):
         out: list[np.ndarray] = []
@@ -972,6 +983,25 @@ class QueryEngine:
             "lte": lte,
             "total_hits": total,
             "results": [{"doc_id": int(d), "score": 1.0} for d in ids[:size]],
+        }
+
+    def regexp(self, pattern: str, size: int = 10,
+               max_expansions: int | None = None, from_: int = 0) -> dict:
+        """ES regexp query: docs containing any dictionary term that FULLY
+        matches the RE2 ``pattern`` (Lucene regexps are anchored).  The
+        pattern is lowercased but NOT analyzed (same convention as the
+        wildcard and fuzzy surfaces); filter-context result shape
+        (doc_id ascending, unscored, exact totals)."""
+        pattern = pattern.lower()
+        fetch = from_ + size
+        parts = self._fanout("search_regexp", pattern, fetch, max_expansions)
+        ids = np.concatenate([p[0] for p in parts])  # actor order == doc order
+        total = int(sum(p[1] for p in parts))
+        return {
+            "query": pattern,
+            "total_hits": total,
+            "results": [{"doc_id": int(d), "score": 1.0}
+                        for d in ids[from_:fetch]],
         }
 
     def search_sort(self, query_text: str | None, field: str,

@@ -651,6 +651,25 @@ def wildcard_eval(
     return slots[:size] + reader.doc_id_base, int(slots.size)
 
 
+def regexp_eval(
+    reader: SegmentReader,
+    pattern: str,
+    size: int,
+    max_expansions: int | None = None,
+):
+    """ES regexp term query: docs containing ANY dictionary term fully
+    matching the RE2 pattern (boolean-OR semantics, doc_id ascending,
+    exact total).  Like wildcard/fuzzy, the pattern is NOT analyzed — it
+    matches stored dictionary terms directly."""
+    rows = reader.term_rows_regexp(pattern, max_expansions)
+    if not rows:
+        return np.empty(0, dtype=np.int64), 0
+    arrs = [reader.postings_slots_by_row(r)[0] for r in rows]
+    slots = np.unique(np.concatenate(arrs)) if len(arrs) > 1 else arrs[0]
+    slots = slots[reader.doc_lens[slots] >= 0]  # tombstones
+    return slots[:size] + reader.doc_id_base, int(slots.size)
+
+
 def fuzzy_eval(
     reader: SegmentReader,
     term: str,

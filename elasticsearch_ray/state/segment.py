@@ -197,6 +197,54 @@ class SegmentReader:
                     break
         return out
 
+    def term_rows_regexp(
+        self, pattern: str, max_expansions: int | None = None
+    ) -> list[int]:
+        """Rows whose term FULLY matches an RE2 regexp (the ES regexp-query
+        surface — Lucene regexps are anchored, the pattern must consume the
+        whole term).  A literal leading prefix narrows to a binary-searched
+        row range of the sorted dictionary; the slice is scanned with
+        Arrow's vectorized re2 kernel (no per-term Python loop)."""
+        import bisect
+        import re as _re
+
+        import pyarrow.compute as pc
+
+        m = _re.match(r"[a-z0-9]*", pattern)
+        prefix = m.group(0) if m else ""
+        if prefix and len(prefix) < len(pattern) and (
+            pattern[len(prefix)] in "*+?{"
+        ):
+            # the prefix's last literal binds to the quantifier: 'merge?'
+            # can match 'merg', so only 'merg' is a safe range prefix
+            prefix = prefix[:-1]
+        terms = self._terms
+
+        class _View:
+            def __getitem__(self, i):
+                return terms[i].as_py()
+
+            def __len__(self):
+                return len(terms)
+
+        v = _View()
+        lo = bisect.bisect_left(v, prefix)
+        hi = (
+            bisect.bisect_left(v, prefix + "\U0010FFFF")
+            if prefix
+            else len(terms)
+        )
+        if hi <= lo:
+            return []
+        span = terms.slice(lo, hi - lo)
+        mask = pc.match_substring_regex(
+            span, f"^(?:{pattern})$"
+        ).to_numpy(zero_copy_only=False)
+        rows = (np.flatnonzero(mask) + lo).tolist()
+        if max_expansions is not None:
+            rows = rows[:max_expansions]
+        return rows
+
     def term_rows_fuzzy(
         self, term: str, max_edits: int,
         max_expansions: int | None = None,

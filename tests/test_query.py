@@ -541,6 +541,56 @@ def test_sort_by_field_and_count(tmp_path):
             eng.close()
 
 
+def test_regexp_query(tmp_path):
+    """ES regexp query: anchored RE2 over the term dictionary, boolean-OR
+    doc set — vs python re over the source rows; embedded + distributed."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(5)
+    vocab = ["merge", "merg", "hash", "scan", "join", "jorn", "other",
+             "mash", "words"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(6)),
+        }
+        for i in range(120)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    docs_per_segment=40, target_partition_rows=30),
+    )
+    patterns = ["merg.*", ".*ash", "(scan|join)", "jo.n", "merge?"]
+    for eng in (QueryEngine(idx, num_searchers=2),
+                QueryEngine(idx, num_searchers=0)):
+        try:
+            for pat in patterns:
+                rx = re.compile(f"^(?:{pat})$")
+                exp = sorted(
+                    r["doc_id"] for r in rows
+                    if any(rx.match(w) for w in r["text"].split())
+                )
+                got = eng.regexp(pat, size=200)
+                assert got["total_hits"] == len(exp), pat
+                assert [r["doc_id"] for r in got["results"]] == exp, pat
+        finally:
+            eng.close()
+
+
 def test_field_collapse(tmp_path):
     """ES field collapse: best-scoring doc per doc-value group, groups
     ordered by winner (-score, doc_id) — vs the oracle's full ranking
