@@ -810,6 +810,37 @@ def _q_range_filter(sf_dir: str):
     )
 
 
+MLT_SEEDS = [3, 17, 42]
+MLT_MAX_TERMS = 8
+
+
+def _q_more_like_this(sf_dir: str):
+    """ES more_like_this: top tf*idf terms of each seed doc (idf-0 terms
+    excluded, (-tf*idf, term) tie-break, max_query_terms=8) re-run as a
+    BM25 should-query; top-10 per seed.
+
+    SQL twin: per-seed term selection CTE (ORDER BY tf*idf DESC, term
+    LIMIT 8) feeding the shared bm25 scored CTE."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "rank": [], "doc_id": [], "score": []}
+    for seed in MLT_SEEDS:
+        res = eng.more_like_this(seed, max_query_terms=MLT_MAX_TERMS,
+                                 size=10)
+        for rank, r in enumerate(res["results"], 1):
+            rows["query"].append(f"mlt:{seed}")
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r["doc_id"])
+            rows["score"].append(int(math.floor(r["score"] * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score_u": pa.array(rows["score"], pa.int64()),
+        }
+    )
+
+
 def _q_collapse_source(sf_dir: str):
     """ES field collapse: BM25 ranking keeping only the best-scoring doc
     per source doc-value, groups ordered by winner (-score, doc_id),
@@ -1402,6 +1433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_nchars": _q_sort_nchars,
         "count_api": _q_count_api,
         "collapse_source": _q_collapse_source,
+        "more_like_this": _q_more_like_this,
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
         "jaccard_verify": _q_jaccard_verify,
@@ -2110,6 +2142,53 @@ ORDER BY n_chars {direction}, doc_id LIMIT 15""")
     )
 
 
+def _mlt_sql() -> str:
+    mlt_ctes = []
+    for i, seed in enumerate(MLT_SEEDS):
+        mlt_ctes.append(f"""
+mlt_{i} AS (
+  SELECT 'mlt:{seed}' AS query, tf.term
+  FROM tf JOIN df ON df.term = tf.term CROSS JOIN stats
+  WHERE tf.doc_id = {seed}
+    AND ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+  ORDER BY tf.tf * ln((stats.n + 1.0) / (df.df + 1.0)) DESC, tf.term
+  LIMIT {MLT_MAX_TERMS}
+)""")
+    q_union = " UNION ALL ".join(
+        f"SELECT * FROM mlt_{i}" for i in range(len(MLT_SEEDS))
+    )
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+{",".join(mlt_ctes)},
+q AS ({q_union}),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         sum(ln((stats.n + 1.0) / (df.df + 1.0))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+  GROUP BY q.query, tf.doc_id
+),
+ranked AS (
+  SELECT query, doc_id, s,
+         row_number() OVER (PARTITION BY query ORDER BY s DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, CAST(rank AS INT) AS rank, doc_id,
+       CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_u
+FROM ranked WHERE rank <= 10 ORDER BY query, rank
+"""
+
+
 def _collapse_sql() -> str:
     qt = []
     for q in BM25_QUERIES:
@@ -2255,6 +2334,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_nchars": _sort_nchars_sql(),
         "count_api": _count_api_sql(),
         "collapse_source": _collapse_sql(),
+        "more_like_this": _mlt_sql(),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dupes FROM documents "
             "GROUP BY text ORDER BY doc_id"

@@ -769,8 +769,15 @@ class QueryEngine:
                        after: tuple[float, int] | None = None,
                        msm: int = 0, flt: tuple | None = None) -> dict:
         terms = self.normalizer.preprocess_query_list(query_text)
+        return self._ranked_terms(terms, query_text, size, mode, from_,
+                                  after, msm, flt)
+
+    def _ranked_terms(self, terms: list[str], query_label: str, size: int,
+                      mode: str, from_: int = 0,
+                      after: tuple[float, int] | None = None,
+                      msm: int = 0, flt: tuple | None = None) -> dict:
         if not terms or self.doc_count == 0:
-            return {"query": query_text, "total_hits": 0, "results": []}
+            return {"query": query_label, "total_hits": 0, "results": []}
         idfs = self._idfs(terms)
         fetch = from_ + size
         parts = self._fanout(
@@ -785,7 +792,7 @@ class QueryEngine:
         results = [
             {"doc_id": int(ids[i]), "score": float(scores[i])} for i in order
         ]
-        return {"query": query_text, "total_hits": total, "results": results}
+        return {"query": query_label, "total_hits": total, "results": results}
 
     @staticmethod
     def parse_phrases(
@@ -984,6 +991,30 @@ class QueryEngine:
             "total_hits": total,
             "results": [{"doc_id": int(d), "score": 1.0} for d in ids[:size]],
         }
+
+    def more_like_this(self, doc_id: int, max_query_terms: int = 10,
+                       size: int = 10, mode: str | None = None) -> dict:
+        """ES more_like_this: select the seed doc's most interesting terms
+        by tf*idf (deterministic (-tf*idf, term) tie-break, idf-0 terms
+        excluded — same convention as scoring), then run them as a ranked
+        should-query.  Requires ``store_source=True`` at build time; the
+        seed doc itself is not excluded from the results (ES behavior —
+        it typically ranks first).  Driver cost is one stored-source read
+        + one ranked query; never touches the corpus."""
+        from collections import Counter
+
+        label = f"mlt:{doc_id}"
+        doc = self.get_doc(doc_id)
+        if doc is None or not doc.get("source"):
+            return {"query": label, "total_hits": 0, "results": []}
+        tf = Counter(self.normalizer.tokenize(doc["source"]))
+        idfs = self._idfs(sorted(tf))
+        cand = [
+            (t, tf[t] * idfs[t]) for t in tf if idfs[t] != 0.0
+        ]
+        cand.sort(key=lambda kv: (-kv[1], kv[0]))
+        terms = [t for t, _ in cand[:max_query_terms]]
+        return self._ranked_terms(terms, label, size, mode or self.mode)
 
     def regexp(self, pattern: str, size: int = 10,
                max_expansions: int | None = None, from_: int = 0) -> dict:

@@ -541,6 +541,71 @@ def test_sort_by_field_and_count(tmp_path):
             eng.close()
 
 
+def test_more_like_this(tmp_path):
+    """ES more_like_this: seed doc's top tf*idf terms re-run as a ranked
+    query — term selection + ranking vs the oracle; the seed doc itself
+    ranks (ES keeps it); embedded + distributed agree."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.oracle.oracle import OracleIndex
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(19)
+    vocab = ["merge", "hash", "scan", "join", "other", "words", "table",
+             "batch", "window", "filter"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 14))),
+        }
+        for i in range(130)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    docs_per_segment=40, target_partition_rows=30,
+                    store_source=True),
+    )
+    oracle = OracleIndex()
+    oracle.normalizer = QueryEngine(idx, num_searchers=0).normalizer
+    oracle.build([(r["doc_id"], r["text"]) for r in rows])
+    for eng in (QueryEngine(idx, num_searchers=2),
+                QueryEngine(idx, num_searchers=0)):
+        try:
+            for seed in (0, 5, 11):
+                tf = Counter(oracle.normalizer.tokenize(rows[seed]["text"]))
+                cand = [
+                    (t, tf[t] * oracle.idf_cache.get(t, 0.0))
+                    for t in tf if oracle.idf_cache.get(t, 0.0) != 0.0
+                ]
+                cand.sort(key=lambda kv: (-kv[1], kv[0]))
+                terms = [t for t, _ in cand[:5]]
+                exp = oracle.query_taat(" ".join(terms), size=15)
+                got = eng.more_like_this(seed, max_query_terms=5, size=15)
+                assert got["total_hits"] == exp["total_hits"], seed
+                assert [
+                    (r["doc_id"], round(r["score"], 9))
+                    for r in got["results"]
+                ] == [
+                    (r["doc_id"], round(r["score"], 9))
+                    for r in exp["results"]
+                ], seed
+                assert got["results"], seed  # seed doc guarantees >=1 hit
+        finally:
+            eng.close()
+
+
 def test_regexp_query(tmp_path):
     """ES regexp query: anchored RE2 over the term dictionary, boolean-OR
     doc set — vs python re over the source rows; embedded + distributed."""
