@@ -212,6 +212,27 @@ class RayBM25Index:
         )
         return t.column("doc_id").to_pylist()
 
+    def delete_by_query(self, index_id: str, query_text: str) -> dict:
+        """ES _delete_by_query: tombstone every live doc matching a match /
+        boolean / wildcard / regexp-routed query.  Searches exclude the
+        docs immediately; space + collection stats are reclaimed at
+        ``compact()`` (Lucene-style).  The tombstone list is the match
+        set — for huge deletions compact promptly."""
+        was_current = self.current_index == index_id and self.engine is not None
+        eng = (
+            self.engine if was_current
+            else QueryEngine(self._dir(index_id), num_searchers=0)
+        )
+        kind, payload = eng._agg_route(query_text)
+        parts = eng._fanout("match_ids", kind, payload)
+        ids = sorted({int(d) for p in parts for d in p})
+        add_tombstones(self._dir(index_id), ids)
+        if not was_current:
+            eng.close()
+        else:
+            self.load_index(index_id)  # reload tombstones
+        return {"deleted": len(ids)}
+
     def compact(self, index_id: str) -> None:
         """Make tombstoned deletions physical and refresh collection stats."""
         compact_index(self._dir(index_id))

@@ -363,6 +363,41 @@ class Searcher:
             for r in self.readers
         )
 
+    def doc_termvec(self, terms: list[str], doc_id: int):
+        """(tf per term, doc length) for ONE live doc if this shard owns it
+        (the explain surface); None otherwise.  One postings decode +
+        binary search per distinct term."""
+        for r in self.readers:
+            lo = r.doc_id_base
+            if not (lo <= doc_id < lo + r.doc_lens.size):
+                continue
+            slot = doc_id - lo
+            if r.doc_lens[slot] < 0:  # tombstoned
+                return None
+            tfs: dict[str, int] = {}
+            for t in dict.fromkeys(terms):
+                got = r.postings_slots(t)
+                if got is None:
+                    continue
+                slots, tf_arr = got
+                i = int(np.searchsorted(slots, slot))
+                if i < slots.size and slots[i] == slot:
+                    tfs[t] = int(tf_arr[i])
+            return {"tfs": tfs, "dl": int(r.doc_lens[slot])}
+        return None
+
+    def match_ids(self, kind: str, payload) -> np.ndarray:
+        """ALL matching live global doc_ids (the delete_by_query surface) —
+        output size is the match set, which the caller is about to
+        materialize as tombstones anyway."""
+        parts = [
+            self._match_slots(r, kind, payload) + r.doc_id_base
+            for r in self.readers
+        ]
+        return (
+            np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+        )
+
     def dfs(self, terms: list[str]) -> dict[str, int]:
         return {t: sum(r.df(t) for r in self.readers) for t in terms}
 
@@ -991,6 +1026,50 @@ class QueryEngine:
             "total_hits": total,
             "results": [{"doc_id": int(d), "score": 1.0} for d in ids[:size]],
         }
+
+    def explain(self, query_text: str, doc_id: int) -> dict:
+        """ES _explain API: the per-term BM25/TF-IDF score breakdown of one
+        doc for a ranked query — (term, tf, df, idf, contribution) rows
+        plus the total, reproducing ``stages/scoring.py`` exactly
+        (repeated query terms contribute once per repetition, idf-0 terms
+        contribute nothing).  One targeted shard probe, never a search."""
+        terms = self.normalizer.preprocess_query_list(query_text)
+        out = {"query": query_text, "doc_id": doc_id, "matched": False,
+               "details": [], "score": 0.0}
+        if not terms or self.doc_count == 0:
+            return out
+        dfs = self._global_dfs(sorted(set(terms)))
+        idfs = self._idfs(terms)
+        vec = next(
+            (v for v in self._fanout("doc_termvec", terms, doc_id)
+             if v is not None),
+            None,
+        )
+        if vec is None:
+            return out
+        dl = vec["dl"]
+        total = 0.0
+        for t in dict.fromkeys(terms):
+            tf = vec["tfs"].get(t, 0)
+            idf = idfs.get(t, 0.0)
+            if tf == 0 or idf == 0.0 or dl == 0:
+                continue
+            reps = terms.count(t)
+            if self.scoring == "bm25":
+                one = idf * (
+                    tf * (self.k1 + 1)
+                ) / (tf + self.k1 * (1 - self.b + self.b * dl / self.avgdl))
+            else:  # tfidf — reference formula (selfindex_q_taat.py)
+                one = (tf / dl) * idf
+            contrib = one * reps
+            total += contrib
+            out["details"].append(
+                {"term": t, "tf": tf, "df": dfs[t], "idf": idf,
+                 "reps": reps, "score": contrib}
+            )
+        out["matched"] = bool(out["details"])
+        out["score"] = total
+        return out
 
     def more_like_this(self, doc_id: int, max_query_terms: int = 10,
                        size: int = 10, mode: str | None = None) -> dict:

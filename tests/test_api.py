@@ -126,3 +126,30 @@ def test_compact_makes_deletes_physical(tmp_path_factory):
         for a, b in zip(got["results"], exp["results"]):
             assert abs(a["score"] - b["score"]) < 1e-9, q
     ix.delete_index("c1")
+
+
+def test_delete_by_query(tmp_path_factory):
+    """ES _delete_by_query: tombstone the full hit set of a match /
+    boolean / wildcard query; results exclude them immediately; repeat
+    deletion is a no-op (already-tombstoned docs don't match)."""
+    import json
+
+    base = str(tmp_path_factory.mktemp("dbq_idx"))
+    ix = RayBM25Index(
+        base_dir=base,
+        config=BuildConfig(target_partition_rows=2, docs_per_segment=3),
+    )
+    ix.create_index("d1", DOCS)
+    ix.load_index("d1")
+    # 'apple' matches doc-a(0), doc-d(3), doc-e(4)
+    res = ix.delete_by_query("d1", "apple")
+    assert res["deleted"] == 3
+    got = json.loads(ix.query("banana"))
+    assert sorted(r["doc_id"] for r in got["results"]) == [1]
+    # repeat: nothing live matches any more
+    assert ix.delete_by_query("d1", "apple")["deleted"] == 0
+    # boolean deletion over the remainder: 'cherry NOT banana' -> doc-c(2)
+    assert ix.delete_by_query("d1", "cherry NOT banana")["deleted"] == 1
+    got = json.loads(ix.query("cherry"))
+    assert sorted(r["doc_id"] for r in got["results"]) == [1]
+    ix.delete_index("d1")

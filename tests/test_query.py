@@ -541,6 +541,29 @@ def test_sort_by_field_and_count(tmp_path):
             eng.close()
 
 
+def test_explain(tiny_engine, tiny_oracle):
+    """ES _explain: per-term breakdown sums to the doc's exact search
+    score for every hit (including repeated query terms), and reports
+    matched=False for docs outside the hit set."""
+    for q in ("news sky", "news news sky", "home new sky family"):
+        res = tiny_engine.search(q, size=100_000)  # full hit set
+        hit_ids = {r["doc_id"] for r in res["results"]}
+        for r in res["results"][:10]:
+            ex = tiny_engine.explain(q, r["doc_id"])
+            assert ex["matched"], (q, r)
+            assert abs(ex["score"] - r["score"]) < 1e-12, (q, r)
+            assert ex["details"]
+            assert abs(
+                sum(d["score"] for d in ex["details"]) - ex["score"]
+            ) < 1e-12
+        # a doc with none of the terms: matched=False, score 0
+        non_hit = next(
+            d for d in range(tiny_engine.doc_count) if d not in hit_ids
+        )
+        ex = tiny_engine.explain(q, non_hit)
+        assert not ex["matched"] and ex["score"] == 0.0
+
+
 def test_more_like_this(tmp_path):
     """ES more_like_this: seed doc's top tf*idf terms re-run as a ranked
     query — term selection + ranking vs the oracle; the seed doc itself
