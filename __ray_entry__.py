@@ -810,6 +810,74 @@ def _q_range_filter(sf_dir: str):
     )
 
 
+def _multi_engine(sf_dir: str):
+    """Two indexes over disjoint halves of the documents table (split at
+    doc_id < n//2), wrapped in a MultiIndexEngine — the ES alias /
+    multi-index surface.  Build runs once per process per sf_dir."""
+    import pyarrow.parquet as pq_
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import (
+        MultiIndexEngine,
+        QueryEngine,
+    )
+
+    key = _index_dir_for(sf_dir, "multi")
+    if key in _ENGINES:
+        return _ENGINES[key]
+    tbl = pq_.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).sort_by("doc_id")
+    half = tbl.num_rows // 2
+    engines = {}
+    for name, part in (("a", tbl.slice(0, half)), ("b", tbl.slice(half))):
+        idx = _index_dir_for(sf_dir, f"multi_{name}")
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            os.makedirs(idx, exist_ok=True)
+            src = os.path.join(idx, "_src.parquet")
+            pq_.write_table(part, src)
+            build_index(
+                src, idx,
+                BuildConfig(text_column="text", url_column=None,
+                            lang_column=None, analyzer="plain",
+                            target_partition_rows=500,
+                            docs_per_segment=2_000),
+            )
+        engines[name] = QueryEngine(idx, num_searchers=1)
+    _ENGINES[key] = (MultiIndexEngine(engines), half)
+    return _ENGINES[key]
+
+
+def _q_msearch_union(sf_dir: str):
+    """ES multi-index (alias) search: BM25 over two indexes holding
+    disjoint halves of the corpus with exact cross-index stats (N/df
+    summed, avgdl token-weighted) — scores identical to one union index.
+
+    SQL twin: the whole-corpus bm25 CTE with idx = half-membership of the
+    doc; hash equality IS the federated==union statement."""
+    multi, half = _multi_engine(sf_dir)
+    rows = {"query": [], "rank": [], "idx": [], "doc_id": [], "score": []}
+    for q in BM25_QUERIES:
+        res = multi.search(q, size=10)
+        for rank, r in enumerate(res["results"], 1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["idx"].append(r["index"])
+            rows["doc_id"].append(
+                r["doc_id"] + (0 if r["index"] == "a" else half)
+            )
+            rows["score"].append(int(math.floor(r["score"] * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "idx": pa.array(rows["idx"], pa.string()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score_u": pa.array(rows["score"], pa.int64()),
+        }
+    )
+
+
 MLT_SEEDS = [3, 17, 42]
 MLT_MAX_TERMS = 8
 
@@ -1434,6 +1502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_api": _q_count_api,
         "collapse_source": _q_collapse_source,
         "more_like_this": _q_more_like_this,
+        "msearch_union": _q_msearch_union,
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
         "jaccard_verify": _q_jaccard_verify,
@@ -2142,6 +2211,48 @@ ORDER BY n_chars {direction}, doc_id LIMIT 15""")
     )
 
 
+def _msearch_sql() -> str:
+    # the driver gate runs at sf0.01 (500 docs) -> split = 250; the idx
+    # label is pure doc_id arithmetic, so the hash compares federated
+    # scoring against the single union index ranking
+    qt = []
+    for q in BM25_QUERIES:
+        for t in q.split():
+            qt.append((q, t))
+    return f"""
+WITH tok AS ({_TOK}),
+half AS (SELECT (count(*) // 2) AS h FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query, term) AS (VALUES {_bm25_values_sql(qt)}),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         sum(ln((stats.n + 1.0) / (df.df + 1.0))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+  GROUP BY q.query, tf.doc_id
+),
+ranked AS (
+  SELECT query, doc_id, s,
+         row_number() OVER (PARTITION BY query ORDER BY s DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, CAST(rank AS INT) AS rank,
+       CASE WHEN r.doc_id < half.h THEN 'a' ELSE 'b' END AS idx,
+       r.doc_id,
+       CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_u
+FROM ranked r CROSS JOIN half WHERE rank <= 10 ORDER BY query, rank
+"""
+
+
 def _mlt_sql() -> str:
     mlt_ctes = []
     for i, seed in enumerate(MLT_SEEDS):
@@ -2335,6 +2446,7 @@ def oracle_sql() -> dict[str, str]:
         "count_api": _count_api_sql(),
         "collapse_source": _collapse_sql(),
         "more_like_this": _mlt_sql(),
+        "msearch_union": _msearch_sql(),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dupes FROM documents "
             "GROUP BY text ORDER BY doc_id"

@@ -51,6 +51,7 @@ class RayBM25Index:
         self.config = config or BuildConfig()
         self.engine: QueryEngine | None = None
         self.current_index: str | None = None
+        self._alias_engines: dict = {}
 
     # -- helpers -----------------------------------------------------------
 
@@ -211,6 +212,45 @@ class RayBM25Index:
             columns=["doc_id", "url"], filter=pads.field("url").isin(urls)
         )
         return t.column("doc_id").to_pylist()
+
+    def put_alias(self, alias: str, index_ids: list[str]) -> None:
+        """ES index alias: name a set of indices; ``search_alias`` searches
+        them as one corpus with exact cross-index stats.  Persisted in
+        ``aliases.json`` beside the indices."""
+        path = os.path.join(self.base_dir, "aliases.json")
+        aliases = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                aliases = json.load(f)
+        aliases[alias] = list(index_ids)
+        with open(path, "w") as f:
+            json.dump(aliases, f)
+        stale = self._alias_engines.pop(alias, None)
+        if stale is not None:
+            for e in stale.engines.values():
+                e.close()
+
+    def search_alias(self, alias: str, query_text: str,
+                     size: int = 10) -> dict:
+        """Ranked search across every index under ``alias`` — one
+        MultiIndexEngine (cached per alias) with summed N/df and
+        token-weighted avgdl, so scores equal a single union index."""
+        from .pipelines.query import MultiIndexEngine
+
+        eng = self._alias_engines.get(alias)
+        if eng is None:
+            path = os.path.join(self.base_dir, "aliases.json")
+            with open(path) as f:
+                ids = json.load(f)[alias]
+            eng = MultiIndexEngine(
+                {
+                    i: QueryEngine(self._dir(i), scoring=self.scoring,
+                                   k1=self.k1, b=self.b, mode=self.mode)
+                    for i in ids
+                }
+            )
+            self._alias_engines[alias] = eng
+        return eng.search(query_text, size=size)
 
     def delete_by_query(self, index_id: str, query_text: str) -> dict:
         """ES _delete_by_query: tombstone every live doc matching a match /

@@ -585,6 +585,82 @@ class Searcher:
 SegmentSearcher = ray.remote(Searcher)
 
 
+class MultiIndexEngine:
+    """ES multi-index search (an alias spanning indices): one ranked query
+    over several ``QueryEngine``s with EXACT cross-index collection stats —
+    N and total token count summed, df per term summed, so idf/avgdl (and
+    therefore every BM25 score) are identical to a single index holding
+    the union of the corpora.  Each member index fans out to its own
+    searcher actors; the driver merge is over members' bounded top-k
+    candidate sets with the deterministic (-score, index-order, doc_id)
+    tie-break.
+
+    All member indices must share an analyzer (ES requires compatible
+    mappings under an alias for scoring to make sense)."""
+
+    def __init__(self, engines: dict[str, "QueryEngine"]):
+        if not engines:
+            raise ValueError("MultiIndexEngine needs at least one index")
+        self.engines = dict(engines)
+        first = next(iter(self.engines.values()))
+        analyzers = {
+            e.stats.get("config", {}).get("analyzer", "reference")
+            for e in self.engines.values()
+        }
+        if len(analyzers) > 1:
+            raise ValueError(f"mixed analyzers under one alias: {analyzers}")
+        self.normalizer = first.normalizer
+        self.scoring = first.scoring
+        self.k1, self.b = first.k1, first.b
+        self.doc_count = sum(e.doc_count for e in self.engines.values())
+        total_tokens = sum(
+            e.avgdl * e.doc_count for e in self.engines.values()
+        )
+        self.avgdl = (
+            total_tokens / self.doc_count if self.doc_count else 0.0
+        )
+
+    def _idfs(self, terms: list[str]) -> dict[str, float]:
+        dfs = {t: 0 for t in terms}
+        for e in self.engines.values():
+            for t, df in e._global_dfs(terms).items():
+                dfs[t] += df
+        return {
+            t: (math.log((self.doc_count + 1) / (df + 1)) if df > 0 else 0.0)
+            for t, df in dfs.items()
+        }
+
+    def search(self, query_text: str, size: int = 10,
+               mode: str = "taat") -> dict:
+        """Ranked search across every member index; hits carry the member
+        index name.  Global stats make scores identical to a union index;
+        ties order by (-score, index insertion order, doc_id)."""
+        terms = self.normalizer.preprocess_query_list(query_text)
+        if not terms or self.doc_count == 0:
+            return {"query": query_text, "total_hits": 0, "results": []}
+        idfs = self._idfs(sorted(set(terms)))
+        cands: list[tuple[float, int, int, str]] = []
+        total = 0
+        for oi, (name, e) in enumerate(self.engines.items()):
+            parts = e._fanout(
+                "search_ranked", terms, idfs, size, self.scoring, self.k1,
+                self.b, self.avgdl, mode, None, 0, None,
+            )
+            for ids, scores, n in parts:
+                total += int(n) if n >= 0 else 0
+                for d, s in zip(ids.tolist(), scores.tolist()):
+                    cands.append((-s, oi, d, name))
+        cands.sort()
+        return {
+            "query": query_text,
+            "total_hits": total,
+            "results": [
+                {"index": name, "doc_id": d, "score": -negs}
+                for negs, _, d, name in cands[:size]
+            ],
+        }
+
+
 def _compile_filter(filter: dict | None) -> tuple | None:
     """ES filter-context clause -> internal tuple.  Accepts the ES shapes
     ``{"range": {field: {"gte": lo, "lte": hi}}}`` (inclusive bounds, either

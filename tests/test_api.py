@@ -153,3 +153,29 @@ def test_delete_by_query(tmp_path_factory):
     got = json.loads(ix.query("cherry"))
     assert sorted(r["doc_id"] for r in got["results"]) == [1]
     ix.delete_index("d1")
+
+
+def test_alias_multi_index_search(tmp_path_factory):
+    """ES alias: two indices searched as one corpus — scores identical to
+    a single index holding both doc sets (cross-index N/df/avgdl)."""
+    base = str(tmp_path_factory.mktemp("alias_idx"))
+    ix = RayBM25Index(
+        base_dir=base,
+        config=BuildConfig(target_partition_rows=2, docs_per_segment=3),
+    )
+    ix.create_index("h1", DOCS)
+    ix.create_index("h2", ADD_DOCS)
+    ix.put_alias("all", ["h1", "h2"])
+    o = oracle_for(DOCS + ADD_DOCS)
+    for q in ["apple", "banana cherry", "lemon apple"]:
+        got = ix.search_alias("all", q, size=20)
+        exp = o.query_taat(q, size=20)
+        offset = {"h1": 0, "h2": len(DOCS)}
+        assert got["total_hits"] == exp["total_hits"], q
+        assert [
+            (r["doc_id"] + offset[r["index"]], round(r["score"], 9))
+            for r in got["results"]
+        ] == [
+            (r["doc_id"], round(r["score"], 9)) for r in exp["results"]
+        ], q
+    ix.delete_index("h1"); ix.delete_index("h2")

@@ -541,6 +541,71 @@ def test_sort_by_field_and_count(tmp_path):
             eng.close()
 
 
+def test_multi_index_search(tmp_path):
+    """ES multi-index (alias) search: two indexes holding disjoint halves
+    of a corpus, searched through MultiIndexEngine with summed N/df and
+    token-weighted avgdl — hits and scores EXACTLY equal a single index
+    over the union (oracle), with the (-score, global doc_id) order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.oracle.oracle import OracleIndex
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import (
+        MultiIndexEngine,
+        QueryEngine,
+    )
+
+    import random
+    rng = random.Random(23)
+    vocab = ["merge", "hash", "scan", "join", "other", "words", "table"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 11))),
+        }
+        for i in range(140)
+    ]
+    half = len(rows) // 2
+    engines = {}
+    for name, part in (("a", rows[:half]), ("b", rows[half:])):
+        src = tmp_path / f"src_{name}"; src.mkdir()
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([r["doc_id"] for r in part]),
+                "text": pa.array([r["text"] for r in part]),
+            }),
+            str(src / "p.parquet"),
+        )
+        idx = str(tmp_path / f"idx_{name}")
+        build_index(
+            [str(src / "p.parquet")], idx,
+            BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                        docs_per_segment=30, target_partition_rows=25),
+        )
+        engines[name] = QueryEngine(idx, num_searchers=2)
+    multi = MultiIndexEngine(engines)
+    oracle = OracleIndex()
+    oracle.normalizer = multi.normalizer
+    oracle.build([(r["doc_id"], r["text"]) for r in rows])
+    offset = {"a": 0, "b": half}
+    try:
+        assert multi.doc_count == len(rows)
+        for q in ("merge hash", "scan join table", "words"):
+            got = multi.search(q, size=25)
+            exp = oracle.query_taat(q, size=25)
+            assert got["total_hits"] == exp["total_hits"], q
+            assert [
+                (r["doc_id"] + offset[r["index"]], round(r["score"], 9))
+                for r in got["results"]
+            ] == [
+                (r["doc_id"], round(r["score"], 9)) for r in exp["results"]
+            ], q
+    finally:
+        for e in engines.values():
+            e.close()
+
+
 def test_explain(tiny_engine, tiny_oracle):
     """ES _explain: per-term breakdown sums to the doc's exact search
     score for every hit (including repeated query terms), and reports
