@@ -878,6 +878,38 @@ def _q_msearch_union(sf_dir: str):
     )
 
 
+FS_MODIFIERS = [("ln1p", "ln(1.0 + n_chars)"), ("sqrt", "sqrt(n_chars)")]
+
+
+def _q_function_score(sf_dir: str):
+    """ES function_score field_value_factor: BM25 * modifier(n_chars)
+    (ln1p and sqrt), re-ranked by the boosted score, top-10 per query.
+
+    SQL twin: the bm25 scored CTE joined to documents, ranked by
+    s * modifier expression."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "mod": [], "rank": [], "doc_id": [], "score": []}
+    for q in BM25_QUERIES:
+        for mod, _ in FS_MODIFIERS:
+            res = eng.search_function_score(q, "n_chars", modifier=mod,
+                                            size=10)
+            for rank, r in enumerate(res["results"], 1):
+                rows["query"].append(q)
+                rows["mod"].append(mod)
+                rows["rank"].append(rank)
+                rows["doc_id"].append(r["doc_id"])
+                rows["score"].append(int(math.floor(r["score"] * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "mod": pa.array(rows["mod"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score_u": pa.array(rows["score"], pa.int64()),
+        }
+    )
+
+
 MLT_SEEDS = [3, 17, 42]
 MLT_MAX_TERMS = 8
 
@@ -1503,6 +1535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_source": _q_collapse_source,
         "more_like_this": _q_more_like_this,
         "msearch_union": _q_msearch_union,
+        "function_score": _q_function_score,
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
         "jaccard_verify": _q_jaccard_verify,
@@ -2211,6 +2244,53 @@ ORDER BY n_chars {direction}, doc_id LIMIT 15""")
     )
 
 
+def _function_score_sql() -> str:
+    qt = []
+    for q in BM25_QUERIES:
+        for t in q.split():
+            qt.append((q, t))
+    ranked = []
+    selects = []
+    for i, (mod, expr) in enumerate(FS_MODIFIERS):
+        ranked.append(f"""
+ranked_{i} AS (
+  SELECT '{mod}' AS mod, sc.query, sc.doc_id,
+         sc.s * {expr} AS bs,
+         row_number() OVER (PARTITION BY sc.query
+                            ORDER BY sc.s * {expr} DESC, sc.doc_id) AS rank
+  FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
+)""")
+        selects.append(
+            f"SELECT query, mod, CAST(rank AS INT) AS rank, doc_id, "
+            f"CAST(floor(bs * 1000000 + 0.5) AS BIGINT) AS score_u "
+            f"FROM ranked_{i} WHERE rank <= 10"
+        )
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query, term) AS (VALUES {_bm25_values_sql(qt)}),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         sum(ln((stats.n + 1.0) / (df.df + 1.0))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+  GROUP BY q.query, tf.doc_id
+),
+{",".join(ranked)}
+{" UNION ALL ".join(selects)}
+ORDER BY query, mod, rank
+"""
+
+
 def _msearch_sql() -> str:
     # the driver gate runs at sf0.01 (500 docs) -> split = 250; the idx
     # label is pure doc_id arithmetic, so the hash compares federated
@@ -2447,6 +2527,7 @@ def oracle_sql() -> dict[str, str]:
         "collapse_source": _collapse_sql(),
         "more_like_this": _mlt_sql(),
         "msearch_union": _msearch_sql(),
+        "function_score": _function_score_sql(),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dupes FROM documents "
             "GROUP BY text ORDER BY doc_id"

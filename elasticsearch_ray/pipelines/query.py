@@ -310,6 +310,51 @@ class Searcher:
         )
         return ids, vals, total
 
+    def search_boosted(self, terms: list[str], idfs: dict[str, float],
+                       field: str, modifier: str, k: int, scoring: str,
+                       k1: float, b: float, avgdl: float):
+        """ES function_score field_value_factor: relevance score multiplied
+        by a function of an integer doc-value (``ln1p`` -> ln(1+v), ``ln``,
+        ``sqrt``, ``none`` -> v).  Boosting reorders docs, so scoring is
+        exhaustive TAAT; the boost itself is one vectorized kernel over the
+        candidate set.  Docs without a doc-value keep factor 1.0 (ES
+        ``missing: 1``).  Returns the local top-k only."""
+        per_reader = self._facet_numeric(field)
+        all_ids: list[np.ndarray] = []
+        all_scores: list[np.ndarray] = []
+        total = 0
+        for r, vals in zip(self.readers, per_reader):
+            slots, scores = sc.taat_candidates(
+                r, terms, idfs, scoring, k1, b, avgdl
+            )
+            total += int(slots.size)
+            if not slots.size:
+                continue
+            v = vals[slots]
+            missing = v == np.iinfo(np.int64).min
+            vf = v.astype(np.float64)
+            vf[missing] = 0.0  # placeholder; factor forced to 1 below
+            if modifier == "ln1p":
+                f = np.log(1.0 + vf)
+            elif modifier == "ln":
+                f = np.log(np.maximum(vf, 1e-300))
+            elif modifier == "sqrt":
+                f = np.sqrt(np.maximum(vf, 0.0))
+            else:  # 'none'
+                f = vf
+            f[missing] = 1.0
+            ids, boosted = sc._topk_by_score(
+                slots + r.doc_id_base, scores * f, k
+            )
+            all_ids.append(ids)
+            all_scores.append(boosted)
+        if not all_ids:
+            e = np.empty(0, dtype=np.int64)
+            return e, np.empty(0, dtype=np.float64), total
+        return (
+            np.concatenate(all_ids), np.concatenate(all_scores), total
+        )
+
     def search_collapse(self, terms: list[str], idfs: dict[str, float],
                         field: str, scoring: str, k1: float, b: float,
                         avgdl: float):
@@ -1219,6 +1264,35 @@ class QueryEngine:
             "total_hits": total,
             "results": [
                 {"doc_id": int(ids[i]), "sort": [int(vals[i])]} for i in sel
+            ],
+        }
+
+    def search_function_score(self, query_text: str, field: str,
+                              modifier: str = "ln1p",
+                              size: int = 10) -> dict:
+        """ES function_score with field_value_factor: BM25/TF-IDF relevance
+        multiplied by ``modifier`` of an integer doc-value (``ln1p`` |
+        ``ln`` | ``sqrt`` | ``none``), re-ranked by the boosted score with
+        the (-score, doc_id) tie-break.  Shards return local top-k of the
+        boosted order; the driver merge is bounded by shards*size."""
+        terms = self.normalizer.preprocess_query_list(query_text)
+        if not terms or self.doc_count == 0:
+            return {"query": query_text, "total_hits": 0, "results": []}
+        idfs = self._idfs(terms)
+        parts = self._fanout(
+            "search_boosted", terms, idfs, field, modifier, size,
+            self.scoring, self.k1, self.b, self.avgdl,
+        )
+        ids = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        total = int(sum(p[2] for p in parts))
+        order = np.lexsort((ids, -scores))[:size]
+        return {
+            "query": query_text,
+            "total_hits": total,
+            "results": [
+                {"doc_id": int(ids[i]), "score": float(scores[i])}
+                for i in order
             ],
         }
 

@@ -541,6 +541,78 @@ def test_sort_by_field_and_count(tmp_path):
             eng.close()
 
 
+def test_function_score_field_value_factor(tmp_path):
+    """ES function_score field_value_factor: boosted score = relevance *
+    modifier(doc-value), re-ranked — vs the oracle's full ranking boosted
+    in python; embedded + distributed agree."""
+    import math as _math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.oracle.oracle import OracleIndex
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(29)
+    vocab = ["merge", "hash", "scan", "join", "other", "words"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 9))),
+            "n_chars": rng.randint(1, 400),
+        }
+        for i in range(130)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("n_chars",), docs_per_segment=40,
+                    target_partition_rows=30),
+    )
+    oracle = OracleIndex()
+    oracle.normalizer = QueryEngine(idx, num_searchers=0).normalizer
+    oracle.build([(r["doc_id"], r["text"]) for r in rows])
+    nv = {r["doc_id"]: r["n_chars"] for r in rows}
+    mods = {
+        "ln1p": lambda v: _math.log(1.0 + v),
+        "sqrt": lambda v: _math.sqrt(v),
+        "none": lambda v: float(v),
+    }
+    for eng in (QueryEngine(idx, num_searchers=2),
+                QueryEngine(idx, num_searchers=0)):
+        try:
+            for q in ("merge hash", "scan join"):
+                full = oracle.query_taat(q, size=10_000)
+                for mod, fn in mods.items():
+                    exp = sorted(
+                        (
+                            (-r["score"] * fn(nv[r["doc_id"]]),
+                             r["doc_id"])
+                            for r in full["results"]
+                        ),
+                    )[:12]
+                    got = eng.search_function_score(
+                        q, "n_chars", modifier=mod, size=12
+                    )
+                    assert got["total_hits"] == full["total_hits"], (q, mod)
+                    assert [
+                        (r["doc_id"], round(r["score"], 9))
+                        for r in got["results"]
+                    ] == [
+                        (d, round(-negs, 9)) for negs, d in exp
+                    ], (q, mod)
+        finally:
+            eng.close()
+
+
 def test_multi_index_search(tmp_path):
     """ES multi-index (alias) search: two indexes holding disjoint halves
     of a corpus, searched through MultiIndexEngine with summed N/df and
