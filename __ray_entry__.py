@@ -878,6 +878,40 @@ def _q_msearch_union(sf_dir: str):
     )
 
 
+def _q_top_hits(sf_dir: str):
+    """ES terms agg + top_hits sub-agg: per-source buckets of each query's
+    full hit set (count desc, value asc), each with its 3 best-scoring
+    docs.
+
+    SQL twin: per-(query,source) counts + row_number <= 3 over the bm25
+    scored CTE joined to documents."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "src": [], "doc_count": [], "hit_rank": [],
+            "doc_id": [], "score": []}
+    for q in BM25_QUERIES:
+        res = eng.search_top_hits(q, "source", n=3, size=5)
+        for b in res["buckets"]:
+            for hr, h in enumerate(b["hits"], 1):
+                rows["query"].append(q)
+                rows["src"].append(b["key"])
+                rows["doc_count"].append(b["doc_count"])
+                rows["hit_rank"].append(hr)
+                rows["doc_id"].append(h["doc_id"])
+                rows["score"].append(
+                    int(math.floor(h["score"] * 1e6 + 0.5))
+                )
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "src": pa.array(rows["src"], pa.string()),
+            "doc_count": pa.array(rows["doc_count"], pa.int64()),
+            "hit_rank": pa.array(rows["hit_rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score_u": pa.array(rows["score"], pa.int64()),
+        }
+    )
+
+
 FS_MODIFIERS = [("ln1p", "ln(1.0 + n_chars)"), ("sqrt", "sqrt(n_chars)")]
 
 
@@ -1536,6 +1570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": _q_more_like_this,
         "msearch_union": _q_msearch_union,
         "function_score": _q_function_score,
+        "top_hits": _q_top_hits,
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
         "jaccard_verify": _q_jaccard_verify,
@@ -2244,6 +2279,53 @@ ORDER BY n_chars {direction}, doc_id LIMIT 15""")
     )
 
 
+def _top_hits_sql() -> str:
+    qt = []
+    for q in BM25_QUERIES:
+        for t in q.split():
+            qt.append((q, t))
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query, term) AS (VALUES {_bm25_values_sql(qt)}),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         sum(ln((stats.n + 1.0) / (df.df + 1.0))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+  GROUP BY q.query, tf.doc_id
+),
+hits AS (
+  SELECT sc.query, d.source AS src, sc.doc_id, sc.s,
+         row_number() OVER (PARTITION BY sc.query, d.source
+                            ORDER BY sc.s DESC, sc.doc_id) AS hit_rank,
+         count(*) OVER (PARTITION BY sc.query, d.source) AS doc_count
+  FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
+),
+buckets AS (
+  SELECT query, src, doc_count,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY doc_count DESC, src) AS brank
+  FROM (SELECT DISTINCT query, src, doc_count FROM hits)
+)
+SELECT h.query, h.src, h.doc_count, CAST(h.hit_rank AS INT) AS hit_rank,
+       h.doc_id, CAST(floor(h.s * 1000000 + 0.5) AS BIGINT) AS score_u
+FROM hits h JOIN buckets b
+  ON b.query = h.query AND b.src = h.src
+WHERE b.brank <= 5 AND h.hit_rank <= 3
+ORDER BY h.query, b.brank, h.hit_rank
+"""
+
+
 def _function_score_sql() -> str:
     qt = []
     for q in BM25_QUERIES:
@@ -2528,6 +2610,7 @@ def oracle_sql() -> dict[str, str]:
         "more_like_this": _mlt_sql(),
         "msearch_union": _msearch_sql(),
         "function_score": _function_score_sql(),
+        "top_hits": _top_hits_sql(),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dupes FROM documents "
             "GROUP BY text ORDER BY doc_id"

@@ -401,6 +401,45 @@ class Searcher:
             total,
         )
 
+    def search_top_hits(self, terms: list[str], idfs: dict[str, float],
+                        field: str, n: int, scoring: str, k1: float,
+                        b: float, avgdl: float):
+        """ES terms-agg + top_hits: the ``n`` best-scoring live docs per
+        value of a categorical doc-value field over the FULL ranked hit
+        set.  Per reader: one lexsort by (group, -score, doc_id) and a
+        segmented rank mask — no per-group Python.  Returns
+        {value: [(score, doc_id), ...]} (each list locally top-n and
+        (-score, doc_id)-ordered) plus per-value exact doc counts."""
+        best: dict[str, list[tuple[float, int]]] = {}
+        counts: dict[str, int] = {}
+        for (codes, cats), r in zip(
+            self._facet_column(field), self.readers
+        ):
+            slots, scores = sc.taat_candidates(
+                r, terms, idfs, scoring, k1, b, avgdl
+            )
+            if not slots.size:
+                continue
+            c = codes[slots]
+            m = c >= 0
+            slots, scores, c = slots[m], scores[m], c[m]
+            if not slots.size:
+                continue
+            order = np.lexsort((slots, -scores, c))
+            c_o, s_o, d_o = c[order], scores[order], slots[order]
+            starts = np.flatnonzero(np.r_[True, c_o[1:] != c_o[:-1]])
+            lens = np.diff(np.r_[starts, c_o.size])
+            for st, ln in zip(starts.tolist(), lens.tolist()):
+                v = cats[c_o[st]]
+                counts[v] = counts.get(v, 0) + int(ln)
+                take = min(int(ln), n)
+                lst = best.setdefault(v, [])
+                for i in range(st, st + take):
+                    lst.append(
+                        (float(s_o[i]), int(d_o[i]) + r.doc_id_base)
+                    )
+        return best, counts
+
     def count(self, kind: str, payload) -> int:
         """ES _count API: exact live hit count, no scoring, no fetch."""
         return sum(
@@ -1329,6 +1368,44 @@ class QueryEngine:
                 for v, (s, d) in top[:size]
             ],
         }
+
+    def search_top_hits(self, query_text: str, field: str, n: int = 3,
+                        size: int = 10) -> dict:
+        """ES terms aggregation with a top_hits sub-aggregation: buckets of
+        a categorical doc-value field over the FULL ranked hit set (count
+        desc, value asc — same bucket order as ``search_facets``), each
+        carrying its ``n`` best-scoring docs in (-score, doc_id) order.
+        Shards return n rows + one count per touched bucket; the driver
+        reduce is group-bounded."""
+        terms = self.normalizer.preprocess_query_list(query_text)
+        if not terms or self.doc_count == 0:
+            return {"query": query_text, "field": field, "buckets": []}
+        idfs = self._idfs(terms)
+        parts = self._fanout(
+            "search_top_hits", terms, idfs, field, n, self.scoring,
+            self.k1, self.b, self.avgdl,
+        )
+        merged: dict[str, list[tuple[float, int]]] = {}
+        counts: dict[str, int] = {}
+        for best, cnts in parts:
+            for v, lst in best.items():
+                merged.setdefault(v, []).extend(lst)
+            for v, c in cnts.items():
+                counts[v] = counts.get(v, 0) + c
+        buckets = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out = []
+        for v, c in buckets[:size]:
+            hits = sorted(merged[v], key=lambda sd: (-sd[0], sd[1]))[:n]
+            out.append(
+                {
+                    "key": v,
+                    "doc_count": c,
+                    "hits": [
+                        {"doc_id": d, "score": s} for s, d in hits
+                    ],
+                }
+            )
+        return {"query": query_text, "field": field, "buckets": out}
 
     def count(self, query_text: str | None = None) -> dict:
         """ES _count API: exact hit count of a match / boolean / wildcard

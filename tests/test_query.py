@@ -541,6 +541,69 @@ def test_sort_by_field_and_count(tmp_path):
             eng.close()
 
 
+def test_top_hits_agg(tmp_path):
+    """ES terms agg + top_hits: bucket counts match the facet scan; each
+    bucket's hits are the oracle's best-N docs of that group."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.oracle.oracle import OracleIndex
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(31)
+    vocab = ["merge", "hash", "scan", "join", "other", "words"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 9))),
+            "source": f"s{rng.randint(0, 4)}",
+        }
+        for i in range(150)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("source",), docs_per_segment=40,
+                    target_partition_rows=30),
+    )
+    oracle = OracleIndex()
+    oracle.normalizer = QueryEngine(idx, num_searchers=0).normalizer
+    oracle.build([(r["doc_id"], r["text"]) for r in rows])
+    src_of = {r["doc_id"]: r["source"] for r in rows}
+    for eng in (QueryEngine(idx, num_searchers=2),
+                QueryEngine(idx, num_searchers=0)):
+        try:
+            for q in ("merge hash", "scan join"):
+                full = oracle.query_taat(q, size=10_000)
+                groups: dict[str, list] = {}
+                for r in full["results"]:  # (-score, doc_id) order
+                    groups.setdefault(src_of[r["doc_id"]], []).append(r)
+                exp_buckets = sorted(
+                    groups.items(), key=lambda kv: (-len(kv[1]), kv[0])
+                )
+                got = eng.search_top_hits(q, "source", n=3, size=10)
+                assert [
+                    (b["key"], b["doc_count"]) for b in got["buckets"]
+                ] == [(v, len(g)) for v, g in exp_buckets], q
+                for b, (v, g) in zip(got["buckets"], exp_buckets):
+                    assert [
+                        (h["doc_id"], round(h["score"], 9))
+                        for h in b["hits"]
+                    ] == [
+                        (r["doc_id"], round(r["score"], 9)) for r in g[:3]
+                    ], (q, v)
+        finally:
+            eng.close()
+
+
 def test_function_score_field_value_factor(tmp_path):
     """ES function_score field_value_factor: boosted score = relevance *
     modifier(doc-value), re-ranked — vs the oracle's full ranking boosted
