@@ -912,6 +912,38 @@ def _q_top_hits(sf_dir: str):
     )
 
 
+SIGTERMS_QUERIES = ["merge", "merge AND hash"]
+
+
+def _q_significant_terms(sf_dir: str):
+    """ES significant_terms (JLH): terms over-represented in each query's
+    hit set vs the index; exact fg/df counts, min_doc_count=3, top-10 by
+    (-score, term).
+
+    SQL twin: fg = per-term distinct hit docs, df = per-term distinct
+    docs, identical JLH expression shape (IEEE-identical float ops)."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "term": [], "doc_count": [], "bg_count": [],
+            "score": []}
+    for q in SIGTERMS_QUERIES:
+        res = eng.significant_terms(q, size=10, min_doc_count=3)
+        for b in res["buckets"]:
+            rows["query"].append(q)
+            rows["term"].append(b["key"])
+            rows["doc_count"].append(b["doc_count"])
+            rows["bg_count"].append(b["bg_count"])
+            rows["score"].append(int(math.floor(b["score"] * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "term": pa.array(rows["term"], pa.string()),
+            "doc_count": pa.array(rows["doc_count"], pa.int64()),
+            "bg_count": pa.array(rows["bg_count"], pa.int64()),
+            "score_u": pa.array(rows["score"], pa.int64()),
+        }
+    )
+
+
 FS_MODIFIERS = [("ln1p", "ln(1.0 + n_chars)"), ("sqrt", "sqrt(n_chars)")]
 
 
@@ -1571,6 +1603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "msearch_union": _q_msearch_union,
         "function_score": _q_function_score,
         "top_hits": _q_top_hits,
+        "significant_terms": _q_significant_terms,
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
         "jaccard_verify": _q_jaccard_verify,
@@ -2279,6 +2312,38 @@ ORDER BY n_chars {direction}, doc_id LIMIT 15""")
     )
 
 
+def _significant_terms_sql() -> str:
+    parts = []
+    for i, q in enumerate(SIGTERMS_QUERIES):
+        label = q.replace("'", "''")
+        parts.append(f"""
+SELECT query, term, doc_count, bg_count, score_u FROM (
+  SELECT '{label}' AS query, f.tok AS term,
+         f.f AS doc_count, d.d AS bg_count,
+         CAST(floor(((f.f / h.hits - d.d / n.n)
+                     * ((f.f / h.hits) / (d.d / n.n))) * 1000000 + 0.5)
+              AS BIGINT) AS score_u,
+         row_number() OVER (
+           ORDER BY (f.f / h.hits - d.d / n.n)
+                    * ((f.f / h.hits) / (d.d / n.n)) DESC, f.tok
+         ) AS rk
+  FROM (SELECT tok, count(DISTINCT doc_id) AS f FROM tok
+        WHERE doc_id IN ({_AGG_HITS_SQL[q]}) GROUP BY tok) f
+  JOIN dfc d ON d.tok = f.tok
+  CROSS JOIN (SELECT count(*) AS hits
+              FROM ({_AGG_HITS_SQL[q]})) h
+  CROSS JOIN docs_n n
+  WHERE f.f >= 3 AND (f.f / h.hits) > (d.d / n.n)
+) WHERE rk <= 10""")
+    return (
+        f"WITH tok AS ({_TOK}), "
+        f"dfc AS (SELECT tok, count(DISTINCT doc_id) AS d FROM tok "
+        f"GROUP BY tok), "
+        f"docs_n AS (SELECT count(*) AS n FROM documents) "
+        + " UNION ALL ".join(f"({p})" for p in parts)
+    )
+
+
 def _top_hits_sql() -> str:
     qt = []
     for q in BM25_QUERIES:
@@ -2611,6 +2676,7 @@ def oracle_sql() -> dict[str, str]:
         "msearch_union": _msearch_sql(),
         "function_score": _function_score_sql(),
         "top_hits": _top_hits_sql(),
+        "significant_terms": _significant_terms_sql(),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dupes FROM documents "
             "GROUP BY text ORDER BY doc_id"

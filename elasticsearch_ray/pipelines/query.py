@@ -440,6 +440,42 @@ class Searcher:
                     )
         return best, counts
 
+    def significant_terms_counts(self, kind: str, payload):
+        """ES significant_terms support: per-term (foreground count inside
+        the hit set, local df) over THIS shard's dictionary.  Per segment:
+        one boolean hit mask + one pass over the postings lists (the same
+        full-postings cost ES pays; at web scale front it with a sampler
+        or a df ceiling — the candidate enumeration is the segment
+        dictionary).  Returns (terms, fg_counts, dfs, local_hit_total)."""
+        fg: dict[str, int] = {}
+        dfl: dict[str, int] = {}
+        total = 0
+        for r in self.readers:
+            hit_slots = self._match_slots(r, kind, payload)
+            total += int(hit_slots.size)
+            if not hit_slots.size:
+                continue
+            mask = np.zeros(r.num_docs, dtype=bool)
+            mask[hit_slots] = True
+            live = r.doc_lens >= 0
+            for row in range(r.num_terms):
+                slots, _ = r.postings_slots_by_row(row)
+                n_fg = int(np.count_nonzero(mask[slots]))
+                if n_fg == 0:
+                    continue
+                t = r.term_by_row(row)
+                fg[t] = fg.get(t, 0) + n_fg
+                dfl[t] = dfl.get(t, 0) + int(
+                    np.count_nonzero(live[slots])
+                )
+        terms = list(fg)
+        return (
+            terms,
+            [fg[t] for t in terms],
+            [dfl[t] for t in terms],
+            total,
+        )
+
     def count(self, kind: str, payload) -> int:
         """ES _count API: exact live hit count, no scoring, no fetch."""
         return sum(
@@ -1406,6 +1442,47 @@ class QueryEngine:
                 }
             )
         return {"query": query_text, "field": field, "buckets": out}
+
+    def significant_terms(self, query_text: str, size: int = 10,
+                          min_doc_count: int = 3) -> dict:
+        """ES significant_terms aggregation (JLH): terms over-represented
+        in the query's hit set vs the whole index.  score =
+        (fg_rate - bg_rate) * fg_rate / bg_rate with fg_rate = fg/hits,
+        bg_rate = df/N; only terms with fg_rate > bg_rate and fg >=
+        ``min_doc_count`` surface; (-score, term) deterministic order.
+        Exact counts (no shard-local cutoffs): shards return every term
+        touched by the hit set."""
+        kind, payload = self._agg_route(query_text)
+        parts = self._fanout("significant_terms_counts", kind, payload)
+        fg: dict[str, int] = {}
+        df: dict[str, int] = {}
+        hits = 0
+        for terms_, fgs, dfs, n in parts:
+            hits += int(n)
+            for t, f, d in zip(terms_, fgs, dfs):
+                fg[t] = fg.get(t, 0) + int(f)
+                df[t] = df.get(t, 0) + int(d)
+        buckets = []
+        if hits:
+            n_docs = float(self.doc_count)
+            for t, f in fg.items():
+                if f < min_doc_count:
+                    continue
+                fg_rate = f / hits
+                bg_rate = df[t] / n_docs
+                if fg_rate <= bg_rate:
+                    continue
+                score = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+                buckets.append((score, t, f, df[t]))
+            buckets.sort(key=lambda b: (-b[0], b[1]))
+        return {
+            "query": query_text,
+            "total_hits": hits,
+            "buckets": [
+                {"key": t, "doc_count": f, "bg_count": d, "score": s}
+                for s, t, f, d in buckets[:size]
+            ],
+        }
 
     def count(self, query_text: str | None = None) -> dict:
         """ES _count API: exact hit count of a match / boolean / wildcard

@@ -541,6 +541,75 @@ def test_sort_by_field_and_count(tmp_path):
             eng.close()
 
 
+def test_significant_terms(tmp_path):
+    """ES significant_terms (JLH) vs a pure-python scan: exact fg/df
+    counts and scores over match + boolean hit sets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(37)
+    vocab = ["merge", "hash", "scan", "join", "other", "words", "table",
+             "batch", "spark"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 9))),
+        }
+        for i in range(160)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    docs_per_segment=40, target_partition_rows=30),
+    )
+    preds = {
+        "merge": lambda t: "merge" in t.split(),
+        "merge AND hash":
+            lambda t: "merge" in t.split() and "hash" in t.split(),
+    }
+    n_docs = len(rows)
+    for eng in (QueryEngine(idx, num_searchers=2),
+                QueryEngine(idx, num_searchers=0)):
+        try:
+            for q, pred in preds.items():
+                hit_rows = [r for r in rows if pred(r["text"])]
+                hits = len(hit_rows)
+                exp = []
+                for t in sorted(set(w for r in rows for w in r["text"].split())):
+                    f = sum(1 for r in hit_rows if t in r["text"].split())
+                    d = sum(1 for r in rows if t in r["text"].split())
+                    if f < 3:
+                        continue
+                    fg_rate, bg_rate = f / hits, d / n_docs
+                    if fg_rate <= bg_rate:
+                        continue
+                    exp.append(
+                        ((fg_rate - bg_rate) * fg_rate / bg_rate, t, f, d)
+                    )
+                exp.sort(key=lambda b: (-b[0], b[1]))
+                got = eng.significant_terms(q, size=10)
+                assert got["total_hits"] == hits, q
+                assert [
+                    (b["key"], b["doc_count"], b["bg_count"],
+                     round(b["score"], 12))
+                    for b in got["buckets"]
+                ] == [
+                    (t, f, d, round(s, 12)) for s, t, f, d in exp[:10]
+                ], q
+        finally:
+            eng.close()
+
+
 def test_top_hits_agg(tmp_path):
     """ES terms agg + top_hits: bucket counts match the facet scan; each
     bucket's hits are the oracle's best-N docs of that group."""
