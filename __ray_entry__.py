@@ -912,6 +912,29 @@ def _q_top_hits(sf_dir: str):
     )
 
 
+def _q_term_vectors(sf_dir: str):
+    """ES _termvectors with term_statistics: every analyzed term of the
+    seed docs with tf + global df (re-analyzed from stored _source; df via
+    the term-range-sharded df_global lookup)."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"doc_id": [], "term": [], "term_freq": [], "doc_freq": []}
+    for seed in MLT_SEEDS:
+        tv = eng.term_vectors(seed)
+        for t, v in tv["terms"].items():  # already term-sorted
+            rows["doc_id"].append(seed)
+            rows["term"].append(t)
+            rows["term_freq"].append(v["term_freq"])
+            rows["doc_freq"].append(v["doc_freq"])
+    return pa.table(
+        {
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "term": pa.array(rows["term"], pa.string()),
+            "term_freq": pa.array(rows["term_freq"], pa.int64()),
+            "doc_freq": pa.array(rows["doc_freq"], pa.int64()),
+        }
+    )
+
+
 SIGTERMS_QUERIES = ["merge", "merge AND hash"]
 
 
@@ -1604,6 +1627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "function_score": _q_function_score,
         "top_hits": _q_top_hits,
         "significant_terms": _q_significant_terms,
+        "term_vectors": _q_term_vectors,
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
         "jaccard_verify": _q_jaccard_verify,
@@ -2312,6 +2336,21 @@ ORDER BY n_chars {direction}, doc_id LIMIT 15""")
     )
 
 
+def _term_vectors_sql() -> str:
+    seeds = ", ".join(str(s) for s in MLT_SEEDS)
+    return f"""
+WITH tok AS ({_TOK}),
+dfc AS (SELECT tok, count(DISTINCT doc_id) AS d FROM tok GROUP BY tok)
+SELECT t.doc_id, t.tok AS term,
+       count(*)::BIGINT AS term_freq,
+       min(d.d)::BIGINT AS doc_freq
+FROM tok t JOIN dfc d ON d.tok = t.tok
+WHERE t.doc_id IN ({seeds})
+GROUP BY t.doc_id, t.tok
+ORDER BY t.doc_id, t.tok
+"""
+
+
 def _significant_terms_sql() -> str:
     parts = []
     for i, q in enumerate(SIGTERMS_QUERIES):
@@ -2677,6 +2716,7 @@ def oracle_sql() -> dict[str, str]:
         "function_score": _function_score_sql(),
         "top_hits": _top_hits_sql(),
         "significant_terms": _significant_terms_sql(),
+        "term_vectors": _term_vectors_sql(),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dupes FROM documents "
             "GROUP BY text ORDER BY doc_id"

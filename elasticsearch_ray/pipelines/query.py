@@ -81,7 +81,8 @@ class Searcher:
             tbl = dset.to_table(
                 columns=["doc_id", field],
                 filter=(pads.field("doc_id") >= lo)
-                & (pads.field("doc_id") < hi),
+                & (pads.field("doc_id") < hi)
+                & ~pads.field(field).is_null(),  # nulls stay code -1
             ).sort_by("doc_id")
             col = tbl.column(field).combine_chunks()
             denc = col.dictionary_encode()
@@ -109,7 +110,8 @@ class Searcher:
             tbl = dset.to_table(
                 columns=["doc_id", field],
                 filter=(pads.field("doc_id") >= lo)
-                & (pads.field("doc_id") < hi),
+                & (pads.field("doc_id") < hi)
+                & ~pads.field(field).is_null(),  # nulls keep the sentinel
             ).sort_by("doc_id")
             vals = np.full(r.doc_lens.size, np.iinfo(np.int64).min, np.int64)
             slots = tbl.column("doc_id").to_numpy() - lo
@@ -505,6 +507,35 @@ class Searcher:
                     tfs[t] = int(tf_arr[i])
             return {"tfs": tfs, "dl": int(r.doc_lens[slot])}
         return None
+
+    def exists_ids(self, field: str, k: int):
+        """ES exists query per shard: live docs with a present doc-value
+        for ``field`` — integer (sentinel gap) or categorical (code -1
+        gap) — first k ascending, exact local total."""
+        import pyarrow.dataset as pads
+        import pyarrow.types as patypes
+
+        schema = pads.dataset(
+            os.path.join(self.index_dir, "docmap"), format="parquet"
+        ).schema
+        numeric = patypes.is_integer(schema.field(field).type)
+        per_reader = (
+            self._facet_numeric(field) if numeric
+            else self._facet_column(field)
+        )
+        parts: list[np.ndarray] = []
+        total = 0
+        for r, vals in zip(self.readers, per_reader):
+            present = (
+                vals != np.iinfo(np.int64).min if numeric else vals[0] >= 0
+            )
+            slots = np.flatnonzero((r.doc_lens >= 0) & present)
+            total += int(slots.size)
+            parts.append(slots[:k] + r.doc_id_base)
+        ids = (
+            np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+        )
+        return ids[:k], total
 
     def match_ids(self, kind: str, payload) -> np.ndarray:
         """ALL matching live global doc_ids (the delete_by_query surface) —
@@ -1266,6 +1297,41 @@ class QueryEngine:
         out["matched"] = bool(out["details"])
         out["score"] = total
         return out
+
+    def term_vectors(self, doc_id: int) -> dict:
+        """ES _termvectors API: every analyzed term of one doc with its tf
+        and global df (term_statistics=true).  Re-analyzes the stored
+        ``_source`` (requires ``store_source=True``) — one bounded docmap
+        read + one df lookup round, never a postings scan."""
+        from collections import Counter
+
+        doc = self.get_doc(doc_id)
+        if doc is None or not doc.get("source"):
+            return {"doc_id": doc_id, "found": False, "terms": {}}
+        tf = Counter(self.normalizer.tokenize(doc["source"]))
+        dfs = self._global_dfs(sorted(tf))
+        return {
+            "doc_id": doc_id,
+            "found": True,
+            "terms": {
+                t: {"term_freq": int(f), "doc_freq": int(dfs[t])}
+                for t, f in sorted(tf.items())
+            },
+        }
+
+    def exists(self, field: str, size: int = 10) -> dict:
+        """ES exists query: live docs that HAVE a value for a doc-value
+        field (docmap gaps — e.g. lang-filtered rows — don't).  Filter-
+        context shape: doc_id ascending, unscored, exact totals."""
+        parts = self._fanout("exists_ids", field, size)
+        ids = np.concatenate([p[0] for p in parts])
+        total = int(sum(p[1] for p in parts))
+        return {
+            "query": f"exists:{field}",
+            "total_hits": total,
+            "results": [{"doc_id": int(d), "score": 1.0}
+                        for d in ids[:size]],
+        }
 
     def more_like_this(self, doc_id: int, max_query_terms: int = 10,
                        size: int = 10, mode: str | None = None) -> dict:

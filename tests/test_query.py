@@ -541,6 +541,72 @@ def test_sort_by_field_and_count(tmp_path):
             eng.close()
 
 
+def test_term_vectors_and_exists(tmp_path):
+    """ES _termvectors (tf + global df per analyzed term of one doc, from
+    stored _source) and the exists query over doc-values with NULL gaps."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(41)
+    vocab = ["merge", "hash", "scan", "join", "other", "words"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 8))),
+            "n_chars": (None if i % 5 == 0 else rng.randint(10, 99)),
+            "source": (None if i % 7 == 0 else f"s{rng.randint(0, 2)}"),
+        }
+        for i in range(105)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+        }),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("source", "n_chars"),
+                    docs_per_segment=40, target_partition_rows=30,
+                    store_source=True),
+    )
+    # corpus-wide python dfs
+    df: dict = {}
+    for r in rows:
+        for t in set(r["text"].split()):
+            df[t] = df.get(t, 0) + 1
+    for eng in (QueryEngine(idx, num_searchers=2),
+                QueryEngine(idx, num_searchers=0)):
+        try:
+            for seed in (0, 7, 33):
+                tv = eng.term_vectors(seed)
+                assert tv["found"]
+                exp_tf = Counter(rows[seed]["text"].split())
+                assert {
+                    t: (v["term_freq"], v["doc_freq"])
+                    for t, v in tv["terms"].items()
+                } == {t: (f, df[t]) for t, f in exp_tf.items()}, seed
+            for field, key in (("n_chars", "n_chars"), ("source", "source")):
+                exp_ids = [r["doc_id"] for r in rows if r[key] is not None]
+                got = eng.exists(field, size=300)
+                assert got["total_hits"] == len(exp_ids), field
+                assert [r["doc_id"] for r in got["results"]] == exp_ids, field
+        finally:
+            eng.close()
+
+
 def test_significant_terms(tmp_path):
     """ES significant_terms (JLH) vs a pure-python scan: exact fg/df
     counts and scores over match + boolean hit sets."""
