@@ -283,10 +283,32 @@ def bench_aggs(index_dir: str, docs_parquet: str) -> dict:
             t0 = time.perf_counter()
             eng.search(q)
             fl.append((time.perf_counter() - t0) * 1e3)
+        # round-3 late surfaces: sort-by-field, field collapse,
+        # function_score boost, significant_terms (full-hit-set paths)
+        late: dict[str, list[float]] = {
+            "sort": [], "collapse": [], "fscore": [], "sigterms": [],
+        }
+        for q in queries[:10]:
+            t0 = time.perf_counter()
+            eng.search_sort(q, "n_chars", size=10)
+            late["sort"].append((time.perf_counter() - t0) * 1e3)
+            t0 = time.perf_counter()
+            eng.search_collapse(q, "source", size=10)
+            late["collapse"].append((time.perf_counter() - t0) * 1e3)
+            t0 = time.perf_counter()
+            eng.search_function_score(q, "n_chars", size=10)
+            late["fscore"].append((time.perf_counter() - t0) * 1e3)
+            t0 = time.perf_counter()
+            eng.significant_terms(q, size=10)
+            late["sigterms"].append((time.perf_counter() - t0) * 1e3)
         out["facets"] = _percentiles(lats["facets"])
         out["stats"] = _percentiles(lats["stats"])
         out["wildcard"] = _percentiles(wl)
         out["fuzzy"] = _percentiles(fl)
+        out["sort"] = _percentiles(late["sort"])
+        out["collapse"] = _percentiles(late["collapse"])
+        out["function_score"] = _percentiles(late["fscore"])
+        out["sigterms"] = _percentiles(late["sigterms"])
     finally:
         eng.close()
     return out
@@ -495,6 +517,13 @@ def main_single():
             "query_stats_p50_ms": res["query_aggs"]["stats"]["p50_ms"],
             "query_wildcard_p50_ms": res["query_aggs"]["wildcard"]["p50_ms"],
             "query_fuzzy_p50_ms": res["query_aggs"]["fuzzy"]["p50_ms"],
+            "query_sort_p50_ms": res["query_aggs"]["sort"]["p50_ms"],
+            "query_collapse_p50_ms":
+                res["query_aggs"]["collapse"]["p50_ms"],
+            "query_function_score_p50_ms":
+                res["query_aggs"]["function_score"]["p50_ms"],
+            "query_sigterms_p50_ms":
+                res["query_aggs"]["sigterms"]["p50_ms"],
             "query_taat_p50_ms": res["query"]["taat"]["p50_ms"],
             "query_taat_p99_ms": res["query"]["taat"]["p99_ms"],
             "query_wand_p50_ms": res["query"]["wand"]["p50_ms"],
