@@ -935,6 +935,35 @@ def _q_term_vectors(sf_dir: str):
     )
 
 
+PERCOLATE_QUERIES = [
+    "merge",
+    "merge hash",
+    "merge AND hash",
+    "scan OR (join AND NOT merge)",
+    "words NOT merge",
+]
+
+
+def _q_percolate(sf_dir: str):
+    """ES percolator as a streaming map_batches op: every (doc, matching
+    registered query) pair over the documents table — match-any and
+    boolean (incl. NOT complement) semantics, no index build.
+
+    SQL twin: per-query hit-set expressed in set algebra over tok."""
+    from elasticsearch_ray.ops.percolate import percolate
+
+    out = percolate(
+        _docs_ds(sf_dir), PERCOLATE_QUERIES, analyzer="plain"
+    ).take_all()
+    pairs = sorted((r["doc_id"], r["query_id"]) for r in out)
+    return pa.table(
+        {
+            "doc_id": pa.array([p[0] for p in pairs], pa.int64()),
+            "query_id": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+
+
 SIGTERMS_QUERIES = ["merge", "merge AND hash"]
 
 
@@ -1628,6 +1657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_hits": _q_top_hits,
         "significant_terms": _q_significant_terms,
         "term_vectors": _q_term_vectors,
+        "percolate": _q_percolate,
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
         "jaccard_verify": _q_jaccard_verify,
@@ -2336,6 +2366,31 @@ ORDER BY n_chars {direction}, doc_id LIMIT 15""")
     )
 
 
+def _percolate_sql() -> str:
+    hits = {
+        0: "SELECT DISTINCT doc_id FROM tok WHERE tok='merge'",
+        1: ("SELECT DISTINCT doc_id FROM tok "
+            "WHERE tok IN ('merge','hash')"),
+        2: ("SELECT doc_id FROM tok WHERE tok='merge' INTERSECT "
+            "SELECT doc_id FROM tok WHERE tok='hash'"),
+        3: ("SELECT doc_id FROM tok WHERE tok='scan' UNION "
+            "(SELECT doc_id FROM tok WHERE tok='join' INTERSECT "
+            "(SELECT doc_id FROM documents EXCEPT "
+            "SELECT doc_id FROM tok WHERE tok='merge'))"),
+        4: ("SELECT doc_id FROM tok WHERE tok='words' EXCEPT "
+            "SELECT doc_id FROM tok WHERE tok='merge'"),
+    }
+    parts = [
+        f"SELECT doc_id, {qid}::BIGINT AS query_id FROM ({h})"
+        for qid, h in hits.items()
+    ]
+    return (
+        f"WITH tok AS ({_TOK}) SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") ORDER BY doc_id, query_id"
+    )
+
+
 def _term_vectors_sql() -> str:
     seeds = ", ".join(str(s) for s in MLT_SEEDS)
     return f"""
@@ -2717,6 +2772,7 @@ def oracle_sql() -> dict[str, str]:
         "top_hits": _top_hits_sql(),
         "significant_terms": _significant_terms_sql(),
         "term_vectors": _term_vectors_sql(),
+        "percolate": _percolate_sql(),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dupes FROM documents "
             "GROUP BY text ORDER BY doc_id"

@@ -529,3 +529,62 @@ def test_corpus_hash_split_deterministic():
     for i, t in enumerate(texts):
         b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 1000
         assert out1[i][1] == b
+
+
+def test_percolate_matches_oracle():
+    """Stream percolation (ES percolator as map_batches) vs the oracle's
+    per-query hit sets over the same corpus — match and boolean queries,
+    including NOT complements and malformed queries."""
+    import random
+
+    from elasticsearch_ray.ops.percolate import percolate
+    from elasticsearch_ray.oracle.oracle import OracleIndex
+
+    rng = random.Random(43)
+    vocab = ["merge", "hash", "scan", "join", "other", "words"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 9)))
+        for _ in range(120)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(4)
+    queries = [
+        "merge",                   # match single term
+        "merge hash",              # match-any
+        "merge AND hash",          # boolean
+        "scan OR (join AND NOT merge)",
+        "words NOT merge",         # implicit-AND + complement
+        "AND AND",                 # malformed -> no matches
+    ]
+    oracle = OracleIndex()
+    from elasticsearch_ray.normalizer import make_normalizer
+
+    oracle.normalizer = make_normalizer("plain")
+    oracle.build(list(enumerate(texts)))
+    got = sorted(
+        (r["doc_id"], r["query_id"])
+        for r in percolate(ds, queries, analyzer="plain").take_all()
+    )
+    from elasticsearch_ray.oracle.oracle import looks_boolean
+
+    exp = []
+    for qid, q in enumerate(queries):
+        if looks_boolean(q):  # same routing as the percolator/engine
+            hits = {
+                r["doc_id"]
+                for r in oracle.query_boolean(q, size=10_000)["results"]
+            }
+        else:
+            terms = oracle.normalizer.preprocess_query_list(q)
+            hits = {
+                d for t in terms
+                for d in oracle.inverted_index.get(t, [])
+            }
+        exp.extend((d, qid) for d in hits)
+    assert got == sorted(exp)
