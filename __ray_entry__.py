@@ -935,6 +935,40 @@ def _q_term_vectors(sf_dir: str):
     )
 
 
+RESCORE_QUERY = "hash table"
+RESCORE_W = 30
+RESCORE_QW, RESCORE_RW = 0.7, 1.3
+
+
+def _q_rescore(sf_dir: str):
+    """ES rescore: the top-30 BM25 window re-ranked by
+    0.7*base + 1.3*rescore_score (rescore query 'hash table'; docs the
+    rescore query misses contribute 0), top-10 of the reordered window.
+
+    SQL twin: base ranked CTE (rank<=30) LEFT JOIN the rescore scored CTE,
+    same combine expression."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "rank": [], "doc_id": [], "score": []}
+    for q in BM25_QUERIES:
+        res = eng.rescore(q, RESCORE_QUERY, size=10,
+                          window_size=RESCORE_W,
+                          query_weight=RESCORE_QW,
+                          rescore_weight=RESCORE_RW)
+        for rank, r in enumerate(res["results"], 1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r["doc_id"])
+            rows["score"].append(int(math.floor(r["score"] * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score_u": pa.array(rows["score"], pa.int64()),
+        }
+    )
+
+
 PERCOLATE_QUERIES = [
     "merge",
     "merge hash",
@@ -1658,6 +1692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "significant_terms": _q_significant_terms,
         "term_vectors": _q_term_vectors,
         "percolate": _q_percolate,
+        "rescore": _q_rescore,
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
         "jaccard_verify": _q_jaccard_verify,
@@ -2366,6 +2401,68 @@ ORDER BY n_chars {direction}, doc_id LIMIT 15""")
     )
 
 
+def _rescore_sql() -> str:
+    qt = []
+    for q in BM25_QUERIES:
+        for t in q.split():
+            qt.append((q, t))
+    q2 = ", ".join(f"('{t}')" for t in RESCORE_QUERY.split())
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query, term) AS (VALUES {_bm25_values_sql(qt)}),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         sum(ln((stats.n + 1.0) / (df.df + 1.0))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+  GROUP BY q.query, tf.doc_id
+),
+q2(term) AS (VALUES {q2}),
+scored2 AS (
+  SELECT tf.doc_id,
+         sum(ln((stats.n + 1.0) / (df.df + 1.0))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s2
+  FROM q2
+  JOIN df ON df.term = q2.term
+  JOIN tf ON tf.term = q2.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+  GROUP BY tf.doc_id
+),
+win AS (
+  SELECT query, doc_id, s,
+         row_number() OVER (PARTITION BY query ORDER BY s DESC, doc_id) AS rank
+  FROM scored
+),
+combined AS (
+  SELECT w.query, w.doc_id,
+         {RESCORE_QW} * w.s + {RESCORE_RW} * coalesce(s2.s2, 0.0) AS cs,
+         row_number() OVER (
+           PARTITION BY w.query
+           ORDER BY {RESCORE_QW} * w.s
+                    + {RESCORE_RW} * coalesce(s2.s2, 0.0) DESC, w.doc_id
+         ) AS rank
+  FROM win w LEFT JOIN scored2 s2 ON s2.doc_id = w.doc_id
+  WHERE w.rank <= {RESCORE_W}
+)
+SELECT query, CAST(rank AS INT) AS rank, doc_id,
+       CAST(floor(cs * 1000000 + 0.5) AS BIGINT) AS score_u
+FROM combined WHERE rank <= 10 ORDER BY query, rank
+"""
+
+
 def _percolate_sql() -> str:
     hits = {
         0: "SELECT DISTINCT doc_id FROM tok WHERE tok='merge'",
@@ -2773,6 +2870,7 @@ def oracle_sql() -> dict[str, str]:
         "significant_terms": _significant_terms_sql(),
         "term_vectors": _term_vectors_sql(),
         "percolate": _percolate_sql(),
+        "rescore": _rescore_sql(),
         "exact_dedup": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dupes FROM documents "
             "GROUP BY text ORDER BY doc_id"

@@ -485,6 +485,33 @@ class Searcher:
             for r in self.readers
         )
 
+    def scores_for(self, terms: list[str], idfs: dict[str, float],
+                   doc_ids: list[int], scoring: str, k1: float, b: float,
+                   avgdl: float) -> dict[int, float]:
+        """Relevance score of a BOUNDED id set under a query (the rescore
+        surface): exhaustive TAAT per owned segment, then a binary-search
+        pick of the requested docs; ids outside the hit set are absent
+        (score 0 to the caller)."""
+        out: dict[int, float] = {}
+        ids = np.asarray(sorted(doc_ids), dtype=np.int64)
+        for r in self.readers:
+            lo = r.doc_id_base
+            sel = ids[(ids >= lo) & (ids < lo + r.doc_lens.size)]
+            if not sel.size:
+                continue
+            slots, scores = sc.taat_candidates(
+                r, terms, idfs, scoring, k1, b, avgdl
+            )
+            if not slots.size:
+                continue
+            want = sel - lo
+            pos = np.searchsorted(slots, want)
+            pos_c = np.minimum(pos, slots.size - 1)
+            ok = slots[pos_c] == want
+            for d, p in zip(sel[ok].tolist(), pos_c[ok].tolist()):
+                out[int(d)] = float(scores[p])
+        return out
+
     def doc_termvec(self, terms: list[str], doc_id: int):
         """(tf per term, doc length) for ONE live doc if this shard owns it
         (the explain surface); None otherwise.  One postings decode +
@@ -1406,6 +1433,47 @@ class QueryEngine:
             "results": [
                 {"doc_id": int(ids[i]), "sort": [int(vals[i])]} for i in sel
             ],
+        }
+
+    def rescore(self, query_text: str, rescore_query: str,
+                size: int = 10, window_size: int = 50,
+                query_weight: float = 1.0,
+                rescore_weight: float = 1.0) -> dict:
+        """ES rescore: re-rank the top ``window_size`` hits of the base
+        query by ``query_weight * base + rescore_weight * rescore_score``
+        (docs outside the rescore query's hit set contribute 0); hits
+        below the window keep base order (ES semantics — only the window
+        reorders).  Cost: the base search + ONE bounded scores_for round
+        over the window ids."""
+        base = self.search(query_text, size=window_size)
+        window = base["results"]
+        if window:
+            terms = self.normalizer.preprocess_query_list(rescore_query)
+            s2: dict[int, float] = {}
+            if terms:
+                idfs = self._idfs(terms)
+                for part in self._fanout(
+                    "scores_for", terms, idfs,
+                    [r["doc_id"] for r in window], self.scoring,
+                    self.k1, self.b, self.avgdl,
+                ):
+                    s2.update(part)
+            rers = sorted(
+                (
+                    (-(query_weight * r["score"]
+                       + rescore_weight * s2.get(r["doc_id"], 0.0)),
+                     r["doc_id"])
+                    for r in window
+                ),
+            )
+            window = [
+                {"doc_id": d, "score": -negs} for negs, d in rers
+            ]
+        return {
+            "query": query_text,
+            "rescore_query": rescore_query,
+            "total_hits": base["total_hits"],
+            "results": window[:size],
         }
 
     def search_function_score(self, query_text: str, field: str,

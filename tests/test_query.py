@@ -541,6 +541,33 @@ def test_sort_by_field_and_count(tmp_path):
             eng.close()
 
 
+def test_rescore(tiny_engine, tiny_oracle):
+    """ES rescore: window re-ranked by qw*base + rw*rescore_score —
+    vs the oracle's two full rankings combined in python."""
+    for q, rq in (("news sky", "home family"), ("work new", "news")):
+        base = tiny_oracle.query_taat(q, size=30)
+        r2 = {
+            r["doc_id"]: r["score"]
+            for r in tiny_oracle.query_taat(rq, size=100_000)["results"]
+        }
+        for qw, rw in ((1.0, 1.0), (0.5, 2.0)):
+            exp = sorted(
+                (
+                    (-(qw * r["score"] + rw * r2.get(r["doc_id"], 0.0)),
+                     r["doc_id"])
+                    for r in base["results"]
+                ),
+            )[:10]
+            got = tiny_engine.rescore(
+                q, rq, size=10, window_size=30,
+                query_weight=qw, rescore_weight=rw,
+            )
+            assert got["total_hits"] == base["total_hits"], (q, rq)
+            assert [
+                (r["doc_id"], round(r["score"], 9)) for r in got["results"]
+            ] == [(d, round(-negs, 9)) for negs, d in exp], (q, rq, qw, rw)
+
+
 def test_term_vectors_and_exists(tmp_path):
     """ES _termvectors (tf + global df per analyzed term of one doc, from
     stored _source) and the exists query over doc-values with NULL gaps."""
