@@ -1629,7 +1629,9 @@ class QueryEngine:
         parts = self._fanout("count", kind, payload)
         return {"query": query_text or "", "count": int(sum(parts))}
 
-    def _agg_route(self, query_text: str):
+    def _agg_route(self, query_text: str | None):
+        if query_text is None or not query_text.strip():
+            return "all", None  # match_all
         q = query_text.strip()
         if _WILDCARD_RE.match(q):
             return "wildcard", q.lower()

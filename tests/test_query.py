@@ -541,6 +541,70 @@ def test_sort_by_field_and_count(tmp_path):
             eng.close()
 
 
+def test_date_histogram_over_timestamp_docvalue(tmp_path):
+    """ES date_histogram == histogram over a timestamp doc-value: the
+    warc_ts column (timestamp[us]) as a facet column, fixed_interval=1d
+    buckets (floor to the day in epoch-us), exact counts vs a python
+    scan."""
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+    from elasticsearch_ray.sources.synthetic import write_webtext
+
+    src = str(tmp_path / "src")
+    paths = write_webtext(src, 200, avg_len=40, rows_per_file=100,
+                          row_group_size=50)
+    idx = str(tmp_path / "idx")
+    build_index(
+        paths, idx,
+        BuildConfig(docs_per_segment=80, target_partition_rows=50,
+                    facet_columns=("warc_ts",)),
+    )
+    day_us = 86_400 * 1_000_000
+    ts = []
+    for p in paths:
+        ts.extend(
+            pq.read_table(p, columns=["warc_ts"])
+            .column("warc_ts").cast("int64").to_pylist()
+        )
+    exp: dict = {}
+    for v in ts:
+        k = (v // day_us) * day_us
+        exp[k] = exp.get(k, 0) + 1
+    eng = QueryEngine(idx, num_searchers=2)
+    try:
+        res = eng.search_histogram(None, "warc_ts", day_us)
+        got = {b["key"]: b["doc_count"] for b in res["buckets"]}
+        assert got == exp
+        assert sum(got.values()) == 200
+    finally:
+        eng.close()
+
+
+def test_ranked_surface_edge_cases(tiny_engine):
+    """Degenerate inputs across the round-3 surfaces: msm above the term
+    count, filters/sorts on unmatched values, rescore with an
+    out-of-vocabulary rescore query."""
+    # msm larger than the distinct-term count -> no doc can qualify
+    assert tiny_engine.search(
+        "news sky", size=10, minimum_should_match=5
+    )["total_hits"] == 0
+    # rescore query with no corpus terms -> pure base order preserved
+    base = tiny_engine.search("news sky", size=10)
+    got = tiny_engine.rescore("news sky", "zzzqqq", size=10,
+                              window_size=10)
+    assert [r["doc_id"] for r in got["results"]] == [
+        r["doc_id"] for r in base["results"]
+    ]
+    # more_like_this on a doc id that doesn't exist
+    mlt = tiny_engine.more_like_this(10_000_000)
+    assert mlt["total_hits"] == 0 and mlt["results"] == []
+    # explain on an out-of-range doc
+    ex = tiny_engine.explain("news sky", 10_000_000)
+    assert not ex["matched"] and ex["score"] == 0.0
+
+
 def test_rescore(tiny_engine, tiny_oracle):
     """ES rescore: window re-ranked by qw*base + rw*rescore_score —
     vs the oracle's two full rankings combined in python."""
