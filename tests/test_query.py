@@ -605,6 +605,71 @@ def test_ranked_surface_edge_cases(tiny_engine):
     assert not ex["matched"] and ex["score"] == 0.0
 
 
+def test_msm_filter_composition(tmp_path):
+    """minimum_should_match and bool filter context compose in one
+    exhaustive pass — randomized corpus vs the oracle with both
+    constraints applied."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.oracle.oracle import OracleIndex
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(47)
+    vocab = ["merge", "hash", "scan", "join", "other", "words", "table"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 10))),
+            "n_chars": rng.randint(0, 99),
+        }
+        for i in range(160)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("n_chars",), docs_per_segment=50,
+                    target_partition_rows=40),
+    )
+    oracle = OracleIndex()
+    eng = QueryEngine(idx, num_searchers=2)
+    oracle.normalizer = eng.normalizer
+    oracle.build([(r["doc_id"], r["text"]) for r in rows])
+    try:
+        for _ in range(8):
+            terms = rng.sample(vocab, rng.randint(2, 4))
+            q = " ".join(terms)
+            lo = rng.randint(0, 60)
+            hi = lo + rng.randint(5, 40)
+            msm = rng.randint(2, len(terms))
+            allowed = {
+                r["doc_id"] for r in rows if lo <= r["n_chars"] <= hi
+            }
+            exp = oracle.query_taat(
+                q, size=300, minimum_should_match=msm, doc_filter=allowed
+            )
+            got = eng.search(
+                q, size=300, minimum_should_match=msm,
+                filter={"range": {"n_chars": {"gte": lo, "lte": hi}}},
+            )
+            assert got["total_hits"] == exp["total_hits"], (q, lo, hi, msm)
+            assert [
+                (r["doc_id"], round(r["score"], 9)) for r in got["results"]
+            ] == [
+                (r["doc_id"], round(r["score"], 9)) for r in exp["results"]
+            ], (q, lo, hi, msm)
+    finally:
+        eng.close()
+
+
 def test_rescore(tiny_engine, tiny_oracle):
     """ES rescore: window re-ranked by qw*base + rw*rescore_score —
     vs the oracle's two full rankings combined in python."""
