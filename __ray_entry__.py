@@ -1489,6 +1489,33 @@ def _q_phrase(sf_dir: str):
     )
 
 
+BOOL_PHRASE_QUERIES = [
+    '"join hash" AND spark',
+    '"join hash" OR "customer order"',
+    '"join hash"~1 AND NOT spark',
+    '(filter OR "window batch") AND scan',
+]
+
+
+def _q_bool_phrase(sf_dir: str):
+    """Boolean queries with quoted-phrase operands (phrases as RPN
+    operands resolved through the positions machinery; AND/OR/NOT and
+    slop compose).
+
+    SQL twin: the adjacency/window CTEs of the phrase twins combined with
+    INTERSECT/UNION/EXCEPT set algebra."""
+    eng = _engine(sf_dir, "plain", positions=True)
+    rows_q, rows_d = [], []
+    for q in BOOL_PHRASE_QUERIES:
+        res = eng.search(q, size=60)
+        for r in res["results"]:
+            rows_q.append(q)
+            rows_d.append(r["doc_id"])
+    return pa.table(
+        {"query": pa.array(rows_q, pa.string()), "doc_id": pa.array(rows_d, pa.int64())}
+    )
+
+
 PHRASE_SLOP_QUERIES = ['"join hash"~1', '"customer join"~2', '"spark window join"~3']
 
 
@@ -1711,6 +1738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_freq_top50": _q_word_freq_top50,
         "token_stats": _q_token_stats,
         "phrase": _q_phrase,
+        "bool_phrase": _q_bool_phrase,
         "phrase_slop": _q_phrase_slop,
         "phrase_prefix": _q_phrase_prefix,
         "curation_keep": _q_curation_keep,
@@ -2943,6 +2971,44 @@ UNION ALL
 SELECT '"customer order"' AS query, doc_id FROM (SELECT doc_id FROM p2 ORDER BY doc_id LIMIT 50)
 UNION ALL
 SELECT '"window batch" spark' AS query, doc_id FROM (SELECT doc_id FROM p3 ORDER BY doc_id LIMIT 50)
+""",
+        "bool_phrase": r"""
+WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+tok AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS pos
+  FROM lists
+),
+ph_jh AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          WHERE a.tok = 'join' AND b.tok = 'hash'),
+ph_jh1 AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+           ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2
+           WHERE a.tok = 'join' AND b.tok = 'hash'),
+ph_co AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          WHERE a.tok = 'customer' AND b.tok = 'order'),
+ph_wb AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          WHERE a.tok = 'window' AND b.tok = 'batch'),
+q0 AS (SELECT doc_id FROM ph_jh INTERSECT
+       SELECT DISTINCT doc_id FROM tok WHERE tok = 'spark'),
+q1 AS (SELECT doc_id FROM ph_jh UNION SELECT doc_id FROM ph_co),
+q2 AS (SELECT doc_id FROM ph_jh1 EXCEPT
+       SELECT DISTINCT doc_id FROM tok WHERE tok = 'spark'),
+q3 AS ((SELECT DISTINCT doc_id FROM tok WHERE tok = 'filter'
+        UNION SELECT doc_id FROM ph_wb) INTERSECT
+       SELECT DISTINCT doc_id FROM tok WHERE tok = 'scan')
+SELECT '"join hash" AND spark' AS query, doc_id
+  FROM (SELECT doc_id FROM q0 ORDER BY doc_id LIMIT 60)
+UNION ALL
+SELECT '"join hash" OR "customer order"' AS query, doc_id
+  FROM (SELECT doc_id FROM q1 ORDER BY doc_id LIMIT 60)
+UNION ALL
+SELECT '"join hash"~1 AND NOT spark' AS query, doc_id
+  FROM (SELECT doc_id FROM q2 ORDER BY doc_id LIMIT 60)
+UNION ALL
+SELECT '(filter OR "window batch") AND scan' AS query, doc_id
+  FROM (SELECT doc_id FROM q3 ORDER BY doc_id LIMIT 60)
 """,
         "phrase_slop": r"""
 WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -242,6 +242,99 @@ class OracleIndex:
             "results": [{"doc_id": d, "score": 1.0} for d in ordered[:size]],
         }
 
+    def _pos_map(self, t: str) -> dict:
+        """doc -> sorted positions; a trailing-* term merges every
+        vocabulary term sharing the prefix (match_phrase_prefix)."""
+        if len(t) > 1 and t.endswith("*"):
+            merged: dict[int, list[int]] = {}
+            for vt, m in self.positions.items():
+                if vt.startswith(t[:-1]):
+                    for d, ps in m.items():
+                        merged.setdefault(d, []).extend(ps)
+            return {d: sorted(ps) for d, ps in merged.items()}
+        return self.positions.get(t, {})
+
+    def _phrase_docs(self, terms: list[str], slop: int) -> set[int]:
+        """Docs matching ONE phrase (in-order slack-budget DP; the oracle
+        twin of ``scoring.phrase_eval``'s single-phrase semantics)."""
+        maps = [self._pos_map(t) for t in terms]
+        docs: set[int] | None = None
+        for m in maps:
+            s = set(m)
+            docs = s if docs is None else docs & s
+        out: set[int] = set()
+        for d in docs or ():
+            frontier = {p: 0 for p in maps[0][d]}
+            ok = True
+            for m in maps[1:]:
+                new: dict[int, int] = {}
+                for p in m[d]:
+                    costs = [
+                        c + (p - q - 1)
+                        for q, c in frontier.items()
+                        if q < p and c + (p - q - 1) <= slop
+                    ]
+                    if costs:
+                        new[p] = min(costs)
+                frontier = new
+                if not frontier:
+                    ok = False
+                    break
+            if ok:
+                out.add(d)
+        return out
+
+    def query_boolean_phrases(self, query_text: str, size: int = 10) -> dict:
+        """Boolean query with quoted-phrase operands — the oracle twin of
+        ``QueryEngine._search_boolean_phrases`` (same placeholder
+        tokenization, same RPN, sets instead of slot arrays)."""
+        import re as _re
+
+        parts_re = _re.compile(r'("[^"]*"(?:~\d+)?)')
+        span_re = _re.compile(r'^"([^"]*)"(?:~(\d+))?$')
+        tokens: list[str] = []
+        phrase_sets: dict[str, set[int]] = {}
+        for part in parts_re.split(query_text):
+            m = span_re.match(part)
+            if m:
+                terms = self.normalizer.preprocess_query_list(m.group(1))
+                if not terms:
+                    continue
+                key = f"\0PH{len(phrase_sets)}"
+                phrase_sets[key] = self._phrase_docs(
+                    terms, int(m.group(2)) if m.group(2) else 0
+                )
+                tokens.append(key)
+            elif part.strip():
+                tokens.extend(
+                    preprocess_boolean_query(part, self.normalizer)
+                )
+        rpn = to_rpn(tuple(tokens))
+        all_docs = set(self.doc_ids)
+        stack: list[set[int]] = []
+        try:
+            for token in rpn:
+                if token == "AND":
+                    b = stack.pop(); a = stack.pop()
+                    stack.append(a & b)
+                elif token == "OR":
+                    b = stack.pop(); a = stack.pop()
+                    stack.append(a | b)
+                elif token == "NOT":
+                    stack.append(all_docs - stack.pop())
+                elif token in phrase_sets:
+                    stack.append(set(phrase_sets[token]))
+                else:
+                    stack.append(set(self.inverted_index.get(token, [])))
+        except IndexError:
+            stack = []
+        result = sorted(stack[0]) if stack else []
+        return {
+            "query": query_text,
+            "total_hits": len(result),
+            "results": [{"doc_id": d, "score": 1.0} for d in result[:size]],
+        }
+
     def query_phrase(self, query_text: str, size: int = 10) -> dict:
         import re as _re
 
@@ -270,21 +363,13 @@ class OracleIndex:
             if looks_boolean(stripped):
                 return self.query_boolean(stripped, size)
             return self.query_taat(stripped, size)
+        if looks_boolean(_re.sub(r'"[^"]*"(?:~\d+)?', " ", query_text)):
+            # boolean expression with phrase operands (engine routing twin)
+            return self.query_boolean_phrases(query_text, size)
 
-        def pos_map(t: str) -> dict:
-            """doc -> sorted positions; a trailing-* term merges every
-            vocabulary term sharing the prefix (match_phrase_prefix; no
-            expansion cap — test corpora stay under the engine's 50)."""
-            if len(t) > 1 and t.endswith("*"):
-                merged: dict[int, list[int]] = {}
-                for vt, m in self.positions.items():
-                    if vt.startswith(t[:-1]):
-                        for d, ps in m.items():
-                            merged.setdefault(d, []).extend(ps)
-                return {d: sorted(ps) for d, ps in merged.items()}
-            return self.positions.get(t, {})
-
-        phrase_maps = [[pos_map(t) for t in phrase] for phrase in phrases]
+        phrase_maps = [
+            [self._pos_map(t) for t in phrase] for phrase in phrases
+        ]
         cand: set[int] | None = None
         for maps in phrase_maps:
             docs = None

@@ -686,11 +686,12 @@ class Searcher:
         ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
         return ids[:k], total
 
-    def search_boolean(self, rpn: tuple[str, ...], k: int):
+    def search_boolean(self, rpn: tuple[str, ...], k: int,
+                       phrase_ops: dict | None = None):
         out: list[np.ndarray] = []
         total = 0
         for r in self.readers:  # readers sorted by doc range -> output sorted
-            ids, n = sc.boolean_eval(r, rpn, k)
+            ids, n = sc.boolean_eval(r, rpn, k, phrase_ops=phrase_ops)
             total += n
             out.append(ids)
         ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
@@ -1035,7 +1036,16 @@ class QueryEngine:
                 query_text, size, mode or self.mode, after=search_after
             )
         elif '"' in query_text and self.has_positions:
-            res = self._search_phrase(query_text, size, mode, from_=from_)
+            stripped = re.sub(r'"[^"]*"(?:~\d+)?', " ", query_text)
+            if looks_boolean(stripped):
+                # boolean expression with quoted-phrase operands:
+                # '"ray data"~1 AND NOT spark'
+                res = self._search_boolean_phrases(
+                    query_text, size, from_=from_
+                )
+            else:
+                res = self._search_phrase(query_text, size, mode,
+                                          from_=from_)
         elif _WILDCARD_RE.match(query_text.strip()):
             res = self._search_wildcard(query_text.strip(), size, from_=from_)
         elif _FUZZY_RE.match(query_text.strip()):
@@ -1734,6 +1744,46 @@ class QueryEngine:
         fetch = from_ + size
         parts = self._fanout("search_boolean", rpn, fetch)
         ids = np.concatenate([p[0] for p in parts])  # actor order == doc order
+        total = int(sum(p[1] for p in parts))
+        return {
+            "query": query_text,
+            "total_hits": total,
+            "results": [{"doc_id": int(d), "score": 1.0}
+                        for d in ids[from_:fetch]],
+        }
+
+    def _search_boolean_phrases(self, query_text: str, size: int,
+                                from_: int = 0) -> dict:
+        """Boolean query with quoted-phrase operands (Lucene
+        ``"a b"~N AND NOT c``): each quoted span becomes a placeholder
+        operand in the RPN, resolved per segment through the positions
+        machinery; the surrounding text analyzes through the normal
+        boolean tokenizer, so implicit-AND insertion and NOT complements
+        behave exactly as in plain boolean queries."""
+        parts_re = re.compile(r'("[^"]*"(?:~\d+)?)')
+        span_re = re.compile(r'^"([^"]*)"(?:~(\d+))?$')
+        tokens: list[str] = []
+        phrase_ops: dict[str, tuple[list[str], int]] = {}
+        for part in parts_re.split(query_text):
+            m = span_re.match(part)
+            if m:
+                terms = self.normalizer.preprocess_query_list(m.group(1))
+                if not terms:
+                    continue  # empty quotes vanish (match-all operand
+                # would make NOT semantics surprising)
+                key = f"\0PH{len(phrase_ops)}"
+                phrase_ops[key] = (
+                    terms, int(m.group(2)) if m.group(2) else 0
+                )
+                tokens.append(key)
+            elif part.strip():
+                tokens.extend(
+                    preprocess_boolean_query(part, self.normalizer)
+                )
+        rpn = to_rpn(tuple(tokens))
+        fetch = from_ + size
+        parts = self._fanout("search_boolean", rpn, fetch, phrase_ops)
+        ids = np.concatenate([p[0] for p in parts])
         total = int(sum(p[1] for p in parts))
         return {
             "query": query_text,

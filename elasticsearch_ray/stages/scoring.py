@@ -730,11 +730,14 @@ def _skip_intersect(reader: SegmentReader, lazy: _LazyTerm,
     return np.intersect1d(np.concatenate(parts), cand, assume_unique=True)
 
 
-def boolean_eval(reader: SegmentReader, rpn: tuple[str, ...], size: int):
+def boolean_eval(reader: SegmentReader, rpn: tuple[str, ...], size: int,
+                 phrase_ops: dict[str, tuple[list[str], int]] | None = None):
     """RPN evaluation over sorted slot arrays (reference Q5 engine,
     ``measure_latency_datastores.py:137-188``).  AND of term operands is
     skip-accelerated: the lower-df side decodes fully, the other side
-    decodes only candidate-bearing blocks.  Returns
+    decodes only candidate-bearing blocks.  ``phrase_ops`` maps phrase
+    placeholder operands (Lucene ``"a b"~N`` inside a boolean query) to
+    (terms, slop), resolved through ``phrase_eval``.  Returns
     (first `size` matching global doc_ids ascending, total local matches)."""
     universe = None
     stack: list = []
@@ -772,6 +775,16 @@ def boolean_eval(reader: SegmentReader, rpn: tuple[str, ...], size: int):
                 if universe is None:
                     universe = reader.present_doc_ids() - reader.doc_id_base
                 stack.append(np.setdiff1d(universe, a, assume_unique=True))
+            elif phrase_ops is not None and token in phrase_ops:
+                # quoted-phrase operand inside a boolean expression: its
+                # doc set comes from the positions machinery (slop-aware),
+                # already sorted slots — composes with AND/OR/NOT as a
+                # plain array
+                p_terms, p_slop = phrase_ops[token]
+                ids, _ = phrase_eval(
+                    reader, [p_terms], [], None, slops=[p_slop]
+                )
+                stack.append(ids - reader.doc_id_base)
             else:
                 row = reader.term_row(token)
                 if row is None:

@@ -276,3 +276,36 @@ def test_phrase_slop_randomized_conformance(tmp_path_factory):
             ], q
     finally:
         eng.close()
+
+
+BOOL_PHRASE_QUERIES = [
+    '"machine learning" AND data',
+    '"machine learning" OR "big data"',
+    '"machine learning" AND NOT "big data"',
+    '"learning machine" OR (data AND NOT cooking)',
+    '"machine learning"~2 AND NOT pipelines',
+    'recipes OR "machine separated"~9',
+    '"machine learning" AND "nonexistent phrase"',
+    '("machine learning" OR recipes) AND NOT "data processing"',
+]
+
+
+def test_boolean_with_phrase_operands(phrase_setup):
+    """Boolean expressions whose operands are quoted phrases (optionally
+    sloppy): engine RPN + per-segment positions vs the oracle's set
+    algebra over the same phrase doc-sets — ids and totals identical."""
+    eng, o = phrase_setup
+    for q in BOOL_PHRASE_QUERIES:
+        got = eng.search(q, size=50)
+        exp = o.query_phrase(q, size=50)
+        assert got["total_hits"] == exp["total_hits"], q
+        assert [r["doc_id"] for r in got["results"]] == [
+            r["doc_id"] for r in exp["results"]
+        ], q
+    # hand-derived: docs 0,2,4 contain "machine learning"; 0 and 2 also
+    # contain "big data", so only 4 survives the NOT
+    got = eng.search('"machine learning" AND NOT "big data"', size=50)
+    assert [r["doc_id"] for r in got["results"]] == [4]
+    # doc 3 is "data big reversed order" — out of order, no phrase match
+    got = eng.search('"machine learning" OR "big data"', size=50)
+    assert [r["doc_id"] for r in got["results"]] == [0, 2, 4]
