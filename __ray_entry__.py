@@ -633,6 +633,32 @@ def _q_regexp_plain(sf_dir: str):
     )
 
 
+COMPLETE_PREFIXES = [("s", 4), ("c", 5), ("b", 5), ("d", 5), ("me", 5)]
+
+
+def _q_complete(sf_dir: str):
+    """ES completion suggester (search-as-you-type): top dictionary terms
+    per prefix ordered by (global df desc, term asc) — exact cross-shard
+    df sums (every prefix candidate ships, no local cut)."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"prefix": [], "rank": [], "term": [], "df": []}
+    for prefix, size in COMPLETE_PREFIXES:
+        res = eng.complete(prefix, size=size)
+        for rank, o in enumerate(res["options"], 1):
+            rows["prefix"].append(prefix)
+            rows["rank"].append(rank)
+            rows["term"].append(o["text"])
+            rows["df"].append(o["df"])
+    return pa.table(
+        {
+            "prefix": pa.array(rows["prefix"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "term": pa.array(rows["term"], pa.string()),
+            "df": pa.array(rows["df"], pa.int64()),
+        }
+    )
+
+
 FUZZY_QUERIES = ["merje~1", "scna~", "hsah~2", "windoq~", "filtr~", "jion~2"]
 
 
@@ -1703,6 +1729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regexp_plain": _q_regexp_plain,
         "fuzzy_plain": _q_fuzzy_plain,
         "suggest_plain": _q_suggest_plain,
+        "complete_prefix": _q_complete,
         "facet_counts": _q_facet_counts,
         "stats_agg": _q_stats_agg,
         "histogram_agg": _q_histogram_agg,
@@ -2339,6 +2366,21 @@ def _wildcard_sql() -> str:
     return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
 
 
+def _complete_sql() -> str:
+    parts = []
+    for prefix, size in COMPLETE_PREFIXES:
+        parts.append(f"""
+SELECT '{prefix}' AS prefix, CAST(row_number() OVER (
+         ORDER BY df DESC, term) AS INT) AS rank, term, df
+FROM (SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
+      FROM tok WHERE tok LIKE '{prefix}%' GROUP BY tok)
+ORDER BY df DESC, term LIMIT {size}""")
+    return (
+        f"WITH tok AS ({_TOK}) "
+        + " UNION ALL ".join(f"({p})" for p in parts)
+    )
+
+
 def _regexp_sql() -> str:
     parts = []
     for q in REGEXP_QUERIES:
@@ -2880,6 +2922,7 @@ def oracle_sql() -> dict[str, str]:
         "boolean_plain": _boolean_sql(),
         "wildcard_plain": _wildcard_sql(),
         "regexp_plain": _regexp_sql(),
+        "complete_prefix": _complete_sql(),
         "fuzzy_plain": _fuzzy_sql(),
         "suggest_plain": _suggest_sql(),
         "facet_counts": _facet_sql(),

@@ -708,6 +708,22 @@ class Searcher:
         ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
         return ids[:k], total
 
+    def complete_prefix(self, prefix: str, k: int):
+        """Per-shard completion-suggester candidates: EVERY dictionary term
+        starting with ``prefix`` with its df summed over this shard's
+        segments (binary search + slice of the sorted dictionary).  All
+        candidates ship — a local top-k cut would be globally wrong when a
+        term's df spreads across shards; the prefix range bounds the
+        payload (sharpen the prefix, not the shards, if it's too wide)."""
+        _ = k  # kept in the RPC signature for future per-shard cuts
+        agg: dict[str, int] = {}
+        for r in self.readers:
+            for row in r.term_rows_matching(prefix + "*", None):
+                t = r.term_by_row(row)
+                agg[t] = agg.get(t, 0) + r.df_by_row(row)
+        terms = list(agg)
+        return terms, [agg[t] for t in terms]
+
     def suggest_term(self, term: str, max_edits: int):
         """Per-shard term-suggester candidates: dictionary terms within
         Levenshtein distance ``max_edits`` of ``term``, each with its edit
@@ -1697,6 +1713,27 @@ class QueryEngine:
             "total_hits": total,
             "results": [{"doc_id": int(d), "score": 1.0}
                         for d in ids[from_:fetch]],
+        }
+
+    def complete(self, prefix: str, size: int = 5) -> dict:
+        """ES completion suggester (search-as-you-type): the top dictionary
+        terms extending ``prefix`` ordered by (global df desc, term asc).
+        The prefix is lowercased but NOT analyzed (matches stored
+        dictionary terms — stems under the 'reference' analyzer).  Driver
+        merge is over shards*size candidates.
+
+        NOTE: df here is the as-built doc frequency (tombstones decay it
+        only at compaction) — the popularity signal ES's suggester weights
+        capture, not a live count."""
+        prefix = prefix.lower()
+        merged: dict[str, int] = {}
+        for terms, dfs in self._fanout("complete_prefix", prefix, size):
+            for t, n in zip(terms, dfs):
+                merged[t] = merged.get(t, 0) + n
+        top = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
+        return {
+            "prefix": prefix,
+            "options": [{"text": t, "df": n} for t, n in top],
         }
 
     def suggest(self, text: str, size: int = 5,

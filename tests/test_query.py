@@ -605,6 +605,59 @@ def test_ranked_surface_edge_cases(tiny_engine):
     assert not ex["matched"] and ex["score"] == 0.0
 
 
+def test_completion_suggester(tmp_path):
+    """ES completion suggester: top dictionary terms extending a prefix by
+    (global df desc, term asc) — vs a python scan; cross-shard df sums
+    are exact (no local top-k cut)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(53)
+    vocab = ["merge", "merger", "merged", "mesh", "metric", "scan", "scanner",
+             "join"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 9))),
+        }
+        for i in range(140)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    docs_per_segment=40, target_partition_rows=30),
+    )
+    df: dict = {}
+    for r in rows:
+        for t in set(r["text"].split()):
+            df[t] = df.get(t, 0) + 1
+    for eng in (QueryEngine(idx, num_searchers=2),
+                QueryEngine(idx, num_searchers=0)):
+        try:
+            for prefix, size in (("me", 3), ("merg", 10), ("sca", 2),
+                                 ("zz", 5)):
+                exp = sorted(
+                    ((t, n) for t, n in df.items() if t.startswith(prefix)),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )[:size]
+                got = eng.complete(prefix, size=size)
+                assert [
+                    (o["text"], o["df"]) for o in got["options"]
+                ] == exp, prefix
+        finally:
+            eng.close()
+
+
 def test_msm_filter_composition(tmp_path):
     """minimum_should_match and bool filter context compose in one
     exhaustive pass — randomized corpus vs the oracle with both
