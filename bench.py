@@ -399,6 +399,19 @@ def bench_ops(sf_dir: str) -> dict:
     hash_split_counts(docs).take_all()
     out["hash_split_sec"] = round(time.perf_counter() - t0, 3)
 
+    # stream percolation: 40 registered queries (half boolean) against the
+    # whole documents table — the content-routing-at-ingest path
+    from elasticsearch_ray.ops.percolate import percolate
+
+    vocab = ["merge", "hash", "scan", "join", "batch", "spark", "window",
+             "filter", "table", "value"]
+    perc_qs = [f"{a} {b}" for a in vocab[:5] for b in vocab[5:9]] + [
+        f"{a} AND NOT {b}" for a in vocab[:5] for b in vocab[5:9]
+    ]
+    t0 = time.perf_counter()
+    out["percolate_pairs"] = percolate(docs, perc_qs).count()
+    out["percolate_sec"] = round(time.perf_counter() - t0, 3)
+
     # composed curation (anti-join form) streaming at sf scale
     import shutil as _sh
 
