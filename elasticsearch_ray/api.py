@@ -279,6 +279,17 @@ class RayBM25Index:
         if self.current_index == index_id:
             self.load_index(index_id)
 
+    def merge(self, index_id: str, target_docs: int | None = None) -> dict:
+        """Tiered segment merge (Lucene force-merge analogue): consolidate
+        the small segments left behind by incremental adds; results and
+        stats are invariant, only the segment packaging changes."""
+        from .pipelines.build import merge_segments
+
+        res = merge_segments(self._dir(index_id), target_docs=target_docs)
+        if self.current_index == index_id:
+            self.load_index(index_id)
+        return res
+
     def query(self, query_text: str, size: int = 10) -> str:
         assert self.engine is not None, "load_index first"
         return json.dumps(self.engine.search(query_text, size=size))

@@ -176,6 +176,170 @@ def extend_index(
     )
 
 
+def _merge_group(index_dir: str, ids: list[int], codec: str,
+                 block_size: int, store_positions: bool) -> dict:
+    """Merge ADJACENT segments (contiguous doc ranges) into one, reusing
+    the lowest seg id.  Decode-everything-then-write: per-term postings of
+    each member concatenate in slot order (members are base-ordered and
+    slots ascend within a member); positions cells concatenate raw (the
+    delta stream resets at each doc, so bytes splice without re-encoding);
+    block-max metadata and df parts are rebuilt by the shared writer."""
+    from ..state.manifest import segment_manifest_path
+    from ..state.segment import SegmentReader, doclen_path, segment_path
+
+    ids = sorted(ids)
+    readers = [SegmentReader(index_dir, s) for s in ids]
+    base = readers[0].doc_id_base
+    expect = base
+    for r in readers:
+        if r.doc_id_base != expect:
+            raise ValueError(
+                "merge_segments needs adjacent segments with contiguous "
+                f"doc ranges; got base {r.doc_id_base}, expected {expect}"
+            )
+        expect += r.num_docs
+    vocab = sorted(set().union(*[set(r._term_list) for r in readers]))
+    vocab_np = np.array(vocab) if vocab else np.empty(0, dtype=object)
+    code_parts: list[np.ndarray] = []
+    slot_parts: list[np.ndarray] = []
+    tf_parts: list[np.ndarray] = []
+    for r in readers:
+        if r.num_terms == 0:
+            continue
+        off = r.doc_id_base - base
+        codes_r = np.searchsorted(vocab_np, np.array(r._term_list))
+        s_list, t_list = [], []
+        for row in range(r.num_terms):
+            sl, tf = r.postings_slots_by_row(row)
+            s_list.append(sl + off)
+            t_list.append(tf)
+        slot_parts.append(np.concatenate(s_list))
+        tf_parts.append(np.concatenate(t_list).astype(np.int64))
+        code_parts.append(np.repeat(codes_r, r._df.astype(np.int64)))
+    if code_parts:
+        code_flat = np.concatenate(code_parts)
+        slots_flat = np.concatenate(slot_parts)
+        tfs_flat = np.concatenate(tf_parts)
+        order = np.lexsort((slots_flat, code_flat))
+        code_flat = code_flat[order]
+        slots_flat = slots_flat[order]
+        tfs_flat = tfs_flat[order]
+        n = code_flat.size
+        tstarts = np.concatenate(
+            ([0], np.flatnonzero(code_flat[1:] != code_flat[:-1]) + 1)
+        )
+        out_df = np.empty(tstarts.size, dtype=np.int64)
+        out_df[:-1] = tstarts[1:] - tstarts[:-1]
+        out_df[-1] = n - tstarts[-1]
+        out_terms = [vocab[c] for c in code_flat[tstarts]]
+    else:
+        slots_flat = np.empty(0, dtype=np.int64)
+        tfs_flat = np.empty(0, dtype=np.int64)
+        tstarts = np.empty(0, dtype=np.int64)
+        out_df = np.empty(0, dtype=np.int64)
+        out_terms = []
+    doclens = np.concatenate([r.doc_lens for r in readers]).astype(np.int32)
+    pos_cells = None
+    if store_positions and out_terms:
+        pos_cells = []
+        for t in out_terms:
+            parts = []
+            for r in readers:
+                row = r._term_row.get(t)
+                if row is not None and "positions" in r._cells:
+                    parts.append(r._cell("positions", row).tobytes())
+            pos_cells.append(b"".join(parts))
+    part_ids: list[int] = []
+    lineage: list = []
+    for s in ids:
+        m = read_json(segment_manifest_path(index_dir, s))
+        part_ids.extend(m.get("part_ids", []))
+        lineage.extend(m.get("lineage", []))
+    new_id = ids[0]
+    info = {"doc_id_base": base, "num_docs": int(expect - base),
+            "part_ids": part_ids, "lineage": lineage}
+    asm = SegmentAssembler(index_dir, {new_id: info}, codec, block_size)
+    stats = asm._write_segment(
+        new_id, info, doclens, out_terms, out_df, tstarts, slots_flat,
+        tfs_flat, pos_cells=pos_cells,
+    )
+    for s in ids[1:]:
+        for p in (
+            segment_path(index_dir, s),
+            doclen_path(index_dir, s),
+            os.path.join(index_dir, "df", f"seg-{s:05d}.parquet"),
+            segment_manifest_path(index_dir, s),
+        ):
+            if os.path.exists(p):
+                os.remove(p)
+    return stats
+
+
+_merge_group_task = ray.remote(_merge_group)
+
+
+def merge_segments(index_dir: str, seg_ids: list[int] | None = None,
+                   target_docs: int | None = None) -> dict:
+    """Tiered segment merge (Lucene merge-policy analogue): consolidate
+    runs of adjacent small segments — the natural debris of incremental
+    ``extend_index`` adds — into larger ones WITHOUT a full rebuild.
+    Collection stats, global df, tombstones and query results are all
+    invariant under merging (doc ids and postings are preserved, only
+    their segment packaging changes).
+
+    ``seg_ids``: merge exactly that adjacent group; otherwise greedy
+    adjacent grouping so merged segments hold <= ``target_docs`` docs
+    (default 8x the config's ``docs_per_segment``).  Groups are
+    independent -> one Ray task each (same parallel shape as
+    ``compact_index``).  Run as offline maintenance: reload engines after.
+    """
+    mpath = os.path.join(index_dir, "manifest.json")
+    manifest = read_json(mpath)
+    cfg = BuildConfig(**manifest["config"])
+    all_ids = sorted(int(s) for s in manifest["segments"])
+    from ..state.manifest import segment_manifest_path
+
+    if seg_ids is not None:
+        groups = [sorted(int(s) for s in seg_ids)]
+    else:
+        td = target_docs or cfg.docs_per_segment * 8
+        groups = []
+        cur: list[int] = []
+        cur_docs = 0
+        for s in all_ids:
+            nd = int(read_json(segment_manifest_path(index_dir, s))["num_docs"])
+            if cur and cur_docs + nd > td:
+                groups.append(cur)
+                cur, cur_docs = [], 0
+            cur.append(s)
+            cur_docs += nd
+        if cur:
+            groups.append(cur)
+    jobs = [g for g in groups if len(g) > 1]
+    if jobs:
+        ray.get([
+            _merge_group_task.remote(
+                index_dir, g, cfg.codec, cfg.block_size,
+                bool(cfg.store_positions),
+            )
+            for g in jobs
+        ])
+    if seg_ids is None:
+        new_segments = sorted(g[0] for g in groups)
+    else:
+        removed = set(groups[0][1:])
+        new_segments = sorted(set(all_ids) - removed)
+    manifest["segments"] = new_segments
+    atomic_write_json(mpath, manifest)
+    spath = os.path.join(index_dir, "stats.json")
+    if os.path.exists(spath):
+        stats = read_json(spath)
+        if "num_segments" in stats:
+            stats["num_segments"] = len(new_segments)
+            atomic_write_json(spath, stats)
+    return {"groups_merged": len(jobs), "segments": new_segments}
+
+
 def add_tombstones(index_dir: str, doc_ids: list[int]) -> dict:
     """Mark docs deleted (``update_index`` remove path): results exclude them
     immediately; collection stats stay as-built until a compaction/rebuild
