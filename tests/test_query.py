@@ -1527,3 +1527,50 @@ def test_range_query(tmp_path):
             assert res["total_hits"] == len(exp), (q, res["total_hits"])
     finally:
         eng.close()
+
+
+def test_regexp_prefix_narrowing_fuzz(tmp_path):
+    """Randomized regexp patterns vs python re over the segment
+    dictionary: the literal-prefix range narrowing must never drop a
+    matching term (quantifiers can unbind the prefix's last literal)."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.state.segment import SegmentReader
+
+    import random
+    rng = random.Random(61)
+    words = sorted({
+        "".join(rng.choice("abcd") for _ in range(rng.randint(2, 6)))
+        for _ in range(120)
+    })
+    rows = [{"doc_id": i, "text": " ".join(rng.sample(words, 8))}
+            for i in range(60)]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for r in rows[:1]
+                  for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    docs_per_segment=100, target_partition_rows=60),
+    )
+    r = SegmentReader(idx, 0)
+    dictionary = r._term_list
+    frags = ["a", "b", "ab", "abc", "cd", ".", "[ab]", "(a|b)", "c?", "d*",
+             "a+", ".*", "b{1,2}"]
+    for _ in range(80):
+        pat = "".join(rng.choice(frags) for _ in range(rng.randint(1, 4)))
+        try:
+            rx = re.compile(f"^(?:{pat})$")
+        except re.error:
+            continue
+        exp = [i for i, t in enumerate(dictionary) if rx.match(t)]
+        got = r.term_rows_regexp(pat)
+        assert got == exp, pat
