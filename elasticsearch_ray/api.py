@@ -279,6 +279,12 @@ class RayBM25Index:
         if self.current_index == index_id:
             self.load_index(index_id)
 
+    def refresh(self) -> dict:
+        """ES NRT refresh on the loaded index: new segments + tombstones
+        become searchable without respawning searcher actors."""
+        assert self.engine is not None, "load_index first"
+        return self.engine.refresh()
+
     def merge(self, index_id: str, target_docs: int | None = None) -> dict:
         """Tiered segment merge (Lucene force-merge analogue): consolidate
         the small segments left behind by incremental adds; results and

@@ -65,6 +65,14 @@ class Searcher:
     def ready(self) -> int:
         return sum(r.num_terms for r in self.readers)
 
+    def set_tombstones(self, tombstones: list[int]) -> int:
+        """NRT delete visibility: re-apply the tombstone list to every
+        pinned reader (copy-on-write doc_lens, no re-mmap); facet
+        doc-value caches stay valid (liveness is checked at query time)."""
+        for r in self.readers:
+            r.apply_tombstones(tombstones)
+        return len(tombstones)
+
     def _facet_column(self, field: str) -> list:
         cached = self._facet_vals.get(field)
         if cached is not None:
@@ -941,6 +949,7 @@ class QueryEngine:
             )
         self.embedded: Searcher | None = None
         self.searchers: list = []
+        self._served_seg_ids = set(seg_ids)
         if num_searchers == 0:
             # embedded mode: segments pinned in THIS process — no actor RTT;
             # the low-latency single-replica serving option
@@ -963,6 +972,64 @@ class QueryEngine:
         if self.embedded is not None:
             return [getattr(self.embedded, method)(*args)]
         return ray.get([getattr(s, method).remote(*args) for s in self.searchers])
+
+    def refresh(self) -> dict:
+        """ES-style NRT refresh: make segments added by ``extend_index``
+        and new tombstones visible WITHOUT rebuilding the engine — existing
+        searcher actors keep their mmap'd segments (and warm caches); only
+        the NEW segments spawn a searcher.  Collection stats (N, avgdl)
+        and the df shard index re-read from the finalized artifacts; the
+        df cache drops (extend changes global dfs)."""
+        with open(os.path.join(self.index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.doc_count = self.stats["doc_count"]
+        self.avgdl = self.stats["avg_doc_length"]
+        self._df_cache.clear()
+        self._df_shards = []
+        sh_path = os.path.join(self.index_dir, "df_global", "_df_shards.json")
+        if os.path.exists(sh_path):
+            with open(sh_path) as f:
+                for s in json.load(f).get("shards", []):
+                    self._df_shards.append(
+                        (s["lo"], s["hi"],
+                         os.path.join(self.index_dir, "df_global", s["file"]))
+                    )
+            self._df_shards.sort()
+        self._df_shard_los = [s[0] for s in self._df_shards]
+        with open(os.path.join(self.index_dir, "manifest.json")) as f:
+            manifest = json.load(f)
+        tombstones = manifest.get("tombstones", [])
+        seg_ids = sorted(int(s) for s in manifest.get("segments", []))
+        new_ids = sorted(set(seg_ids) - self._served_seg_ids)
+        gone = self._served_seg_ids - set(seg_ids)
+        if gone:
+            raise ValueError(
+                "segments were merged/removed underneath a live engine "
+                f"({sorted(gone)}); reload the index instead of refresh()"
+            )
+        self.tombstones = set(tombstones)
+        if self.embedded is not None:
+            if new_ids:
+                self.embedded.readers.extend(
+                    SegmentReader(self.index_dir, s, tombstones=tombstones)
+                    for s in new_ids
+                )
+            self.embedded.set_tombstones(tombstones)
+        else:
+            if new_ids:
+                actor = SegmentSearcher.remote(
+                    self.index_dir, new_ids, tombstones
+                )
+                ray.get(actor.ready.remote())
+                self.searchers.append(actor)
+            if tombstones:
+                ray.get([
+                    s.set_tombstones.remote(tombstones)
+                    for s in self.searchers
+                ])
+        self._served_seg_ids |= set(new_ids)
+        return {"segments_added": len(new_ids),
+                "tombstones": len(tombstones)}
 
     # -- df / idf ----------------------------------------------------------
 

@@ -136,6 +136,17 @@ class SegmentReader:
         self._term_row = {t: i for i, t in enumerate(self._term_list)}
         self._term_lens: np.ndarray | None = None  # lazy (fuzzy only)
 
+    def apply_tombstones(self, tombstones: list[int]) -> None:
+        """Copy-on-write tombstone refresh (NRT delete visibility without
+        re-mmapping the segment): same semantics as the constructor path."""
+        slots = (
+            np.asarray(sorted(tombstones), dtype=np.int64) - self.doc_id_base
+        )
+        slots = slots[(slots >= 0) & (slots < self.num_docs)]
+        if slots.size:
+            self.doc_lens = self.doc_lens.copy()
+            self.doc_lens[slots] = -1
+
     def _cell(self, name: str, row: int) -> np.ndarray:
         offsets, data = self._cells[name]
         return data[offsets[row] : offsets[row + 1]]
