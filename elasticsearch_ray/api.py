@@ -279,6 +279,52 @@ class RayBM25Index:
         if self.current_index == index_id:
             self.load_index(index_id)
 
+    def reindex(self, src_index_id: str, dst_index_id: str,
+                config: BuildConfig | None = None) -> None:
+        """ES _reindex: build a NEW index from the source index's stored
+        ``_source`` (requires the source was built with
+        ``store_source=True``) — change analyzer / codec / segmentation /
+        facets without the original corpus files.  The source docmap IS
+        the corpus: a column-pruned distributed parquet read, so the
+        reindex streams exactly like a normal build.  Doc ids are
+        re-assigned in docmap-part order (the original order).  Pending
+        tombstones must be compacted first (ES reindexes live docs; our
+        docmap drops deleted rows at compaction)."""
+        import dataclasses
+
+        import pyarrow.dataset as pads
+
+        from .state.manifest import read_json
+
+        src_dir = self._dir(src_index_id)
+        manifest = read_json(os.path.join(src_dir, "manifest.json"))
+        if manifest.get("tombstones"):
+            raise ValueError(
+                "source index has pending deletes; compact() before reindex"
+            )
+        dm_dir = os.path.join(src_dir, "docmap")
+        if "source_text" not in pads.dataset(dm_dir).schema.names:
+            raise ValueError(
+                "source index was built without store_source=True"
+            )
+        cfg = dataclasses.replace(
+            config or self.config,
+            text_column="source_text",
+            url_column="url",
+            lang_column=None,
+        )
+        parts = sorted(
+            os.path.join(dm_dir, f)
+            for f in os.listdir(dm_dir)
+            if f.endswith(".parquet")
+        )
+        dst_dir = self._dir(dst_index_id)
+        if self.current_index == dst_index_id:
+            self._close_engine()
+            self.current_index = None
+        shutil.rmtree(dst_dir, ignore_errors=True)
+        build_index(parts, dst_dir, cfg)
+
     def refresh(self) -> dict:
         """ES NRT refresh on the loaded index: new segments + tombstones
         become searchable without respawning searcher actors."""

@@ -179,3 +179,40 @@ def test_alias_multi_index_search(tmp_path_factory):
             (r["doc_id"], round(r["score"], 9)) for r in exp["results"]
         ], q
     ix.delete_index("h1"); ix.delete_index("h2")
+
+
+def test_reindex_changes_analyzer(tmp_path_factory):
+    """ES _reindex: rebuild from stored _source with a different analyzer;
+    results identical to building the new analyzer directly on the
+    original docs (same doc ids, same scores)."""
+    import dataclasses
+    import json as _json
+
+    base = str(tmp_path_factory.mktemp("reindex"))
+    cfg = BuildConfig(target_partition_rows=2, docs_per_segment=3,
+                      analyzer="plain", store_source=True)
+    ix = RayBM25Index(base_dir=base, config=cfg)
+    ix.create_index("srcix", DOCS)
+    ix.reindex("srcix", "dstix",
+               config=dataclasses.replace(cfg, analyzer="reference",
+                                          store_source=False))
+    ix2 = RayBM25Index(
+        base_dir=base,
+        config=dataclasses.replace(cfg, analyzer="reference",
+                                   store_source=False),
+    )
+    ix2.create_index("directix", DOCS)
+    ix.load_index("dstix")
+    ix2.load_index("directix")
+    for q in ["apple banana", "cherry durian", "apple AND fig",
+              "grape OR lemon"]:
+        got = _json.loads(ix.query(q))
+        exp = _json.loads(ix2.query(q))
+        assert got == exp, q
+    # deletes must compact before reindex
+    ix.update_index("srcix", remove_files=["doc-a"])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="compact"):
+        ix.reindex("srcix", "dst2")
+    ix.delete_index("srcix"); ix.delete_index("dstix")
+    ix2.delete_index("directix")
