@@ -346,6 +346,37 @@ class RayBM25Index:
         assert self.engine is not None, "load_index first"
         return json.dumps(self.engine.search(query_text, size=size))
 
+    def snapshot(self, index_id: str, dest_dir: str) -> str:
+        """ES snapshot: copy the index to ``dest_dir`` (immutable segments
+        + atomic manifests make a plain recursive copy a consistent
+        snapshot as long as no extend/compact/merge runs concurrently —
+        same discipline ES requires of its snapshot repository).  Returns
+        the snapshot path."""
+        src = self._dir(index_id)
+        if not os.path.exists(os.path.join(src, "manifest.json")):
+            raise ValueError(f"no finished index at {src}")
+        tmp = dest_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(src, tmp)
+        shutil.rmtree(dest_dir, ignore_errors=True)
+        os.replace(tmp, dest_dir)
+        return dest_dir
+
+    def restore(self, snapshot_dir: str, index_id: str) -> None:
+        """ES restore: install a snapshot under ``index_id`` (replaces any
+        existing index of that id)."""
+        if not os.path.exists(os.path.join(snapshot_dir, "manifest.json")):
+            raise ValueError(f"no snapshot manifest at {snapshot_dir}")
+        dst = self._dir(index_id)
+        if self.current_index == index_id:
+            self._close_engine()
+            self.current_index = None
+        tmp = dst + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(snapshot_dir, tmp)
+        shutil.rmtree(dst, ignore_errors=True)
+        os.replace(tmp, dst)
+
     def delete_index(self, index_id: str) -> None:
         if self.current_index == index_id:
             self._close_engine()

@@ -1098,6 +1098,7 @@ class QueryEngine:
         search_after: tuple[float, int] | None = None,
         minimum_should_match: int = 0,
         filter: dict | None = None,
+        profile: bool = False,
     ) -> dict:
         """Reference result shape (``selfindex_q_taat.py:203-208``);
         ``include_urls`` joins the top-k against the docmap (reference J1,
@@ -1110,6 +1111,24 @@ class QueryEngine:
         queries with a cursor filter in strict (-score, doc_id) order —
         constant result transfer per page.  ``search_after`` wins if both
         are given (ES behavior: from must be 0 with search_after)."""
+        if profile:
+            # ES "took"/profile surface: one opt-in wall-clock wrapper (the
+            # result dict stays byte-stable when profile is off, so exact
+            # result-equality tests and the driver hash are unaffected)
+            import time as _time
+
+            t0 = _time.perf_counter()
+            res = self.search(
+                query_text, size=size, mode=mode,
+                include_urls=include_urls, from_=from_,
+                search_after=search_after,
+                minimum_should_match=minimum_should_match, filter=filter,
+            )
+            res["profile"] = {
+                "took_ms": (_time.perf_counter() - t0) * 1e3,
+                "shards": max(1, len(self.searchers)),
+            }
+            return res
         if search_after is not None and not (
             '"' in query_text and self.has_positions
         ) and not _WILDCARD_RE.match(query_text.strip()) and not _FUZZY_RE.match(

@@ -216,3 +216,28 @@ def test_reindex_changes_analyzer(tmp_path_factory):
         ix.reindex("srcix", "dst2")
     ix.delete_index("srcix"); ix.delete_index("dstix")
     ix2.delete_index("directix")
+
+
+def test_snapshot_restore_and_profile(tmp_path_factory):
+    """Snapshot -> restore round-trip serves identical results; the
+    profile flag adds timing without changing the result body."""
+    import json as _json
+
+    base = str(tmp_path_factory.mktemp("snap"))
+    ix = RayBM25Index(
+        base_dir=base,
+        config=BuildConfig(target_partition_rows=2, docs_per_segment=3),
+    )
+    ix.create_index("s1", DOCS)
+    before = _json.loads(ix.query("apple banana"))
+    snap = ix.snapshot("s1", base + "/backup_s1")
+    ix.delete_index("s1")
+    ix.restore(snap, "s2")
+    ix.load_index("s2")
+    assert _json.loads(ix.query("apple banana")) == before
+
+    prof = ix.engine.search("apple banana", profile=True)
+    assert prof["profile"]["took_ms"] > 0
+    body = {k: v for k, v in prof.items() if k != "profile"}
+    assert body == before
+    ix.delete_index("s2")
