@@ -1284,6 +1284,42 @@ def _q_jaccard_verify(sf_dir: str):
     )
 
 
+def _q_dup_clusters(sf_dir: str):
+    """Connected components over the verified near-dup graph (distributed
+    min-label propagation; edges = LSH candidates with exact shingle
+    Jaccard >= 0.5, all hash joins).
+
+    SQL twin: the jaccard_verify side-outputs -> verified edges -> a
+    recursive CTE transitive closure -> min reachable id per node."""
+    from elasticsearch_ray.ops.dedup import (
+        dup_clusters,
+        lsh_candidate_pairs,
+        shingle_rows,
+    )
+
+    # same side-outputs as jaccard_verify (same LSH parameters), so the
+    # twin sees the exact candidate set the engine verifies
+    _ensure_side_parquet(
+        sf_dir, "lshpairs", lambda: lsh_candidate_pairs(_docs_ds(sf_dir))
+    )
+    _ensure_side_parquet(
+        sf_dir, "shingles", lambda: shingle_rows(_docs_ds(sf_dir))
+    )
+    # partition count sized to the gate corpus; the op's default (16)
+    # targets cluster-scale inputs (join aggregator pools dominate tiny
+    # inputs)
+    out = dup_clusters(
+        _docs_ds(sf_dir), threshold=0.5, num_partitions=4
+    ).take_all()
+    rows = sorted((r["doc_id"], r["cluster"]) for r in out)
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "cluster": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
 def _q_simhash_dups(sf_dir: str):
     from elasticsearch_ray.ops.dedup import simhash_band_rows, simhash_dedup
 
@@ -1750,6 +1786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
         "jaccard_verify": _q_jaccard_verify,
+        "dup_clusters": _q_dup_clusters,
         "simhash_dups": _q_simhash_dups,
         "embedding_dups": _q_embedding_dups,
         "ann_top10": _q_ann_top10,
@@ -2024,6 +2061,41 @@ JOIN sz na ON na.doc_id = p.a
 JOIN sz nb ON nb.doc_id = p.b
 LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
 ORDER BY p.a, p.b
+"""
+
+
+def _dup_clusters_sql() -> str:
+    dp = _index_dir_for(_DRIVER_SF, "lshpairs")
+    ds = _index_dir_for(_DRIVER_SF, "shingles")
+    return f"""
+WITH RECURSIVE
+pr AS (SELECT a, b FROM read_parquet('{dp}/*.parquet')),
+sh AS (SELECT DISTINCT doc_id, sh FROM read_parquet('{ds}/*.parquet')),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.a, p.b, count(*) AS i
+  FROM pr p
+  JOIN sh sa ON sa.doc_id = p.a
+  JOIN sh sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+  GROUP BY p.a, p.b
+),
+edges0 AS (
+  SELECT i.a, i.b
+  FROM inter i
+  JOIN sz na ON na.doc_id = i.a
+  JOIN sz nb ON nb.doc_id = i.b
+  WHERE CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) >= 0.5
+),
+edges AS (SELECT a AS src, b AS dst FROM edges0
+          UNION SELECT b, a FROM edges0),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+walk(node, reach) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+)
+SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster
+FROM walk GROUP BY node ORDER BY doc_id
 """
 
 
@@ -3121,6 +3193,7 @@ ORDER BY k.doc_id
 """,
         "minhash_dups": _minhash_sql(),
         "jaccard_verify": _jaccard_verify_sql(),
+        "dup_clusters": _dup_clusters_sql(),
         "simhash_dups": _simhash_sql(),
         "embedding_dups": _embedding_dups_sql(),
         "langid_counts": _langid_sql(),

@@ -727,3 +727,160 @@ def embedding_cosine_dedup_bruteforce(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=256)
+
+
+def verified_dup_edges(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    seed: int = 42,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Near-duplicate graph EDGES: LSH candidate pairs verified by exact
+    shingle-Jaccard >= ``threshold``, entirely with hash joins — no
+    driver materialization.  |A∩B| = one (pair JOIN shingles-of-a JOIN
+    shingles-of-b-on-same-shingle) count; |A|/|B| from per-doc shingle
+    counts.  Every intermediate is duplicate-rate-bounded (pairs x
+    per-doc shingles), never all-pairs."""
+    pairs = lsh_candidate_pairs(
+        ds, text_col, id_col, num_perm, bands, shingle, seed,
+        num_partitions,
+    )
+    sh = shingle_rows(ds, text_col, id_col, shingle)
+
+    def _ren(cols: dict):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([cols.get(c, c) for c in t.column_names])
+        return f
+
+    sh_a = sh.map_batches(_ren({id_col: "a"}), batch_format="pyarrow")
+    sh_b = sh.map_batches(_ren({id_col: "b"}), batch_format="pyarrow")
+    inter = (
+        pairs.join(sh_a, "inner", num_partitions, on=("a",))
+        .join(sh_b, "inner", num_partitions, on=("b", "sh"))
+        .groupby(["a", "b"]).count()
+        .map_batches(_ren({"count()": "i"}), batch_format="pyarrow")
+    )
+    sizes = sh.groupby(id_col).count()
+    sz_a = sizes.map_batches(
+        _ren({id_col: "a", "count()": "na"}), batch_format="pyarrow"
+    )
+    sz_b = sizes.map_batches(
+        _ren({id_col: "b", "count()": "nb"}), batch_format="pyarrow"
+    )
+    joined = (
+        inter.join(sz_a, "inner", num_partitions, on=("a",))
+        .join(sz_b, "inner", num_partitions, on=("b",))
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        i = t.column("i").to_numpy().astype(np.float64)
+        na = t.column("na").to_numpy().astype(np.float64)
+        nb = t.column("nb").to_numpy().astype(np.float64)
+        j = i / (na + nb - i)
+        m = j >= threshold
+        return pa.table(
+            {
+                "a": pa.array(t.column("a").to_numpy()[m], pa.int64()),
+                "b": pa.array(t.column("b").to_numpy()[m], pa.int64()),
+            }
+        )
+
+    return joined.map_batches(keep, batch_format="pyarrow")
+
+
+def dup_clusters(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    seed: int = 42,
+    num_partitions: int = 16,
+    max_rounds: int = 50,
+    edges: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """Connected components over the verified near-duplicate graph
+    (canonicalization: every duplicated doc labeled with its component's
+    min doc_id).  Distributed min-label propagation — the standard
+    map-reduce CC: each round is (edges JOIN labels -> per-node neighbor
+    min -> merge), O(component diameter) rounds; near-dup components are
+    shallow so this converges in a few rounds.  Labels/edges stay
+    duplicate-rate-bounded Datasets; each round materializes the (small)
+    label table to keep lineage flat.  Docs in no edge are omitted
+    (singleton clusters are implicit)."""
+    if edges is None:
+        edges = verified_dup_edges(
+            ds, text_col, id_col, threshold, num_perm, bands, shingle,
+            seed, num_partitions,
+        )
+
+    def _ren(cols: dict):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([cols.get(c, c) for c in t.column_names])
+        return f
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    labels = (
+        sym_edges.groupby("src").count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("src"),
+                    "label": t.column("src"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    for _ in range(max_rounds):
+        lab_src = labels.map_batches(
+            _ren({"node": "src"}), batch_format="pyarrow"
+        )
+        neigh = (
+            sym_edges.join(lab_src, "inner", num_partitions, on=("src",))
+            .groupby("dst").min("label")
+            .map_batches(
+                _ren({"dst": "node", "min(label)": "nmin"}),
+                batch_format="pyarrow",
+            )
+        )
+        merged = labels.join(neigh, "inner", num_partitions, on=("node",))
+
+        def upd(t: pa.Table) -> pa.Table:
+            lab = t.column("label").to_numpy()
+            nm = t.column("nmin").to_numpy()
+            new = np.minimum(lab, nm)
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "label": pa.array(new, pa.int64()),
+                    "chg": pa.array((new != lab).astype(np.int64)),
+                }
+            )
+
+        upd_ds = merged.map_batches(upd, batch_format="pyarrow").materialize()
+        changed = upd_ds.sum("chg")
+        labels = upd_ds.drop_columns(["chg"]).materialize()
+        if not changed:
+            break
+    return labels.map_batches(
+        _ren({"node": id_col, "label": "cluster"}), batch_format="pyarrow"
+    )

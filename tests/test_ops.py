@@ -588,3 +588,65 @@ def test_percolate_matches_oracle():
             }
         exp.extend((d, qid) for d in hits)
     assert got == sorted(exp)
+
+
+def test_dup_clusters_connected_components():
+    """Distributed min-label propagation over the verified near-dup graph
+    vs a python union-find over the same edges."""
+    import random
+
+    from elasticsearch_ray.ops.dedup import dup_clusters, verified_dup_edges
+
+    rng = random.Random(73)
+    # build clusters of near-identical docs: k families, each with several
+    # variants sharing most shingles, plus unrelated singletons
+    fams = []
+    texts = []
+    for f in range(6):
+        base = [f"w{f}_{i}" for i in range(30)]
+        size = rng.randint(2, 5)
+        fam = []
+        for v in range(size):
+            t = list(base)
+            t[rng.randrange(len(t))] = f"v{f}_{v}"
+            fam.append(len(texts))
+            texts.append(" ".join(t))
+        fams.append(fam)
+    for s in range(10):  # singletons
+        texts.append(" ".join(f"s{s}_{i}" for i in range(20)))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(4)
+    edges_ds = verified_dup_edges(ds, threshold=0.5, num_partitions=4)
+    edges = [(r["a"], r["b"]) for r in edges_ds.take_all()]
+    assert edges, "expected near-dup edges"
+    # python union-find ground truth over the same edge list
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {n: find(n) for n in parent}
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in dup_clusters(ds, threshold=0.5, num_partitions=4).take_all()
+    }
+    assert got == exp
+    # each family is one component labeled by its min doc id
+    for fam in fams:
+        labels = {got.get(d) for d in fam if d in got}
+        if len([d for d in fam if d in got]) > 1:
+            assert len(labels) == 1
