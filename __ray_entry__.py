@@ -1284,6 +1284,36 @@ def _q_jaccard_verify(sf_dir: str):
     )
 
 
+PACK_SEQ_LEN = 512
+
+
+def _q_pack_manifest(sf_dir: str):
+    """GPT-style sequence-packing manifest: per doc its global token
+    offset (doc_id-ordered stream) and [first, last] training sequence of
+    length 512 — computed with a distributed two-phase prefix scan.
+
+    SQL twin: a window cumsum over whitespace token counts."""
+    from elasticsearch_ray.ops.packing import pack_manifest
+
+    out = pack_manifest(
+        _docs_ds(sf_dir), PACK_SEQ_LEN, bucket_rows=100, num_partitions=4
+    ).take_all()
+    rows = sorted(
+        (r["doc_id"], r["n_tok"], r["tok_start"], r["seq_start"],
+         r["seq_end"])
+        for r in out
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n_tok": pa.array([r[1] for r in rows], pa.int64()),
+            "tok_start": pa.array([r[2] for r in rows], pa.int64()),
+            "seq_start": pa.array([r[3] for r in rows], pa.int64()),
+            "seq_end": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
 def _q_dup_clusters(sf_dir: str):
     """Connected components over the verified near-dup graph (distributed
     min-label propagation; edges = LSH candidates with exact shingle
@@ -1787,6 +1817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dups": _q_minhash_dups,
         "jaccard_verify": _q_jaccard_verify,
         "dup_clusters": _q_dup_clusters,
+        "pack_manifest": _q_pack_manifest,
         "simhash_dups": _q_simhash_dups,
         "embedding_dups": _q_embedding_dups,
         "ann_top10": _q_ann_top10,
@@ -2061,6 +2092,30 @@ JOIN sz na ON na.doc_id = p.a
 JOIN sz nb ON nb.doc_id = p.b
 LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
 ORDER BY p.a, p.b
+"""
+
+
+def _pack_manifest_sql() -> str:
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(coalesce(text, ''), '\\S+'))
+              AS BIGINT) AS n_tok
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tok,
+         (sum(n_tok) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tok) AS tok_start
+  FROM c
+)
+SELECT doc_id, n_tok, CAST(tok_start AS BIGINT) AS tok_start,
+       CASE WHEN n_tok = 0 THEN -1
+            ELSE CAST(tok_start // {PACK_SEQ_LEN} AS BIGINT) END AS seq_start,
+       CASE WHEN n_tok = 0 THEN -1
+            ELSE CAST((tok_start + n_tok - 1) // {PACK_SEQ_LEN} AS BIGINT)
+       END AS seq_end
+FROM o ORDER BY doc_id
 """
 
 
@@ -3194,6 +3249,7 @@ ORDER BY k.doc_id
         "minhash_dups": _minhash_sql(),
         "jaccard_verify": _jaccard_verify_sql(),
         "dup_clusters": _dup_clusters_sql(),
+        "pack_manifest": _pack_manifest_sql(),
         "simhash_dups": _simhash_sql(),
         "embedding_dups": _embedding_dups_sql(),
         "langid_counts": _langid_sql(),

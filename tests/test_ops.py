@@ -650,3 +650,51 @@ def test_dup_clusters_connected_components():
         labels = {got.get(d) for d in fam if d in got}
         if len([d for d in fam if d in got]) > 1:
             assert len(labels) == 1
+
+
+def test_pack_manifest_matches_python_scan():
+    """Distributed prefix-scan sequence packing vs a sequential python
+    pack: offsets, sequence spans, and zero-token handling — across
+    bucket boundaries and multiple partitions."""
+    import random
+
+    from elasticsearch_ray.ops.packing import pack_manifest
+
+    rng = random.Random(79)
+    texts = []
+    for i in range(300):
+        if i % 17 == 0:
+            texts.append("")  # zero-token docs
+        elif i % 23 == 0:
+            texts.append("   ")  # whitespace-only
+        else:
+            texts.append(
+                " ".join(f"t{j}" for j in range(rng.randint(1, 40)))
+            )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(5)
+    L = 64
+    got = {
+        r["doc_id"]: (r["n_tok"], r["tok_start"], r["seq_start"],
+                      r["seq_end"])
+        for r in pack_manifest(
+            ds, L, bucket_rows=50, num_partitions=4
+        ).take_all()
+    }
+    off = 0
+    for i, t in enumerate(texts):
+        n = len(t.split())
+        exp = (
+            n, off,
+            off // L if n else -1,
+            (off + n - 1) // L if n else -1,
+        )
+        assert got[i] == exp, (i, got[i], exp)
+        off += n
+    assert len(got) == len(texts)
