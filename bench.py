@@ -399,6 +399,21 @@ def bench_ops(sf_dir: str) -> dict:
     hash_split_counts(docs).take_all()
     out["hash_split_sec"] = round(time.perf_counter() - t0, 3)
 
+    # near-dup clustering (CC over verified LSH pairs) + packing manifest
+    from elasticsearch_ray.ops.dedup import dup_clusters
+    from elasticsearch_ray.ops.packing import pack_manifest
+
+    t0 = time.perf_counter()
+    out["dup_clusters_rows"] = dup_clusters(
+        docs, threshold=0.5, num_partitions=4
+    ).count()
+    out["dup_clusters_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    out["pack_manifest_rows"] = pack_manifest(
+        docs, 512, bucket_rows=1_000, num_partitions=8
+    ).count()
+    out["pack_manifest_sec"] = round(time.perf_counter() - t0, 3)
+
     # stream percolation: 40 registered queries (half boolean) against the
     # whole documents table — the content-routing-at-ingest path
     from elasticsearch_ray.ops.percolate import percolate
