@@ -1404,6 +1404,62 @@ def _q_ann_top10(sf_dir: str):
     return t.append_column("cos_u", cos_u)
 
 
+def _q_knn_engine(sf_dir: str):
+    """Engine-integrated ES knn search: exact cosine top-10 over the
+    doc-aligned embeddings attached to the plain index (per-shard matvec +
+    shard top-k, driver merges shards*k rows)."""
+    eng = _engine(sf_dir, "plain")
+    eng.attach_embeddings(os.path.join(sf_dir, "embeddings.parquet"))
+    rows = {"query_id": [], "rank": [], "doc_id": [], "cos": []}
+    for qi, qv in enumerate(_query_vecs(sf_dir)):
+        res = eng.knn(qv, k=10)
+        for rank, r in enumerate(res["results"], 1):
+            rows["query_id"].append(qi)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r["doc_id"])
+            rows["cos"].append(int(math.floor(r["cos"] * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "cos_u": pa.array(rows["cos"], pa.int64()),
+        }
+    )
+
+
+RRF_WINDOW, RRF_K = 20, 60
+
+
+def _q_rrf_hybrid(sf_dir: str):
+    """Hybrid BM25+kNN retrieval fused with reciprocal rank fusion (the
+    ES rrf retriever): rrf = 1/(60+bm25_rank) + 1/(60+cos_rank) over
+    top-20 windows, (-rrf, doc_id) order, top-10.
+
+    SQL twin: the bm25 ranked CTE full-outer-joined with a cosine ranked
+    CTE on doc, same fusion expression."""
+    eng = _engine(sf_dir, "plain")
+    eng.attach_embeddings(os.path.join(sf_dir, "embeddings.parquet"))
+    qvecs = _query_vecs(sf_dir)
+    rows = {"query": [], "rank": [], "doc_id": [], "rrf": []}
+    for qtext, qv in zip(BM25_QUERIES, qvecs):
+        res = eng.rrf_hybrid(qtext, qv, size=10, window=RRF_WINDOW,
+                             rank_k=RRF_K)
+        for rank, r in enumerate(res["results"], 1):
+            rows["query"].append(qtext)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r["doc_id"])
+            rows["rrf"].append(int(math.floor(r["rrf"] * 1e9 + 0.5)))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "rrf_n": pa.array(rows["rrf"], pa.int64()),
+        }
+    )
+
+
 def _ensure_ivf_index(sf_dir: str) -> str:
     from elasticsearch_ray.ops.ann import ivf_build
 
@@ -1818,6 +1874,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_verify": _q_jaccard_verify,
         "dup_clusters": _q_dup_clusters,
         "pack_manifest": _q_pack_manifest,
+        "knn_engine": _q_knn_engine,
+        "rrf_hybrid": _q_rrf_hybrid,
         "simhash_dups": _q_simhash_dups,
         "embedding_dups": _q_embedding_dups,
         "ann_top10": _q_ann_top10,
@@ -2092,6 +2150,90 @@ JOIN sz na ON na.doc_id = p.a
 JOIN sz nb ON nb.doc_id = p.b
 LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
 ORDER BY p.a, p.b
+"""
+
+
+def _knn_engine_sql() -> str:
+    return """
+WITH q AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id,
+                  CAST(embedding AS DOUBLE[]) AS qe
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 ORDER BY vec_id LIMIT 5)),
+s AS (SELECT q.query_id, e.vec_id AS doc_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS cos
+      FROM q CROSS JOIN embeddings e),
+r AS (SELECT query_id, doc_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
+      FROM s)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+       CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_u
+FROM r WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def _rrf_hybrid_sql() -> str:
+    qt = []
+    for q in BM25_QUERIES:
+        for t in q.split():
+            qt.append((q, t))
+    qmap = ", ".join(
+        f"({i}, '{q}')" for i, q in enumerate(BM25_QUERIES)
+    )
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query, term) AS (VALUES {_bm25_values_sql(qt)}),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         sum(ln((stats.n + 1.0) / (df.df + 1.0))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+  GROUP BY q.query, tf.doc_id
+),
+lex AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY s DESC, doc_id) AS lr
+  FROM scored QUALIFY lr <= {RRF_WINDOW}
+),
+qv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id,
+              CAST(embedding AS DOUBLE[]) AS qe
+       FROM (SELECT vec_id, embedding FROM embeddings
+             ORDER BY vec_id LIMIT {len(BM25_QUERIES)})),
+qmap(query_id, query) AS (VALUES {qmap}),
+cosr AS (
+  SELECT m.query, e.vec_id AS doc_id,
+         row_number() OVER (
+           PARTITION BY qv.query_id
+           ORDER BY list_cosine_similarity(
+             CAST(e.embedding AS DOUBLE[]), qv.qe) DESC, e.vec_id) AS vr
+  FROM qv CROSS JOIN embeddings e JOIN qmap m ON m.query_id = qv.query_id
+  QUALIFY vr <= {RRF_WINDOW}
+),
+fused AS (
+  SELECT COALESCE(l.query, v.query) AS query,
+         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         COALESCE(1.0 / ({RRF_K} + l.lr), 0)
+           + COALESCE(1.0 / ({RRF_K} + v.vr), 0) AS rrf
+  FROM lex l FULL OUTER JOIN cosr v
+    ON v.query = l.query AND v.doc_id = l.doc_id
+),
+ranked AS (
+  SELECT query, doc_id, rrf,
+         row_number() OVER (PARTITION BY query ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT query, CAST(rank AS INT) AS rank, doc_id,
+       CAST(floor(rrf * 1000000000 + 0.5) AS BIGINT) AS rrf_n
+FROM ranked WHERE rank <= 10 ORDER BY query, rank
 """
 
 
@@ -3250,6 +3392,8 @@ ORDER BY k.doc_id
         "jaccard_verify": _jaccard_verify_sql(),
         "dup_clusters": _dup_clusters_sql(),
         "pack_manifest": _pack_manifest_sql(),
+        "knn_engine": _knn_engine_sql(),
+        "rrf_hybrid": _rrf_hybrid_sql(),
         "simhash_dups": _simhash_sql(),
         "embedding_dups": _embedding_dups_sql(),
         "langid_counts": _langid_sql(),

@@ -150,6 +150,64 @@ class Searcher:
             return np.zeros(slots.size, dtype=bool)
         return codes[slots] == code
 
+    def _embeddings(self, path: str, id_col: str, col: str) -> list:
+        """Per-reader slot-aligned, L2-normalized float64 embedding matrix
+        (ES dense_vector analogue): each shard loads ONLY its doc range
+        from the embeddings parquet (row-group-pruned read), cached once
+        per actor like the facet doc-values.  Docs with no vector stay
+        zero rows (cosine 0, never top-k)."""
+        key = "\0emb\0" + path
+        cached = self._facet_vals.get(key)
+        if cached is not None:
+            return cached
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(path, format="parquet")
+        per_reader = []
+        for r in self.readers:
+            lo = r.doc_id_base
+            hi = lo + r.doc_lens.size
+            tbl = dset.to_table(
+                columns=[id_col, col],
+                filter=(pads.field(id_col) >= lo)
+                & (pads.field(id_col) < hi),
+            ).sort_by(id_col)
+            slots = tbl.column(id_col).to_numpy() - lo
+            vecs = np.array(tbl.column(col).to_pylist(), dtype=np.float64)
+            if vecs.size:
+                n = np.linalg.norm(vecs, axis=1, keepdims=True)
+                n[n == 0] = 1.0
+                vecs = vecs / n
+                mat = np.zeros((r.doc_lens.size, vecs.shape[1]))
+                mat[slots] = vecs
+            else:
+                mat = np.zeros((r.doc_lens.size, 0))
+            per_reader.append(mat)
+        self._facet_vals[key] = per_reader
+        return per_reader
+
+    def knn_local(self, path: str, id_col: str, col: str,
+                  qvec: list[float], k: int):
+        """ES knn search per shard: exact cosine of every live doc against
+        the query vector (one matvec over the shard's cached matrix),
+        local top-k by (-cos, doc_id)."""
+        q = np.asarray(qvec, dtype=np.float64)
+        nrm = float(np.linalg.norm(q))
+        q = q / (nrm if nrm else 1.0)
+        all_ids: list[np.ndarray] = []
+        all_cos: list[np.ndarray] = []
+        for r, mat in zip(self.readers, self._embeddings(path, id_col, col)):
+            if not mat.shape[1]:
+                continue
+            live = np.flatnonzero(r.doc_lens >= 0)
+            sims = mat[live] @ q
+            order = np.lexsort((live, -sims))[:k]
+            all_ids.append(live[order] + r.doc_id_base)
+            all_cos.append(sims[order])
+        if not all_ids:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        return np.concatenate(all_ids), np.concatenate(all_cos)
+
     def _match_slots(self, r, kind: str, payload) -> np.ndarray:
         """FULL local hit set (slots) for an aggregation query."""
         if kind == "all":  # match_all: every live (non-tombstoned) doc
@@ -1513,6 +1571,56 @@ class QueryEngine:
             "total_hits": total,
             "results": [{"doc_id": int(d), "score": 1.0}
                         for d in ids[from_:fetch]],
+        }
+
+    def attach_embeddings(self, path: str, id_col: str = "vec_id",
+                          col: str = "embedding") -> None:
+        """Point the engine at a doc-aligned embeddings parquet (ids must
+        match this index's doc_ids) — enables ``knn`` / ``rrf_hybrid``.
+        Shards lazily load + cache only their doc range."""
+        self._emb = (path, id_col, col)
+
+    def knn(self, query_vec, k: int = 10) -> dict:
+        """ES knn search (exact): cosine top-k over the attached
+        doc-aligned embeddings — one matvec per shard, shard top-k, driver
+        merges shards*k rows with the (-cos, doc_id) tie-break."""
+        if not getattr(self, "_emb", None):
+            raise ValueError("attach_embeddings(path) first")
+        path, id_col, col = self._emb
+        parts = self._fanout(
+            "knn_local", path, id_col, col,
+            [float(x) for x in query_vec], k,
+        )
+        ids = np.concatenate([p[0] for p in parts])
+        cos = np.concatenate([p[1] for p in parts])
+        order = np.lexsort((ids, -cos))[:k]
+        return {
+            "k": k,
+            "results": [
+                {"doc_id": int(ids[i]), "cos": float(cos[i])} for i in order
+            ],
+        }
+
+    def rrf_hybrid(self, query_text: str, query_vec, size: int = 10,
+                   window: int = 50, rank_k: int = 60) -> dict:
+        """Hybrid lexical+vector retrieval with reciprocal rank fusion
+        (the ES `rrf` retriever): rrf(doc) = sum over retrievers of
+        1/(rank_k + rank) across the BM25 top-``window`` and the kNN
+        top-``window``; ties (-rrf, doc_id).  Rank-based, so no score
+        normalization is needed; driver work is O(window)."""
+        lex = self.search(query_text, size=window)["results"]
+        vec = self.knn(query_vec, k=window)["results"]
+        rrf: dict[int, float] = {}
+        for results in (lex, vec):
+            for rank, r in enumerate(results, 1):
+                d = r["doc_id"]
+                rrf[d] = rrf.get(d, 0.0) + 1.0 / (rank_k + rank)
+        top = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
+        return {
+            "query": query_text,
+            "results": [
+                {"doc_id": d, "rrf": s} for d, s in top
+            ],
         }
 
     def search_sort(self, query_text: str | None, field: str,

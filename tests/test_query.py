@@ -605,6 +605,89 @@ def test_ranked_surface_edge_cases(tiny_engine):
     assert not ex["matched"] and ex["score"] == 0.0
 
 
+def test_knn_and_rrf_hybrid(tmp_path):
+    """Engine-integrated kNN (exact cosine over attached doc-aligned
+    embeddings) vs numpy brute force, and RRF hybrid vs a python fusion of
+    the oracle BM25 list + the numpy kNN list."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.oracle.oracle import OracleIndex
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(83)
+    vocab = ["merge", "hash", "scan", "join", "other", "words"]
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 9)))}
+        for i in range(120)
+    ]
+    nprng = np.random.default_rng(83)
+    vecs = nprng.normal(size=(120, 12)).astype(np.float64)
+    vecs[7] = 0.0  # a doc with a zero vector never ranks
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    emb = tmp_path / "emb.parquet"
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(120), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float64())),
+        }),
+        str(emb),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    docs_per_segment=40, target_partition_rows=30),
+    )
+    oracle = OracleIndex()
+    n = vecs / np.where(
+        np.linalg.norm(vecs, axis=1, keepdims=True) == 0, 1.0,
+        np.linalg.norm(vecs, axis=1, keepdims=True),
+    )
+    for eng in (QueryEngine(idx, num_searchers=2),
+                QueryEngine(idx, num_searchers=0)):
+        try:
+            oracle.normalizer = eng.normalizer
+            if not oracle.doc_count:
+                oracle.build([(r["doc_id"], r["text"]) for r in rows])
+            eng.attach_embeddings(str(emb))
+            for qi in (0, 3, 11):
+                q = vecs[qi] / np.linalg.norm(vecs[qi])
+                sims = n @ q
+                exp = np.lexsort((np.arange(120), -sims))[:8]
+                got = eng.knn(vecs[qi], k=8)
+                assert [r["doc_id"] for r in got["results"]] == exp.tolist()
+                for r, e in zip(got["results"], exp):
+                    assert abs(r["cos"] - sims[e]) < 1e-12
+            # hybrid: python RRF over oracle-bm25 + numpy-knn windows
+            qtext, qi = "merge hash", 3
+            lex = oracle.query_taat(qtext, size=20)["results"]
+            q = vecs[qi] / np.linalg.norm(vecs[qi])
+            sims = n @ q
+            vec_rank = np.lexsort((np.arange(120), -sims))[:20]
+            rrf: dict = {}
+            for rank, r in enumerate(lex, 1):
+                rrf[r["doc_id"]] = rrf.get(r["doc_id"], 0.0) + 1 / (60 + rank)
+            for rank, d in enumerate(vec_rank.tolist(), 1):
+                rrf[d] = rrf.get(d, 0.0) + 1 / (60 + rank)
+            exp_top = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+            got = eng.rrf_hybrid(qtext, vecs[qi], size=10, window=20)
+            assert [
+                (r["doc_id"], round(r["rrf"], 12)) for r in got["results"]
+            ] == [(d, round(s, 12)) for d, s in exp_top]
+        finally:
+            eng.close()
+
+
 def test_completion_suggester(tmp_path):
     """ES completion suggester: top dictionary terms extending a prefix by
     (global df desc, term asc) — vs a python scan; cross-shard df sums
