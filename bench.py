@@ -301,6 +301,30 @@ def bench_aggs(index_dir: str, docs_parquet: str) -> dict:
             t0 = time.perf_counter()
             eng.significant_terms(q, size=10)
             late["sigterms"].append((time.perf_counter() - t0) * 1e3)
+        # engine kNN + RRF hybrid (embeddings cover ids 0..n_emb-1; docs
+        # without a vector never rank — the latency shape is unchanged)
+        emb_path = os.path.join(
+            os.path.dirname(docs_parquet), "embeddings.parquet"
+        )
+        if os.path.exists(emb_path):
+            import pyarrow.parquet as _pq
+
+            eng.attach_embeddings(emb_path)
+            qv = _pq.read_table(emb_path).sort_by("vec_id").slice(0, 5)
+            qvecs = qv.column("embedding").to_pylist()
+            eng.knn(qvecs[0], k=10)  # warm the per-shard matrices
+            late["knn"] = []
+            late["rrf"] = []
+            for i in range(10):
+                v = qvecs[i % len(qvecs)]
+                t0 = time.perf_counter()
+                eng.knn(v, k=10)
+                late["knn"].append((time.perf_counter() - t0) * 1e3)
+                t0 = time.perf_counter()
+                eng.rrf_hybrid(queries[i % len(queries)], v, size=10)
+                late["rrf"].append((time.perf_counter() - t0) * 1e3)
+            out["knn"] = _percentiles(late["knn"])
+            out["rrf_hybrid"] = _percentiles(late["rrf"])
         out["facets"] = _percentiles(lats["facets"])
         out["stats"] = _percentiles(lats["stats"])
         out["wildcard"] = _percentiles(wl)
@@ -552,6 +576,15 @@ def main_single():
                 res["query_aggs"]["function_score"]["p50_ms"],
             "query_sigterms_p50_ms":
                 res["query_aggs"]["sigterms"]["p50_ms"],
+            **(
+                {
+                    "query_knn_p50_ms":
+                        res["query_aggs"]["knn"]["p50_ms"],
+                    "query_rrf_p50_ms":
+                        res["query_aggs"]["rrf_hybrid"]["p50_ms"],
+                }
+                if "knn" in res["query_aggs"] else {}
+            ),
             "query_taat_p50_ms": res["query"]["taat"]["p50_ms"],
             "query_taat_p99_ms": res["query"]["taat"]["p99_ms"],
             "query_wand_p50_ms": res["query"]["wand"]["p50_ms"],
