@@ -744,6 +744,34 @@ def _q_stats_agg(sf_dir: str):
 HISTOGRAM_QUERIES = [("merge", 100), ("merge AND hash", 50), ("scan OR join", 200)]
 
 
+def _q_extended_stats(sf_dir: str):
+    """ES extended_stats: exact sum_of_squares + population variance/std
+    of the n_chars doc-value per query (integer n/sum/sum2 merged across
+    shards; var = (sum2 - sum*sum/n)/n in float64).
+
+    SQL twin: the same expression shape over the hit set."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "n": [], "sum2": [], "var_u": [], "std_u": []}
+    for q in STATS_QUERIES:
+        s = eng.search_extended_stats(q, "n_chars")
+        rows["query"].append(q)
+        rows["n"].append(s["count"])
+        rows["sum2"].append(s["sum_of_squares"])
+        rows["var_u"].append(int(math.floor(s["variance"] * 1e6 + 0.5)))
+        rows["std_u"].append(
+            int(math.floor(s["std_deviation"] * 1e6 + 0.5))
+        )
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "sum2": pa.array(rows["sum2"], pa.int64()),
+            "var_u": pa.array(rows["var_u"], pa.int64()),
+            "std_u": pa.array(rows["std_u"], pa.int64()),
+        }
+    )
+
+
 def _q_histogram_agg(sf_dir: str):
     """ES histogram aggregation: fixed-interval buckets
     (key = floor(v/interval)*interval) of the n_chars doc-value with exact
@@ -1854,6 +1882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "complete_prefix": _q_complete,
         "facet_counts": _q_facet_counts,
         "stats_agg": _q_stats_agg,
+        "extended_stats": _q_extended_stats,
         "histogram_agg": _q_histogram_agg,
         "percentiles_agg": _q_percentiles_agg,
         "cardinality_agg": _q_cardinality_agg,
@@ -2503,6 +2532,23 @@ def _stats_sql() -> str:
             f"max(n_chars) AS max, "
             f"CAST(floor(avg(n_chars) * 1000000 + 0.5) AS BIGINT) AS avg_u "
             f"FROM documents WHERE doc_id IN ({hits_by_q[q]})"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
+def _extended_stats_sql() -> str:
+    parts = []
+    for q in STATS_QUERIES:
+        parts.append(
+            f"SELECT '{q}' AS query, n, sum2, "
+            f"CAST(floor(((sum2 - s * s / n) / n) * 1000000 + 0.5) "
+            f"AS BIGINT) AS var_u, "
+            f"CAST(floor(sqrt((sum2 - s * s / n) / n) * 1000000 + 0.5) "
+            f"AS BIGINT) AS std_u "
+            f"FROM (SELECT count(*)::BIGINT AS n, "
+            f"sum(n_chars)::BIGINT AS s, "
+            f"sum(n_chars * n_chars)::BIGINT AS sum2 "
+            f"FROM documents WHERE doc_id IN ({_AGG_HITS[q]}))"
         )
     return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
 
@@ -3196,6 +3242,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_plain": _suggest_sql(),
         "facet_counts": _facet_sql(),
         "stats_agg": _stats_sql(),
+        "extended_stats": _extended_stats_sql(),
         "histogram_agg": _histogram_sql(),
         "percentiles_agg": _percentiles_sql(),
         "cardinality_agg": _cardinality_sql(),

@@ -236,10 +236,13 @@ class Searcher:
 
     def stats_agg(self, kind: str, payload, field: str) -> dict:
         """ES stats aggregation over an INTEGER doc-value field: exact
-        (count, sum, min, max) of the full hit set; driver merges."""
+        (count, sum, sum of squares, min, max) of the full hit set; driver
+        merges.  sum2 feeds the extended_stats variance as exact integer
+        arithmetic (python ints — no int64 overflow at any scale)."""
         per_reader = self._facet_numeric(field)
         n = 0
         s = 0
+        s2 = 0
         mn: int | None = None
         mx: int | None = None
         for r, vals in zip(self.readers, per_reader):
@@ -250,9 +253,10 @@ class Searcher:
                 continue
             n += int(v.size)
             s += int(v.sum())
+            s2 += int((v.astype(object) ** 2).sum())
             mn = int(v.min()) if mn is None else min(mn, int(v.min()))
             mx = int(v.max()) if mx is None else max(mx, int(v.max()))
-        return {"count": n, "sum": s, "min": mn, "max": mx}
+        return {"count": n, "sum": s, "sum2": s2, "min": mn, "max": mx}
 
     def histogram_agg(self, kind: str, payload, field: str,
                       interval: int) -> dict:
@@ -1349,6 +1353,34 @@ class QueryEngine:
             "min": min(mns) if mns else None,
             "max": max(mxs) if mxs else None,
             "avg": (s / n) if n else None,
+        }
+
+    def search_extended_stats(self, query_text: str, field: str) -> dict:
+        """ES extended_stats: stats plus sum_of_squares, population
+        variance and std deviation — exact integer n/sum/sum2 merged
+        across shards, variance = (sum2 - sum*sum/n)/n in float64 (the
+        deterministic, SQL-twinnable expression shape)."""
+        kind, payload = self._agg_route(query_text)
+        parts = self._fanout("stats_agg", kind, payload, field)
+        n = sum(p["count"] for p in parts)
+        s = sum(p["sum"] for p in parts)
+        s2 = sum(p["sum2"] for p in parts)
+        mns = [p["min"] for p in parts if p["min"] is not None]
+        mxs = [p["max"] for p in parts if p["max"] is not None]
+        var = ((s2 - s * s / n) / n) if n else None
+        import math as _math
+
+        return {
+            "query": query_text,
+            "field": field,
+            "count": n,
+            "sum": s,
+            "sum_of_squares": s2,
+            "min": min(mns) if mns else None,
+            "max": max(mxs) if mxs else None,
+            "avg": (s / n) if n else None,
+            "variance": var,
+            "std_deviation": _math.sqrt(var) if var is not None else None,
         }
 
     def search_histogram(self, query_text: str, field: str, interval: int,

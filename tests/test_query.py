@@ -1657,3 +1657,45 @@ def test_regexp_prefix_narrowing_fuzz(tmp_path):
         exp = [i for i, t in enumerate(dictionary) if rx.match(t)]
         got = r.term_rows_regexp(pat)
         assert got == exp, pat
+
+
+def test_extended_stats(tmp_path):
+    """extended_stats variance/std vs numpy population stats."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(89)
+    rows = [
+        {"doc_id": i, "text": "merge" if i % 2 else "hash",
+         "n_chars": rng.randint(5, 500)}
+        for i in range(101)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("n_chars",), docs_per_segment=40,
+                    target_partition_rows=30),
+    )
+    eng = QueryEngine(idx, num_searchers=2)
+    try:
+        for q, pred in (("merge", 1), ("hash", 0)):
+            v = np.array([r["n_chars"] for r in rows if r["doc_id"] % 2 == pred])
+            got = eng.search_extended_stats(q, "n_chars")
+            assert got["count"] == v.size
+            assert got["sum"] == int(v.sum())
+            assert got["sum_of_squares"] == int((v.astype(object) ** 2).sum())
+            assert abs(got["variance"] - float(np.var(v))) < 1e-9
+            assert abs(got["std_deviation"] - float(np.std(v))) < 1e-9
+    finally:
+        eng.close()
