@@ -1216,6 +1216,31 @@ def _q_sort_nchars(sf_dir: str):
     )
 
 
+def _q_sort_source(sf_dir: str):
+    """ES sort over a STRING doc-value (lexicographic, doc_id tie-break,
+    per-reader dictionary ranks -> bounded driver string re-sort)."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "ord": [], "rank": [], "doc_id": [], "src": []}
+    for q in SORT_COUNT_QUERIES:
+        for order in ("desc", "asc"):
+            res = eng.search_sort(q, "source", order=order, size=15)
+            for rank, r in enumerate(res["results"], 1):
+                rows["query"].append(q or "")
+                rows["ord"].append(order)
+                rows["rank"].append(rank)
+                rows["doc_id"].append(r["doc_id"])
+                rows["src"].append(r["sort"][0])
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "ord": pa.array(rows["ord"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "src": pa.array(rows["src"], pa.string()),
+        }
+    )
+
+
 def _q_count_api(sf_dir: str):
     """ES _count API: exact hit counts, no scoring/fetch phase."""
     eng = _engine(sf_dir, "plain")
@@ -1888,6 +1913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cardinality_agg": _q_cardinality_agg,
         "range_filter": _q_range_filter,
         "sort_nchars": _q_sort_nchars,
+        "sort_source": _q_sort_source,
         "count_api": _q_count_api,
         "collapse_source": _q_collapse_source,
         "more_like_this": _q_more_like_this,
@@ -3146,6 +3172,27 @@ FROM groups WHERE rank <= 10 ORDER BY query, rank
 """
 
 
+def _sort_source_sql() -> str:
+    parts = []
+    for q in SORT_COUNT_QUERIES:
+        label = (q or "").replace("'", "''")
+        for order in ("desc", "asc"):
+            direction = "DESC" if order == "desc" else "ASC"
+            parts.append(f"""
+SELECT '{label}' AS query, '{order}' AS ord,
+       CAST(row_number() OVER (ORDER BY source {direction}, doc_id) AS INT)
+         AS rank,
+       doc_id, source AS src
+FROM documents
+WHERE doc_id IN ({_AGG_HITS_SQL[q]})
+ORDER BY source {direction}, doc_id LIMIT 15""")
+    return (
+        f"WITH tok AS ({_TOK}) SELECT * FROM ("
+        + " UNION ALL ".join(f"({p})" for p in parts)
+        + ") ORDER BY query, ord, rank"
+    )
+
+
 def _count_api_sql() -> str:
     parts = []
     for q in SORT_COUNT_QUERIES:
@@ -3248,6 +3295,7 @@ def oracle_sql() -> dict[str, str]:
         "cardinality_agg": _cardinality_sql(),
         "range_filter": _range_sql(),
         "sort_nchars": _sort_nchars_sql(),
+        "sort_source": _sort_source_sql(),
         "count_api": _count_api_sql(),
         "collapse_source": _collapse_sql(),
         "more_like_this": _mlt_sql(),

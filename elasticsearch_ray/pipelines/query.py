@@ -355,32 +355,61 @@ class Searcher:
         return ids[:k], total  # readers are doc_id-ordered -> global asc
 
     def search_sort(self, kind: str, payload, field: str, desc: bool,
-                    k: int):
+                    k: int, numeric: bool = True):
         """ES sort-by-field: the full hit set ordered by (doc-value,
-        doc_id asc) over an INTEGER doc-value field; local top-k per shard,
-        driver merges k*shards rows.  Docs with no doc-value (docmap gaps,
-        e.g. lang-filtered) are excluded — ES 'missing' docs sort last and
-        never reach a bounded top-k here."""
-        per_reader = self._facet_numeric(field)
+        doc_id asc) over an integer (``numeric=True``) or string doc-value
+        field; local top-k per shard, driver merges k*shards rows.  String
+        sort is vectorized via per-reader dictionary ranks (rank order ==
+        lexicographic order within a reader; the driver re-sorts the
+        bounded merged rows by the value strings).  Docs with no doc-value
+        (docmap gaps / NULLs) are excluded — ES 'missing' docs sort last
+        and never reach a bounded top-k here."""
         out_ids: list[np.ndarray] = []
-        out_vals: list[np.ndarray] = []
+        out_vals: list = []
         total = 0
-        for r, vals in zip(self.readers, per_reader):
+        if numeric:
+            for r, vals in zip(self.readers, self._facet_numeric(field)):
+                slots = self._match_slots(r, kind, payload)
+                v = vals[slots]
+                m = v != np.iinfo(np.int64).min
+                slots, v = slots[m], v[m]
+                total += int(slots.size)
+                order = np.lexsort((slots, -v if desc else v))[:k]
+                out_ids.append(slots[order] + r.doc_id_base)
+                out_vals.append(v[order])
+            ids = (
+                np.concatenate(out_ids) if out_ids
+                else np.empty(0, np.int64)
+            )
+            vals = (
+                np.concatenate(out_vals) if out_vals
+                else np.empty(0, np.int64)
+            )
+            return ids, vals.tolist(), total
+        for (codes, cats), r in zip(
+            self._facet_column(field), self.readers
+        ):
             slots = self._match_slots(r, kind, payload)
-            v = vals[slots]
-            m = v != np.iinfo(np.int64).min
-            slots, v = slots[m], v[m]
+            c = codes[slots]
+            m = c >= 0
+            slots, c = slots[m], c[m]
             total += int(slots.size)
-            order = np.lexsort((slots, -v if desc else v))[:k]
+            if not slots.size:
+                continue
+            # dictionary codes are in first-appearance order; rank them
+            # lexicographically once per reader, then sort hits by rank
+            rank_of_code = np.empty(len(cats), dtype=np.int64)
+            rank_of_code[np.argsort(np.array(cats, dtype=object))] = (
+                np.arange(len(cats))
+            )
+            rk = rank_of_code[c]
+            order = np.lexsort((slots, -rk if desc else rk))[:k]
             out_ids.append(slots[order] + r.doc_id_base)
-            out_vals.append(v[order])
+            out_vals.extend(cats[ci] for ci in c[order].tolist())
         ids = (
             np.concatenate(out_ids) if out_ids else np.empty(0, np.int64)
         )
-        vals = (
-            np.concatenate(out_vals) if out_vals else np.empty(0, np.int64)
-        )
-        return ids, vals, total
+        return ids, out_vals, total
 
     def search_boosted(self, terms: list[str], idfs: dict[str, float],
                        field: str, modifier: str, k: int, scoring: str,
@@ -1664,26 +1693,35 @@ class QueryEngine:
         tie-break, instead of _score.  Each shard returns its local top
         from_+size rows; the driver merge touches shards*(from_+size)
         rows, never the corpus."""
-        if query_text and query_text.strip():
-            kind, payload = self._agg_route(query_text)
-        else:
-            kind, payload = "all", None
+        import pyarrow.dataset as pads
+        import pyarrow.types as patypes
+
+        kind, payload = self._agg_route(query_text)
+        numeric = patypes.is_integer(
+            pads.dataset(
+                os.path.join(self.index_dir, "docmap"), format="parquet"
+            ).schema.field(field).type
+        )
         desc = order == "desc"
         fetch = from_ + size
         parts = self._fanout("search_sort", kind, payload, field, desc,
-                             fetch)
-        ids = np.concatenate([p[0] for p in parts])
-        vals = np.concatenate([p[1] for p in parts])
+                             fetch, numeric)
+        rows = [
+            (v, int(d))
+            for p in parts
+            for d, v in zip(p[0].tolist(), p[1])
+        ]
         total = int(sum(p[2] for p in parts))
-        keys = -vals if desc else vals
-        sel = np.lexsort((ids, keys))[from_:fetch]
+        # stable two-pass: doc_id asc tie-break under either value order
+        rows.sort(key=lambda t: t[1])
+        rows.sort(key=lambda t: t[0], reverse=desc)
         return {
             "query": query_text or "",
             "field": field,
             "order": order,
             "total_hits": total,
             "results": [
-                {"doc_id": int(ids[i]), "sort": [int(vals[i])]} for i in sel
+                {"doc_id": d, "sort": [v]} for v, d in rows[from_:fetch]
             ],
         }
 

@@ -1699,3 +1699,54 @@ def test_extended_stats(tmp_path):
             assert abs(got["std_deviation"] - float(np.std(v))) < 1e-9
     finally:
         eng.close()
+
+
+def test_sort_by_string_field(tmp_path):
+    """ES sort over a categorical (string) doc-value: lexicographic with
+    doc_id tie-break, both directions, vs a python scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(97)
+    vocab = ["merge", "hash", "scan", "join"]
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(vocab) for _ in range(5)),
+         "source": rng.choice(["alpha", "beta", "gamma", "delta", "zz"])}
+        for i in range(130)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("source",), docs_per_segment=40,
+                    target_partition_rows=30),
+    )
+    for eng in (QueryEngine(idx, num_searchers=2),
+                QueryEngine(idx, num_searchers=0)):
+        try:
+            for q, pred in ((None, lambda t: True),
+                            ("merge", lambda t: "merge" in t.split())):
+                hits = [r for r in rows if pred(r["text"])]
+                for order in ("asc", "desc"):
+                    exp = sorted(hits, key=lambda r: r["doc_id"])
+                    exp = sorted(exp, key=lambda r: r["source"],
+                                 reverse=(order == "desc"))
+                    got = eng.search_sort(q, "source", order=order, size=25)
+                    assert got["total_hits"] == len(hits), (q, order)
+                    assert [
+                        (r["sort"][0], r["doc_id"]) for r in got["results"]
+                    ] == [
+                        (r["source"], r["doc_id"]) for r in exp[:25]
+                    ], (q, order)
+        finally:
+            eng.close()
