@@ -37,6 +37,16 @@ def jsonl_to_parquet(src: str, out_dir: str) -> str:
     return out_dir
 
 
+def csv_to_parquet(src: str, out_dir: str) -> str:
+    """CSV file(s) -> partitioned Parquet with ray.data (streaming,
+    distributed; Arrow CSV reader per block)."""
+    import ray.data
+
+    os.makedirs(out_dir, exist_ok=True)
+    ray.data.read_csv(src).write_parquet(out_dir)
+    return out_dir
+
+
 def iter_json_array(path: str, buf_bytes: int = 1 << 20):
     """Yield objects from one big JSON array without loading the file:
     ``raw_decode`` over a sliding buffer that grows only when a single

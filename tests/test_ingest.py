@@ -109,3 +109,38 @@ def test_json_array_and_jsonl_to_index(tmp_path):
                 ], (src, q)
         finally:
             eng.close()
+
+
+def test_csv_to_index(tmp_path):
+    """CSV ingestion path: convert -> build -> query matches a build from
+    equivalent parquet."""
+    import csv as _csv
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+    from elasticsearch_ray.sources.ingest import csv_to_parquet
+
+    docs = _docs(80)
+    path = tmp_path / "docs.csv"
+    with open(path, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["id", "url", "title", "text"])
+        w.writeheader()
+        w.writerows(docs)
+    out = csv_to_parquet(str(path), str(tmp_path / "pq_csv"))
+    idx = str(tmp_path / "idx_csv")
+    build_index(
+        out, idx,
+        BuildConfig(analyzer="plain", text_column="text",
+                    url_column="url", lang_column=None,
+                    docs_per_segment=40, target_partition_rows=30),
+    )
+    eng = QueryEngine(idx, num_searchers=0)
+    try:
+        res = eng.search("merge hash", size=100)
+        exp = sum(
+            1 for d in docs
+            if {"merge", "hash"} & set(d["text"].split())
+        )
+        assert res["total_hits"] == exp
+    finally:
+        eng.close()
