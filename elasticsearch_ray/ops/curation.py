@@ -299,20 +299,32 @@ def curate_resumable(
         exact_dup_groups(ds, text_col=text_col, id_col=id_col).write_parquet(
             os.path.join(state_dir, "dupgroups")
         )
+        # an EMPTY drop set writes no files at all — keep the dir so the
+        # resume read below doesn't miss it (dup-free corpora are normal)
+        os.makedirs(os.path.join(state_dir, "dupgroups"), exist_ok=True)
         if near_dedup:
             minhash_lsh_dedup(
                 ds, text_col=text_col, id_col=id_col
             ).select_columns([id_col]).write_parquet(
                 os.path.join(state_dir, "neardups")
             )
+            os.makedirs(os.path.join(state_dir, "neardups"), exist_ok=True)
         with open(state_done + ".tmp", "w") as f:
             json.dump({"files": files, "near_dedup": near_dedup}, f)
         os.replace(state_done + ".tmp", state_done)
 
-    grows = _probe_small(
-        ray.data.read_parquet(os.path.join(state_dir, "dupgroups")),
-        broadcast_max_rows,
-    )
+    def _read_state(name: str):
+        d = os.path.join(state_dir, name)
+        parts = (
+            [os.path.join(d, f) for f in sorted(os.listdir(d))
+             if f.endswith(".parquet")]
+            if os.path.isdir(d) else []
+        )
+        if not parts:
+            return []  # empty drop set
+        return _probe_small(ray.data.read_parquet(parts), broadcast_max_rows)
+
+    grows = _read_state("dupgroups")
     if grows is None:
         raise ValueError(
             "exact-dup group table exceeds broadcast_max_rows; use curate()"
@@ -320,10 +332,7 @@ def curate_resumable(
     rep_map = {(int(r["h1"]), int(r["h2"])): r["rep"] for r in grows}
     dup_set = None
     if near_dedup:
-        drows = _probe_small(
-            ray.data.read_parquet(os.path.join(state_dir, "neardups")),
-            broadcast_max_rows,
-        )
+        drows = _read_state("neardups")
         if drows is None:
             raise ValueError(
                 "near-dup id set exceeds broadcast_max_rows; use curate()"

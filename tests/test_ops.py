@@ -698,3 +698,35 @@ def test_pack_manifest_matches_python_scan():
         assert got[i] == exp, (i, got[i], exp)
         off += n
     assert len(got) == len(texts)
+
+
+def test_curate_resumable_dup_free_corpus(tmp_path):
+    """A corpus with NO exact or near duplicates: the persisted drop sets
+    are empty (zero parquet files) — resume must read them as empty, not
+    crash (regression: write_parquet of an empty Dataset writes nothing)."""
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.ops.curation import curate_resumable
+
+    texts = [
+        " ".join(f"unique{i}_{j} word{j} thing{i}" for j in range(12))
+        for i in range(30)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(src / "p.parquet"),
+    )
+    out = str(tmp_path / "out")
+    res = curate_resumable(str(src), out, near_dedup=True)
+    assert res["kept"] == len(texts)
+    assert res["near_dups_dropped"] == 0
+    # resume path: state reloads (empty sets), shards skip
+    res2 = curate_resumable(str(src), out, near_dedup=True)
+    assert res2["kept"] == len(texts)
+    assert res2["shards_redone"] == 0
