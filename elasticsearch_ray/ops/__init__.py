@@ -1,0 +1,36 @@
+"""Training-data / corpus ops — convenience re-exports.
+
+Each op lives in its own module (the canonical import path used by the
+tests and the driver entries); this package surface exists so a user can
+``from elasticsearch_ray.ops import minhash_lsh_dedup`` etc.
+"""
+
+from .ann import brute_force_topk, ivf_build, ivf_query_rescore, ivf_topk
+from .corpus import bigram_counts, hash_split_counts, source_quota
+from .curation import curate, curate_resumable
+from .dedup import (
+    dup_clusters,
+    embedding_cosine_dedup,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_lsh_dedup,
+    ngram_jaccard,
+    simhash_dedup,
+    verified_dup_edges,
+)
+from .events import asof_join, sessionize, window_agg
+from .packing import pack_manifest
+from .percolate import Percolator, percolate
+from .textstats import language_id, quality_scores, token_counts
+
+__all__ = [
+    "brute_force_topk", "ivf_build", "ivf_query_rescore", "ivf_topk",
+    "bigram_counts", "hash_split_counts", "source_quota",
+    "curate", "curate_resumable",
+    "dup_clusters", "embedding_cosine_dedup", "exact_dedup",
+    "lsh_candidate_pairs", "minhash_lsh_dedup", "ngram_jaccard",
+    "simhash_dedup", "verified_dup_edges",
+    "asof_join", "sessionize", "window_agg",
+    "pack_manifest", "Percolator", "percolate",
+    "language_id", "quality_scores", "token_counts",
+]
