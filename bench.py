@@ -652,12 +652,24 @@ def _index_md5s(index_dir: str) -> dict:
 
 
 def _run_scaling_child(cpus: int, shuffle: str | None = None) -> dict | None:
+    import shutil as _shutil
+
     env = dict(os.environ)
     env["RAY_GRAFT_CPUS"] = str(cpus)
     if shuffle:
         env["BENCH_SHUFFLE"] = shuffle
+    cmd = [sys.executable, os.path.abspath(__file__), "--scaling-child"]
+    if _shutil.which("taskset") and (os.cpu_count() or 0) >= cpus:
+        # HARD-cap the leg to exactly `cpus` cores: ray.init(num_cpus=N)
+        # only limits the scheduler's bookkeeping — library threads and
+        # the OS happily spill a "2-CPU" run onto idle cores, inflating
+        # the small leg's throughput and DEFLATING measured efficiency
+        # (observed: 2-CPU legs at 7.2k docs/s whose x4 exceeds every
+        # 8-CPU result ever recorded).  Affinity pinning makes N vs 4N an
+        # honest fixed-size-cluster proxy.
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     p = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--scaling-child"],
+        cmd,
         env=env,
         capture_output=True,
         text=True,
