@@ -739,6 +739,10 @@ def main_scaling():
         "canary_secs": {
             c: [r["canary_sec"] for r in ds] for c, ds in draws.items()
         },
+        "bw_canary_gbps": {
+            c: [r.get("bw_canary_gbps") for r in ds]
+            for c, ds in draws.items()
+        },
         "deterministic_across_levels": deterministic,
         "detail_path": _dump_detail({"best": out, "draws": draws}),
     }
@@ -812,10 +816,29 @@ def _noise_canary() -> float:
     return round(best, 4)
 
 
+def _bw_canary_gbps() -> float:
+    """Single-threaded DRAM streaming probe (GB/s): some contention modes
+    degrade 8-way memory-bound runs while the small CPU canary stays
+    quiet (observed: 8-CPU legs 36% below record with canary unchanged).
+    A plain 200 MB copy correlates with that mode directly."""
+    import numpy as np
+
+    buf = np.ones(25_000_000, dtype=np.int64)  # 200 MB
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        buf2 = buf.copy()
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        del buf2
+    return round(0.4 / best, 2)  # 0.2 GB read + 0.2 GB write
+
+
 def main_scaling_child():
     import ray
 
     canary = _noise_canary()
+    bw = _bw_canary_gbps()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -839,6 +862,7 @@ def main_scaling_child():
         ),
     )
     res["canary_sec"] = canary
+    res["bw_canary_gbps"] = bw
     ray.shutdown()
     print(json.dumps(res))
 
