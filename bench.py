@@ -718,6 +718,21 @@ def main_scaling():
         qn = max(r["docs_per_sec"] for r in quiet[n])
         q4 = max(r["docs_per_sec"] for r in quiet[n4])
         eff_quiet = round((q4 / qn) / (n4 / n), 3)
+    # pairwise efficiency: each repeat's N leg against the 4N leg run
+    # IMMEDIATELY after it — the shared host's window speed drifts on a
+    # minutes scale, so adjacent-in-time legs see the closest-matched
+    # host state; cross-pairing best-of legs mixes windows and scatters
+    pair_effs = [
+        round(
+            (d4["docs_per_sec"] / dn["docs_per_sec"]) / (n4 / n), 3
+        )
+        for dn, d4 in zip(draws[n], draws[n4])
+        if dn["docs_per_sec"]
+    ]
+    pair_sorted = sorted(pair_effs)
+    median_pair = (
+        pair_sorted[len(pair_sorted) // 2] if pair_sorted else None
+    )
     # determinism across parallelism levels: segment bytes must be identical
     deterministic = _index_md5s(
         f"/tmp/esray_bench/idx_scaling_{n}"
@@ -736,6 +751,8 @@ def main_scaling():
         "num_cpus": n4,
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_quiet": eff_quiet,
+        "pair_efficiencies": pair_effs,
+        "median_pair_efficiency": median_pair,
         "canary_secs": {
             c: [r["canary_sec"] for r in ds] for c, ds in draws.items()
         },
