@@ -1029,6 +1029,8 @@ PERCOLATE_QUERIES = [
     "merge AND hash",
     "scan OR (join AND NOT merge)",
     "words NOT merge",
+    '"join hash"',
+    '"customer order" spark',
 ]
 
 
@@ -2887,13 +2889,26 @@ def _percolate_sql() -> str:
             "SELECT doc_id FROM tok WHERE tok='merge'))"),
         4: ("SELECT doc_id FROM tok WHERE tok='words' EXCEPT "
             "SELECT doc_id FROM tok WHERE tok='merge'"),
+        5: ("SELECT DISTINCT a.doc_id FROM ptok a JOIN ptok b "
+            "ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            "WHERE a.tok = 'join' AND b.tok = 'hash'"),
+        6: ("SELECT DISTINCT a.doc_id FROM ptok a JOIN ptok b "
+            "ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            "WHERE a.tok = 'customer' AND b.tok = 'order' "
+            "AND a.doc_id IN "
+            "(SELECT doc_id FROM tok WHERE tok = 'spark')"),
     }
     parts = [
         f"SELECT doc_id, {qid}::BIGINT AS query_id FROM ({h})"
         for qid, h in hits.items()
     ]
     return (
-        f"WITH tok AS ({_TOK}) SELECT * FROM ("
+        f"WITH tok AS ({_TOK}), "
+        "lists AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "FROM documents), "
+        "ptok AS (SELECT doc_id, unnest(l) AS tok, "
+        "unnest(range(1, len(l) + 1)) AS pos FROM lists) "
+        "SELECT * FROM ("
         + " UNION ALL ".join(parts)
         + ") ORDER BY doc_id, query_id"
     )

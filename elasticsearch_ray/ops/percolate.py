@@ -32,10 +32,30 @@ class Percolator:
     ``(doc_id, query_id)`` row per (document, matching registered query)."""
 
     def __init__(self, queries: list[str], analyzer: str = "plain"):
+        import re as _re
+
         self.norm = make_normalizer(analyzer)
         self.compiled: list[tuple[int, str, tuple]] = []
         for qid, q in enumerate(queries):
-            if looks_boolean(q):
+            if '"' in q:
+                # quoted phrases (optionally sloppy "a b"~N) + residual
+                # free terms: ALL must match (the engine's phrase-query
+                # AND semantics)
+                spans = _re.findall(r'"([^"]*)"(?:~(\d+))?', q)
+                residual = self.norm.preprocess_query_list(
+                    _re.sub(r'"[^"]*"(?:~\d+)?', " ", q)
+                )
+                phrases = []
+                for text, slop in spans:
+                    terms = self.norm.preprocess_query_list(text)
+                    if terms:
+                        phrases.append(
+                            (tuple(terms), int(slop) if slop else 0)
+                        )
+                self.compiled.append(
+                    (qid, "phrase", (tuple(phrases), tuple(residual)))
+                )
+            elif looks_boolean(q):
                 self.compiled.append(
                     (qid, "bool",
                      to_rpn(preprocess_boolean_query(q, self.norm)))
@@ -63,11 +83,79 @@ class Percolator:
                 memo[term] = m
             return m
 
+        # token positions within each doc (index among KEPT tokens — the
+        # same positions semantics the index stores), as composite
+        # row<<32 | pos keys for vectorized phrase adjacency
+        if tok_doc.size:
+            starts = np.flatnonzero(
+                np.r_[True, tok_doc[1:] != tok_doc[:-1]]
+            )
+            lens = np.diff(np.r_[starts, tok_doc.size])
+            pos = np.arange(tok_doc.size) - np.repeat(starts, lens)
+            keys_all = (tok_doc << np.int64(32)) | pos
+        else:
+            keys_all = np.empty(0, dtype=np.int64)
+
+        def keys_for(term: str) -> np.ndarray:
+            i = tid.get(term)
+            if i is None:
+                return np.empty(0, dtype=np.int64)
+            return keys_all[codes == i]
+
+        def phrase_rows(terms: tuple, slop: int) -> np.ndarray:
+            """Rows matching one phrase — the slack-budget DP of
+            ``scoring.phrase_eval`` over the batch's composite keys."""
+            cur = keys_for(terms[0])
+            if slop == 0:
+                for t in terms[1:]:
+                    if not cur.size:
+                        break
+                    nxt = keys_for(t)
+                    cur = np.intersect1d(
+                        cur + 1, nxt, assume_unique=False
+                    )
+            else:
+                R = [cur] * (slop + 1)
+                for t in terms[1:]:
+                    if not R[slop].size:
+                        break
+                    nxt = keys_for(t)
+                    newR = []
+                    for c in range(slop + 1):
+                        parts = [
+                            R[c - d] + np.int64(1 + d)
+                            for d in range(c + 1)
+                        ]
+                        u = (
+                            np.unique(np.concatenate(parts))
+                            if len(parts) > 1 else parts[0]
+                        )
+                        newR.append(
+                            np.intersect1d(u, nxt, assume_unique=False)
+                        )
+                    R = newR
+                cur = R[slop]
+            return (
+                np.unique(cur >> np.int64(32)) if cur.size
+                else np.empty(0, dtype=np.int64)
+            )
+
         doc_ids = batch.column("doc_id").to_numpy()
         out_doc: list[np.ndarray] = []
         out_q: list[np.ndarray] = []
         for qid, kind, payload in self.compiled:
-            if kind == "match":
+            if kind == "phrase":
+                phrases, residual = payload
+                m = np.ones(n, dtype=bool)
+                for terms, slop in phrases:
+                    pm = np.zeros(n, dtype=bool)
+                    pm[phrase_rows(terms, slop)] = True
+                    m &= pm
+                for t in residual:
+                    m &= mask_for(t)
+                if not phrases and not residual:
+                    m = np.zeros(n, dtype=bool)
+            elif kind == "match":
                 m = np.zeros(n, dtype=bool)
                 for t in payload:
                     m |= mask_for(t)

@@ -730,3 +730,48 @@ def test_curate_resumable_dup_free_corpus(tmp_path):
     res2 = curate_resumable(str(src), out, near_dedup=True)
     assert res2["kept"] == len(texts)
     assert res2["shards_redone"] == 0
+
+
+def test_percolate_phrase_queries():
+    """Percolation of quoted-phrase (and sloppy-phrase) registered queries
+    vs the positions-enabled oracle's phrase evaluation."""
+    from elasticsearch_ray.normalizer import make_normalizer
+    from elasticsearch_ray.ops.percolate import percolate
+    from elasticsearch_ray.oracle.oracle import OracleIndex
+
+    texts = [
+        "machine learning models train on big data",
+        "learning machine is reversed here",
+        "big data processing with machine learning pipelines",
+        "data big reversed order",
+        "machine separated by stuff from learning",
+        "unrelated cooking recipes",
+        "machine then one gap learning follows",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+    queries = [
+        '"machine learning"',
+        '"machine learning"~3',
+        '"big data" processing',
+        '"learning machine"',
+        '"machine learning" "big data"',
+    ]
+    oracle = OracleIndex(store_positions=True)
+    oracle.normalizer = make_normalizer("plain")
+    oracle.build(list(enumerate(texts)))
+    got: dict = {}
+    for r in percolate(ds, queries, analyzer="plain").take_all():
+        got.setdefault(r["query_id"], set()).add(r["doc_id"])
+    for qid, q in enumerate(queries):
+        exp = {
+            r["doc_id"]
+            for r in oracle.query_phrase(q, size=1000)["results"]
+        }
+        assert got.get(qid, set()) == exp, (q, got.get(qid), exp)
