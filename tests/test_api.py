@@ -241,3 +241,25 @@ def test_snapshot_restore_and_profile(tmp_path_factory):
     body = {k: v for k, v in prof.items() if k != "profile"}
     assert body == before
     ix.delete_index("s2")
+
+
+def test_inspect_index_tool(tmp_path_factory):
+    """tools/inspect_index reads only manifests and reports consistent
+    totals (the _cat analogue)."""
+    import sys
+
+    base = str(tmp_path_factory.mktemp("inspect"))
+    ix = RayBM25Index(
+        base_dir=base,
+        config=BuildConfig(target_partition_rows=2, docs_per_segment=3),
+    )
+    ix.create_index("i1", DOCS)
+    sys.path.insert(0, "/root/repo/tools")
+    from inspect_index import inspect as _inspect
+
+    info = _inspect(base + "/i1", with_segments=True)
+    assert info["doc_count"] == len(DOCS)
+    assert info["num_segments"] == len(info["segments"])
+    assert sum(s["num_docs"] for s in info["segments"]) == len(DOCS)
+    assert info["tombstones"] == 0
+    ix.delete_index("i1")
