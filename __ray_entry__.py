@@ -442,6 +442,42 @@ def _q_bm25_filtered(sf_dir: str):
     )
 
 
+# boosted variants of the BM25 queries (Lucene term^boost syntax);
+# (query text with boosts, [(analyzed term, weight), ...])
+BOOSTED_QUERIES = [
+    ("join^2 hash", [("join", 2.0), ("hash", 1.0)]),
+    ("filter scan^3", [("filter", 1.0), ("scan", 3.0)]),
+    ("agg^0.5 value table", [("agg", 0.5), ("value", 1.0), ("table", 1.0)]),
+    ("window^4 batch spark^0.25",
+     [("window", 4.0), ("batch", 1.0), ("spark", 0.25)]),
+]
+
+
+def _q_bm25_boosted(sf_dir: str):
+    """Lucene query-string term boosts on ranked queries: term^N scales
+    that clause's score (folded into idf, so TAAT/DAAT/WAND all stay
+    exact).
+
+    SQL twin: the bm25 CTE with a weight column in the query VALUES."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "rank": [], "doc_id": [], "score": []}
+    for q, _ in BOOSTED_QUERIES:
+        res = eng.search(q, size=10)
+        for rank, r in enumerate(res["results"], 1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r["doc_id"])
+            rows["score"].append(int(math.floor(r["score"] * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score_u": pa.array(rows["score"], pa.int64()),
+        }
+    )
+
+
 def _q_highlight(sf_dir: str):
     """ES highlight over the plain index (built with store_source): for
     each BM25 top-10 hit and each query term present in the doc, the
@@ -1896,6 +1932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "get_doc": _q_get_doc,
         "bm25_msm2": _q_bm25_msm2,
         "bm25_filtered": _q_bm25_filtered,
+        "bm25_boosted": _q_bm25_boosted,
         "bm25_top10": _q_bm25_top10,
         "wand_top10": _q_wand_top10,
         "daat_top10": _q_daat_top10,
@@ -2015,6 +2052,43 @@ ranked AS (
 SELECT query, CAST(rank AS INT) AS rank, doc_id,
        CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_u
 FROM ranked WHERE rank BETWEEN {lo} AND {hi} ORDER BY query, rank
+"""
+
+
+def _bm25_boosted_sql() -> str:
+    qt = ", ".join(
+        f"('{q}', '{t}', {w})"
+        for q, tw in BOOSTED_QUERIES
+        for t, w in tw
+    )
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query, term, w) AS (VALUES {qt}),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         sum(q.w * ln((stats.n + 1.0) / (df.df + 1.0))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+  GROUP BY q.query, tf.doc_id
+),
+ranked AS (
+  SELECT query, doc_id, s,
+         row_number() OVER (PARTITION BY query ORDER BY s DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, CAST(rank AS INT) AS rank, doc_id,
+       CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_u
+FROM ranked WHERE rank <= 10 ORDER BY query, rank
 """
 
 
@@ -3291,6 +3365,7 @@ def oracle_sql() -> dict[str, str]:
         "get_doc": _get_doc_sql(),
         "bm25_msm2": _bm25_sql(msm=2),
         "bm25_filtered": _bm25_filtered_sql(),
+        "bm25_boosted": _bm25_boosted_sql(),
         "tfidf_top10_plain": _tfidf_sql(),
         "bm25_top10": _bm25_stemmed_sql(),
         "wand_top10": _bm25_stemmed_sql(),

@@ -36,6 +36,8 @@ from ..normalizer import make_normalizer, preprocess_boolean_query
 _WILDCARD_RE = re.compile(r"^(?=.*[*?])[A-Za-z0-9*?]+$")
 # Lucene fuzzy syntax: term~ (AUTO), term~1, term~2
 _FUZZY_RE = re.compile(r"^([A-Za-z0-9]+)~([0-2]?)$")
+# Lucene query-string term boost: term^2, term^0.5
+_BOOST_RE = re.compile(r"(\S+)\^(\d+(?:\.\d+)?)")
 
 
 def fuzzy_auto_edits(term: str) -> int:
@@ -1260,17 +1262,39 @@ class QueryEngine:
                        from_: int = 0,
                        after: tuple[float, int] | None = None,
                        msm: int = 0, flt: tuple | None = None) -> dict:
-        terms = self.normalizer.preprocess_query_list(query_text)
+        boosts: dict[str, float] = {}
+        text = query_text
+        if "^" in query_text:
+            # Lucene query-string term boosts (term^2): the boost
+            # multiplies the clause score, which is linear in idf — so it
+            # folds into the idf map and every scorer (TAAT/DAAT/WAND,
+            # incl. block-max bounds) stays correct unchanged
+            raw: list[tuple[str, float]] = []
+
+            def strip(m: re.Match) -> str:
+                raw.append((m.group(1), float(m.group(2))))
+                return m.group(1)
+
+            text = _BOOST_RE.sub(strip, query_text)
+            for word, b in raw:
+                for t in self.normalizer.preprocess_query_list(word):
+                    boosts[t] = boosts.get(t, 1.0) * b
+        terms = self.normalizer.preprocess_query_list(text)
         return self._ranked_terms(terms, query_text, size, mode, from_,
-                                  after, msm, flt)
+                                  after, msm, flt, boosts=boosts)
 
     def _ranked_terms(self, terms: list[str], query_label: str, size: int,
                       mode: str, from_: int = 0,
                       after: tuple[float, int] | None = None,
-                      msm: int = 0, flt: tuple | None = None) -> dict:
+                      msm: int = 0, flt: tuple | None = None,
+                      boosts: dict[str, float] | None = None) -> dict:
         if not terms or self.doc_count == 0:
             return {"query": query_label, "total_hits": 0, "results": []}
         idfs = self._idfs(terms)
+        if boosts:
+            idfs = {
+                t: v * boosts.get(t, 1.0) for t, v in idfs.items()
+            }
         fetch = from_ + size
         parts = self._fanout(
             "search_ranked", terms, idfs, fetch, self.scoring, self.k1,

@@ -1750,3 +1750,33 @@ def test_sort_by_string_field(tmp_path):
                     ], (q, order)
         finally:
             eng.close()
+
+
+def test_term_boost_syntax(tiny_engine, tiny_oracle):
+    """Lucene query-string term boosts (term^2): clause scores scale by
+    the boost (folded into idf), ranking re-orders accordingly — vs the
+    oracle's per-term scores scaled in python; every mode agrees."""
+    cases = [
+        ("news^2 sky", {"news": 2.0}),
+        ("news sky^0.5", {"sky": 0.5}),
+        ("news^3 sky^0.25", {"news": 3.0, "sky": 0.25}),
+    ]
+    for q, boosts in cases:
+        plain_terms = [w.split("^")[0] for w in q.split()]
+        scores: dict = {}
+        for t in plain_terms:
+            b = boosts.get(t, 1.0)
+            for d in tiny_oracle.inverted_index.get(t, []):
+                scores[d] = scores.get(d, 0.0) + tiny_oracle._score(
+                    t, d, "bm25"
+                ) * b
+        exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+        for mode in ("taat", "daat", "wand"):
+            got = tiny_engine.search(q, size=15, mode=mode)
+            assert [
+                (r["doc_id"], round(r["score"], 9)) for r in got["results"]
+            ] == [(d, round(s, 9)) for d, s in exp], (q, mode)
+    # boost == 1 is a no-op vs the plain query
+    a = tiny_engine.search("news^1 sky", size=10)
+    b = tiny_engine.search("news sky", size=10)
+    assert a["results"] == b["results"]
