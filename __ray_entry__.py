@@ -1002,6 +1002,40 @@ def _q_top_hits(sf_dir: str):
     )
 
 
+def _q_analyze(sf_dir: str):
+    """ES _analyze: the plain analyzer's token stream (token + position)
+    for the seed docs' texts — the per-row tokenization invariant the
+    whole engine rests on, surfaced as an API.
+
+    SQL twin: the positional tok stream of those doc_ids."""
+    import pyarrow.parquet as pq_
+
+    eng = _engine(sf_dir, "plain")
+    t = pq_.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    ).sort_by("doc_id")
+    texts = {
+        d: x for d, x in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        )
+    }
+    rows = {"doc_id": [], "pos": [], "token": []}
+    for seed in MLT_SEEDS:
+        res = eng.analyze(texts[seed])
+        for tok in res["tokens"]:
+            rows["doc_id"].append(seed)
+            rows["pos"].append(tok["position"] + 1)  # SQL twin is 1-based
+            rows["token"].append(tok["token"])
+    return pa.table(
+        {
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "pos": pa.array(rows["pos"], pa.int64()),
+            "token": pa.array(rows["token"], pa.string()),
+        }
+    )
+
+
 def _q_term_vectors(sf_dir: str):
     """ES _termvectors with term_statistics: every analyzed term of the
     seed docs with tf + global df (re-analyzed from stored _source; df via
@@ -1961,6 +1995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_hits": _q_top_hits,
         "significant_terms": _q_significant_terms,
         "term_vectors": _q_term_vectors,
+        "analyze_api": _q_analyze,
         "percolate": _q_percolate,
         "rescore": _q_rescore,
         "exact_dedup": _q_exact_dedup,
@@ -2988,6 +3023,20 @@ def _percolate_sql() -> str:
     )
 
 
+def _analyze_sql() -> str:
+    seeds = ", ".join(str(s) for s in MLT_SEEDS)
+    return f"""
+WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+ptok AS (
+  SELECT doc_id, unnest(l) AS token, unnest(range(1, len(l) + 1)) AS pos
+  FROM lists
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, token
+FROM ptok WHERE doc_id IN ({seeds})
+ORDER BY doc_id, pos
+"""
+
+
 def _term_vectors_sql() -> str:
     seeds = ", ".join(str(s) for s in MLT_SEEDS)
     return f"""
@@ -3394,6 +3443,7 @@ def oracle_sql() -> dict[str, str]:
         "top_hits": _top_hits_sql(),
         "significant_terms": _significant_terms_sql(),
         "term_vectors": _term_vectors_sql(),
+        "analyze_api": _analyze_sql(),
         "percolate": _percolate_sql(),
         "rescore": _rescore_sql(),
         "exact_dedup": (

@@ -1580,6 +1580,18 @@ class QueryEngine:
         out["score"] = total
         return out
 
+    def analyze(self, text: str) -> dict:
+        """ES _analyze API: run the index's analyzer over arbitrary text,
+        returning the token stream with positions (the exact stream the
+        index stores — stems under 'reference', raw lowercase words under
+        'plain')."""
+        toks = self.normalizer.tokenize(text or "")
+        return {
+            "tokens": [
+                {"token": t, "position": i} for i, t in enumerate(toks)
+            ]
+        }
+
     def term_vectors(self, doc_id: int) -> dict:
         """ES _termvectors API: every analyzed term of one doc with its tf
         and global df (term_statistics=true).  Re-analyzes the stored

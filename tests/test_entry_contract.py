@@ -24,7 +24,7 @@ def test_every_query_has_a_twin():
     extra = sqls - qs
     assert not missing, f"queries without oracle twins: {sorted(missing)}"
     assert not extra, f"twins without queries: {sorted(extra)}"
-    assert len(qs) >= 74
+    assert len(qs) >= 75
 
 
 def test_entry_module_never_inits_ray():
