@@ -1107,6 +1107,12 @@ class QueryEngine:
                     SegmentReader(self.index_dir, s, tombstones=tombstones)
                     for s in new_ids
                 )
+                # Every cached per-reader list (facet codes, numeric
+                # doc-values, embedding matrices) is now SHORTER than
+                # self.readers: zip-based consumers would silently skip the
+                # new segments and index-based ones would raise.  Drop the
+                # caches; they rebuild lazily on next use.
+                self.embedded._facet_vals.clear()
             self.embedded.set_tombstones(tombstones)
         else:
             if new_ids:

@@ -99,3 +99,64 @@ def test_refresh_sees_extends_and_deletes(tmp_path, num_searchers):
             live.refresh()
     finally:
         live.close()
+
+
+def test_refresh_embedded_invalidates_docvalue_caches(tmp_path):
+    """Regression (round-4 ADVICE): embedded refresh() must drop the
+    Searcher's per-reader doc-value caches (facet codes, numeric values,
+    embedding matrices).  Before the fix, a facet/stats/filter/sort query
+    issued BEFORE extend_index left cached lists shorter than
+    self.readers — zip consumers silently skipped the new segments and
+    the filter path raised IndexError."""
+    rng = random.Random(97)
+
+    def mk(lo, n):
+        return [
+            {"doc_id": lo + i,
+             "text": " ".join(rng.choice(VOCAB)
+                              for _ in range(rng.randint(3, 9))),
+             "source": f"s{rng.randint(0, 2)}",
+             "n_chars": rng.randint(50, 500)}
+            for i in range(n)
+        ]
+
+    rows, more = mk(0, 80), mk(80, 50)
+    src = tmp_path / "src"; src.mkdir()
+    _write(src / "a.parquet", rows)
+    _write(src / "b.parquet", more)
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "a.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("source", "n_chars"),
+                    docs_per_segment=25, target_partition_rows=20),
+    )
+    live = QueryEngine(idx, num_searchers=0)
+    try:
+        def agg_snap(eng):
+            return (
+                [(b["key"], b["doc_count"])
+                 for b in eng.search_facets("merge hash", "source",
+                                            size=10)["buckets"]],
+                eng.search_stats("merge hash", "n_chars"),
+                eng.search("merge hash", size=300,
+                           filter={"range": {"n_chars": {"gte": 100,
+                                                         "lte": 400}}}),
+                eng.search_sort(None, "n_chars", order="desc", size=300),
+            )
+
+        agg_snap(live)  # warm every per-reader doc-value cache
+        extend_index(idx, [str(src / "b.parquet")])
+        live.refresh()
+
+        fresh = QueryEngine(idx, num_searchers=0)
+        try:
+            got, exp = agg_snap(live), agg_snap(fresh)
+            assert got == exp
+            # sanity: the aggregates really do see the new segments
+            assert got[1]["count"] > 0
+            assert got[3]["total_hits"] == 130
+        finally:
+            fresh.close()
+    finally:
+        live.close()
