@@ -544,14 +544,16 @@ class Searcher:
         return best, counts
 
     def significant_terms_counts(self, kind: str, payload):
-        """ES significant_terms support: per-term (foreground count inside
-        the hit set, local df) over THIS shard's dictionary.  Per segment:
-        one boolean hit mask + one pass over the postings lists (the same
-        full-postings cost ES pays; at web scale front it with a sampler
-        or a df ceiling — the candidate enumeration is the segment
-        dictionary).  Returns (terms, fg_counts, dfs, local_hit_total)."""
+        """ES significant_terms support: per-term foreground count inside
+        the hit set over THIS shard's dictionary.  Per segment: one boolean
+        hit mask + one pass over the postings lists (the same full-postings
+        cost ES pays; at web scale front it with a sampler or a df ceiling —
+        the candidate enumeration is the segment dictionary).  Background
+        dfs are NOT accumulated here: a term can occur in readers (and
+        shards) where it has zero foreground hits, so exact global df needs
+        the driver's second ``dfs_live`` fanout over the surfaced term set.
+        Returns (terms, fg_counts, local_hit_total)."""
         fg: dict[str, int] = {}
-        dfl: dict[str, int] = {}
         total = 0
         for r in self.readers:
             hit_slots = self._match_slots(r, kind, payload)
@@ -560,7 +562,6 @@ class Searcher:
                 continue
             mask = np.zeros(r.num_docs, dtype=bool)
             mask[hit_slots] = True
-            live = r.doc_lens >= 0
             for row in range(r.num_terms):
                 slots, _ = r.postings_slots_by_row(row)
                 n_fg = int(np.count_nonzero(mask[slots]))
@@ -568,16 +569,23 @@ class Searcher:
                     continue
                 t = r.term_by_row(row)
                 fg[t] = fg.get(t, 0) + n_fg
-                dfl[t] = dfl.get(t, 0) + int(
-                    np.count_nonzero(live[slots])
-                )
         terms = list(fg)
-        return (
-            terms,
-            [fg[t] for t in terms],
-            [dfl[t] for t in terms],
-            total,
-        )
+        return (terms, [fg[t] for t in terms], total)
+
+    def dfs_live(self, terms: list[str]) -> list[int]:
+        """Tombstone-aware doc frequency of each term over THIS shard's
+        readers (the exact background count for significant_terms): one
+        dictionary lookup + postings decode + live-mask count per
+        (term, reader) — bounded by the surfaced vocabulary, never the
+        dictionary."""
+        out = [0] * len(terms)
+        for r in self.readers:
+            live = r.doc_lens >= 0
+            for i, t in enumerate(terms):
+                got = r.postings_slots(t)
+                if got is not None:
+                    out[i] += int(np.count_nonzero(live[got[0]]))
+        return out
 
     def count(self, kind: str, payload) -> int:
         """ES _count API: exact live hit count, no scoring, no fetch."""
@@ -1917,23 +1925,28 @@ class QueryEngine:
         bg_rate = df/N; only terms with fg_rate > bg_rate and fg >=
         ``min_doc_count`` surface; (-score, term) deterministic order.
         Exact counts (no shard-local cutoffs): shards return every term
-        touched by the hit set."""
+        touched by the hit set; background dfs come from a SECOND fanout
+        over the surfaced candidates, because a term's df contribution
+        from readers/shards with zero foreground hits would otherwise be
+        dropped (bg_rate too small, scores inflated)."""
         kind, payload = self._agg_route(query_text)
         parts = self._fanout("significant_terms_counts", kind, payload)
         fg: dict[str, int] = {}
-        df: dict[str, int] = {}
         hits = 0
-        for terms_, fgs, dfs, n in parts:
+        for terms_, fgs, n in parts:
             hits += int(n)
-            for t, f, d in zip(terms_, fgs, dfs):
+            for t, f in zip(terms_, fgs):
                 fg[t] = fg.get(t, 0) + int(f)
-                df[t] = df.get(t, 0) + int(d)
         buckets = []
         if hits:
+            cands = sorted(t for t, f in fg.items() if f >= min_doc_count)
+            df = {t: 0 for t in cands}
+            for dfs in self._fanout("dfs_live", cands):
+                for t, d in zip(cands, dfs):
+                    df[t] += int(d)
             n_docs = float(self.doc_count)
-            for t, f in fg.items():
-                if f < min_doc_count:
-                    continue
+            for t in cands:
+                f = fg[t]
                 fg_rate = f / hits
                 bg_rate = df[t] / n_docs
                 if fg_rate <= bg_rate:

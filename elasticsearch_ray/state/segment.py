@@ -71,6 +71,36 @@ def write_ipc_atomic(path: str, table: pa.Table) -> int:
     return os.path.getsize(path)
 
 
+def _has_toplevel_alternation(pattern: str) -> bool:
+    """True when an unescaped ``|`` sits at paren depth 0 outside a
+    character class — the pattern is a union of branches, so a literal
+    prefix extracted from the FIRST branch cannot narrow the dictionary
+    scan range ('abc|xyz' must also scan the xyz range)."""
+    depth = 0
+    in_class = False
+    esc = False
+    for ch in pattern:
+        if esc:
+            esc = False
+            continue
+        if ch == "\\":
+            esc = True
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            continue
+        if ch == "[":
+            in_class = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+        elif ch == "|" and depth == 0:
+            return True
+    return False
+
+
 def read_ipc_mmap(path: str) -> pa.Table:
     with pa.memory_map(path) as source:
         return ipc.open_file(source).read_all()
@@ -229,6 +259,10 @@ class SegmentReader:
             # the prefix's last literal binds to the quantifier: 'merge?'
             # can match 'merg', so only 'merg' is a safe range prefix
             prefix = prefix[:-1]
+        if prefix and _has_toplevel_alternation(pattern):
+            # 'abc|xyz' matches terms that share NO prefix with the first
+            # branch; range narrowing would drop every 'xyz' match
+            prefix = ""
         terms = self._terms
 
         class _View:

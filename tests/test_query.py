@@ -919,6 +919,19 @@ def test_significant_terms(tmp_path):
         }
         for i in range(160)
     ]
+    # sparse tail: two whole segments that contain surfaced terms but can
+    # never match the queries (no 'merge') — their df contribution to the
+    # background count must still be accumulated (round-4 ADVICE: the old
+    # per-reader 'n_fg == 0: continue' guard dropped it, inflating scores)
+    tail_vocab = ["batch", "spark", "table", "words"]
+    rows += [
+        {
+            "doc_id": 160 + i,
+            "text": " ".join(rng.choice(tail_vocab)
+                             for _ in range(rng.randint(3, 9))),
+        }
+        for i in range(80)
+    ]
     src = tmp_path / "src"; src.mkdir()
     pq.write_table(
         pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
@@ -1648,8 +1661,18 @@ def test_regexp_prefix_narrowing_fuzz(tmp_path):
     dictionary = r._term_list
     frags = ["a", "b", "ab", "abc", "cd", ".", "[ab]", "(a|b)", "c?", "d*",
              "a+", ".*", "b{1,2}"]
-    for _ in range(80):
-        pat = "".join(rng.choice(frags) for _ in range(rng.randint(1, 4)))
+    pats = ["".join(rng.choice(frags) for _ in range(rng.randint(1, 4)))
+            for _ in range(80)]
+    # top-level alternation: the first branch's literal prefix must NOT
+    # narrow the scan range (regression: 'abc|xyz' dropped the xyz branch)
+    pats += ["".join(rng.choice(frags) for _ in range(rng.randint(1, 2)))
+             + "|"
+             + "".join(rng.choice(frags) for _ in range(rng.randint(1, 2)))
+             for _ in range(40)]
+    pats += [dictionary[0] + "|" + dictionary[-1],
+             dictionary[-1] + "|" + dictionary[0],
+             "ab|cd.*", r"a\|b", "[a|b]c*"]
+    for pat in pats:
         try:
             rx = re.compile(f"^(?:{pat})$")
         except re.error:
