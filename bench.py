@@ -538,6 +538,20 @@ def run_bench(num_cpus: int, include_ops: bool = True) -> dict:
     if include_ops:
         results["ops"] = bench_ops(SF_DIR)
 
+        # 4b. offline segment-merge maintenance (batch-decode path): merge
+        # the multi-segment docs index (on a copy) down to ~4x segments
+        import shutil as _sh2
+
+        from elasticsearch_ray.pipelines.build import merge_segments
+
+        midx = f"/tmp/esray_bench/idx_docs_merge_{num_cpus}"
+        _sh2.rmtree(midx, ignore_errors=True)
+        _sh2.copytree(f"/tmp/esray_bench/idx_docs_{num_cpus}", midx)
+        t0 = time.perf_counter()
+        mres = merge_segments(midx, target_docs=8000)
+        results["ops"]["merge_sec"] = round(time.perf_counter() - t0, 3)
+        results["ops"]["merge_groups"] = mres["groups_merged"]
+
     results["total_sec"] = round(time.perf_counter() - t_all, 3)
     return results
 

@@ -51,33 +51,63 @@ def _probe_small(ds: ray.data.Dataset, max_rows: int) -> list | None:
     return rows if len(rows) <= max_rows else None
 
 
+_HKEY = np.dtype([("a", "<i8"), ("b", "<i8")])
+
+
+def _broadcast_drop_arrays(rep_map, dup_set):
+    """Convert the probed drop sets to sorted numpy arrays once,
+    driver-side, so the per-batch membership checks are vectorized
+    searchsorted / isin instead of per-row dict/set probes:
+    (sorted structured (h1,h2) keys, aligned rep ids, sorted dup ids)."""
+    if rep_map:
+        keys = np.empty(len(rep_map), dtype=_HKEY)
+        reps = np.empty(len(rep_map), dtype=np.int64)
+        for i, ((a, b), r) in enumerate(rep_map.items()):
+            keys[i] = (a, b)
+            reps[i] = r
+        order = np.argsort(keys)
+        keys, reps = keys[order], reps[order]
+    else:
+        keys = np.empty(0, dtype=_HKEY)
+        reps = np.empty(0, dtype=np.int64)
+    dup_arr = (
+        np.sort(np.fromiter(dup_set, dtype=np.int64, count=len(dup_set)))
+        if dup_set
+        else np.empty(0, dtype=np.int64)
+    )
+    return keys, reps, dup_arr
+
+
 def _make_broadcast_masks(
     bref, text_col: str, id_col: str, min_quality: float, min_words: int
 ):
-    """Per-batch (quality, representative, non-near-dup) mask closure over a
-    ``ray.put`` (rep_map, dup_set) pair — the broadcast keep decision shared
-    by :func:`curate` and :func:`curate_resumable`."""
+    """Per-batch (quality, representative, non-near-dup) mask closure over
+    a ``ray.put`` :func:`_broadcast_drop_arrays` triple — the broadcast
+    keep decision shared by :func:`curate` and :func:`curate_resumable`.
+    All membership checks are vectorized (structured-key searchsorted for
+    the rep map, sorted isin for the dup-id set)."""
 
     def _masks(batch: pa.Table):
         feats = quality_feature_arrays(batch.column(text_col))
         q = (feats["quality"] >= min_quality) & (feats["n_words"] >= min_words)
-        rmap, dset = ray.get(bref)
-        ids = batch.column(id_col).to_pylist()
-        rep = np.ones(len(ids), dtype=bool)
-        near = np.ones(len(ids), dtype=bool)
-        if rmap:
+        keys, reps, dup_arr = ray.get(bref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        rep = np.ones(ids.size, dtype=bool)
+        near = np.ones(ids.size, dtype=bool)
+        if keys.size:
             # hashing only rows that might be in a dup group is not
             # possible without the hash — blake2b per row is the cost
             # floor of content-equality either way
             h1, h2 = _text_hash128(batch.column(text_col).to_pylist())
-            for i, d in enumerate(ids):
-                r = rmap.get((int(h1[i]), int(h2[i])))
-                if r is not None and d != r:
-                    rep[i] = False
-        if dset:
-            for i, d in enumerate(ids):
-                if d in dset:
-                    near[i] = False
+            qk = np.empty(ids.size, dtype=_HKEY)
+            qk["a"], qk["b"] = h1, h2
+            pos = np.minimum(np.searchsorted(keys, qk), keys.size - 1)
+            found = keys[pos] == qk
+            rep &= ~(found & (reps[pos] != ids))
+        if dup_arr.size:
+            near &= ~np.isin(ids, dup_arr)
         return q, rep, near
 
     return _masks
@@ -129,7 +159,7 @@ def curate(
 
     if broadcast_all:
         # ---- single-pass streaming keep decision, zero join shuffles ----
-        bref = ray.put((rep_map, dup_set))
+        bref = ray.put(_broadcast_drop_arrays(rep_map, dup_set))
         _masks = _make_broadcast_masks(
             bref, text_col, id_col, min_quality, min_words
         )
@@ -338,7 +368,7 @@ def curate_resumable(
                 "near-dup id set exceeds broadcast_max_rows; use curate()"
             )
         dup_set = {r[id_col] for r in drows}
-    bref = ray.put((rep_map, dup_set))
+    bref = ray.put(_broadcast_drop_arrays(rep_map, dup_set))
     _masks = _make_broadcast_masks(bref, text_col, id_col, min_quality, min_words)
 
     def keep_and_count(batch: pa.Table):

@@ -101,13 +101,34 @@ def token_frequencies(
     )
 
 
+def _local_topn(batch: pa.Table, top_n: int) -> pa.Table:
+    """Vectorized per-block top-N by (-n, token): at most ``top_n`` rows
+    leave each frequency block, so the driver merge sees O(top_n * blocks)
+    rows — never the vocabulary."""
+    if batch.num_rows <= top_n:
+        return batch
+    import numpy as np
+
+    n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = np.asarray(batch.column("token").to_pylist(), dtype=object)
+    keep = np.lexsort((toks, -n))[:top_n]
+    return batch.take(pa.array(np.sort(keep)))
+
+
 def top_words(
     ds: ray.data.Dataset, top_n: int = 30, **kwargs
 ) -> pa.Table:
     """``Counter.most_common(top_n)`` equivalent (reference K5), with the
-    deterministic (-n, token) tie-break."""
+    deterministic (-n, token) tie-break.
+
+    Each token lands in exactly one post-groupby block, so a per-block
+    local top-N is lossless; the driver only ever holds top_n rows per
+    block (at web scale the full distinct-token table is 10^8-10^9 rows
+    of typo/numeric junk that must never be materialized driver-side)."""
     freq = token_frequencies(ds, **kwargs)
-    rows = freq.take_all()
+    rows = freq.map_batches(
+        lambda t: _local_topn(t, top_n), batch_format="pyarrow"
+    ).take_all()
     rows.sort(key=lambda r: (-r["n"], r["token"]))
     rows = rows[:top_n]
     return pa.table(

@@ -177,18 +177,26 @@ def extend_index(
 
 
 def _merge_group(index_dir: str, ids: list[int], codec: str,
-                 block_size: int, store_positions: bool) -> dict:
-    """Merge ADJACENT segments (contiguous doc ranges) into one, reusing
-    the lowest seg id.  Decode-everything-then-write: per-term postings of
-    each member concatenate in slot order (members are base-ordered and
-    slots ascend within a member); positions cells concatenate raw (the
-    delta stream resets at each doc, so bytes splice without re-encoding);
-    block-max metadata and df parts are rebuilt by the shared writer."""
+                 block_size: int, store_positions: bool,
+                 new_id: int) -> dict:
+    """Merge ADJACENT segments (contiguous doc ranges) into ONE segment
+    written under the FRESH id ``new_id`` — member files are left intact
+    (the driver deletes them only after every group succeeded and the
+    manifest atomically points at the new ids, so a failed task or a
+    driver crash never leaves the manifest referencing deleted files).
+    Decode-everything-then-write: every member's postings batch-decode in
+    one vectorized pass (``decode_all_postings``), concatenate in slot
+    order (members are base-ordered and slots ascend within a member),
+    then one lexsort; positions cells concatenate raw (the delta stream
+    resets at each doc, so bytes splice without re-encoding); block-max
+    metadata and df parts are rebuilt by the shared writer."""
     from ..state.manifest import segment_manifest_path
-    from ..state.segment import SegmentReader, doclen_path, segment_path
+    from ..state.segment import SegmentReader
 
-    ids = sorted(ids)
-    readers = [SegmentReader(index_dir, s) for s in ids]
+    readers = sorted(
+        (SegmentReader(index_dir, s) for s in ids),
+        key=lambda r: r.doc_id_base,
+    )
     base = readers[0].doc_id_base
     expect = base
     for r in readers:
@@ -208,13 +216,9 @@ def _merge_group(index_dir: str, ids: list[int], codec: str,
             continue
         off = r.doc_id_base - base
         codes_r = np.searchsorted(vocab_np, np.array(r._term_list))
-        s_list, t_list = [], []
-        for row in range(r.num_terms):
-            sl, tf = r.postings_slots_by_row(row)
-            s_list.append(sl + off)
-            t_list.append(tf)
-        slot_parts.append(np.concatenate(s_list))
-        tf_parts.append(np.concatenate(t_list).astype(np.int64))
+        slots_all, tfs_all, _ = r.decode_all_postings()
+        slot_parts.append(slots_all + off)
+        tf_parts.append(tfs_all.astype(np.int64))
         code_parts.append(np.repeat(codes_r, r._df.astype(np.int64)))
     if code_parts:
         code_flat = np.concatenate(code_parts)
@@ -255,15 +259,20 @@ def _merge_group(index_dir: str, ids: list[int], codec: str,
         m = read_json(segment_manifest_path(index_dir, s))
         part_ids.extend(m.get("part_ids", []))
         lineage.extend(m.get("lineage", []))
-    new_id = ids[0]
     info = {"doc_id_base": base, "num_docs": int(expect - base),
             "part_ids": part_ids, "lineage": lineage}
     asm = SegmentAssembler(index_dir, {new_id: info}, codec, block_size)
-    stats = asm._write_segment(
+    return asm._write_segment(
         new_id, info, doclens, out_terms, out_df, tstarts, slots_flat,
         tfs_flat, pos_cells=pos_cells,
     )
-    for s in ids[1:]:
+
+
+def _remove_segment_files(index_dir: str, seg_ids: list[int]) -> None:
+    from ..state.manifest import segment_manifest_path
+    from ..state.segment import doclen_path, segment_path
+
+    for s in seg_ids:
         for p in (
             segment_path(index_dir, s),
             doclen_path(index_dir, s),
@@ -272,7 +281,6 @@ def _merge_group(index_dir: str, ids: list[int], codec: str,
         ):
             if os.path.exists(p):
                 os.remove(p)
-    return stats
 
 
 _merge_group_task = ray.remote(_merge_group)
@@ -288,10 +296,18 @@ def merge_segments(index_dir: str, seg_ids: list[int] | None = None,
     their segment packaging changes).
 
     ``seg_ids``: merge exactly that adjacent group; otherwise greedy
-    adjacent grouping so merged segments hold <= ``target_docs`` docs
-    (default 8x the config's ``docs_per_segment``).  Groups are
-    independent -> one Ray task each (same parallel shape as
+    adjacent grouping (in doc_id_base order) so merged segments hold <=
+    ``target_docs`` docs (default 8x the config's ``docs_per_segment``).
+    Groups are independent -> one Ray task each (same parallel shape as
     ``compact_index``).  Run as offline maintenance: reload engines after.
+
+    Crash-safe two-phase commit: every group writes its merged segment
+    under a FRESH seg id; member files are untouched until the manifest
+    is atomically rewritten to the new segment list.  A failed task or a
+    driver death mid-run leaves the old manifest pointing at intact old
+    files (stray fresh-id files are unreferenced garbage, overwritten on
+    retry); a death after the manifest write leaves a fully valid new
+    index with unreferenced member files.
     """
     mpath = os.path.join(index_dir, "manifest.json")
     manifest = read_json(mpath)
@@ -299,6 +315,12 @@ def merge_segments(index_dir: str, seg_ids: list[int] | None = None,
     all_ids = sorted(int(s) for s in manifest["segments"])
     from ..state.manifest import segment_manifest_path
 
+    # greedy grouping must follow DOC order, not id order: fresh-id merges
+    # mean seg ids no longer ascend with doc_id_base
+    seg_meta = {
+        s: read_json(segment_manifest_path(index_dir, s)) for s in all_ids
+    }
+    doc_order = sorted(all_ids, key=lambda s: int(seg_meta[s]["doc_id_base"]))
     if seg_ids is not None:
         groups = [sorted(int(s) for s in seg_ids)]
     else:
@@ -306,8 +328,8 @@ def merge_segments(index_dir: str, seg_ids: list[int] | None = None,
         groups = []
         cur: list[int] = []
         cur_docs = 0
-        for s in all_ids:
-            nd = int(read_json(segment_manifest_path(index_dir, s))["num_docs"])
+        for s in doc_order:
+            nd = int(seg_meta[s]["num_docs"])
             if cur and cur_docs + nd > td:
                 groups.append(cur)
                 cur, cur_docs = [], 0
@@ -316,21 +338,23 @@ def merge_segments(index_dir: str, seg_ids: list[int] | None = None,
         if cur:
             groups.append(cur)
     jobs = [g for g in groups if len(g) > 1]
+    next_id = max(all_ids, default=-1) + 1
+    job_new_ids = list(range(next_id, next_id + len(jobs)))
     if jobs:
         ray.get([
             _merge_group_task.remote(
                 index_dir, g, cfg.codec, cfg.block_size,
-                bool(cfg.store_positions),
+                bool(cfg.store_positions), nid,
             )
-            for g in jobs
+            for g, nid in zip(jobs, job_new_ids)
         ])
-    if seg_ids is None:
-        new_segments = sorted(g[0] for g in groups)
-    else:
-        removed = set(groups[0][1:])
-        new_segments = sorted(set(all_ids) - removed)
+    merged_members = {s for g in jobs for s in g}
+    new_segments = sorted(
+        (set(all_ids) - merged_members) | set(job_new_ids)
+    )
     manifest["segments"] = new_segments
-    atomic_write_json(mpath, manifest)
+    atomic_write_json(mpath, manifest)  # the commit point
+    _remove_segment_files(index_dir, sorted(merged_members))
     spath = os.path.join(index_dir, "stats.json")
     if os.path.exists(spath):
         stats = read_json(spath)

@@ -56,10 +56,15 @@ class Searcher:
     def __init__(self, index_dir: str, seg_ids: list[int],
                  tombstones: list[int] | None = None):
         self.index_dir = index_dir
-        self.readers = [
-            SegmentReader(index_dir, s, tombstones=tombstones)
-            for s in sorted(seg_ids)
-        ]
+        # doc_id_base order, NOT seg-id order: merged segments get fresh
+        # (high) ids, and every driver-side "actor order == doc order"
+        # merge (boolean/wildcard/fuzzy limits) depends on readers
+        # ascending by doc range
+        self.readers = sorted(
+            (SegmentReader(index_dir, s, tombstones=tombstones)
+             for s in seg_ids),
+            key=lambda r: r.doc_id_base,
+        )
         # facet doc-values, loaded lazily once per actor per field:
         # field -> list of (codes per slot, category strings) per reader
         self._facet_vals: dict[str, list] = {}
@@ -708,15 +713,20 @@ class Searcher:
             # search_after cursor (score, doc_id): exhaustive per-segment
             # scoring (cursor docs can hide arbitrarily deep under ties, so
             # heap-based early termination can't bound what survives the
-            # filter), mask strictly-after in (-score, doc_id) order, THEN
-            # the local top-k.  Exact for every mode (taat/daat/wand are
-            # rank-identical by conformance).
+            # filter), apply msm/filter context (so paginated deep scans
+            # agree with page 0 of the same query), mask strictly-after in
+            # (-score, doc_id) order, THEN the local top-k.  Exact for
+            # every mode (taat/daat/wand are rank-identical by conformance).
             s_a, d_a = float(after[0]), int(after[1])
             total = 0
-            for r in self.readers:
+            for ri, r in enumerate(self.readers):
                 slots, scores = sc.taat_candidates(
-                    r, terms, idfs, scoring, k1, b, avgdl
+                    r, terms, idfs, scoring, k1, b, avgdl,
+                    min_should_match=msm,
                 )
+                if flt is not None and slots.size:
+                    fm = self._flt_mask(ri, flt, slots)
+                    slots, scores = slots[fm], scores[fm]
                 total += int(slots.size)
                 ids = slots + r.doc_id_base
                 m = (scores < s_a) | ((scores == s_a) & (ids > d_a))
@@ -1048,6 +1058,19 @@ class QueryEngine:
                 for f in os.listdir(os.path.join(index_dir, "segments"))
                 if f.endswith(".arrow") and not f.endswith(".doclen.arrow")
             )
+        # chunk segments across searchers in DOC order (merged segments
+        # carry fresh high ids, so id order no longer tracks doc ranges);
+        # per-seg manifests are tiny JSON reads
+        mdir = os.path.join(index_dir, "manifests")
+        bases = {}
+        for s in seg_ids:
+            mp = os.path.join(mdir, f"seg-{s:05d}.json")
+            if not os.path.exists(mp):
+                break
+            with open(mp) as f:
+                bases[s] = int(json.load(f)["doc_id_base"])
+        else:
+            seg_ids = sorted(seg_ids, key=lambda s: bases[s])
         self.embedded: Searcher | None = None
         self.searchers: list = []
         self._served_seg_ids = set(seg_ids)
@@ -1242,7 +1265,8 @@ class QueryEngine:
             query_text.strip()
         ) and not looks_boolean(query_text):
             res = self._search_ranked(
-                query_text, size, mode or self.mode, after=search_after
+                query_text, size, mode or self.mode, after=search_after,
+                msm=minimum_should_match, flt=_compile_filter(filter),
             )
         elif '"' in query_text and self.has_positions:
             stripped = re.sub(r'"[^"]*"(?:~\d+)?', " ", query_text)

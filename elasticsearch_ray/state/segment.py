@@ -397,6 +397,46 @@ class SegmentReader:
     def term_row(self, term: str) -> int | None:
         return self._term_row.get(term)
 
+    def decode_all_postings(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batch-decode EVERY term's postings in one vectorized pass:
+        ``(slots_flat, tfs_flat, row_starts)`` with row i's postings at
+        ``slots_flat[row_starts[i]:row_starts[i+1]]`` (exactly df[i]
+        values).  One vbyte decode over the whole mmap'd column instead of
+        ``num_terms`` per-row Python calls — the segment-merge path's
+        decoder (a 5M-term merge pays 1 call, not 5M).  Block resets
+        (absolute slot at every ``block_size``-th posting of a row) are
+        undone with one segmented cumsum correction."""
+        df = self._df.astype(np.int64)
+        row_starts = np.concatenate(([0], np.cumsum(df)))
+        n = int(row_starts[-1])
+        offsets, tdata = self._cells["tfs"]
+        if n == 0:
+            empty = np.empty(0, dtype=np.int64)
+            return empty, empty, row_starts
+        if self.codec == "zlib":
+            # zlib streams are not self-delimiting: per-row decompress
+            slots = np.concatenate([
+                zlib_decode_postings(self._cell("postings", r).tobytes())
+                for r in range(df.size)
+            ])
+        else:
+            poffsets, pdata = self._cells["postings"]
+            deltas = vbyte_decode(pdata[poffsets[0]:poffsets[-1]])
+            bs = self.block_size
+            nblk = (df + bs - 1) // bs
+            blk_starts = np.concatenate(([0], np.cumsum(nblk)))
+            row_of_blk = np.repeat(np.arange(df.size), nblk)
+            blk_idx = np.arange(int(blk_starts[-1])) - blk_starts[row_of_blk]
+            reset = row_starts[row_of_blk] + bs * blk_idx
+            cs = np.cumsum(deltas)
+            prev = np.zeros(reset.size, dtype=np.int64)
+            nz = reset > 0
+            prev[nz] = cs[reset[nz] - 1]
+            blk_len = np.minimum(bs, df[row_of_blk] - bs * blk_idx)
+            slots = cs - np.repeat(prev, blk_len)
+        tfs = decode_tfs(tdata[offsets[0]:offsets[-1]])  # tfs always vbyte
+        return slots, tfs, row_starts
+
     def decode_block(self, row: int, block: int) -> tuple[np.ndarray, np.ndarray]:
         """Lazily decode ONE 128-posting block of a term (slots, tfs) —
         the block-max WAND skip path never touches the other blocks."""

@@ -129,3 +129,85 @@ def test_merge_preserves_phrases(tmp_path):
         assert len(json.load(f)["segments"]) == 1
     after, _ = _snapshot(idx, [], phrases=phrases)
     assert after == before
+
+
+def test_merge_failure_leaves_index_intact(tmp_path):
+    """Two-phase merge commit (round-4 ADVICE): a failing merge task must
+    not delete or overwrite ANY referenced segment file — the manifest
+    still points at intact members and the index stays fully loadable."""
+    import glob
+    import hashlib
+
+    import pytest
+
+    rng = random.Random(43)
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(VOCAB) for _ in range(rng.randint(3, 9)))}
+        for i in range(80)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    _write(src / "a.parquet", rows)
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "a.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    docs_per_segment=20, target_partition_rows=15),
+    )
+    before, stats_before = _snapshot(idx, ["merge hash", "scan AND join"])
+    with open(os.path.join(idx, "manifest.json")) as f:
+        segs_before = json.load(f)["segments"]
+    digests = {
+        p: hashlib.md5(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(os.path.join(idx, "segments", "*.arrow"))
+    }
+    # segments 0 and 2 are NOT doc-adjacent -> the merge task raises
+    with pytest.raises(Exception, match="adjacent"):
+        merge_segments(idx, seg_ids=[segs_before[0], segs_before[2]])
+    with open(os.path.join(idx, "manifest.json")) as f:
+        assert json.load(f)["segments"] == segs_before
+    for p, d in digests.items():
+        assert hashlib.md5(open(p, "rb").read()).hexdigest() == d, p
+    after, stats_after = _snapshot(idx, ["merge hash", "scan AND join"])
+    assert (after, stats_after) == (before, stats_before)
+
+
+def test_merge_large_vocabulary(tmp_path):
+    """Batch-decode merge path at scale: >=100k distinct terms across the
+    members, merged segment's per-term postings identical to the
+    pre-merge union (spot-checked via df totals and ranked/boolean
+    results)."""
+    rng = random.Random(7)
+    # ~115k distinct terms: every doc carries unique tokens + shared ones
+    rows = []
+    tid = 0
+    for i in range(2_400):
+        uniq = [f"u{tid + j:06d}" for j in range(48)]
+        tid += 48
+        shared = [rng.choice(VOCAB) for _ in range(4)]
+        rows.append({"doc_id": i, "text": " ".join(uniq + shared)})
+    src = tmp_path / "src"; src.mkdir()
+    _write(src / "a.parquet", rows)
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "a.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    docs_per_segment=600, target_partition_rows=400),
+    )
+    queries = ["merge hash", "scan AND join", "u000123 OR u099999",
+               "u047999"]
+    before, stats_before = _snapshot(idx, queries)
+    from elasticsearch_ray.state.segment import SegmentReader
+    with open(os.path.join(idx, "manifest.json")) as f:
+        pre_ids = json.load(f)["segments"]
+    df_total = sum(
+        int(SegmentReader(idx, s)._df.sum()) for s in pre_ids
+    )
+    res = merge_segments(idx, target_docs=10_000)
+    with open(os.path.join(idx, "manifest.json")) as f:
+        assert len(json.load(f)["segments"]) == 1
+    after, stats_after = _snapshot(idx, queries)
+    assert (after, stats_after) == (before, stats_before)
+    r = SegmentReader(idx, res["segments"][0])
+    assert r.num_terms >= 100_000
+    assert int(r._df.sum()) == df_total

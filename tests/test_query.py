@@ -465,6 +465,26 @@ def test_filtered_ranked_query(tmp_path):
                     for r in got["results"]:  # non-scoring filter context
                         assert r["doc_id"] in allowed
                         assert r["score"] == unf[r["doc_id"]]
+            # search_after honors filter/msm (round-4 ADVICE: the cursor
+            # branch used to silently drop both, so page 2+ of a filtered
+            # deep scan disagreed with page 0)
+            for kw in ({"filter": filters[0][0]},
+                       {"minimum_should_match": 2},
+                       {"filter": filters[2][0], "minimum_should_match": 2}):
+                full = eng.search("merge hash", size=200, **kw)["results"]
+                walked = eng.search("merge hash", size=7, **kw)["results"]
+                while walked:
+                    last = walked[-1]
+                    page = eng.search(
+                        "merge hash", size=7,
+                        search_after=(last["score"], last["doc_id"]), **kw
+                    )
+                    assert page["total_hits"] == len(full), kw
+                    if not page["results"]:
+                        break
+                    walked.extend(page["results"])
+                assert [(r["doc_id"], round(r["score"], 9)) for r in walked] \
+                    == [(r["doc_id"], round(r["score"], 9)) for r in full], kw
         finally:
             eng.close()
 
