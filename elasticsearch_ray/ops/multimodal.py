@@ -5,11 +5,12 @@ decode / feature-extract kernels run as ACTOR-POOL ``map_batches`` stages
 with small batch sizes (large payloads x concurrency must fit worker heaps —
 SURVEY prompt 'Memory-aware').
 
-The actual media codecs are NOT in this container, so the decode kernel is
-STUBBED: ``mode='strict'`` raises ``NotImplementedError`` (the documented
-integration point for PIL/ffmpeg), ``mode='fake'`` produces a deterministic
-byte-histogram pseudo-feature so the Ray-side plumbing — schema, actor
-signature, batch sizing, output layout — is real and tested end-to-end.
+``mode='strict'`` uses a REAL image codec (PIL) when it is importable in
+the runtime; when no codec is present (this sandbox ships none) it raises
+``NotImplementedError`` at actor construction — the documented integration
+point.  ``mode='fake'`` produces a deterministic byte-histogram
+pseudo-feature so the Ray-side plumbing — schema, actor signature, batch
+sizing, output layout — is real and tested end-to-end either way.
 """
 
 from __future__ import annotations
@@ -19,6 +20,16 @@ import pyarrow as pa
 import ray.data
 
 FEATURE_DIM = 16
+
+
+def _try_import_pil():
+    """PIL.Image when importable, else None (never raises): strict-mode
+    actors decide at __init__ whether a real codec backs them."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
 
 
 class BinaryFeatureExtractor:
@@ -33,25 +44,39 @@ class BinaryFeatureExtractor:
         self.payload_col = payload_col
         self.mode = mode
         self.feature_dim = feature_dim
+        self._Image = None
         if mode == "strict":
-            raise NotImplementedError(
-                "media codecs (PIL/ffmpeg/torchaudio) are not available in "
-                "this environment; plug the real decoder here"
-            )
-        if mode != "fake":  # a typo must not silently select the stub path
+            self._Image = _try_import_pil()
+            if self._Image is None:
+                raise NotImplementedError(
+                    "mode='strict' needs a real image codec and PIL is not "
+                    "importable in this environment; install Pillow or use "
+                    "mode='fake'"
+                )
+        elif mode != "fake":  # a typo must not silently select the stub path
             raise ValueError(f"unknown mode {mode!r}; expected 'fake' or 'strict'")
         # 'model' state: fixed projection seeded deterministically
         rng = np.random.default_rng(42)
         self._proj = rng.normal(size=(256, feature_dim)).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+
         payloads = batch.column(self.payload_col).to_pylist()
         feats = np.zeros((len(payloads), self.feature_dim), dtype=np.float32)
         sizes = np.zeros(len(payloads), dtype=np.int64)
         for i, p in enumerate(payloads):
             p = p or b""
             sizes[i] = len(p)
-            if p:
+            if not p:
+                continue
+            if self._Image is not None:
+                # real decode: grayscale pixel histogram -> projection
+                img = self._Image.open(io.BytesIO(p)).convert("L")
+                px = np.asarray(img, dtype=np.uint8).ravel()
+                hist = np.bincount(px, minlength=256).astype(np.float32)
+                feats[i] = (hist / max(1, px.size)) @ self._proj
+            else:
                 hist = np.bincount(
                     np.frombuffer(p, dtype=np.uint8), minlength=256
                 ).astype(np.float32)
@@ -65,24 +90,40 @@ class BinaryFeatureExtractor:
 
 
 class ImageResizeStub:
-    """Actor-pool resize stage (stubbed decode).  ``mode='strict'`` raises at
-    the real-codec integration point; ``mode='fake'`` emits a deterministic
-    pseudo-thumbnail: the payload byte stream average-pooled into a
-    ``target x target`` uint8 grid — real schema, real batch plumbing."""
+    """Actor-pool resize stage.  ``mode='strict'`` decodes + resizes with
+    PIL when importable (grayscale ``target x target`` thumbnail bytes) and
+    raises at construction when no codec is present; ``mode='fake'`` emits
+    a deterministic pseudo-thumbnail: the payload byte stream
+    average-pooled into a ``target x target`` uint8 grid — same schema,
+    same batch plumbing."""
 
     def __init__(self, payload_col: str = "payload", target: int = 8,
                  mode: str = "fake"):
+        self._Image = None
         if mode == "strict":
-            raise NotImplementedError("plug PIL/cv2 decode+resize here")
-        if mode != "fake":
+            self._Image = _try_import_pil()
+            if self._Image is None:
+                raise NotImplementedError(
+                    "mode='strict' needs PIL for decode+resize; install "
+                    "Pillow or use mode='fake'"
+                )
+        elif mode != "fake":
             raise ValueError(f"unknown mode {mode!r}; expected 'fake' or 'strict'")
         self.payload_col = payload_col
         self.target = target
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+
         t = self.target
         thumbs = []
         for p in batch.column(self.payload_col).to_pylist():
+            if self._Image is not None:
+                img = self._Image.open(io.BytesIO(p)).convert("L")
+                thumbs.append(
+                    np.asarray(img.resize((t, t)), dtype=np.uint8).tobytes()
+                )
+                continue
             p = p or b"\x00"
             arr = np.frombuffer(p, dtype=np.uint8)
             cells = np.array_split(arr, t * t)

@@ -283,8 +283,11 @@ def test_multimodal_plumbing(docs_ds):
     )
     # deterministic features; identical payloads -> identical features
     assert list(out[0]["feature"]) == list(out[1]["feature"])
-    with pytest.raises(NotImplementedError):
-        BinaryFeatureExtractor(mode="strict")
+    from elasticsearch_ray.ops.multimodal import _try_import_pil
+
+    if _try_import_pil() is None:
+        with pytest.raises(NotImplementedError):
+            BinaryFeatureExtractor(mode="strict")
 
 
 def test_metrics_reference_semantics():
@@ -349,10 +352,50 @@ def test_multimodal_resize_and_frames(docs_ds):
     f0 = {r["doc_id"]: r["frames"] for r in frames}
     assert len(f0[0]) >= 1 and all(len(fr) <= 64 for fr in f0[0])
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        ImageResizeStub(mode="strict")
+
+    from elasticsearch_ray.ops.multimodal import _try_import_pil
+
+    if _try_import_pil() is None:
+        with _pytest.raises(NotImplementedError):
+            ImageResizeStub(mode="strict")
     with _pytest.raises(NotImplementedError):
         FrameSampleStub(mode="strict")
+
+
+def test_multimodal_strict_pil_decode():
+    """Real-codec path (runs only where Pillow is installed): strict mode
+    decodes actual image bytes and resizes/extracts without the fake
+    byte-histogram fallback."""
+    import pytest as _pytest
+
+    from elasticsearch_ray.ops.multimodal import (
+        BinaryFeatureExtractor,
+        ImageResizeStub,
+        _try_import_pil,
+    )
+
+    Image = _try_import_pil()
+    if Image is None:
+        _pytest.skip("Pillow not installed in this environment")
+    import io
+
+    import numpy as np
+
+    img = Image.fromarray(
+        (np.arange(32 * 32, dtype=np.uint16) % 256).astype(np.uint8).reshape(32, 32)
+    )
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+    tbl = pa.table({"doc_id": pa.array([0], pa.int64()),
+                    "payload": pa.array([payload], pa.binary())})
+    rz = ImageResizeStub(mode="strict", target=4)
+    out = rz(tbl)
+    assert len(out.column("thumbnail")[0].as_py()) == 16
+    fx = BinaryFeatureExtractor(mode="strict")
+    fo = fx(tbl)
+    assert fo.column("payload_bytes")[0].as_py() == len(payload)
+    assert len(fo.column("feature")[0].as_py()) == 16
 
 
 def test_lsh_candidate_pairs_and_shingles(docs_ds):
