@@ -546,11 +546,22 @@ def _build_route_pipelined(
         s.seg_id: {p.part_id for p in s.partitions} for s in pending
     }
     seg_runs: dict[int, list] = {s.seg_id: [] for s in pending}
-    jobs_tok = deque(
-        (p.to_row(), s.seg_id, p.part_id)
-        for s in pending
-        for p in s.partitions
-    )
+    # Dispatch unit = a chunk of same-segment partitions: driver-side task
+    # submission is ~1 ms of driver CPU each, so one task PER PARTITION
+    # makes the driver the bottleneck past ~10^4 partitions (measured 80%
+    # driver CPU at 10k).  Cap the task count at ~64 per actor; chunks
+    # never cross segments (run bookkeeping and assemble readiness stay
+    # per-segment), and the assembler is run-order-insensitive.
+    chunk = max(1, -(-n_parts // (n_act * 64)))
+    jobs_tok: deque = deque()
+    for s in pending:
+        parts_ = s.partitions
+        for i in range(0, len(parts_), chunk):
+            grp = parts_[i : i + chunk]
+            jobs_tok.append(
+                ([p.to_row() for p in grp], s.seg_id,
+                 [p.part_id for p in grp])
+            )
     jobs_asm: deque = deque()
     load = [0] * n_act
     ref_meta: dict = {}
@@ -570,9 +581,9 @@ def _build_route_pipelined(
                 )
                 ref_meta[r] = (a, "asm", seg_id)
             else:
-                spec, seg_id, part_id = jobs_tok.popleft()
-                r = actors[a].process_spec.remote(spec)
-                ref_meta[r] = (a, "tok", (seg_id, part_id))
+                specs, seg_id, part_ids = jobs_tok.popleft()
+                r = actors[a].process_specs.remote(specs)
+                ref_meta[r] = (a, "tok", (seg_id, part_ids))
             load[a] += 1
             progressed = True
 
@@ -580,19 +591,29 @@ def _build_route_pipelined(
     seg_stats: list[dict] = []
     tok_left = n_parts
     t_last_tok = t0
+    cpu0 = time.process_time()
     while ref_meta:
-        done, _ = ray.wait(list(ref_meta), num_returns=1)
+        # in-flight refs are bounded by 2*n_act, so each wait call is
+        # O(actors) — but completions arrive in bursts, so after the one
+        # blocking wait, drain EVERYTHING already finished with a
+        # zero-timeout wait: the driver pays ~1 round-trip per burst
+        # instead of one per task (the 10^7-partition scaling concern)
+        refs = list(ref_meta)
+        done, rest = ray.wait(refs, num_returns=1)
+        if rest:
+            more, _ = ray.wait(rest, num_returns=len(rest), timeout=0)
+            done.extend(more)
         for r in done:
             a, kind, meta = ref_meta.pop(r)
             load[a] -= 1
             if kind == "tok":
-                seg_id, part_id = meta
+                seg_id, part_ids = meta
                 seg_runs[seg_id].append(r)
                 need = seg_need[seg_id]
-                need.discard(part_id)
+                need.difference_update(part_ids)
                 if not need:
                     jobs_asm.append((seg_id, seg_runs.pop(seg_id)))
-                tok_left -= 1
+                tok_left -= len(part_ids)
                 if tok_left == 0:
                     t_last_tok = time.perf_counter()
             else:
@@ -605,6 +626,11 @@ def _build_route_pipelined(
     timings["tokenize_sec"] = t_last_tok - t0
     # overlapped stages: "assemble" here is only the post-tokenize TAIL
     timings["shuffle_assemble_sec"] = time.perf_counter() - t_last_tok
+    # dispatcher health: driver-side CPU burned by the dispatch loop vs
+    # the loop's wall time (must stay a small fraction — the driver is
+    # the one non-scalable resource)
+    timings["dispatch_wall_sec"] = time.perf_counter() - t0
+    timings["driver_cpu_sec"] = time.process_time() - cpu0
     return seg_stats
 
 

@@ -84,6 +84,16 @@ class TokenizePartition:
             return self._process_partition_runs(spec)
         return self._process_partition(spec)
 
+    def process_specs(self, specs: list[dict]) -> pa.Table:
+        """Tokenize a CHUNK of same-segment partition specs in one task —
+        the route dispatcher's batching unit: driver-side submission cost
+        is paid once per chunk, not once per partition (at 10^7 partitions
+        one task each would make the driver the bottleneck).  The
+        concatenated run table is exactly what the assembler would see
+        from the chunk's individual runs (it keys runs by term + doc
+        range, so intra-chunk order is immaterial)."""
+        return pa.concat_tables([self.process_spec(s) for s in specs])
+
     def assemble_segment(
         self, seg_id: int, infos: dict, codec: str, block_size: int, *runs
     ) -> dict:
