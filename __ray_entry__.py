@@ -875,6 +875,71 @@ def _q_cardinality_agg(sf_dir: str):
     )
 
 
+def _q_cardinality_approx(sf_dir: str):
+    """HLL-sketch cardinality (fixed 16 KB per searcher regardless of
+    field cardinality — the 100 TB path for unbounded fields) checked
+    against the exact path: emits the exact distinct count (SQL-twinned)
+    plus approx_ok = |approx-exact| <= max(1, 2% of exact), which the
+    DuckDB twin asserts as 1."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "field": [], "cardinality": [], "approx_ok": []}
+    for q, fld in CARDINALITY_QUERIES:
+        exact = eng.search_cardinality(q, fld)["cardinality"]
+        approx = eng.search_cardinality_approx(q, fld)["cardinality"]
+        rows["query"].append(q)
+        rows["field"].append(fld)
+        rows["cardinality"].append(exact)
+        rows["approx_ok"].append(
+            1 if abs(approx - exact) <= max(1, round(0.02 * exact)) else 0
+        )
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "field": pa.array(rows["field"], pa.string()),
+            "cardinality": pa.array(rows["cardinality"], pa.int64()),
+            "approx_ok": pa.array(rows["approx_ok"], pa.int64()),
+        }
+    )
+
+
+def _q_percentiles_approx(sf_dir: str):
+    """Centroid-digest percentiles (<= 4096 (mean, weight) centroids per
+    searcher — the 100 TB path; rank error <= ~n/k).  At gate scale the
+    per-searcher distinct count sits below k, so the digest is lossless
+    and the emitted values equal SQL percentile_disc exactly; approx_ok
+    additionally asserts the rank-error bound the sketch guarantees."""
+    import math as _math
+
+    import numpy as _np
+
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "n": [], "p25": [], "p50": [], "p75": [],
+            "p95": [], "p99": [], "approx_ok": []}
+    for q in PERCENTILE_QUERIES:
+        res = eng.search_percentiles_approx(q, "n_chars")
+        merged = eng._merged_value_counts(q, "n_chars")
+        srt = _np.sort(_np.repeat(
+            _np.fromiter(merged.keys(), dtype=_np.int64, count=len(merged)),
+            _np.fromiter(merged.values(), dtype=_np.int64, count=len(merged)),
+        ))
+        ok = 1
+        for p in (25, 50, 75, 95, 99):
+            av = res["values"][f"p{p}"]
+            rank_a = int(_np.searchsorted(srt, av, side="right"))
+            rank_e = max(1, _math.ceil(p / 100.0 * srt.size))
+            if abs(rank_a - rank_e) > max(2, 2.0 * srt.size / 4096):
+                ok = 0
+        rows["query"].append(q)
+        rows["n"].append(res["count"])
+        for p in (25, 50, 75, 95, 99):
+            rows[f"p{p}"].append(int(round(res["values"][f"p{p}"])))
+        rows["approx_ok"].append(ok)
+    return pa.table(
+        {k: pa.array(v, pa.string() if k == "query" else pa.int64())
+         for k, v in rows.items()}
+    )
+
+
 # (query or None=match_all, gte, lte) — bounds inclusive, ES range query
 RANGE_QUERIES = [
     (None, 120, 400),
@@ -1982,6 +2047,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": _q_sessions,
         "asof_click": _q_asof_click,
         "event_sessions": _q_event_sessions,
+        "cardinality_approx": _q_cardinality_approx,
+        "percentiles_approx": _q_percentiles_approx,
         "lang_counts": _q_lang_counts,
         "top_chars": _q_top_chars,
         "doc_token_counts": _q_doc_token_counts,
@@ -2810,6 +2877,40 @@ def _cardinality_sql() -> str:
     return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
 
 
+def _cardinality_approx_sql() -> str:
+    """Tolerance twin: exact distinct counts (as _cardinality_sql) plus
+    approx_ok asserted 1 — the Ray side sets it 0 when the HLL estimate
+    leaves the 2% band, failing the hash."""
+    parts = []
+    for q, fld in CARDINALITY_QUERIES:
+        parts.append(
+            f"SELECT '{q}' AS query, '{fld}' AS field, "
+            f"count(DISTINCT {fld})::BIGINT AS cardinality, "
+            f"1::BIGINT AS approx_ok "
+            f"FROM documents WHERE doc_id IN ({_AGG_HITS[q]})"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
+def _percentiles_approx_sql() -> str:
+    """Tolerance twin: at gate scale the centroid digest is lossless
+    (distinct n_chars < k per searcher), so the approx values equal
+    percentile_disc exactly; approx_ok=1 additionally certifies the
+    rank-error bound computed Ray-side."""
+    parts = []
+    for q in PERCENTILE_QUERIES:
+        cols = ", ".join(
+            f"percentile_disc({p / 100.0}) WITHIN GROUP (ORDER BY n_chars) AS p{p}"
+            for p in (25, 50, 75, 95, 99)
+        )
+        parts.append(
+            f"SELECT '{q}' AS query, count(*)::BIGINT AS n, {cols}, "
+            f"1::BIGINT AS approx_ok "
+            f"FROM documents WHERE doc_id IN ({_AGG_HITS[q]})"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
 def _wildcard_sql() -> str:
     parts = []
     for q in WILDCARD_QUERIES:
@@ -3436,6 +3537,8 @@ def oracle_sql() -> dict[str, str]:
         "histogram_agg": _histogram_sql(),
         "percentiles_agg": _percentiles_sql(),
         "cardinality_agg": _cardinality_sql(),
+        "cardinality_approx": _cardinality_approx_sql(),
+        "percentiles_approx": _percentiles_approx_sql(),
         "range_filter": _range_sql(),
         "sort_nchars": _sort_nchars_sql(),
         "sort_source": _sort_source_sql(),

@@ -1,0 +1,144 @@
+"""Mergeable sketches for high-cardinality aggregations.
+
+The exact percentiles / cardinality path (``Searcher.value_counts_agg``)
+ships one (value -> count) map per searcher — exact and cheap for bounded
+doc-value domains, but O(distinct values) of actor->driver traffic on an
+unbounded field (a microsecond timestamp at 100 TB has ~10^11 distinct
+values).  These sketches cap the per-searcher payload at a fixed size and
+merge associatively at the same fanout point:
+
+* **HyperLogLog** (plain HLL with the linear-counting small-range
+  correction; ES's cardinality agg uses HLL++): 2^p one-byte registers
+  (p=14 -> 16 KB), relative error ~1.04/sqrt(2^p) ≈ 0.8%.  Merge =
+  elementwise max.  All register updates are vectorized
+  (``np.maximum.at`` over the hashed value stream).
+* **Centroid digest** (a deterministic 1-D t-digest variant over integer
+  doc-values): each searcher compresses its exact ``np.unique`` value
+  counts into <= k (mean value, weight) centroids by equal-weight
+  cumulative bucketing; the driver concatenates, re-compresses, and reads
+  quantiles off the cumulative weights.  Rank error <= n/k per side.
+
+Both are pure numpy — no per-row Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+HLL_P = 14  # 16384 registers; ~0.8% standard error
+
+
+def hash64(values: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over an int64/uint64 array — the
+    avalanche permutation used for HLL register assignment (public-domain
+    constants from the splitmix64 reference)."""
+    x = values.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def hash64_strings(strings: list[str]) -> np.ndarray:
+    """64-bit content hashes of strings (blake2b-8); one Python call per
+    DISTINCT category, so cost is bounded by the dictionary, not rows."""
+    import hashlib
+
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        out[i] = np.frombuffer(
+            hashlib.blake2b((s or "").encode(), digest_size=8).digest(),
+            dtype=np.uint64,
+        )[0]
+    return out
+
+
+def hll_empty(p: int = HLL_P) -> np.ndarray:
+    return np.zeros(1 << p, dtype=np.uint8)
+
+
+def hll_add_hashes(regs: np.ndarray, hashes: np.ndarray, p: int = HLL_P) -> None:
+    """Fold a batch of 64-bit hashes into the register array in place."""
+    if hashes.size == 0:
+        return
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    w = hashes << np.uint64(p)  # remaining 64-p bits, left-aligned
+    # rho = leading zeros of w within 64 bits + 1; w's low p bits are 0,
+    # so w >> p has at most 64-p (= 50 <= 53) significant bits and
+    # floor(log2) in float64 is exact
+    wv = (w >> np.uint64(p)).astype(np.float64)
+    rho = np.where(
+        wv > 0,
+        (64 - p) - np.floor(np.log2(np.maximum(wv, 1.0))),
+        64 - p + 1,
+    ).astype(np.uint8)
+    np.maximum.at(regs, idx, rho)
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected harmonic-mean estimate with the linear-counting
+    small-range correction (Flajolet et al. 2007)."""
+    m = regs.size
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / float(np.sum(np.exp2(-regs.astype(np.float64))))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        return m * float(np.log(m / zeros))
+    return est
+
+
+# --- centroid digest --------------------------------------------------------
+
+def centroids_from_counts(
+    values: np.ndarray, counts: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Compress sorted (value, count) pairs to <= k (mean, weight)
+    centroids by equal-weight cumulative bucketing (weighted means stay
+    order-preserving because input values are sorted)."""
+    if values.size <= k:
+        return values.astype(np.float64), counts.astype(np.int64)
+    cw = np.cumsum(counts, dtype=np.int64)
+    total = int(cw[-1])
+    # bucket b covers cumulative weight ((b*total)//k, ((b+1)*total)//k]
+    bucket = np.minimum(((cw - 1) * k) // total, k - 1)
+    starts = np.concatenate(
+        ([0], np.flatnonzero(bucket[1:] != bucket[:-1]) + 1)
+    )
+    wsum = np.add.reduceat(counts.astype(np.int64), starts)
+    vsum = np.add.reduceat(values.astype(np.float64) * counts, starts)
+    return vsum / wsum, wsum
+
+
+def centroids_merge(
+    parts: list[tuple[np.ndarray, np.ndarray]], k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    vals = np.concatenate([p[0] for p in parts]) if parts else np.empty(0)
+    wts = (
+        np.concatenate([p[1] for p in parts])
+        if parts
+        else np.empty(0, dtype=np.int64)
+    )
+    if not vals.size:
+        return vals, wts.astype(np.int64)
+    order = np.argsort(vals, kind="stable")
+    return centroids_from_counts(vals[order], wts[order].astype(np.int64), k)
+
+
+def centroid_percentile(
+    vals: np.ndarray, wts: np.ndarray, percent: float
+) -> float | None:
+    """Nearest-rank read over the cumulative centroid weights (the approx
+    analogue of SQL ``percentile_disc``)."""
+    if not vals.size:
+        return None
+    import math
+
+    cw = np.cumsum(wts, dtype=np.int64)
+    rank = max(1, math.ceil(percent / 100.0 * int(cw[-1])))
+    return float(vals[np.searchsorted(cw, rank)])

@@ -318,6 +318,60 @@ class Searcher:
                     out[v] = out.get(v, 0) + int(counts[i])
         return out
 
+    def hll_agg(self, kind: str, payload, field: str,
+                numeric: bool) -> np.ndarray:
+        """HyperLogLog register array of the hit set's doc-values — the
+        SKETCH merge primitive behind the approx cardinality aggregation:
+        fixed 2^p bytes per searcher regardless of field cardinality
+        (the exact ``value_counts_agg`` path is O(distinct values) of
+        actor->driver traffic on an unbounded field).  Categorical fields
+        hash per DISTINCT dictionary entry, never per row."""
+        from ..functions.sketches import (
+            hash64,
+            hash64_strings,
+            hll_add_hashes,
+            hll_empty,
+        )
+
+        regs = hll_empty()
+        if numeric:
+            for r, vals in zip(self.readers, self._facet_numeric(field)):
+                slots = self._match_slots(r, kind, payload)
+                v = vals[slots]
+                v = v[v != np.iinfo(np.int64).min]
+                hll_add_hashes(regs, hash64(v))
+        else:
+            for r, (codes, cats) in zip(
+                self.readers, self._facet_column(field)
+            ):
+                slots = self._match_slots(r, kind, payload)
+                c = codes[slots]
+                c = c[c >= 0]
+                if c.size:
+                    present = np.unique(c)
+                    hll_add_hashes(
+                        regs, hash64_strings([cats[i] for i in present])
+                    )
+        return regs
+
+    def centroid_agg(self, kind: str, payload, field: str, k: int):
+        """Centroid-digest sketch of the hit set's integer doc-values —
+        the SKETCH merge primitive behind the approx percentiles
+        aggregation: <= k (mean, weight) centroids per searcher (rank
+        error <= n/k) instead of the exact path's per-value count map."""
+        from ..functions.sketches import centroids_from_counts, centroids_merge
+
+        parts = []
+        for r, vals in zip(self.readers, self._facet_numeric(field)):
+            slots = self._match_slots(r, kind, payload)
+            v = vals[slots]
+            v = v[v != np.iinfo(np.int64).min]
+            if not v.size:
+                continue
+            u, c = np.unique(v, return_counts=True)
+            parts.append(centroids_from_counts(u, c, k))
+        return centroids_merge(parts, k)
+
     def facet_counts(self, kind: str, payload, field: str) -> dict:
         """ES terms-aggregation: count FULL match set per facet value.
         kind: 'bool' (payload=rpn) | 'wildcard' (payload=pattern) |
@@ -1547,6 +1601,61 @@ class QueryEngine:
         merged = self._merged_value_counts(query_text, field)
         return {"query": query_text, "field": field,
                 "cardinality": len(merged)}
+
+    def _field_is_numeric(self, field: str) -> bool:
+        import pyarrow.dataset as pads
+        import pyarrow.types as pat
+
+        ftype = pads.dataset(
+            os.path.join(self.index_dir, "docmap"), format="parquet"
+        ).schema.field(field).type
+        return not (pat.is_string(ftype) or pat.is_large_string(ftype))
+
+    def search_cardinality_approx(self, query_text: str, field: str) -> dict:
+        """ES-faithful cardinality: HyperLogLog (ES uses HLL++) — each
+        searcher ships a fixed 16 KB register array instead of its exact
+        value set, so the merge cost is independent of field cardinality
+        (the opt-in path for unbounded fields; standard error ~0.8%).
+        Deterministic: the value hash is seedless splitmix64/blake2b."""
+        from functools import reduce
+
+        from ..functions.sketches import hll_estimate, hll_merge
+
+        kind, payload = self._agg_route(query_text)
+        parts = self._fanout(
+            "hll_agg", kind, payload, field, self._field_is_numeric(field)
+        )
+        regs = reduce(hll_merge, parts)
+        return {
+            "query": query_text,
+            "field": field,
+            "cardinality": int(round(hll_estimate(regs))),
+        }
+
+    def search_percentiles_approx(
+        self, query_text: str, field: str,
+        percents: tuple = (25.0, 50.0, 75.0, 95.0, 99.0),
+        k: int = 4096,
+    ) -> dict:
+        """ES-faithful percentiles: centroid digest (ES uses t-digest) —
+        each searcher ships <= k (mean, weight) centroids instead of its
+        exact value-count map, so rank error is bounded by ~n/k while the
+        merge cost is independent of field cardinality (the opt-in path
+        for unbounded fields).  Same result shape as the exact
+        ``search_percentiles`` with float values."""
+        from ..functions.sketches import centroid_percentile, centroids_merge
+
+        kind, payload = self._agg_route(query_text)
+        parts = self._fanout("centroid_agg", kind, payload, field, k)
+        vals, wts = centroids_merge(list(parts), k)
+        n = int(wts.sum()) if wts.size else 0
+        out: dict[str, float | None] = {}
+        for p in percents:
+            out[f"p{p:g}"] = (
+                centroid_percentile(vals, wts, p) if n else None
+            )
+        return {"query": query_text, "field": field, "count": n,
+                "values": out}
 
     def search_range(self, query_text: str | None, field: str,
                      gte: int | None = None, lte: int | None = None,
