@@ -142,6 +142,17 @@ class SegmentReader:
         self._pos_cache: OrderedDict[int, tuple] = OrderedDict()
         self._pos_cache_vals = 0
         self._POS_CACHE_BUDGET = 8_000_000
+        # decoded-postings LRU (ES query-cache analogue): hot Zipf-head
+        # terms dominate decode cost (~1/3 of warm TAAT latency), and the
+        # decoded form is ~13x the encoded bytes, so cache decoded
+        # (slots, tfs) per term row under a value budget (~32 MB int64 per
+        # reader).  Entries are READ-ONLY views — scorers never mutate
+        # postings, and the flag turns an accidental in-place op into an
+        # error instead of cache corruption.  Tombstones don't invalidate
+        # this cache (liveness is applied via doc_lens, never postings).
+        self._post_cache: OrderedDict[int, tuple] = OrderedDict()
+        self._post_cache_vals = 0
+        self._POST_CACHE_BUDGET = 2_000_000
         # Zero-copy views over the mmap'd binary columns: per-cell access is
         # a numpy slice, no bytes copy (hot path for every query term).
         self._cells = {}
@@ -386,12 +397,26 @@ class SegmentReader:
         return self.postings_slots_by_row(row)
 
     def postings_slots_by_row(self, row: int) -> tuple[np.ndarray, np.ndarray]:
+        cached = self._post_cache.get(row)
+        if cached is not None:
+            self._post_cache.move_to_end(row)
+            return cached
         raw = self._cell("postings", row)
         if self.codec == "zlib":
             slots = zlib_decode_postings(raw.tobytes())
         else:
             slots = self._slots_from_deltas(vbyte_decode(raw))
         tfs = decode_tfs(self._cell("tfs", row))
+        slots.setflags(write=False)
+        tfs.setflags(write=False)
+        self._post_cache[row] = (slots, tfs)
+        self._post_cache_vals += slots.size + tfs.size
+        while (
+            self._post_cache_vals > self._POST_CACHE_BUDGET
+            and len(self._post_cache) > 1
+        ):
+            _, (s_, t_) = self._post_cache.popitem(last=False)
+            self._post_cache_vals -= s_.size + t_.size
         return slots, tfs
 
     def term_row(self, term: str) -> int | None:
