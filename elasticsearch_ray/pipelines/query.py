@@ -621,13 +621,20 @@ class Searcher:
                 continue
             mask = np.zeros(r.num_docs, dtype=bool)
             mask[hit_slots] = True
-            for row in range(r.num_terms):
-                slots, _ = r.postings_slots_by_row(row)
-                n_fg = int(np.count_nonzero(mask[slots]))
-                if n_fg == 0:
-                    continue
-                t = r.term_by_row(row)
-                fg[t] = fg.get(t, 0) + n_fg
+            # one whole-column decode + a segmented sum instead of a
+            # per-term Python loop over the dictionary
+            slots_all, _, row_starts = r.decode_all_postings()
+            if not slots_all.size:
+                continue
+            fg_counts = np.add.reduceat(
+                mask[slots_all].astype(np.int64), row_starts[:-1]
+            )
+            # rows with df=0 can't exist, but guard reduceat's repeated-
+            # index quirk anyway by masking on actual df
+            fg_counts[np.diff(row_starts) == 0] = 0
+            for row in np.flatnonzero(fg_counts):
+                t = r.term_by_row(int(row))
+                fg[t] = fg.get(t, 0) + int(fg_counts[row])
         terms = list(fg)
         return (terms, [fg[t] for t in terms], total)
 
@@ -1562,13 +1569,7 @@ class QueryEngine:
                 "buckets": buckets}
 
     def _merged_value_counts(self, query_text: str, field: str):
-        import pyarrow.dataset as pads
-        import pyarrow.types as pat
-
-        ftype = pads.dataset(
-            os.path.join(self.index_dir, "docmap"), format="parquet"
-        ).schema.field(field).type
-        numeric = not (pat.is_string(ftype) or pat.is_large_string(ftype))
+        numeric = self._field_is_numeric(field)
         kind, payload = self._agg_route(query_text)
         parts = self._fanout("value_counts_agg", kind, payload, field, numeric)
         merged: dict = {}

@@ -464,7 +464,18 @@ class SegmentReader:
 
     def decode_block(self, row: int, block: int) -> tuple[np.ndarray, np.ndarray]:
         """Lazily decode ONE 128-posting block of a term (slots, tfs) —
-        the block-max WAND skip path never touches the other blocks."""
+        the block-max WAND skip path never touches the other blocks.
+        If the full row already sits in the decoded-postings LRU (a hot
+        term recently scored by TAAT/boolean), slice it instead of
+        re-decoding: block slots are segment-absolute (the encoder resets
+        to an absolute value at each block start), so the cached slice is
+        bit-identical."""
+        cached = self._post_cache.get(row)
+        if cached is not None:
+            s, t = cached
+            lo = block * self.block_size
+            hi = min(lo + self.block_size, s.size)
+            return s[lo:hi], t[lo:hi]
         poff = self._cell("blk_poff", row).view("<i4")
         tfoff = self._cell("blk_tfoff", row).view("<i4")
         praw = self._cell("postings", row)
