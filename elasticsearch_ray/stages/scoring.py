@@ -493,7 +493,9 @@ def phrase_eval(
         idx[idx == b.size] = 0
         return a[b[idx] == a]
 
-    # candidate docs: every phrase term and residual term present
+    # candidate docs: every phrase term and residual term present.
+    # Entries carry their dictionary ROW so the unpruned key build can hit
+    # the reader's cross-query composite-key LRU (positions_keys_by_row).
     cand: np.ndarray | None = None
     phrase_data = []
     for phrase in phrases:
@@ -501,22 +503,24 @@ def phrase_eval(
         for t in phrase:
             if len(t) > 1 and t.endswith("*") and "*" not in t[:-1]:
                 rows = reader.term_rows_matching(t, max_expansions)
-                subs = [reader.positions_flat_by_row(r) for r in rows]
+                subs = [
+                    (r, reader.positions_flat_by_row(r)) for r in rows
+                ]
                 if not subs:
                     return empty, 0
                 slots_u = (
-                    np.unique(np.concatenate([d[0] for d in subs]))
+                    np.unique(np.concatenate([d[0] for _, d in subs]))
                     if len(subs) > 1
-                    else subs[0][0]
+                    else subs[0][1][0]
                 )
                 datas.append(subs)  # list marks a prefix expansion
                 docs = slots_u
             else:
-                res = reader.positions_flat(t)
-                if res is None:
+                row = reader.term_row(t)
+                if row is None:
                     return empty, 0
-                datas.append(res)
-                docs = res[0]
+                datas.append((row, reader.positions_flat_by_row(row)))
+                docs = datas[-1][1][0]
             cand = docs if cand is None else intersect(cand, docs)
             if not cand.size:
                 return empty, 0
@@ -534,20 +538,24 @@ def phrase_eval(
 
     _tk_cache: dict = {}
 
-    def term_keys(data, cand_now: np.ndarray) -> np.ndarray:
+    def term_keys(entry, cand_now: np.ndarray) -> np.ndarray:
         """Sorted unique (slot<<32 | pos) keys restricted to cand_now
         (cand_now ⊆ data's slots by construction): one ragged gather.
         Memoized per (term-data, cand) identity — a repeated-word phrase
         ("tawe tawe") computes its key set once, not per occurrence."""
-        memo_key = (id(data), id(cand_now))
+        row, data = entry
+        memo_key = (row, id(cand_now))
         hit = _tk_cache.get(memo_key)
         if hit is not None:
             return hit
         slots, counts, flat, offsets = data
-        if cand_now.size == slots.size:
-            # no candidate pruning yet: the gather is the identity
-            doc_rep = np.repeat(cand_now, counts)
-            res = (doc_rep << np.int64(32)) | flat
+        if cand_now.size * 4 >= slots.size:
+            # candidates cover most of the term's docs: the per-query
+            # gather would rebuild ~the whole key set, so serve the FULL
+            # query-independent array from the reader's cross-query LRU
+            # instead (supersets are safe — the caller intersects the
+            # final doc set with cand)
+            res = reader.positions_keys_by_row(row)
         else:
             idx = np.searchsorted(slots, cand_now)
             sel_cnt = counts[idx]
@@ -573,10 +581,10 @@ def phrase_eval(
         candidates it actually contains — term_keys requires cand ⊆ slots)."""
         if isinstance(entry, list):  # prefix expansion
             parts = []
-            for data in entry:
-                c = intersect(cand_now, data[0])
+            for row_data in entry:
+                c = intersect(cand_now, row_data[1][0])
                 if c.size:
-                    parts.append(term_keys(data, c))
+                    parts.append(term_keys(row_data, c))
             if not parts:
                 return empty
             return (
@@ -627,7 +635,13 @@ def phrase_eval(
                     newR.append(intersect(u, nxt))
                 R = newR
             cur = R[slop]
-        cand = np.unique(cur >> np.int64(32)) if cur.size else empty
+        # intersect (not assign): key sets may be SUPERSETS of cand when
+        # the full cached arrays were used, and cand already encodes the
+        # other phrases' and residual terms' constraints + tombstones
+        cand = (
+            intersect(cand, np.unique(cur >> np.int64(32)))
+            if cur.size else empty
+        )
     return cand[:size] + reader.doc_id_base, int(cand.size)
 
 

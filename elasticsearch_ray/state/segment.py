@@ -153,6 +153,10 @@ class SegmentReader:
         self._post_cache: OrderedDict[int, tuple] = OrderedDict()
         self._post_cache_vals = 0
         self._POST_CACHE_BUDGET = 2_000_000
+        # composite phrase-key LRU (see positions_keys_by_row)
+        self._pkey_cache: OrderedDict[int, np.ndarray] = OrderedDict()
+        self._pkey_cache_vals = 0
+        self._PKEY_CACHE_BUDGET = 4_000_000
         # Zero-copy views over the mmap'd binary columns: per-cell access is
         # a numpy slice, no bytes copy (hot path for every query term).
         self._cells = {}
@@ -560,6 +564,33 @@ class SegmentReader:
             _, old = self._pos_cache.popitem(last=False)
             self._pos_cache_vals -= old[2].size + old[0].size * 2
         return res
+
+    def positions_keys_by_row(self, row: int) -> np.ndarray:
+        """Sorted composite ``slot<<32 | position`` keys of EVERY
+        occurrence of the term — the phrase-adjacency working set.  The
+        full key array is query-independent (unlike its candidate-pruned
+        gathers), so hot Zipf-head phrase terms build it once per actor
+        instead of once per query; read-only, own LRU value budget."""
+        cached = self._pkey_cache.get(row)
+        if cached is not None:
+            self._pkey_cache.move_to_end(row)
+            return cached
+        slots, counts, flat, _ = self.positions_flat_by_row(row)
+        keys = (np.repeat(slots, counts) << np.int64(32)) | flat
+        keys.setflags(write=False)
+        self._pkey_cache[row] = keys
+        self._pkey_cache_vals += keys.size
+        while (
+            self._pkey_cache_vals > self._PKEY_CACHE_BUDGET
+            and len(self._pkey_cache) > 1
+        ):
+            _, old = self._pkey_cache.popitem(last=False)
+            self._pkey_cache_vals -= old.size
+        return keys
+
+    def positions_keys(self, term: str) -> np.ndarray | None:
+        row = self._term_row.get(term)
+        return None if row is None else self.positions_keys_by_row(row)
 
     def positions_slots(self, term: str):
         """Compat shim: (slots, [positions array per doc]) or None."""
