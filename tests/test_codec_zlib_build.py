@@ -28,6 +28,34 @@ def test_zlib_index_matches_oracle(tiny_corpus_dir, tiny_oracle, tmp_path):
     finally:
         eng.close()
 
+    # zlib branch of the batch decoder (merge path): per-row decode and
+    # decode_all_postings must agree
+    import numpy as np
+
+    from elasticsearch_ray.pipelines.build import merge_segments
+    from elasticsearch_ray.state.segment import SegmentReader
+
+    r = SegmentReader(idx, 0)
+    s_all, t_all, rs = r.decode_all_postings()
+    for row in range(r.num_terms):
+        es, et = r.postings_slots_by_row(row)
+        assert np.array_equal(s_all[rs[row]:rs[row + 1]], es), row
+        assert np.array_equal(t_all[rs[row]:rs[row + 1]], et), row
+
+    # zlib segments merge losslessly
+    merge_segments(idx, target_docs=10_000)
+    eng = QueryEngine(idx, num_searchers=2)
+    try:
+        for q in ["news sky connection", "run AND studi"]:
+            got = eng.search(q)
+            exp = tiny_oracle.query(q)
+            assert got["total_hits"] == exp["total_hits"], q
+            assert [r_["doc_id"] for r_ in got["results"]] == [
+                r_["doc_id"] for r_ in exp["results"]
+            ], q
+    finally:
+        eng.close()
+
 
 def test_wordfreq_matches_oracle_counters(tiny_corpus_dir, tiny_texts):
     import re
