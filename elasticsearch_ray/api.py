@@ -457,16 +457,30 @@ class RayBM25Index:
                                             min_doc_count=min_doc_count)
 
     def percentiles(self, query: str, field: str,
-                    percents: tuple = (25.0, 50.0, 75.0, 95.0, 99.0)) -> dict:
-        """ES percentiles aggregation — exact discrete nearest-rank values
-        (SQL ``percentile_disc``), not a t-digest approximation."""
+                    percents: tuple = (25.0, 50.0, 75.0, 95.0, 99.0),
+                    method: str = "exact") -> dict:
+        """ES percentiles aggregation.  ``method='exact'``: discrete
+        nearest-rank values (SQL ``percentile_disc``) from per-searcher
+        value-count maps — exact, but actor->driver traffic is
+        O(distinct values).  ``method='approx'``: centroid-digest sketch
+        (ES's own percentiles are t-digest) — fixed per-searcher payload,
+        rank error <= ~n/4096; the 100 TB path for unbounded fields."""
         assert self.engine is not None, "load_index first"
+        if method == "approx":
+            return self.engine.search_percentiles_approx(
+                query, field, percents=percents
+            )
         return self.engine.search_percentiles(query, field, percents=percents)
 
-    def cardinality(self, query: str, field: str) -> dict:
-        """ES cardinality aggregation — exact distinct count of a facet
-        column over the full hit set."""
+    def cardinality(self, query: str, field: str,
+                    method: str = "exact") -> dict:
+        """ES cardinality aggregation.  ``method='exact'``: distinct count
+        from per-searcher value sets.  ``method='approx'``: HyperLogLog
+        (ES's own cardinality is HLL++) — fixed 16 KB per searcher,
+        ~0.8% standard error; the 100 TB path for unbounded fields."""
         assert self.engine is not None, "load_index first"
+        if method == "approx":
+            return self.engine.search_cardinality_approx(query, field)
         return self.engine.search_cardinality(query, field)
 
     def range_query(self, query: str | None, field: str,
