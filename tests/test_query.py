@@ -1823,3 +1823,49 @@ def test_term_boost_syntax(tiny_engine, tiny_oracle):
     a = tiny_engine.search("news^1 sky", size=10)
     b = tiny_engine.search("news sky", size=10)
     assert a["results"] == b["results"]
+
+
+def test_postings_cache_eviction_correctness(tmp_path):
+    """Decoded-postings LRU under a tiny budget: entries evict (budget
+    respected) and re-decoded postings stay identical; cached arrays are
+    read-only."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.state.segment import SegmentReader
+
+    import random
+    rng = random.Random(3)
+    vocab = [f"w{i:03d}" for i in range(200)]
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(vocab) for _ in range(30))}
+            for i in range(400)]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    docs_per_segment=400, target_partition_rows=200),
+    )
+    r = SegmentReader(idx, 0)
+    baseline = {
+        row: tuple(a.copy() for a in r.postings_slots_by_row(row))
+        for row in range(r.num_terms)
+    }
+    r._POST_CACHE_BUDGET = 64  # force heavy eviction
+    r._post_cache.clear(); r._post_cache_vals = 0
+    for sweep in range(3):
+        for row in range(r.num_terms):
+            s, t = r.postings_slots_by_row(row)
+            assert np.array_equal(s, baseline[row][0]), row
+            assert np.array_equal(t, baseline[row][1]), row
+            assert r._post_cache_vals <= max(64, s.size + t.size)
+    with _pytest.raises((ValueError, RuntimeError)):
+        r.postings_slots_by_row(0)[0][0] = 99  # read-only
