@@ -1152,6 +1152,11 @@ class QueryEngine:
                 max(1, int(ray.cluster_resources().get("CPU", 4))),
                 max(1, -(-self.doc_count // 25_000)),
             )
+            if num_searchers == 1:
+                # one remote searcher is strictly worse than embedded:
+                # same serial work plus an actor RTT per query
+                self.embedded = Searcher(index_dir, seg_ids, tombstones)
+                return
         num_searchers = max(1, min(num_searchers, len(seg_ids)))
         # contiguous seg ranges per actor -> boolean merge stays doc-ordered
         chunks = np.array_split(np.array(seg_ids), num_searchers)
