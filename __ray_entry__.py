@@ -2016,8 +2016,49 @@ def _q_curation_keep(sf_dir: str):
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
 
+def _q_es_bulk_roundtrip(sf_dir: str):
+    """S6 ES bulk sink: documents -> ``_bulk`` NDJSON wire-format bodies ->
+    Dataset round-trip, proving byte fidelity of ``text`` (md5 over UTF-8)
+    plus every scalar column.  Reference: ``elasticsearch_indexer.py:33-129``
+    (settings body + helpers.bulk in 1,000-action chunks)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from elasticsearch_ray.sources.es_bulk import read_es_bulk, write_es_bulk
+
+    out = _index_dir_for(sf_dir, "esbulk")
+    done = os.path.join(out, "_done")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        write_es_bulk(
+            _docs_ds(sf_dir), out, index_name="ESIndex.docs",
+            id_col="doc_id",
+            source_cols=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        open(done, "w").close()
+
+    def prove(t: pa.Table) -> pa.Table:
+        # correctness projection (not the sink's hot path): hash the
+        # round-tripped text so the DuckDB twin checks byte equality
+        md5s = [hashlib.md5(x.encode("utf-8")).hexdigest()
+                for x in t.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "lang": t.column("lang"),
+            "source": t.column("source"),
+            "n_chars": pc.cast(t.column("n_chars"), pa.int64()),
+            "text_md5": pa.array(md5s, pa.string()),
+        })
+
+    return read_es_bulk(out).map_batches(prove, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "es_bulk_roundtrip": _q_es_bulk_roundtrip,
         # Entries the round-3 driver did NOT gate lead the dict (the r3
         # gate checked the first 50 of 75), so a capped round-4 gate
         # covers them first and the union of CORRECTNESS files goes green
@@ -3488,6 +3529,10 @@ def oracle_sql() -> dict[str, str]:
         pass  # no Ray session / no sf dir: the query callable writes it
     stop = _stoplist_sql()
     return {
+        "es_bulk_roundtrip": (
+            "SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 "
+            "FROM documents"
+        ),
         "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "top_chars": (
             "SELECT doc_id, n_chars FROM documents "

@@ -1,0 +1,249 @@
+"""Elasticsearch bulk sink + loader (SURVEY §2 S6), Ray-Data-native.
+
+The reference ships its corpus into a live Elasticsearch cluster
+(``elasticsearch_indexer.py:33-114``): ``create_index`` posts a
+settings+mappings body whose ``custom_analyzer`` is *exactly* this
+engine's canonical analyzer (standard tokenizer + lowercase + porter_stem
++ stop, ``normalizer/tokenize.py``), then streams documents with
+``helpers.bulk`` in chunks of 1,000 actions.
+
+There is no cluster in this sandbox (and none needed at build time), so
+the sink emits the ES ``_bulk`` *wire format* itself: each ≤``actions_per_file``
+chunk becomes one ready-to-POST NDJSON body (action line + source line per
+document, trailing newline as the API requires).  A user switching from
+the reference feeds these bodies to ``POST /_bulk`` verbatim —
+``post_es_bulk`` does that from an actor pool given any client callable —
+or replays them elsewhere; ``read_es_bulk`` loads them back as a Dataset
+(round-trip tested byte-exact on ``text``).
+
+Scale shape: the writer is a streaming ``map_batches`` — one bounded batch
+in memory per task, content-addressed file names (md5 of the chunk's ids)
+so re-runs are idempotent, and a tiny manifest parquet written alongside
+for resume/audit.  On a multi-node cluster ``out_dir`` is shared storage
+and posting parallelism is the actor-pool size.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+
+# The reference's index body (elasticsearch_indexer.py:40-70): one shard,
+# custom_analyzer = the engine's canonical analysis chain.
+REFERENCE_SETTINGS = {
+    "settings": {
+        "number_of_shards": 1,
+        "number_of_replicas": 0,
+        "analysis": {
+            "analyzer": {
+                "custom_analyzer": {
+                    "type": "custom",
+                    "tokenizer": "standard",
+                    "filter": ["lowercase", "porter_stem", "stop"],
+                }
+            }
+        },
+    }
+}
+
+
+def es_index_name(name: str) -> str:
+    """ES index-name normalization the reference applies
+    (``elasticsearch_indexer.py:34-36``): lowercase, dots to dashes."""
+    return name.lower().replace(".", "-")
+
+
+def _mappings_for(schema: pa.Schema, id_col: str) -> dict:
+    """Text columns get the custom analyzer (reference mapping for
+    title/text); the id column and other strings-of-strings are keyword;
+    numerics map to long/double (reference: doc_id keyword,
+    tokens_processed keyword)."""
+    props: dict = {}
+    for field in schema:
+        t = field.type
+        if field.name == id_col:
+            props[field.name] = {"type": "keyword"}
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            props[field.name] = {"type": "text", "analyzer": "custom_analyzer"}
+        elif pa.types.is_integer(t):
+            props[field.name] = {"type": "long"}
+        elif pa.types.is_floating(t):
+            props[field.name] = {"type": "double"}
+        elif pa.types.is_boolean(t):
+            props[field.name] = {"type": "boolean"}
+        elif pa.types.is_timestamp(t):
+            props[field.name] = {"type": "date"}
+        else:  # lists / binary: keyword, as the reference does for token lists
+            props[field.name] = {"type": "keyword"}
+    return {"properties": props}
+
+
+class _BulkWriter:
+    """Actor-pool stage: one batch -> one content-addressed bulk body file.
+
+    Stateless beyond config, but run as a callable class so the sink slots
+    into the same actor-pool pattern as every other stateful stage."""
+
+    def __init__(self, out_dir: str, index_name: str, id_col: str):
+        self.out_dir = out_dir
+        self.index_name = index_name
+        self.id_col = id_col
+
+    def __call__(self, batch) -> dict:
+        import pandas as pd  # noqa: F401  (batch arrives as pandas)
+
+        ids = batch[self.id_col].astype(str).tolist()
+        # vectorized source serialization (pandas C json writer); UTF-8
+        # kept raw (force_ascii=False) — ES accepts it and round-trips
+        # byte-identically
+        src_lines = batch.to_json(
+            orient="records", lines=True, force_ascii=False
+        ).splitlines()
+        prefix = '{"index": {"_index": %s, "_id": ' % json.dumps(self.index_name)
+        lines = []
+        for _id, src in zip(ids, src_lines):
+            lines.append(prefix + json.dumps(_id) + "}}")
+            lines.append(src)
+        body = "\n".join(lines) + "\n"  # _bulk requires the trailing newline
+        digest = hashlib.md5("\x00".join(ids).encode()).hexdigest()[:16]
+        path = os.path.join(self.out_dir, f"part-{digest}.bulk.ndjson")
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(body)
+        os.replace(tmp, path)
+        import numpy as np
+
+        return {
+            "path": np.array([path]),
+            "actions": np.array([len(ids)], dtype=np.int64),
+            "bytes": np.array([len(body.encode("utf-8"))], dtype=np.int64),
+        }
+
+
+def write_es_bulk(
+    ds,
+    out_dir: str,
+    index_name: str = "esindex-v1-0",
+    id_col: str = "doc_id",
+    source_cols: list[str] | None = None,
+    actions_per_file: int = 1000,
+):
+    """Stream ``ds`` into ES ``_bulk`` NDJSON bodies under ``out_dir``.
+
+    Writes ``_settings.json`` (the reference's index body + mappings
+    derived from the dataset schema) and one ``part-*.bulk.ndjson`` per
+    ≤``actions_per_file`` documents (the reference's chunk size,
+    ``elasticsearch_indexer.py:125-129``), plus a ``_manifest`` parquet of
+    (path, actions, bytes).  Existing part files are cleared first so the
+    directory always reflects exactly one dataset. Returns the manifest
+    as a small pandas DataFrame (one row per ~1000 docs).
+    """
+    index_name = es_index_name(index_name)
+    os.makedirs(out_dir, exist_ok=True)
+    for stale in glob.glob(os.path.join(out_dir, "part-*.bulk.ndjson")):
+        os.remove(stale)
+
+    if source_cols is not None:
+        ds = ds.select_columns(list(dict.fromkeys([id_col, *source_cols])))
+    body = dict(REFERENCE_SETTINGS)
+    body["mappings"] = _mappings_for(ds.schema().base_schema, id_col)
+    with open(os.path.join(out_dir, "_settings.json"), "w") as f:
+        json.dump({"index": index_name, **body}, f, indent=2)
+
+    manifest = ds.map_batches(
+        _BulkWriter,
+        fn_constructor_args=(out_dir, index_name, id_col),
+        batch_size=actions_per_file,
+        batch_format="pandas",
+        concurrency=(1, 8),
+    ).to_pandas()
+    manifest.to_parquet(os.path.join(out_dir, "_manifest"))
+    return manifest
+
+
+def read_es_bulk(bulk_dir: str):
+    """Load bulk bodies back as a Ray Dataset (one parse task per file;
+    files are bounded at ``actions_per_file`` docs so per-file work is
+    small and the read scales with the file count)."""
+    import ray.data
+
+    paths = sorted(glob.glob(os.path.join(bulk_dir, "part-*.bulk.ndjson")))
+    if not paths:
+        raise FileNotFoundError(f"no bulk bodies under {bulk_dir}")
+
+    def parse(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {"_id": []}
+        for raw in batch.column("bytes").to_pylist():
+            lines = raw.decode("utf-8").splitlines()
+            for i in range(0, len(lines) - 1, 2):
+                act = json.loads(lines[i])["index"]
+                src = json.loads(lines[i + 1])
+                cols["_id"].append(act["_id"])
+                for k, v in src.items():
+                    cols.setdefault(k, []).append(v)
+        return pa.table(cols)
+
+    return ray.data.read_binary_files(paths).map_batches(
+        parse, batch_format="pyarrow"
+    )
+
+
+class ValidatingClient:
+    """Dry-run bulk 'client': parses a body exactly like the server would
+    (action/source line pairs, one JSON object each) and reports the item
+    count — lets a pipeline be validated end-to-end with no cluster.
+    Pass the class itself as ``post_factory``."""
+
+    def __call__(self, body: str):
+        lines = body.splitlines()
+        if len(lines) % 2:
+            return {"errors": True, "items": 0,
+                    "reason": "odd line count in bulk body"}
+        n = 0
+        for i in range(0, len(lines), 2):
+            act = json.loads(lines[i])
+            src = json.loads(lines[i + 1])
+            if "index" not in act or not isinstance(src, dict):
+                return {"errors": True, "items": n,
+                        "reason": f"malformed pair at line {i}"}
+            n += 1
+        return {"errors": False, "items": n}
+
+
+class _Poster:
+    """Actor-pool bulk poster: the client is built ONCE per actor from a
+    serializable factory (e.g. ``lambda: Elasticsearch(hosts).bulk`` —
+    or any ``callable(body_str) -> response``)."""
+
+    def __init__(self, post_factory):
+        self.post = post_factory()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        statuses = []
+        for path in batch.column("path").to_pylist():
+            with open(path, encoding="utf-8") as f:
+                resp = self.post(f.read())
+            statuses.append(json.dumps(resp, default=str)[:200])
+        return pa.table({"path": batch.column("path"),
+                         "status": pa.array(statuses)})
+
+
+def post_es_bulk(bulk_dir: str, post_factory, concurrency: int = 4):
+    """POST every bulk body under ``bulk_dir`` through ``post_factory()``'s
+    client callable from an actor pool; returns per-file statuses as a
+    pandas DataFrame (one row per body)."""
+    import ray.data
+
+    paths = sorted(glob.glob(os.path.join(bulk_dir, "part-*.bulk.ndjson")))
+    return (
+        ray.data.from_items([{"path": p} for p in paths])
+        .map_batches(
+            _Poster, fn_constructor_args=(post_factory,),
+            batch_format="pyarrow", batch_size=8, concurrency=concurrency,
+        )
+        .to_pandas()
+    )

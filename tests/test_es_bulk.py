@@ -1,0 +1,115 @@
+"""ES bulk sink (SURVEY §2 S6): wire format, round-trip fidelity, posting.
+
+Reference semantics: ``elasticsearch_indexer.py:33-129`` — settings body
+with the canonical analyzer chain, ``helpers.bulk`` in 1,000-action chunks.
+"""
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_ray.sources.es_bulk import (
+    es_index_name,
+    post_es_bulk,
+    read_es_bulk,
+    write_es_bulk,
+)
+
+
+@pytest.fixture(scope="module")
+def bulk_dir(tiny_corpus_dir, tmp_path_factory):
+    import ray.data
+
+    out = str(tmp_path_factory.mktemp("esbulk"))
+    ds = ray.data.read_parquet(tiny_corpus_dir)
+    write_es_bulk(
+        ds, out, index_name="ESIndex.v1",
+        id_col="url", source_cols=["url", "text", "lang"],
+        actions_per_file=64,
+    )
+    return out
+
+
+def test_index_name_normalization():
+    # elasticsearch_indexer.py:34-36
+    assert es_index_name("ESIndex.v1") == "esindex-v1"
+
+
+def test_bulk_wire_format(bulk_dir):
+    parts = sorted(glob.glob(os.path.join(bulk_dir, "part-*.bulk.ndjson")))
+    assert parts
+    total = 0
+    for p in parts:
+        body = open(p, encoding="utf-8").read()
+        assert body.endswith("\n")  # _bulk requires a trailing newline
+        lines = body.splitlines()
+        assert len(lines) % 2 == 0
+        assert len(lines) // 2 <= 64  # chunk bound (reference: 1000)
+        for i in range(0, len(lines), 2):
+            act = json.loads(lines[i])
+            assert set(act) == {"index"}
+            assert act["index"]["_index"] == "esindex-v1"
+            src = json.loads(lines[i + 1])
+            assert act["index"]["_id"] == src["url"]
+            assert set(src) == {"url", "text", "lang"}
+        total += len(lines) // 2
+    assert total == 200
+
+
+def test_settings_body(bulk_dir):
+    body = json.load(open(os.path.join(bulk_dir, "_settings.json")))
+    ana = body["settings"]["analysis"]["analyzer"]["custom_analyzer"]
+    assert ana["tokenizer"] == "standard"
+    assert ana["filter"] == ["lowercase", "porter_stem", "stop"]
+    props = body["mappings"]["properties"]
+    assert props["url"] == {"type": "keyword"}  # id column
+    assert props["text"] == {"type": "text", "analyzer": "custom_analyzer"}
+    # manifest rows account for every action
+    man = pq.read_table(os.path.join(bulk_dir, "_manifest"))
+    assert sum(man.column("actions").to_pylist()) == 200
+
+
+def test_roundtrip_byte_exact(bulk_dir, tiny_corpus_dir):
+    got = read_es_bulk(bulk_dir).to_pandas()
+    want = pq.read_table(
+        tiny_corpus_dir, columns=["url", "text", "lang"]
+    ).to_pandas()
+    got = got.sort_values("url").reset_index(drop=True)
+    want = want.sort_values("url").reset_index(drop=True)
+    assert got["_id"].tolist() == got["url"].tolist()
+    for col in ["url", "text", "lang"]:
+        assert got[col].tolist() == want[col].tolist()
+
+
+def test_idempotent_rewrite(bulk_dir, tiny_corpus_dir):
+    import ray.data
+
+    before = sorted(glob.glob(os.path.join(bulk_dir, "part-*")))
+    ds = ray.data.read_parquet(tiny_corpus_dir)
+    write_es_bulk(
+        ds, bulk_dir, index_name="ESIndex.v1",
+        id_col="url", source_cols=["url", "text", "lang"],
+        actions_per_file=64,
+    )
+    after = sorted(glob.glob(os.path.join(bulk_dir, "part-*")))
+    assert len(after) == len(before)
+    # content-addressed names: at least the file COUNT and total actions
+    # are stable; same batching -> identical names
+    total = sum(
+        len(open(p, encoding="utf-8").read().splitlines()) // 2 for p in after
+    )
+    assert total == 200
+
+
+def test_post_actor_pool(bulk_dir):
+    # the dry-run client lives in the package (actor-side deserialization
+    # needs an importable module, which a pytest test module is not)
+    from elasticsearch_ray.sources.es_bulk import ValidatingClient
+
+    statuses = post_es_bulk(bulk_dir, ValidatingClient, concurrency=2)
+    parts = glob.glob(os.path.join(bulk_dir, "part-*.bulk.ndjson"))
+    assert len(statuses) == len(parts)
+    assert all('"errors": false' in s for s in statuses["status"])
