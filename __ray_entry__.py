@@ -2056,8 +2056,115 @@ def _q_es_bulk_roundtrip(sf_dir: str):
     return read_es_bulk(out).map_batches(prove, batch_format="pyarrow")
 
 
+def _ensure_datastore_export(sf_dir: str, kind: str) -> str:
+    """Build the reference-analyzer index once and export it once per
+    process as a PG COPY / Redis RESP bulk load (kind: 'pgexport' |
+    'rdexport')."""
+    idx = _ensure_index(sf_dir, "reference")
+    out = _index_dir_for(sf_dir, kind)
+    done = os.path.join(out, "_done")
+    if not os.path.exists(done):
+        import shutil
+
+        from elasticsearch_ray.ops.datastore_export import (
+            export_postgres,
+            export_redis,
+        )
+
+        shutil.rmtree(out, ignore_errors=True)
+        if kind == "pgexport":
+            export_postgres(idx, out)
+        else:
+            export_redis(idx, out)
+        open(done, "w").close()
+    return out
+
+
+def _q_pg_export_postings(sf_dir: str):
+    """S9 PostgreSQL sink: index -> COPY-format bulk-load parts ->
+    Dataset round-trip of all three reference tables joined flat.
+    Reference: ``plot_a_datastore.py:165-281`` — documents/terms/postings
+    with tf_idf = (tf/doc_length)*ln(N/df); term_id = 1+rank in the
+    sorted vocabulary (deterministic stand-in for the reference's
+    SERIAL).  Twin recomputes from the stem-stream side parquet; scores
+    compared in micro-units."""
+    _ensure_stem_stream(sf_dir)
+    from elasticsearch_ray.ops.datastore_export import read_postgres_copy
+
+    out = _ensure_datastore_export(sf_dir, "pgexport")
+    terms = read_postgres_copy(out, "terms").to_pandas()  # vocab-sized
+    tmap = dict(zip(terms.term_id, terms.term))
+    dfmap = dict(zip(terms.term_id, terms.doc_freq))
+
+    def prove(t: pa.Table) -> pa.Table:
+        tid = t.column("term_id").to_numpy()
+        tfidf = t.column("tf_idf").to_numpy()
+        return pa.table({
+            "term_id": t.column("term_id"),
+            "term": pa.array([tmap[i] for i in tid], pa.string()),
+            "doc_freq": pa.array([dfmap[i] for i in tid], pa.int64()),
+            "doc_id": pa.array(
+                [int(x) for x in t.column("doc_id").to_pylist()], pa.int64()
+            ),
+            "tfidf_u": pa.array(
+                np.floor(tfidf * 1e6 + 0.5).astype(np.int64), pa.int64()
+            ),
+        })
+
+    return read_postgres_copy(out, "postings").map_batches(
+        prove, batch_format="pyarrow"
+    )
+
+
+def _q_redis_export_postings(sf_dir: str):
+    """S10 Redis sink: index -> RESP mass-insertion files ->
+    ``postings:{term}`` JSON payloads parsed back as rows.  Reference:
+    ``plot_a_datastore.py:329-416``; same tf-idf math as the PG sink."""
+    _ensure_stem_stream(sf_dir)
+    from elasticsearch_ray.ops.datastore_export import read_redis_postings
+
+    out = _ensure_datastore_export(sf_dir, "rdexport")
+
+    def prove(t: pa.Table) -> pa.Table:
+        tfidf = t.column("tf_idf").to_numpy()
+        return pa.table({
+            "term": t.column("term"),
+            "doc_id": pa.array(
+                [int(x) for x in t.column("doc_id").to_pylist()], pa.int64()
+            ),
+            "tfidf_u": pa.array(
+                np.floor(tfidf * 1e6 + 0.5).astype(np.int64), pa.int64()
+            ),
+        })
+
+    return read_redis_postings(out).map_batches(prove, batch_format="pyarrow")
+
+
+def _q_redis_export_doclens(sf_dir: str):
+    """S10 Redis sink, ``doc_lengths`` hash: HSET commands parsed back —
+    every live doc with its processed-token length
+    (``plot_a_datastore.py:392-394``)."""
+    _ensure_stem_stream(sf_dir)
+    from elasticsearch_ray.ops.datastore_export import read_redis_doclens
+
+    out = _ensure_datastore_export(sf_dir, "rdexport")
+
+    def prove(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(
+                [int(x) for x in t.column("doc_id").to_pylist()], pa.int64()
+            ),
+            "doc_length": t.column("doc_length"),
+        })
+
+    return read_redis_doclens(out).map_batches(prove, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "pg_export_postings": _q_pg_export_postings,
+        "redis_export_postings": _q_redis_export_postings,
+        "redis_export_doclens": _q_redis_export_doclens,
         "es_bulk_roundtrip": _q_es_bulk_roundtrip,
         # Entries the round-3 driver did NOT gate lead the dict (the r3
         # gate checked the first 50 of 75), so a capped round-4 gate
@@ -3533,6 +3640,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 "
             "FROM documents"
         ),
+        # Datastore sinks (S9/S10): reference tf-idf from the stem stream —
+        # tf_idf = (tf/dl)*ln(N/df), term_id = 1+rank(term), micro-units.
+        "pg_export_postings": f"""
+WITH tok AS ({_stem_tok_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+n AS (SELECT count(*) AS n FROM documents),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+tid AS (SELECT term, df, row_number() OVER (ORDER BY term) AS term_id FROM df)
+SELECT tid.term_id, tid.term, tid.df AS doc_freq, tf.doc_id,
+       CAST(floor((CAST(tf.tf AS DOUBLE) / dl.dl)
+                  * ln(CAST(n.n AS DOUBLE) / tid.df) * 1000000 + 0.5)
+            AS BIGINT) AS tfidf_u
+FROM tf JOIN dl USING (doc_id) JOIN tid ON tf.term = tid.term, n
+""",
+        "redis_export_postings": f"""
+WITH tok AS ({_stem_tok_sql()}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+n AS (SELECT count(*) AS n FROM documents),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.term, tf.doc_id,
+       CAST(floor((CAST(tf.tf AS DOUBLE) / dl.dl)
+                  * ln(CAST(n.n AS DOUBLE) / df.df) * 1000000 + 0.5)
+            AS BIGINT) AS tfidf_u
+FROM tf JOIN dl USING (doc_id) JOIN df ON tf.term = df.term, n
+""",
+        "redis_export_doclens": f"""
+WITH tok AS ({_stem_tok_sql()})
+SELECT d.doc_id, count(t.tok) AS doc_length
+FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id
+GROUP BY d.doc_id
+""",
         "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "top_chars": (
             "SELECT doc_id, n_chars FROM documents "

@@ -432,10 +432,21 @@ class SegmentReader:
         ``slots_flat[row_starts[i]:row_starts[i+1]]`` (exactly df[i]
         values).  One vbyte decode over the whole mmap'd column instead of
         ``num_terms`` per-row Python calls — the segment-merge path's
-        decoder (a 5M-term merge pays 1 call, not 5M).  Block resets
+        decoder (a 5M-term merge pays 1 call, not 5M)."""
+        return self.decode_rows(0, self.num_terms)
+
+    def decode_rows(
+        self, lo: int, hi: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batch-decode the CONTIGUOUS term-row range [lo, hi): same shape
+        as :meth:`decode_all_postings` but ``row_starts`` is local to the
+        slice (``row_starts[0] == 0``, length ``hi-lo+1``).  Rows are
+        byte-contiguous in the mmap'd column, so a range decode reads and
+        decodes only its own bytes — the datastore exporters' term-range
+        tasks scale with their slice, not the segment.  Block resets
         (absolute slot at every ``block_size``-th posting of a row) are
         undone with one segmented cumsum correction."""
-        df = self._df.astype(np.int64)
+        df = self._df[lo:hi].astype(np.int64)
         row_starts = np.concatenate(([0], np.cumsum(df)))
         n = int(row_starts[-1])
         offsets, tdata = self._cells["tfs"]
@@ -446,11 +457,11 @@ class SegmentReader:
             # zlib streams are not self-delimiting: per-row decompress
             slots = np.concatenate([
                 zlib_decode_postings(self._cell("postings", r).tobytes())
-                for r in range(df.size)
+                for r in range(lo, hi)
             ])
         else:
             poffsets, pdata = self._cells["postings"]
-            deltas = vbyte_decode(pdata[poffsets[0]:poffsets[-1]])
+            deltas = vbyte_decode(pdata[poffsets[lo]:poffsets[hi]])
             bs = self.block_size
             nblk = (df + bs - 1) // bs
             blk_starts = np.concatenate(([0], np.cumsum(nblk)))
@@ -463,7 +474,7 @@ class SegmentReader:
             prev[nz] = cs[reset[nz] - 1]
             blk_len = np.minimum(bs, df[row_of_blk] - bs * blk_idx)
             slots = cs - np.repeat(prev, blk_len)
-        tfs = decode_tfs(tdata[offsets[0]:offsets[-1]])  # tfs always vbyte
+        tfs = decode_tfs(tdata[offsets[lo]:offsets[hi]])  # tfs always vbyte
         return slots, tfs, row_starts
 
     def decode_block(self, row: int, block: int) -> tuple[np.ndarray, np.ndarray]:

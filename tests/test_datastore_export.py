@@ -1,0 +1,177 @@
+"""PostgreSQL / Redis datastore sinks (SURVEY §2 S9/S10): wire-format
+round-trips and bit-exact tf-idf vs a pure-python recomputation of the
+reference's math (plot_a_datastore.py:253-260 / :395-411)."""
+
+import glob
+import json
+import math
+import os
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_ray.ops.datastore_export import (
+    ValidatingRespClient,
+    export_postgres,
+    export_redis,
+    parse_resp,
+    post_resp,
+    read_postgres_copy,
+    read_redis_doclens,
+    read_redis_postings,
+)
+
+
+@pytest.fixture(scope="module")
+def truth(tiny_corpus_dir, tiny_index_dir):
+    """Reference tf-idf ground truth keyed by the index's docmap order."""
+    from elasticsearch_ray.normalizer import make_normalizer
+
+    text_of = {}
+    for f in sorted(glob.glob(os.path.join(tiny_corpus_dir, "*.parquet"))):
+        t = pq.read_table(f, columns=["url", "text"])
+        text_of.update(
+            zip(t.column("url").to_pylist(), t.column("text").to_pylist())
+        )
+    dm = pa.concat_tables(
+        [pq.read_table(p)
+         for p in glob.glob(os.path.join(tiny_index_dir, "docmap/*.parquet"))]
+    )
+    norm = make_normalizer("reference")
+    tf, dl, df = {}, {}, Counter()
+    for did, url in zip(
+        dm.column("doc_id").to_pylist(), dm.column("url").to_pylist()
+    ):
+        toks = norm.tokenize(text_of[url])
+        dl[did] = len(toks)
+        tf[did] = Counter(toks)
+        for term in tf[did]:
+            df[term] += 1
+    n = len(dl)
+    tid_of = {term: i + 1 for i, term in enumerate(sorted(df))}
+    postings = {
+        (tid_of[term], str(did)): (c / dl[did]) * math.log(n / df[term])
+        for did, counts in tf.items()
+        for term, c in counts.items()
+    }
+    return {"postings": postings, "dl": dl, "df": dict(df),
+            "tid_of": tid_of, "n": n}
+
+
+@pytest.fixture(scope="module")
+def pg_dir(tiny_index_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pg_export"))
+    export_postgres(tiny_index_dir, out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def resp_dir(tiny_index_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("redis_export"))
+    export_redis(tiny_index_dir, out)
+    return out
+
+
+def test_pg_postings_bit_exact(pg_dir, truth):
+    post = read_postgres_copy(pg_dir, "postings").to_pandas()
+    assert len(post) == len(truth["postings"])
+    for tid, did, v in zip(post.term_id, post.doc_id, post.tf_idf):
+        assert truth["postings"][(tid, did)] == v  # exact double round-trip
+
+
+def test_pg_terms_and_documents(pg_dir, truth):
+    terms = read_postgres_copy(pg_dir, "terms").to_pandas()
+    assert dict(zip(terms.term, terms.term_id)) == truth["tid_of"]
+    assert dict(zip(terms.term, terms.doc_freq)) == truth["df"]
+    docs = read_postgres_copy(pg_dir, "documents").to_pandas()
+    assert dict(zip(docs.doc_id, docs.doc_length)) == {
+        str(k): v for k, v in truth["dl"].items()
+    }
+
+
+def test_pg_load_script(pg_dir):
+    sql = open(os.path.join(pg_dir, "load.sql")).read()
+    # the reference DDL + its post-load indexes, one \copy per part file
+    for frag in ("CREATE TABLE documents", "CREATE TABLE terms",
+                 "CREATE TABLE postings", "idx_postings_term",
+                 "idx_postings_doc", "idx_terms_term"):
+        assert frag in sql
+    nparts = sum(
+        len(glob.glob(os.path.join(pg_dir, t, "*.copy")))
+        for t in ("documents", "terms", "postings")
+    )
+    assert sql.count("\\copy ") == nparts
+
+
+def test_redis_postings_bit_exact(resp_dir, truth):
+    rp = read_redis_postings(resp_dir).to_pandas()
+    assert len(rp) == len(truth["postings"])
+    term_of = {v: k for k, v in truth["tid_of"].items()}
+    by_term = {(term_of[tid], did): v
+               for (tid, did), v in truth["postings"].items()}
+    for term, did, v in zip(rp.term, rp.doc_id, rp.tf_idf):
+        assert by_term[(term, did)] == v
+
+
+def test_redis_doclens_and_meta(resp_dir, truth):
+    rdl = read_redis_doclens(resp_dir).to_pandas()
+    assert dict(zip(rdl.doc_id, rdl.doc_length)) == {
+        str(k): v for k, v in truth["dl"].items()
+    }
+    meta = dict()
+    for argv in parse_resp(open(os.path.join(resp_dir, "meta.resp"), "rb").read()):
+        meta[argv[1].decode()] = int(argv[2])
+    assert meta == {"meta:num_documents": truth["n"],
+                    "meta:num_terms": len(truth["df"])}
+
+
+def test_redis_payloads_in_doc_order(resp_dir):
+    # reference stores each postings dict in document order; ours must be
+    # globally doc-ascending even when a term spans segments
+    for path in glob.glob(os.path.join(resp_dir, "postings-*.resp")):
+        for argv in parse_resp(open(path, "rb").read()):
+            ids = [int(k) for k in json.loads(argv[2])]
+            assert ids == sorted(ids)
+
+
+def test_post_resp_validates_every_command(resp_dir):
+    stat = post_resp(resp_dir, ValidatingRespClient)
+    total = sum(
+        len(parse_resp(open(p, "rb").read()))
+        for p in glob.glob(os.path.join(resp_dir, "*.resp"))
+    )
+    assert int(stat.commands.sum()) == total > 0
+
+
+def test_resume_skips_existing_parts(tiny_index_dir, pg_dir):
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(pg_dir, "*", "*.copy"))
+    }
+    export_postgres(tiny_index_dir, pg_dir, resume=True)
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(pg_dir, "*", "*.copy"))
+    }
+    assert before == after
+
+
+def test_exports_deterministic(tiny_index_dir, pg_dir, resp_dir,
+                               tmp_path_factory):
+    import hashlib
+
+    def digest(root, pat):
+        h = hashlib.md5()
+        for p in sorted(glob.glob(os.path.join(root, pat))):
+            h.update(open(p, "rb").read())
+        return h.hexdigest()
+
+    pg2 = str(tmp_path_factory.mktemp("pg_export2"))
+    export_postgres(tiny_index_dir, pg2)
+    assert digest(pg2, "*/*.copy") == digest(pg_dir, "*/*.copy")
+    rd2 = str(tmp_path_factory.mktemp("redis_export2"))
+    export_redis(tiny_index_dir, rd2)
+    assert digest(rd2, "*.resp") == digest(resp_dir, "*.resp")
