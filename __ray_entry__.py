@@ -2160,8 +2160,44 @@ def _q_redis_export_doclens(sf_dir: str):
     return read_redis_doclens(out).map_batches(prove, batch_format="pyarrow")
 
 
+def _q_zipf_points(sf_dir: str):
+    """M10 frequency plotters (``preprocess_data.py:110-237``): the exact
+    rank-frequency heads the figures are drawn from — first 200 ranks of
+    both tokenizations, via the distributed per-block top-N (the driver
+    never holds the vocabulary).  The figures themselves are rendered by
+    ``ops/plots.py`` (matplotlib if importable, deterministic SVG
+    fallback); this entry gates their input data."""
+    import shutil
+
+    import ray.data
+
+    from elasticsearch_ray.ops.plots import generate_frequency_plots
+
+    _ensure_stem_stream(sf_dir)
+    out = _index_dir_for(sf_dir, "plots")
+    shutil.rmtree(out, ignore_errors=True)
+    res = generate_frequency_plots(
+        ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet")),
+        out, top_n=30, max_rank=200,
+    )
+    assert len(res["paths"]) == 3 and all(os.path.exists(p)
+                                          for p in res["paths"])
+    modes, ranks, ns = [], [], []
+    for mode, head in (("raw", res["head_raw"]), ("proc", res["head_proc"])):
+        vals = head.column("n").to_pylist()
+        modes += [mode] * len(vals)
+        ranks += list(range(1, len(vals) + 1))
+        ns += vals
+    return pa.table({
+        "mode": pa.array(modes, pa.string()),
+        "rank": pa.array(ranks, pa.int64()),
+        "n": pa.array(ns, pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "zipf_points": _q_zipf_points,
         "pg_export_postings": _q_pg_export_postings,
         "redis_export_postings": _q_redis_export_postings,
         "redis_export_doclens": _q_redis_export_doclens,
@@ -3640,6 +3676,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5 "
             "FROM documents"
         ),
+        # M10 plot feed: rank-frequency heads of both tokenizations.
+        "zipf_points": rf"""
+WITH raw AS (
+  SELECT count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, tok) AS rank
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS tok
+        FROM documents) GROUP BY tok),
+proc AS (
+  SELECT count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, tok) AS rank
+  FROM ({_stem_tok_sql()}) GROUP BY tok)
+SELECT * FROM (
+  SELECT 'raw' AS mode, rank, n FROM raw WHERE rank <= 200
+  UNION ALL
+  SELECT 'proc' AS mode, rank, n FROM proc WHERE rank <= 200)
+""",
         # Datastore sinks (S9/S10): reference tf-idf from the stem stream —
         # tf_idf = (tf/dl)*ln(N/df), term_id = 1+rank(term), micro-units.
         "pg_export_postings": f"""
