@@ -122,12 +122,15 @@ def bench_queries(index_dir: str, queryset: list[str]) -> dict:
         # BIMODAL (~0.3 ms quiet, 2-4+ ms degraded); every sequential
         # serving number below is RTT-bound, so record the floor the
         # window allowed (judge can normalize degraded draws).
-        s0 = eng.searchers[0]
-        ray.get(s0.ready.remote())
-        t0 = time.perf_counter()
-        for _ in range(100):
+        if eng.searchers:
+            s0 = eng.searchers[0]
             ray.get(s0.ready.remote())
-        out["actor_rtt_ms"] = round((time.perf_counter() - t0) * 10, 3)
+            t0 = time.perf_counter()
+            for _ in range(100):
+                ray.get(s0.ready.remote())
+            out["actor_rtt_ms"] = round((time.perf_counter() - t0) * 10, 3)
+        else:  # tiny index auto-embedded: no actor hop to measure
+            out["actor_rtt_ms"] = 0.0
         # latency percentiles: two passes, keep the better pass per mode
         # (one-pass draws flap 2-4x with the host window; the better pass
         # is the engine's number, the worse one is the host's)
@@ -584,6 +587,24 @@ def run_bench(num_cpus: int, include_ops: bool = True) -> dict:
         mres = merge_segments(midx, target_docs=8000)
         results["ops"]["merge_sec"] = round(time.perf_counter() - t0, 3)
         results["ops"]["merge_groups"] = mres["groups_merged"]
+
+        # 4c. datastore bulk-load exporters over the webtext index
+        from elasticsearch_ray.ops.datastore_export import (
+            export_postgres,
+            export_redis,
+        )
+
+        widx = f"/tmp/esray_bench/idx_webtext_{num_cpus}"
+        _sh2.rmtree("/tmp/esray_bench/pg_export", ignore_errors=True)
+        _sh2.rmtree("/tmp/esray_bench/rd_export", ignore_errors=True)
+        t0 = time.perf_counter()
+        export_postgres(widx, "/tmp/esray_bench/pg_export")
+        results["ops"]["pg_export_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        export_redis(widx, "/tmp/esray_bench/rd_export")
+        results["ops"]["redis_export_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
 
     results["total_sec"] = round(time.perf_counter() - t_all, 3)
     return results

@@ -223,6 +223,7 @@ def export_postgres(
 
     man = read_json(os.path.join(index_dir, "manifest.json"))
     n_docs = int(man["doc_count"])
+    tombstones = list(man.get("tombstones") or [])
     plan = _df_shard_plan(index_dir)
     for sub in ("documents", "terms", "postings"):
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
@@ -233,7 +234,7 @@ def export_postgres(
         seg = int(row["seg"])
         doc_path = os.path.join(out_dir, "documents", f"part-{seg:05d}.copy")
         post_path = os.path.join(out_dir, "postings", f"part-{seg:05d}.copy")
-        r = SegmentReader(index_dir, seg)
+        r = SegmentReader(index_dir, seg, tombstones=tombstones)
         rows = 0
         if not (resume and os.path.exists(doc_path)):
             live = r.doc_lens >= 0  # tombstones are -1; empty docs stay
@@ -347,11 +348,12 @@ class _RespRangeExporter:
     each range decodes only its own byte-contiguous rows."""
 
     def __init__(self, index_dir: str, seg_ids: list[int], n_docs: int,
-                 out_dir: str):
+                 out_dir: str, tombstones: list[int] | None = None):
         self.index_dir = index_dir
         self.seg_ids = seg_ids
         self.n_docs = n_docs
         self.out_dir = out_dir
+        self.tombstones = tombstones
         self._readers = None  # [(reader, sorted term ndarray)], lazy
 
     def _open(self):
@@ -360,7 +362,8 @@ class _RespRangeExporter:
 
             self._readers = []
             for sid in self.seg_ids:
-                r = SegmentReader(self.index_dir, sid)
+                r = SegmentReader(self.index_dir, sid,
+                                  tombstones=self.tombstones)
                 self._readers.append((r, np.asarray(r._term_list)))
         return self._readers
 
@@ -445,6 +448,7 @@ def export_redis(
     man = read_json(os.path.join(index_dir, "manifest.json"))
     n_docs = int(man["doc_count"])
     seg_ids = list(man["segments"])
+    tombstones = list(man.get("tombstones") or [])
     plan = _df_shard_plan(index_dir)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -454,7 +458,8 @@ def export_redis(
         ray.data.from_items(rows)
         .map_batches(
             _RespRangeExporter,
-            fn_constructor_args=(index_dir, seg_ids, n_docs, out_dir),
+            fn_constructor_args=(index_dir, seg_ids, n_docs, out_dir,
+                                 tombstones),
             batch_size=1,
             batch_format="pyarrow",
             concurrency=concurrency,
@@ -468,7 +473,7 @@ def export_redis(
         seg = int(row["seg"])
         path = os.path.join(out_dir, f"doclens-{seg:05d}.resp")
         if not (resume and os.path.exists(path)):
-            r = SegmentReader(index_dir, seg)
+            r = SegmentReader(index_dir, seg, tombstones=tombstones)
             live = np.nonzero(r.doc_lens >= 0)[0]
             cmds = [
                 _resp(b"HSET", b"doc_lengths",

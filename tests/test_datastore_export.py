@@ -159,6 +159,35 @@ def test_resume_skips_existing_parts(tiny_index_dir, pg_dir):
     assert before == after
 
 
+def test_tombstoned_docs_excluded(tiny_corpus_dir, tmp_path_factory):
+    import shutil
+
+    from elasticsearch_ray.pipelines.build import (
+        BuildConfig,
+        add_tombstones,
+        build_index,
+    )
+
+    idx = str(tmp_path_factory.mktemp("idx_tomb"))
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(tiny_corpus_dir, idx,
+                BuildConfig(target_partition_rows=50, docs_per_segment=70))
+    add_tombstones(idx, [0, 5, 77])
+    pg = str(tmp_path_factory.mktemp("pg_tomb"))
+    export_postgres(idx, pg)
+    docs = read_postgres_copy(pg, "documents").to_pandas()
+    post = read_postgres_copy(pg, "postings").to_pandas()
+    dead = {"0", "5", "77"}
+    assert not dead & set(docs.doc_id)
+    assert not dead & set(post.doc_id)
+    assert len(docs) == 197
+    rd = str(tmp_path_factory.mktemp("rd_tomb"))
+    export_redis(idx, rd)
+    assert not dead & set(read_redis_postings(rd).to_pandas().doc_id)
+    rdl = read_redis_doclens(rd).to_pandas()
+    assert not dead & set(rdl.doc_id) and len(rdl) == 197
+
+
 def test_exports_deterministic(tiny_index_dir, pg_dir, resp_dir,
                                tmp_path_factory):
     import hashlib
