@@ -267,9 +267,16 @@ def export_postgres(
             )
         return {"part": path, "rows": s["rows"]}
 
-    segs = ray.data.from_items([{"seg": s} for s in man["segments"]])
+    # one block per item: from_items defaults to a single block, which
+    # would serialize the whole export through one task
+    segs = ray.data.from_items(
+        [{"seg": s} for s in man["segments"]],
+        override_num_blocks=len(man["segments"]),
+    )
     seg_parts = segs.map(seg_task).take_all()
-    shards = ray.data.from_items([{"i": i} for i in range(len(plan))])
+    shards = ray.data.from_items(
+        [{"i": i} for i in range(len(plan))], override_num_blocks=len(plan)
+    )
     term_parts = shards.map(shard_task).take_all()
 
     copies = "\n".join(
@@ -371,9 +378,11 @@ class _RespRangeExporter:
         import pyarrow.parquet as pq
 
         paths, counts = [], []
-        for i, shard_path, resume in zip(
+        for i, shard_path, rlo, rhi, resume in zip(
             batch.column("i").to_pylist(),
             batch.column("path").to_pylist(),
+            batch.column("rlo").to_pylist(),
+            batch.column("rhi").to_pylist(),
             batch.column("resume").to_pylist(),
         ):
             out = os.path.join(self.out_dir, f"postings-{int(i):05d}.resp")
@@ -381,7 +390,9 @@ class _RespRangeExporter:
                 paths.append(out)
                 counts.append(-1)
                 continue
-            t = pq.read_table(shard_path, columns=["term", "df"])
+            t = pq.read_table(shard_path, columns=["term", "df"]).slice(
+                rlo, rhi - rlo
+            )
             vocab = np.asarray(t.column("term").to_pylist())
             dfg = t.column("df").to_numpy().astype(np.float64)
             vidx_all, docs_all, val_all = [], [], []
@@ -410,13 +421,15 @@ class _RespRangeExporter:
                 vidx, docs, vals = vidx[order], docs[order], vals[order]
                 bounds = np.searchsorted(vidx, np.arange(vocab.size + 1))
                 vlist = vals.tolist()
-                dlist = docs.tolist()
+                # vectorized int->str (5M Python str() calls otherwise
+                # dominate the export at bench scale)
+                dlist = docs.astype("U").tolist()
                 for v in range(vocab.size):
                     lo, hi = bounds[v], bounds[v + 1]
                     if lo == hi:
                         continue  # term fully tombstoned
                     payload = json.dumps(
-                        {str(dlist[j]): vlist[j] for j in range(lo, hi)}
+                        dict(zip(dlist[lo:hi], vlist[lo:hi]))
                     )
                     cmds.append(_resp(
                         b"SET", b"postings:" + vocab[v].encode(),
@@ -435,12 +448,18 @@ def export_redis(
     *,
     resume: bool = False,
     concurrency: tuple[int, int] | int = (1, 8),
+    target_ranges: int = 32,
 ) -> dict:
     """Export an index as Redis RESP mass-insertion files mirroring the
-    reference's key layout: ``postings-*.resp`` (one per df-shard term
-    range, SET postings:{term}), ``doclens-*.resp`` (one per segment,
+    reference's key layout: ``postings-*.resp`` (one per term range,
+    SET postings:{term}), ``doclens-*.resp`` (one per segment,
     HSET doc_lengths), ``meta.resp``.  Load with
-    ``cat <out_dir>/*.resp | redis-cli --pipe``."""
+    ``cat <out_dir>/*.resp | redis-cli --pipe``.
+
+    Term ranges start from the df shards and are row-sub-split toward
+    ``target_ranges`` tasks (the shards are term-sorted, so any row range
+    IS a term range) — parallelism never degrades to the shard count when
+    the vocabulary fits in few shards (small corpora / heavy Zipf)."""
     import ray.data
 
     from ..state.manifest import read_json
@@ -452,10 +471,18 @@ def export_redis(
     plan = _df_shard_plan(index_dir)
     os.makedirs(out_dir, exist_ok=True)
 
-    rows = [{"i": i, "path": s["path"], "resume": resume}
-            for i, s in enumerate(plan)]
+    total_rows = sum(s["rows"] for s in plan) or 1
+    rows, rid = [], 0
+    for s in plan:
+        k = max(1, round(target_ranges * s["rows"] / total_rows))
+        splits = np.linspace(0, s["rows"], k + 1).astype(np.int64)
+        for rlo, rhi in zip(splits, splits[1:]):
+            if rhi > rlo:
+                rows.append({"i": rid, "path": s["path"], "rlo": int(rlo),
+                             "rhi": int(rhi), "resume": resume})
+                rid += 1
     parts = (
-        ray.data.from_items(rows)
+        ray.data.from_items(rows, override_num_blocks=len(rows))
         .map_batches(
             _RespRangeExporter,
             fn_constructor_args=(index_dir, seg_ids, n_docs, out_dir,
@@ -484,9 +511,9 @@ def export_redis(
             _write_atomic(path, b"".join(cmds))
         return {"part": path}
 
-    ray.data.from_items([{"seg": s} for s in seg_ids]).map(
-        doclen_task
-    ).take_all()
+    ray.data.from_items(
+        [{"seg": s} for s in seg_ids], override_num_blocks=len(seg_ids)
+    ).map(doclen_task).take_all()
 
     n_terms = sum(s["rows"] for s in plan)
     _write_atomic(
