@@ -362,6 +362,24 @@ class RayBM25Index:
         os.replace(tmp, dest_dir)
         return dest_dir
 
+    def export(self, index_id: str, dest_dir: str,
+               kind: str = "postgres") -> dict:
+        """Export the index as a datastore bulk load (reference
+        ``plot_a_datastore.py``): ``kind='postgres'`` writes COPY parts +
+        ``load.sql`` (psql-loadable), ``kind='redis'`` writes RESP
+        mass-insertion files (``redis-cli --pipe``).  Returns the export
+        manifest."""
+        from .ops.datastore_export import export_postgres, export_redis
+
+        src = self._dir(index_id)
+        if not os.path.exists(os.path.join(src, "manifest.json")):
+            raise ValueError(f"no finished index at {src}")
+        if kind == "postgres":
+            return export_postgres(src, dest_dir)
+        if kind == "redis":
+            return export_redis(src, dest_dir)
+        raise ValueError(f"unknown export kind {kind!r}")
+
     def restore(self, snapshot_dir: str, index_id: str) -> None:
         """ES restore: install a snapshot under ``index_id`` (replaces any
         existing index of that id)."""

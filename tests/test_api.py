@@ -243,6 +243,36 @@ def test_snapshot_restore_and_profile(tmp_path_factory):
     ix.delete_index("s2")
 
 
+def test_export_datastore_kinds(tmp_path_factory):
+    """API-level datastore export: both kinds produce loadable bulk files
+    with matching posting counts; unknown kind raises."""
+    import glob as _glob
+    import os
+
+    from elasticsearch_ray.ops.datastore_export import (
+        read_postgres_copy,
+        read_redis_postings,
+    )
+
+    base = str(tmp_path_factory.mktemp("exp"))
+    ix = RayBM25Index(
+        base_dir=base,
+        config=BuildConfig(target_partition_rows=2, docs_per_segment=3),
+    )
+    ix.create_index("e1", DOCS)
+    m1 = ix.export("e1", base + "/pg", kind="postgres")
+    m2 = ix.export("e1", base + "/rd", kind="redis")
+    assert m1["num_documents"] == m2["num_documents"] == len(DOCS)
+    assert os.path.exists(base + "/pg/load.sql")
+    assert _glob.glob(base + "/rd/postings-*.resp")
+    npg = read_postgres_copy(base + "/pg", "postings").count()
+    nrd = read_redis_postings(base + "/rd").count()
+    assert npg == nrd > 0
+    with pytest.raises(ValueError):
+        ix.export("e1", base + "/x", kind="mongodb")
+    ix.delete_index("e1")
+
+
 def test_inspect_index_tool(tmp_path_factory):
     """tools/inspect_index reads only manifests and reports consistent
     totals (the _cat analogue)."""
