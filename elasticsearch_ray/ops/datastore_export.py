@@ -447,7 +447,8 @@ def export_redis(
     out_dir: str,
     *,
     resume: bool = False,
-    concurrency: tuple[int, int] | int = (1, 8),
+    concurrency: tuple[int, int] | int = 8,  # fixed pool: the autoscaler
+    # under-provisions this short bursty stage (~25% slower measured)
     target_ranges: int = 32,
 ) -> dict:
     """Export an index as Redis RESP mass-insertion files mirroring the
