@@ -211,7 +211,6 @@ def export_postgres(
     out_dir: str,
     *,
     resume: bool = False,
-    concurrency: tuple[int, int] | int = (1, 8),
 ) -> dict:
     """Export an index as a PostgreSQL bulk load: COPY-format parts for
     the reference's three tables + ``load.sql``.  One Ray task per
