@@ -188,6 +188,66 @@ def test_tombstoned_docs_excluded(tiny_corpus_dir, tmp_path_factory):
     assert not dead & set(rdl.doc_id) and len(rdl) == 197
 
 
+def test_multi_shard_df_global_matches_single(tiny_corpus_dir, pg_dir,
+                                              resp_dir, tmp_path_factory,
+                                              monkeypatch):
+    """term_id assignment and range exports must be shard-layout-invariant:
+    an index whose df_global is split into many shards exports
+    byte-identical COPY/RESP payload CONTENT (term_id = global rank via
+    per-shard base offsets; Redis ranges sub-split per shard)."""
+    from elasticsearch_ray.pipelines import build as build_mod
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+
+    monkeypatch.setattr(build_mod, "DF_SHARD_ROWS", 100)
+    idx = str(tmp_path_factory.mktemp("idx_msh"))
+    build_index(tiny_corpus_dir, idx,
+                BuildConfig(target_partition_rows=50, docs_per_segment=70))
+    from elasticsearch_ray.ops.datastore_export import _df_shard_plan
+
+    plan = _df_shard_plan(idx)
+    assert len(plan) > 5, "monkeypatch failed to force multi-shard df_global"
+
+    pg2 = str(tmp_path_factory.mktemp("pg_msh"))
+    export_postgres(idx, pg2)
+    for table in ("postings", "terms", "documents"):
+        a = read_postgres_copy(pg_dir, table).to_pandas()
+        b = read_postgres_copy(pg2, table).to_pandas()
+        cols = list(a.columns)
+        assert a.sort_values(cols).values.tolist() == \
+            b.sort_values(cols).values.tolist(), table
+
+    rd2 = str(tmp_path_factory.mktemp("rd_msh"))
+    export_redis(idx, rd2)
+    a = read_redis_postings(resp_dir).to_pandas().sort_values(
+        ["term", "doc_id"])
+    b = read_redis_postings(rd2).to_pandas().sort_values(["term", "doc_id"])
+    assert a.values.tolist() == b.values.tolist()
+
+
+def test_zlib_codec_index_exports(tiny_corpus_dir, pg_dir, tmp_path_factory):
+    """decode_rows' zlib branch: a zlib-codec index exports the same
+    postings values as the vbyte one."""
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+
+    idx = str(tmp_path_factory.mktemp("idx_zlib"))
+    build_index(
+        tiny_corpus_dir, idx,
+        BuildConfig(target_partition_rows=50, docs_per_segment=70,
+                    codec="zlib"),
+    )
+    pgz = str(tmp_path_factory.mktemp("pg_zlib"))
+    export_postgres(idx, pgz)
+    rdz = str(tmp_path_factory.mktemp("rd_zlib"))
+    export_redis(idx, rdz)
+    a = read_postgres_copy(pg_dir, "postings").to_pandas().sort_values(
+        ["term_id", "doc_id"])
+    b = read_postgres_copy(pgz, "postings").to_pandas().sort_values(
+        ["term_id", "doc_id"])
+    assert a.values.tolist() == b.values.tolist()
+    r = read_redis_postings(rdz).to_pandas()
+    assert len(r) == len(b)
+
+
 def test_exports_deterministic(tiny_index_dir, pg_dir, resp_dir,
                                tmp_path_factory):
     import hashlib
