@@ -18,9 +18,18 @@ from .dedup import (
     simhash_dedup,
     verified_dup_edges,
 )
+from .datastore_export import (
+    export_postgres,
+    export_redis,
+    post_resp,
+    read_postgres_copy,
+    read_redis_doclens,
+    read_redis_postings,
+)
 from .events import asof_join, sessionize, window_agg
 from .packing import pack_manifest
 from .percolate import Percolator, percolate
+from .plots import generate_frequency_plots, plot_word_frequencies, plot_zipf
 from .textstats import language_id, quality_scores, token_counts
 
 __all__ = [
@@ -30,6 +39,9 @@ __all__ = [
     "dup_clusters", "embedding_cosine_dedup", "exact_dedup",
     "lsh_candidate_pairs", "minhash_lsh_dedup", "ngram_jaccard",
     "simhash_dedup", "verified_dup_edges",
+    "export_postgres", "export_redis", "post_resp",
+    "read_postgres_copy", "read_redis_doclens", "read_redis_postings",
+    "generate_frequency_plots", "plot_word_frequencies", "plot_zipf",
     "asof_join", "sessionize", "window_agg",
     "pack_manifest", "Percolator", "percolate",
     "language_id", "quality_scores", "token_counts",
