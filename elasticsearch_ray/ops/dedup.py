@@ -739,18 +739,88 @@ def verified_dup_edges(
     shingle: int = 3,
     seed: int = 42,
     num_partitions: int = 16,
+    driver_pair_limit: int = 4_000_000,
+    driver_shingle_limit: int = 20_000_000,
 ) -> ray.data.Dataset:
     """Near-duplicate graph EDGES: LSH candidate pairs verified by exact
     shingle-Jaccard >= ``threshold``, entirely with hash joins — no
-    driver materialization.  |A∩B| = one (pair JOIN shingles-of-a JOIN
+    corpus materialization.  |A∩B| = one (pair JOIN shingles-of-a JOIN
     shingles-of-b-on-same-shingle) count; |A|/|B| from per-doc shingle
     counts.  Every intermediate is duplicate-rate-bounded (pairs x
-    per-doc shingles), never all-pairs."""
+    per-doc shingles), never all-pairs.
+
+    Size-aware, two tiers: the pair list is duplicate-rate-bounded, so
+    when it fits the driver (<= ``driver_pair_limit``) the involved
+    doc-id set is broadcast (`ray.put`, sorted array) and the shingle
+    scan keeps only involved docs; if those docs' shingle rows also fit
+    (<= ``driver_shingle_limit``, ~160 MB) each pair is verified with a
+    vectorized sorted-array intersection on the driver — no join
+    operators at all.  Otherwise the join path runs over the (filtered
+    or, above the pair limit, unfiltered) shingle table."""
     pairs = lsh_candidate_pairs(
         ds, text_col, id_col, num_perm, bands, shingle, seed,
         num_partitions,
-    )
-    sh = shingle_rows(ds, text_col, id_col, shingle)
+    ).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+        )
+    if n_pairs <= driver_pair_limit:
+        pdf = pairs.to_pandas()
+        involved = np.unique(
+            np.concatenate(
+                [pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64)]
+            )
+        )
+        inv_ref = ray.put(involved)
+
+        def only_involved(t: pa.Table) -> pa.Table:
+            inv = ray.get(inv_ref)
+            ids = t.column(id_col).to_numpy()
+            idx = np.searchsorted(inv, ids)
+            idx[idx == inv.size] = 0
+            return t.filter(pa.array(inv[idx] == ids))
+
+        ds = ds.map_batches(only_involved, batch_format="pyarrow")
+        sh_small = shingle_rows(ds, text_col, id_col, shingle).materialize()
+        # involved docs' shingles fit the driver in the common case —
+        # verify each pair with one vectorized sorted-array intersection
+        # instead of paying four Ray join operators' fixed costs.  The
+        # join path below remains the scale fallback (identical keeps).
+        if sh_small.count() <= driver_shingle_limit:
+            sdf = sh_small.to_pandas()
+            sid = sdf[id_col].to_numpy(np.int64)
+            sval = sdf["sh"].to_numpy(np.int64)
+            order = np.lexsort((sval, sid))
+            sid, sval = sid[order], sval[order]
+            uids, starts = np.unique(sid, return_index=True)
+            bounds = np.append(starts, sid.size)
+            out_a, out_b = [], []
+            for a_id, b_id in zip(
+                pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64)
+            ):
+                ia = np.searchsorted(uids, a_id)
+                ib = np.searchsorted(uids, b_id)
+                if (
+                    ia == uids.size or uids[ia] != a_id
+                    or ib == uids.size or uids[ib] != b_id
+                ):
+                    continue  # tokenless doc: inner joins drop the pair
+                sa = sval[bounds[ia]:bounds[ia + 1]]
+                sb = sval[bounds[ib]:bounds[ib + 1]]
+                i = np.intersect1d(sa, sb, assume_unique=True).size
+                if i / (sa.size + sb.size - i) >= threshold:
+                    out_a.append(a_id)
+                    out_b.append(b_id)
+            return ray.data.from_arrow(
+                pa.table({"a": pa.array(out_a, pa.int64()),
+                          "b": pa.array(out_b, pa.int64())})
+            )
+        sh = sh_small
+    else:
+        sh = shingle_rows(ds, text_col, id_col, shingle)
 
     def _ren(cols: dict):
         def f(t: pa.Table) -> pa.Table:
@@ -805,20 +875,68 @@ def dup_clusters(
     num_partitions: int = 16,
     max_rounds: int = 50,
     edges: ray.data.Dataset | None = None,
+    driver_edge_limit: int = 4_000_000,
 ) -> ray.data.Dataset:
     """Connected components over the verified near-duplicate graph
     (canonicalization: every duplicated doc labeled with its component's
-    min doc_id).  Distributed min-label propagation — the standard
-    map-reduce CC: each round is (edges JOIN labels -> per-node neighbor
-    min -> merge), O(component diameter) rounds; near-dup components are
-    shallow so this converges in a few rounds.  Labels/edges stay
+    min doc_id).  Size-aware, like curation's keep path: the edge table is
+    duplicate-rate-bounded, so when it fits the driver
+    (<= ``driver_edge_limit`` rows, ~64 MB of int64 pairs at the default)
+    we collect it and run a vectorized numpy min-label/pointer-doubling
+    pass — one `np.minimum.at` sweep per round, O(log diameter) rounds,
+    no shuffle.  Above the limit (billions of dup pairs at 100 TB) we fall
+    back to distributed min-label propagation — the standard map-reduce
+    CC: each round is (edges JOIN labels -> per-node neighbor min ->
+    merge), O(component diameter) rounds; near-dup components are shallow
+    so this converges in a few rounds.  Labels/edges stay
     duplicate-rate-bounded Datasets; each round materializes the (small)
-    label table to keep lineage flat.  Docs in no edge are omitted
-    (singleton clusters are implicit)."""
+    label table to keep lineage flat.  Both paths emit identical labels.
+    Docs in no edge are omitted (singleton clusters are implicit)."""
     if edges is None:
         edges = verified_dup_edges(
             ds, text_col, id_col, threshold, num_perm, bands, shingle,
             seed, num_partitions,
+        )
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges <= driver_edge_limit:
+        if n_edges == 0:
+            return ray.data.from_arrow(
+                pa.table(
+                    {id_col: pa.array([], pa.int64()),
+                     "cluster": pa.array([], pa.int64())}
+                )
+            )
+        ab = edges.to_pandas()
+        nodes, inv = np.unique(
+            np.concatenate(
+                [ab["a"].to_numpy(np.int64), ab["b"].to_numpy(np.int64)]
+            ),
+            return_inverse=True,
+        )
+        m = len(ab)
+        src, dst = inv[:m], inv[m:]
+        # labels are node INDICES; np.unique sorts, so index order == doc_id
+        # order and the final root index maps to the component's min doc_id
+        lab = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            prev = lab.copy()
+            np.minimum.at(lab, src, lab[dst])
+            np.minimum.at(lab, dst, lab[src])
+            lab = np.minimum(lab, lab[lab])  # pointer doubling
+            if np.array_equal(lab, prev):
+                break
+        while True:  # compress to roots
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        return ray.data.from_arrow(
+            pa.table(
+                {id_col: pa.array(nodes, pa.int64()),
+                 "cluster": pa.array(nodes[lab], pa.int64())}
+            )
         )
 
     def _ren(cols: dict):

@@ -688,6 +688,15 @@ def test_dup_clusters_connected_components():
         for r in dup_clusters(ds, threshold=0.5, num_partitions=4).take_all()
     }
     assert got == exp
+    # driver_edge_limit=0 forces the distributed label-propagation path;
+    # both paths must emit identical labels
+    got_dist = {
+        r["doc_id"]: r["cluster"]
+        for r in dup_clusters(
+            ds, threshold=0.5, num_partitions=4, driver_edge_limit=0
+        ).take_all()
+    }
+    assert got_dist == exp
     # each family is one component labeled by its min doc id
     for fam in fams:
         labels = {got.get(d) for d in fam if d in got}
