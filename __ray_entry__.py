@@ -139,6 +139,11 @@ def _ensure_stem_stream(sf_dir: str) -> str:
     return out
 
 
+# bump when any side-output-producing kernel changes (e.g. the shingle
+# hash), so cached side parquets from an older code version are rebuilt
+_SIDE_VERSION = "v2"
+
+
 def _ensure_side_parquet(sf_dir: str, tag: str, make_ds) -> str:
     """Generic deterministic side-output: bucket/band rows computed ONCE by
     the engine, parquet'd so SQL twins can verify the join logic."""
@@ -146,10 +151,15 @@ def _ensure_side_parquet(sf_dir: str, tag: str, make_ds) -> str:
 
     out = _index_dir_for(sf_dir, tag)
     done = os.path.join(out, "_done")
-    if not os.path.exists(done):
+    cur = None
+    if os.path.exists(done):
+        with open(done) as f:
+            cur = f.read()
+    if cur != _SIDE_VERSION:
         shutil.rmtree(out, ignore_errors=True)  # write_parquet APPENDS
         make_ds().write_parquet(out)
-        open(done, "w").close()
+        with open(done, "w") as f:
+            f.write(_SIDE_VERSION)
     return out
 
 

@@ -158,15 +158,49 @@ def _minhash_params(num_perm: int, seed: int = 42):
     return a, b
 
 
+# per-worker-process token-hash memo (Zipf head dominates, so the hit
+# rate is high); bounded so a huge vocabulary can't grow the heap
+_TOKEN_MEMO: dict = {}
+_TOKEN_MEMO_CAP = 1_000_000
+_FNV_BASIS = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _token_ids(tokens: list[str]) -> np.ndarray:
+    memo = _TOKEN_MEMO
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        v = memo.get(t)
+        if v is None:
+            v = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
+            )
+            if len(memo) < _TOKEN_MEMO_CAP:
+                memo[t] = v
+        out[i] = v
+    return out
+
+
 def _shingle_hashes(tokens: list[str], shingle: int) -> np.ndarray:
-    if len(tokens) < shingle:
-        grams = [" ".join(tokens)] if tokens else []
-    else:
-        grams = [
-            " ".join(tokens[i : i + shingle])
-            for i in range(len(tokens) - shingle + 1)
-        ]
-    return _text_hash64(grams).astype(np.int64) & ((1 << 31) - 1)
+    """31-bit shingle ids: one memoized blake2b per DISTINCT token + a
+    vectorized FNV-style polynomial fold over the k-token window.  Tokens
+    come from ``str.split`` (space-free), so window equality is exactly
+    the old " ".join-gram equality; collision mass at 31 bits is the same
+    as before (see the ``_minhash_params`` note)."""
+    if not tokens:
+        return np.empty(0, dtype=np.int64)
+    ids = _token_ids(tokens)
+    mask = np.uint64((1 << 31) - 1)
+    if len(tokens) < shingle:  # single gram over the whole (short) doc
+        h = _FNV_BASIS
+        for v in ids:
+            h = (h * _FNV_PRIME) ^ v
+        return np.array([int(h & mask)], dtype=np.int64)
+    n = ids.size - shingle + 1
+    acc = np.full(n, _FNV_BASIS, dtype=np.uint64)
+    for j in range(shingle):
+        acc = (acc * _FNV_PRIME) ^ ids[j : j + n]
+    return (acc & mask).astype(np.int64)
 
 
 def minhash_signatures(
