@@ -704,6 +704,75 @@ def test_dup_clusters_connected_components():
             assert len(labels) == 1
 
 
+def test_verified_dup_edges_paths_identical():
+    """The three verification tiers — driver sorted-array intersect,
+    filtered join path, unfiltered join path — must emit identical
+    edges."""
+    import random
+
+    from elasticsearch_ray.ops.dedup import verified_dup_edges
+
+    rng = random.Random(19)
+    texts = []
+    for f in range(4):
+        base = [f"t{f}_{i}" for i in range(25)]
+        for v in range(3):
+            t = list(base)
+            t[rng.randrange(len(t))] = f"x{f}_{v}"
+            texts.append(" ".join(t))
+    texts.append("")  # tokenless doc: must be dropped by every path
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+
+    def edges(**kw):
+        df = verified_dup_edges(
+            ds, threshold=0.5, num_partitions=4, **kw
+        ).to_pandas()
+        return sorted(map(tuple, df[["a", "b"]].to_numpy()))
+
+    fast = edges()
+    join_filtered = edges(driver_shingle_limit=0)
+    join_unfiltered = edges(driver_pair_limit=0)
+    assert fast, "expected near-dup edges"
+    assert fast == join_filtered == join_unfiltered
+
+
+def test_shingle_hashes_gram_semantics():
+    """The vectorized FNV-fold shingle ids must respect gram-string
+    semantics: identical k-token windows hash equal, Jaccard over hash
+    sets equals Jaccard over gram-string sets on random corpora."""
+    import random
+
+    import numpy as np
+
+    from elasticsearch_ray.ops.dedup import _shingle_hashes, ngram_jaccard
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    for trial in range(50):
+        a = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(0, 30))]
+        b = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(0, 30))]
+        ha, hb = _shingle_hashes(a, 3), _shingle_hashes(b, 3)
+        # permutation-invariance of sets + window equality
+        sa, sb = set(ha.tolist()), set(hb.tolist())
+        if a and b:
+            inter = len(sa & sb)
+            jh = inter / (len(sa) + len(sb) - inter)
+            assert abs(jh - ngram_jaccard(a, b)) < 1e-12, (a, b)
+        if a:
+            # same window sequence => identical ids, in order
+            assert np.array_equal(ha, _shingle_hashes(list(a), 3))
+    assert _shingle_hashes([], 3).size == 0
+    # short doc (< k tokens) folds to exactly one gram
+    assert _shingle_hashes(["one", "two"], 3).size == 1
+
+
 def test_pack_manifest_matches_python_scan():
     """Distributed prefix-scan sequence packing vs a sequential python
     pack: offsets, sequence spans, and zero-token handling — across
