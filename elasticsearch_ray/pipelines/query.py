@@ -1146,11 +1146,16 @@ class QueryEngine:
             # PER SEARCHER, so a searcher must own enough docs (~25k) for
             # its scoring work to amortize that; large corpora still fan
             # out to every core.  Measured on the 50k-doc bench corpus:
-            # 2 searchers beat 8 by ~25% sustained QPS.
+            # 2 searchers beat 8 by ~25% sustained QPS.  A positions index
+            # serves phrase queries whose per-doc adjacency work is ~10x a
+            # BM25 lookup, so far fewer docs amortize the RTT (measured:
+            # Zipf-head bigram 100 ms @ 2 searchers -> 34 ms @ 8 on 50k
+            # docs) — size those by a proportionally smaller doc budget.
+            per_searcher_docs = 7_000 if self.has_positions else 25_000
             num_searchers = min(
                 len(seg_ids),
                 max(1, int(ray.cluster_resources().get("CPU", 4))),
-                max(1, -(-self.doc_count // 25_000)),
+                max(1, -(-self.doc_count // per_searcher_docs)),
             )
             if num_searchers == 1:
                 # one remote searcher is strictly worse than embedded:
