@@ -300,6 +300,7 @@ def minhash_lsh_dedup(
     seed: int = 42,
     verify_jaccard: float | None = None,
     num_partitions: int = 64,
+    driver_band_limit: int = 30_000_000,
 ) -> ray.data.Dataset:
     """MinHash+LSH near-duplicate marking.
 
@@ -348,6 +349,23 @@ def minhash_lsh_dedup(
             mask &= est >= verify_jaccard
         return pa.table({id_col: pa.array(ids[mask], pa.int64())})
 
+    # exploded is exactly bands rows per doc, so the size probe is one
+    # (parquet-metadata-cheap) ds.count() — under the limit the SAME
+    # per-partition kernel runs once driver-side over all band rows,
+    # skipping the bucket shuffle entirely; above it the distributed
+    # coarse-hash-partition path runs unchanged
+    if ds.count() * bands <= driver_band_limit:
+        whole = pa.concat_tables(ray.get(exploded.to_arrow_refs()))
+        uids = np.unique(per_part(whole).column(id_col).to_numpy())
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array(uids, pa.int64()),
+                    "is_dup": pa.array(np.ones(uids.size, dtype=bool)),
+                }
+            )
+        )
+
     dup_ids = hash_partition_apply(
         exploded, ["band", "key"], per_part, num_partitions=num_partitions
     )
@@ -375,10 +393,12 @@ def lsh_candidate_pairs(
     shingle: int = 3,
     seed: int = 42,
     num_partitions: int = 64,
+    driver_band_limit: int = 30_000_000,
 ) -> ray.data.Dataset:
     """Distinct LSH candidate pairs (a = bucket-min representative, b =
     other member, a != b) — the verification work-list for exact
-    :func:`ngram_jaccard`.  Same segmented bucket resolve as
+    :func:`ngram_jaccard`.  Same segmented bucket resolve (and the same
+    size-aware driver fast path, same kernel both ways) as
     :func:`minhash_lsh_dedup`; pair volume is duplicate-rate-proportional,
     never all-pairs."""
     from .partition import hash_partition_apply, segment_starts, start_index_of_row
@@ -401,6 +421,24 @@ def lsh_candidate_pairs(
                 "a": pa.array(rep_ids[mask], pa.int64()),
                 "b": pa.array(ids[mask], pa.int64()),
             }
+        )
+
+    if ds.count() * bands <= driver_band_limit:
+        whole = pa.concat_tables(ray.get(exploded.to_arrow_refs()))
+        pt = per_part(whole)
+        a = pt.column("a").to_numpy()
+        b = pt.column("b").to_numpy()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.ones(a.size, dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array(a[keep], pa.int64()),
+                    "b": pa.array(b[keep], pa.int64()),
+                }
+            )
         )
 
     pairs = hash_partition_apply(

@@ -743,6 +743,45 @@ def test_verified_dup_edges_paths_identical():
     assert fast == join_filtered == join_unfiltered
 
 
+def test_lsh_driver_and_distributed_resolve_identical():
+    """minhash_lsh_dedup and lsh_candidate_pairs run the same bucket
+    kernel either once driver-side (small band table) or per coarse hash
+    partition (scale path, driver_band_limit=0) — outputs must match."""
+    import random
+
+    from elasticsearch_ray.ops.dedup import lsh_candidate_pairs, minhash_lsh_dedup
+
+    rng = random.Random(11)
+    texts = []
+    for f in range(5):
+        base = [f"q{f}_{i}" for i in range(25)]
+        for v in range(3):
+            t = list(base)
+            t[rng.randrange(len(t))] = f"y{f}_{v}"
+            texts.append(" ".join(t))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+    dups = lambda **kw: sorted(
+        r["doc_id"] for r in minhash_lsh_dedup(ds, **kw).take_all()
+    )
+    assert dups() == dups(driver_band_limit=0)
+    assert dups(verify_jaccard=0.5) == dups(
+        verify_jaccard=0.5, driver_band_limit=0
+    )
+    pairs = lambda **kw: sorted(
+        (r["a"], r["b"])
+        for r in lsh_candidate_pairs(ds, num_partitions=4, **kw).take_all()
+    )
+    got = pairs()
+    assert got and got == pairs(driver_band_limit=0)
+
+
 def test_shingle_hashes_gram_semantics():
     """The vectorized FNV-fold shingle ids must respect gram-string
     semantics: identical k-token windows hash equal, Jaccard over hash
