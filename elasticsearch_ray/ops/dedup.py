@@ -548,12 +548,16 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     num_partitions: int = 64,
+    driver_band_limit: int = 30_000_000,
 ) -> ray.data.Dataset:
     """SimHash near-dup marking: 4x16-bit banding, Hamming<=k within buckets.
     Emits (doc_id, is_dup, near_of).  Bucket resolve is a segmented kernel
     over coarse hash partitions of (chunk, key) — one Python call per
     partition, vectorized popcount Hamming against each bucket's min-id
-    representative."""
+    representative.  Size-aware like :func:`minhash_lsh_dedup`: the
+    exploded table is exactly 4 rows per doc, so under
+    ``driver_band_limit`` the same kernel runs once driver-side (no
+    shuffle)."""
     from .partition import (
         hash_partition_apply,
         popcount64,
@@ -579,6 +583,25 @@ def simhash_dedup(
                 id_col: pa.array(ids[mask], pa.int64()),
                 "near_of": pa.array(ids[rep][mask], pa.int64()),
             }
+        )
+
+    if ds.count() * 4 <= driver_band_limit:
+        whole = pa.concat_tables(ray.get(exploded.to_arrow_refs()))
+        pt = per_part(whole)
+        cid = pt.column(id_col).to_numpy()
+        near = pt.column("near_of").to_numpy()
+        order = np.lexsort((near, cid))
+        cid, near = cid[order], near[order]
+        keep = np.ones(cid.size, dtype=bool)
+        keep[1:] = cid[1:] != cid[:-1]  # per-doc min near_of
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array(cid[keep], pa.int64()),
+                    "is_dup": pa.array(np.ones(int(keep.sum()), dtype=bool)),
+                    "near_of": pa.array(near[keep], pa.int64()),
+                }
+            )
         )
 
     cands = hash_partition_apply(

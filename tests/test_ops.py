@@ -781,6 +781,14 @@ def test_lsh_driver_and_distributed_resolve_identical():
     got = pairs()
     assert got and got == pairs(driver_band_limit=0)
 
+    from elasticsearch_ray.ops.dedup import simhash_dedup
+
+    sim = lambda **kw: sorted(
+        (r["doc_id"], r["near_of"])
+        for r in simhash_dedup(ds, max_hamming=8, **kw).take_all()
+    )
+    assert sim() == sim(driver_band_limit=0)
+
 
 def test_shingle_hashes_gram_semantics():
     """The vectorized FNV-fold shingle ids must respect gram-string
