@@ -1134,6 +1134,7 @@ class QueryEngine:
             seg_ids = sorted(seg_ids, key=lambda s: bases[s])
         self.embedded: Searcher | None = None
         self.searchers: list = []
+        self._searcher_chunks: list[list[int]] = []
         self._served_seg_ids = set(seg_ids)
         if num_searchers == 0:
             # embedded mode: segments pinned in THIS process — no actor RTT;
@@ -1165,16 +1166,49 @@ class QueryEngine:
         num_searchers = max(1, min(num_searchers, len(seg_ids)))
         # contiguous seg ranges per actor -> boolean merge stays doc-ordered
         chunks = np.array_split(np.array(seg_ids), num_searchers)
+        self._searcher_chunks = [chunk.tolist() for chunk in chunks]
         self.searchers = [
-            SegmentSearcher.remote(index_dir, chunk.tolist(), tombstones)
-            for chunk in chunks
+            SegmentSearcher.remote(index_dir, chunk, tombstones)
+            for chunk in self._searcher_chunks
         ]
         ray.get([s.ready.remote() for s in self.searchers])
+
+    def _revive_dead(self) -> bool:
+        """Rebuild any searcher whose actor died (node loss, OOM kill).
+        Segments are immutable files and the engine tracks each actor's
+        chunk + the current tombstone set, so a replacement actor is
+        state-identical (cold caches aside).  Returns True if any actor
+        was replaced."""
+        revived = False
+        tombs = sorted(self.tombstones)
+        for i, s in enumerate(self.searchers):
+            try:
+                ray.get(s.ready.remote())
+            except ray.exceptions.RayActorError:
+                actor = SegmentSearcher.remote(
+                    self.index_dir, self._searcher_chunks[i], tombs
+                )
+                ray.get(actor.ready.remote())
+                self.searchers[i] = actor
+                revived = True
+        return revived
+
+    def _gather(self, make_refs) -> list:
+        """ray.get with one revive-and-retry on actor death — a dead
+        searcher fails a single gather, not the engine."""
+        try:
+            return ray.get(make_refs())
+        except ray.exceptions.RayActorError:
+            if not self._revive_dead():
+                raise
+            return ray.get(make_refs())
 
     def _fanout(self, method: str, *args) -> list:
         if self.embedded is not None:
             return [getattr(self.embedded, method)(*args)]
-        return ray.get([getattr(s, method).remote(*args) for s in self.searchers])
+        return self._gather(
+            lambda: [getattr(s, method).remote(*args) for s in self.searchers]
+        )
 
     def refresh(self) -> dict:
         """ES-style NRT refresh: make segments added by ``extend_index``
@@ -1231,11 +1265,14 @@ class QueryEngine:
                 )
                 ray.get(actor.ready.remote())
                 self.searchers.append(actor)
+                self._searcher_chunks.append(list(new_ids))
             if tombstones:
-                ray.get([
-                    s.set_tombstones.remote(tombstones)
-                    for s in self.searchers
-                ])
+                self._gather(
+                    lambda: [
+                        s.set_tombstones.remote(tombstones)
+                        for s in self.searchers
+                    ]
+                )
         self._served_seg_ids |= set(new_ids)
         return {"segments_added": len(new_ids),
                 "tombstones": len(tombstones)}
@@ -2338,7 +2375,9 @@ class QueryEngine:
                      self.b, self.avgdl, mode)
                 )
         per_searcher = (
-            ray.get([s.search_many.remote(jobs) for s in self.searchers])
+            self._gather(
+                lambda: [s.search_many.remote(jobs) for s in self.searchers]
+            )
             if jobs
             else []
         )
