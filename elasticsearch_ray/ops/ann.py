@@ -24,6 +24,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .partition import list_to_matrix
+
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -146,7 +148,7 @@ def ivf_build(
     def assign(batch: pa.Table) -> pa.Table:
         cm = ray.get(cref)
         ids = batch.column(id_col).to_numpy()
-        mat = _normalize(np.array(batch.column(vec_col).to_pylist(), dtype=np.float32))
+        mat = _normalize(list_to_matrix(batch.column(vec_col), np.float32))
         cid = (mat @ cm.T).argmax(1).astype(np.int32)
         return pa.table(
             {
@@ -225,7 +227,7 @@ def ivf_query(
         qm, pr = ray.get(qref)
         ids = batch.column(id_col).to_numpy()
         cids = batch.column("bucket").to_numpy()
-        mat = np.array(batch.column("embn").to_pylist(), dtype=np.float32)
+        mat = list_to_matrix(batch.column("embn"), np.float32)
         out_q, out_id, out_cos = [], [], []
         for qi in range(qm.shape[0]):
             mask = np.isin(cids, pr[qi])

@@ -29,6 +29,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .partition import list_to_matrix
+
 # Mersenne prime 2^31-1 for the minhash universal hash: with a, b, x < 2^31
 # the product a*x <= ~2^62 fits int64 EXACTLY and still wraps p many times,
 # so (a*x + b) % p is the genuine universal family.  (A 2^61-1 prime with
@@ -256,7 +258,7 @@ def minhash_band_rows(
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()
-        sig = np.array(batch.column("sig").to_pylist(), dtype=np.int64)
+        sig = list_to_matrix(batch.column("sig"), np.int64)
         n = ids.size
         band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
         doc_rep = np.repeat(ids, bands)
@@ -343,7 +345,7 @@ def minhash_lsh_dedup(
             # the min id too — original kernel's np.unique(dup))
             mask[1:] &= ids[1:] != ids[:-1]
         if carry_sig:
-            sig = np.array(tbl.column("sig").to_pylist(), dtype=np.int64)[order]
+            sig = list_to_matrix(tbl.column("sig"), np.int64)[order]
             rep = start_index_of_row(starts)
             est = (sig == sig[rep]).mean(axis=1)
             mask &= est >= verify_jaccard
@@ -662,7 +664,7 @@ def embedding_bucket_rows(
     def assign(batch: pa.Table) -> pa.Table:
         cm = ray.get(cref)
         ids = batch.column(id_col).to_numpy()
-        mat = _normalize(np.array(batch.column(vec_col).to_pylist(), dtype=np.float32))
+        mat = _normalize(list_to_matrix(batch.column(vec_col), np.float32))
         sims = mat @ cm.T
         if p < cm.shape[0]:
             top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
@@ -735,7 +737,7 @@ def embedding_cosine_dedup(
         )
         if ids.size < 2:
             return empty
-        mat = np.array(batch.column("vecn").to_pylist(), dtype=np.float32)
+        mat = list_to_matrix(batch.column("vecn"), np.float32)
         order = np.argsort(ids)
         ids, mat = ids[order], mat[order]
         out_id: list[int] = []
@@ -798,7 +800,7 @@ def embedding_cosine_dedup_bruteforce(
     def fn(batch: pa.Table) -> pa.Table:
         all_ids, all_mat = ray.get(ref)
         bids = batch.column(id_col).to_numpy()
-        bmat = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
+        bmat = list_to_matrix(batch.column(vec_col), np.float32)
         bn = np.linalg.norm(bmat, axis=1, keepdims=True)
         bn[bn == 0] = 1.0
         bmat = bmat / bn
