@@ -179,8 +179,14 @@ class Searcher:
                 filter=(pads.field(id_col) >= lo)
                 & (pads.field(id_col) < hi),
             ).sort_by(id_col)
+            from elasticsearch_ray.ops.partition import list_to_matrix
+
             slots = tbl.column(id_col).to_numpy() - lo
-            vecs = np.array(tbl.column(col).to_pylist(), dtype=np.float64)
+            vecs = (
+                list_to_matrix(tbl.column(col), np.float64)
+                if tbl.num_rows
+                else np.empty((0, 0))
+            )
             if vecs.size:
                 n = np.linalg.norm(vecs, axis=1, keepdims=True)
                 n[n == 0] = 1.0
