@@ -67,6 +67,10 @@ class BuildConfig:
     # serving tier needs it)
     store_source: bool = False
     tokenize_concurrency: int | None = None  # None -> cluster CPUs
+    # testing-only: marker path for one injected worker death (see
+    # TokenizePartition.fault_inject_path); exercises the route
+    # dispatcher's dead-actor recovery
+    fault_inject_path: str | None = None
     # 'combine': map-side combiner — tokenize tasks invert their partition
     #   locally and shuffle compressed per-term RUNS (~10x fewer bytes); the
     #   assembler merges doc-disjoint runs per term.
@@ -525,8 +529,9 @@ def _build_route_pipelined(
     TokActor = ray.remote(num_cpus=1)(TokenizePartition)
     n_parts = sum(len(s.partitions) for s in pending)
     n_act = min(n_cpus, max(1, n_parts))
-    actors = [
-        TokActor.remote(
+
+    def _make_actor():
+        return TokActor.remote(
             index_dir=index_dir,
             text_column=config.text_column,
             prefix_columns=list(config.prefix_columns),
@@ -538,14 +543,27 @@ def _build_route_pipelined(
             store_positions=config.store_positions,
             facet_columns=list(config.facet_columns),
             store_source=config.store_source,
+            fault_inject_path=config.fault_inject_path,
         )
-        for _ in range(n_act)
-    ]
+
+    actors = [_make_actor() for _ in range(n_act)]
     infos_ref = ray.put(infos)
     seg_need: dict[int, set] = {
         s.seg_id: {p.part_id for p in s.partitions} for s in pending
     }
     seg_runs: dict[int, list] = {s.seg_id: [] for s in pending}
+    # fault tolerance: per-segment retry bookkeeping.  A dead actor loses
+    # its in-flight tok runs (plasma objects owned by a lost worker), so
+    # the recovery unit is the SEGMENT — re-enqueue all its partitions and
+    # bump its epoch; completions stamped with a stale epoch are dropped.
+    seg_specs: dict[int, list] = {
+        s.seg_id: [p.to_row() for p in s.partitions] for s in pending
+    }
+    seg_part_ids: dict[int, list] = {
+        s.seg_id: [p.part_id for p in s.partitions] for s in pending
+    }
+    seg_epoch: dict[int, int] = {}
+    seg_retries: dict[int, int] = {}
     # Dispatch unit = a chunk of same-segment partitions: driver-side task
     # submission is ~1 ms of driver CPU each, so one task PER PARTITION
     # makes the driver the bottleneck past ~10^4 partitions (measured 80%
@@ -579,13 +597,49 @@ def _build_route_pipelined(
                     seg_id, infos_ref, config.codec, config.block_size,
                     *refs,
                 )
-                ref_meta[r] = (a, "asm", seg_id)
+                ref_meta[r] = (a, "asm", (seg_id, seg_epoch.get(seg_id, 0)))
             else:
                 specs, seg_id, part_ids = jobs_tok.popleft()
                 r = actors[a].process_specs.remote(specs)
-                ref_meta[r] = (a, "tok", (seg_id, part_ids))
+                ref_meta[r] = (
+                    a, "tok", (seg_id, part_ids, seg_epoch.get(seg_id, 0))
+                )
             load[a] += 1
             progressed = True
+
+    def _revive_actors() -> int:
+        """Probe the pool, replace dead actors (warm replacements keep the
+        pipeline full); in-flight refs of a dead actor surface as errored
+        completions and are handled per-segment."""
+        replaced = 0
+        for i in range(n_act):
+            try:
+                ray.get(actors[i].ping.remote(), timeout=120)
+            except Exception:
+                actors[i] = _make_actor()
+                load[i] = 0
+                replaced += 1
+        return replaced
+
+    def _requeue_segment(seg_id: int):
+        """Re-tokenize a whole segment after an assemble failure (lost run
+        objects).  Epoch bump invalidates any stale in-flight completions
+        for the segment."""
+        n_retry = seg_retries.get(seg_id, 0) + 1
+        if n_retry > 3:
+            raise RuntimeError(
+                f"segment {seg_id} failed {n_retry - 1} rebuild retries"
+            )
+        seg_retries[seg_id] = n_retry
+        seg_epoch[seg_id] = seg_epoch.get(seg_id, 0) + 1
+        seg_runs[seg_id] = []
+        seg_need[seg_id] = set(seg_part_ids[seg_id])
+        specs = seg_specs[seg_id]
+        pids = seg_part_ids[seg_id]
+        for i in range(0, len(specs), chunk):
+            jobs_tok.append(
+                (specs[i : i + chunk], seg_id, pids[i : i + chunk])
+            )
 
     dispatch()
     seg_stats: list[dict] = []
@@ -605,19 +659,35 @@ def _build_route_pipelined(
             done.extend(more)
         for r in done:
             a, kind, meta = ref_meta.pop(r)
-            load[a] -= 1
+            load[a] = max(0, load[a] - 1)
             if kind == "tok":
-                seg_id, part_ids = meta
+                seg_id, part_ids, ep = meta
+                if ep != seg_epoch.get(seg_id, 0):
+                    continue  # completion from before a segment requeue
                 seg_runs[seg_id].append(r)
                 need = seg_need[seg_id]
                 need.difference_update(part_ids)
                 if not need:
                     jobs_asm.append((seg_id, seg_runs.pop(seg_id)))
-                tok_left -= len(part_ids)
+                tok_left = max(0, tok_left - len(part_ids))
                 if tok_left == 0:
                     t_last_tok = time.perf_counter()
             else:
-                seg_stats.append(ray.get(r))
+                seg_id, ep = meta
+                try:
+                    st = ray.get(r)
+                except ray.exceptions.RayError:
+                    # assemble died (actor loss) or one of its input run
+                    # objects was lost with a dead tokenizer: replace dead
+                    # actors, re-tokenize the segment (bounded work — one
+                    # segment's partitions), epoch-invalidate stragglers
+                    _revive_actors()
+                    if ep == seg_epoch.get(seg_id, 0):
+                        tok_left += len(seg_specs[seg_id])
+                        _requeue_segment(seg_id)
+                    continue
+                if ep == seg_epoch.get(seg_id, 0):
+                    seg_stats.append(st)
         dispatch()
     # free the reserved cores BEFORE finalize (its distributed df pass is
     # a Ray Data job that needs them)

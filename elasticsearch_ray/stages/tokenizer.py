@@ -59,7 +59,13 @@ class TokenizePartition:
         prefix_columns: list[str] | None = None,
         facet_columns: list[str] | None = None,
         store_source: bool = False,
+        fault_inject_path: str | None = None,
     ):
+        # testing-only fault injection: the FIRST tokenize task to run
+        # while this marker path does not exist creates it and hard-kills
+        # its worker (os._exit) — lets tests drive the route dispatcher's
+        # dead-actor recovery deterministically
+        self.fault_inject_path = fault_inject_path
         self.store_positions = store_positions
         # ES _source: keep the (concatenated) analyzed text in the docmap,
         # enabling GET-by-id and highlighting; off by default (index size)
@@ -74,6 +80,10 @@ class TokenizePartition:
         self.url_column = url_column
         self.lang_column = lang_column
         self.lang_filter = lang_filter
+
+    def ping(self) -> int:
+        """Liveness probe for the route dispatcher's dead-actor sweep."""
+        return 1
 
     def process_spec(self, spec: dict) -> pa.Table:
         """Tokenize ONE partition spec — the raw-actor entrypoint of the
@@ -92,6 +102,11 @@ class TokenizePartition:
         concatenated run table is exactly what the assembler would see
         from the chunk's individual runs (it keys runs by term + doc
         range, so intra-chunk order is immaterial)."""
+        if self.fault_inject_path is not None and not os.path.exists(
+            self.fault_inject_path
+        ):
+            open(self.fault_inject_path, "w").close()
+            os._exit(1)  # simulated node loss
         return pa.concat_tables([self.process_spec(s) for s in specs])
 
     def assemble_segment(

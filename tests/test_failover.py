@@ -110,3 +110,36 @@ def test_searcher_death_preserves_tombstones(tmp_path):
         assert _snap(live) == after  # revived actors re-apply tombstones
     finally:
         live.close()
+
+
+def test_route_build_survives_worker_death(tmp_path):
+    """Injected hard worker death (os._exit in a tokenize task): the route
+    dispatcher must replace the dead actor, re-tokenize the affected
+    segment, and produce a byte-identical index to a clean build."""
+    import hashlib
+    import os
+
+    from elasticsearch_ray.sources.synthetic import write_webtext
+
+    def seg_md5s(idx):
+        d = os.path.join(idx, "segments")
+        return {
+            f: hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest()
+            for f in sorted(os.listdir(d))
+        }
+
+    src = str(tmp_path / "src")
+    write_webtext(src, 300, avg_len=50, rows_per_file=100, row_group_size=50)
+    cfg = dict(target_partition_rows=50, docs_per_segment=100, shuffle="route")
+
+    clean_idx = str(tmp_path / "idx_clean")
+    build_index(src, clean_idx, BuildConfig(**cfg))
+
+    marker = str(tmp_path / "die_once")
+    faulty_idx = str(tmp_path / "idx_faulty")
+    m = build_index(
+        src, faulty_idx, BuildConfig(**cfg, fault_inject_path=marker)
+    )
+    assert os.path.exists(marker), "fault was never injected"
+    assert m["doc_count"] == 300
+    assert seg_md5s(faulty_idx) == seg_md5s(clean_idx)
