@@ -194,10 +194,12 @@ def _shingle_hashes(tokens: list[str], shingle: int) -> np.ndarray:
     ids = _token_ids(tokens)
     mask = np.uint64((1 << 31) - 1)
     if len(tokens) < shingle:  # single gram over the whole (short) doc
-        h = _FNV_BASIS
-        for v in ids:
-            h = (h * _FNV_PRIME) ^ v
-        return np.array([int(h & mask)], dtype=np.int64)
+        # 1-element array fold: scalar np.uint64 multiply warns on
+        # overflow, the array form wraps silently (C semantics)
+        acc1 = np.full(1, _FNV_BASIS, dtype=np.uint64)
+        for j in range(ids.size):
+            acc1 = (acc1 * _FNV_PRIME) ^ ids[j : j + 1]
+        return (acc1 & mask).astype(np.int64)
     n = ids.size - shingle + 1
     acc = np.full(n, _FNV_BASIS, dtype=np.uint64)
     for j in range(shingle):
@@ -351,12 +353,16 @@ def minhash_lsh_dedup(
             mask &= est >= verify_jaccard
         return pa.table({id_col: pa.array(ids[mask], pa.int64())})
 
-    # exploded is exactly bands rows per doc, so the size probe is one
-    # (parquet-metadata-cheap) ds.count() — under the limit the SAME
-    # per-partition kernel runs once driver-side over all band rows,
-    # skipping the bucket shuffle entirely; above it the distributed
-    # coarse-hash-partition path runs unchanged
-    if ds.count() * bands <= driver_band_limit:
+    # size probe on the MATERIALIZED exploded table (count is then free
+    # and no upstream pipeline re-executes, even for derived inputs) —
+    # under the limit the SAME per-partition kernel runs once driver-side
+    # over all band rows, skipping the bucket shuffle entirely; above it
+    # the distributed coarse-hash-partition path consumes the same
+    # materialized blocks.  carry_sig rows are ~num_perm int64s wide, so
+    # the row budget scales down accordingly (driver memory, not rows).
+    exploded = exploded.materialize()
+    row_limit = driver_band_limit // (num_perm if carry_sig else 1)
+    if exploded.count() <= row_limit:
         whole = pa.concat_tables(ray.get(exploded.to_arrow_refs()))
         uids = np.unique(per_part(whole).column(id_col).to_numpy())
         return ray.data.from_arrow(
@@ -425,7 +431,8 @@ def lsh_candidate_pairs(
             }
         )
 
-    if ds.count() * bands <= driver_band_limit:
+    exploded = exploded.materialize()
+    if exploded.count() <= driver_band_limit:
         whole = pa.concat_tables(ray.get(exploded.to_arrow_refs()))
         pt = per_part(whole)
         a = pt.column("a").to_numpy()
@@ -587,7 +594,8 @@ def simhash_dedup(
             }
         )
 
-    if ds.count() * 4 <= driver_band_limit:
+    exploded = exploded.materialize()
+    if exploded.count() <= driver_band_limit:
         whole = pa.concat_tables(ray.get(exploded.to_arrow_refs()))
         pt = per_part(whole)
         cid = pt.column(id_col).to_numpy()
@@ -908,7 +916,10 @@ def verified_dup_edges(
                 sa = sval[bounds[ia]:bounds[ia + 1]]
                 sb = sval[bounds[ib]:bounds[ib + 1]]
                 i = np.intersect1d(sa, sb, assume_unique=True).size
-                if i / (sa.size + sb.size - i) >= threshold:
+                # i == 0 mirrors the join tier, whose inner join on shared
+                # shingles drops zero-intersection pairs even at
+                # threshold <= 0 — the tiers must keep identical pairs
+                if i > 0 and i / (sa.size + sb.size - i) >= threshold:
                     out_a.append(a_id)
                     out_b.append(b_id)
             return ray.data.from_arrow(

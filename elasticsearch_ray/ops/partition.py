@@ -81,14 +81,25 @@ def list_to_matrix(col, dtype) -> np.ndarray:
     """(n, d) matrix from an Arrow list column (uniform row lengths, no
     nulls — embeddings / minhash signatures).  Flatten-based: one
     near-zero-copy buffer view instead of ``to_pylist()``'s per-row
-    Python list materialization (~20x on 50k x 32 float32 rows).  A
-    ragged column fails loudly on the reshape."""
+    Python list materialization (~100x on 50k x 64 float32 rows).
+    Raggedness and nulls are validated explicitly — flatten() drops
+    nulls and a divisible total would otherwise reshape into silently
+    shifted rows."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     n = len(arr)
     if n == 0:
         return np.empty((0, 0), dtype=dtype)
+    if arr.null_count:
+        raise ValueError("list_to_matrix: column has null rows")
+    lens = pc.list_value_length(arr).to_numpy()
+    if (lens != lens[0]).any():
+        raise ValueError(
+            f"list_to_matrix: ragged list column (lengths "
+            f"{int(lens.min())}..{int(lens.max())})"
+        )
     flat = np.asarray(
         arr.flatten().to_numpy(zero_copy_only=False), dtype=dtype
     )

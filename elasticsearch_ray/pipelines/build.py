@@ -597,31 +597,64 @@ def _build_route_pipelined(
                     seg_id, infos_ref, config.codec, config.block_size,
                     *refs,
                 )
-                ref_meta[r] = (a, "asm", (seg_id, seg_epoch.get(seg_id, 0)))
+                ref_meta[r] = (
+                    a, actors[a], "asm", (seg_id, seg_epoch.get(seg_id, 0))
+                )
             else:
                 specs, seg_id, part_ids = jobs_tok.popleft()
                 r = actors[a].process_specs.remote(specs)
                 ref_meta[r] = (
-                    a, "tok", (seg_id, part_ids, seg_epoch.get(seg_id, 0))
+                    a, actors[a], "tok",
+                    (seg_id, part_ids, seg_epoch.get(seg_id, 0)),
                 )
             load[a] += 1
             progressed = True
 
+    def _is_loss(err: BaseException) -> bool:
+        """True iff the failure means LOST WORK (actor/node/object loss)
+        rather than a deterministic application bug — only loss is worth
+        a segment retry; a real bug must surface immediately."""
+        rex = ray.exceptions
+        loss_types = tuple(
+            t
+            for t in (
+                getattr(rex, "RayActorError", None),
+                getattr(rex, "ActorDiedError", None),
+                getattr(rex, "ObjectLostError", None),
+                getattr(rex, "OwnerDiedError", None),
+                getattr(rex, "ObjectReconstructionFailedError", None),
+            )
+            if t is not None
+        )
+        if isinstance(err, loss_types):
+            return True
+        if isinstance(err, rex.RayTaskError):
+            return isinstance(getattr(err, "cause", None), loss_types)
+        return False
+
     def _revive_actors() -> int:
-        """Probe the pool, replace dead actors (warm replacements keep the
-        pipeline full); in-flight refs of a dead actor surface as errored
-        completions and are handled per-segment."""
+        """Probe the pool IN PARALLEL and replace actors whose ping errors
+        with RayActorError (dead).  A busy actor's ping merely queues
+        behind its in-flight task and stays not-ready within the wait
+        window — it is left alone (a timeout is NOT death).  In-flight
+        refs of a dead actor surface as errored completions and are
+        handled per-segment."""
+        pings = {actors[i].ping.remote(): i for i in range(n_act)}
+        ready, _ = ray.wait(
+            list(pings), num_returns=len(pings), timeout=5.0
+        )
         replaced = 0
-        for i in range(n_act):
+        for r in ready:
+            i = pings[r]
             try:
-                ray.get(actors[i].ping.remote(), timeout=120)
-            except Exception:
+                ray.get(r)
+            except ray.exceptions.RayActorError:
                 actors[i] = _make_actor()
                 load[i] = 0
                 replaced += 1
         return replaced
 
-    def _requeue_segment(seg_id: int):
+    def _requeue_segment(seg_id: int, cause: BaseException | None = None):
         """Re-tokenize a whole segment after an assemble failure (lost run
         objects).  Epoch bump invalidates any stale in-flight completions
         for the segment."""
@@ -629,7 +662,7 @@ def _build_route_pipelined(
         if n_retry > 3:
             raise RuntimeError(
                 f"segment {seg_id} failed {n_retry - 1} rebuild retries"
-            )
+            ) from cause
         seg_retries[seg_id] = n_retry
         seg_epoch[seg_id] = seg_epoch.get(seg_id, 0) + 1
         seg_runs[seg_id] = []
@@ -658,8 +691,9 @@ def _build_route_pipelined(
             more, _ = ray.wait(rest, num_returns=len(rest), timeout=0)
             done.extend(more)
         for r in done:
-            a, kind, meta = ref_meta.pop(r)
-            load[a] = max(0, load[a] - 1)
+            a, handle, kind, meta = ref_meta.pop(r)
+            if actors[a] is handle:  # slot may hold a replacement actor
+                load[a] = max(0, load[a] - 1)
             if kind == "tok":
                 seg_id, part_ids, ep = meta
                 if ep != seg_epoch.get(seg_id, 0):
@@ -676,7 +710,9 @@ def _build_route_pipelined(
                 seg_id, ep = meta
                 try:
                     st = ray.get(r)
-                except ray.exceptions.RayError:
+                except ray.exceptions.RayError as err:
+                    if not _is_loss(err):
+                        raise  # deterministic bug — surface immediately
                     # assemble died (actor loss) or one of its input run
                     # objects was lost with a dead tokenizer: replace dead
                     # actors, re-tokenize the segment (bounded work — one
@@ -684,7 +720,7 @@ def _build_route_pipelined(
                     _revive_actors()
                     if ep == seg_epoch.get(seg_id, 0):
                         tok_left += len(seg_specs[seg_id])
-                        _requeue_segment(seg_id)
+                        _requeue_segment(seg_id, err)
                     continue
                 if ep == seg_epoch.get(seg_id, 0):
                     seg_stats.append(st)
