@@ -71,6 +71,7 @@ class BuildConfig:
     # TokenizePartition.fault_inject_path); exercises the route
     # dispatcher's dead-actor recovery
     fault_inject_path: str | None = None
+    fault_inject_mode: str = "exit"  # 'exit' (node loss) | 'raise' (bug)
     # 'combine': map-side combiner — tokenize tasks invert their partition
     #   locally and shuffle compressed per-term RUNS (~10x fewer bytes); the
     #   assembler merges doc-disjoint runs per term.
@@ -544,6 +545,7 @@ def _build_route_pipelined(
             facet_columns=list(config.facet_columns),
             store_source=config.store_source,
             fault_inject_path=config.fault_inject_path,
+            fault_inject_mode=config.fault_inject_mode,
         )
 
     actors = [_make_actor() for _ in range(n_act)]

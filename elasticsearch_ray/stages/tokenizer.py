@@ -60,12 +60,15 @@ class TokenizePartition:
         facet_columns: list[str] | None = None,
         store_source: bool = False,
         fault_inject_path: str | None = None,
+        fault_inject_mode: str = "exit",
     ):
         # testing-only fault injection: the FIRST tokenize task to run
-        # while this marker path does not exist creates it and hard-kills
-        # its worker (os._exit) — lets tests drive the route dispatcher's
-        # dead-actor recovery deterministically
+        # while this marker path does not exist creates it and either
+        # hard-kills its worker (mode='exit' — drives the route
+        # dispatcher's dead-actor recovery) or raises (mode='raise' —
+        # a deterministic application bug, which must NOT be retried)
         self.fault_inject_path = fault_inject_path
+        self.fault_inject_mode = fault_inject_mode
         self.store_positions = store_positions
         # ES _source: keep the (concatenated) analyzed text in the docmap,
         # enabling GET-by-id and highlighting; off by default (index size)
@@ -106,6 +109,8 @@ class TokenizePartition:
             self.fault_inject_path
         ):
             open(self.fault_inject_path, "w").close()
+            if self.fault_inject_mode == "raise":
+                raise ValueError("injected deterministic bug")
             os._exit(1)  # simulated node loss
         return pa.concat_tables([self.process_spec(s) for s in specs])
 

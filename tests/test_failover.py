@@ -143,3 +143,29 @@ def test_route_build_survives_worker_death(tmp_path):
     assert os.path.exists(marker), "fault was never injected"
     assert m["doc_count"] == 300
     assert seg_md5s(faulty_idx) == seg_md5s(clean_idx)
+
+
+def test_route_build_does_not_retry_deterministic_bugs(tmp_path):
+    """A tokenize task that RAISES (application bug, not actor loss) must
+    fail the build immediately — the loss classifier must not burn
+    segment retries re-running a deterministic failure."""
+    import os
+
+    import pytest
+    import ray as _ray
+
+    from elasticsearch_ray.sources.synthetic import write_webtext
+
+    src = str(tmp_path / "src")
+    write_webtext(src, 200, avg_len=40, rows_per_file=100, row_group_size=50)
+    marker = str(tmp_path / "bug_once")
+    with pytest.raises(_ray.exceptions.RayTaskError, match="injected deterministic bug"):
+        build_index(
+            src, str(tmp_path / "idx"),
+            BuildConfig(
+                target_partition_rows=50, docs_per_segment=100,
+                shuffle="route", fault_inject_path=marker,
+                fault_inject_mode="raise",
+            ),
+        )
+    assert os.path.exists(marker)
