@@ -65,15 +65,19 @@ def hll_add_hashes(regs: np.ndarray, hashes: np.ndarray, p: int = HLL_P) -> None
         return
     idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
     w = hashes << np.uint64(p)  # remaining 64-p bits, left-aligned
-    # rho = leading zeros of w within 64 bits + 1; w's low p bits are 0,
-    # so w >> p has at most 64-p (= 50 <= 53) significant bits and
-    # floor(log2) in float64 is exact
-    wv = (w >> np.uint64(p)).astype(np.float64)
-    rho = np.where(
-        wv > 0,
-        (64 - p) - np.floor(np.log2(np.maximum(wv, 1.0))),
-        64 - p + 1,
-    ).astype(np.uint8)
+    # rho = (64-p) - floor(log2(wv)) for wv > 0.  Computed with an exact
+    # integer bit-length (6 vectorized shift/compare steps): float64
+    # log2 is NOT exact here — log2(2^49-1) rounds UP to 49, making
+    # floor(log2) off by one for all-ones patterns >= 49 bits.
+    wv = w >> np.uint64(p)
+    v = wv.copy()
+    bl = np.zeros(v.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        v[m] >>= np.uint64(s)
+    bl += (v != 0).astype(np.int64)  # bit_length; 0 for wv == 0
+    rho = np.where(wv > 0, (64 - p) - (bl - 1), 64 - p + 1).astype(np.uint8)
     np.maximum.at(regs, idx, rho)
 
 
@@ -135,10 +139,12 @@ def centroid_percentile(
 ) -> float | None:
     """Nearest-rank read over the cumulative centroid weights (the approx
     analogue of SQL ``percentile_disc``)."""
+    if not (0.0 <= percent <= 100.0):
+        raise ValueError(f"percent must be in [0, 100], got {percent}")
     if not vals.size:
         return None
     import math
 
     cw = np.cumsum(wts, dtype=np.int64)
     rank = max(1, math.ceil(percent / 100.0 * int(cw[-1])))
-    return float(vals[np.searchsorted(cw, rank)])
+    return float(vals[min(np.searchsorted(cw, rank), cw.size - 1)])

@@ -193,17 +193,40 @@ def _write_atomic(path: str, data: bytes) -> None:
 # ---------------------------------------------------------------- PostgreSQL
 
 
+_PG_ESCAPES = str.maketrans(
+    {"\\": "\\\\", "\t": "\\t", "\n": "\\n", "\r": "\\r"}
+)
+
+
 def _pg_copy_lines(cols: list[np.ndarray]) -> bytes:
-    """Tab-separated COPY text lines from aligned columns (pandas' C csv
-    writer — vectorized; floats use shortest round-trip repr)."""
+    """Tab-separated lines in PostgreSQL COPY *text* format.  COPY text is
+    NOT csv: there is no quoting — backslash, tab, newline and CR inside a
+    value must be backslash-escaped (otherwise psql splits the row, decodes
+    an unintended escape, or reads a literal ``\\N`` as NULL).  Numeric
+    columns are vectorized through pandas' C csv writer (no special chars
+    possible); string columns get an explicit translate-based escape."""
     import io
 
     import pandas as pd
 
-    df = pd.DataFrame({str(i): c for i, c in enumerate(cols)})
-    buf = io.StringIO()
-    df.to_csv(buf, sep="\t", header=False, index=False)
-    return buf.getvalue().encode("utf-8")
+    if all(c.dtype.kind not in "OUS" for c in cols):
+        # numeric-only (documents/postings tables): pandas' C writer emits
+        # no COPY-special characters, so it is byte-equivalent to text
+        # format and stays fully vectorized
+        df = pd.DataFrame({str(i): c for i, c in enumerate(cols)})
+        buf = io.StringIO()
+        df.to_csv(buf, sep="\t", header=False, index=False)
+        return buf.getvalue().encode("utf-8")
+    # a string column (terms table): escape explicitly and join —
+    # csv-module quoting must not touch COPY text values
+    str_cols = [
+        [str(v).translate(_PG_ESCAPES) for v in c]
+        if c.dtype.kind in "OUS"
+        else [str(v) for v in c]
+        for c in cols
+    ]
+    lines = "\n".join("\t".join(row) for row in zip(*str_cols))
+    return (lines + "\n").encode("utf-8") if lines else b""
 
 
 def export_postgres(
@@ -226,6 +249,9 @@ def export_postgres(
     plan = _df_shard_plan(index_dir)
     for sub in ("documents", "terms", "postings"):
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+        if not resume:  # drop stale parts from a prior layout
+            for p in glob.glob(os.path.join(out_dir, sub, "*.copy")):
+                os.unlink(p)
 
     def seg_task(row: dict) -> dict:
         from ..state.segment import SegmentReader
@@ -247,7 +273,7 @@ def export_postgres(
                 post_path, _pg_copy_lines([tid_rep, doc_ids, tf_idf])
             )
             rows = int(doc_ids.size)
-        return {"part": post_path, "rows": rows}
+        return {"part": post_path, "doc_part": doc_path, "rows": rows}
 
     def shard_task(row: dict) -> dict:
         import pyarrow.parquet as pq
@@ -256,13 +282,21 @@ def export_postgres(
         path = os.path.join(out_dir, "terms", f"part-{i:05d}.copy")
         if not (resume and os.path.exists(path)):
             t = pq.read_table(s["path"], columns=["term", "df"])
+            terms_arr = np.asarray(t.column("term").to_pylist())
+            # the reference DDL (verbatim) declares term VARCHAR(255):
+            # fail FAST here with an actionable message instead of letting
+            # psql abort mid-load on an over-long token
+            too_long = [w for w in terms_arr if len(w) > 255]
+            if too_long:
+                raise ValueError(
+                    f"{len(too_long)} term(s) exceed the reference DDL's "
+                    f"VARCHAR(255) (e.g. {too_long[0][:40]!r}...); filter "
+                    "over-long tokens at build time or widen the DDL"
+                )
             tid = s["base"] + 1 + np.arange(s["rows"], dtype=np.int64)
             _write_atomic(
                 path,
-                _pg_copy_lines(
-                    [tid, np.asarray(t.column("term").to_pylist()),
-                     t.column("df").to_numpy()]
-                ),
+                _pg_copy_lines([tid, terms_arr, t.column("df").to_numpy()]),
             )
         return {"part": path, "rows": s["rows"]}
 
@@ -278,12 +312,16 @@ def export_postgres(
     )
     term_parts = shards.map(shard_task).take_all()
 
+    # load.sql lists exactly THIS run's parts (never a directory glob:
+    # stale parts from a prior export with a different segment layout
+    # would otherwise be loaded alongside, duplicating rows)
     copies = "\n".join(
         f"\\copy {tbl} FROM '{p}'"
         for tbl, parts in (
-            ("documents", sorted(glob.glob(os.path.join(out_dir, "documents", "*.copy")))),
-            ("terms (term_id, term, doc_freq)", sorted(glob.glob(os.path.join(out_dir, "terms", "*.copy")))),
-            ("postings", sorted(glob.glob(os.path.join(out_dir, "postings", "*.copy")))),
+            ("documents", sorted(p["doc_part"] for p in seg_parts)),
+            ("terms (term_id, term, doc_freq)",
+             sorted(p["part"] for p in term_parts)),
+            ("postings", sorted(p["part"] for p in seg_parts)),
         )
         for p in parts
     )
@@ -361,6 +399,7 @@ class _RespRangeExporter:
         self.out_dir = out_dir
         self.tombstones = tombstones
         self._readers = None  # [(reader, sorted term ndarray)], lazy
+        self._shard_cache: dict = {}  # path -> (term ndarray, df ndarray)
 
     def _open(self):
         if self._readers is None:
@@ -389,11 +428,17 @@ class _RespRangeExporter:
                 paths.append(out)
                 counts.append(-1)
                 continue
-            t = pq.read_table(shard_path, columns=["term", "df"]).slice(
-                rlo, rhi - rlo
-            )
-            vocab = np.asarray(t.column("term").to_pylist())
-            dfg = t.column("df").to_numpy().astype(np.float64)
+            cached = self._shard_cache.get(shard_path)
+            if cached is None:
+                # one decode per actor, not per range (ranges >> shards)
+                t_full = pq.read_table(shard_path, columns=["term", "df"])
+                cached = (
+                    np.asarray(t_full.column("term").to_pylist()),
+                    t_full.column("df").to_numpy().astype(np.float64),
+                )
+                self._shard_cache[shard_path] = cached
+            vocab = cached[0][rlo:rhi]
+            dfg = cached[1][rlo:rhi]
             vidx_all, docs_all, val_all = [], [], []
             for r, seg_terms in self._open():
                 a = int(np.searchsorted(seg_terms, vocab[0], side="left"))
@@ -402,6 +447,21 @@ class _RespRangeExporter:
                     continue
                 slots, tfs, row_starts = r.decode_rows(a, b)
                 vidx = np.searchsorted(vocab, seg_terms[a:b])
+                # same consistency contract as the PG path's
+                # _global_term_ids: every segment term in the range must
+                # exist in df_global, else postings would silently merge
+                # into a lexical neighbor's key
+                miss = (vidx >= vocab.size) | (
+                    vocab[np.minimum(vidx, vocab.size - 1)]
+                    != seg_terms[a:b]
+                )
+                if miss.any():
+                    raise ValueError(
+                        f"segment {r.seg_id}: "
+                        f"{int(miss.sum())} term(s) in range missing from "
+                        f"df_global (e.g. {seg_terms[a:b][miss][0]!r}) — "
+                        "index df shards are stale; re-run finalize"
+                    )
                 per_row = np.diff(row_starts)
                 dl = r.doc_lens[slots].astype(np.float64)
                 tf_idf = tfs.astype(np.float64) / dl * np.repeat(
@@ -481,6 +541,27 @@ def export_redis(
                 rows.append({"i": rid, "path": s["path"], "rlo": int(rlo),
                              "rhi": int(rhi), "resume": resume})
                 rid += 1
+    # resume is only sound against the SAME range layout: sequential part
+    # ids denote ranges, so a changed target_ranges / shard plan would
+    # alias old files to different ranges.  Stamp the layout; on mismatch
+    # (or a fresh run) drop stale .resp files and rewrite everything.
+    range_stamp = [
+        {"path": r["path"], "rlo": r["rlo"], "rhi": r["rhi"]} for r in rows
+    ]
+    stamp_path = os.path.join(out_dir, "_ranges.json")
+    if resume and os.path.exists(stamp_path):
+        with open(stamp_path) as f:
+            if json.load(f) != range_stamp:
+                resume = False
+    elif resume:
+        resume = False
+    if not resume:
+        for p in glob.glob(os.path.join(out_dir, "*.resp")):
+            os.unlink(p)
+        for r in rows:
+            r["resume"] = False
+    with open(stamp_path, "w") as f:
+        json.dump(range_stamp, f)
     parts = (
         ray.data.from_items(rows, override_num_blocks=len(rows))
         .map_batches(

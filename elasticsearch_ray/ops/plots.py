@@ -51,6 +51,14 @@ def _fmt(x: float) -> str:
     return f"{x:.2f}".rstrip("0").rstrip(".")
 
 
+def _xml(s_: object) -> str:
+    """Escape &, <, > for text nodes — token labels are arbitrary corpus
+    strings and one raw '&' invalidates the whole SVG document."""
+    from xml.sax.saxutils import escape
+
+    return escape(str(s_))
+
+
 def _svg_barh_panels(panels, path: str, width: int = 1100,
                      height: int = 560) -> None:
     """Side-by-side horizontal-bar panels:
@@ -63,7 +71,7 @@ def _svg_barh_panels(panels, path: str, width: int = 1100,
         y0, plot_h = 50, height - 90
         parts.append(
             f'<text x="{p * pw + pw // 2}" y="24" text-anchor="middle" '
-            f'font-size="14" font-weight="bold">{title}</text>\n'
+            f'font-size="14" font-weight="bold">{_xml(title)}</text>\n'
         )
         if not rows:
             continue
@@ -77,7 +85,7 @@ def _svg_barh_panels(panels, path: str, width: int = 1100,
                 f'width="{_fmt(w)}" height="{_fmt(bh * 0.8)}" '
                 f'fill="{color}"/>\n'
                 f'<text x="{x0 - 6}" y="{_fmt(y + bh * 0.7)}" '
-                f'text-anchor="end" font-size="10">{label}</text>\n'
+                f'text-anchor="end" font-size="10">{_xml(label)}</text>\n'
                 f'<text x="{_fmt(x0 + w + 4)}" y="{_fmt(y + bh * 0.7)}" '
                 f'font-size="9">{n}</text>\n'
             )
@@ -117,7 +125,7 @@ def _svg_rank_lines(series, path: str, loglog: bool, title: str,
     parts = [_SVG_HEAD.format(w=width, h=height)]
     parts.append(
         f'<text x="{width // 2}" y="24" text-anchor="middle" '
-        f'font-size="14" font-weight="bold">{title}</text>\n'
+        f'font-size="14" font-weight="bold">{_xml(title)}</text>\n'
         f'<line x1="{x0}" y1="{y0}" x2="{x0}" y2="{y0 + plot_h}" '
         f'stroke="black"/>\n'
         f'<line x1="{x0}" y1="{y0 + plot_h}" x2="{x0 + plot_w}" '
@@ -156,7 +164,7 @@ def _svg_rank_lines(series, path: str, loglog: bool, title: str,
             f'<rect x="{x0 + plot_w - 210}" y="{y0 + 8 + 18 * li}" '
             f'width="14" height="8" fill="{color}"/>\n'
             f'<text x="{x0 + plot_w - 190}" y="{y0 + 16 + 18 * li}" '
-            f'font-size="11">{label}</text>\n'
+            f'font-size="11">{_xml(label)}</text>\n'
         )
     parts.append("</svg>\n")
     _write(path, "".join(parts))

@@ -264,3 +264,44 @@ def test_exports_deterministic(tiny_index_dir, pg_dir, resp_dir,
     rd2 = str(tmp_path_factory.mktemp("redis_export2"))
     export_redis(tiny_index_dir, rd2)
     assert digest(rd2, "*.resp") == digest(resp_dir, "*.resp")
+
+
+def test_pg_copy_lines_text_format_escaping():
+    """COPY *text* format: backslash-escape specials, no csv quoting —
+    psql must decode each value back to the original term."""
+    import numpy as np
+
+    from elasticsearch_ray.ops.datastore_export import _pg_copy_lines
+
+    terms = ['plain', 'quo"te', 'back\\slash', '\\N', 'tab\there', 'nl\nthere']
+    out = _pg_copy_lines(
+        [np.arange(len(terms)), np.array(terms, dtype=object)]
+    ).decode()
+
+    def copy_decode(field: str) -> str:  # the subset psql text COPY uses
+        return (
+            field.replace("\\t", "\t").replace("\\n", "\n")
+            .replace("\\r", "\r").replace("\\\\", "\0")
+            .replace("\0", "\\")
+        )
+
+    rows = [line.split("\t") for line in out.splitlines()]
+    assert [copy_decode(r[1]) for r in rows] == terms
+    # '\N' must never appear unescaped (COPY reads it as NULL)
+    assert not any(f == "\\N" for r in rows for f in r)
+
+
+def test_svg_escapes_corpus_labels(tmp_path):
+    """Token labels are arbitrary corpus strings — '&'/'<' must not
+    invalidate the SVG document."""
+    import xml.etree.ElementTree as ET
+
+    from elasticsearch_ray.ops.plots import _svg_barh_panels
+
+    p = str(tmp_path / "f.svg")
+    _svg_barh_panels(
+        [("t&<itle", "#036", [("r&d", 5), ("<b>", 3)])], p
+    )
+    root = ET.parse(p).getroot()  # raises on malformed XML
+    texts = [t.text for t in root.iter() if t.tag.endswith("text")]
+    assert "r&d" in texts and "<b>" in texts

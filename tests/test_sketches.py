@@ -139,3 +139,34 @@ def test_engine_approx_aggs(tmp_path):
                     ), (q, p)
         finally:
             eng.close()
+
+
+def test_hll_rho_exact_for_all_ones_suffix():
+    """float64 log2 rounds 2^k-1 UP for k >= 49, which would drop the
+    register update for an all-ones hash suffix; the integer bit-length
+    path must record rho = 1 exactly."""
+    from elasticsearch_ray.functions.sketches import HLL_P, hll_add_hashes
+
+    regs = np.zeros(1 << HLL_P, dtype=np.uint8)
+    idx = 3
+    low = np.uint64((1 << (64 - HLL_P)) - 1)  # all-ones suffix
+    h = np.array([(np.uint64(idx) << np.uint64(64 - HLL_P)) | low],
+                 dtype=np.uint64)
+    hll_add_hashes(regs, h)
+    assert regs[idx] == 1
+    # and a one-leading-zero suffix gives rho = 2
+    regs2 = np.zeros(1 << HLL_P, dtype=np.uint8)
+    h2 = np.array([(np.uint64(idx) << np.uint64(64 - HLL_P)) | (low >> np.uint64(1))],
+                  dtype=np.uint64)
+    hll_add_hashes(regs2, h2)
+    assert regs2[idx] == 2
+
+
+def test_centroid_percentile_validates_percent():
+    from elasticsearch_ray.functions.sketches import centroid_percentile
+
+    vals = np.array([1.0, 2.0, 3.0])
+    wts = np.array([1, 1, 1], dtype=np.int64)
+    assert centroid_percentile(vals, wts, 100.0) == 3.0
+    with pytest.raises(ValueError):
+        centroid_percentile(vals, wts, 101.0)
