@@ -100,9 +100,14 @@ class _BulkWriter:
         # vectorized source serialization (pandas C json writer); UTF-8
         # kept raw (force_ascii=False) — ES accepts it and round-trips
         # byte-identically
+        # split on '\n' ONLY: force_ascii=False emits U+2028/U+2029/
+        # U+0085 raw inside JSON strings (legal JSON), and splitlines()
+        # would cut a record at them, desyncing the action/source pairing
         src_lines = batch.to_json(
             orient="records", lines=True, force_ascii=False
-        ).splitlines()
+        ).split("\n")
+        if src_lines and src_lines[-1] == "":
+            src_lines.pop()  # trailing newline
         prefix = '{"index": {"_index": %s, "_id": ' % json.dumps(self.index_name)
         lines = []
         for _id, src in zip(ids, src_lines):
@@ -178,7 +183,10 @@ def read_es_bulk(bulk_dir: str):
     def parse(batch: pa.Table) -> pa.Table:
         cols: dict[str, list] = {"_id": []}
         for raw in batch.column("bytes").to_pylist():
-            lines = raw.decode("utf-8").splitlines()
+            # '\n' only — raw U+2028 etc. inside JSON strings are legal
+            lines = raw.decode("utf-8").split("\n")
+            while lines and lines[-1] == "":
+                lines.pop()
             for i in range(0, len(lines) - 1, 2):
                 act = json.loads(lines[i])["index"]
                 src = json.loads(lines[i + 1])
@@ -199,14 +207,20 @@ class ValidatingClient:
     Pass the class itself as ``post_factory``."""
 
     def __call__(self, body: str):
-        lines = body.splitlines()
+        lines = body.split("\n")
+        while lines and lines[-1] == "":
+            lines.pop()
         if len(lines) % 2:
             return {"errors": True, "items": 0,
                     "reason": "odd line count in bulk body"}
         n = 0
         for i in range(0, len(lines), 2):
-            act = json.loads(lines[i])
-            src = json.loads(lines[i + 1])
+            try:
+                act = json.loads(lines[i])
+                src = json.loads(lines[i + 1])
+            except json.JSONDecodeError as e:
+                return {"errors": True, "items": n,
+                        "reason": f"invalid JSON at line {i}: {e}"}
             if "index" not in act or not isinstance(src, dict):
                 return {"errors": True, "items": n,
                         "reason": f"malformed pair at line {i}"}
@@ -239,8 +253,11 @@ def post_es_bulk(bulk_dir: str, post_factory, concurrency: int = 4):
     import ray.data
 
     paths = sorted(glob.glob(os.path.join(bulk_dir, "part-*.bulk.ndjson")))
+    if not paths:
+        raise FileNotFoundError(f"no bulk bodies under {bulk_dir}")
     return (
-        ray.data.from_items([{"path": p} for p in paths])
+        ray.data.from_items([{"path": p} for p in paths],
+                            override_num_blocks=len(paths))
         .map_batches(
             _Poster, fn_constructor_args=(post_factory,),
             batch_format="pyarrow", batch_size=8, concurrency=concurrency,

@@ -210,20 +210,12 @@ class SegmentReader:
     def term_by_row(self, row: int) -> str:
         return self._term_list[row]
 
-    def term_rows_matching(
-        self, pattern: str, max_expansions: int | None = None
-    ) -> list[int]:
-        """Rows whose term matches a glob pattern (``*``/``?`` — the ES
-        wildcard-query surface).  The term column is sorted (assembler
-        invariant), so the literal prefix before the first wildcard narrows
-        to a binary-searched row range; only that slice is regex-scanned.
-        A leading-wildcard pattern degrades to a full dictionary scan of
-        THIS segment (documented ES behavior for ``*foo`` too)."""
+    def _prefix_row_range(self, prefix: str) -> tuple[int, int]:
+        """Binary-searched [lo, hi) row range of dictionary terms starting
+        with ``prefix`` (sorted-term assembler invariant); the whole
+        dictionary when prefix is empty."""
         import bisect
-        import fnmatch
-        import re
 
-        prefix = re.split(r"[*?]", pattern, maxsplit=1)[0]
         terms = self._terms
 
         class _View:
@@ -240,10 +232,31 @@ class SegmentReader:
             if prefix
             else len(terms)
         )
-        if prefix == pattern:  # no wildcard: exact lookup
+        return lo, hi
+
+    def term_rows_matching(
+        self, pattern: str, max_expansions: int | None = None
+    ) -> list[int]:
+        """Rows whose term matches a glob pattern (``*``/``?`` — the ES
+        wildcard-query surface).  The term column is sorted (assembler
+        invariant), so the literal prefix before the first wildcard narrows
+        to a binary-searched row range; only that slice is regex-scanned.
+        A leading-wildcard pattern degrades to a full dictionary scan of
+        THIS segment (documented ES behavior for ``*foo`` too)."""
+        import fnmatch
+        import re
+
+        prefix = re.split(r"[*?]", pattern, maxsplit=1)[0]
+        if prefix == pattern:  # no wildcard: exact lookup, no range scan
             row = self._term_row.get(pattern)
             return [row] if row is not None else []
-        rx = re.compile(fnmatch.translate(pattern))
+        lo, hi = self._prefix_row_range(prefix)
+        terms = self._terms
+        # ES wildcard treats ONLY * and ? as special; escape fnmatch's
+        # [class] syntax so a literal '[' in the pattern stays literal
+        rx = re.compile(
+            fnmatch.translate(pattern.replace("[", "[[]"))
+        )
         out: list[int] = []
         span = terms.slice(lo, hi - lo).to_pylist()
         for off, t in enumerate(span):
@@ -261,7 +274,6 @@ class SegmentReader:
         whole term).  A literal leading prefix narrows to a binary-searched
         row range of the sorted dictionary; the slice is scanned with
         Arrow's vectorized re2 kernel (no per-term Python loop)."""
-        import bisect
         import re as _re
 
         import pyarrow.compute as pc
@@ -279,21 +291,7 @@ class SegmentReader:
             # branch; range narrowing would drop every 'xyz' match
             prefix = ""
         terms = self._terms
-
-        class _View:
-            def __getitem__(self, i):
-                return terms[i].as_py()
-
-            def __len__(self):
-                return len(terms)
-
-        v = _View()
-        lo = bisect.bisect_left(v, prefix)
-        hi = (
-            bisect.bisect_left(v, prefix + "\U0010FFFF")
-            if prefix
-            else len(terms)
-        )
+        lo, hi = self._prefix_row_range(prefix)
         if hi <= lo:
             return []
         span = terms.slice(lo, hi - lo)
@@ -328,7 +326,7 @@ class SegmentReader:
         m = len(term)
         cand = np.flatnonzero(np.abs(self._term_lens - m) <= max_edits)
         if cand.size == 0:
-            return []
+            return ([], []) if with_dist else []
         lens = self._term_lens[cand]
         lmax = int(lens.max())
         # candidate chars as one padded codepoint matrix: Arrow take+rpad,
@@ -550,6 +548,8 @@ class SegmentReader:
         if cached is not None:
             self._pos_cache.move_to_end(row)
             return cached
+        if not self.has_positions:  # index built without positions
+            return None
         slots, tfs = self.postings_slots_by_row(row)
         deltas = vbyte_decode(self._cell("positions", row))
         counts = tfs.astype(np.int64, copy=False)

@@ -113,3 +113,37 @@ def test_post_actor_pool(bulk_dir):
     parts = glob.glob(os.path.join(bulk_dir, "part-*.bulk.ndjson"))
     assert len(statuses) == len(parts)
     assert all('"errors": false' in s for s in statuses["status"])
+
+
+def test_bulk_roundtrip_unicode_line_separators(tmp_path):
+    """U+2028/U+2029 inside text are legal raw JSON (force_ascii=False
+    emits them unescaped); the writer and parser must split on '\\n' only
+    or the action/source pairing desyncs."""
+    import pyarrow as pa
+    import ray.data
+
+    from elasticsearch_ray.sources.es_bulk import (
+        ValidatingClient,
+        read_es_bulk,
+        write_es_bulk,
+    )
+
+    texts = ["line\u2028sep", "para\u2029sep", "nel\u0085sep", "plain"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    out = str(tmp_path / "bulk")
+    write_es_bulk(ds, out, id_col="doc_id")
+    back = {r["_id"]: r["text"] for r in read_es_bulk(out).take_all()}
+    assert back == {str(i): t for i, t in enumerate(texts)}
+    import glob as g
+    import os as o
+
+    for p in g.glob(o.path.join(out, "part-*.bulk.ndjson")):
+        v = ValidatingClient()(open(p, encoding="utf-8").read())
+        assert v["errors"] is False

@@ -1869,3 +1869,39 @@ def test_postings_cache_eviction_correctness(tmp_path):
             assert r._post_cache_vals <= max(64, s.size + t.size)
     with _pytest.raises((ValueError, RuntimeError)):
         r.postings_slots_by_row(0)[0][0] = 99  # read-only
+
+
+def test_wildcard_literal_bracket_and_fuzzy_empty(tmp_path):
+    """ES wildcard treats only * and ? as special (a literal '[' must not
+    open an fnmatch class), and the fuzzy path must return an empty
+    (rows, dists) pair — not a bare list — when the length prefilter
+    leaves no candidates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.state.segment import SegmentReader
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["ab[cd]x here", "abcx here", "zzz"]),
+            }
+        ),
+        str(src / "a.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "a.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None),
+    )
+    r = SegmentReader(idx, 0)
+    got = [r._term_list[row] for row in r.term_rows_matching("ab[cd]*")]
+    assert got == ["ab[cd]x"]  # literal bracket, not an fnmatch class
+    rows, dists = r.term_rows_fuzzy(
+        "averyveryverylongtoken", 1, with_dist=True
+    )
+    assert rows == [] and dists == []
