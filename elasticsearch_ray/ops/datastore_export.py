@@ -247,11 +247,39 @@ def export_postgres(
     n_docs = int(man["doc_count"])
     tombstones = list(man.get("tombstones") or [])
     plan = _df_shard_plan(index_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    # resume is only sound against the SAME index layout: parts are named
+    # by seg id / df-shard index, so a re-finalized df plan, an added
+    # tombstone, or a compaction (which rewrites segments IN PLACE under
+    # the same seg ids and shifts term_id bases) would alias old files to
+    # different content — stale term_ids silently mismapping the
+    # vocabulary.  Stamp the layout; on mismatch fall back to a full
+    # rewrite (same discipline as export_redis's _ranges.json).
+    layout_stamp = {
+        "segments": [int(s) for s in man["segments"]],
+        "tombstones": sorted(int(t) for t in tombstones),
+        "doc_count": n_docs,
+        "plan": [
+            {"path": s["path"], "base": int(s["base"]),
+             "rows": int(s["rows"])}
+            for s in plan
+        ],
+    }
+    stamp_path = os.path.join(out_dir, "_layout.json")
+    if resume:
+        try:
+            with open(stamp_path) as f:
+                if json.load(f) != layout_stamp:
+                    resume = False
+        except (OSError, json.JSONDecodeError):
+            resume = False
     for sub in ("documents", "terms", "postings"):
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
         if not resume:  # drop stale parts from a prior layout
             for p in glob.glob(os.path.join(out_dir, sub, "*.copy")):
                 os.unlink(p)
+    with open(stamp_path, "w") as f:
+        json.dump(layout_stamp, f)
 
     def seg_task(row: dict) -> dict:
         from ..state.segment import SegmentReader
@@ -338,6 +366,31 @@ def export_postgres(
     return manifest
 
 
+_PG_UNESCAPES = {"\\": "\\", "t": "\t", "n": "\n", "r": "\r"}
+
+
+def _pg_unescape(v: str) -> str | None:
+    """Reverse ``_pg_copy_lines``'s COPY-text escaping (``\\\\`` ``\\t``
+    ``\\n`` ``\\r``); a bare ``\\N`` field is SQL NULL.  Values without a
+    backslash — every token the \\w+ analyzer emits — take the O(1) fast
+    path."""
+    if "\\" not in v:
+        return v
+    if v == "\\N":
+        return None
+    out = []
+    i = 0
+    while i < len(v):
+        c = v[i]
+        if c == "\\" and i + 1 < len(v):
+            out.append(_PG_UNESCAPES.get(v[i + 1], v[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def read_postgres_copy(out_dir: str, table: str):
     """Load a COPY-format table export back as a Ray Dataset (typed per
     the reference DDL); one parse task per part file."""
@@ -366,7 +419,9 @@ def read_postgres_copy(out_dir: str, table: str):
             elif typ == "float":
                 out[name] = pa.array([float(v) for v in vals], pa.float64())
             else:
-                out[name] = pa.array(vals, pa.string())
+                out[name] = pa.array(
+                    [_pg_unescape(v) for v in vals], pa.string()
+                )
         return pa.table(out)
 
     return ray.data.read_binary_files(paths).map_batches(

@@ -902,26 +902,77 @@ def verified_dup_edges(
             sid, sval = sid[order], sval[order]
             uids, starts = np.unique(sid, return_index=True)
             bounds = np.append(starts, sid.size)
-            out_a, out_b = [], []
-            for a_id, b_id in zip(
-                pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64)
-            ):
-                ia = np.searchsorted(uids, a_id)
-                ib = np.searchsorted(uids, b_id)
-                if (
-                    ia == uids.size or uids[ia] != a_id
-                    or ib == uids.size or uids[ib] != b_id
-                ):
-                    continue  # tokenless doc: inner joins drop the pair
-                sa = sval[bounds[ia]:bounds[ia + 1]]
-                sb = sval[bounds[ib]:bounds[ib + 1]]
-                i = np.intersect1d(sa, sb, assume_unique=True).size
-                # i == 0 mirrors the join tier, whose inner join on shared
-                # shingles drops zero-intersection pairs even at
+            if uids.size == 0:  # every involved doc tokenless
+                return ray.data.from_arrow(
+                    pa.table({"a": pa.array([], pa.int64()),
+                              "b": pa.array([], pa.int64())})
+                )
+            a_arr = pdf["a"].to_numpy(np.int64)
+            b_arr = pdf["b"].to_numpy(np.int64)
+            ia = np.searchsorted(uids, a_arr)
+            ib = np.searchsorted(uids, b_arr)
+            ok = (
+                (uids[np.minimum(ia, uids.size - 1)] == a_arr)
+                & (uids[np.minimum(ib, uids.size - 1)] == b_arr)
+            )  # tokenless doc: inner joins drop the pair
+            a_arr, b_arr = a_arr[ok], b_arr[ok]
+            ia, ib = ia[ok], ib[ok]
+            len_a = bounds[ia + 1] - bounds[ia]
+            len_b = bounds[ib + 1] - bounds[ib]
+            # Vectorized per-pair intersection counts, chunked so the
+            # expanded (pair, shingle) array stays bounded: each pair's
+            # two UNIQUE sorted lists concatenate under one pair id; after
+            # a (pid, value) lexsort every value shared by the pair is an
+            # adjacent duplicate (a value appears at most twice per pair),
+            # so intersection size = bincount of adjacent-equal positions.
+            # Replaces a per-pair Python loop (3 numpy dispatches x up to
+            # driver_pair_limit pairs) with O(M log M) C kernels.
+            csum = np.concatenate(
+                [[0], np.cumsum(len_a + len_b)]
+            )
+            keep_a, keep_b = [], []
+            lo = 0
+            chunk_rows = 1 << 23
+            while lo < a_arr.size:
+                hi = int(np.searchsorted(csum, csum[lo] + chunk_rows))
+                hi = min(max(hi, lo + 1), a_arr.size)
+                n = hi - lo
+                seg_starts = np.empty(2 * n, np.int64)
+                seg_starts[0::2] = bounds[ia[lo:hi]]
+                seg_starts[1::2] = bounds[ib[lo:hi]]
+                seg_lens = np.empty(2 * n, np.int64)
+                seg_lens[0::2] = len_a[lo:hi]
+                seg_lens[1::2] = len_b[lo:hi]
+                ends = np.cumsum(seg_lens)
+                m = int(ends[-1]) if n else 0
+                idx = (
+                    np.repeat(seg_starts - (ends - seg_lens), seg_lens)
+                    + np.arange(m)
+                )
+                vals = sval[idx]
+                pid = np.repeat(
+                    np.repeat(np.arange(n), 2), seg_lens
+                )
+                order = np.lexsort((vals, pid))
+                pv, vv = pid[order], vals[order]
+                dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
+                inter = np.bincount(pv[1:][dup], minlength=n)
+                union = len_a[lo:hi] + len_b[lo:hi] - inter
+                # inter > 0 mirrors the join tier, whose inner join on
+                # shared shingles drops zero-intersection pairs even at
                 # threshold <= 0 — the tiers must keep identical pairs
-                if i > 0 and i / (sa.size + sb.size - i) >= threshold:
-                    out_a.append(a_id)
-                    out_b.append(b_id)
+                sel = (inter > 0) & (inter / union >= threshold)
+                keep_a.append(a_arr[lo:hi][sel])
+                keep_b.append(b_arr[lo:hi][sel])
+                lo = hi
+            out_a = (
+                np.concatenate(keep_a) if keep_a
+                else np.empty(0, np.int64)
+            )
+            out_b = (
+                np.concatenate(keep_b) if keep_b
+                else np.empty(0, np.int64)
+            )
             return ray.data.from_arrow(
                 pa.table({"a": pa.array(out_a, pa.int64()),
                           "b": pa.array(out_b, pa.int64())})

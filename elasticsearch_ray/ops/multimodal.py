@@ -119,6 +119,13 @@ class ImageResizeStub:
         thumbs = []
         for p in batch.column(self.payload_col).to_pylist():
             if self._Image is not None:
+                if not p:
+                    # null/empty payload: placeholder thumbnail (the fake
+                    # path tolerates these rows; strict must not kill the
+                    # whole map_batches task over a missing payload —
+                    # corrupt NON-empty bytes still raise)
+                    thumbs.append(bytes(t * t))
+                    continue
                 img = self._Image.open(io.BytesIO(p)).convert("L")
                 thumbs.append(
                     np.asarray(img.resize((t, t)), dtype=np.uint8).tobytes()

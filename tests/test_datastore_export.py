@@ -305,3 +305,62 @@ def test_svg_escapes_corpus_labels(tmp_path):
     root = ET.parse(p).getroot()  # raises on malformed XML
     texts = [t.text for t in root.iter() if t.tag.endswith("text")]
     assert "r&d" in texts and "<b>" in texts
+
+
+def test_pg_unescape_roundtrips_copy_text():
+    """read_postgres_copy must reverse _pg_copy_lines's COPY-text escaping
+    — a term with backslash/tab/newline/CR loads back byte-identical."""
+    from elasticsearch_ray.ops.datastore_export import (
+        _pg_copy_lines,
+        _pg_unescape,
+    )
+
+    vals = ["plain", "a\\b", "tab\there", "new\nline", "cr\rhere",
+            "\\N", "mix\\\t\n\r end"]
+    ids = np.arange(len(vals), dtype=np.int64)
+    raw = _pg_copy_lines([ids, np.array(vals, dtype=object)]).decode()
+    got = [_pg_unescape(line.split("\t")[1]) for line in raw.splitlines()]
+    assert got == vals
+    # a bare \N field (psql NULL output) decodes to SQL NULL
+    assert _pg_unescape("\\N") is None
+    assert _pg_unescape("no_escapes") == "no_escapes"
+
+
+def test_pg_resume_stamp_invalidates_on_layout_change(tiny_corpus_dir,
+                                                      tmp_path_factory):
+    """resume=True against a CHANGED index layout (here: a new tombstone)
+    must NOT skip stale parts — the _layout.json stamp forces a full
+    rewrite, so physically deleted docs vanish from a resumed export."""
+    import shutil
+
+    from elasticsearch_ray.pipelines.build import (
+        BuildConfig,
+        add_tombstones,
+        build_index,
+    )
+
+    idx = str(tmp_path_factory.mktemp("idx_stamp"))
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(tiny_corpus_dir, idx,
+                BuildConfig(target_partition_rows=50, docs_per_segment=70))
+    pg = str(tmp_path_factory.mktemp("pg_stamp"))
+    export_postgres(idx, pg)
+    docs0 = read_postgres_copy(pg, "documents").to_pandas()
+    assert "0" in set(docs0.doc_id)
+    add_tombstones(idx, [0, 5])
+    export_postgres(idx, pg, resume=True)  # stamp mismatch -> full rewrite
+    docs1 = read_postgres_copy(pg, "documents").to_pandas()
+    post1 = read_postgres_copy(pg, "postings").to_pandas()
+    assert not {"0", "5"} & set(docs1.doc_id)
+    assert not {"0", "5"} & set(post1.doc_id)
+    # unchanged layout -> resume really does skip (stamp matches)
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(pg, "*", "*.copy"))
+    }
+    export_postgres(idx, pg, resume=True)
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(pg, "*", "*.copy"))
+    }
+    assert before == after

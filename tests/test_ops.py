@@ -943,3 +943,25 @@ def test_percolate_phrase_queries():
             for r in oracle.query_phrase(q, size=1000)["results"]
         }
         assert got.get(qid, set()) == exp, (q, got.get(qid), exp)
+
+
+def test_image_resize_strict_tolerates_null_payloads():
+    """strict mode must not kill the whole map_batches task over a
+    null/empty payload row (fake mode tolerates these): such rows emit a
+    zero placeholder thumbnail; only non-empty bytes reach the codec."""
+    from elasticsearch_ray.ops.multimodal import ImageResizeStub
+
+    stage = ImageResizeStub(target=4, mode="fake")
+
+    class _Boom:  # stands in for PIL.Image: must never see a null payload
+        @staticmethod
+        def open(buf):
+            raise AssertionError("codec called with null/empty payload")
+
+    stage._Image = _Boom
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([None, b""], pa.binary()),
+    })
+    out = stage(batch)
+    assert out.column("thumbnail").to_pylist() == [bytes(16), bytes(16)]
