@@ -2205,8 +2205,110 @@ def _q_zipf_points(sf_dir: str):
     })
 
 
+def _q_date_histogram(sf_dir: str):
+    """ES date_histogram (calendar_interval day/week/month) over the
+    events stream: per calendar bucket -> count + exact sum(value) in
+    integer cents; map-side Arrow floor_temporal + hash pre-agg, the
+    shuffle carries one row per (batch, bucket)."""
+    from elasticsearch_ray.ops.events import date_histogram
+
+    tabs = []
+    for iv in ("day", "week", "month"):
+        out = date_histogram(_events_ds(sf_dir), interval=iv).to_pandas()
+        out = out.sort_values("bucket_us").reset_index(drop=True)
+        tabs.append(
+            pa.table(
+                {
+                    "interval": pa.array([iv] * len(out), pa.string()),
+                    "bucket_us": pa.array(out["bucket_us"], pa.int64()),
+                    "n": pa.array(out["n"], pa.int64()),
+                    "sum_cents": pa.array(out["sum_cents"], pa.int64()),
+                }
+            )
+        )
+    return pa.concat_tables(tabs)
+
+
+def _q_composite_pages(sf_dir: str):
+    """ES composite aggregation: page through ALL (source, lang) buckets
+    in strict key order with after-key pagination (size 7 per page) —
+    the concatenated pages must equal the full GROUP BY."""
+    from elasticsearch_ray.ops.corpus import composite_buckets
+
+    ds = _docs_ds(sf_dir)
+    pages, after = [], None
+    while True:
+        page, after = composite_buckets(
+            ds, keys=["source", "lang"], size=7, after=after
+        )
+        pages.append(page)
+        if after is None:
+            break
+    return pa.concat_tables(pages)
+
+
+def _q_facet_avg(sf_dir: str):
+    """ES terms aggregation with an avg sub-aggregation: per facet value
+    of the hit set, doc count + avg(n_chars) (emitted as scaled ints for
+    an exact DuckDB twin)."""
+    import math
+
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "key": [], "doc_count": [], "metric_sum": [],
+            "avg_u": []}
+    for q, fld in FACET_QUERIES:
+        res = eng.search_facet_stats(q, fld, "n_chars", size=10)
+        for b in res["buckets"]:
+            rows["query"].append(q)
+            rows["key"].append(b["key"])
+            rows["doc_count"].append(b["doc_count"])
+            rows["metric_sum"].append(b["metric_sum"])
+            rows["avg_u"].append(
+                math.floor(b["metric_sum"] / b["metric_count"] * 1e6 + 0.5)
+                if b["metric_count"]
+                else -1
+            )
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "key": pa.array(rows["key"], pa.string()),
+            "doc_count": pa.array(rows["doc_count"], pa.int64()),
+            "metric_sum": pa.array(rows["metric_sum"], pa.int64()),
+            "avg_u": pa.array(rows["avg_u"], pa.int64()),
+        }
+    )
+
+
+FILTERS_AGG = [
+    ("merge_only", "merge"),
+    ("merge_and_hash", "merge AND hash"),
+    ("merge_prefix", "merg*"),
+    ("scan_or_join", "scan OR join"),
+]
+
+
+def _q_filters_agg(sf_dir: str):
+    """ES filters aggregation: one named bucket per filter query, exact
+    live hit counts, no scoring."""
+    eng = _engine(sf_dir, "plain")
+    res = eng.search_filters_agg(dict(FILTERS_AGG))
+    names = [n for n, _ in FILTERS_AGG]
+    return pa.table(
+        {
+            "name": pa.array(names, pa.string()),
+            "doc_count": pa.array(
+                [res["buckets"][n]["doc_count"] for n in names], pa.int64()
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "date_histogram": _q_date_histogram,
+        "composite_pages": _q_composite_pages,
+        "facet_avg": _q_facet_avg,
+        "filters_agg": _q_filters_agg,
         "zipf_points": _q_zipf_points,
         "pg_export_postings": _q_pg_export_postings,
         "redis_export_postings": _q_redis_export_postings,
@@ -2910,6 +3012,64 @@ def _facet_sql() -> str:
             f"FROM documents WHERE doc_id IN ({hits}) "
             f"GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 10)"
         )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
+_FACET_HITS = {
+    "merge": "SELECT DISTINCT doc_id FROM tok WHERE tok='merge'",
+    "merge AND hash": (
+        "SELECT doc_id FROM tok WHERE tok='merge' INTERSECT "
+        "SELECT doc_id FROM tok WHERE tok='hash'"
+    ),
+    "merg*": "SELECT DISTINCT doc_id FROM tok WHERE tok LIKE 'merg%'",
+    "scan OR join": (
+        "SELECT doc_id FROM tok WHERE tok='scan' UNION "
+        "SELECT doc_id FROM tok WHERE tok='join'"
+    ),
+}
+
+
+def _date_histogram_sql() -> str:
+    parts = [
+        f"SELECT '{iv}' AS interval, "
+        f"CAST(epoch_us(date_trunc('{iv}', ts)) AS BIGINT) AS bucket_us, "
+        "count(*)::BIGINT AS n, "
+        "sum(CAST(floor(value*100 + 0.5) AS BIGINT))::BIGINT AS sum_cents "
+        "FROM events GROUP BY 2"
+        for iv in ("day", "week", "month")
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def _composite_pages_sql() -> str:
+    return (
+        "SELECT source, lang, count(*)::BIGINT AS doc_count "
+        "FROM documents GROUP BY source, lang ORDER BY source, lang"
+    )
+
+
+def _facet_avg_sql() -> str:
+    parts = []
+    for q, fld in FACET_QUERIES:
+        hits = _FACET_HITS[q]
+        parts.append(
+            f"SELECT '{q}' AS query, key, doc_count, metric_sum, "
+            "CAST(floor(CAST(metric_sum AS DOUBLE) / doc_count * 1000000 "
+            "+ 0.5) AS BIGINT) AS avg_u FROM ("
+            f"SELECT {fld} AS key, count(*)::BIGINT AS doc_count, "
+            "sum(n_chars)::BIGINT AS metric_sum "
+            f"FROM documents WHERE doc_id IN ({hits}) "
+            "GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 10)"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
+def _filters_agg_sql() -> str:
+    parts = [
+        f"SELECT '{name}' AS name, "
+        f"(SELECT count(*) FROM ({_FACET_HITS[q]}))::BIGINT AS doc_count"
+        for name, q in FILTERS_AGG
+    ]
     return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
 
 
@@ -3778,6 +3938,10 @@ GROUP BY d.doc_id
         "complete_prefix": _complete_sql(),
         "fuzzy_plain": _fuzzy_sql(),
         "suggest_plain": _suggest_sql(),
+        "date_histogram": _date_histogram_sql(),
+        "composite_pages": _composite_pages_sql(),
+        "facet_avg": _facet_avg_sql(),
+        "filters_agg": _filters_agg_sql(),
         "facet_counts": _facet_sql(),
         "stats_agg": _stats_sql(),
         "extended_stats": _extended_stats_sql(),

@@ -220,3 +220,75 @@ def hash_split_counts(
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def composite_buckets(
+    ds: ray.data.Dataset,
+    keys: list[str] = ("source", "lang"),
+    size: int = 10,
+    after: tuple | None = None,
+):
+    """One page of an ES ``composite`` aggregation: the first ``size``
+    composite-key buckets in strict key order STRICTLY AFTER ``after``
+    (the previous page's last key tuple), each with its doc count.
+    Returns ``(table, after_key)`` where ``after_key`` is the tuple to
+    pass for the next page (None when this page wasn't full — ES's
+    end-of-stream signal).
+
+    Scale shape (the reason composite exists in ES): each page re-scans
+    the source but the ``after`` filter is pushed MAP-SIDE before any
+    shuffle, batches are pre-aggregated with one Arrow hash group-by
+    (shuffle carries one row per (batch, live bucket)), and the final
+    sort/limit runs over the bucket table, never the rows.  Memory per
+    page is O(size + live buckets), independent of corpus rows.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        if after is not None:
+            # vectorized lexicographic (k1,...,kn) > after: OR over
+            # prefix-equal & strictly-greater-at-i
+            gt = pa.array(np.zeros(batch.num_rows, dtype=bool))
+            eq = pa.array(np.ones(batch.num_rows, dtype=bool))
+            for col_name, a_val in zip(keys, after):
+                col = batch.column(col_name)
+                gt = pc.or_(gt, pc.and_(eq, pc.greater(col, a_val)))
+                eq = pc.and_(eq, pc.equal(col, a_val))
+            batch = batch.filter(gt)
+        part = batch.select(keys)
+        g = part.group_by(keys).aggregate([([], "count_all")])
+        return g.rename_columns(keys + ["n_part"])
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum("n_part"))
+        .sort(keys)
+        .limit(size)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {k: batch.column(k) for k in keys}
+        cols["doc_count"] = batch.column("sum(n_part)").cast(pa.int64())
+        return pa.table(cols)
+
+    df = agg.to_pandas()
+    if not len(df):
+        # past-the-end page (caller paged exactly to the last bucket):
+        # empty table with the page schema, end-of-stream signal
+        empty = {k: pa.array([], pa.string()) for k in keys}
+        empty["doc_count"] = pa.array([], pa.int64())
+        return pa.table(empty), None
+    page = finish(
+        pa.Table.from_pandas(df, preserve_index=False)
+        .select(keys + ["sum(n_part)"])
+    )
+    after_key = (
+        tuple(page.column(k)[-1].as_py() for k in keys)
+        if page.num_rows == size
+        else None
+    )
+    return page, after_key

@@ -396,6 +396,45 @@ class Searcher:
                 out[v] = out.get(v, 0) + int(counts[i])
         return out
 
+    def facet_stats(self, kind: str, payload, field: str,
+                    metric_field: str) -> dict:
+        """ES terms aggregation WITH a numeric sub-aggregation: per facet
+        value of ``field`` -> (doc_count, metric_count, metric_sum) of the
+        integer doc-value ``metric_field`` over the FULL hit set.  The
+        driver merges by key and derives the avg — the standard ES
+        ``terms { aggs: { avg } }`` shape.  Docs where the metric is null
+        count toward doc_count but not the metric (ES sub-agg
+        semantics)."""
+        per_facet = self._facet_column(field)
+        per_num = self._facet_numeric(metric_field)
+        sentinel = np.iinfo(np.int64).min
+        out: dict[str, list] = {}
+        for r, (codes, cats), vals in zip(
+            self.readers, per_facet, per_num
+        ):
+            slots = self._match_slots(r, kind, payload)
+            c = codes[slots]
+            v = vals[slots]
+            keep = c >= 0
+            c, v = c[keep], v[keep]
+            if not c.size:
+                continue
+            counts = np.bincount(c, minlength=len(cats))
+            present = v != sentinel
+            mc = np.bincount(c[present], minlength=len(cats))
+            ms = np.bincount(
+                c[present], weights=v[present].astype(np.float64),
+                minlength=len(cats),
+            )  # float64 partial sums are exact for |sum| < 2^53; the
+            # driver merge accumulates in python ints
+            for i in np.flatnonzero(counts):
+                key = cats[i]
+                acc = out.setdefault(key, [0, 0, 0])
+                acc[0] += int(counts[i])
+                acc[1] += int(mc[i])
+                acc[2] += int(ms[i])
+        return out
+
     def search_range(self, kind: str, payload, field: str,
                      lo: int | None, hi: int | None, k: int):
         """ES range query (``gte``/``lte`` inclusive bounds, either side
@@ -1548,6 +1587,50 @@ class QueryEngine:
                 {"key": v, "doc_count": n} for v, n in buckets[:size]
             ],
         }
+
+    def search_facet_stats(self, query_text: str, field: str,
+                           metric_field: str, size: int = 10) -> dict:
+        """ES terms aggregation with an ``avg`` sub-aggregation: per-value
+        doc counts AND the average of an integer doc-value over each
+        bucket's hit subset (``terms { aggs: { avg } }``).  Buckets sorted
+        (count desc, value asc), ES bucket shape with a nested metric."""
+        kind, payload = self._agg_route(query_text)
+        parts = self._fanout("facet_stats", kind, payload, field,
+                             metric_field)
+        merged: dict[str, list] = {}
+        for p in parts:
+            for v, (n, mc, ms) in p.items():
+                acc = merged.setdefault(v, [0, 0, 0])
+                acc[0] += n
+                acc[1] += mc
+                acc[2] += ms
+        buckets = sorted(merged.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        return {
+            "query": query_text,
+            "field": field,
+            "buckets": [
+                {
+                    "key": v,
+                    "doc_count": n,
+                    "metric_count": mc,
+                    "metric_sum": ms,
+                    "avg": (ms / mc) if mc else None,
+                }
+                for v, (n, mc, ms) in buckets[:size]
+            ],
+        }
+
+    def search_filters_agg(self, filters: dict[str, str]) -> dict:
+        """ES ``filters`` aggregation: one named bucket per filter query
+        (match / boolean / wildcard semantics), each with its exact live
+        hit count — no scoring, no fetch.  Bucket order preserves the
+        caller's dict order (ES keyed-filters behavior)."""
+        buckets = {}
+        for name, q in filters.items():
+            kind, payload = self._agg_route(q)
+            parts = self._fanout("count", kind, payload)
+            buckets[name] = {"doc_count": int(sum(parts))}
+        return {"buckets": buckets}
 
     def search_stats(self, query_text: str, field: str) -> dict:
         """ES stats aggregation: exact count/sum/min/max/avg of an integer

@@ -202,3 +202,61 @@ def test_asof_join(events_ds):
     assert out[2] == (1, 40 * MIN)
     assert out[4] == (1, 55 * MIN)
     assert out[3] == (3, 0)  # user 2's click
+
+
+def test_date_histogram_calendar_intervals():
+    """Calendar bucketing vs a pandas dt.floor/period reference on a
+    randomized stream spanning month/week/day boundaries (incl. a Sunday
+    -> Monday week edge: weeks must start Monday, matching ES/DuckDB)."""
+    import pandas as pd
+
+    from elasticsearch_ray.ops.events import date_histogram
+
+    rng = np.random.default_rng(7)
+    ts = pd.to_datetime("2023-12-25") + pd.to_timedelta(
+        rng.integers(0, 40 * 24 * 3600, size=500), unit="s"
+    )
+    vals = rng.uniform(-5, 5, size=500).round(3)
+    t = pa.table({
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "value": pa.array(vals, pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(5)
+    df = pd.DataFrame({"ts": ts, "value": vals})
+    df["cents"] = np.floor(df["value"] * 100 + 0.5).astype(np.int64)
+    for iv, freq in (("day", "D"), ("week", "W-MON"), ("month", "MS")):
+        got = (
+            date_histogram(ds, interval=iv).to_pandas()
+            .sort_values("bucket_us").reset_index(drop=True)
+        )
+        if freq == "W-MON":
+            # pandas W-MON labels the week END; floor to the Monday start
+            key = df["ts"] - pd.to_timedelta(
+                (df["ts"].dt.dayofweek), unit="D"
+            )
+            key = key.dt.normalize()
+        elif freq == "MS":
+            key = df["ts"].dt.to_period("M").dt.start_time
+        else:
+            key = df["ts"].dt.normalize()
+        ref = (
+            df.groupby(key.astype("datetime64[us]"))
+            .agg(n=("value", "size"), sum_cents=("cents", "sum"))
+            .reset_index()
+        )
+        ref["bucket_us"] = ref.iloc[:, 0].astype(np.int64)
+        ref = ref.sort_values("bucket_us").reset_index(drop=True)
+        assert got["bucket_us"].tolist() == ref["bucket_us"].tolist(), iv
+        assert got["n"].tolist() == ref["n"].tolist(), iv
+        assert got["sum_cents"].tolist() == ref["sum_cents"].tolist(), iv
+
+
+def test_date_histogram_rejects_unknown_interval():
+    from elasticsearch_ray.ops.events import date_histogram
+
+    t = pa.table({
+        "ts": pa.array([0], pa.timestamp("us")),
+        "value": pa.array([1.0], pa.float64()),
+    })
+    with pytest.raises(ValueError):
+        date_histogram(ray.data.from_arrow(t), interval="fortnight")

@@ -965,3 +965,44 @@ def test_image_resize_strict_tolerates_null_payloads():
     })
     out = stage(batch)
     assert out.column("thumbnail").to_pylist() == [bytes(16), bytes(16)]
+
+
+def test_composite_buckets_pagination(docs_ds):
+    """Composite-agg pages: strict key order, disjoint, after-key
+    resumes exactly, concatenated pages == the full group-by."""
+    import ray.data
+
+    from elasticsearch_ray.ops.corpus import composite_buckets
+
+    # enrich with a second key so composites are non-trivial
+    def add_src(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        t = t.append_column(
+            "source", pa.array([f"s{int(i) % 3}" for i in ids], pa.string())
+        )
+        return t.append_column(
+            "lang", pa.array([f"l{int(i) % 2}" for i in ids], pa.string())
+        )
+
+    ds = docs_ds.map_batches(add_src, batch_format="pyarrow")
+    full, after0 = composite_buckets(
+        ds, keys=["source", "lang"], size=10_000
+    )
+    assert after0 is None
+    keys_full = list(zip(full.column("source").to_pylist(),
+                         full.column("lang").to_pylist()))
+    assert keys_full == sorted(keys_full)  # strict key order
+    pages, after, seen = [], None, []
+    while True:
+        page, after = composite_buckets(
+            ds, keys=["source", "lang"], size=2, after=after
+        )
+        pages.append(page)
+        seen += list(zip(page.column("source").to_pylist(),
+                         page.column("lang").to_pylist()))
+        if after is None:
+            break
+    assert seen == keys_full  # disjoint, ordered, complete
+    got = pa.concat_tables(pages)
+    assert got.column("doc_count").to_pylist() == \
+        full.column("doc_count").to_pylist()

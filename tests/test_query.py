@@ -1905,3 +1905,93 @@ def test_wildcard_literal_bracket_and_fuzzy_empty(tmp_path):
         "averyveryverylongtoken", 1, with_dist=True
     )
     assert rows == [] and dists == []
+
+
+def test_facet_stats_and_filters_agg(tmp_path):
+    """ES terms agg with an avg sub-aggregation + filters agg, vs a
+    pure-python scan; distributed (2 searchers) and embedded agree, and a
+    null metric doc-value counts toward doc_count but not the metric."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(9)
+    vocab = ["merge", "hash", "scan", "join", "other", "words"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(8)),
+            "source": f"s{rng.randint(0, 3)}",
+            "n_chars": (rng.randint(10, 500) if i % 7 else None),
+        }
+        for i in range(120)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+        }),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("source", "n_chars"),
+                    docs_per_segment=50, target_partition_rows=25),
+    )
+    for n_searchers in (0, 2):
+        eng = QueryEngine(idx, num_searchers=n_searchers)
+        try:
+            for q, pred in (
+                ("merge", lambda t: "merge" in t.split()),
+                ("merge AND hash",
+                 lambda t: "merge" in t.split() and "hash" in t.split()),
+                ("merg*",
+                 lambda t: any(w.startswith("merg") for w in t.split())),
+            ):
+                exp: dict = {}
+                for r in rows:
+                    if pred(r["text"]):
+                        acc = exp.setdefault(r["source"], [0, 0, 0])
+                        acc[0] += 1
+                        if r["n_chars"] is not None:
+                            acc[1] += 1
+                            acc[2] += r["n_chars"]
+                expected = [
+                    (k, n, mc, ms)
+                    for k, (n, mc, ms) in sorted(
+                        exp.items(), key=lambda kv: (-kv[1][0], kv[0])
+                    )
+                ]
+                got = [
+                    (b["key"], b["doc_count"], b["metric_count"],
+                     b["metric_sum"])
+                    for b in eng.search_facet_stats(
+                        q, "source", "n_chars", size=10
+                    )["buckets"]
+                ]
+                assert got == expected, (n_searchers, q)
+                # avg = sum / count of present metrics
+                for b in eng.search_facet_stats(
+                    q, "source", "n_chars", size=10
+                )["buckets"]:
+                    if b["metric_count"]:
+                        assert b["avg"] == pytest.approx(
+                            b["metric_sum"] / b["metric_count"]
+                        )
+            # filters agg: named buckets == _count of each filter
+            flt = {"m": "merge", "mh": "merge AND hash", "w": "merg*"}
+            res = eng.search_filters_agg(flt)
+            assert list(res["buckets"]) == list(flt)  # caller order kept
+            for name, q in flt.items():
+                assert (res["buckets"][name]["doc_count"]
+                        == eng.count(q)["count"])
+        finally:
+            eng.close()
