@@ -2303,8 +2303,40 @@ def _q_filters_agg(sf_dir: str):
     )
 
 
+SYN_QUERIES: list[tuple[str, dict[str, list[str]]]] = [
+    ("merge join", {"merge": ["union", "scan"], "join": ["hash"]}),
+    ("filter scan", {"scan": ["batch", "probe"]}),
+    ("customer order", {"order": ["lineitem"]}),
+]
+
+
+def _q_synonyms_top10(sf_dir: str):
+    """ES query-time synonyms (match query through a synonym_graph token
+    filter): each analyzed query term expands to its synonym class, scored
+    as ONE Lucene SynonymQuery — per-doc tf summed across members BEFORE
+    BM25 saturation, idf from df = max member df."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "rank": [], "doc_id": [], "score_u": []}
+    for q, syn in SYN_QUERIES:
+        res = eng.search_synonyms(q, syn, size=10)
+        for rank, r in enumerate(res["results"], 1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r["doc_id"])
+            rows["score_u"].append(int(math.floor(r["score"] * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score_u": pa.array(rows["score_u"], pa.int64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "synonyms_top10": _q_synonyms_top10,
         "date_histogram": _q_date_histogram,
         "composite_pages": _q_composite_pages,
         "facet_avg": _q_facet_avg,
@@ -3027,6 +3059,54 @@ _FACET_HITS = {
         "SELECT doc_id FROM tok WHERE tok='join'"
     ),
 }
+
+
+def _synonyms_sql() -> str:
+    """Twin of Lucene SynonymQuery scoring: per (query, group) the df is
+    the MAX member df, a doc's group tf is the SUM of member tfs, and the
+    BM25 saturation applies to the summed tf; group contributions add."""
+    vals = []
+    for q, syn in SYN_QUERIES:
+        for gid, t in enumerate(q.split()):
+            for m in dict.fromkeys([t] + syn.get(t, [])):
+                vals.append(f"('{q}', {gid}, '{m}')")
+    values = ", ".join(vals)
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+g(query, gid, term) AS (VALUES {values}),
+gdf AS (
+  SELECT g.query, g.gid, max(coalesce(df.df, 0)) AS df
+  FROM g LEFT JOIN df ON df.term = g.term GROUP BY g.query, g.gid
+),
+gtf AS (
+  SELECT g.query, g.gid, tf.doc_id, sum(tf.tf) AS tf
+  FROM g JOIN tf ON tf.term = g.term GROUP BY g.query, g.gid, tf.doc_id
+),
+scored AS (
+  SELECT gtf.query, gtf.doc_id,
+         sum(ln((stats.n + 1.0) / (gdf.df + 1.0))
+             * (gtf.tf * 2.2)
+             / (gtf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+  FROM gtf
+  JOIN gdf ON gdf.query = gtf.query AND gdf.gid = gtf.gid
+  JOIN dl ON dl.doc_id = gtf.doc_id
+  CROSS JOIN stats
+  WHERE ln((stats.n + 1.0) / (gdf.df + 1.0)) <> 0
+  GROUP BY gtf.query, gtf.doc_id
+),
+ranked AS (
+  SELECT query, doc_id, s,
+         row_number() OVER (PARTITION BY query ORDER BY s DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, CAST(rank AS INT) AS rank, doc_id,
+       CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_u
+FROM ranked WHERE rank <= 10 ORDER BY query, rank
+"""
 
 
 def _date_histogram_sql() -> str:
@@ -3938,6 +4018,7 @@ GROUP BY d.doc_id
         "complete_prefix": _complete_sql(),
         "fuzzy_plain": _fuzzy_sql(),
         "suggest_plain": _suggest_sql(),
+        "synonyms_top10": _synonyms_sql(),
         "date_histogram": _date_histogram_sql(),
         "composite_pages": _composite_pages_sql(),
         "facet_avg": _facet_avg_sql(),

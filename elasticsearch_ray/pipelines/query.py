@@ -900,6 +900,34 @@ class Searcher:
         ids, scores = sc._topk_by_score(ids, scores, k)
         return ids, scores, total
 
+    def search_synonyms(self, groups: list[list[str]],
+                        group_idfs: list[float], k: int, scoring: str,
+                        k1: float, b: float, avgdl: float):
+        """Ranked search where each query position is a synonym GROUP
+        scored with Lucene SynonymQuery semantics (member tfs summed
+        before BM25 saturation, group idf from max member df) — see
+        ``scoring.synonym_candidates``."""
+        all_ids: list[np.ndarray] = []
+        all_scores: list[np.ndarray] = []
+        total = 0
+        for r in self.readers:
+            slots, scores = sc.synonym_candidates(
+                r, groups, group_idfs, scoring, k1, b, avgdl
+            )
+            total += int(slots.size)
+            all_ids.append(slots + r.doc_id_base)
+            all_scores.append(scores)
+        ids = (
+            np.concatenate(all_ids) if all_ids
+            else np.empty(0, dtype=np.int64)
+        )
+        scores = (
+            np.concatenate(all_scores) if all_scores
+            else np.empty(0, dtype=np.float64)
+        )
+        ids, scores = sc._topk_by_score(ids, scores, k)
+        return ids, scores, total
+
     def search_phrase(self, phrases: list[list[str]], residual: list[str], k: int,
                       slops: list[int] | None = None):
         out: list[np.ndarray] = []
@@ -1508,6 +1536,63 @@ class QueryEngine:
             {"doc_id": int(ids[i]), "score": float(scores[i])} for i in order
         ]
         return {"query": query_label, "total_hits": total, "results": results}
+
+    def search_synonyms(self, query_text: str,
+                        synonyms: dict[str, list[str]],
+                        size: int = 10) -> dict:
+        """ES query-time synonyms: a ``match`` query analyzed with a
+        ``synonym_graph`` token filter.  Each analyzed query term expands
+        to its equivalence class from ``synonyms`` (surface forms; both
+        sides are run through the index analyzer so stemming agrees with
+        the index), and each class is scored as ONE Lucene
+        ``SynonymQuery``: per-doc tf = sum of member tfs (summed BEFORE
+        BM25's saturation), idf from df = max member df.  With an empty
+        mapping this is score-identical to ``search(mode='taat')``.
+
+        ``synonyms`` maps a single term to its alternates (ES
+        ``"a => b, c"`` contraction form, applied symmetrically to the
+        query side only — index unchanged, the standard ES search-time
+        synonym deployment since it needs no reindex)."""
+        terms = self.normalizer.preprocess_query_list(query_text)
+        if not terms or self.doc_count == 0:
+            return {"query": query_text, "total_hits": 0, "results": []}
+        syn_map: dict[str, list[str]] = {}
+        for key, alts in synonyms.items():
+            kt = self.normalizer.preprocess_query_list(key)
+            if len(kt) != 1:
+                raise ValueError(
+                    f"synonym key {key!r} must analyze to exactly one term "
+                    f"(got {kt}); multi-word synonyms need positions and "
+                    "are not supported"
+                )
+            members: list[str] = []
+            for alt in alts:
+                members.extend(self.normalizer.preprocess_query_list(alt))
+            syn_map[kt[0]] = members
+        groups = [
+            list(dict.fromkeys([t] + syn_map.get(t, []))) for t in terms
+        ]
+        all_members = sorted({m for g in groups for m in g})
+        dfs = self._global_dfs(all_members)
+        group_idfs = []
+        for g in groups:
+            df = max(dfs[m] for m in g)
+            group_idfs.append(
+                math.log((self.doc_count + 1) / (df + 1)) if df > 0 else 0.0
+            )
+        parts = self._fanout(
+            "search_synonyms", groups, group_idfs, size, self.scoring,
+            self.k1, self.b, self.avgdl,
+        )
+        ids = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        total = int(sum(p[2] for p in parts))
+        order = np.lexsort((ids, -scores))[:size]
+        results = [
+            {"doc_id": int(ids[i]), "score": float(scores[i])} for i in order
+        ]
+        return {"query": query_text, "total_hits": total,
+                "results": results}
 
     @staticmethod
     def parse_phrases(

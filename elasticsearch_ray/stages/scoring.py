@@ -114,6 +114,61 @@ def taat_candidates(
     return cand, acc[cand]
 
 
+def synonym_candidates(
+    reader: SegmentReader,
+    groups: list[list[str]],
+    group_idfs: list[float],
+    scoring: str,
+    k1: float,
+    b: float,
+    avgdl: float,
+):
+    """Lucene ``SynonymQuery`` scoring over one segment (the query shape ES
+    compiles a ``match`` query to under a ``synonym``/``synonym_graph``
+    filter): each group of equivalent terms behaves as ONE pseudo-term —
+    a doc's tf for the group is the SUM of its member tfs, summed BEFORE
+    BM25's tf saturation (this is what distinguishes a synonym group from
+    a plain OR of the members, whose saturations add), scored once with
+    the group idf (df = max member df, Lucene's SynonymQuery weight).
+
+    Groups then accumulate doc-by-doc exactly like TAAT terms, so a query
+    whose groups are all singletons is score-identical to
+    ``taat_candidates`` on the same terms.  Returns ALL candidate
+    (slots, scores); callers merge across segments and take one top-k."""
+    acc = None
+    touched: list[np.ndarray] = []
+    for g, idf in zip(groups, group_idfs):
+        if idf == 0.0:  # df == 0 or df == N degenerates, same rule as TAAT
+            continue
+        tf_acc = None
+        g_touch: list[np.ndarray] = []
+        for t in dict.fromkeys(g):  # a member listed twice counts once
+            res = reader.postings_slots(t)
+            if res is None:
+                continue
+            slots, tfs = res
+            if tf_acc is None:
+                tf_acc = np.zeros(reader.num_docs, dtype=np.int64)
+            tf_acc[slots] += tfs
+            g_touch.append(slots)
+        if tf_acc is None:
+            continue
+        gslots = np.unique(np.concatenate(g_touch))
+        s = term_scores(
+            tf_acc[gslots], reader.doc_lens[gslots], idf, scoring, k1, b,
+            avgdl,
+        )
+        if acc is None:
+            acc = np.zeros(reader.num_docs, dtype=np.float64)
+        acc[gslots] += s
+        touched.append(gslots)
+    if acc is None:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    cand = np.unique(np.concatenate(touched))
+    cand = cand[reader.doc_lens[cand] > 0]  # drop tombstoned (-1) docs
+    return cand, acc[cand]
+
+
 def taat_topk(
     reader: SegmentReader,
     terms: list[str],

@@ -1995,3 +1995,102 @@ def test_facet_stats_and_filters_agg(tmp_path):
                         == eng.count(q)["count"])
         finally:
             eng.close()
+
+
+def test_search_synonyms_lucene_semantics(tmp_path):
+    """Query-time synonyms: (a) empty mapping is score-identical to plain
+    TAAT, (b) synonym groups score per Lucene SynonymQuery (member tfs sum
+    BEFORE BM25 saturation, idf from max member df) vs a pure-python
+    reference, (c) embedded and distributed (2 searchers) agree."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(17)
+    vocab = ["merge", "join", "hash", "scan", "union", "probe", "other"]
+    docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 12)))
+        for _ in range(90)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    docs_per_segment=40, target_partition_rows=20),
+    )
+
+    # pure-python SynonymQuery reference
+    toks = [d.split() for d in docs]
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in toks) / n_docs
+
+    def py_synonyms(query, syn, k=10):
+        groups = []
+        for t in query.split():
+            groups.append(list(dict.fromkeys([t] + syn.get(t, []))))
+        scores: dict[int, float] = {}
+        for g in groups:
+            df = max(
+                sum(1 for t in toks if m in t) for m in g
+            )
+            idf = math.log((n_docs + 1) / (df + 1)) if df > 0 else 0.0
+            if idf == 0.0:
+                continue
+            for did, t in enumerate(toks):
+                tf = sum(t.count(m) for m in set(g))
+                if tf == 0:
+                    continue
+                dl = len(t)
+                s = idf * (tf * 2.2) / (
+                    tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)
+                )
+                scores[did] = scores.get(did, 0.0) + s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    cases = [
+        ("merge join", {"merge": ["union"], "join": ["hash"]}),
+        ("scan", {"scan": ["probe", "merge"]}),
+        ("hash probe", {}),
+        ("union", {"union": ["union"]}),      # self-synonym is a no-op
+        ("merge", {"merge": ["zzz_absent"]}),  # absent member ignored
+    ]
+    for n_searchers in (0, 2):
+        eng = QueryEngine(idx, num_searchers=n_searchers)
+        try:
+            for q, syn in cases:
+                got = [
+                    (r["doc_id"], r["score"])
+                    for r in eng.search_synonyms(q, syn, size=10)["results"]
+                ]
+                exp = py_synonyms(q, syn)
+                assert [d for d, _ in got] == [d for d, _ in exp], (
+                    n_searchers, q)
+                for (_, gs), (_, es) in zip(got, exp):
+                    assert gs == pytest.approx(es, rel=1e-12), (
+                        n_searchers, q)
+            # empty mapping == plain TAAT search, score-identical
+            for q in ("merge join", "scan hash union"):
+                a = eng.search_synonyms(q, {}, size=10)["results"]
+                b = eng.search(q, size=10, mode="taat")["results"]
+                assert [(r["doc_id"], r["score"]) for r in a] == [
+                    (r["doc_id"], r["score"]) for r in b
+                ], (n_searchers, q)
+            # multi-token synonym key is rejected
+            with pytest.raises(ValueError):
+                eng.search_synonyms("merge", {"merge join": ["hash"]})
+        finally:
+            eng.close()
