@@ -53,7 +53,7 @@ def brute_force_topk(
     def fn(batch: pa.Table) -> pa.Table:
         qm = ray.get(qref)
         ids = batch.column(id_col).to_numpy()
-        mat = _normalize(np.array(batch.column(vec_col).to_pylist(), dtype=dtype))
+        mat = _normalize(list_to_matrix(batch.column(vec_col), dtype))
         sims = mat @ qm.T  # (n, nq)
         out_q, out_id, out_cos = [], [], []
         kk = min(k, ids.size)
@@ -369,7 +369,7 @@ def ivf_query_rescore(
     def fn(batch: pa.Table) -> pa.Table:
         qm, mem = ray.get(bref)
         ids = batch.column(id_col).to_numpy()
-        mat = _normalize(np.array(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        mat = _normalize(list_to_matrix(batch.column(vec_col), np.float64))
         out_q, out_id, out_cos = [], [], []
         for qi in range(qm.shape[0]):
             mask = np.isin(ids, mem[qi])

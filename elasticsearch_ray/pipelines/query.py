@@ -396,6 +396,25 @@ class Searcher:
                 out[v] = out.get(v, 0) + int(counts[i])
         return out
 
+    def missing_count(self, kind: str, payload, field: str,
+                      is_string: bool) -> int:
+        """ES ``missing`` aggregation: how many docs of the hit set have NO
+        value for ``field`` — dictionary code -1 for string doc-values,
+        the int64-min sentinel for numeric ones."""
+        n = 0
+        if is_string:
+            for r, (codes, _cats) in zip(
+                self.readers, self._facet_column(field)
+            ):
+                slots = self._match_slots(r, kind, payload)
+                n += int((codes[slots] < 0).sum())
+        else:
+            sentinel = np.iinfo(np.int64).min
+            for r, vals in zip(self.readers, self._facet_numeric(field)):
+                slots = self._match_slots(r, kind, payload)
+                n += int((vals[slots] == sentinel).sum())
+        return n
+
     def facet_stats(self, kind: str, payload, field: str,
                     metric_field: str) -> dict:
         """ES terms aggregation WITH a numeric sub-aggregation: per facet
@@ -1704,6 +1723,20 @@ class QueryEngine:
                 for v, (n, mc, ms) in buckets[:size]
             ],
         }
+
+    def search_missing(self, query_text: str | None, field: str,
+                       field_type: str = "int") -> dict:
+        """ES ``missing`` aggregation: count of hit docs (match-all when
+        ``query_text`` is None) with no value for ``field``.
+        ``field_type``: 'int' for numeric doc-values, 'str' for
+        dictionary-encoded string doc-values."""
+        if field_type not in ("int", "str"):
+            raise ValueError(f"field_type {field_type!r} not in (int, str)")
+        kind, payload = self._agg_route(query_text)
+        parts = self._fanout(
+            "missing_count", kind, payload, field, field_type == "str"
+        )
+        return {"field": field, "doc_count": int(sum(parts))}
 
     def search_filters_agg(self, filters: dict[str, str]) -> dict:
         """ES ``filters`` aggregation: one named bucket per filter query

@@ -2094,3 +2094,63 @@ def test_search_synonyms_lucene_semantics(tmp_path):
                 eng.search_synonyms("merge", {"merge join": ["hash"]})
         finally:
             eng.close()
+
+
+def test_search_missing_agg(tmp_path):
+    """ES missing aggregation over string and numeric doc-values, under a
+    match-all and a filtered query, embedded and distributed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(5)
+    vocab = ["merge", "hash", "scan", "join"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(6)),
+            "source": (f"s{i % 3}" if i % 4 else None),
+            "n_chars": (rng.randint(10, 99) if i % 5 else None),
+        }
+        for i in range(100)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+        }),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("source", "n_chars"),
+                    docs_per_segment=40, target_partition_rows=20),
+    )
+    for n_searchers in (0, 2):
+        eng = QueryEngine(idx, num_searchers=n_searchers)
+        try:
+            for q, pred in (
+                (None, lambda t: True),
+                ("merge", lambda t: "merge" in t.split()),
+                ("merge AND hash",
+                 lambda t: "merge" in t.split() and "hash" in t.split()),
+            ):
+                hit = [r for r in rows if pred(r["text"])]
+                exp_str = sum(1 for r in hit if r["source"] is None)
+                exp_int = sum(1 for r in hit if r["n_chars"] is None)
+                got_s = eng.search_missing(q, "source", field_type="str")
+                got_i = eng.search_missing(q, "n_chars", field_type="int")
+                assert got_s["doc_count"] == exp_str, (n_searchers, q)
+                assert got_i["doc_count"] == exp_int, (n_searchers, q)
+            with pytest.raises(ValueError):
+                eng.search_missing(None, "source", field_type="bogus")
+        finally:
+            eng.close()
