@@ -975,6 +975,101 @@ def _q_range_filter(sf_dir: str):
     )
 
 
+BOOSTING_NEGATIVE = "merge"
+BOOSTING_NB = 0.5
+
+CONST_SCORE_FILTERS = ["merge", "merg*", "merge AND hash"]
+CONST_SCORE_BOOST = 1.2
+
+RANGE_AGG_RANGES = [
+    {"to": 200},
+    {"from": 200, "to": 500},
+    {"from": 500},
+]
+RANGE_AGG_QUERIES = [None, "merge"]
+
+
+def _q_boosting(sf_dir: str):
+    """ES boosting query: BM25 positive relevance demoted by
+    negative_boost=0.5 where the negative match query ('merge') also hits;
+    re-ranked top-10 per positive query (exhaustive TAAT — demotion can
+    promote deep docs).
+
+    SQL twin: the shared bm25 scored CTE times a CASE demotion factor on
+    membership in the negative hit set."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "rank": [], "doc_id": [], "score": []}
+    for q in BM25_QUERIES:
+        res = eng.search_boosting(q, BOOSTING_NEGATIVE,
+                                  negative_boost=BOOSTING_NB, size=10)
+        for rank, r in enumerate(res["results"], 1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r["doc_id"])
+            rows["score"].append(int(math.floor(r["score"] * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score_u": pa.array(rows["score"], pa.int64()),
+        }
+    )
+
+
+def _q_constant_score(sf_dir: str):
+    """ES constant_score query: every doc matching the filter (match /
+    wildcard / boolean semantics) scores exactly boost=1.2 — no relevance
+    computation; first 10 hits in doc-id order plus the exact total.
+
+    SQL twin: the filter hit set ordered by doc_id LIMIT 10 with a
+    window-count total and a constant score column."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "rank": [], "doc_id": [], "score": [],
+            "total": []}
+    for q in CONST_SCORE_FILTERS:
+        res = eng.search_constant_score(q, boost=CONST_SCORE_BOOST,
+                                        size=10)
+        for rank, r in enumerate(res["results"], 1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r["doc_id"])
+            rows["score"].append(int(math.floor(r["score"] * 1e6 + 0.5)))
+            rows["total"].append(res["total_hits"])
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score_u": pa.array(rows["score"], pa.int64()),
+            "total": pa.array(rows["total"], pa.int64()),
+        }
+    )
+
+
+def _q_range_agg(sf_dir: str):
+    """ES range aggregation: exact doc counts per caller-supplied
+    [from, to) bucket of the n_chars doc-value (from inclusive, to
+    exclusive, ES bucket keys) over match-all and a match-query hit set.
+
+    SQL twin: one filtered COUNT per (query, range)."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "key": [], "doc_count": []}
+    for q in RANGE_AGG_QUERIES:
+        res = eng.search_range_agg(q, "n_chars", RANGE_AGG_RANGES)
+        for b in res["buckets"]:
+            rows["query"].append(q or "")
+            rows["key"].append(b["key"])
+            rows["doc_count"].append(b["doc_count"])
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "key": pa.array(rows["key"], pa.string()),
+            "doc_count": pa.array(rows["doc_count"], pa.int64()),
+        }
+    )
+
+
 def _multi_engine(sf_dir: str):
     """Two indexes over disjoint halves of the documents table (split at
     doc_id < n//2), wrapped in a MultiIndexEngine — the ES alias /
@@ -2336,6 +2431,9 @@ def _q_synonyms_top10(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "boosting": _q_boosting,
+        "constant_score": _q_constant_score,
+        "range_agg": _q_range_agg,
         "synonyms_top10": _q_synonyms_top10,
         "date_histogram": _q_date_histogram,
         "composite_pages": _q_composite_pages,
@@ -3441,6 +3539,100 @@ def _range_sql() -> str:
     return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
 
 
+def _boosting_sql() -> str:
+    qt = []
+    for q in BM25_QUERIES:
+        for t in q.split():
+            qt.append((q, t))
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query, term) AS (VALUES {_bm25_values_sql(qt)}),
+neg AS (SELECT DISTINCT doc_id FROM tok WHERE tok = '{BOOSTING_NEGATIVE}'),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         sum(ln((stats.n + 1.0) / (df.df + 1.0))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+  GROUP BY q.query, tf.doc_id
+),
+demoted AS (
+  SELECT sc.query, sc.doc_id,
+         sc.s * (CASE WHEN neg.doc_id IS NOT NULL
+                      THEN {BOOSTING_NB} ELSE 1.0 END) AS bs
+  FROM scored sc LEFT JOIN neg ON neg.doc_id = sc.doc_id
+),
+ranked AS (
+  SELECT query, doc_id, bs,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY bs DESC, doc_id) AS rank
+  FROM demoted
+)
+SELECT query, CAST(rank AS INT) AS rank, doc_id,
+       CAST(floor(bs * 1000000 + 0.5) AS BIGINT) AS score_u
+FROM ranked WHERE rank <= 10
+ORDER BY query, rank
+"""
+
+
+def _constant_score_sql() -> str:
+    hits = {
+        "merge": "SELECT DISTINCT doc_id FROM tok WHERE tok='merge'",
+        "merg*": "SELECT DISTINCT doc_id FROM tok WHERE tok LIKE 'merg%'",
+        "merge AND hash": (
+            "SELECT doc_id FROM tok WHERE tok='merge' INTERSECT "
+            "SELECT doc_id FROM tok WHERE tok='hash'"
+        ),
+    }
+    score_u = int(math.floor(CONST_SCORE_BOOST * 1e6 + 0.5))
+    parts = []
+    for q in CONST_SCORE_FILTERS:
+        label = q.replace("'", "''")
+        parts.append(f"""
+SELECT '{label}' AS query, CAST(rank AS INT) AS rank, doc_id,
+       CAST({score_u} AS BIGINT) AS score_u, total
+FROM (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY doc_id) AS rank,
+         count(*) OVER () AS total
+  FROM ({hits[q]})
+) WHERE rank <= 10""")
+    return (
+        f"WITH tok AS ({_TOK}) SELECT * FROM ("
+        + " UNION ALL ".join(f"({p})" for p in parts)
+        + ") ORDER BY query, rank"
+    )
+
+
+def _range_agg_sql() -> str:
+    parts = []
+    for q in RANGE_AGG_QUERIES:
+        label = (q or "").replace("'", "''")
+        for r in RANGE_AGG_RANGES:
+            lo, hi = r.get("from"), r.get("to")
+            key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+            conds = [f"doc_id IN ({_AGG_HITS_SQL[q]})"]
+            if lo is not None:
+                conds.append(f"n_chars >= {lo}")
+            if hi is not None:
+                conds.append(f"n_chars < {hi}")
+            parts.append(
+                f"SELECT '{label}' AS query, '{key}' AS key, "
+                f"count(*) AS doc_count FROM documents "
+                f"WHERE {' AND '.join(conds)}"
+            )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
 def _sort_nchars_sql() -> str:
     parts = []
     for q in SORT_COUNT_QUERIES:
@@ -4032,6 +4224,9 @@ GROUP BY d.doc_id
         "cardinality_approx": _cardinality_approx_sql(),
         "percentiles_approx": _percentiles_approx_sql(),
         "range_filter": _range_sql(),
+        "boosting": _boosting_sql(),
+        "constant_score": _constant_score_sql(),
+        "range_agg": _range_agg_sql(),
         "sort_nchars": _sort_nchars_sql(),
         "sort_source": _sort_source_sql(),
         "count_api": _count_api_sql(),

@@ -581,6 +581,82 @@ class Searcher:
             np.concatenate(all_ids), np.concatenate(all_scores), total
         )
 
+    def search_boosting(self, terms: list[str], idfs: dict[str, float],
+                        neg_kind: str, neg_payload, negative_boost: float,
+                        k: int, scoring: str, k1: float, b: float,
+                        avgdl: float):
+        """ES ``boosting`` query: positive relevance demoted (score *=
+        ``negative_boost``) wherever the negative query matches.  Demotion
+        reorders docs, so positive scoring is exhaustive TAAT; the negative
+        hit set is one boolean/terms match per reader and the demotion one
+        vectorized membership test (both sides sorted-unique ->
+        searchsorted).  Returns the local top-k only."""
+        all_ids: list[np.ndarray] = []
+        all_scores: list[np.ndarray] = []
+        total = 0
+        for r in self.readers:
+            slots, scores = sc.taat_candidates(
+                r, terms, idfs, scoring, k1, b, avgdl
+            )
+            total += int(slots.size)
+            if not slots.size:
+                continue
+            neg = self._match_slots(r, neg_kind, neg_payload)
+            if neg.size:
+                pos = np.searchsorted(neg, slots)
+                pos_c = np.minimum(pos, neg.size - 1)
+                demote = neg[pos_c] == slots
+                if demote.any():
+                    scores = scores.copy()
+                    scores[demote] *= negative_boost
+            ids, s = sc._topk_by_score(slots + r.doc_id_base, scores, k)
+            all_ids.append(ids)
+            all_scores.append(s)
+        if not all_ids:
+            e = np.empty(0, dtype=np.int64)
+            return e, np.empty(0, dtype=np.float64), total
+        return (
+            np.concatenate(all_ids), np.concatenate(all_scores), total
+        )
+
+    def constant_score_ids(self, kind: str, payload, k: int):
+        """ES ``constant_score`` query: the filter's live hit set with no
+        scoring work at all — first k slots per reader in doc order plus
+        the exact local total (the driver assigns the constant boost)."""
+        parts: list[np.ndarray] = []
+        total = 0
+        for r in self.readers:
+            slots = self._match_slots(r, kind, payload)
+            total += int(slots.size)
+            parts.append(slots[:k] + r.doc_id_base)
+        ids = (
+            np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+        )
+        return ids[:k], total
+
+    def range_agg(self, kind: str, payload, field: str,
+                  edges: list) -> list[int]:
+        """ES ``range`` aggregation over an INTEGER doc-value field: exact
+        doc count per [from, to) bucket (ES from-inclusive / to-exclusive,
+        buckets may overlap) over the full hit set.  One vectorized mask
+        per bucket; driver sums across shards."""
+        per_reader = self._facet_numeric(field)
+        counts = [0] * len(edges)
+        for r, vals in zip(self.readers, per_reader):
+            slots = self._match_slots(r, kind, payload)
+            v = vals[slots]
+            v = v[v != np.iinfo(np.int64).min]
+            if not v.size:
+                continue
+            for i, (lo, hi) in enumerate(edges):
+                m = np.ones(v.size, dtype=bool)
+                if lo is not None:
+                    m &= v >= lo
+                if hi is not None:
+                    m &= v < hi
+                counts[i] += int(np.count_nonzero(m))
+        return counts
+
     def search_collapse(self, terms: list[str], idfs: dict[str, float],
                         field: str, scoring: str, k1: float, b: float,
                         avgdl: float):
@@ -1749,6 +1825,83 @@ class QueryEngine:
             parts = self._fanout("count", kind, payload)
             buckets[name] = {"doc_count": int(sum(parts))}
         return {"buckets": buckets}
+
+    def search_boosting(self, positive_query: str, negative_query: str,
+                        negative_boost: float = 0.5,
+                        size: int = 10) -> dict:
+        """ES ``boosting`` query: docs are ranked by the positive match
+        query's relevance, multiplied by ``negative_boost`` (< 1) where the
+        negative query (match / boolean / wildcard semantics) also matches.
+        Exhaustive per-shard TAAT (demotion can promote docs from
+        arbitrarily deep in the positive ranking), bounded k-per-shard
+        merge.  Reference semantics: the ES query DSL the north-star's
+        datastore serves (ES 7.x ``boosting`` query)."""
+        terms = self.normalizer.preprocess_query_list(positive_query)
+        if not terms or self.doc_count == 0:
+            return {"query": positive_query, "total_hits": 0, "results": []}
+        idfs = self._idfs(terms)
+        neg_kind, neg_payload = self._agg_route(negative_query)
+        parts = self._fanout(
+            "search_boosting", terms, idfs, neg_kind, neg_payload,
+            float(negative_boost), size, self.scoring, self.k1, self.b,
+            self.avgdl,
+        )
+        ids = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        total = int(sum(p[2] for p in parts))
+        order = np.lexsort((ids, -scores))[:size]
+        return {
+            "query": positive_query,
+            "total_hits": total,
+            "results": [
+                {"doc_id": int(ids[i]), "score": float(scores[i])}
+                for i in order
+            ],
+        }
+
+    def search_constant_score(self, filter_query: str, boost: float = 1.0,
+                              size: int = 10) -> dict:
+        """ES ``constant_score`` query: every doc matching the filter gets
+        exactly ``boost`` as its score (no relevance computation, filter
+        cache friendly).  Hits in doc-id order (the stable ES order for
+        equal scores), exact total."""
+        kind, payload = self._agg_route(filter_query)
+        parts = self._fanout("constant_score_ids", kind, payload, size)
+        ids = np.concatenate([p[0] for p in parts])  # actor order == doc order
+        total = int(sum(p[1] for p in parts))
+        return {
+            "query": filter_query,
+            "total_hits": total,
+            "results": [
+                {"doc_id": int(d), "score": float(boost)}
+                for d in ids[:size].tolist()
+            ],
+        }
+
+    def search_range_agg(self, query_text: str | None, field: str,
+                         ranges: list[dict]) -> dict:
+        """ES ``range`` aggregation: one bucket per caller-supplied
+        ``{"from": lo, "to": hi}`` range (either edge optional; from
+        inclusive, to exclusive; buckets may overlap — each doc is counted
+        in every range it falls in) over the full hit set of
+        ``query_text`` (match-all when None).  Exact counts, ES bucket
+        keys (``"lo-hi"``, ``"*-hi"``, ``"lo-*"``)."""
+        edges = [(r.get("from"), r.get("to")) for r in ranges]
+        kind, payload = self._agg_route(query_text)
+        parts = self._fanout("range_agg", kind, payload, field, edges)
+        counts = [sum(p[i] for p in parts) for i in range(len(edges))]
+        buckets = []
+        for (lo, hi), n in zip(edges, counts):
+            key = (
+                f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+            )
+            b: dict = {"key": key, "doc_count": int(n)}
+            if lo is not None:
+                b["from"] = lo
+            if hi is not None:
+                b["to"] = hi
+            buckets.append(b)
+        return {"field": field, "buckets": buckets}
 
     def search_stats(self, query_text: str, field: str) -> dict:
         """ES stats aggregation: exact count/sum/min/max/avg of an integer

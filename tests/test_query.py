@@ -2154,3 +2154,101 @@ def test_search_missing_agg(tmp_path):
                 eng.search_missing(None, "source", field_type="bogus")
         finally:
             eng.close()
+
+
+def test_boosting_constant_score_range_agg(tmp_path):
+    """ES boosting / constant_score queries and the range aggregation, vs
+    pure-python oracles; embedded (0) and distributed (2 searchers) agree.
+
+    boosting is checked against the engine's own exhaustive ranked scores
+    (search with size >= candidate count) demoted in python — validating
+    the demotion mask + bounded merge without re-deriving BM25."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(31)
+    vocab = ["merge", "hash", "scan", "join", "other", "words", "spark"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(8)),
+            "n_chars": rng.randint(10, 700),
+        }
+        for i in range(150)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+        }),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("n_chars",),
+                    docs_per_segment=60, target_partition_rows=30),
+    )
+    ranges = [{"to": 200}, {"from": 200, "to": 500}, {"from": 500},
+              {"from": 100, "to": 650}]  # overlapping on purpose
+    for n_searchers in (0, 2):
+        eng = QueryEngine(idx, num_searchers=n_searchers)
+        try:
+            # --- boosting ---
+            for q in ("scan join", "hash words"):
+                base = eng.search(q, size=len(rows))["results"]
+                neg = {r["doc_id"] for r in rows
+                       if "spark" in r["text"].split()}
+                exp = sorted(
+                    ((r["score"] * (0.5 if r["doc_id"] in neg else 1.0)),
+                     r["doc_id"])
+                    for r in base
+                )
+                exp = [(d, s) for s, d in
+                       sorted(exp, key=lambda sd: (-sd[0], sd[1]))][:10]
+                got = eng.search_boosting(q, "spark", negative_boost=0.5,
+                                          size=10)
+                assert [(r["doc_id"], pytest.approx(r["score"]))
+                        for r in got["results"]] == [
+                    (d, pytest.approx(s)) for d, s in exp
+                ], (n_searchers, q)
+                assert got["total_hits"] == len(base)
+            # --- constant_score ---
+            for q, pred in (
+                ("merge", lambda t: "merge" in t.split()),
+                ("merge AND hash",
+                 lambda t: "merge" in t.split() and "hash" in t.split()),
+            ):
+                hit = sorted(r["doc_id"] for r in rows if pred(r["text"]))
+                res = eng.search_constant_score(q, boost=1.2, size=10)
+                assert [r["doc_id"] for r in res["results"]] == hit[:10]
+                assert all(r["score"] == 1.2 for r in res["results"])
+                assert res["total_hits"] == len(hit)
+            # --- range aggregation ---
+            for q, pred in (
+                (None, lambda t: True),
+                ("merge", lambda t: "merge" in t.split()),
+            ):
+                hit = [r for r in rows if pred(r["text"])]
+                res = eng.search_range_agg(q, "n_chars", ranges)
+                assert len(res["buckets"]) == len(ranges)
+                for spec, b in zip(ranges, res["buckets"]):
+                    lo, hi = spec.get("from"), spec.get("to")
+                    exp_n = sum(
+                        1 for r in hit
+                        if (lo is None or r["n_chars"] >= lo)
+                        and (hi is None or r["n_chars"] < hi)
+                    )
+                    assert b["doc_count"] == exp_n, (n_searchers, q, spec)
+                    key = (f"{'*' if lo is None else lo}-"
+                           f"{'*' if hi is None else hi}")
+                    assert b["key"] == key
+        finally:
+            eng.close()
