@@ -584,6 +584,56 @@ def _q_multifield_top10(sf_dir: str):
     return _score_u_table(lambda q: eng.search(q, size=10))
 
 
+DISMAX_TBS = [0.3, 1.0]
+
+
+def _q_dismax_top10(sf_dir: str):
+    """ES dis_max / multi_match with a tie_breaker over title^2, text:
+    score = best + tb * (sum - best) of the boosted per-field BM25s
+    (tb=1.0 == most_fields).  A tie_breaker couples a doc's score to EVERY
+    field, so the union-of-per-field-top-k merge is unsound; the
+    CrossFieldEngine shards by doc range with every field's overlapping
+    segments co-located (ES's all-fields-in-one-shard design) and combines
+    shard-locally.
+
+    SQL twin: the per-field scored CTEs grouped to (max, sum) per doc and
+    the same combination expression."""
+    from elasticsearch_ray.pipelines.fields import CrossFieldEngine
+
+    _field_engine(sf_dir)  # ensures both field indexes exist
+    key = f"xfields::{sf_dir}"
+    if key not in _ENGINES:
+        dirs = {
+            "title": _index_dir_for(sf_dir, "fidx") + "/field_title",
+            "text": _ensure_index(sf_dir, "plain"),
+        }
+        _ENGINES[key] = CrossFieldEngine(
+            dirs, boosts={"title": 2.0}, num_shards=2
+        )
+    eng = _ENGINES[key]
+    rows = {"query": [], "tb": [], "rank": [], "doc_id": [], "score": []}
+    for q in BM25_QUERIES:
+        for tb in DISMAX_TBS:
+            res = eng.search(q, size=10, tie_breaker=tb)
+            for rank, r in enumerate(res["results"], 1):
+                rows["query"].append(q)
+                rows["tb"].append(str(tb))
+                rows["rank"].append(rank)
+                rows["doc_id"].append(r["doc_id"])
+                rows["score"].append(
+                    int(math.floor(r["score"] * 1e6 + 0.5))
+                )
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "tb": pa.array(rows["tb"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score_u": pa.array(rows["score"], pa.int64()),
+        }
+    )
+
+
 def _q_tfidf_top10_plain(sf_dir: str):
     """TF-IDF scoring mode (reference F5: (tf/dl)*idf) over the plain
     analyzer, exact SQL twin."""
@@ -2431,6 +2481,7 @@ def _q_synonyms_top10(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "dismax_top10": _q_dismax_top10,
         "boosting": _q_boosting,
         "constant_score": _q_constant_score,
         "range_agg": _q_range_agg,
@@ -2771,6 +2822,69 @@ ranked AS (
 SELECT query, CAST(rank AS INT) AS rank, doc_id,
        CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_u
 FROM ranked WHERE rank <= 10 ORDER BY query, rank
+"""
+
+
+def _dismax_sql() -> str:
+    """dis_max tie_breaker twin: per-field scored CTEs (per-field N, avgdl,
+    df — Lucene per-field statistics), grouped to (max, sum) per doc, then
+    best + tb * (sum - best) per tie_breaker value."""
+    qt = []
+    for q in BM25_QUERIES:
+        for t in q.split():
+            qt.append((q, t))
+    per_field = """
+{p}dl AS (SELECT doc_id, count(*) AS dl FROM {p}tok GROUP BY doc_id),
+{p}stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM
+             (SELECT d.doc_id, count(t.tok) AS dl FROM documents d
+              LEFT JOIN {p}tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id)),
+{p}tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM {p}tok
+          GROUP BY doc_id, tok),
+{p}df AS (SELECT term, count(*) AS df FROM {p}tf GROUP BY term),
+{p}scored AS (
+  SELECT q.query, {p}tf.doc_id,
+         sum(ln(({p}stats.n + 1.0) / ({p}df.df + 1.0))
+             * ({p}tf.tf * 2.2)
+             / ({p}tf.tf + 1.2 * (1 - 0.75 + 0.75 * {p}dl.dl / {p}stats.avgdl))) AS s
+  FROM q
+  JOIN {p}df ON {p}df.term = q.term
+  JOIN {p}tf ON {p}tf.term = q.term
+  JOIN {p}dl ON {p}dl.doc_id = {p}tf.doc_id
+  CROSS JOIN {p}stats
+  WHERE ln(({p}stats.n + 1.0) / ({p}df.df + 1.0)) <> 0
+  GROUP BY q.query, {p}tf.doc_id
+)"""
+    selects = []
+    for tb in DISMAX_TBS:
+        selects.append(f"""
+SELECT query, '{tb}' AS tb, CAST(rank AS INT) AS rank, doc_id,
+       CAST(floor(cs * 1000000 + 0.5) AS BIGINT) AS score_u
+FROM (
+  SELECT query, doc_id, cs,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY cs DESC, doc_id) AS rank
+  FROM (
+    SELECT query, doc_id, mx + {tb} * (sm - mx) AS cs FROM grouped
+  )
+) WHERE rank <= 10""")
+    return f"""
+WITH xtok AS ({_TOK}),
+ttok AS (SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 5)) AS tok
+         FROM documents),
+q(query, term) AS (VALUES {_bm25_values_sql(qt)}),
+{per_field.format(p='x')},
+{per_field.format(p='t')},
+united AS (
+  SELECT query, doc_id, s FROM xscored
+  UNION ALL
+  SELECT query, doc_id, 2.0 * s AS s FROM tscored
+),
+grouped AS (
+  SELECT query, doc_id, max(s) AS mx, sum(s) AS sm
+  FROM united GROUP BY query, doc_id
+)
+SELECT * FROM ({" UNION ALL ".join(f"({s})" for s in selects)})
+ORDER BY query, tb, rank
 """
 
 
@@ -4225,6 +4339,7 @@ GROUP BY d.doc_id
         "percentiles_approx": _percentiles_approx_sql(),
         "range_filter": _range_sql(),
         "boosting": _boosting_sql(),
+        "dismax_top10": _dismax_sql(),
         "constant_score": _constant_score_sql(),
         "range_agg": _range_agg_sql(),
         "sort_nchars": _sort_nchars_sql(),

@@ -92,3 +92,287 @@ def build_field_indexes(
             )
         dirs[field] = idx
     return dirs
+
+
+# ---------------------------------------------------------------------------
+# Cross-field scoring with a tie_breaker (ES dis_max / multi_match
+# most_fields).  best_fields (tie_breaker=0) admits the union-of-top-k merge
+# above; any tie_breaker > 0 makes a doc's final score depend on its score
+# in EVERY field, so the per-field-top-k containment argument breaks.  ES
+# solves this by construction — all fields of a document live in the same
+# shard — and so do we: a CrossFieldSearcher owns, for ONE contiguous doc
+# range, the segments of EVERY field overlapping that range.  Combination
+# is shard-local (one vectorized unique+searchsorted alignment) and only
+# top-k rows leave the actor.
+
+
+class _FieldMeta:
+    """Collection stats + df lookup for one field's index WITHOUT loading
+    its postings: doc_count/avgdl/analyzer from stats.json, per-segment doc
+    ranges from the per-seg manifests, df from the range-sharded df_global
+    parquet (one predicate read per touched shard — same path as
+    QueryEngine._dfs_from_shards)."""
+
+    def __init__(self, index_dir: str):
+        import json
+        import os
+
+        from ..normalizer import make_normalizer
+
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            st = json.load(f)
+        self.doc_count = int(st["doc_count"])
+        self.avgdl = float(st["avg_doc_length"])
+        cfg = st.get("config", {})
+        self.normalizer = make_normalizer(cfg.get("analyzer", "reference"))
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            seg_ids = sorted(int(s) for s in json.load(f)["segments"])
+        self.segs: list[tuple[int, int, int]] = []  # (seg_id, lo, hi)
+        for s in seg_ids:
+            with open(
+                os.path.join(index_dir, "manifests", f"seg-{s:05d}.json")
+            ) as f:
+                m = json.load(f)
+            lo = int(m["doc_id_base"])
+            self.segs.append((s, lo, lo + int(m["kept_docs"])))
+        self._df_shards: list[tuple[str, str, str]] = []
+        sh_path = os.path.join(index_dir, "df_global", "_df_shards.json")
+        if os.path.exists(sh_path):
+            with open(sh_path) as f:
+                for sh in json.load(f).get("shards", []):
+                    self._df_shards.append(
+                        (sh["lo"], sh["hi"],
+                         os.path.join(index_dir, "df_global", sh["file"]))
+                    )
+            self._df_shards.sort()
+        self._shard_los = [s[0] for s in self._df_shards]
+        self._readers = None  # pre-shard-layout fallback only
+
+    def segs_overlapping(self, lo: int, hi: int) -> list[int]:
+        return [s for s, slo, shi in self.segs if slo < hi and shi > lo]
+
+    def dfs(self, terms: list[str]) -> dict[str, int]:
+        import bisect
+        from collections import defaultdict
+
+        import pyarrow.dataset as pads
+
+        if not self._df_shards:
+            # legacy layout without df_global: open readers once (driver
+            # process, df probes only)
+            if self._readers is None:
+                from ..state.segment import SegmentReader
+
+                self._readers = [
+                    SegmentReader(self.index_dir, s) for s, _, _ in self.segs
+                ]
+            return {
+                t: sum(r.df(t) for r in self._readers) for t in terms
+            }
+        out = {t: 0 for t in terms}
+        groups: dict[int, list[str]] = defaultdict(list)
+        for t in terms:
+            i = bisect.bisect_right(self._shard_los, t) - 1
+            if i >= 0 and t <= self._df_shards[i][1]:
+                groups[i].append(t)
+        for i, ts in groups.items():
+            tbl = pads.dataset(self._df_shards[i][2]).to_table(
+                columns=["term", "df"],
+                filter=pads.field("term").isin(ts),
+            )
+            for term, df in zip(
+                tbl.column("term").to_pylist(), tbl.column("df").to_pylist()
+            ):
+                out[term] = int(df)
+        return out
+
+    def idfs(self, terms: list[str]) -> dict[str, float]:
+        import math
+
+        dfs = self.dfs(terms)
+        return {
+            t: (
+                math.log((self.doc_count + 1) / (df + 1)) if df > 0 else 0.0
+            )
+            for t, df in dfs.items()
+        }
+
+
+class CrossFieldSearcher:
+    """All fields of one contiguous doc range [doc_lo, doc_hi) pinned in
+    one process.  Candidates outside the range are masked out (a segment
+    may straddle a range boundary), so ranges partition the corpus exactly
+    and per-shard candidate totals sum to the true total."""
+
+    def __init__(self, field_specs: dict[str, tuple[str, list[int]]],
+                 doc_lo: int, doc_hi: int):
+        from ..state.segment import SegmentReader
+
+        self.lo = doc_lo
+        self.hi = doc_hi
+        self.readers = {
+            f: sorted(
+                (SegmentReader(d, s) for s in segs),
+                key=lambda r: r.doc_id_base,
+            )
+            for f, (d, segs) in field_specs.items()
+        }
+
+    def ready(self) -> int:
+        return sum(
+            r.num_terms for rs in self.readers.values() for r in rs
+        )
+
+    def dismax(self, field_terms: dict[str, list[str]],
+               field_idfs: dict[str, dict[str, float]],
+               field_avgdl: dict[str, float],
+               field_boosts: dict[str, float], tie_breaker: float, k: int,
+               scoring: str, k1: float, b: float):
+        """Local top-k of ``best + tie_breaker * (sum - best)`` over boosted
+        per-field BM25 (exhaustive TAAT per field — any tie_breaker > 0
+        reorders docs below the per-field top-k).  tie_breaker=0 is ES
+        best_fields, 1.0 is most_fields (sum)."""
+        import numpy as np
+
+        from ..stages import scoring as sc
+
+        per_field: list[tuple[np.ndarray, np.ndarray]] = []
+        for f, readers in self.readers.items():
+            idfs = field_idfs[f]
+            boost = field_boosts.get(f, 1.0)
+            parts_i: list[np.ndarray] = []
+            parts_s: list[np.ndarray] = []
+            for r in readers:
+                slots, scores = sc.taat_candidates(
+                    r, field_terms[f], idfs, scoring, k1, b,
+                    field_avgdl[f],
+                )
+                if not slots.size:
+                    continue
+                g = slots + r.doc_id_base
+                m = (g >= self.lo) & (g < self.hi)
+                g, scores = g[m], scores[m]
+                if g.size:
+                    parts_i.append(g)
+                    parts_s.append(scores * boost)
+            if parts_i:
+                # readers ascend by doc_id_base with disjoint ranges, so
+                # the concatenation is already sorted
+                per_field.append(
+                    (np.concatenate(parts_i), np.concatenate(parts_s))
+                )
+        if not per_field:
+            e = np.empty(0, dtype=np.int64)
+            return e, np.empty(0, dtype=np.float64), 0
+        uniq = np.unique(np.concatenate([i for i, _ in per_field]))
+        mat = np.zeros((len(per_field), uniq.size), dtype=np.float64)
+        for row, (fi, fs) in enumerate(per_field):
+            mat[row, np.searchsorted(uniq, fi)] = fs
+        best = mat.max(axis=0)
+        combined = best + tie_breaker * (mat.sum(axis=0) - best)
+        ids, scores = sc._topk_by_score(uniq, combined, k)
+        return ids, scores, int(uniq.size)
+
+
+class CrossFieldEngine:
+    """ES ``multi_match`` with a tie_breaker (``dis_max``) / ``most_fields``
+    over per-field indexes that index the SAME corpus (equal doc_counts,
+    shared doc_ids).  Doc-range sharding: the corpus is split into
+    contiguous ranges, one CrossFieldSearcher per range holding every
+    field's overlapping segments.  num_shards=0 -> embedded (in-process)."""
+
+    def __init__(self, field_dirs: dict[str, str],
+                 boosts: dict[str, float] | None = None,
+                 num_shards: int | None = None,
+                 scoring: str = "bm25", k1: float = 1.2, b: float = 0.75):
+        import ray
+
+        self.meta = {f: _FieldMeta(d) for f, d in field_dirs.items()}
+        counts = {m.doc_count for m in self.meta.values()}
+        if len(counts) != 1:
+            raise ValueError(
+                f"cross-field indexes disagree on doc_count: "
+                f"{ {f: m.doc_count for f, m in self.meta.items()} }"
+            )
+        self.doc_count = counts.pop()
+        self.boosts = {
+            f: float((boosts or {}).get(f, 1.0)) for f in field_dirs
+        }
+        self.scoring = scoring
+        self.k1 = k1
+        self.b = b
+        if num_shards is None:
+            num_shards = max(1, -(-self.doc_count // 25_000))
+            if num_shards == 1:
+                num_shards = 0
+        edges = self._range_edges(num_shards or 1)
+        self.embedded: CrossFieldSearcher | None = None
+        self.searchers: list = []
+        if num_shards == 0:
+            self.embedded = CrossFieldSearcher(
+                {
+                    f: (m.index_dir, [s for s, _, _ in m.segs])
+                    for f, m in self.meta.items()
+                },
+                0, self.doc_count,
+            )
+            return
+        remote_cls = ray.remote(CrossFieldSearcher)
+        for lo, hi in edges:
+            spec = {
+                f: (m.index_dir, m.segs_overlapping(lo, hi))
+                for f, m in self.meta.items()
+            }
+            self.searchers.append(remote_cls.remote(spec, lo, hi))
+        ray.get([s.ready.remote() for s in self.searchers])
+
+    def _range_edges(self, n: int) -> list[tuple[int, int]]:
+        step = -(-self.doc_count // n)
+        return [
+            (i * step, min((i + 1) * step, self.doc_count))
+            for i in range(n)
+            if i * step < self.doc_count
+        ]
+
+    def search(self, query_text: str, size: int = 10,
+               tie_breaker: float = 0.0) -> dict:
+        import numpy as np
+        import ray
+
+        field_terms = {
+            f: m.normalizer.preprocess_query_list(query_text)
+            for f, m in self.meta.items()
+        }
+        if all(not t for t in field_terms.values()) or self.doc_count == 0:
+            return {"query": query_text, "total_hits": 0, "results": []}
+        field_idfs = {f: m.idfs(field_terms[f]) for f, m in self.meta.items()}
+        field_avgdl = {f: m.avgdl for f, m in self.meta.items()}
+        args = (field_terms, field_idfs, field_avgdl, self.boosts,
+                float(tie_breaker), size, self.scoring, self.k1, self.b)
+        if self.embedded is not None:
+            parts = [self.embedded.dismax(*args)]
+        else:
+            parts = ray.get(
+                [s.dismax.remote(*args) for s in self.searchers]
+            )
+        ids = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        total = int(sum(p[2] for p in parts))
+        order = np.lexsort((ids, -scores))[:size]
+        return {
+            "query": query_text,
+            "total_hits": total,
+            "results": [
+                {"doc_id": int(ids[i]), "score": float(scores[i])}
+                for i in order
+            ],
+        }
+
+    def close(self) -> None:
+        import ray
+
+        for s in self.searchers:
+            ray.kill(s)
+        self.searchers = []
+        self.embedded = None

@@ -254,3 +254,86 @@ def test_zlib_overflow_raises():
 
     with pytest.raises(OverflowError):
         zlib_encode_postings(np.array([0, 2**32 + 5], dtype=np.int64))
+
+
+def test_crossfield_dismax_tie_breaker(tmp_path):
+    """CrossFieldEngine: dis_max with a tie_breaker over doc-range shards
+    holding every field's overlapping segments.  Pinned against the
+    per-field engines combined in pure python (exhaustive), at
+    tie_breaker 0 (== MultiFieldEngine best_fields), 0.3 and 1.0
+    (most_fields sum); embedded and 2-shard distributed agree."""
+    import random
+
+    from elasticsearch_ray.pipelines.fields import (
+        CrossFieldEngine,
+        MultiFieldEngine,
+        build_field_indexes,
+    )
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "news", "post", "body", "words", "daily"]
+    n = 90
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "title": pa.array(
+                [" ".join(rng.choice(vocab) for _ in range(3))
+                 for _ in range(n)]
+            ),
+            "text": pa.array(
+                [" ".join(rng.choice(vocab) for _ in range(12))
+                 for _ in range(n)]
+            ),
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, src, row_group_size=20)
+    dirs = build_field_indexes(
+        {"title": (src, "title"), "text": (src, "text")},
+        str(tmp_path / "fidx"),
+        analyzer="plain",
+        target_partition_rows=20,
+        docs_per_segment=30,  # 3 segments per field
+    )
+    boosts = {"title": 2.0}
+    mfe = MultiFieldEngine(dirs, boosts=boosts)
+    queries = ["alpha news", "daily post body", "beta"]
+    # exhaustive per-field boosted scores from the per-field engines
+    per_field: dict[str, dict[str, dict[int, float]]] = {}
+    for f, eng in mfe.engines.items():
+        per_field[f] = {}
+        for q in queries:
+            per_field[f][q] = {
+                r["doc_id"]: r["score"] * boosts.get(f, 1.0)
+                for r in eng.search(q, size=n)["results"]
+            }
+    for num_shards in (0, 2):
+        xf = CrossFieldEngine(dirs, boosts=boosts, num_shards=num_shards)
+        try:
+            for tb in (0.0, 0.3, 1.0):
+                for q in queries:
+                    cand: dict[int, list[float]] = {}
+                    for f in dirs:
+                        for d, s in per_field[f][q].items():
+                            cand.setdefault(d, []).append(s)
+                    exp = sorted(
+                        (
+                            (-(max(ss) + tb * (sum(ss) - max(ss))), d)
+                            for d, ss in cand.items()
+                        )
+                    )[:10]
+                    got = xf.search(q, size=10, tie_breaker=tb)
+                    assert got["total_hits"] == len(cand), (num_shards, tb, q)
+                    assert [r["doc_id"] for r in got["results"]] == [
+                        d for _, d in exp
+                    ], (num_shards, tb, q)
+                    for r, (neg_s, _) in zip(got["results"], exp):
+                        assert r["score"] == pytest.approx(-neg_s)
+                    if tb == 0.0:
+                        mf = mfe.search(q, size=10)
+                        assert [r["doc_id"] for r in mf["results"]] == [
+                            r["doc_id"] for r in got["results"]
+                        ]
+        finally:
+            xf.close()
+    mfe.close()
