@@ -1120,6 +1120,81 @@ def _q_range_agg(sf_dir: str):
     )
 
 
+WA_QUERIES = [None, "merge", "merge AND hash"]
+
+RARE_TERMS_CASES = [("merge", 18), ("merge AND hash", 14)]
+
+ADJ_FILTERS = {"m": "merge", "h": "hash", "w": "window"}
+
+
+def _q_weighted_avg(sf_dir: str):
+    """ES weighted_avg aggregation: sum(n_chars*doc_id)/sum(doc_id) over
+    match-all / match / boolean hit sets (doc_id doubles as a handy
+    always-present integer weight); exact integer partials, one float
+    division at the driver.
+
+    SQL twin: the same two sums and division per hit set."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "doc_count": [], "value": []}
+    for q in WA_QUERIES:
+        res = eng.search_weighted_avg(q, "n_chars", "doc_id")
+        rows["query"].append(q or "")
+        rows["doc_count"].append(res["doc_count"])
+        rows["value"].append(
+            -1 if res["value"] is None
+            else int(math.floor(res["value"] * 1e6 + 0.5))
+        )
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "doc_count": pa.array(rows["doc_count"], pa.int64()),
+            "value_u": pa.array(rows["value"], pa.int64()),
+        }
+    )
+
+
+def _q_rare_terms(sf_dir: str):
+    """ES rare_terms aggregation: source values whose hit-set doc count is
+    <= max_doc_count, buckets (doc_count asc, key asc) — counts merged
+    across shards BEFORE thresholding.
+
+    SQL twin: GROUP BY + HAVING count(*) <= threshold."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "mdc": [], "key": [], "doc_count": []}
+    for q, mdc in RARE_TERMS_CASES:
+        res = eng.search_rare_terms(q, "source", max_doc_count=mdc)
+        for b in res["buckets"]:
+            rows["query"].append(q)
+            rows["mdc"].append(mdc)
+            rows["key"].append(b["key"])
+            rows["doc_count"].append(b["doc_count"])
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "mdc": pa.array(rows["mdc"], pa.int32()),
+            "key": pa.array(rows["key"], pa.string()),
+            "doc_count": pa.array(rows["doc_count"], pa.int64()),
+        }
+    )
+
+
+def _q_adjacency_matrix(sf_dir: str):
+    """ES adjacency_matrix aggregation: exact hit counts per named filter
+    and per pairwise intersection (key 'a&b'), empty buckets omitted.
+
+    SQL twin: per-filter counts + pairwise INTERSECT counts."""
+    eng = _engine(sf_dir, "plain")
+    res = eng.search_adjacency_matrix(ADJ_FILTERS)
+    return pa.table(
+        {
+            "key": pa.array([b["key"] for b in res["buckets"]], pa.string()),
+            "doc_count": pa.array(
+                [b["doc_count"] for b in res["buckets"]], pa.int64()
+            ),
+        }
+    )
+
+
 def _multi_engine(sf_dir: str):
     """Two indexes over disjoint halves of the documents table (split at
     doc_id < n//2), wrapped in a MultiIndexEngine — the ES alias /
@@ -2482,6 +2557,9 @@ def _q_synonyms_top10(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dismax_top10": _q_dismax_top10,
+        "weighted_avg": _q_weighted_avg,
+        "rare_terms": _q_rare_terms,
+        "adjacency_matrix": _q_adjacency_matrix,
         "boosting": _q_boosting,
         "constant_score": _q_constant_score,
         "range_agg": _q_range_agg,
@@ -3727,6 +3805,67 @@ FROM (
     )
 
 
+def _weighted_avg_sql() -> str:
+    parts = []
+    for q in WA_QUERIES:
+        label = (q or "").replace("'", "''")
+        parts.append(f"""
+SELECT '{label}' AS query, count(*) AS doc_count,
+       CAST(floor(CAST(sum(n_chars * doc_id) AS DOUBLE)
+                  / CAST(sum(doc_id) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+         AS value_u
+FROM documents WHERE doc_id IN ({_AGG_HITS_SQL[q]})""")
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(
+        f"({p})" for p in parts
+    )
+
+
+def _rare_terms_sql() -> str:
+    hits = {
+        "merge": "SELECT DISTINCT doc_id FROM tok WHERE tok='merge'",
+        "merge AND hash": (
+            "SELECT doc_id FROM tok WHERE tok='merge' INTERSECT "
+            "SELECT doc_id FROM tok WHERE tok='hash'"
+        ),
+    }
+    parts = []
+    for q, mdc in RARE_TERMS_CASES:
+        label = q.replace("'", "''")
+        parts.append(f"""
+SELECT '{label}' AS query, CAST({mdc} AS INT) AS mdc, source AS key,
+       count(*) AS doc_count
+FROM documents WHERE doc_id IN ({hits[q]})
+GROUP BY source HAVING count(*) <= {mdc}""")
+    return (
+        f"WITH tok AS ({_TOK}) SELECT * FROM ("
+        + " UNION ALL ".join(f"({p})" for p in parts)
+        + ") ORDER BY query, doc_count, key"
+    )
+
+
+def _adjacency_matrix_sql() -> str:
+    hit = {
+        name: f"SELECT DISTINCT doc_id FROM tok WHERE tok='{q}'"
+        for name, q in ADJ_FILTERS.items()
+    }
+    names = list(ADJ_FILTERS)
+    parts = [
+        f"SELECT '{n}' AS key, count(*) AS doc_count FROM ({hit[n]})"
+        for n in names
+    ]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            parts.append(
+                f"SELECT '{a}&{b}' AS key, count(*) AS doc_count FROM "
+                f"({hit[a]} INTERSECT {hit[b]})"
+            )
+    return (
+        f"WITH tok AS ({_TOK}) SELECT * FROM ("
+        + " UNION ALL ".join(f"({p})" for p in parts)
+        + ") WHERE doc_count > 0"
+    )
+
+
 def _range_agg_sql() -> str:
     parts = []
     for q in RANGE_AGG_QUERIES:
@@ -4340,6 +4479,9 @@ GROUP BY d.doc_id
         "range_filter": _range_sql(),
         "boosting": _boosting_sql(),
         "dismax_top10": _dismax_sql(),
+        "weighted_avg": _weighted_avg_sql(),
+        "rare_terms": _rare_terms_sql(),
+        "adjacency_matrix": _adjacency_matrix_sql(),
         "constant_score": _constant_score_sql(),
         "range_agg": _range_agg_sql(),
         "sort_nchars": _sort_nchars_sql(),

@@ -122,8 +122,9 @@ class Searcher:
         for r in self.readers:
             lo = r.doc_id_base
             hi = lo + r.doc_lens.size
+            cols = ["doc_id"] if field == "doc_id" else ["doc_id", field]
             tbl = dset.to_table(
-                columns=["doc_id", field],
+                columns=cols,
                 filter=(pads.field("doc_id") >= lo)
                 & (pads.field("doc_id") < hi)
                 & ~pads.field(field).is_null(),  # nulls keep the sentinel
@@ -656,6 +657,54 @@ class Searcher:
                     m &= v < hi
                 counts[i] += int(np.count_nonzero(m))
         return counts
+
+    def weighted_avg_agg(self, kind: str, payload, field: str,
+                         weight_field: str):
+        """ES ``weighted_avg`` aggregation: exact integer partials
+        (sum of v*w as python ints — no int64 overflow at any scale,
+        sum of w, doc count) over the hit set; docs missing EITHER
+        doc-value are skipped (ES default missing behavior)."""
+        per_v = self._facet_numeric(field)
+        per_w = self._facet_numeric(weight_field)
+        sent = np.iinfo(np.int64).min
+        num = 0
+        den = 0
+        cnt = 0
+        for r, v, w in zip(self.readers, per_v, per_w):
+            slots = self._match_slots(r, kind, payload)
+            vv = v[slots]
+            ww = w[slots]
+            m = (vv != sent) & (ww != sent)
+            if m.any():
+                num += int((vv[m].astype(object) * ww[m].astype(object)).sum())
+                den += int(ww[m].astype(object).sum())
+                cnt += int(np.count_nonzero(m))
+        return num, den, cnt
+
+    def adjacency_counts(self, filters: list[tuple]):
+        """ES ``adjacency_matrix`` aggregation: exact live hit count per
+        filter and per filter-pair intersection.  Hit sets are sorted
+        slot arrays, so each intersection is one ``np.intersect1d``
+        (assume_unique) — no per-doc python.  Driver sums across shards."""
+        n = len(filters)
+        singles = [0] * n
+        pairs: dict[tuple[int, int], int] = {}
+        for r in self.readers:
+            sets = [self._match_slots(r, k, p) for k, p in filters]
+            for i, s in enumerate(sets):
+                singles[i] += int(s.size)
+            for i in range(n):
+                if not sets[i].size:
+                    continue
+                for j in range(i + 1, n):
+                    if not sets[j].size:
+                        continue
+                    c = int(np.intersect1d(
+                        sets[i], sets[j], assume_unique=True
+                    ).size)
+                    if c:
+                        pairs[(i, j)] = pairs.get((i, j), 0) + c
+        return singles, [(i, j, c) for (i, j), c in sorted(pairs.items())]
 
     def search_collapse(self, terms: list[str], idfs: dict[str, float],
                         field: str, scoring: str, k1: float, b: float,
@@ -1824,6 +1873,80 @@ class QueryEngine:
             kind, payload = self._agg_route(q)
             parts = self._fanout("count", kind, payload)
             buckets[name] = {"doc_count": int(sum(parts))}
+        return {"buckets": buckets}
+
+    def search_weighted_avg(self, query_text: str | None, field: str,
+                            weight_field: str) -> dict:
+        """ES ``weighted_avg`` aggregation: sum(v*w)/sum(w) over the hit
+        set of ``query_text`` (match-all when None); docs missing either
+        doc-value are skipped.  Partials are exact python ints, so the
+        merge is exact at any scale; the final division is the only
+        float."""
+        kind, payload = self._agg_route(query_text)
+        parts = self._fanout(
+            "weighted_avg_agg", kind, payload, field, weight_field
+        )
+        num = sum(p[0] for p in parts)
+        den = sum(p[1] for p in parts)
+        cnt = sum(p[2] for p in parts)
+        return {
+            "field": field,
+            "weight": weight_field,
+            "doc_count": int(cnt),
+            "value": (num / den) if den else None,
+        }
+
+    def search_rare_terms(self, query_text: str | None, field: str,
+                          max_doc_count: int = 1) -> dict:
+        """ES ``rare_terms`` aggregation: values of a categorical doc-value
+        field whose GLOBAL doc count over the hit set is <= max_doc_count,
+        buckets ordered (doc_count asc, key asc) — the long-tail
+        complement of the terms agg.  Exact: per-shard counts merge by
+        value BEFORE thresholding (a value rare on one shard but common
+        globally is correctly dropped), bounded by field cardinality like
+        the terms agg (ES itself uses a CuckooFilter sketch here at the
+        same merge point)."""
+        kind, payload = self._agg_route(query_text)
+        parts = self._fanout("facet_counts", kind, payload, field)
+        merged: dict[str, int] = {}
+        for p in parts:
+            for v, n in p.items():
+                merged[v] = merged.get(v, 0) + n
+        buckets = sorted(
+            ((v, n) for v, n in merged.items() if n <= max_doc_count),
+            key=lambda kv: (kv[1], kv[0]),
+        )
+        return {
+            "field": field,
+            "buckets": [
+                {"key": v, "doc_count": n} for v, n in buckets
+            ],
+        }
+
+    def search_adjacency_matrix(self, filters: dict[str, str]) -> dict:
+        """ES ``adjacency_matrix`` aggregation: one bucket per named filter
+        and per filter pair (key ``"a&b"``, ES's default separator) with
+        the exact live intersection count; empty buckets omitted (ES
+        behavior).  Bucket order: singles in caller order, then pairs in
+        caller-order pairs."""
+        names = list(filters)
+        compiled = [self._agg_route(q) for q in filters.values()]
+        parts = self._fanout("adjacency_counts", compiled)
+        singles = [0] * len(names)
+        pairs: dict[tuple[int, int], int] = {}
+        for s, pr in parts:
+            for i, c in enumerate(s):
+                singles[i] += c
+            for i, j, c in pr:
+                pairs[(i, j)] = pairs.get((i, j), 0) + c
+        buckets = []
+        for i, name in enumerate(names):
+            if singles[i]:
+                buckets.append({"key": name, "doc_count": int(singles[i])})
+        for (i, j), c in sorted(pairs.items()):
+            buckets.append(
+                {"key": f"{names[i]}&{names[j]}", "doc_count": int(c)}
+            )
         return {"buckets": buckets}
 
     def search_boosting(self, positive_query: str, negative_query: str,

@@ -2252,3 +2252,101 @@ def test_boosting_constant_score_range_agg(tmp_path):
                     assert b["key"] == key
         finally:
             eng.close()
+
+
+def test_weighted_avg_rare_terms_adjacency(tmp_path):
+    """ES weighted_avg / rare_terms / adjacency_matrix aggregations vs
+    pure-python oracles; embedded and distributed agree; weighted_avg
+    skips docs missing either doc-value; rare_terms thresholds AFTER the
+    cross-shard merge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(17)
+    vocab = ["merge", "hash", "scan", "join", "other", "words"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(6)),
+            "source": f"s{rng.randint(0, 9)}",
+            "n_chars": (rng.randint(10, 500) if i % 5 else None),
+            "w": (rng.randint(1, 9) if i % 7 else None),
+        }
+        for i in range(140)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+            "w": pa.array([r["w"] for r in rows], pa.int64()),
+        }),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("source", "n_chars", "w"),
+                    docs_per_segment=50, target_partition_rows=25),
+    )
+    preds = {
+        None: lambda t: True,
+        "merge": lambda t: "merge" in t.split(),
+        "merge AND hash":
+            lambda t: "merge" in t.split() and "hash" in t.split(),
+    }
+    for n_searchers in (0, 2):
+        eng = QueryEngine(idx, num_searchers=n_searchers)
+        try:
+            for q, pred in preds.items():
+                hit = [r for r in rows if pred(r["text"])]
+                # weighted_avg: docs missing n_chars OR w skipped
+                both = [r for r in hit
+                        if r["n_chars"] is not None and r["w"] is not None]
+                res = eng.search_weighted_avg(q, "n_chars", "w")
+                assert res["doc_count"] == len(both)
+                exp = (sum(r["n_chars"] * r["w"] for r in both)
+                       / sum(r["w"] for r in both))
+                assert res["value"] == pytest.approx(exp, rel=1e-12)
+                # rare_terms: global threshold after merge
+                counts: dict[str, int] = {}
+                for r in hit:
+                    counts[r["source"]] = counts.get(r["source"], 0) + 1
+                for mdc in (1, 3, 8):
+                    exp_b = sorted(
+                        ((n, k) for k, n in counts.items() if n <= mdc)
+                    )
+                    got = eng.search_rare_terms(q, "source",
+                                                max_doc_count=mdc)
+                    assert [(b["doc_count"], b["key"])
+                            for b in got["buckets"]] == exp_b, (
+                        n_searchers, q, mdc)
+            # adjacency_matrix
+            flt = {"m": "merge", "h": "hash", "s": "scan"}
+            sets = {
+                name: {r["doc_id"] for r in rows
+                       if q in r["text"].split()}
+                for name, q in flt.items()
+            }
+            exp_buckets = []
+            for name in flt:
+                if sets[name]:
+                    exp_buckets.append((name, len(sets[name])))
+            names = list(flt)
+            for i, a in enumerate(names):
+                for b in names[i + 1:]:
+                    c = len(sets[a] & sets[b])
+                    if c:
+                        exp_buckets.append((f"{a}&{b}", c))
+            got = eng.search_adjacency_matrix(flt)
+            assert [(b["key"], b["doc_count"])
+                    for b in got["buckets"]] == exp_buckets, n_searchers
+        finally:
+            eng.close()
