@@ -675,10 +675,21 @@ class Searcher:
             vv = v[slots]
             ww = w[slots]
             m = (vv != sent) & (ww != sent)
-            if m.any():
-                num += int((vv[m].astype(object) * ww[m].astype(object)).sum())
-                den += int(ww[m].astype(object).sum())
-                cnt += int(np.count_nonzero(m))
+            n = int(np.count_nonzero(m))
+            if not n:
+                continue
+            vv, ww = vv[m], ww[m]
+            vmax = int(np.abs(vv).max())
+            wmax = int(np.abs(ww).max())
+            if vmax * wmax * n < 2 ** 62:
+                # every product and the running block sum fit int64 ->
+                # vectorized exact path (the common case)
+                num += int((vv * ww).sum(dtype=np.int64))
+                den += int(ww.sum(dtype=np.int64))
+            else:  # arbitrary-precision fallback, still exact
+                num += int((vv.astype(object) * ww.astype(object)).sum())
+                den += int(ww.astype(object).sum())
+            cnt += n
         return num, den, cnt
 
     def adjacency_counts(self, filters: list[tuple]):
