@@ -1120,6 +1120,53 @@ def _q_range_agg(sf_dir: str):
     )
 
 
+SORT_AFTER_PAGES = 3
+SORT_AFTER_SIZE = 5
+
+
+def _q_sort_search_after(sf_dir: str):
+    """ES search_after over a field sort: three size-5 pages walked via
+    the (value, doc_id) cursor, n_chars desc and asc, match_all and a
+    match query — each page masked strictly-after the cursor BEFORE the
+    per-shard top-k, so depth never raises shard cost.
+
+    SQL twin: row_number over the same deterministic sort; the cursor
+    walk must equal offset pagination."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "ord": [], "page": [], "rank": [], "doc_id": [],
+            "n_chars": []}
+    for q in (None, "merge"):
+        for order in ("desc", "asc"):
+            cursor = None
+            rank = 0
+            for page in range(SORT_AFTER_PAGES):
+                res = eng.search_sort(q, "n_chars", order=order,
+                                      size=SORT_AFTER_SIZE,
+                                      search_after=cursor)
+                if not res["results"]:
+                    break
+                for r in res["results"]:
+                    rank += 1
+                    rows["query"].append(q or "")
+                    rows["ord"].append(order)
+                    rows["page"].append(page)
+                    rows["rank"].append(rank)
+                    rows["doc_id"].append(r["doc_id"])
+                    rows["n_chars"].append(r["sort"][0])
+                last = res["results"][-1]
+                cursor = (last["sort"][0], last["doc_id"])
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "ord": pa.array(rows["ord"], pa.string()),
+            "page": pa.array(rows["page"], pa.int32()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "n_chars": pa.array(rows["n_chars"], pa.int64()),
+        }
+    )
+
+
 WA_QUERIES = [None, "merge", "merge AND hash"]
 
 RARE_TERMS_CASES = [("merge", 18), ("merge AND hash", 14)]
@@ -2558,6 +2605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dismax_top10": _q_dismax_top10,
         "weighted_avg": _q_weighted_avg,
+        "sort_search_after": _q_sort_search_after,
         "rare_terms": _q_rare_terms,
         "adjacency_matrix": _q_adjacency_matrix,
         "boosting": _q_boosting,
@@ -3805,6 +3853,29 @@ FROM (
     )
 
 
+def _sort_search_after_sql() -> str:
+    total = SORT_AFTER_PAGES * SORT_AFTER_SIZE
+    parts = []
+    for q in (None, "merge"):
+        label = (q or "").replace("'", "''")
+        for order in ("desc", "asc"):
+            direction = "DESC" if order == "desc" else "ASC"
+            parts.append(f"""
+SELECT '{label}' AS query, '{order}' AS ord,
+       CAST((rank - 1) // {SORT_AFTER_SIZE} AS INT) AS page,
+       CAST(rank AS INT) AS rank, doc_id, n_chars
+FROM (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars {direction}, doc_id) AS rank
+  FROM documents WHERE doc_id IN ({_AGG_HITS_SQL[q]})
+) WHERE rank <= {total}""")
+    return (
+        f"WITH tok AS ({_TOK}) SELECT * FROM ("
+        + " UNION ALL ".join(f"({p})" for p in parts)
+        + ") ORDER BY query, ord, rank"
+    )
+
+
 def _weighted_avg_sql() -> str:
     parts = []
     for q in WA_QUERIES:
@@ -4480,6 +4551,7 @@ GROUP BY d.doc_id
         "boosting": _boosting_sql(),
         "dismax_top10": _dismax_sql(),
         "weighted_avg": _weighted_avg_sql(),
+        "sort_search_after": _sort_search_after_sql(),
         "rare_terms": _rare_terms_sql(),
         "adjacency_matrix": _adjacency_matrix_sql(),
         "constant_score": _constant_score_sql(),

@@ -481,7 +481,7 @@ class Searcher:
         return ids[:k], total  # readers are doc_id-ordered -> global asc
 
     def search_sort(self, kind: str, payload, field: str, desc: bool,
-                    k: int, numeric: bool = True):
+                    k: int, numeric: bool = True, after=None):
         """ES sort-by-field: the full hit set ordered by (doc-value,
         doc_id asc) over an integer (``numeric=True``) or string doc-value
         field; local top-k per shard, driver merges k*shards rows.  String
@@ -489,7 +489,12 @@ class Searcher:
         lexicographic order within a reader; the driver re-sorts the
         bounded merged rows by the value strings).  Docs with no doc-value
         (docmap gaps / NULLs) are excluded — ES 'missing' docs sort last
-        and never reach a bounded top-k here."""
+        and never reach a bounded top-k here.
+
+        ``after=(value, doc_id)`` is the ES search_after cursor: only rows
+        STRICTLY after the cursor in (value, doc_id asc) order survive the
+        pre-top-k mask, so deep pagination stays k-bounded per shard at
+        any depth (total stays the full hit-set count, ES behavior)."""
         out_ids: list[np.ndarray] = []
         out_vals: list = []
         total = 0
@@ -500,6 +505,14 @@ class Searcher:
                 m = v != np.iinfo(np.int64).min
                 slots, v = slots[m], v[m]
                 total += int(slots.size)
+                if after is not None and slots.size:
+                    av, aid = int(after[0]), int(after[1])
+                    gid = slots + r.doc_id_base
+                    if desc:
+                        keep = (v < av) | ((v == av) & (gid > aid))
+                    else:
+                        keep = (v > av) | ((v == av) & (gid > aid))
+                    slots, v = slots[keep], v[keep]
                 order = np.lexsort((slots, -v if desc else v))[:k]
                 out_ids.append(slots[order] + r.doc_id_base)
                 out_vals.append(v[order])
@@ -520,6 +533,18 @@ class Searcher:
             m = c >= 0
             slots, c = slots[m], c[m]
             total += int(slots.size)
+            if after is not None and slots.size:
+                av, aid = str(after[0]), int(after[1])
+                # per-code cursor comparison (bounded by the reader's
+                # dictionary cardinality), then one vectorized gather
+                lt = np.array([cs < av for cs in cats], dtype=bool)
+                eq = np.array([cs == av for cs in cats], dtype=bool)
+                gid = slots + r.doc_id_base
+                if desc:
+                    keep = lt[c] | (eq[c] & (gid > aid))
+                else:
+                    keep = ~(lt[c] | eq[c]) | (eq[c] & (gid > aid))
+                slots, c = slots[keep], c[keep]
             if not slots.size:
                 continue
             # dictionary codes are in first-appearance order; rank them
@@ -2419,16 +2444,23 @@ class QueryEngine:
 
     def search_sort(self, query_text: str | None, field: str,
                     order: str = "desc", size: int = 10,
-                    from_: int = 0) -> dict:
+                    from_: int = 0, search_after=None) -> dict:
         """ES sort: the hit set of ``query_text`` (match / boolean /
-        wildcard; None or blank = match_all) ordered by an integer
-        doc-value ``field`` with the deterministic (value, doc_id asc)
-        tie-break, instead of _score.  Each shard returns its local top
-        from_+size rows; the driver merge touches shards*(from_+size)
-        rows, never the corpus."""
+        wildcard; None or blank = match_all) ordered by an integer or
+        string doc-value ``field`` with the deterministic (value, doc_id
+        asc) tie-break, instead of _score.  Each shard returns its local
+        top from_+size rows; the driver merge touches
+        shards*(from_+size) rows, never the corpus.
+
+        ``search_after=(value, doc_id)`` — the cursor from the last row
+        of the previous page — paginates arbitrarily deep at constant
+        per-shard cost (rows strictly after the cursor are masked BEFORE
+        the local top-k).  ES forbids combining it with ``from``."""
         import pyarrow.dataset as pads
         import pyarrow.types as patypes
 
+        if search_after is not None and from_:
+            raise ValueError("search_after cannot be combined with from_")
         kind, payload = self._agg_route(query_text)
         numeric = patypes.is_integer(
             pads.dataset(
@@ -2438,7 +2470,7 @@ class QueryEngine:
         desc = order == "desc"
         fetch = from_ + size
         parts = self._fanout("search_sort", kind, payload, field, desc,
-                             fetch, numeric)
+                             fetch, numeric, search_after)
         rows = [
             (v, int(d))
             for p in parts

@@ -2350,3 +2350,93 @@ def test_weighted_avg_rare_terms_adjacency(tmp_path):
                     for b in got["buckets"]] == exp_buckets, n_searchers
         finally:
             eng.close()
+
+
+def test_sort_search_after_pagination(tmp_path):
+    """ES search_after over field sorts: walking pages of 7 via the
+    (value, doc_id) cursor reproduces the full sorted hit list exactly —
+    numeric and string fields, both orders, embedded and distributed;
+    duplicate values forced so the tie-break leg of the cursor is
+    exercised; from_ + search_after rejected."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(23)
+    vocab = ["merge", "hash", "scan", "join", "other"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(6)),
+            "source": f"s{rng.randint(0, 4)}",          # heavy duplicates
+            "n_chars": rng.choice([10, 20, 20, 30, 40]),  # forced ties
+        }
+        for i in range(130)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+        }),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("source", "n_chars"),
+                    docs_per_segment=40, target_partition_rows=20),
+    )
+    for n_searchers in (0, 2):
+        eng = QueryEngine(idx, num_searchers=n_searchers)
+        try:
+            for field, key in (("n_chars", lambda r: r["n_chars"]),
+                               ("source", lambda r: r["source"])):
+                for q, pred in (
+                    (None, lambda t: True),
+                    ("merge", lambda t: "merge" in t.split()),
+                ):
+                    hit = [r for r in rows if pred(r["text"])]
+                    for order in ("desc", "asc"):
+                        exp = sorted(
+                            ((key(r), r["doc_id"]) for r in hit),
+                            key=lambda t: (t[0], -t[1]),
+                            reverse=(order == "desc"),
+                        )
+                        if order == "desc":
+                            # re-fix tie-break: doc_id asc under desc value
+                            exp = sorted(hit, key=lambda r: r["doc_id"])
+                            exp = sorted(exp, key=key, reverse=True)
+                            exp = [(key(r), r["doc_id"]) for r in exp]
+                        else:
+                            exp = sorted(hit, key=lambda r: r["doc_id"])
+                            exp = sorted(exp, key=key)
+                            exp = [(key(r), r["doc_id"]) for r in exp]
+                        walked = []
+                        cursor = None
+                        while True:
+                            res = eng.search_sort(
+                                q, field, order=order, size=7,
+                                search_after=cursor,
+                            )
+                            page = [
+                                (r["sort"][0], r["doc_id"])
+                                for r in res["results"]
+                            ]
+                            if not page:
+                                break
+                            walked.extend(page)
+                            assert res["total_hits"] == len(hit)
+                            cursor = page[-1]
+                        assert walked == exp, (n_searchers, field, q, order)
+            with pytest.raises(ValueError):
+                eng.search_sort(None, "n_chars", size=5, from_=5,
+                                search_after=(10, 3))
+        finally:
+            eng.close()
