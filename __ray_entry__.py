@@ -1120,6 +1120,43 @@ def _q_range_agg(sf_dir: str):
     )
 
 
+TERMS_SHARDED_SIZE = 8
+
+
+def _q_terms_sharded(sf_dir: str):
+    """ES terms agg with shard_size semantics (each shard ships only its
+    local top shard_size + cutoff; driver merges with ES's
+    doc_count_error_upper_bound / sum_other_doc_count accounting).  Run
+    in the exact regime (shard_size=1000 >= cardinality) so the DuckDB
+    twin is exact and all error bounds are provably 0; the approximation
+    behavior (undercount <= bound) is pinned by unit test.
+
+    SQL twin: GROUP BY counts ordered (count desc, key asc) LIMIT size,
+    plus constant 0 error and the arithmetic sum_other."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "key": [], "doc_count": [], "err": [],
+            "sum_other": []}
+    for q in ("merge", "merge AND hash"):
+        res = eng.search_facets_sharded(q, "source",
+                                        size=TERMS_SHARDED_SIZE,
+                                        shard_size=1000)
+        for b in res["buckets"]:
+            rows["query"].append(q)
+            rows["key"].append(b["key"])
+            rows["doc_count"].append(b["doc_count"])
+            rows["err"].append(b["doc_count_error_upper_bound"])
+            rows["sum_other"].append(res["sum_other_doc_count"])
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "key": pa.array(rows["key"], pa.string()),
+            "doc_count": pa.array(rows["doc_count"], pa.int64()),
+            "err": pa.array(rows["err"], pa.int64()),
+            "sum_other": pa.array(rows["sum_other"], pa.int64()),
+        }
+    )
+
+
 SORT_AFTER_PAGES = 3
 SORT_AFTER_SIZE = 5
 
@@ -2606,6 +2643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dismax_top10": _q_dismax_top10,
         "weighted_avg": _q_weighted_avg,
         "sort_search_after": _q_sort_search_after,
+        "terms_sharded": _q_terms_sharded,
         "rare_terms": _q_rare_terms,
         "adjacency_matrix": _q_adjacency_matrix,
         "boosting": _q_boosting,
@@ -3853,6 +3891,35 @@ FROM (
     )
 
 
+def _terms_sharded_sql() -> str:
+    hits = {
+        "merge": "SELECT DISTINCT doc_id FROM tok WHERE tok='merge'",
+        "merge AND hash": (
+            "SELECT doc_id FROM tok WHERE tok='merge' INTERSECT "
+            "SELECT doc_id FROM tok WHERE tok='hash'"
+        ),
+    }
+    parts = []
+    for q in ("merge", "merge AND hash"):
+        label = q.replace("'", "''")
+        parts.append(f"""
+SELECT query, key, doc_count, CAST(0 AS BIGINT) AS err,
+       CAST((SELECT count(*) FROM documents WHERE doc_id IN ({hits[q]})
+               AND source IS NOT NULL)
+            - sum(doc_count) OVER () AS BIGINT) AS sum_other
+FROM (
+  SELECT '{label}' AS query, source AS key, count(*) AS doc_count,
+         row_number() OVER (ORDER BY count(*) DESC, source) AS rk
+  FROM documents WHERE doc_id IN ({hits[q]}) AND source IS NOT NULL
+  GROUP BY source
+) WHERE rk <= {TERMS_SHARDED_SIZE}""")
+    return (
+        f"WITH tok AS ({_TOK}) SELECT * FROM ("
+        + " UNION ALL ".join(f"({p})" for p in parts)
+        + ") ORDER BY query, doc_count DESC, key"
+    )
+
+
 def _sort_search_after_sql() -> str:
     total = SORT_AFTER_PAGES * SORT_AFTER_SIZE
     parts = []
@@ -4552,6 +4619,7 @@ GROUP BY d.doc_id
         "dismax_top10": _dismax_sql(),
         "weighted_avg": _weighted_avg_sql(),
         "sort_search_after": _sort_search_after_sql(),
+        "terms_sharded": _terms_sharded_sql(),
         "rare_terms": _rare_terms_sql(),
         "adjacency_matrix": _adjacency_matrix_sql(),
         "constant_score": _constant_score_sql(),

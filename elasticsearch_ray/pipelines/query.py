@@ -397,6 +397,32 @@ class Searcher:
                 out[v] = out.get(v, 0) + int(counts[i])
         return out
 
+    def facet_counts_topn(self, kind: str, payload, field: str,
+                          shard_size: int):
+        """ES terms aggregation as ES actually distributes it: this shard
+        ships ONLY its top ``shard_size`` buckets (count desc, key asc)
+        plus its cutoff (the last shipped count — the max a dropped term
+        could have here) and its docs-with-value total.  Actor->driver
+        traffic is O(shard_size), never field cardinality — the scale
+        path for high-cardinality fields, with ES's
+        doc_count_error_upper_bound accounting at the driver."""
+        per_reader = self._facet_column(field)
+        local: dict[str, int] = {}
+        for r, (codes, cats) in zip(self.readers, per_reader):
+            slots = self._match_slots(r, kind, payload)
+            c = codes[slots]
+            c = c[c >= 0]
+            if not c.size:
+                continue
+            counts = np.bincount(c, minlength=len(cats))
+            for i in np.flatnonzero(counts):
+                v = cats[i]
+                local[v] = local.get(v, 0) + int(counts[i])
+        items = sorted(local.items(), key=lambda kv: (-kv[1], kv[0]))
+        top = items[:shard_size]
+        cutoff = top[-1][1] if len(items) > shard_size else 0
+        return top, cutoff, sum(local.values())
+
     def missing_count(self, kind: str, payload, field: str,
                       is_string: bool) -> int:
         """ES ``missing`` aggregation: how many docs of the hit set have NO
@@ -1910,6 +1936,58 @@ class QueryEngine:
             parts = self._fanout("count", kind, payload)
             buckets[name] = {"doc_count": int(sum(parts))}
         return {"buckets": buckets}
+
+    def search_facets_sharded(self, query_text: str | None, field: str,
+                              size: int = 10,
+                              shard_size: int | None = None) -> dict:
+        """ES terms aggregation with ``shard_size`` semantics — the
+        bounded-traffic path for high-cardinality fields: each shard ships
+        only its local top ``shard_size`` buckets, so results can
+        undercount (never overcount) and ES's error accounting applies:
+
+        - bucket ``doc_count_error_upper_bound`` = sum of the cutoffs of
+          the shards that did NOT report the term (the most it could have
+          missed),
+        - top-level ``doc_count_error_upper_bound`` = sum of all shard
+          cutoffs (worst case for any unreturned term),
+        - ``sum_other_doc_count`` = docs with a value minus the returned
+          buckets' reported counts.
+
+        ``shard_size`` defaults to ES's ``size * 1.5 + 10``.  With
+        ``shard_size`` >= every shard's distinct-value count the result is
+        exact and all error bounds are 0 (== ``search_facets``)."""
+        if shard_size is None:
+            shard_size = int(size * 1.5 + 10)
+        kind, payload = self._agg_route(query_text)
+        parts = self._fanout(
+            "facet_counts_topn", kind, payload, field, shard_size
+        )
+        shard_maps = [dict(p[0]) for p in parts]
+        cutoffs = [p[1] for p in parts]
+        total_with_value = sum(p[2] for p in parts)
+        merged: dict[str, int] = {}
+        for m in shard_maps:
+            for v, n in m.items():
+                merged[v] = merged.get(v, 0) + n
+        buckets = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+        out = []
+        for v, n in buckets[:size]:
+            err = sum(
+                c for m, c in zip(shard_maps, cutoffs) if v not in m
+            )
+            out.append(
+                {"key": v, "doc_count": n,
+                 "doc_count_error_upper_bound": int(err)}
+            )
+        return {
+            "query": query_text or "",
+            "field": field,
+            "doc_count_error_upper_bound": int(sum(cutoffs)),
+            "sum_other_doc_count": int(
+                total_with_value - sum(b["doc_count"] for b in out)
+            ),
+            "buckets": out,
+        }
 
     def search_weighted_avg(self, query_text: str | None, field: str,
                             weight_field: str) -> dict:

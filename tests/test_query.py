@@ -2440,3 +2440,79 @@ def test_sort_search_after_pagination(tmp_path):
                                 search_after=(10, 3))
         finally:
             eng.close()
+
+
+def test_terms_agg_shard_size_error_bounds(tmp_path):
+    """ES sharded terms agg: with shard_size >= per-shard cardinality the
+    result equals the exact terms agg with all error bounds 0; with a
+    tiny shard_size, reported counts never overcount, each bucket's
+    undercount is within its doc_count_error_upper_bound, and
+    sum_other_doc_count accounts for every doc with a value."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(41)
+    # skewed per-region values so per-shard tops disagree
+    rows = []
+    for i in range(240):
+        region = i // 60  # 4 doc ranges -> different shard tops
+        v = f"v{rng.choice([region * 3, region * 3 + 1, rng.randint(0, 11)])}"
+        rows.append({"doc_id": i, "text": "merge words", "source": v})
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+        }),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("source",),
+                    docs_per_segment=60, target_partition_rows=30),
+    )
+    exact: dict[str, int] = {}
+    for r in rows:
+        exact[r["source"]] = exact.get(r["source"], 0) + 1
+    exact_buckets = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))
+    for n_searchers in (0, 4):
+        eng = QueryEngine(idx, num_searchers=n_searchers)
+        try:
+            # big shard_size == exact path
+            res = eng.search_facets_sharded("merge", "source", size=12,
+                                            shard_size=1000)
+            assert [(b["key"], b["doc_count"]) for b in res["buckets"]] \
+                == exact_buckets[:12]
+            assert all(b["doc_count_error_upper_bound"] == 0
+                       for b in res["buckets"])
+            assert res["doc_count_error_upper_bound"] == 0
+            assert res["sum_other_doc_count"] == len(rows) - sum(
+                n for _, n in exact_buckets[:12]
+            )
+            # tiny shard_size: bounded undercount, never overcount
+            res = eng.search_facets_sharded("merge", "source", size=6,
+                                            shard_size=2)
+            for b in res["buckets"]:
+                true_n = exact[b["key"]]
+                assert b["doc_count"] <= true_n
+                assert true_n - b["doc_count"] \
+                    <= b["doc_count_error_upper_bound"]
+            assert res["sum_other_doc_count"] == len(rows) - sum(
+                b["doc_count"] for b in res["buckets"]
+            )
+            if n_searchers == 0:
+                # one shard -> shard top-shard_size is globally exact on
+                # what it returns
+                assert all(
+                    exact[b["key"]] == b["doc_count"]
+                    for b in res["buckets"]
+                )
+        finally:
+            eng.close()
