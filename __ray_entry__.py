@@ -196,6 +196,72 @@ def _ensure_title_parquet(sf_dir: str) -> str:
     return out
 
 
+def _ensure_html_parquet(sf_dir: str) -> str:
+    """Side-output (doc_id, html): each document deterministically wrapped
+    in markup with attribute-bearing tags and HTML entities — the corpus
+    the html_strip analyzer ingests, and the one the SQL twin re-strips
+    with the same documented rules."""
+    import shutil
+
+    out = _index_dir_for(sf_dir, "htmldocs")
+    done = os.path.join(out, "_done")
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)  # write_parquet APPENDS
+
+        def derive(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            ids = batch.column("doc_id").to_pylist()
+            htmls = [
+                f'<html lang="en"><p id="d{i}">{t or ""}</p> '
+                f"<footer>&amp; &lt;eof&gt;</footer></html>"
+                for i, t in zip(ids, texts)
+            ]
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "html": pa.array(htmls, pa.string()),
+                }
+            )
+
+        _docs_ds(sf_dir).map_batches(
+            derive, batch_format="pyarrow"
+        ).write_parquet(out)
+        open(done, "w").close()
+    return out
+
+
+def _html_engine(sf_dir: str):
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    idx = _index_dir_for(sf_dir, "htmlidx")
+    key = f"html::{idx}"
+    if key in _ENGINES:
+        return _ENGINES[key]
+    hdocs = _ensure_html_parquet(sf_dir)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(
+            hdocs, idx,
+            BuildConfig(text_column="html", url_column=None,
+                        lang_column=None, analyzer="html_plain",
+                        target_partition_rows=500,
+                        docs_per_segment=2_000),
+        )
+    _ENGINES[key] = QueryEngine(idx, num_searchers=2)
+    return _ENGINES[key]
+
+
+def _q_html_strip_top10(sf_dir: str):
+    """ES html_strip char filter: BM25 over an index built from raw
+    markup with the html_plain analyzer (tags -> space, entities decoded
+    once after tag removal, then the whitespace analyzer).
+
+    SQL twin: the same strip chain in DuckDB (regexp_replace + the
+    ordered entity replaces) feeding the standard bm25 CTE."""
+    eng = _html_engine(sf_dir)
+    return _score_u_table(lambda q: eng.search(q, size=10))
+
+
 def _field_engine(sf_dir: str):
     from elasticsearch_ray.pipelines.fields import MultiFieldEngine, build_field_indexes
 
@@ -2644,6 +2710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_avg": _q_weighted_avg,
         "sort_search_after": _q_sort_search_after,
         "terms_sharded": _q_terms_sharded,
+        "html_strip_top10": _q_html_strip_top10,
         "rare_terms": _q_rare_terms,
         "adjacency_matrix": _q_adjacency_matrix,
         "boosting": _q_boosting,
@@ -3891,6 +3958,57 @@ FROM (
     )
 
 
+def _html_strip_sql() -> str:
+    """The documented html_strip chain re-applied in DuckDB (tags ->
+    space via RE2, then the ordered entity replaces, decode-once), then
+    whitespace tokenization and the standard bm25 CTE."""
+    d = _index_dir_for(_DRIVER_SF, "htmldocs")
+    qt = []
+    for q in BM25_QUERIES:
+        for t in q.split():
+            qt.append((q, t))
+    strip = (
+        "replace(replace(replace(replace(replace(replace("
+        "regexp_replace(html, '<[^>]*>', ' ', 'g'),"
+        " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+        " '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&')"
+    )
+    return f"""
+WITH hdocs AS (SELECT doc_id, {strip} AS s
+               FROM read_parquet('{d}/*.parquet')),
+tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(s)), '\\s+'))
+          AS tok FROM hdocs),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query, term) AS (VALUES {_bm25_values_sql(qt)}),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         sum(ln((stats.n + 1.0) / (df.df + 1.0))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+  GROUP BY q.query, tf.doc_id
+),
+ranked AS (
+  SELECT query, doc_id, s,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY s DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query, CAST(rank AS INT) AS rank, doc_id,
+       CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_u
+FROM ranked WHERE rank <= 10
+ORDER BY query, rank
+"""
+
+
 def _terms_sharded_sql() -> str:
     hits = {
         "merge": "SELECT DISTINCT doc_id FROM tok WHERE tok='merge'",
@@ -4620,6 +4738,7 @@ GROUP BY d.doc_id
         "weighted_avg": _weighted_avg_sql(),
         "sort_search_after": _sort_search_after_sql(),
         "terms_sharded": _terms_sharded_sql(),
+        "html_strip_top10": _html_strip_sql(),
         "rare_terms": _rare_terms_sql(),
         "adjacency_matrix": _adjacency_matrix_sql(),
         "constant_score": _constant_score_sql(),

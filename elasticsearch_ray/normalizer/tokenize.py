@@ -281,11 +281,78 @@ def tokenize_rows_flat(normalizer, cleaned: list[str]):
     return tok_doc[keep], codes[keep], terms
 
 
+_HTML_TAG_RE = re.compile(r"<[^>]*>")
+# decode order matters (ES html_strip decodes entities ONCE, after tag
+# removal): '&amp;' last so '&amp;lt;' ends as '&lt;', not '<'
+_HTML_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+    ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
+def html_strip(text: str) -> str:
+    """ES ``html_strip`` char filter: tags replaced by a space, then the
+    standard XML entities (+ ``&nbsp;``) decoded once.  Decoded text is
+    NOT re-scanned for tags (ES behavior — ``&lt;b&gt;`` survives as
+    literal ``<b>`` text)."""
+    text = _HTML_TAG_RE.sub(" ", text)
+    for k, v in _HTML_ENTITIES:
+        text = text.replace(k, v)
+    return text
+
+
+class HtmlStripNormalizer:
+    """ES analyzer with the ``html_strip`` char filter in front of a base
+    analyzer (``char_filter: [html_strip]`` in an ES analyzer definition).
+    The char filter runs on BOTH the index and the query side, like ES.
+    Batch path is fully Arrow: one RE2 tag replace + chained literal
+    entity replaces, then the base analyzer's clean_batch."""
+
+    def __init__(self, base) -> None:
+        self.base = base
+        self.stop_words = base.stop_words
+        self.stemmer = base.stemmer
+
+    def normalize_text(self, text: str) -> str:
+        return self.base.normalize_text(html_strip(text))
+
+    def tokenize(self, text: str) -> list[str]:
+        return self.base.tokenize(html_strip(text))
+
+    def tokenize_cleaned(self, cleaned: str) -> list[str]:
+        return self.base.tokenize_cleaned(cleaned)  # already stripped
+
+    def map_token(self, token: str) -> str:
+        return self.base.map_token(token)
+
+    def clean_batch(self, texts: list[str | None]) -> list[str]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.array([t or "" for t in texts], pa.string())
+        arr = pc.replace_substring_regex(
+            arr, pattern=r"<[^>]*>", replacement=" "
+        )
+        for k, v in _HTML_ENTITIES:
+            arr = pc.replace_substring(arr, pattern=k, replacement=v)
+        return self.base.clean_batch(arr.to_pylist())
+
+    def preprocess_query(self, query: str) -> str:
+        return self.base.preprocess_query(html_strip(query))
+
+    def preprocess_query_list(self, query: str) -> list[str]:
+        return self.base.preprocess_query_list(html_strip(query))
+
+
 def make_normalizer(analyzer: str = "reference"):
     if analyzer == "plain":
         return PlainNormalizer()
     if analyzer == "reference":
         return Normalizer()
+    if analyzer == "html_plain":
+        return HtmlStripNormalizer(PlainNormalizer())
+    if analyzer == "html_reference":
+        return HtmlStripNormalizer(Normalizer())
     raise ValueError(f"unknown analyzer: {analyzer!r}")
 
 

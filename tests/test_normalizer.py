@@ -173,3 +173,45 @@ def test_tokenize_rows_flat_matches_per_row():
         for d, c in zip(tok_doc.tolist(), codes.tolist()):
             got[d].append(terms[c])
         assert got == exp, analyzer
+
+
+def test_html_strip_char_filter():
+    """ES html_strip semantics: tags -> space, entities decoded ONCE after
+    tag removal (decoded '<b>' text is NOT re-stripped), &amp; decoded
+    last; batch (Arrow) and scalar paths agree."""
+    from elasticsearch_ray.normalizer.tokenize import (
+        HtmlStripNormalizer,
+        PlainNormalizer,
+        html_strip,
+        make_normalizer,
+    )
+
+    assert html_strip('<p id="x">Hello <b>world</b></p>') == \
+        " Hello  world  "
+    # entities decode once, after tags; &amp;lt; -> &lt; (literal)
+    assert html_strip("&lt;b&gt;bold&lt;/b&gt;") == "<b>bold</b>"
+    assert html_strip("&amp;lt;") == "&lt;"
+    assert html_strip("a&nbsp;b &quot;q&quot; &apos;s&apos;") == \
+        'a b "q" \'s\''
+    n = make_normalizer("html_plain")
+    assert isinstance(n, HtmlStripNormalizer)
+    texts = [
+        '<html><body class="d">Run <i>fast</i> &amp; far</body></html>',
+        None,
+        "no tags at all",
+        "&lt;script&gt; stays text",
+    ]
+    cleaned = n.clean_batch(texts)
+    base = PlainNormalizer()
+    for t, c in zip(texts, cleaned):
+        # the invariant the build path relies on: cleaned batch text
+        # re-tokenizes to exactly the scalar analyzer's tokens
+        assert n.tokenize_cleaned(c) == n.tokenize(t or "")
+        assert n.tokenize(t or "") == base.tokenize(html_strip(t or ""))
+    assert n.tokenize(texts[0]) == ["run", "fast", "&", "far"]
+    # query side strips too (ES applies char filters in query analysis)
+    assert n.preprocess_query_list("<b>run</b>") == ["run"]
+    # stemming base composes
+    hr = make_normalizer("html_reference")
+    assert hr.tokenize("<p>running studies</p>") == \
+        make_normalizer("reference").tokenize("running studies")
