@@ -2090,6 +2090,30 @@ def _q_quality_sizes(sf_dir: str):
     )
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals per doc: whitespace token
+    count, distinct-token ratio, top-bigram fraction — one vectorized
+    dictionary-encode + sort + run-length pass per batch.
+
+    SQL twin: list_distinct + a per-doc bigram GROUP BY."""
+    from elasticsearch_ray.ops.textstats import repetition_stats
+
+    out = repetition_stats(_docs_ds(sf_dir)).take_all()
+    out.sort(key=lambda r: r["doc_id"])
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in out], pa.int64()),
+            "n_tokens": pa.array([r["n_tokens"] for r in out], pa.int64()),
+            "distinct_ratio_u": pa.array(
+                [r["distinct_ratio_u"] for r in out], pa.int64()
+            ),
+            "top_bigram_frac_u": pa.array(
+                [r["top_bigram_frac_u"] for r in out], pa.int64()
+            ),
+        }
+    )
+
+
 def _q_langid_counts(sf_dir: str):
     from elasticsearch_ray.ops.textstats import language_id
 
@@ -2711,6 +2735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_search_after": _q_sort_search_after,
         "terms_sharded": _q_terms_sharded,
         "html_strip_top10": _q_html_strip_top10,
+        "repetition_stats": _q_repetition_stats,
         "rare_terms": _q_rare_terms,
         "adjacency_matrix": _q_adjacency_matrix,
         "boosting": _q_boosting,
@@ -4739,6 +4764,20 @@ GROUP BY d.doc_id
         "sort_search_after": _sort_search_after_sql(),
         "terms_sharded": _terms_sharded_sql(),
         "html_strip_top10": _html_strip_sql(),
+        "repetition_stats": (
+            "WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents), "
+            "base AS (SELECT doc_id, len(l) AS n_tok, len(list_distinct(l)) AS dist FROM t), "
+            "u AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS bg FROM "
+            "  (SELECT doc_id, unnest(generate_series(1, len(l)-1)) AS i, l FROM t)), "
+            "bc AS (SELECT doc_id, bg, count(*) AS c FROM u GROUP BY doc_id, bg), "
+            "mb AS (SELECT doc_id, max(c) AS mx, sum(c) AS nb FROM bc GROUP BY doc_id) "
+            "SELECT b.doc_id, CAST(n_tok AS BIGINT) AS n_tokens, "
+            "CAST(floor(dist::DOUBLE / greatest(n_tok, 1) * 1000000 + 0.5) AS BIGINT) "
+            "  AS distinct_ratio_u, "
+            "CAST(floor(COALESCE(mx, 0)::DOUBLE / greatest(COALESCE(nb, 0), 1) "
+            "  * 1000000 + 0.5) AS BIGINT) AS top_bigram_frac_u "
+            "FROM base b LEFT JOIN mb USING(doc_id) ORDER BY b.doc_id"
+        ),
         "rare_terms": _rare_terms_sql(),
         "adjacency_matrix": _adjacency_matrix_sql(),
         "constant_score": _constant_score_sql(),

@@ -324,3 +324,78 @@ def fingerprints(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def repetition_stats(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Gopher-style repetition quality signals per document (the
+    repetition-removal family of web-corpus filters): whitespace token
+    count, distinct-token ratio, and the fraction of the doc's bigrams
+    taken by its single most repeated bigram.  Fully vectorized per
+    batch: one dictionary-encode of the flat token stream, composite
+    (doc, code) keys, one sort + run-length pass — no per-document
+    python.  Ratios ship as floor(x*1e6+0.5) micro-units (the repo-wide
+    hash-safe convention)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sarr = batch.column(text_col)
+        if isinstance(sarr, pa.ChunkedArray):
+            sarr = sarr.combine_chunks()
+        n = len(sarr)
+        tok = pc.split_pattern(sarr, pattern=" ")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        loffs = np.frombuffer(tok.buffers()[1], dtype=np.int32)[
+            tok.offset : tok.offset + len(tok) + 1
+        ].astype(np.int64)
+        loffs = loffs - loffs[0]
+        flat = tok.flatten()
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = max(len(enc.dictionary), 1)
+        n_tok = np.diff(loffs)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_tok)
+        # distinct tokens per doc: unique composite (doc, code) keys
+        if codes.size:
+            key = np.sort(doc_idx * v + codes)
+            new = np.empty(key.size, dtype=bool)
+            new[0] = True
+            new[1:] = key[1:] != key[:-1]
+            distinct = np.bincount(key[new] // v, minlength=n)
+        else:
+            distinct = np.zeros(n, dtype=np.int64)
+        # most-repeated-bigram count per doc: run lengths over sorted
+        # (doc, code_i * V + code_{i+1})
+        max_bg = np.zeros(n, dtype=np.int64)
+        n_bg = np.zeros(n, dtype=np.int64)
+        if codes.size > 1:
+            same = doc_idx[1:] == doc_idx[:-1]
+            bdoc = doc_idx[:-1][same]
+            bkey = codes[:-1][same] * v + codes[1:][same]
+            if bdoc.size:
+                order = np.lexsort((bkey, bdoc))
+                sd, sk = bdoc[order], bkey[order]
+                ng = np.empty(sd.size, dtype=bool)
+                ng[0] = True
+                ng[1:] = (sd[1:] != sd[:-1]) | (sk[1:] != sk[:-1])
+                starts = np.flatnonzero(ng)
+                lens = np.diff(np.append(starts, sd.size))
+                np.maximum.at(max_bg, sd[starts], lens)
+                n_bg = np.bincount(bdoc, minlength=n)
+        nt = np.maximum(n_tok, 1)
+        nb = np.maximum(n_bg, 1)
+        distinct_u = np.floor(distinct / nt * 1e6 + 0.5).astype(np.int64)
+        top_bg_u = np.floor(max_bg / nb * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "distinct_ratio_u": pa.array(distinct_u, pa.int64()),
+                "top_bigram_frac_u": pa.array(top_bg_u, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1006,3 +1006,40 @@ def test_composite_buckets_pagination(docs_ds):
     got = pa.concat_tables(pages)
     assert got.column("doc_count").to_pylist() == \
         full.column("doc_count").to_pylist()
+
+
+def test_repetition_stats_vs_python():
+    """Gopher-style repetition signals: the vectorized dictionary-encode /
+    run-length kernel matches a per-doc python Counter oracle, including
+    the no-bigram and repeated-token edges."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from elasticsearch_ray.ops.textstats import repetition_stats
+
+    import random
+    rng = random.Random(3)
+    vocab = ["a", "b", "c", "dd", "e"]
+    texts = ["a b a b a b", "x", "q q q q", "x y z"] + [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+        for _ in range(60)
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    got = {r["doc_id"]: r for r in repetition_stats(ds).take_all()}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        n = len(toks)
+        bgs = Counter(zip(toks, toks[1:]))
+        mb = max(bgs.values()) if bgs else 0
+        nb = max(sum(bgs.values()), 1)
+        assert got[i]["n_tokens"] == n
+        assert got[i]["distinct_ratio_u"] == math.floor(
+            len(set(toks)) / n * 1e6 + 0.5
+        )
+        assert got[i]["top_bigram_frac_u"] == math.floor(mb / nb * 1e6 + 0.5)
