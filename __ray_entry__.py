@@ -3994,7 +3994,7 @@ def _html_strip_sql() -> str:
             qt.append((q, t))
     strip = (
         "replace(replace(replace(replace(replace(replace("
-        "regexp_replace(html, '<[^>]*>', ' ', 'g'),"
+        "regexp_replace(html, '<[a-zA-Z/!?][^>]*>', ' ', 'g'),"
         " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
         " '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&')"
     )

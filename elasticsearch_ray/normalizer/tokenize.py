@@ -281,7 +281,10 @@ def tokenize_rows_flat(normalizer, cleaned: list[str]):
     return tok_doc[keep], codes[keep], terms
 
 
-_HTML_TAG_RE = re.compile(r"<[^>]*>")
+# Lucene's HTMLStripCharFilter only opens a tag when '<' is followed by
+# a letter, '/', '!' or '?' — a bare '<' in text ('1 < 2', 'i <3 you')
+# is literal content and must survive.
+_HTML_TAG_RE = re.compile(r"<[a-zA-Z/!?][^>]*>")
 # decode order matters (ES html_strip decodes entities ONCE, after tag
 # removal): '&amp;' last so '&amp;lt;' ends as '&lt;', not '<'
 _HTML_ENTITIES = [
@@ -331,7 +334,7 @@ class HtmlStripNormalizer:
 
         arr = pa.array([t or "" for t in texts], pa.string())
         arr = pc.replace_substring_regex(
-            arr, pattern=r"<[^>]*>", replacement=" "
+            arr, pattern=r"<[a-zA-Z/!?][^>]*>", replacement=" "
         )
         for k, v in _HTML_ENTITIES:
             arr = pc.replace_substring(arr, pattern=k, replacement=v)

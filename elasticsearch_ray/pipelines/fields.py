@@ -136,16 +136,9 @@ class _FieldMeta:
                 m = json.load(f)
             lo = int(m["doc_id_base"])
             self.segs.append((s, lo, lo + int(m["kept_docs"])))
-        self._df_shards: list[tuple[str, str, str]] = []
-        sh_path = os.path.join(index_dir, "df_global", "_df_shards.json")
-        if os.path.exists(sh_path):
-            with open(sh_path) as f:
-                for sh in json.load(f).get("shards", []):
-                    self._df_shards.append(
-                        (sh["lo"], sh["hi"],
-                         os.path.join(index_dir, "df_global", sh["file"]))
-                    )
-            self._df_shards.sort()
+        from ..state.dfshards import load_df_shards
+
+        self._df_shards = load_df_shards(index_dir)
         self._shard_los = [s[0] for s in self._df_shards]
         self._readers = None  # pre-shard-layout fallback only
 
@@ -153,10 +146,7 @@ class _FieldMeta:
         return [s for s, slo, shi in self.segs if slo < hi and shi > lo]
 
     def dfs(self, terms: list[str]) -> dict[str, int]:
-        import bisect
-        from collections import defaultdict
-
-        import pyarrow.dataset as pads
+        from ..state.dfshards import dfs_from_shards
 
         if not self._df_shards:
             # legacy layout without df_global: open readers once (driver
@@ -170,32 +160,13 @@ class _FieldMeta:
             return {
                 t: sum(r.df(t) for r in self._readers) for t in terms
             }
-        out = {t: 0 for t in terms}
-        groups: dict[int, list[str]] = defaultdict(list)
-        for t in terms:
-            i = bisect.bisect_right(self._shard_los, t) - 1
-            if i >= 0 and t <= self._df_shards[i][1]:
-                groups[i].append(t)
-        for i, ts in groups.items():
-            tbl = pads.dataset(self._df_shards[i][2]).to_table(
-                columns=["term", "df"],
-                filter=pads.field("term").isin(ts),
-            )
-            for term, df in zip(
-                tbl.column("term").to_pylist(), tbl.column("df").to_pylist()
-            ):
-                out[term] = int(df)
-        return out
+        return dfs_from_shards(self._df_shards, self._shard_los, terms)
 
     def idfs(self, terms: list[str]) -> dict[str, float]:
-        import math
+        from ..state.dfshards import idf
 
-        dfs = self.dfs(terms)
         return {
-            t: (
-                math.log((self.doc_count + 1) / (df + 1)) if df > 0 else 0.0
-            )
-            for t, df in dfs.items()
+            t: idf(self.doc_count, df) for t, df in self.dfs(terms).items()
         }
 
 
@@ -306,7 +277,6 @@ class CrossFieldEngine:
             num_shards = max(1, -(-self.doc_count // 25_000))
             if num_shards == 1:
                 num_shards = 0
-        edges = self._range_edges(num_shards or 1)
         self.embedded: CrossFieldSearcher | None = None
         self.searchers: list = []
         if num_shards == 0:
@@ -318,6 +288,7 @@ class CrossFieldEngine:
                 0, self.doc_count,
             )
             return
+        edges = self._range_edges(num_shards)
         remote_cls = ray.remote(CrossFieldSearcher)
         for lo, hi in edges:
             spec = {

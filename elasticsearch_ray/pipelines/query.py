@@ -406,18 +406,7 @@ class Searcher:
         traffic is O(shard_size), never field cardinality — the scale
         path for high-cardinality fields, with ES's
         doc_count_error_upper_bound accounting at the driver."""
-        per_reader = self._facet_column(field)
-        local: dict[str, int] = {}
-        for r, (codes, cats) in zip(self.readers, per_reader):
-            slots = self._match_slots(r, kind, payload)
-            c = codes[slots]
-            c = c[c >= 0]
-            if not c.size:
-                continue
-            counts = np.bincount(c, minlength=len(cats))
-            for i in np.flatnonzero(counts):
-                v = cats[i]
-                local[v] = local.get(v, 0) + int(counts[i])
+        local = self.facet_counts(kind, payload, field)
         items = sorted(local.items(), key=lambda kv: (-kv[1], kv[0]))
         top = items[:shard_size]
         cutoff = top[-1][1] if len(items) > shard_size else 0
@@ -1368,16 +1357,9 @@ class QueryEngine:
         # gather — at 1e9 terms the gather costs every searcher a postings
         # probe per cold term, the shard read costs one row-group scan on
         # shared storage (same storage assumption as the segment files).
-        self._df_shards: list[tuple[str, str, str]] = []  # (lo, hi, path)
-        sh_path = os.path.join(index_dir, "df_global", "_df_shards.json")
-        if os.path.exists(sh_path):
-            with open(sh_path) as f:
-                for s in json.load(f).get("shards", []):
-                    self._df_shards.append(
-                        (s["lo"], s["hi"],
-                         os.path.join(index_dir, "df_global", s["file"]))
-                    )
-            self._df_shards.sort()
+        from ..state.dfshards import load_df_shards
+
+        self._df_shards = load_df_shards(index_dir)  # (lo, hi, path)
         self._df_shard_los = [s[0] for s in self._df_shards]
 
         manifest_path = os.path.join(index_dir, "manifest.json")
@@ -1500,17 +1482,10 @@ class QueryEngine:
             self.stats = json.load(f)
         self.doc_count = self.stats["doc_count"]
         self.avgdl = self.stats["avg_doc_length"]
+        from ..state.dfshards import load_df_shards
+
         self._df_cache.clear()
-        self._df_shards = []
-        sh_path = os.path.join(self.index_dir, "df_global", "_df_shards.json")
-        if os.path.exists(sh_path):
-            with open(sh_path) as f:
-                for s in json.load(f).get("shards", []):
-                    self._df_shards.append(
-                        (s["lo"], s["hi"],
-                         os.path.join(self.index_dir, "df_global", s["file"]))
-                    )
-            self._df_shards.sort()
+        self._df_shards = load_df_shards(self.index_dir)
         self._df_shard_los = [s[0] for s in self._df_shards]
         with open(os.path.join(self.index_dir, "manifest.json")) as f:
             manifest = json.load(f)
@@ -1559,31 +1534,11 @@ class QueryEngine:
     # -- df / idf ----------------------------------------------------------
 
     def _dfs_from_shards(self, terms: list[str]) -> dict[str, int]:
-        """df for each term via the range-sharded df_global parquet: bisect
-        the shard index, one predicate read per touched shard (row-group
-        pruning via the sorted term column).  Terms outside every range are
-        absent from the corpus: df = 0."""
-        import bisect
-        from collections import defaultdict
+        """df for each term via the range-sharded df_global parquet
+        (shared kernel: ``state.dfshards.dfs_from_shards``)."""
+        from ..state.dfshards import dfs_from_shards
 
-        import pyarrow.dataset as pads
-
-        out = {t: 0 for t in terms}
-        groups: dict[int, list[str]] = defaultdict(list)
-        for t in terms:
-            i = bisect.bisect_right(self._df_shard_los, t) - 1
-            if i >= 0 and t <= self._df_shards[i][1]:
-                groups[i].append(t)
-        for i, ts in groups.items():
-            tbl = pads.dataset(self._df_shards[i][2]).to_table(
-                columns=["term", "df"],
-                filter=pads.field("term").isin(ts),
-            )
-            for term, df in zip(
-                tbl.column("term").to_pylist(), tbl.column("df").to_pylist()
-            ):
-                out[term] = int(df)
-        return out
+        return dfs_from_shards(self._df_shards, self._df_shard_los, terms)
 
     def _global_dfs(self, terms: list[str]) -> dict[str, int]:
         missing = sorted({t for t in terms if t not in self._df_cache})
@@ -1603,13 +1558,12 @@ class QueryEngine:
         return out
 
     def _idfs(self, terms: list[str]) -> dict[str, float]:
+        from ..state.dfshards import idf
+
         dfs = self._global_dfs(terms)
-        # reference: idf = ln((N+1)/(df+1)) if df > 0 else 0; zero idf terms
-        # are skipped (including df == N) — ``selfindex_q_taat.py:133,158-160``
-        return {
-            t: (math.log((self.doc_count + 1) / (df + 1)) if df > 0 else 0.0)
-            for t, df in dfs.items()
-        }
+        # zero idf terms are skipped (including df == N) —
+        # ``selfindex_q_taat.py:133,158-160``
+        return {t: idf(self.doc_count, df) for t, df in dfs.items()}
 
     # -- search ------------------------------------------------------------
 
@@ -1774,7 +1728,10 @@ class QueryEngine:
             members: list[str] = []
             for alt in alts:
                 members.extend(self.normalizer.preprocess_query_list(alt))
-            syn_map[kt[0]] = members
+            # two surface keys may analyze to the same index term
+            # ('Merge' / 'merge', or 'running' / 'runs' under stemming);
+            # ES merges rules with the same LHS — union, don't overwrite
+            syn_map.setdefault(kt[0], []).extend(members)
         groups = [
             list(dict.fromkeys([t] + syn_map.get(t, []))) for t in terms
         ]

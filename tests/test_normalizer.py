@@ -193,6 +193,12 @@ def test_html_strip_char_filter():
     assert html_strip("&amp;lt;") == "&lt;"
     assert html_strip("a&nbsp;b &quot;q&quot; &apos;s&apos;") == \
         'a b "q" \'s\''
+    # a bare '<' not opening a tag is literal text (Lucene: tag only
+    # when '<' is followed by a letter, '/', '!' or '?')
+    assert html_strip("1 < 2 > 0") == "1 < 2 > 0"
+    assert html_strip("i <3 you > me") == "i <3 you > me"
+    assert html_strip("a <!-- c --> b") == "a   b"
+    assert html_strip("x <? pi ?> y") == "x   y"
     n = make_normalizer("html_plain")
     assert isinstance(n, HtmlStripNormalizer)
     texts = [

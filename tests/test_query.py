@@ -2092,6 +2092,17 @@ def test_search_synonyms_lucene_semantics(tmp_path):
             # multi-token synonym key is rejected
             with pytest.raises(ValueError):
                 eng.search_synonyms("merge", {"merge join": ["hash"]})
+            # two surface keys analyzing to one index term merge their
+            # member lists (ES merges rules with the same LHS)
+            merged = eng.search_synonyms(
+                "merge", {"merge": ["union"], "Merge": ["hash"]}, size=10
+            )["results"]
+            expect = eng.search_synonyms(
+                "merge", {"merge": ["union", "hash"]}, size=10
+            )["results"]
+            assert [(r["doc_id"], r["score"]) for r in merged] == [
+                (r["doc_id"], r["score"]) for r in expect
+            ], n_searchers
         finally:
             eng.close()
 
