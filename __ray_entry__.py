@@ -3986,28 +3986,49 @@ FROM (
 
 
 def _html_strip_sql() -> str:
-    """The documented html_strip chain re-applied in DuckDB (tags ->
-    space via RE2, then the ordered entity replaces, decode-once), then
-    whitespace tokenization and the standard bm25 CTE."""
+    """The documented html_strip chain re-applied in DuckDB (Lucene
+    HTMLStripCharFilter semantics: comments and script/style content
+    removed, block tags -> newline, inline tags -> nothing, all via RE2,
+    then the ordered entity replaces, decode-once), then whitespace
+    tokenization and the standard bm25 CTE."""
+    from elasticsearch_ray.normalizer.tokenize import _HTML_BLOCK_ELEMENTS
+
     d = _index_dir_for(_DRIVER_SF, "htmldocs")
     qt = []
     for q in BM25_QUERIES:
         for t in q.split():
             qt.append((q, t))
     strip = (
+        "regexp_replace(html, '(?s)<!--.*?(-->|$)', '', 'g')"
+    )
+    strip = (
+        f"regexp_replace({strip},"
+        " '(?is)<script\\b[^>]*>.*?(</script\\s*>|$)', e'\\n', 'g')"
+    )
+    strip = (
+        f"regexp_replace({strip},"
+        " '(?is)<style\\b[^>]*>.*?(</style\\s*>|$)', e'\\n', 'g')"
+    )
+    strip = (
+        f"regexp_replace({strip},"
+        f" '(?i)</?({_HTML_BLOCK_ELEMENTS})\\b[^>]*>', e'\\n', 'g')"
+    )
+    strip = f"regexp_replace({strip}, '<[a-zA-Z/!?][^>]*>', '', 'g')"
+    strip = (
         "replace(replace(replace(replace(replace(replace("
-        "regexp_replace(html, '<[a-zA-Z/!?][^>]*>', ' ', 'g'),"
+        f"{strip},"
         " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
         " '&apos;', ''''), '&nbsp;', ' '), '&amp;', '&')"
     )
     return f"""
 WITH hdocs AS (SELECT doc_id, {strip} AS s
                FROM read_parquet('{d}/*.parquet')),
-tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(s)), '\\s+'))
+tok AS (SELECT doc_id, unnest(string_split_regex(lower(s), '\\s+'))
           AS tok FROM hdocs),
-dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+ktok AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM ktok GROUP BY doc_id),
 stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM ktok GROUP BY doc_id, tok),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 q(query, term) AS (VALUES {_bm25_values_sql(qt)}),
 scored AS (

@@ -283,8 +283,29 @@ def tokenize_rows_flat(normalizer, cleaned: list[str]):
 
 # Lucene's HTMLStripCharFilter only opens a tag when '<' is followed by
 # a letter, '/', '!' or '?' — a bare '<' in text ('1 < 2', 'i <3 you')
-# is literal content and must survive.
-_HTML_TAG_RE = re.compile(r"<[a-zA-Z/!?][^>]*>")
+# is literal content and must survive.  Replacement is element-class
+# aware, like Lucene: comments vanish (including any '>' inside them),
+# script/style elements vanish WITH their content (one '\n' emitted),
+# block-level tags emit '\n', and inline tags emit NOTHING — so
+# 'data<i>base</i>' stays ONE token, matching ES analysis.
+# Block-level element set from Lucene's HTMLStripCharFilter.jflex.
+_HTML_BLOCK_ELEMENTS = (
+    "address|article|aside|blockquote|body|br|canvas|center|dd|del|div|dl"
+    "|dt|fieldset|figcaption|figure|footer|form|frame|frameset|h[1-6]|head"
+    "|header|hgroup|hr|html|iframe|ins|isindex|li|main|menu|nav|noframes"
+    "|noscript|ol|output|p|pre|section|table|tbody|td|tfoot|th|thead"
+    "|title|tr|ul|video"
+)
+# chain order matters: comments first (their '>'s must not terminate a
+# tag scan), then script/style with content, then block, then the rest.
+_HTML_CHAIN: list[tuple[str, str]] = [
+    (r"(?s)<!--.*?(?:-->|$)", ""),
+    (r"(?is)<script\b[^>]*>.*?(?:</script\s*>|$)", "\n"),
+    (r"(?is)<style\b[^>]*>.*?(?:</style\s*>|$)", "\n"),
+    (rf"(?i)</?(?:{_HTML_BLOCK_ELEMENTS})\b[^>]*>", "\n"),
+    (r"<[a-zA-Z/!?][^>]*>", ""),
+]
+_HTML_CHAIN_RE = [(re.compile(p), r) for p, r in _HTML_CHAIN]
 # decode order matters (ES html_strip decodes entities ONCE, after tag
 # removal): '&amp;' last so '&amp;lt;' ends as '&lt;', not '<'
 _HTML_ENTITIES = [
@@ -294,11 +315,16 @@ _HTML_ENTITIES = [
 
 
 def html_strip(text: str) -> str:
-    """ES ``html_strip`` char filter: tags replaced by a space, then the
+    """ES ``html_strip`` char filter (Lucene ``HTMLStripCharFilter``):
+    comments and script/style content removed, block-level tags replaced
+    by a newline, inline tags deleted with NO separator, then the
     standard XML entities (+ ``&nbsp;``) decoded once.  Decoded text is
     NOT re-scanned for tags (ES behavior — ``&lt;b&gt;`` survives as
-    literal ``<b>`` text)."""
-    text = _HTML_TAG_RE.sub(" ", text)
+    literal ``<b>`` text).  Documented deviations from Lucene: numeric
+    character references (``&#65;``) and the full HTML-4 entity table are
+    not decoded, and CDATA sections are treated as ordinary markup."""
+    for rx, rep in _HTML_CHAIN_RE:
+        text = rx.sub(rep, text)
     for k, v in _HTML_ENTITIES:
         text = text.replace(k, v)
     return text
@@ -333,9 +359,8 @@ class HtmlStripNormalizer:
         import pyarrow.compute as pc
 
         arr = pa.array([t or "" for t in texts], pa.string())
-        arr = pc.replace_substring_regex(
-            arr, pattern=r"<[a-zA-Z/!?][^>]*>", replacement=" "
-        )
+        for p, rep in _HTML_CHAIN:
+            arr = pc.replace_substring_regex(arr, pattern=p, replacement=rep)
         for k, v in _HTML_ENTITIES:
             arr = pc.replace_substring(arr, pattern=k, replacement=v)
         return self.base.clean_batch(arr.to_pylist())

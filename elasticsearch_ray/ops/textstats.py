@@ -348,15 +348,20 @@ def repetition_stats(
         tok = pc.split_pattern(sarr, pattern=" ")
         if isinstance(tok, pa.ChunkedArray):
             tok = tok.combine_chunks()
-        loffs = np.frombuffer(tok.buffers()[1], dtype=np.int32)[
-            tok.offset : tok.offset + len(tok) + 1
-        ].astype(np.int64)
-        loffs = loffs - loffs[0]
-        flat = tok.flatten()
+        # per-list lengths via the compute kernel, not raw buffer reads:
+        # split_pattern may yield list<int32> or large_list<int64> offsets
+        # (e.g. large_string input after combine_chunks on >2GB data), and
+        # null rows must contribute zero tokens.  list_flatten skips null
+        # slots' children, so lengths (null->0) and the flat stream agree.
+        n_tok = (
+            pc.fill_null(pc.list_value_length(tok), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = pc.list_flatten(tok)
         enc = flat.dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         v = max(len(enc.dictionary), 1)
-        n_tok = np.diff(loffs)
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_tok)
         # distinct tokens per doc: unique composite (doc, code) keys
         if codes.size:

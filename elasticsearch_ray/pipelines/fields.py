@@ -274,7 +274,14 @@ class CrossFieldEngine:
         self.k1 = k1
         self.b = b
         if num_shards is None:
-            num_shards = max(1, -(-self.doc_count // 25_000))
+            # same sizing rule as QueryEngine: ~25k docs amortize one
+            # actor RTT, but never more shards than cluster CPUs — a
+            # 10M-doc corpus must widen each doc range, not spawn ~400
+            # actors that each open every field's overlapping segments.
+            num_shards = min(
+                max(1, int(ray.cluster_resources().get("CPU", 4))),
+                max(1, -(-self.doc_count // 25_000)),
+            )
             if num_shards == 1:
                 num_shards = 0
         self.embedded: CrossFieldSearcher | None = None

@@ -409,7 +409,7 @@ class Searcher:
         local = self.facet_counts(kind, payload, field)
         items = sorted(local.items(), key=lambda kv: (-kv[1], kv[0]))
         top = items[:shard_size]
-        cutoff = top[-1][1] if len(items) > shard_size else 0
+        cutoff = top[-1][1] if top and len(items) > shard_size else 0
         return top, cutoff, sum(local.values())
 
     def missing_count(self, kind: str, payload, field: str,
@@ -1727,7 +1727,14 @@ class QueryEngine:
                 )
             members: list[str] = []
             for alt in alts:
-                members.extend(self.normalizer.preprocess_query_list(alt))
+                at = self.normalizer.preprocess_query_list(alt)
+                if len(at) != 1:
+                    raise ValueError(
+                        f"synonym alternate {alt!r} must analyze to exactly "
+                        f"one term (got {at}); multi-word synonyms need "
+                        "positions and are not supported"
+                    )
+                members.append(at[0])
             # two surface keys may analyze to the same index term
             # ('Merge' / 'merge', or 'running' / 'runs' under stemming);
             # ES merges rules with the same LHS — union, don't overwrite
@@ -1910,11 +1917,14 @@ class QueryEngine:
         - ``sum_other_doc_count`` = docs with a value minus the returned
           buckets' reported counts.
 
-        ``shard_size`` defaults to ES's ``size * 1.5 + 10``.  With
+        ``shard_size`` defaults to ES's ``size * 1.5 + 10`` and, like ES,
+        is silently raised to ``size`` when smaller (ES resets
+        ``shard_size < size`` to ``size``; it can never be < 1).  With
         ``shard_size`` >= every shard's distinct-value count the result is
         exact and all error bounds are 0 (== ``search_facets``)."""
         if shard_size is None:
             shard_size = int(size * 1.5 + 10)
+        shard_size = max(1, size, shard_size)
         kind, payload = self._agg_route(query_text)
         parts = self._fanout(
             "facet_counts_topn", kind, payload, field, shard_size

@@ -176,9 +176,11 @@ def test_tokenize_rows_flat_matches_per_row():
 
 
 def test_html_strip_char_filter():
-    """ES html_strip semantics: tags -> space, entities decoded ONCE after
-    tag removal (decoded '<b>' text is NOT re-stripped), &amp; decoded
-    last; batch (Arrow) and scalar paths agree."""
+    """ES html_strip semantics (Lucene HTMLStripCharFilter): comments and
+    script/style content removed, block tags -> newline, inline tags ->
+    NOTHING (mid-word markup doesn't split tokens), entities decoded ONCE
+    after tag removal (decoded '<b>' text is NOT re-stripped), &amp;
+    decoded last; batch (Arrow) and scalar paths agree."""
     from elasticsearch_ray.normalizer.tokenize import (
         HtmlStripNormalizer,
         PlainNormalizer,
@@ -186,8 +188,11 @@ def test_html_strip_char_filter():
         make_normalizer,
     )
 
+    # block element <p> emits '\n'; inline <b> emits nothing
     assert html_strip('<p id="x">Hello <b>world</b></p>') == \
-        " Hello  world  "
+        "\nHello world\n"
+    # mid-word inline markup must NOT split the token (ES token parity)
+    assert html_strip("data<i>base</i>") == "database"
     # entities decode once, after tags; &amp;lt; -> &lt; (literal)
     assert html_strip("&lt;b&gt;bold&lt;/b&gt;") == "<b>bold</b>"
     assert html_strip("&amp;lt;") == "&lt;"
@@ -197,8 +202,15 @@ def test_html_strip_char_filter():
     # when '<' is followed by a letter, '/', '!' or '?')
     assert html_strip("1 < 2 > 0") == "1 < 2 > 0"
     assert html_strip("i <3 you > me") == "i <3 you > me"
-    assert html_strip("a <!-- c --> b") == "a   b"
-    assert html_strip("x <? pi ?> y") == "x   y"
+    # comments vanish entirely, even with '>' inside; unclosed comment
+    # consumes to EOF (Lucene)
+    assert html_strip("a <!-- c --> b") == "a  b"
+    assert html_strip("a <!-- x > y --> b") == "a  b"
+    assert html_strip("a <!-- never closed") == "a "
+    # script/style content is stripped WITH the element (one newline)
+    assert html_strip("a <script>var x = '<p>';</script> b") == "a \n b"
+    assert html_strip("a <style>p > em {}</style> b") == "a \n b"
+    assert html_strip("x <? pi ?> y") == "x  y"
     n = make_normalizer("html_plain")
     assert isinstance(n, HtmlStripNormalizer)
     texts = [
