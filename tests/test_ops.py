@@ -283,11 +283,10 @@ def test_multimodal_plumbing(docs_ds):
     )
     # deterministic features; identical payloads -> identical features
     assert list(out[0]["feature"]) == list(out[1]["feature"])
-    from elasticsearch_ray.ops.multimodal import _try_import_pil
-
-    if _try_import_pil() is None:
-        with pytest.raises(NotImplementedError):
-            BinaryFeatureExtractor(mode="strict")
+    # strict mode always has a real codec now (Pillow or the pure
+    # PNG/BMP fallback) — construction never raises
+    fx = BinaryFeatureExtractor(mode="strict")
+    assert fx.backend in ("pillow", "imagecodec")
 
 
 def test_metrics_reference_semantics():
@@ -351,15 +350,58 @@ def test_multimodal_resize_and_frames(docs_ds):
     ).take_all()
     f0 = {r["doc_id"]: r["frames"] for r in frames}
     assert len(f0[0]) >= 1 and all(len(fr) <= 64 for fr in f0[0])
-    import pytest as _pytest
 
-    from elasticsearch_ray.ops.multimodal import _try_import_pil
 
-    if _try_import_pil() is None:
-        with _pytest.raises(NotImplementedError):
-            ImageResizeStub(mode="strict")
-    with _pytest.raises(NotImplementedError):
-        FrameSampleStub(mode="strict")
+def test_multimodal_strict_pure_codec():
+    """The strict path must run END-TO-END in this dependency-free
+    environment: real PNG bytes through decode/resize/feature, real Y4M
+    bytes through frame sampling (round-4 verdict: 'make multimodal
+    decode real without optional deps')."""
+    import numpy as np
+
+    from elasticsearch_ray.functions import imagecodec
+    from elasticsearch_ray.ops.multimodal import (
+        BinaryFeatureExtractor,
+        FrameSample,
+        ImageDecodeMeta,
+        ImageResize,
+    )
+
+    img = (np.arange(24 * 17, dtype=np.int64) % 251).astype(np.uint8)
+    img = img.reshape(24, 17)
+    payload = imagecodec.png_encode(img, filters=None)  # every filter type
+    tbl = pa.table({"doc_id": pa.array([0], pa.int64()),
+                    "payload": pa.array([payload], pa.binary())})
+    meta = ImageDecodeMeta()(tbl)
+    assert meta.column("width")[0].as_py() == 17
+    assert meta.column("height")[0].as_py() == 24
+    exp_mean = int(np.floor(img.astype(np.int64).mean() * 1e6 + 0.5))
+    assert meta.column("mean_luma_u")[0].as_py() == exp_mean
+
+    rz = ImageResize(mode="strict", target=4)
+    thumb = rz(tbl).column("thumbnail")[0].as_py()
+    assert len(thumb) == 16
+    fx = BinaryFeatureExtractor(mode="strict")
+    fo = fx(tbl)
+    assert fo.column("payload_bytes")[0].as_py() == len(payload)
+    assert len(fo.column("feature")[0].as_py()) == 16
+
+    # video: a real YUV4MPEG2 stream, strict frame sampling
+    frames = np.stack(
+        [np.full((6, 8), i * 10, dtype=np.uint8) for i in range(9)]
+    )
+    vid = imagecodec.y4m_encode(frames, chroma="420")
+    vtbl = pa.table({"doc_id": pa.array([0], pa.int64()),
+                     "payload": pa.array([vid], pa.binary())})
+    fs = FrameSample(mode="strict", stride=4, max_frames=8)
+    out = fs(vtbl)
+    got = out.column("frames")[0].as_py()
+    assert out.column("frame_width")[0].as_py() == 8
+    assert out.column("frame_height")[0].as_py() == 6
+    assert out.column("total_frames")[0].as_py() == 9
+    # frames 0, 4, 8 sampled; luma bytes round-trip exactly
+    assert [f[0] for f in got] == [0, 40, 80]
+    assert all(len(f) == 48 for f in got)
 
 
 def test_multimodal_strict_pil_decode():
