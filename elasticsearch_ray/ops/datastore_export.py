@@ -739,6 +739,47 @@ def read_redis_doclens(resp_dir: str):
     )
 
 
+class RespSocketClient:
+    """Live Redis client over a raw TCP socket: ``callable(argv)`` sends
+    one RESP-framed command and reads the reply — the real wire protocol
+    (what ``redis-cli --pipe`` speaks) without the redis-py dependency.
+    The connection opens ONCE per actor (build via
+    ``functools.partial(RespSocketClient, host, port)``); replies parse
+    the four RESP reply types and raise on ``-ERR``."""
+
+    def __init__(self, host: str, port: int, timeout: float = 30.0):
+        import socket
+
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.rf = self.sock.makefile("rb")
+
+    def __call__(self, argv: list[bytes]):
+        self.sock.sendall(_resp(*argv))
+        line = self.rf.readline()
+        if not line.endswith(b"\r\n"):
+            raise ConnectionError("truncated RESP reply")
+        kind, body = line[:1], line[1:-2]
+        if kind == b"+":
+            return body.decode()
+        if kind == b":":
+            return int(body)
+        if kind == b"$":
+            n = int(body)
+            if n < 0:
+                return None
+            data = self.rf.read(n + 2)
+            return data[:n]
+        if kind == b"-":
+            raise RuntimeError(f"redis error: {body.decode()}")
+        raise ValueError(f"unexpected RESP reply type {kind!r}")
+
+    def __del__(self):
+        try:
+            self.sock.close()
+        except Exception:
+            pass
+
+
 class ValidatingRespClient:
     """Dry-run Redis 'client': accepts a command argv exactly as a server
     would and validates shape; pass the class as ``client_factory`` to

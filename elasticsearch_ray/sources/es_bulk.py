@@ -200,6 +200,33 @@ def read_es_bulk(bulk_dir: str):
     )
 
 
+class HttpBulkClient:
+    """Live bulk client over stdlib urllib: ``callable(body_str)`` POSTs
+    to ``{base_url}/_bulk`` with the ES wire content type
+    (``application/x-ndjson``) and returns the parsed JSON response —
+    the reference's live path (``elasticsearch_indexer.py:33-114``,
+    ``helpers.bulk``) without the elasticsearch-py dependency.  Build it
+    per actor via ``functools.partial(HttpBulkClient, url)`` as
+    ``post_factory`` (the urllib opener state is per-actor, never
+    per-batch)."""
+
+    def __init__(self, base_url: str, timeout: float = 30.0):
+        self.url = base_url.rstrip("/") + "/_bulk"
+        self.timeout = timeout
+
+    def __call__(self, body: str):
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url,
+            data=body.encode("utf-8"),
+            headers={"Content-Type": "application/x-ndjson"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+
 class ValidatingClient:
     """Dry-run bulk 'client': parses a body exactly like the server would
     (action/source line pairs, one JSON object each) and reports the item
