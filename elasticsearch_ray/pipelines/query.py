@@ -397,6 +397,32 @@ class Searcher:
                 out[v] = out.get(v, 0) + int(counts[i])
         return out
 
+    def facet_cardinality(self, field: str) -> int:
+        """Upper bound on this shard's distinct values of ``field`` (sum
+        of per-reader doc-value dictionary sizes) — one int of traffic;
+        the engine uses it to route terms/rare_terms aggregations to
+        bounded-traffic paths above a cardinality threshold."""
+        return sum(len(cats) for _codes, cats in self._facet_column(field))
+
+    def facet_counts_rare(self, kind: str, payload, field: str,
+                          max_doc_count: int) -> dict:
+        """Phase 1 of the bounded rare_terms path: ship ONLY values whose
+        LOCAL count is <= max_doc_count.  Correct prune: a value's global
+        count >= any local count, so a locally-common value can never be
+        globally rare — traffic is O(locally rare values), not field
+        cardinality."""
+        local = self.facet_counts(kind, payload, field)
+        return {v: n for v, n in local.items() if n <= max_doc_count}
+
+    def facet_counts_for(self, kind: str, payload, field: str,
+                         values: list[str]) -> list[int]:
+        """Phase 2 of the bounded rare_terms path: exact local counts for
+        a driver-chosen candidate list (includes counts ABOVE the rare
+        threshold — a candidate rare on one shard but common here must be
+        disqualified globally).  Traffic is O(len(values))."""
+        local = self.facet_counts(kind, payload, field)
+        return [local.get(v, 0) for v in values]
+
     def facet_counts_topn(self, kind: str, payload, field: str,
                           shard_size: int):
         """ES terms aggregation as ES actually distributes it: this shard
@@ -1352,6 +1378,12 @@ class QueryEngine:
         # which is enough to bound memory without per-hit bookkeeping.
         self._df_cache: dict[str, int] = {}
         self._df_cache_cap = 1_000_000
+        # Per-field facet cardinality (sum of shard dictionary sizes),
+        # probed once per field on first facet use: terms/rare_terms
+        # aggregations above this threshold route to the bounded-traffic
+        # sharded paths instead of shipping full per-shard value dicts.
+        self._facet_cards: dict[str, int] = {}
+        self.facet_exact_max = 65_536
         # Term-range-sharded global df (written by _finalize): cold-term df
         # is ONE shard-file predicate read instead of an all-searcher
         # gather — at 1e9 terms the gather costs every searcher a postings
@@ -1471,6 +1503,17 @@ class QueryEngine:
             lambda: [getattr(s, method).remote(*args) for s in self.searchers]
         )
 
+    def _facet_cardinality(self, field: str) -> int:
+        """Distinct-value upper bound for a facet field (sum of shard
+        dictionary sizes) — one extra fanout on FIRST use of the field,
+        cached for the engine's lifetime (doc-values are build-time
+        artifacts; refresh() clears the cache with the df cache)."""
+        card = self._facet_cards.get(field)
+        if card is None:
+            card = sum(self._fanout("facet_cardinality", field))
+            self._facet_cards[field] = card
+        return card
+
     def refresh(self) -> dict:
         """ES-style NRT refresh: make segments added by ``extend_index``
         and new tombstones visible WITHOUT rebuilding the engine — existing
@@ -1485,6 +1528,7 @@ class QueryEngine:
         from ..state.dfshards import load_df_shards
 
         self._df_cache.clear()
+        self._facet_cards.clear()
         self._df_shards = load_df_shards(self.index_dir)
         self._df_shard_los = [s[0] for s in self._df_shards]
         with open(os.path.join(self.index_dir, "manifest.json")) as f:
@@ -1827,7 +1871,15 @@ class QueryEngine:
         of ``query_text`` (boolean / wildcard / free-text match semantics),
         using the docmap facet columns (build-time doc-values;
         ``BuildConfig.facet_columns``).  Buckets sorted (count desc, value
-        asc), ES bucket shape."""
+        asc), ES bucket shape.
+
+        High-cardinality fields (> ``facet_exact_max`` distinct values
+        across shards, probed once per field) route to
+        :meth:`search_facets_sharded` automatically — the exact path
+        ships full per-shard value dicts, which is O(cardinality)
+        actor->driver traffic and must not be the default at scale."""
+        if self._facet_cardinality(field) > self.facet_exact_max:
+            return self.search_facets_sharded(query_text, field, size)
         kind, payload = self._agg_route(query_text)
         parts = self._fanout("facet_counts", kind, payload, field)
         merged: dict[str, int] = {}
@@ -1986,13 +2038,35 @@ class QueryEngine:
         value BEFORE thresholding (a value rare on one shard but common
         globally is correctly dropped), bounded by field cardinality like
         the terms agg (ES itself uses a CuckooFilter sketch here at the
-        same merge point)."""
+        same merge point).
+
+        Above ``facet_exact_max`` distinct values the single-pass merge
+        (O(cardinality) traffic) swaps for an exact TWO-PHASE protocol:
+        shards first ship only their LOCALLY rare values (a value common
+        on any shard can't be globally rare, so the prune is lossless),
+        then the driver asks every shard for exact counts of just that
+        candidate union — traffic O(locally-rare values), the quantity
+        the query is about."""
         kind, payload = self._agg_route(query_text)
-        parts = self._fanout("facet_counts", kind, payload, field)
-        merged: dict[str, int] = {}
-        for p in parts:
-            for v, n in p.items():
-                merged[v] = merged.get(v, 0) + n
+        if self._facet_cardinality(field) > self.facet_exact_max:
+            cand_parts = self._fanout(
+                "facet_counts_rare", kind, payload, field, max_doc_count
+            )
+            candidates = sorted({v for p in cand_parts for v in p})
+            merged = {}
+            if candidates:
+                cnt_parts = self._fanout(
+                    "facet_counts_for", kind, payload, field, candidates
+                )
+                for p in cnt_parts:
+                    for v, n in zip(candidates, p):
+                        merged[v] = merged.get(v, 0) + n
+        else:
+            parts = self._fanout("facet_counts", kind, payload, field)
+            merged = {}
+            for p in parts:
+                for v, n in p.items():
+                    merged[v] = merged.get(v, 0) + n
         buckets = sorted(
             ((v, n) for v, n in merged.items() if n <= max_doc_count),
             key=lambda kv: (kv[1], kv[0]),

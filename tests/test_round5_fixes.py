@@ -1,0 +1,164 @@
+"""Round-5 fixes: cardinality-routed facet aggregations (high-cardinality
+fields must never ship full per-shard value dicts), the two-phase exact
+rare_terms protocol, and the shard_size guard."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def hicard_engine(tmp_path_factory):
+    """120 docs over 3+ segments with TWO facet fields: 'tag' is
+    high-cardinality (unique per doc except one cross-segment dup pair
+    and one triple), 'source' is low-cardinality."""
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    import random
+    rng = random.Random(11)
+    vocab = ["merge", "hash", "scan", "join", "other", "words"]
+    rows = []
+    for i in range(120):
+        tag = f"t{i:04d}"
+        if i in (7, 93):        # same value in different segments
+            tag = "dup2"
+        if i in (20, 55, 101):  # rare on each shard, common globally
+            tag = "dup3"
+        rows.append({
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(8)),
+            "tag": tag,
+            "source": f"s{i % 3}",
+        })
+    src = tmp_path_factory.mktemp("hicard_src")
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path_factory.mktemp("hicard")) + "/idx"
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("tag", "source"), docs_per_segment=40,
+                    target_partition_rows=20),
+    )
+    eng = QueryEngine(idx, num_searchers=2)
+    yield eng, rows
+    eng.close()
+
+
+def _spy_fanout(eng):
+    calls = []
+    orig = eng._fanout
+
+    def spy(method, *args):
+        calls.append(method)
+        return orig(method, *args)
+
+    eng._fanout = spy
+    return calls, orig
+
+
+def test_high_cardinality_facets_route_to_sharded(hicard_engine):
+    """Above facet_exact_max the terms agg must use the O(shard_size)
+    path — 'facet_counts' (full-dict ship) never crosses the wire."""
+    eng, rows = hicard_engine
+    eng.facet_exact_max = 50  # 'tag' has ~117 distinct values
+    eng._facet_cards.clear()
+    calls, orig = _spy_fanout(eng)
+    try:
+        res = eng.search_facets(None, "tag", size=5)
+    finally:
+        eng._fanout = orig
+    assert "facet_counts_topn" in calls
+    assert "facet_counts" not in calls
+    # counts are exact here (each shard's top-shard_size covers the
+    # global top: dup3=3, dup2=2, then lexicographically smallest tags)
+    got = [(b["key"], b["doc_count"]) for b in res["buckets"]]
+    exp = {}
+    for r in rows:
+        exp[r["tag"]] = exp.get(r["tag"], 0) + 1
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == want
+
+
+def test_low_cardinality_facets_stay_exact(hicard_engine):
+    eng, rows = hicard_engine
+    eng.facet_exact_max = 50
+    eng._facet_cards.clear()
+    calls, orig = _spy_fanout(eng)
+    try:
+        res = eng.search_facets(None, "source", size=10)
+    finally:
+        eng._fanout = orig
+    assert "facet_counts" in calls
+    assert "facet_counts_topn" not in calls
+    got = [(b["key"], b["doc_count"]) for b in res["buckets"]]
+    assert got == [("s0", 40), ("s1", 40), ("s2", 40)]
+
+
+def test_rare_terms_two_phase_exact(hicard_engine):
+    """The bounded two-phase protocol must equal the exact single-pass
+    merge, including cross-shard disqualification: 'dup3' is locally rare
+    on every shard (count 1) but globally common (3) and must be dropped;
+    'dup2' (global 2) survives max_doc_count=2 but not 1."""
+    eng, rows = hicard_engine
+
+    def brute(max_dc):
+        cnt = {}
+        for r in rows:
+            cnt[r["tag"]] = cnt.get(r["tag"], 0) + 1
+        return sorted(
+            ((v, n) for v, n in cnt.items() if n <= max_dc),
+            key=lambda kv: (kv[1], kv[0]),
+        )
+
+    for max_dc in (1, 2, 3):
+        # exact path (threshold above cardinality)
+        eng.facet_exact_max = 1_000_000
+        eng._facet_cards.clear()
+        exact = eng.search_rare_terms(None, "tag", max_doc_count=max_dc)
+        # two-phase path (threshold below cardinality)
+        eng.facet_exact_max = 50
+        eng._facet_cards.clear()
+        calls, orig = _spy_fanout(eng)
+        try:
+            two = eng.search_rare_terms(None, "tag", max_doc_count=max_dc)
+        finally:
+            eng._fanout = orig
+        assert "facet_counts_rare" in calls
+        assert "facet_counts_for" in calls
+        assert "facet_counts" not in calls
+        got = [(b["key"], b["doc_count"]) for b in two["buckets"]]
+        assert got == [
+            (b["key"], b["doc_count"]) for b in exact["buckets"]
+        ] == brute(max_dc)
+    # the disqualification actually exercised
+    keys1 = {b["key"] for b in two["buckets"]}
+    assert "dup3" in keys1  # max_dc=3 run
+    eng.facet_exact_max = 50
+    eng._facet_cards.clear()
+    one = eng.search_rare_terms(None, "tag", max_doc_count=1)
+    keys = {b["key"] for b in one["buckets"]}
+    assert "dup3" not in keys and "dup2" not in keys
+
+
+def test_sharded_facets_shard_size_guard(hicard_engine):
+    """shard_size <= 0 must clamp (ES resets shard_size < size to size),
+    not IndexError on the actor."""
+    eng, rows = hicard_engine
+    res = eng.search_facets_sharded(None, "source", size=5, shard_size=0)
+    got = [(b["key"], b["doc_count"]) for b in res["buckets"]]
+    assert got == [("s0", 40), ("s1", 40), ("s2", 40)]
+
+
+def test_synonym_multiword_alternate_rejected(hicard_engine):
+    """Multi-word synonym ALTERNATES raise like multi-word keys (advisor:
+    they were silently flattened into independent terms before)."""
+    eng, _rows = hicard_engine
+    with pytest.raises(ValueError, match="alternate"):
+        eng.search_synonyms("merge", {"merge": ["hash join"]}, size=5)
+    # single-word alternates still work
+    res = eng.search_synonyms("merge", {"merge": ["hash"]}, size=5)
+    assert res["results"]
