@@ -93,19 +93,26 @@ class _BulkWriter:
         self.index_name = index_name
         self.id_col = id_col
 
-    def __call__(self, batch) -> dict:
-        import pandas as pd  # noqa: F401  (batch arrives as pandas)
+    def __call__(self, batch: pa.Table) -> dict:
+        import pyarrow.compute as pc
 
-        ids = batch[self.id_col].astype(str).tolist()
-        # vectorized source serialization (pandas C json writer); UTF-8
-        # kept raw (force_ascii=False) — ES accepts it and round-trips
-        # byte-identically
-        # split on '\n' ONLY: force_ascii=False emits U+2028/U+2029/
-        # U+0085 raw inside JSON strings (legal JSON), and splitlines()
-        # would cut a record at them, desyncing the action/source pairing
-        src_lines = batch.to_json(
-            orient="records", lines=True, force_ascii=False
-        ).split("\n")
+        ids = pc.cast(batch.column(self.id_col), pa.string()).to_pylist()
+        # vectorized source serialization straight off the Arrow batch
+        # (zero-copy into polars' Rust NDJSON writer — no pandas
+        # conversion on the data path); UTF-8 kept raw — ES accepts it
+        # and round-trips byte-identically.
+        # split on '\n' ONLY: the writer emits U+2028/U+2029/U+0085 raw
+        # inside JSON strings (legal JSON), and splitlines() would cut a
+        # record at them, desyncing the action/source pairing
+        try:
+            import polars as pl
+
+            src = pl.from_arrow(batch).write_ndjson()
+        except ImportError:  # pragma: no cover - polars ships in this env
+            src = batch.to_pandas().to_json(
+                orient="records", lines=True, force_ascii=False
+            )
+        src_lines = src.split("\n")
         if src_lines and src_lines[-1] == "":
             src_lines.pop()  # trailing newline
         prefix = '{"index": {"_index": %s, "_id": ' % json.dumps(self.index_name)
@@ -163,7 +170,7 @@ def write_es_bulk(
         _BulkWriter,
         fn_constructor_args=(out_dir, index_name, id_col),
         batch_size=actions_per_file,
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=(1, 8),
     ).to_pandas()
     manifest.to_parquet(os.path.join(out_dir, "_manifest"))
