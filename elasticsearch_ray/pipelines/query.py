@@ -1358,7 +1358,18 @@ class QueryEngine:
         k1: float = 1.2,
         b: float = 0.75,
         mode: str = "taat",  # 'taat' | 'daat' | 'wand'
+        hybrid: bool | None = None,
     ):
+        """``hybrid``: serve shard 0 from an IN-PROCESS Searcher and only
+        the remaining shards from actors — the ES coordinating+data-node
+        colocation.  Every fanout overlaps the local shard's work with the
+        remote round-trip (submit remotes, score locally, then gather), so
+        sequential-query latency drops by roughly the smaller of (local
+        work, actor RTT) with results bit-identical (the local shard is
+        chunk 0; part order is unchanged).  Default ``None``: auto-on when
+        the shard count comes from the sizing heuristic and is small
+        (<= 4, the RTT-dominated regime); an EXPLICIT ``num_searchers``
+        keeps pure scatter-gather unless ``hybrid=True`` is passed."""
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
@@ -1426,9 +1437,11 @@ class QueryEngine:
         else:
             seg_ids = sorted(seg_ids, key=lambda s: bases[s])
         self.embedded: Searcher | None = None
+        self.local: Searcher | None = None
         self.searchers: list = []
         self._searcher_chunks: list[list[int]] = []
         self._served_seg_ids = set(seg_ids)
+        heuristic_sized = num_searchers is None
         if num_searchers == 0:
             # embedded mode: segments pinned in THIS process — no actor RTT;
             # the low-latency single-replica serving option
@@ -1458,8 +1471,22 @@ class QueryEngine:
                 return
         num_searchers = max(1, min(num_searchers, len(seg_ids)))
         # contiguous seg ranges per actor -> boolean merge stays doc-ordered
-        chunks = np.array_split(np.array(seg_ids), num_searchers)
-        self._searcher_chunks = [chunk.tolist() for chunk in chunks]
+        chunks = [
+            c.tolist()
+            for c in np.array_split(np.array(seg_ids), num_searchers)
+        ]
+        if hybrid is None:
+            hybrid = heuristic_sized and len(chunks) <= 4
+        self._local_chunk: list[int] = []
+        if hybrid and len(chunks) >= 2:
+            # shard 0 lives in THIS process; its scoring overlaps the
+            # remote shards' round-trip on every fanout
+            self._local_chunk = chunks[0]
+            self.local = Searcher(index_dir, self._local_chunk, tombstones)
+            chunks = chunks[1:]
+        # self._searcher_chunks stays index-aligned with self.searchers
+        # (the revive path rebuilds searcher i from chunk i)
+        self._searcher_chunks = chunks
         self.searchers = [
             SegmentSearcher.remote(index_dir, chunk, tombstones)
             for chunk in self._searcher_chunks
@@ -1499,6 +1526,24 @@ class QueryEngine:
     def _fanout(self, method: str, *args) -> list:
         if self.embedded is not None:
             return [getattr(self.embedded, method)(*args)]
+        if self.local is not None:
+            # overlap: submit the remote shards FIRST, score the local
+            # shard while they're in flight, then gather.  Local is chunk
+            # 0, so [local] + remotes keeps parts in doc order (boolean
+            # merges rely on it).
+            def run():
+                refs = [
+                    getattr(s, method).remote(*args) for s in self.searchers
+                ]
+                local = getattr(self.local, method)(*args)
+                return [local] + ray.get(refs)
+
+            try:
+                return run()
+            except ray.exceptions.RayActorError:
+                if not self._revive_dead():
+                    raise
+                return run()
         return self._gather(
             lambda: [getattr(s, method).remote(*args) for s in self.searchers]
         )
@@ -1571,6 +1616,11 @@ class QueryEngine:
                         for s in self.searchers
                     ]
                 )
+            if self.local is not None:
+                # hybrid local shard: same cache-drop rules as embedded
+                if new_ids:
+                    self.local._facet_vals.clear()
+                self.local.set_tombstones(tombstones)
         self._served_seg_ids |= set(new_ids)
         return {"segments_added": len(new_ids),
                 "tombstones": len(tombstones)}
@@ -1649,7 +1699,11 @@ class QueryEngine:
             )
             res["profile"] = {
                 "took_ms": (_time.perf_counter() - t0) * 1e3,
-                "shards": max(1, len(self.searchers)),
+                "shards": max(
+                    1,
+                    len(self.searchers)
+                    + (1 if self.local is not None else 0),
+                ),
             }
             return res
         if search_after is not None and not (
@@ -3019,13 +3073,7 @@ class QueryEngine:
                     ("ranked", terms, idfs, size, self.scoring, self.k1,
                      self.b, self.avgdl, mode)
                 )
-        per_searcher = (
-            self._gather(
-                lambda: [s.search_many.remote(jobs) for s in self.searchers]
-            )
-            if jobs
-            else []
-        )
+        per_searcher = self._fanout("search_many", jobs) if jobs else []
         out = []
         ji = 0
         for qi, (kind, q) in enumerate(metas):
@@ -3174,7 +3222,10 @@ class QueryEngine:
             "doc_count": self.doc_count,
             "avg_doc_length": self.avgdl,
             "num_segments": self.stats.get("num_segments"),
-            "num_searchers": len(self.searchers),
+            "num_searchers": len(self.searchers) + (
+                1 if self.local is not None else 0
+            ),
+            "hybrid_local": self.local is not None,
             "scoring": self.scoring,
             "mode": self.mode,
         }
@@ -3184,3 +3235,4 @@ class QueryEngine:
             ray.kill(s)
         self.searchers = []
         self.embedded = None
+        self.local = None

@@ -162,3 +162,82 @@ def test_synonym_multiword_alternate_rejected(hicard_engine):
     # single-word alternates still work
     res = eng.search_synonyms("merge", {"merge": ["hash"]}, size=5)
     assert res["results"]
+
+
+def _mk_corpus_idx(tmp_path_factory, name, n=90, seed=37):
+    import random
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+
+    rng = random.Random(seed)
+    vocab = ["merge", "hash", "scan", "join", "filter", "probe", "spark",
+             "union", "batch", "window"]
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 9))),
+         "source": f"s{i % 4}"}
+        for i in range(n)
+    ]
+    src = tmp_path_factory.mktemp(f"{name}_src")
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "a.parquet"),
+    )
+    idx = str(tmp_path_factory.mktemp(name)) + "/idx"
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    build_index(
+        [str(src / "a.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("source",), docs_per_segment=25,
+                    target_partition_rows=20),
+    )
+    return idx
+
+
+def test_hybrid_serving_bit_identical(tmp_path_factory):
+    """Hybrid mode (shard 0 in-process, remainder actors, overlapped
+    gather) must return results BIT-IDENTICAL to pure scatter-gather for
+    every query family — the local shard is chunk 0, so part order and
+    all merges are unchanged."""
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    idx = _mk_corpus_idx(tmp_path_factory, "hybrid")
+    pure = QueryEngine(idx, num_searchers=3)
+    hyb = QueryEngine(idx, num_searchers=3, hybrid=True)
+    try:
+        assert pure.local is None and len(pure.searchers) == 3
+        assert hyb.local is not None and len(hyb.searchers) == 2
+        assert hyb.get_stats()["num_searchers"] == 3
+        queries = ["merge hash", "scan", "merge AND hash",
+                   "merge OR (scan AND NOT join)", "merg*", "union~1",
+                   "filter probe spark"]
+        for q in queries:
+            a = pure.search(q, size=20)
+            b = hyb.search(q, size=20)
+            assert a == b, q
+        assert pure.batch_search(queries) == hyb.batch_search(queries)
+        assert pure.search_facets("merge", "source", size=10) == \
+            hyb.search_facets("merge", "source", size=10)
+        assert pure.search_rare_terms(None, "source", 30) == \
+            hyb.search_rare_terms(None, "source", 30)
+    finally:
+        pure.close()
+        hyb.close()
+
+
+def test_hybrid_survives_remote_death(tmp_path_factory):
+    """Killing a REMOTE searcher under hybrid mode revives it mid-gather;
+    the local shard is process-lifetime and needs no revival."""
+    import ray
+
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    idx = _mk_corpus_idx(tmp_path_factory, "hybridkill", seed=41)
+    eng = QueryEngine(idx, num_searchers=3, hybrid=True)
+    try:
+        before = eng.search("merge hash", size=20)
+        ray.kill(eng.searchers[0])
+        after = eng.search("merge hash", size=20)
+        assert before == after
+    finally:
+        eng.close()
