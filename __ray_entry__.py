@@ -294,6 +294,95 @@ def _q_multimodal_decode(sf_dir: str):
     )
 
 
+def _ensure_pii_parquet(sf_dir: str) -> str:
+    """Side-output (doc_id, text): each document with deterministic PII
+    spans appended (one email, one phone, one IPv4 per doc) — the corpus
+    pii_scrub ingests and the SQL twin re-scrubs with the same RE2
+    chain."""
+    import shutil
+
+    out = _index_dir_for(sf_dir, "piidocs")
+    done = os.path.join(out, "_done")
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)  # write_parquet APPENDS
+
+        def derive(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            ids = batch.column("doc_id").to_pylist()
+            noisy = [
+                f"{t or ''} contact u{i}@ex{i % 7}.org or "
+                f"+{i % 90 + 10} 555 123 {i % 10000:04d} "
+                f"host 10.{i % 250}.{i % 250}.{i % 200 + 1}"
+                for i, t in zip(ids, texts)
+            ]
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "text": pa.array(noisy, pa.string()),
+                }
+            )
+
+        _docs_ds(sf_dir).map_batches(
+            derive, batch_format="pyarrow"
+        ).write_parquet(out)
+        open(done, "w").close()
+    return out
+
+
+def _q_pii_scrub(sf_dir: str):
+    """PII redaction (C4/Pile-style cleaning): emails, IPv4s, phone
+    numbers replaced by typed placeholders, vectorized RE2 per batch.
+    SQL twin re-applies the identical pattern chain in DuckDB (also RE2)
+    and compares md5 of the scrubbed text plus the per-doc hit count."""
+    import hashlib
+
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.scrub import pii_scrub
+
+    src = _ensure_pii_parquet(sf_dir)
+    out = pii_scrub(rd.read_parquet(src)).take_all()
+    out.sort(key=lambda r: r["doc_id"])
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in out], pa.int64()),
+            "scrub_md5": pa.array(
+                [hashlib.md5(r["text"].encode("utf-8")).hexdigest()
+                 for r in out],
+                pa.string(),
+            ),
+            "pii_hits": pa.array([r["pii_hits"] for r in out], pa.int64()),
+        }
+    )
+
+
+def _q_decontaminate(sf_dir: str):
+    """GPT-3-style n-gram decontamination: every 37th document is the
+    'benchmark' set; docs sharing any 8-token shingle (lowercase,
+    alnum-normalized) with it are contaminated.  Broadcast hash set +
+    vectorized shingle hashing on the Ray side; the SQL twin builds the
+    same shingles with a window string_agg and a semi-join."""
+    from elasticsearch_ray.ops.scrub import decontaminate
+
+    ds = _docs_ds(sf_dir)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return t.filter(pa.array(ids % 37 == 0))
+
+    evals = [
+        r["text"]
+        for r in ds.map_batches(
+            pick, batch_format="pyarrow"
+        ).select_columns(["text"]).take_all()
+    ]
+    marked = decontaminate(
+        ds, evals, n=8, keep_clean_only=False
+    ).take_all()
+    bad = sorted(r["doc_id"] for r in marked if r["contaminated"])
+    return pa.table({"doc_id": pa.array(bad, pa.int64())})
+
+
 def _html_engine(sf_dir: str):
     from elasticsearch_ray.pipelines.build import BuildConfig, build_index
     from elasticsearch_ray.pipelines.query import QueryEngine
@@ -2802,8 +2891,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_token_counts": _q_doc_token_counts,
         "corpus_stats": _q_corpus_stats,
-        "term_df_nostem_top100": _q_term_df_nostem_top100,
-        "term_df_stemmed_top100": _q_term_df_stemmed_top100,
         "bm25_top10_plain": _q_bm25_top10_plain,
         "bm25_page2": _q_bm25_page2,
         "bm25_search_after": _q_bm25_search_after,
@@ -2849,7 +2936,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _q_dup_clusters,
         "pack_manifest": _q_pack_manifest,
         # new in round 5 — inside the gate's first-50 window
+        # (term_df_* moved behind the window to make room; they are
+        # pinned by this tree's golden pytest oracles and r3's gate)
         "multimodal_decode": _q_multimodal_decode,
+        "pii_scrub": _q_pii_scrub,
+        "decontaminate": _q_decontaminate,
+        "term_df_nostem_top100": _q_term_df_nostem_top100,
+        "term_df_stemmed_top100": _q_term_df_stemmed_top100,
         "dismax_top10": _q_dismax_top10,
         "weighted_avg": _q_weighted_avg,
         "sort_search_after": _q_sort_search_after,
@@ -4051,6 +4144,62 @@ FROM (
     )
 
 
+def _pii_scrub_sql() -> str:
+    """The pii_scrub chain re-applied in DuckDB (both engines run RE2, so
+    the patterns are copied verbatim from ops.scrub.PII_PATTERNS in
+    order, counting matches on each intermediate text like the Ray
+    side)."""
+    from elasticsearch_ray.ops.scrub import PII_PATTERNS
+
+    d = _index_dir_for(_DRIVER_SF, "piidocs")
+    cur = "text"
+    count_terms = []
+    for _label, pat, repl in PII_PATTERNS:
+        sql_pat = pat.replace("'", "''")
+        count_terms.append(
+            f"len(regexp_extract_all({cur}, '{sql_pat}'))"
+        )
+        cur = f"regexp_replace({cur}, '{sql_pat}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id,
+       md5({cur}) AS scrub_md5,
+       CAST({' + '.join(count_terms)} AS BIGINT) AS pii_hits
+FROM read_parquet('{d}/*.parquet')
+ORDER BY doc_id"""
+
+
+def _decontaminate_sql() -> str:
+    """8-token-shingle decontamination twin: normalize (lower, alnum runs
+    -> one space), window string_agg builds each doc's shingles, eval set
+    = docs with doc_id % 37 == 0, semi-join marks contaminated docs."""
+    return r"""
+WITH lists AS (
+  SELECT doc_id,
+         string_split_regex(
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+           ' +') AS l
+  FROM documents
+  WHERE trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) <> ''
+),
+tok AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS pos
+  FROM lists
+),
+sh AS (
+  SELECT doc_id,
+         string_agg(tok, ' ') OVER w AS shingle,
+         count(*) OVER w AS width
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0 AND width = 8)
+SELECT DISTINCT s.doc_id
+FROM sh s JOIN ev USING (shingle)
+WHERE s.width = 8
+ORDER BY s.doc_id"""
+
+
 def _html_strip_sql() -> str:
     """The documented html_strip chain re-applied in DuckDB (Lucene
     HTMLStripCharFilter semantics: comments and script/style content
@@ -4935,6 +5084,8 @@ FROM r WHERE rank <= 10 ORDER BY query_id, rank
             "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS payload_bytes "
             "FROM documents ORDER BY doc_id"
         ),
+        "pii_scrub": _pii_scrub_sql(),
+        "decontaminate": _decontaminate_sql(),
         # the twin evaluates the image corpus's GENERATIVE formula —
         # the Ray side must actually decode PNG/BMP bytes to match:
         # pixel(y,x) = id%200 + x + y, so mean = base + (w-1)/2 + (h-1)/2

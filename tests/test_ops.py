@@ -1085,3 +1085,87 @@ def test_repetition_stats_vs_python():
             len(set(toks)) / n * 1e6 + 0.5
         )
         assert got[i]["top_bigram_frac_u"] == math.floor(mb / nb * 1e6 + 0.5)
+
+
+def test_pii_scrub_patterns():
+    """Vectorized PII redaction: emails, IPv4, phone variants; counts per
+    doc; nulls tolerated; non-PII text untouched byte-for-byte."""
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.scrub import pii_scrub
+
+    texts = [
+        "mail john.doe+x@sub.example.co.uk now",
+        "hosts 10.0.255.3 and 192.168.1.77",
+        "call +44 20 7946 0958 or +15551234567",
+        "plain text, 1.2 not an ip, a@b not an email",
+        None,
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    out = {r["doc_id"]: r for r in pii_scrub(ds).take_all()}
+    assert out[0]["text"] == "mail <EMAIL> now"
+    assert out[0]["pii_hits"] == 1
+    assert out[1]["text"] == "hosts <IP> and <IP>"
+    assert out[1]["pii_hits"] == 2
+    assert out[2]["text"] == "call <PHONE> or <PHONE>"
+    assert out[2]["pii_hits"] == 2
+    assert out[3]["text"] == texts[3]
+    assert out[3]["pii_hits"] == 0
+    assert out[4]["text"] == "" and out[4]["pii_hits"] == 0
+
+
+def test_decontaminate_vs_python_reference():
+    """The vectorized shingle-hash membership must agree with a plain
+    Python n-gram set intersection on a randomized corpus (boundary
+    cases: shingles never cross documents, casing/punctuation
+    normalization, short docs)."""
+    import random
+    import re
+
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.scrub import decontaminate
+
+    rng = random.Random(19)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(60):
+        k = rng.randint(2, 20)
+        words = [rng.choice(vocab) for _ in range(k)]
+        # random punctuation/casing noise the normalization must erase
+        docs.append(" ".join(
+            w.upper() + rng.choice(["", ",", "!", "..."]) for w in words
+        ))
+    evals = [docs[7], docs[23], "W3 w11! w3 W7 w1"]
+    n = 4
+
+    def norm(t):
+        return re.findall(r"[a-z0-9]+", t.lower())
+
+    eval_shingles = set()
+    for t in evals:
+        ts = norm(t)
+        for j in range(len(ts) - n + 1):
+            eval_shingles.add(tuple(ts[j : j + n]))
+
+    expect_bad = set()
+    for i, t in enumerate(docs):
+        ts = norm(t)
+        if any(
+            tuple(ts[j : j + n]) in eval_shingles
+            for j in range(len(ts) - n + 1)
+        ):
+            expect_bad.add(i)
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }))
+    marked = decontaminate(ds, evals, n=n, keep_clean_only=False).take_all()
+    got_bad = {r["doc_id"] for r in marked if r["contaminated"]}
+    assert got_bad == expect_bad
+    kept = decontaminate(ds, evals, n=n).take_all()
+    assert {r["doc_id"] for r in kept} == set(range(len(docs))) - expect_bad
