@@ -2776,6 +2776,45 @@ def _q_date_histogram(sf_dir: str):
     return pa.concat_tables(tabs)
 
 
+def _q_pipeline_aggs(sf_dir: str):
+    """ES pipeline aggregations over the daily date_histogram: derivative
+    + cumulative_sum + moving_fn(avg, window 7, shift 0 = trailing seven
+    buckets EXCLUDING current) of sum_cents.  The first bucket is dropped
+    (ES omits the derivative key there); moving averages ship as
+    floor(x*1e6+0.5) micro-units."""
+    from elasticsearch_ray.ops.events import date_histogram
+    from elasticsearch_ray.ops.pipeline_aggs import (
+        cumulative_sum,
+        derivative,
+        moving_avg,
+    )
+
+    b = pa.Table.from_pandas(
+        date_histogram(_events_ds(sf_dir), interval="day").to_pandas()
+    ).sort_by("bucket_us")
+    b = derivative(b, "sum_cents", out_col="deriv")
+    b = cumulative_sum(b, "sum_cents", out_col="cum_cents")
+    b = moving_avg(b, "sum_cents", window=7, shift=0, out_col="mov")
+    b = b.slice(1)  # ES omits the first bucket's derivative
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "bucket_us": b.column("bucket_us"),
+            "n": b.column("n"),
+            "sum_cents": b.column("sum_cents"),
+            "deriv_cents": pc.cast(b.column("deriv"), pa.int64()),
+            "cum_cents": pc.cast(b.column("cum_cents"), pa.int64()),
+            "mov7_u": pc.cast(
+                pc.floor(
+                    pc.add(pc.multiply(b.column("mov"), 1e6), 0.5)
+                ),
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def _q_composite_pages(sf_dir: str):
     """ES composite aggregation: page through ALL (source, lang) buckets
     in strict key order with after-key pagination (size 7 per page) —
@@ -2890,7 +2929,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # stay pinned by pytest goldens.
     return {
         "doc_token_counts": _q_doc_token_counts,
-        "corpus_stats": _q_corpus_stats,
         "bm25_top10_plain": _q_bm25_top10_plain,
         "bm25_page2": _q_bm25_page2,
         "bm25_search_after": _q_bm25_search_after,
@@ -2941,6 +2979,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": _q_multimodal_decode,
         "pii_scrub": _q_pii_scrub,
         "decontaminate": _q_decontaminate,
+        "pipeline_aggs": _q_pipeline_aggs,
+        "corpus_stats": _q_corpus_stats,
         "term_df_nostem_top100": _q_term_df_nostem_top100,
         "term_df_stemmed_top100": _q_term_df_stemmed_top100,
         "dismax_top10": _q_dismax_top10,
@@ -3748,6 +3788,34 @@ def _date_histogram_sql() -> str:
         for iv in ("day", "week", "month")
     ]
     return " UNION ALL ".join(parts)
+
+
+def _pipeline_aggs_sql() -> str:
+    """Window-function twin of the pipeline aggs: lag diff, running sum,
+    and the trailing-7-excluding-current average (ROWS BETWEEN 7
+    PRECEDING AND 1 PRECEDING)."""
+    return """
+WITH b AS (
+  SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS bucket_us,
+         count(*)::BIGINT AS n,
+         sum(CAST(floor(value*100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT bucket_us, n, sum_cents,
+         sum_cents - lag(sum_cents) OVER (ORDER BY bucket_us)
+           AS deriv_cents,
+         sum(sum_cents) OVER (ORDER BY bucket_us
+            ROWS UNBOUNDED PRECEDING) AS cum_cents,
+         avg(sum_cents) OVER (ORDER BY bucket_us
+            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS mov
+  FROM b
+)
+SELECT bucket_us, n, sum_cents,
+       CAST(deriv_cents AS BIGINT) AS deriv_cents,
+       CAST(cum_cents AS BIGINT) AS cum_cents,
+       CAST(floor(mov * 1e6 + 0.5) AS BIGINT) AS mov7_u
+FROM w WHERE deriv_cents IS NOT NULL ORDER BY bucket_us"""
 
 
 def _composite_pages_sql() -> str:
@@ -4984,6 +5052,7 @@ GROUP BY d.doc_id
         "suggest_plain": _suggest_sql(),
         "synonyms_top10": _synonyms_sql(),
         "date_histogram": _date_histogram_sql(),
+        "pipeline_aggs": _pipeline_aggs_sql(),
         "composite_pages": _composite_pages_sql(),
         "facet_avg": _facet_avg_sql(),
         "filters_agg": _filters_agg_sql(),

@@ -1,0 +1,118 @@
+"""ES pipeline aggregations over bucketed results.
+
+ES layers a second family of aggregations over the buckets another
+aggregation produced (``derivative``, ``cumulative_sum``, ``moving_fn``,
+``bucket_sort``, and the sibling ``*_bucket`` metrics).  Buckets are the
+OUTPUT of the distributed stage — a small, already-reduced table — so
+pipeline aggs are deliberately driver-side numpy over O(buckets) rows,
+never another shuffle (same shape ES uses: pipeline aggs run on the
+coordinating node during reduce).
+
+All functions take and return a ``pyarrow.Table`` sorted by the parent
+bucket key (date_histogram / histogram order), matching ES's requirement
+that parent buckets be a histogram for the sequential aggs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _metric(buckets: pa.Table, path: str) -> np.ndarray:
+    if path not in buckets.column_names:
+        raise KeyError(f"buckets_path {path!r} not in {buckets.column_names}")
+    return buckets.column(path).to_numpy(zero_copy_only=False)
+
+
+def derivative(buckets: pa.Table, buckets_path: str,
+               out_col: str | None = None) -> pa.Table:
+    """ES ``derivative``: metric minus the previous bucket's metric; the
+    first bucket has NO derivative (null), exactly like ES omitting the
+    key from the first bucket."""
+    m = _metric(buckets, buckets_path).astype(np.float64)
+    d = np.empty(len(m), dtype=np.float64)
+    d[0] = np.nan
+    d[1:] = m[1:] - m[:-1]
+    vals = pa.array(
+        [None if np.isnan(x) else x for x in d], pa.float64()
+    )
+    return buckets.append_column(out_col or f"{buckets_path}_deriv", vals)
+
+
+def cumulative_sum(buckets: pa.Table, buckets_path: str,
+                   out_col: str | None = None) -> pa.Table:
+    """ES ``cumulative_sum``: running total of the metric."""
+    m = _metric(buckets, buckets_path)
+    return buckets.append_column(
+        out_col or f"{buckets_path}_cumsum",
+        pa.array(np.cumsum(m.astype(np.int64))
+                 if np.issubdtype(m.dtype, np.integer)
+                 else np.cumsum(m.astype(np.float64))),
+    )
+
+
+def moving_avg(buckets: pa.Table, buckets_path: str, window: int,
+               shift: int = 0, out_col: str | None = None) -> pa.Table:
+    """ES ``moving_fn`` with the unweighted-average function: for bucket
+    ``i`` the window is the ``window`` buckets ending at ``i - 1 + shift``
+    (ES default ``shift=0`` EXCLUDES the current bucket; ``shift=1``
+    includes it).  Buckets whose window is empty get null, like ES."""
+    m = _metric(buckets, buckets_path).astype(np.float64)
+    n = len(m)
+    csum = np.concatenate([[0.0], np.cumsum(m)])
+    out: list[float | None] = []
+    for i in range(n):
+        hi = min(max(i + shift, 0), n)          # exclusive
+        lo = min(max(hi - window, 0), n)
+        if hi <= lo:
+            out.append(None)
+        else:
+            out.append((csum[hi] - csum[lo]) / (hi - lo))
+    return buckets.append_column(
+        out_col or f"{buckets_path}_movavg", pa.array(out, pa.float64())
+    )
+
+
+def bucket_sort(buckets: pa.Table, sort: list[tuple[str, str]],
+                from_: int = 0, size: int | None = None) -> pa.Table:
+    """ES ``bucket_sort``: reorder (and truncate) the parent's buckets by
+    metric values; ``sort`` is [(column, 'asc'|'desc'), ...]."""
+    idx = np.arange(buckets.num_rows)
+    # stable sorts applied last-key-first == lexicographic multi-key
+    for col, order in reversed(sort):
+        vals = _metric(buckets, col)
+        key = np.argsort(vals[idx], kind="stable")
+        if order == "desc":
+            key = key[::-1]
+            # keep stability under reversal: reverse EQUAL runs back
+            sv = vals[idx][key]
+            starts = np.flatnonzero(
+                np.concatenate([[True], sv[1:] != sv[:-1]])
+            )
+            ends = np.concatenate([starts[1:], [len(sv)]])
+            key = np.concatenate(
+                [key[s:e][::-1] for s, e in zip(starts, ends)]
+            )
+        elif order != "asc":
+            raise ValueError(f"order {order!r} must be 'asc' or 'desc'")
+        idx = idx[key]
+    stop = None if size is None else from_ + size
+    return buckets.take(pa.array(idx[from_:stop]))
+
+
+def sibling_stats(buckets: pa.Table, buckets_path: str) -> dict:
+    """ES sibling pipeline metrics in one pass: ``avg_bucket`` /
+    ``sum_bucket`` / ``min_bucket`` / ``max_bucket`` / ``stats_bucket``
+    over the parent's buckets."""
+    m = _metric(buckets, buckets_path).astype(np.float64)
+    if not len(m):
+        return {"count": 0, "min": None, "max": None, "avg": None,
+                "sum": 0.0}
+    return {
+        "count": int(len(m)),
+        "min": float(m.min()),
+        "max": float(m.max()),
+        "avg": float(m.mean()),
+        "sum": float(m.sum()),
+    }

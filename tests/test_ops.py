@@ -1169,3 +1169,44 @@ def test_decontaminate_vs_python_reference():
     assert got_bad == expect_bad
     kept = decontaminate(ds, evals, n=n).take_all()
     assert {r["doc_id"] for r in kept} == set(range(len(docs))) - expect_bad
+
+
+def test_pipeline_aggs_semantics():
+    """ES pipeline aggregations over a bucket table: derivative (first
+    bucket null), cumulative_sum, moving_fn windows with ES shift
+    semantics (shift=0 excludes the current bucket), bucket_sort
+    (stable multi-key, from/size), sibling stats."""
+    from elasticsearch_ray.ops.pipeline_aggs import (
+        bucket_sort,
+        cumulative_sum,
+        derivative,
+        moving_avg,
+        sibling_stats,
+    )
+
+    b = pa.table({
+        "key": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "m": pa.array([10, 4, 4, 7, 1], pa.int64()),
+    })
+    d = derivative(b, "m").column("m_deriv").to_pylist()
+    assert d == [None, -6.0, 0.0, 3.0, -6.0]
+    c = cumulative_sum(b, "m").column("m_cumsum").to_pylist()
+    assert c == [10, 14, 18, 25, 26]
+    # shift=0: window is the trailing `window` buckets EXCLUDING current
+    m0 = moving_avg(b, "m", window=2, shift=0).column("m_movavg").to_pylist()
+    assert m0 == [None, 10.0, 7.0, 4.0, 5.5]
+    # shift=1 includes the current bucket
+    m1 = moving_avg(b, "m", window=2, shift=1).column("m_movavg").to_pylist()
+    assert m1 == [10.0, 7.0, 4.0, 5.5, 4.0]
+    # bucket_sort: desc by m, stable on the tie (keys 1 then 2), from/size
+    s = bucket_sort(b, [("m", "desc")])
+    assert s.column("key").to_pylist() == [0, 3, 1, 2, 4]
+    s2 = bucket_sort(b, [("m", "desc")], from_=1, size=2)
+    assert s2.column("key").to_pylist() == [3, 1]
+    # multi-key: m asc then key desc within equal m
+    s3 = bucket_sort(b, [("m", "asc"), ("key", "desc")])
+    assert s3.column("key").to_pylist() == [4, 2, 1, 3, 0]
+    st = sibling_stats(b, "m")
+    assert st == {"count": 5, "min": 1.0, "max": 10.0, "avg": 5.2,
+                  "sum": 26.0}
+    assert sibling_stats(b.slice(0, 0), "m")["count"] == 0
