@@ -497,6 +497,52 @@ def bench_ops(sf_dir: str) -> dict:
     t0 = time.perf_counter()
     curate(docs, near_dedup=True, with_counts=False, out_dir=cur_out)
     out["curation_sec"] = round(time.perf_counter() - t0, 3)
+
+    # round-5 ops: PII scrub, n-gram decontamination, real image decode
+    import pyarrow as pa
+
+    from elasticsearch_ray.ops.scrub import decontaminate, pii_scrub
+
+    t0 = time.perf_counter()
+    pii_scrub(docs).count()
+    out["pii_scrub_sec"] = round(time.perf_counter() - t0, 3)
+    evals = [
+        r["text"]
+        for r in docs.map_batches(
+            lambda t: t.filter(
+                pa.array(t.column("doc_id").to_numpy() % 37 == 0)
+            ),
+            batch_format="pyarrow",
+        ).select_columns(["text"]).take_all()
+    ]
+    t0 = time.perf_counter()
+    out["decontaminate_kept_rows"] = decontaminate(docs, evals, n=8).count()
+    out["decontaminate_sec"] = round(time.perf_counter() - t0, 3)
+
+    from elasticsearch_ray.functions import imagecodec
+    from elasticsearch_ray.ops.multimodal import decode_image_meta
+
+    def to_png(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        payloads = []
+        for i in t.column("doc_id").to_pylist():
+            w, h = 16 + i % 17, 16 + i % 13
+            ys, xs = np.mgrid[0:h, 0:w]
+            payloads.append(
+                imagecodec.png_encode(
+                    ((xs + ys + i) % 251).astype(np.uint8), filters=None
+                )
+            )
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    imgs = docs.select_columns(["doc_id"]).map_batches(
+        to_png, batch_format="pyarrow"
+    ).materialize()
+    t0 = time.perf_counter()
+    out["image_decode_rows"] = decode_image_meta(imgs).count()
+    out["image_decode_sec"] = round(time.perf_counter() - t0, 3)
     return out
 
 

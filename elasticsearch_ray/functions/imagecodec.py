@@ -184,25 +184,39 @@ def png_decode(data: bytes, expand_palette: bool = True) -> np.ndarray:
             cur = row
         elif ft == 2:
             cur = (row + prev) & 0xFF
-        elif ft in (1, 3, 4):
-            # left-dependent filters are sequential in x (per pixel, not
-            # per byte): loop over pixels of ONE scanline — images this
-            # codec serves are thumbnails/fixtures, and the fallback only
-            # runs where Pillow is absent
-            cur = np.zeros(stride, dtype=np.int16)
-            for x in range(0, stride, ch):
-                left = cur[x - ch : x] if x else np.zeros(ch, dtype=np.int16)
-                up = prev[x : x + ch]
-                upleft = (
-                    prev[x - ch : x] if x else np.zeros(ch, dtype=np.int16)
-                )
-                seg = row[x : x + ch]
-                if ft == 1:
-                    cur[x : x + ch] = (seg + left) & 0xFF
-                elif ft == 3:
-                    cur[x : x + ch] = (seg + (left + up) // 2) & 0xFF
-                else:
-                    cur[x : x + ch] = (seg + _paeth(left, up, upleft)) & 0xFF
+        elif ft == 1:
+            # Sub is a per-channel mod-256 prefix sum — vectorized
+            cur = np.empty(stride, dtype=np.int16)
+            for c in range(ch):
+                cur[c::ch] = np.cumsum(row[c::ch], dtype=np.int64) & 0xFF
+        elif ft in (3, 4):
+            # Average/Paeth recurrences are sequential in x; plain-int
+            # scanline loops beat per-pixel numpy slicing by ~50x and the
+            # fallback only runs where Pillow is absent
+            rl = row.tolist()
+            pl = prev.tolist()
+            cl = [0] * stride
+            if ft == 3:
+                for x in range(stride):
+                    a = cl[x - ch] if x >= ch else 0
+                    cl[x] = (rl[x] + ((a + pl[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    a = cl[x - ch] if x >= ch else 0
+                    c = pl[x - ch] if x >= ch else 0
+                    b = pl[x]
+                    p = a + b - c
+                    pa_ = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc_ = p - c if p >= c else c - p
+                    if pa_ <= pb and pa_ <= pc_:
+                        pred = a
+                    elif pb <= pc_:
+                        pred = b
+                    else:
+                        pred = c
+                    cl[x] = (rl[x] + pred) & 0xFF
+            cur = np.array(cl, dtype=np.int16)
         else:
             raise ValueError(f"bad scanline filter {ft}")
         out[y] = cur
