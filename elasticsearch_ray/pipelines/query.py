@@ -1950,11 +1950,18 @@ class QueryEngine:
         }
 
     def search_facet_stats(self, query_text: str, field: str,
-                           metric_field: str, size: int = 10) -> dict:
+                           metric_field: str, size: int = 10,
+                           order: tuple[str, str] | None = None) -> dict:
         """ES terms aggregation with an ``avg`` sub-aggregation: per-value
         doc counts AND the average of an integer doc-value over each
-        bucket's hit subset (``terms { aggs: { avg } }``).  Buckets sorted
-        (count desc, value asc), ES bucket shape with a nested metric."""
+        bucket's hit subset (``terms { aggs: { avg } }``).  Default ES
+        bucket order (count desc, value asc); ``order`` selects the ES
+        ``"order": {...}`` forms instead — ``("_count", dir)``,
+        ``("_key", dir)`` or ``("avg", dir)`` (order by the sub-agg
+        metric; buckets with no metric values sort last like ES treats
+        missing).  This engine merges EXACT per-value partials before
+        ordering, so sub-agg ordering has none of ES's shard_size
+        truncation error."""
         kind, payload = self._agg_route(query_text)
         parts = self._fanout("facet_stats", kind, payload, field,
                              metric_field)
@@ -1965,7 +1972,32 @@ class QueryEngine:
                 acc[0] += n
                 acc[1] += mc
                 acc[2] += ms
-        buckets = sorted(merged.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        if order is None:
+            keyf = lambda kv: (-kv[1][0], kv[0])  # noqa: E731
+        else:
+            what, dirn = order
+            if dirn not in ("asc", "desc"):
+                raise ValueError(f"order direction {dirn!r}")
+            sign = -1 if dirn == "desc" else 1
+            if what == "_count":
+                keyf = lambda kv: (sign * kv[1][0], kv[0])  # noqa: E731
+            elif what == "_key":
+                # lexicographic key order; desc via a sort-then-reverse
+                # would break the doc-count tie rule, so invert per char
+                buckets = sorted(merged.items(), key=lambda kv: kv[0],
+                                 reverse=(dirn == "desc"))
+                keyf = None
+            elif what == "avg":
+                missing = float("inf")  # ES: buckets w/o values sort last
+
+                def keyf(kv):  # noqa: E306
+                    n, mc, ms = kv[1]
+                    a = (ms / mc) if mc else missing * (1 if sign > 0 else -1)
+                    return (sign * a, kv[0])
+            else:
+                raise ValueError(f"unknown order target {what!r}")
+        if keyf is not None:
+            buckets = sorted(merged.items(), key=keyf)
         return {
             "query": query_text,
             "field": field,
@@ -3113,6 +3145,31 @@ class QueryEngine:
         return out
 
     # -- misc --------------------------------------------------------------
+
+    def scroll(self, query_text: str, batch: int = 100,
+               mode: str | None = None):
+        """ES scroll / point-in-time cursor: iterate the ENTIRE ranked
+        hit set of ``query_text`` in strict (-score, doc_id) order,
+        ``batch`` hits per yielded page, constant per-page transfer
+        (search_after cursors under the hood — each shard ships at most
+        ``batch`` rows per page at any depth, never offset-deep
+        windows).  The point-in-time view is free: segments are
+        immutable, so the hit set can't shift mid-scroll (only
+        ``refresh()``/tombstones between pages could, as with an expired
+        ES PIT — hold off refresh while scrolling)."""
+        after = None
+        while True:
+            res = self.search(
+                query_text, size=batch, mode=mode, search_after=after
+            )
+            hits = res["results"]
+            if not hits:
+                return
+            yield hits
+            if len(hits) < batch:
+                return
+            last = hits[-1]
+            after = (last["score"], last["doc_id"])
 
     def lookup_urls(self, doc_ids: list[int]) -> dict[int, str]:
         import pyarrow.dataset as pads

@@ -241,3 +241,59 @@ def test_hybrid_survives_remote_death(tmp_path_factory):
         assert before == after
     finally:
         eng.close()
+
+
+def test_facet_stats_order_by_subagg(hicard_engine):
+    """ES terms-agg 'order' forms: _count/_key/avg x asc/desc.  Exact
+    partials merge BEFORE ordering, so sub-agg order has no shard_size
+    truncation error; buckets without metric values sort last."""
+    eng, rows = hicard_engine
+    import collections
+
+    # metric field: use doc_id itself (always present) for determinism
+    by_src = collections.defaultdict(lambda: [0, 0, 0])
+    for r in rows:
+        acc = by_src[r["source"]]
+        acc[0] += 1
+        acc[1] += 1
+        acc[2] += r["doc_id"]
+
+    res = eng.search_facet_stats(None, "source", "doc_id", size=10,
+                                 order=("avg", "desc"))
+    got = [(b["key"], b["avg"]) for b in res["buckets"]]
+    want = sorted(
+        ((k, v[2] / v[1]) for k, v in by_src.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert got == want
+    res_a = eng.search_facet_stats(None, "source", "doc_id", size=10,
+                                   order=("avg", "asc"))
+    assert [b["key"] for b in res_a["buckets"]] == \
+        [k for k, _ in sorted(want, key=lambda kv: (kv[1], kv[0]))]
+    res_k = eng.search_facet_stats(None, "source", "doc_id", size=10,
+                                   order=("_key", "desc"))
+    assert [b["key"] for b in res_k["buckets"]] == \
+        sorted(by_src, reverse=True)
+    res_c = eng.search_facet_stats(None, "source", "doc_id", size=10,
+                                   order=("_count", "asc"))
+    counts = [b["doc_count"] for b in res_c["buckets"]]
+    assert counts == sorted(counts)
+    with pytest.raises(ValueError):
+        eng.search_facet_stats(None, "source", "doc_id",
+                               order=("bogus", "asc"))
+
+
+def test_scroll_cursor_covers_full_hit_set(hicard_engine):
+    """scroll() pages the entire ranked hit set in strict (-score,
+    doc_id) order with no overlap and no gap, equal to one giant
+    search."""
+    eng, rows = hicard_engine
+    full = eng.search("merge hash scan", size=10_000)["results"]
+    assert len(full) > 20
+    paged = []
+    for page in eng.scroll("merge hash scan", batch=7):
+        assert len(page) <= 7
+        paged.extend(page)
+    assert paged == full
+    # empty hit set -> zero pages
+    assert list(eng.scroll("zzznomatch", batch=5)) == []
