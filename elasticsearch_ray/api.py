@@ -347,17 +347,20 @@ class RayBM25Index:
         return json.dumps(self.engine.search(query_text, size=size))
 
     def snapshot(self, index_id: str, dest_dir: str) -> str:
-        """ES snapshot: copy the index to ``dest_dir`` (immutable segments
-        + atomic manifests make a plain recursive copy a consistent
-        snapshot as long as no extend/compact/merge runs concurrently —
-        same discipline ES requires of its snapshot repository).  Returns
-        the snapshot path."""
+        """ES snapshot: copy the COMMITTED manifest view of the index to
+        ``dest_dir`` (``state/snapshot.py::snapshot_index``) — the
+        manifest is read once up front, exactly the files it references
+        are copied, and the snapshot's own manifest lands LAST, so a
+        snapshot taken while an extend/merge runs is the last committed
+        view, never a torn one.  Returns the snapshot path."""
+        from .state.snapshot import snapshot_index
+
         src = self._dir(index_id)
         if not os.path.exists(os.path.join(src, "manifest.json")):
             raise ValueError(f"no finished index at {src}")
         tmp = dest_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.copytree(src, tmp)
+        snapshot_index(src, tmp)
         shutil.rmtree(dest_dir, ignore_errors=True)
         os.replace(tmp, dest_dir)
         return dest_dir
@@ -381,17 +384,21 @@ class RayBM25Index:
         raise ValueError(f"unknown export kind {kind!r}")
 
     def restore(self, snapshot_dir: str, index_id: str) -> None:
-        """ES restore: install a snapshot under ``index_id`` (replaces any
-        existing index of that id)."""
-        if not os.path.exists(os.path.join(snapshot_dir, "manifest.json")):
-            raise ValueError(f"no snapshot manifest at {snapshot_dir}")
+        """ES restore: VALIDATE the snapshot inventory (every referenced
+        segment + lineage manifest present and self-consistent —
+        ``state/snapshot.py::verify_snapshot``) then install it under
+        ``index_id`` (replaces any existing index of that id); the
+        destination manifest is written last, so an interrupted restore
+        never looks committed."""
+        from .state.snapshot import restore_index
+
         dst = self._dir(index_id)
         if self.current_index == index_id:
             self._close_engine()
             self.current_index = None
         tmp = dst + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.copytree(snapshot_dir, tmp)
+        restore_index(snapshot_dir, tmp)
         shutil.rmtree(dst, ignore_errors=True)
         os.replace(tmp, dst)
 

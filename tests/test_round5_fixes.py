@@ -297,3 +297,53 @@ def test_scroll_cursor_covers_full_hit_set(hicard_engine):
     assert paged == full
     # empty hit set -> zero pages
     assert list(eng.scroll("zzznomatch", batch=5)) == []
+
+
+def test_snapshot_restore_validated(tmp_path_factory, tmp_path):
+    """Manifest-consistent snapshot + validated restore: the snapshot
+    copies exactly the committed view (manifest written LAST), restore
+    refuses a corrupted snapshot, and a restored index serves results
+    identical to the original."""
+    import json
+    import os
+
+    from elasticsearch_ray.pipelines.query import QueryEngine
+    from elasticsearch_ray.state.snapshot import (
+        restore_index,
+        snapshot_index,
+        verify_snapshot,
+    )
+
+    idx = _mk_corpus_idx(tmp_path_factory, "snap")
+    orig = QueryEngine(idx, num_searchers=0)
+    want = orig.search("merge hash", size=20)
+    want_f = orig.search_facets("merge", "source", size=10)
+    orig.close()
+
+    snap = str(tmp_path / "snap")
+    info = snapshot_index(idx, snap)
+    assert info["segments"] >= 2 and info["bytes"] > 0
+    assert verify_snapshot(snap)["ok"]
+    # stray build intermediates are NOT part of the committed view
+    assert not os.path.exists(os.path.join(snap, "df"))
+
+    rest = str(tmp_path / "restored")
+    restore_index(snap, rest)
+    eng = QueryEngine(rest, num_searchers=0)
+    try:
+        assert eng.search("merge hash", size=20) == want
+        assert eng.search_facets("merge", "source", size=10) == want_f
+    finally:
+        eng.close()
+
+    # corruption: a missing segment fails validation AND restore
+    seg0 = json.load(open(os.path.join(snap, "manifest.json")))["segments"][0]
+    victim = os.path.join(snap, f"segments/seg-{int(seg0):05d}.arrow")
+    os.remove(victim)
+    with pytest.raises(ValueError, match="missing"):
+        verify_snapshot(snap)
+    bad = str(tmp_path / "bad_restore")
+    with pytest.raises(ValueError):
+        restore_index(snap, bad)
+    # a failed restore must never look committed
+    assert not os.path.exists(os.path.join(bad, "manifest.json"))
