@@ -3181,6 +3181,34 @@ class QueryEngine:
         )
         return dict(zip(t.column("doc_id").to_pylist(), t.column("url").to_pylist()))
 
+    def lookup_docvalues(
+        self, doc_ids: list[int], fields: list[str]
+    ) -> dict[int, dict]:
+        """ES ``docvalue_fields``: fetch doc-value columns for a BOUNDED
+        id set (one k-row predicate read of the docmap, same pattern as
+        ``lookup_urls`` — never a scan).  Use with top-k results:
+        ``eng.lookup_docvalues([r['doc_id'] for r in hits], ['source'])``.
+        Unknown fields raise (ES: unmapped docvalue fields are an
+        error)."""
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(os.path.join(self.index_dir, "docmap"))
+        missing = [f for f in fields if f not in dset.schema.names]
+        if missing:
+            raise ValueError(
+                f"docvalue fields {missing} not in docmap "
+                f"(built facet/metadata columns: {dset.schema.names})"
+            )
+        t = dset.to_table(
+            columns=["doc_id", *fields],
+            filter=pads.field("doc_id").isin(list(doc_ids)),
+        )
+        ids = t.column("doc_id").to_pylist()
+        cols = {f: t.column(f).to_pylist() for f in fields}
+        return {
+            d: {f: cols[f][i] for f in fields} for i, d in enumerate(ids)
+        }
+
     def _lookup_sources(self, doc_ids: list[int]) -> dict[int, str]:
         """Stored ``_source`` text for a bounded id set (k-row filtered
         docmap read, same pattern as ``lookup_urls``).  Requires the index

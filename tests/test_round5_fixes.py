@@ -347,3 +347,19 @@ def test_snapshot_restore_validated(tmp_path_factory, tmp_path):
         restore_index(snap, bad)
     # a failed restore must never look committed
     assert not os.path.exists(os.path.join(bad, "manifest.json"))
+
+
+def test_docvalue_fields_lookup(hicard_engine):
+    """ES docvalue_fields: bounded docmap join for top-k ids; unmapped
+    fields raise like ES."""
+    eng, rows = hicard_engine
+    hits = eng.search("merge", size=5)["results"]
+    ids = [r["doc_id"] for r in hits]
+    dv = eng.lookup_docvalues(ids, ["source", "tag"])
+    assert set(dv) == set(ids)
+    by_id = {r["doc_id"]: r for r in rows}
+    for d, vals in dv.items():
+        assert vals["source"] == by_id[d]["source"]
+        assert vals["tag"] == by_id[d]["tag"]
+    with pytest.raises(ValueError, match="not in docmap"):
+        eng.lookup_docvalues(ids, ["nonexistent_field"])
