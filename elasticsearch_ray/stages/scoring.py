@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..state.segment import SegmentReader
+from ..state.segment import SegmentReader, scratch_pool as _scratch
 
 # Slack for float-rounding in upper-bound pruning: a block is skipped only if
 # its UB is below threshold by more than this relative epsilon.
@@ -657,19 +657,54 @@ def phrase_eval(
         # freed array's id could be reused across phrases, so clear
         _tk_cache.clear()
         if slop <= 0:
+            if (
+                len(datas) == 2
+                and isinstance(datas[0], tuple)
+                and isinstance(datas[1], tuple)
+            ):
+                # pure two-term phrase (the dominant phrase shape, and the
+                # p99 when both terms are Zipf heads): the match set is
+                # query-independent, so serve it from the reader's
+                # phrase-filter LRU instead of walking ~N keys per query
+                docs = reader.adjacent_docs_by_rows(datas[0][0], datas[1][0])
+                cand = intersect(cand, docs) if docs.size else empty
+                continue
+            if len(datas) > 2:
+                # pairwise pre-prune: a phrase match requires every
+                # consecutive bigram to match, so intersect the cached pair
+                # filters first — the key walk below then runs over (and
+                # gathers keys for) the shrunken candidate set
+                for da, db in zip(datas, datas[1:]):
+                    if isinstance(da, tuple) and isinstance(db, tuple):
+                        docs = reader.adjacent_docs_by_rows(da[0], db[0])
+                        cand = intersect(cand, docs) if docs.size else empty
+                        if not cand.size:
+                            break
+                if not cand.size:
+                    break
+            pool = _scratch()
             cur = keys_for(datas[0], cand)
             for data in datas[1:]:
                 if not cur.size:
                     break
                 nxt = keys_for(data, cand)
                 if nxt is cur:
-                    # repeated-word step ("tawe tawe"): keys are sorted and
-                    # consecutive same-doc positions are ADJACENT in the
+                    # repeated-word step ("tawe tawe run"): keys are sorted
+                    # and consecutive same-doc positions are ADJACENT in the
                     # array, so intersect(cur+1, cur) is one O(n) comparison
-                    # — no binary search over the Zipf-head stream
-                    cur = cur[1:][cur[1:] == cur[:-1] + 1]
+                    # — no binary search over the Zipf-head stream.  Scratch
+                    # ``out=`` temps: fresh pages cost ~8x the arithmetic
+                    # on this host (see _ScratchPool).
+                    n1 = cur.size - 1
+                    shifted = pool.i64_buf(n1)
+                    np.add(cur[:-1], 1, out=shifted)
+                    m = pool.bool_buf(n1)
+                    np.equal(cur[1:], shifted, out=m)
+                    cur = cur[1:][m]
                 else:
-                    cur = intersect(cur + 1, nxt)
+                    shifted = pool.i64_buf(cur.size)
+                    np.add(cur, 1, out=shifted)
+                    cur = intersect(shifted, nxt)
         else:
             # slack-budget DP: R[c] = sorted keys where the prefix ends
             # with total slack <= c (so R[c] ⊆ R[c+1]); first term costs 0
@@ -693,10 +728,18 @@ def phrase_eval(
         # intersect (not assign): key sets may be SUPERSETS of cand when
         # the full cached arrays were used, and cand already encodes the
         # other phrases' and residual terms' constraints + tombstones
-        cand = (
-            intersect(cand, np.unique(cur >> np.int64(32)))
-            if cur.size else empty
-        )
+        if cur.size:
+            # cur is sorted, so the doc halves are non-decreasing: O(n)
+            # dedupe in scratch instead of np.unique's O(n log n) re-sort
+            pool = _scratch()
+            v = pool.i64_buf(cur.size)
+            np.right_shift(cur, np.int64(32), out=v)
+            keep = pool.bool_buf(cur.size)
+            keep[0] = True
+            np.not_equal(v[1:], v[:-1], out=keep[1:])
+            cand = intersect(cand, v[keep])
+        else:
+            cand = empty
     return cand[:size] + reader.doc_id_base, int(cand.size)
 
 

@@ -50,6 +50,50 @@ import pyarrow.ipc as ipc
 
 from ..functions.vbyte import decode_tfs, vbyte_decode, zlib_decode_postings
 
+
+class _ScratchPool:
+    """Grow-only per-thread temp buffers for position-stream hot paths.
+
+    This host charges a large first-touch cost on fresh pages, so numpy
+    temporaries over Zipf-head position streams (~10 MB per op) cost ~8x
+    the arithmetic itself; reusing warmed buffers via ``out=`` makes the
+    adjacency walk bandwidth-bound again.  Callers must copy anything they
+    keep across calls (every consumer boolean/fancy-indexes out of the
+    views, which copies)."""
+
+    __slots__ = ("i64", "b1")
+
+    def __init__(self):
+        self.i64 = np.empty(0, dtype=np.int64)
+        self.b1 = np.empty(0, dtype=bool)
+
+    def i64_buf(self, n: int) -> np.ndarray:
+        if self.i64.size < n:
+            self.i64 = np.empty(max(n, 2 * self.i64.size), dtype=np.int64)
+        return self.i64[:n]
+
+    def bool_buf(self, n: int) -> np.ndarray:
+        if self.b1.size < n:
+            self.b1 = np.empty(max(n, 2 * self.b1.size), dtype=bool)
+        return self.b1[:n]
+
+
+_scratch_tls = None
+
+
+def scratch_pool() -> _ScratchPool:
+    """The per-thread scratch pool (shared by segment + scoring paths)."""
+    global _scratch_tls
+    if _scratch_tls is None:
+        import threading
+
+        _scratch_tls = threading.local()
+    pool = getattr(_scratch_tls, "pool", None)
+    if pool is None:
+        pool = _ScratchPool()
+        _scratch_tls.pool = pool
+    return pool
+
 BLOCK_SIZE = 128
 
 
@@ -157,6 +201,12 @@ class SegmentReader:
         self._pkey_cache: OrderedDict[int, np.ndarray] = OrderedDict()
         self._pkey_cache_vals = 0
         self._PKEY_CACHE_BUDGET = 4_000_000
+        # adjacent-bigram-docs LRU (see adjacent_docs_by_rows): ES
+        # query-cache analogue for phrase filters — the match set of a pure
+        # two-term phrase is query-independent per segment
+        self._adj_cache: OrderedDict[tuple, np.ndarray] = OrderedDict()
+        self._adj_cache_vals = 0
+        self._ADJ_CACHE_BUDGET = 1_000_000
         # Zero-copy views over the mmap'd binary columns: per-cell access is
         # a numpy slice, no bytes copy (hot path for every query term).
         self._cells = {}
@@ -602,6 +652,86 @@ class SegmentReader:
     def positions_keys(self, term: str) -> np.ndarray | None:
         row = self._term_row.get(term)
         return None if row is None else self.positions_keys_by_row(row)
+
+    def adjacent_docs_by_rows(self, row_a: int, row_b: int) -> np.ndarray:
+        """Slots of docs where term ``row_a`` occurs at position ``p`` and
+        term ``row_b`` at ``p+1`` — the exact match set of a pure two-term
+        phrase.  Two-term phrases over Zipf-head terms are the phrase p99
+        on every bench draw ("tawe tawe", "tawe run"): the generic
+        key-adjacency walk rebuilds ~N-element temporaries per query
+        (expensive on this host's first-touch pages), while this set is
+        QUERY-INDEPENDENT per segment — ES caches phrase filters the same
+        way in its segment-scoped query cache.  Computed once per actor,
+        served from an LRU; tombstone liveness is NOT applied here (the
+        caller intersects with its tombstone-filtered candidate set).
+
+        The self-pair (``row_a == row_b``) avoids composite keys entirely:
+        consecutive same-doc positions are adjacent in the decoded stream,
+        so one segmented ``logical_or.reduceat`` over ``diff == 1`` does it.
+        Cross-doc false positives are masked at the per-doc boundary pair
+        indices before the reduce; docs with a single occurrence can't
+        self-pair and are excluded from the reduce starts (which also keeps
+        every reduceat index in bounds)."""
+        key = (row_a, row_b)
+        cached = self._adj_cache.get(key)
+        if cached is not None:
+            self._adj_cache.move_to_end(key)
+            return cached
+        empty = np.empty(0, dtype=np.int64)
+        docs = empty
+        pool = scratch_pool()
+        if row_a == row_b:
+            pos = self.positions_flat_by_row(row_a)
+            if pos is None:
+                return empty
+            slots, counts, flat, offsets = pos
+            n = flat.size
+            if n >= 2:
+                shifted = pool.i64_buf(n - 1)
+                np.add(flat[:-1], 1, out=shifted)
+                m = pool.bool_buf(n - 1)
+                np.equal(flat[1:], shifted, out=m)
+                bnd = offsets[1:-1] - 1  # pair straddling each doc boundary
+                if bnd.size:
+                    m[bnd] = False
+                multi = counts >= 2
+                starts = offsets[:-1][multi]
+                if starts.size:
+                    anym = np.logical_or.reduceat(m, starts)
+                    docs = slots[multi][anym]
+        else:
+            ka = self.positions_keys_by_row(row_a)
+            kb = self.positions_keys_by_row(row_b)
+            if ka.size and kb.size:
+                # sorted-key intersect of (ka + 1) with kb: binary-search
+                # the smaller side into the larger (positions are < 2^32,
+                # so +1 never carries into the slot half)
+                shifted = pool.i64_buf(ka.size)
+                np.add(ka, 1, out=shifted)
+                a, b = (shifted, kb) if ka.size <= kb.size else (kb, shifted)
+                idx = np.searchsorted(b, a)
+                idx[idx == b.size] = 0
+                hit = a[b[idx] == a]
+                if hit.size:
+                    # doc halves of sorted keys are non-decreasing: O(n)
+                    # dedupe, no re-sort
+                    v = pool.i64_buf(hit.size)
+                    np.right_shift(hit, np.int64(32), out=v)
+                    keep = pool.bool_buf(hit.size)
+                    keep[0] = True
+                    np.not_equal(v[1:], v[:-1], out=keep[1:])
+                    docs = v[keep]
+        docs = np.ascontiguousarray(docs, dtype=np.int64)
+        docs.setflags(write=False)
+        self._adj_cache[key] = docs
+        self._adj_cache_vals += docs.size + 1
+        while (
+            self._adj_cache_vals > self._ADJ_CACHE_BUDGET
+            and len(self._adj_cache) > 1
+        ):
+            _, old = self._adj_cache.popitem(last=False)
+            self._adj_cache_vals -= old.size + 1
+        return docs
 
     def positions_slots(self, term: str):
         """Compat shim: (slots, [positions array per doc]) or None."""

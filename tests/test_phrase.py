@@ -309,3 +309,65 @@ def test_boolean_with_phrase_operands(phrase_setup):
     # doc 3 is "data big reversed order" — out of order, no phrase match
     got = eng.search('"machine learning" OR "big data"', size=50)
     assert [r["doc_id"] for r in got["results"]] == [0, 2, 4]
+
+
+def test_adjacent_docs_pair_cache(tmp_path_factory):
+    """The segment-level phrase-filter cache (adjacent_docs_by_rows) must
+    mask cross-doc false positives: doc0 ends with 'x' at position p and
+    doc1's 'x' sits at flat-stream position p+1, which a naive diff==1 over
+    the concatenated stream would match.  Also pins single-occurrence
+    exclusion and LRU-hit identity."""
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+    from elasticsearch_ray.state.segment import SegmentReader
+
+    texts = [
+        "zebra",                    # pos 0 (single occurrence, no self-pair)
+        "yak zebra zebra",          # zebra at 1,2 -> self-pair; flat [0,1,2]
+        "zebra yak zebra",          # zebra at 0,2 -> no self-pair
+        "quip zebra zebra zebra",   # run of three
+    ]
+    d = tmp_path_factory.mktemp("adjpair")
+    src = str(d / "docs.parquet")
+    pq.write_table(pa.table({"text": pa.array(texts, pa.string())}), src)
+    idx = str(d / "idx")
+    build_index(
+        src,
+        idx,
+        BuildConfig(
+            target_partition_rows=16,
+            docs_per_segment=16,  # ONE segment: boundary adjacency in-flat
+            url_column=None,
+            lang_column=None,
+            store_positions=True,
+        ),
+    )
+    r = SegmentReader(idx, 0)
+    rx = r.term_row("zebra")
+    ry = r.term_row("yak")
+    self_docs = r.adjacent_docs_by_rows(rx, rx)
+    # doc0's lone x (pos 0) + doc1's first x (flat neighbor at +1) must NOT
+    # produce doc0 or mis-attribute; only docs 1 and 3 self-pair
+    assert sorted(self_docs.tolist()) == [1, 3]
+    assert r.adjacent_docs_by_rows(rx, rx) is self_docs  # LRU hit
+    xy = r.adjacent_docs_by_rows(rx, ry)
+    yx = r.adjacent_docs_by_rows(ry, rx)
+    assert sorted(xy.tolist()) == [2]       # "zebra yak" only in doc2
+    assert sorted(yx.tolist()) == [1, 2]    # "yak zebra" in docs 1 and 2
+
+    # end-to-end: engine phrase results agree with the oracle on the same
+    # corpus (covers the pair-cache routing inside phrase_eval)
+    o = OracleIndex(store_positions=True)
+    o.build(list(enumerate(texts)))
+    eng = QueryEngine(idx, num_searchers=1)
+    try:
+        for q in ['"zebra zebra"', '"zebra yak"', '"yak zebra"',
+                  '"zebra zebra zebra"', '"quip zebra"']:
+            got = eng.search(q, size=10)
+            exp = o.query(q, size=10)
+            assert got["total_hits"] == exp["total_hits"], q
+            assert [h["doc_id"] for h in got["results"]] == [
+                h["doc_id"] for h in exp["results"]
+            ], q
+    finally:
+        eng.close()
