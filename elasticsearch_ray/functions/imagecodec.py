@@ -328,6 +328,9 @@ def to_gray(arr: np.ndarray) -> np.ndarray:
     the same integer-free weights Pillow's ``convert('L')`` uses)."""
     if arr.ndim == 2:
         return arr
+    if arr.shape[2] < 3:
+        # gray (H,W,1) or gray+alpha (H,W,2) — luma IS channel 0
+        return np.ascontiguousarray(arr[:, :, 0])
     rgb = arr[:, :, :3].astype(np.float64)
     return (
         rgb[:, :, 0] * 299 / 1000
@@ -341,19 +344,24 @@ def resize_area(arr: np.ndarray, th: int, tw: int) -> np.ndarray:
     ``(th, tw)`` — the deterministic fallback resampler (Pillow, when
     present, uses its own kernels; parity between the two is NOT claimed)."""
     h, w = arr.shape
-    ys = (np.arange(th + 1) * h // th).clip(1, h)
-    xs = (np.arange(tw + 1) * w // tw).clip(1, w)
-    ys[0] = xs[0] = 0
+    # per-block source ranges [b0, b1): when upscaling, boundaries
+    # collide — widen each zero-width block to one source pixel (a
+    # zero-width column would otherwise integrate to 0 -> black), with
+    # b0 = i*src//dst guaranteeing b1 = b0+1 <= src stays in bounds
+    x0s = np.arange(tw, dtype=np.int64) * w // tw
+    x1s = np.maximum(x0s + 1, np.arange(1, tw + 1, dtype=np.int64) * w // tw)
+    y0s = np.arange(th, dtype=np.int64) * h // th
+    y1s = np.maximum(y0s + 1, np.arange(1, th + 1, dtype=np.int64) * h // th)
     csum = np.zeros((h + 1, w + 1), dtype=np.int64)
     csum[1:, 1:] = arr.astype(np.int64).cumsum(0).cumsum(1)
     out = np.empty((th, tw), dtype=np.uint8)
     for i in range(th):
-        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        y0, y1 = y0s[i], y1s[i]
         block = (
-            csum[y1, xs[1:]] - csum[y0, xs[1:]]
-            - csum[y1, xs[:-1]] + csum[y0, xs[:-1]]
+            csum[y1, x1s] - csum[y0, x1s]
+            - csum[y1, x0s] + csum[y0, x0s]
         )
-        area = (y1 - y0) * np.maximum(xs[1:] - xs[:-1], 1)
+        area = (y1 - y0) * (x1s - x0s)
         out[i] = (block // area).astype(np.uint8)
     return out
 

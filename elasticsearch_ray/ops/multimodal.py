@@ -116,6 +116,14 @@ class ImageDecodeMeta:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ws, hs, means = [], [], []
         for p in batch.column(self.payload_col).to_pylist():
+            if not p:
+                # null/empty payload: zero-size placeholder row (strict
+                # must not kill the whole map_batches task over a
+                # missing payload — corrupt NON-empty bytes still raise)
+                ws.append(0)
+                hs.append(0)
+                means.append(0)
+                continue
             px = self._decode(p)
             h, w = px.shape
             ws.append(w)

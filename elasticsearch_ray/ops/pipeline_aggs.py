@@ -32,8 +32,9 @@ def derivative(buckets: pa.Table, buckets_path: str,
     key from the first bucket."""
     m = _metric(buckets, buckets_path).astype(np.float64)
     d = np.empty(len(m), dtype=np.float64)
-    d[0] = np.nan
-    d[1:] = m[1:] - m[:-1]
+    if len(m):
+        d[0] = np.nan
+        d[1:] = m[1:] - m[:-1]
     vals = pa.array(
         [None if np.isnan(x) else x for x in d], pa.float64()
     )

@@ -70,8 +70,11 @@ def pii_scrub(
                 cur, pattern=pat, replacement=repl
             )
         out = batch
-        if target in out.column_names:
-            out = out.drop_columns([target])
+        # drop BOTH columns we are about to append (re-scrubbing
+        # already-scrubbed output must not create duplicate names)
+        drop = [c for c in (target, "pii_hits") if c in out.column_names]
+        if drop:
+            out = out.drop_columns(drop)
         return out.append_column(target, cur).append_column(
             "pii_hits", pa.array(hits, pa.int64())
         )
@@ -180,17 +183,17 @@ class _Decontaminator:
         h, doc_idx = _shingle_hashes_flat(norm, self.n)
         overlaps = np.zeros(batch.num_rows, dtype=np.int64)
         if h.size and self.contaminated.size:
-            hit = (
-                np.searchsorted(self.contaminated, h, side="left")
-                < self.contaminated.size
-            )
-            idx = np.searchsorted(self.contaminated, h).clip(
-                0, self.contaminated.size - 1
-            )
-            hit &= self.contaminated[idx] == h
+            idx = np.searchsorted(self.contaminated, h, side="left")
+            hit = idx < self.contaminated.size
+            hit &= self.contaminated[idx.clip(0, self.contaminated.size - 1)] == h
             if hit.any():
                 np.add.at(overlaps, doc_idx[hit], 1)
-        return batch.append_column(
+        out = batch
+        drop = [c for c in ("contaminated", "overlap_ngrams")
+                if c in out.column_names]
+        if drop:
+            out = out.drop_columns(drop)
+        return out.append_column(
             "contaminated", pa.array(overlaps > 0)
         ).append_column("overlap_ngrams", pa.array(overlaps, pa.int64()))
 

@@ -404,6 +404,18 @@ class Searcher:
         bounded-traffic paths above a cardinality threshold."""
         return sum(len(cats) for _codes, cats in self._facet_column(field))
 
+    def _facet_counts_cached(self, kind: str, payload, field: str) -> dict:
+        """One-slot memo so the rare_terms two-phase protocol (phase 2
+        immediately re-probes the same query/field) aggregates the hit
+        set ONCE per query instead of twice."""
+        key = (kind, repr(payload), field)
+        memo = getattr(self, "_facet_memo", None)
+        if memo is not None and memo[0] == key:
+            return memo[1]
+        local = self.facet_counts(kind, payload, field)
+        self._facet_memo = (key, local)
+        return local
+
     def facet_counts_rare(self, kind: str, payload, field: str,
                           max_doc_count: int) -> dict:
         """Phase 1 of the bounded rare_terms path: ship ONLY values whose
@@ -411,7 +423,7 @@ class Searcher:
         count >= any local count, so a locally-common value can never be
         globally rare — traffic is O(locally rare values), not field
         cardinality."""
-        local = self.facet_counts(kind, payload, field)
+        local = self._facet_counts_cached(kind, payload, field)
         return {v: n for v, n in local.items() if n <= max_doc_count}
 
     def facet_counts_for(self, kind: str, payload, field: str,
@@ -420,7 +432,7 @@ class Searcher:
         a driver-chosen candidate list (includes counts ABOVE the rare
         threshold — a candidate rare on one shard but common here must be
         disqualified globally).  Traffic is O(len(values))."""
-        local = self.facet_counts(kind, payload, field)
+        local = self._facet_counts_cached(kind, payload, field)
         return [local.get(v, 0) for v in values]
 
     def facet_counts_topn(self, kind: str, payload, field: str,
@@ -1706,11 +1718,14 @@ class QueryEngine:
                 ),
             }
             return res
-        if search_after is not None and not (
-            '"' in query_text and self.has_positions
-        ) and not _WILDCARD_RE.match(query_text.strip()) and not _FUZZY_RE.match(
-            query_text.strip()
-        ) and not looks_boolean(query_text):
+        if search_after is not None and not self._cursorable(query_text):
+            # phrase/boolean/wildcard/fuzzy paths have no cursor filter;
+            # silently re-serving page 1 would make scroll() loop forever
+            raise ValueError(
+                "search_after is only supported for ranked term queries; "
+                "use from_ pagination for phrase/boolean/wildcard/fuzzy"
+            )
+        if search_after is not None:
             res = self._search_ranked(
                 query_text, size, mode or self.mode, after=search_after,
                 msm=minimum_should_match, flt=_compile_filter(filter),
@@ -3146,6 +3161,18 @@ class QueryEngine:
 
     # -- misc --------------------------------------------------------------
 
+    def _cursorable(self, query_text: str) -> bool:
+        """True when the query routes to the ranked-term path, the only
+        one whose shard protocol honors a (score, doc_id) search_after
+        cursor filter."""
+        s = query_text.strip()
+        return not (
+            ('"' in query_text and self.has_positions)
+            or _WILDCARD_RE.match(s)
+            or _FUZZY_RE.match(s)
+            or looks_boolean(query_text)
+        )
+
     def scroll(self, query_text: str, batch: int = 100,
                mode: str | None = None):
         """ES scroll / point-in-time cursor: iterate the ENTIRE ranked
@@ -3156,20 +3183,39 @@ class QueryEngine:
         windows).  The point-in-time view is free: segments are
         immutable, so the hit set can't shift mid-scroll (only
         ``refresh()``/tombstones between pages could, as with an expired
-        ES PIT — hold off refresh while scrolling)."""
-        after = None
-        while True:
-            res = self.search(
-                query_text, size=batch, mode=mode, search_after=after
-            )
-            hits = res["results"]
-            if not hits:
-                return
-            yield hits
-            if len(hits) < batch:
-                return
-            last = hits[-1]
-            after = (last["score"], last["doc_id"])
+        ES PIT — hold off refresh while scrolling).
+
+        Phrase/boolean/wildcard/fuzzy queries have no cursor filter in
+        their shard protocol, so those pages fall back to ``from_``
+        deep pagination (still terminates; per-page cost grows with
+        depth, as in ES without a PIT)."""
+        if self._cursorable(query_text):
+            after = None
+            while True:
+                res = self.search(
+                    query_text, size=batch, mode=mode, search_after=after
+                )
+                hits = res["results"]
+                if not hits:
+                    return
+                yield hits
+                if len(hits) < batch:
+                    return
+                last = hits[-1]
+                after = (last["score"], last["doc_id"])
+        else:
+            from_ = 0
+            while True:
+                res = self.search(
+                    query_text, size=batch, mode=mode, from_=from_
+                )
+                hits = res["results"]
+                if not hits:
+                    return
+                yield hits
+                if len(hits) < batch:
+                    return
+                from_ += batch
 
     def lookup_urls(self, doc_ids: list[int]) -> dict[int, str]:
         import pyarrow.dataset as pads

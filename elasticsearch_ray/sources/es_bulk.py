@@ -109,9 +109,15 @@ class _BulkWriter:
 
             src = pl.from_arrow(batch).write_ndjson()
         except ImportError:  # pragma: no cover - polars ships in this env
-            src = batch.to_pandas().to_json(
-                orient="records", lines=True, force_ascii=False
-            )
+            # stdlib fallback: json.dumps floats are shortest-round-trip
+            # (lossless, matching polars' ryu writer except exponent
+            # formatting) — the old pandas to_json path TRUNCATED floats
+            # to 10 significant digits, silently corrupting _source
+            src = "\n".join(
+                json.dumps(row, ensure_ascii=False, separators=(",", ":"),
+                           default=str)
+                for row in batch.to_pylist()
+            ) + "\n"
         src_lines = src.split("\n")
         if src_lines and src_lines[-1] == "":
             src_lines.pop()  # trailing newline

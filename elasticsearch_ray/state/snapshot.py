@@ -37,6 +37,12 @@ def _index_files(index_dir: str, manifest: dict) -> list[str]:
         dl = f"segments/seg-{s:05d}.doclen.arrow"
         if os.path.exists(os.path.join(index_dir, dl)):
             files.append(dl)
+        # per-segment df parts: extend_index's _finalize re-aggregates
+        # df_global from df/seg-*.parquet, so a restored index that
+        # omits them would silently collapse global df on next extend
+        dfp = f"df/seg-{s:05d}.parquet"
+        if os.path.exists(os.path.join(index_dir, dfp)):
+            files.append(dfp)
     for sub in ("docmap", "df_global"):
         d = os.path.join(index_dir, sub)
         if os.path.isdir(d):

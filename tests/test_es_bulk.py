@@ -147,3 +147,41 @@ def test_bulk_roundtrip_unicode_line_separators(tmp_path):
     for p in g.glob(o.path.join(out, "part-*.bulk.ndjson")):
         v = ValidatingClient()(open(p, encoding="utf-8").read())
         assert v["errors"] is False
+
+
+def test_bulk_fallback_floats_lossless(tmp_path, monkeypatch):
+    """The no-polars fallback serializer must round-trip floats exactly
+    (the old pandas to_json path truncated to 10 significant digits,
+    silently corrupting _source between environments)."""
+    import builtins
+    import json as _json
+
+    import pyarrow as pa
+
+    from elasticsearch_ray.sources.es_bulk import _BulkWriter
+
+    real_import = builtins.__import__
+
+    def no_polars(name, *a, **k):
+        if name == "polars":
+            raise ImportError("hidden for test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_polars)
+    vals = [0.1234567890123456789, 1e-300, 12345678901.234567]
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "score": pa.array(vals, pa.float64()),
+        "s": pa.array(["a", "naïve ♞", None], pa.string()),
+    })
+    out = str(tmp_path / "bulk")
+    import os
+    os.makedirs(out, exist_ok=True)
+    _BulkWriter(out, "esindex-v1-0", "doc_id")(batch)
+    f = [p for p in os.listdir(out) if p.endswith(".ndjson")][0]
+    lines = open(os.path.join(out, f), encoding="utf-8").read().split("\n")
+    srcs = [_json.loads(lines[i]) for i in (1, 3, 5)]
+    got = [s["score"] for s in srcs]
+    assert got == [float(v) for v in vals]  # exact, not 10-digit
+    assert srcs[1]["s"] == "naïve ♞"
+    assert srcs[2]["s"] is None

@@ -134,3 +134,28 @@ def test_y4m_roundtrip_and_chroma_variants():
     data = ic.y4m_encode(frames, chroma="420")
     with pytest.raises(ValueError):
         ic.y4m_parse(data[:-10])  # truncated last frame
+
+
+def test_to_gray_gray_alpha_and_upscale_no_black_columns():
+    """Review regressions: (a) to_gray on a (H,W,2) gray+alpha decode
+    must take the luma channel, not crash; (b) resize_area upscaling
+    must never emit zero-width (black) columns/rows."""
+    ga = np.dstack([np.full((3, 3), 7, np.uint8),
+                    np.full((3, 3), 255, np.uint8)])
+    g = ic.to_gray(ga)
+    assert g.shape == (3, 3) and int(g[0, 0]) == 7
+    # round-trip through a color-type-4 PNG hits the same path
+    dec = ic.png_decode(ic.png_encode(ga))
+    assert dec.shape == (3, 3, 2)
+    assert np.array_equal(ic.to_gray(dec), g)
+    # single-channel 3-D shape too
+    assert ic.to_gray(ga[:, :, :1]).shape == (3, 3)
+
+    img = (np.arange(16, dtype=np.uint8).reshape(4, 4) * 10 + 100)
+    up = ic.resize_area(img, 8, 8)
+    assert up.shape == (8, 8)
+    assert up.min() >= img.min()  # no black pixels from empty blocks
+    # extreme: 1x1 -> 5x5 is a constant fill
+    one = np.array([[42]], dtype=np.uint8)
+    assert np.array_equal(ic.resize_area(one, 5, 5),
+                          np.full((5, 5), 42, np.uint8))

@@ -1210,3 +1210,64 @@ def test_pipeline_aggs_semantics():
     assert st == {"count": 5, "min": 1.0, "max": 10.0, "avg": 5.2,
                   "sum": 26.0}
     assert sibling_stats(b.slice(0, 0), "m")["count"] == 0
+
+
+def test_scrub_rerun_and_empty_pipeline_aggs():
+    """Review regressions: (a) re-running pii_scrub / decontaminate on
+    their own output must not create duplicate-named columns; (b)
+    pipeline aggs over ZERO buckets (a histogram matching no docs)
+    return the empty table with the output column, not IndexError."""
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.pipeline_aggs import (
+        cumulative_sum,
+        derivative,
+        moving_avg,
+    )
+    from elasticsearch_ray.ops.scrub import decontaminate, pii_scrub
+
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array(["write a@b.com twice", "clean"], pa.string()),
+    }))
+    twice = pii_scrub(pii_scrub(ds)).take_all()
+    assert sorted(twice[0].keys()) == ["pii_hits", "text"]
+    assert twice[0]["text"] == "write <EMAIL> twice"
+    assert twice[0]["pii_hits"] == 0  # already redacted on pass 1
+
+    evals = ["alpha beta gamma delta"]
+    corpus = rd.from_arrow(pa.table({
+        "text": pa.array(["alpha beta gamma delta epsilon", "unrelated"]),
+    }))
+    d2 = decontaminate(
+        decontaminate(corpus, evals, n=4, keep_clean_only=False),
+        evals, n=4, keep_clean_only=False,
+    ).take_all()
+    assert sorted(d2[0].keys()) == ["contaminated", "overlap_ngrams", "text"]
+    assert [r["contaminated"] for r in d2] == [True, False]
+
+    empty = pa.table({"m": pa.array([], pa.float64())})
+    for fn in (lambda t: derivative(t, "m"),
+               lambda t: cumulative_sum(t, "m"),
+               lambda t: moving_avg(t, "m", window=3)):
+        out = fn(empty)
+        assert out.num_rows == 0 and len(out.column_names) == 2
+
+
+def test_image_decode_meta_null_payload():
+    """ImageDecodeMeta strict decode must not kill the whole batch over
+    a missing payload: null/empty bytes become a zero-size row, real
+    payloads still decode."""
+    import numpy as np
+
+    from elasticsearch_ray.functions import imagecodec as ic
+    from elasticsearch_ray.ops.multimodal import ImageDecodeMeta
+
+    png = ic.png_encode(np.full((2, 2), 9, np.uint8))
+    batch = pa.table({
+        "payload": pa.array([None, b"", png], pa.binary()),
+        "k": pa.array([1, 2, 3], pa.int64()),
+    })
+    out = ImageDecodeMeta()(batch)
+    assert out.column("width").to_pylist() == [0, 0, 2]
+    assert out.column("height").to_pylist() == [0, 0, 2]
+    assert out.column("mean_luma_u").to_pylist()[2] == 9_000_000

@@ -299,6 +299,77 @@ def test_scroll_cursor_covers_full_hit_set(hicard_engine):
     assert list(eng.scroll("zzznomatch", batch=5)) == []
 
 
+def test_scroll_noncursorable_terminates(hicard_engine):
+    """Boolean/wildcard/fuzzy queries have no search_after cursor in
+    their shard protocol; scroll() must fall back to from_ pagination
+    (previously it silently re-served page 1 forever), and search()
+    must REJECT search_after for them instead of ignoring it."""
+    eng, rows = hicard_engine
+    q = "merge AND hash"
+    full = eng.search(q, size=10_000)["results"]
+    assert len(full) > 3
+    paged = []
+    for i, page in enumerate(eng.scroll(q, batch=3)):
+        assert len(page) <= 3
+        paged.extend(page)
+        assert i < 1_000, "scroll did not terminate"
+    assert paged == full
+    with pytest.raises(ValueError, match="search_after"):
+        eng.search(q, size=3, search_after=(1.0, 0))
+
+
+def test_extend_after_restore_preserves_global_df(tmp_path_factory,
+                                                  tmp_path):
+    """snapshot -> restore -> extend_index must re-finalize df_global
+    from ALL segments' df parts, not just the newly added one (the
+    restored index must carry df/seg-*.parquet)."""
+    import random
+
+    from elasticsearch_ray.pipelines.build import (
+        BuildConfig, build_index, extend_index,
+    )
+    from elasticsearch_ray.pipelines.query import QueryEngine
+    from elasticsearch_ray.state.snapshot import (
+        restore_index, snapshot_index,
+    )
+
+    idx = _mk_corpus_idx(tmp_path_factory, "snapext")
+    snap = str(tmp_path / "snap")
+    rest = str(tmp_path / "rest")
+    snapshot_index(idx, snap)
+    restore_index(snap, rest)
+
+    # new docs that do NOT contain 'merge' — its global df must be
+    # unchanged by the extend
+    rng = random.Random(5)
+    add = pa.table({
+        "doc_id": pa.array(range(1000, 1030)),
+        "text": pa.array([" ".join(rng.choice(["alpha", "beta", "gamma"])
+                                   for _ in range(5)) for _ in range(30)]),
+        "source": pa.array(["s9"] * 30),
+    })
+    src = tmp_path_factory.mktemp("snapext_add")
+    pq.write_table(add, str(src / "b.parquet"))
+
+    def df_of(index_dir, term):
+        import pyarrow.dataset as pads
+        d = pads.dataset(f"{index_dir}/df_global")
+        t = d.to_table(filter=pads.field("term") == term)
+        return t.column("df").to_pylist()
+
+    want = df_of(idx, "merge")
+    assert want and want[0] > 0
+    extend_index(rest, [str(src / "b.parquet")])
+    assert df_of(rest, "merge") == want
+    # and the restored+extended index still serves the original docs
+    eng = QueryEngine(rest, num_searchers=0)
+    try:
+        assert len(eng.search("merge", size=10)["results"]) == 10
+        assert eng.search("alpha", size=5)["results"]
+    finally:
+        eng.close()
+
+
 def test_snapshot_restore_validated(tmp_path_factory, tmp_path):
     """Manifest-consistent snapshot + validated restore: the snapshot
     copies exactly the committed view (manifest written LAST), restore
@@ -324,8 +395,16 @@ def test_snapshot_restore_validated(tmp_path_factory, tmp_path):
     info = snapshot_index(idx, snap)
     assert info["segments"] >= 2 and info["bytes"] > 0
     assert verify_snapshot(snap)["ok"]
-    # stray build intermediates are NOT part of the committed view
-    assert not os.path.exists(os.path.join(snap, "df"))
+    # per-segment df parts ARE part of the committed view: extend_index's
+    # _finalize re-aggregates df_global from df/seg-*.parquet, so a
+    # restore that dropped them would corrupt global df on next extend
+    man = json.load(open(os.path.join(idx, "manifest.json")))
+    for s in man["segments"]:
+        src_df = os.path.join(idx, f"df/seg-{int(s):05d}.parquet")
+        if os.path.exists(src_df):
+            assert os.path.exists(
+                os.path.join(snap, f"df/seg-{int(s):05d}.parquet")
+            )
 
     rest = str(tmp_path / "restored")
     restore_index(snap, rest)
