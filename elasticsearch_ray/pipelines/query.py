@@ -1371,6 +1371,7 @@ class QueryEngine:
         b: float = 0.75,
         mode: str = "taat",  # 'taat' | 'daat' | 'wand'
         hybrid: bool | None = None,
+        local_route_df_max: int | None = None,
     ):
         """``hybrid``: serve shard 0 from an IN-PROCESS Searcher and only
         the remaining shards from actors — the ES coordinating+data-node
@@ -1407,6 +1408,35 @@ class QueryEngine:
         # sharded paths instead of shipping full per-shard value dicts.
         self._facet_cards: dict[str, int] = {}
         self.facet_exact_max = 65_536
+        # Cost-based phrase routing: a conjunctive phrase query's candidate
+        # set is bounded by its rarest term's GLOBAL df (one cached shard
+        # read), so a query with min-df <= this threshold is served from a
+        # lazily-built in-process all-segments Searcher — skipping the
+        # per-query scatter-gather whose slowest-of-N actor RTT dominates
+        # light queries (measured on the 50k-doc bench corpus: warm local
+        # 0.1-1.6 ms vs 4.5-11 ms fanout).  Head-term phrases (min-df
+        # above the threshold) still fan out: their COLD evaluation walks
+        # min-df candidates and genuinely needs the N-way split (measured
+        # 2-4x faster distributed).  min-df == 0 short-circuits to an
+        # empty result with no fanout at all.  The local route hard-gates
+        # on doc_count <= _local_route_docs_max: opening every segment's
+        # dictionary driver-side is only sane for an index that one
+        # process could serve anyway — a 10^12-doc index never routes
+        # locally, it always uses the distributed pool.
+        #
+        # Like ``hybrid``, routing auto-enables only when the shard count
+        # comes from the sizing heuristic (the production default); an
+        # EXPLICIT ``num_searchers`` means the caller wants that fanout
+        # protocol exercised (tests, protocol benchmarks) unless
+        # ``local_route_df_max`` is passed explicitly.  0 disables.
+        self.local_route_df_max = (
+            10_000 if local_route_df_max is None else int(local_route_df_max)
+        )
+        self._route_enabled = (
+            local_route_df_max is not None or num_searchers is None
+        ) and self.local_route_df_max > 0
+        self._local_route_docs_max = 200_000
+        self._cheap_local: Searcher | None = None
         # Term-range-sharded global df (written by _finalize): cold-term df
         # is ONE shard-file predicate read instead of an all-searcher
         # gather — at 1e9 terms the gather costs every searcher a postings
@@ -1586,6 +1616,7 @@ class QueryEngine:
 
         self._df_cache.clear()
         self._facet_cards.clear()
+        self._cheap_local = None  # rebuilds lazily over the new served set
         self._df_shards = load_df_shards(self.index_dir)
         self._df_shard_los = [s[0] for s in self._df_shards]
         with open(os.path.join(self.index_dir, "manifest.json")) as f:
@@ -1796,10 +1827,19 @@ class QueryEngine:
                 t: v * boosts.get(t, 1.0) for t, v in idfs.items()
             }
         fetch = from_ + size
-        parts = self._fanout(
-            "search_ranked", terms, idfs, fetch, self.scoring, self.k1,
-            self.b, self.avgdl, mode, after, msm, flt,
-        )
+        route = self._route_disjunctive(terms)
+        if route == "empty":
+            return {"query": query_label, "total_hits": 0, "results": []}
+        if route == "local":
+            parts = [self._local_allsegs().search_ranked(
+                terms, idfs, fetch, self.scoring, self.k1, self.b,
+                self.avgdl, mode, after, msm, flt,
+            )]
+        else:
+            parts = self._fanout(
+                "search_ranked", terms, idfs, fetch, self.scoring, self.k1,
+                self.b, self.avgdl, mode, after, msm, flt,
+            )
         ids = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])
         totals = [p[2] for p in parts]
@@ -1924,7 +1964,19 @@ class QueryEngine:
             return self._search_ranked(stripped, size, mode or self.mode,
                                        from_=from_)
         fetch = from_ + size
-        parts = self._fanout("search_phrase", phrases, residual, fetch, slops)
+        route = self._route_conjunctive(
+            [t for ph in phrases for t in ph] + residual
+        )
+        if route == "empty":
+            return {"query": query_text, "total_hits": 0, "results": []}
+        if route == "local":
+            parts = [self._local_allsegs().search_phrase(
+                phrases, residual, fetch, slops
+            )]
+        else:
+            parts = self._fanout(
+                "search_phrase", phrases, residual, fetch, slops
+            )
         ids = np.concatenate([p[0] for p in parts])
         total = int(sum(p[1] for p in parts))
         return {
@@ -3161,6 +3213,57 @@ class QueryEngine:
 
     # -- misc --------------------------------------------------------------
 
+    def _route_conjunctive(self, terms: list[str]) -> str:
+        """Routing decision for a conjunctive (every-term-required) query:
+        ``'empty'`` when a required non-prefix term has global df 0 (no doc
+        can match — answered driver-side from the df shards, zero fanout),
+        ``'local'`` when the candidate bound (min df over required terms)
+        is under ``local_route_df_max`` and the index is small enough to
+        serve in-process, else ``'fanout'``.  Prefix terms (``t*``) have
+        no cheap df bound and are excluded from the min; a query of ONLY
+        prefix terms always fans out."""
+        bounded = [t for t in terms if not t.endswith("*")]
+        if (self.embedded is not None or not self._route_enabled
+                or not bounded):
+            return "fanout"  # embedded already IS the local path
+        min_df = min(self._global_dfs(bounded).values())
+        if min_df == 0:
+            return "empty"
+        if (min_df <= self.local_route_df_max
+                and self.doc_count <= self._local_route_docs_max):
+            return "local"
+        return "fanout"
+
+    def _route_disjunctive(self, terms: list[str]) -> str:
+        """Routing decision for a ranked (union-of-terms) query: the hit
+        set is bounded by the SUM of the terms' global dfs.  ``'empty'``
+        when every term has df 0 (driver-side answer, zero fanout),
+        ``'local'`` when the bound fits under ``local_route_df_max`` on a
+        small-enough index, else ``'fanout'``.  dfs are already cached by
+        the caller's ``_idfs`` so the decision costs one dict pass."""
+        if (self.embedded is not None or not self._route_enabled
+                or not terms):
+            return "fanout"
+        bound = sum(self._global_dfs(terms).values())
+        if bound == 0:
+            return "empty"
+        if (bound <= self.local_route_df_max
+                and self.doc_count <= self._local_route_docs_max):
+            return "local"
+        return "fanout"
+
+    def _local_allsegs(self) -> Searcher:
+        """Lazily-built in-process Searcher over ALL served segments for
+        the cheap-query local route (mmap'd segments share page cache with
+        the actor pool; gated by ``_local_route_docs_max`` in the router).
+        Dropped on refresh() so it rebuilds over the new served set."""
+        if self._cheap_local is None:
+            self._cheap_local = Searcher(
+                self.index_dir, sorted(self._served_seg_ids),
+                sorted(self.tombstones),
+            )
+        return self._cheap_local
+
     def _cursorable(self, query_text: str) -> bool:
         """True when the query routes to the ranked-term path, the only
         one whose shard protocol honors a (score, doc_id) search_after
@@ -3367,3 +3470,4 @@ class QueryEngine:
         self.searchers = []
         self.embedded = None
         self.local = None
+        self._cheap_local = None

@@ -442,3 +442,86 @@ def test_docvalue_fields_lookup(hicard_engine):
         assert vals["tag"] == by_id[d]["tag"]
     with pytest.raises(ValueError, match="not in docmap"):
         eng.lookup_docvalues(ids, ["nonexistent_field"])
+
+
+def test_cost_based_local_routing(tmp_path_factory):
+    """Cost-based query routing: on a heuristic-sized (or explicitly
+    opted-in) engine, a phrase/ranked query whose df candidate bound is
+    small serves from an in-process all-segments Searcher with NO fanout,
+    an all-zero-df query short-circuits to empty driver-side, and heavy
+    queries still fan out — all result-identical to pure scatter-gather.
+    An explicit num_searchers without the opt-in keeps pure fanout (the
+    distributed-protocol tests rely on that)."""
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    idx = _mk_corpus_idx(tmp_path_factory, "router", n=120, seed=19)
+    # opt-in routing on an explicit pool: df_max 3 => only queries whose
+    # bound is tiny route local; vocab words have df >> 3 here
+    routed = QueryEngine(idx, num_searchers=2, local_route_df_max=3)
+    pure = QueryEngine(idx, num_searchers=2)
+    try:
+        assert routed._route_enabled and not pure._route_enabled
+        # all-zero-df: answered driver-side as empty, no fanout
+        calls, _ = _spy_fanout(routed)
+        r = routed.search("zzznope qqqnope")
+        assert r["total_hits"] == 0 and r["results"] == []
+        assert "search_ranked" not in calls
+        # head terms exceed the bound -> fanout, identical to pure
+        calls.clear()
+        a = routed.search("merge hash", size=20)
+        assert "search_ranked" in calls
+        assert a["results"] == pure.search("merge hash", size=20)["results"]
+        # raise the bound so the same query routes local: identical
+        # results, no fanout call, and the local searcher covers ALL
+        # served segments
+        routed.local_route_df_max = 10_000
+        calls.clear()
+        b = routed.search("merge hash", size=20)
+        assert "search_ranked" not in calls
+        assert b["results"] == a["results"]
+        assert set(
+            rd.seg_id for rd in routed._local_allsegs().readers
+        ) == routed._served_seg_ids
+    finally:
+        routed.close()
+        pure.close()
+
+
+def test_local_routing_phrase_and_refresh(tmp_path_factory, tmp_path):
+    """Phrase queries route by min-df (conjunctive bound) and the local
+    all-segments searcher is dropped on refresh() so extended segments
+    are visible to locally-routed queries."""
+    from elasticsearch_ray.pipelines.build import extend_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    idx = _mk_corpus_idx(tmp_path_factory, "routerph", n=100, seed=23)
+    eng = QueryEngine(idx, num_searchers=2, local_route_df_max=10_000)
+    pure = QueryEngine(idx, num_searchers=2)
+    try:
+        calls, _ = _spy_fanout(eng)
+        got = eng.search('"merge hash"', size=50)
+        assert "search_phrase" not in calls  # df bound under threshold
+        want = pure.search('"merge hash"', size=50)
+        assert got["results"] == want["results"]
+        assert got["total_hits"] == want["total_hits"]
+
+        # extend with docs containing a brand-new term, refresh, and the
+        # locally-routed query must see them (stale _cheap_local would not)
+        add = pa.table({
+            "doc_id": pa.array(range(500, 510)),
+            "text": pa.array(["qznewterm merge hash"] * 10),
+            "source": pa.array(["s0"] * 10),
+        })
+        src = tmp_path / "ext"
+        src.mkdir()
+        pq.write_table(add, str(src / "b.parquet"))
+        extend_index(idx, [str(src / "b.parquet")])
+        eng.refresh()
+        assert eng._cheap_local is None  # dropped, rebuilds lazily
+        r = eng.search("qznewterm", size=20)
+        # the 10 extended docs get internal doc indexes 100..109 (appended
+        # after the original 100)
+        assert {h["doc_id"] for h in r["results"]} == set(range(100, 110))
+    finally:
+        eng.close()
+        pure.close()
