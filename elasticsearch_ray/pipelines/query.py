@@ -44,7 +44,7 @@ def fuzzy_auto_edits(term: str) -> int:
     """ES ``fuzziness=AUTO``: 0 edits for length <=2, 1 for 3-5, 2 above."""
     n = len(term)
     return 0 if n <= 2 else (1 if n <= 5 else 2)
-from ..oracle.oracle import looks_boolean, to_rpn
+from ..oracle.oracle import BOOLEAN_OPERATORS, looks_boolean, to_rpn
 from ..stages import scoring as sc
 from ..state.segment import SegmentReader
 
@@ -3085,7 +3085,20 @@ class QueryEngine:
         tokens = preprocess_boolean_query(query_text, self.normalizer)
         rpn = to_rpn(tokens)
         fetch = from_ + size
-        parts = self._fanout("search_boolean", rpn, fetch)
+        # a pure-AND expression is conjunctive: same min-df routing as
+        # phrases (OR/NOT expressions have no cheap candidate bound)
+        if all(t == "AND" for t in rpn if t in BOOLEAN_OPERATORS):
+            route = self._route_conjunctive(
+                [t for t in rpn if t not in BOOLEAN_OPERATORS]
+            )
+        else:
+            route = "fanout"
+        if route == "empty":
+            return {"query": query_text, "total_hits": 0, "results": []}
+        if route == "local":
+            parts = [self._local_allsegs().search_boolean(rpn, fetch)]
+        else:
+            parts = self._fanout("search_boolean", rpn, fetch)
         ids = np.concatenate([p[0] for p in parts])  # actor order == doc order
         total = int(sum(p[1] for p in parts))
         return {

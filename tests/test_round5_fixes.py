@@ -525,3 +525,35 @@ def test_local_routing_phrase_and_refresh(tmp_path_factory, tmp_path):
     finally:
         eng.close()
         pure.close()
+
+
+def test_local_routing_boolean_pure_and(tmp_path_factory):
+    """Pure-AND boolean expressions share the conjunctive min-df route;
+    OR/NOT expressions always fan out (no cheap candidate bound)."""
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    idx = _mk_corpus_idx(tmp_path_factory, "routerbool", n=110, seed=29)
+    eng = QueryEngine(idx, num_searchers=2, local_route_df_max=10_000)
+    pure = QueryEngine(idx, num_searchers=2)
+    try:
+        calls, _ = _spy_fanout(eng)
+        for q, fans in [("merge AND hash", False),
+                        ("merge AND hash AND scan", False),
+                        ("merge OR hash", True),
+                        ("merge AND NOT hash", True)]:
+            calls.clear()
+            got = eng.search(q, size=200)
+            want = pure.search(q, size=200)
+            assert got["results"] == want["results"], q
+            assert got["total_hits"] == want["total_hits"], q
+            assert ("search_boolean" in calls) == fans, q
+        # zero-df term under pure AND: empty, no fanout
+        calls.clear()
+        r = eng.search("merge AND zzznope")
+        assert r["total_hits"] == 0 and "search_boolean" not in calls
+        # ...but under OR it must still fan out and match
+        assert (eng.search("merge OR zzznope", size=200)["results"]
+                == pure.search("merge OR zzznope", size=200)["results"])
+    finally:
+        eng.close()
+        pure.close()
