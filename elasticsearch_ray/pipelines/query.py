@@ -1903,10 +1903,21 @@ class QueryEngine:
             group_idfs.append(
                 math.log((self.doc_count + 1) / (df + 1)) if df > 0 else 0.0
             )
-        parts = self._fanout(
-            "search_synonyms", groups, group_idfs, size, self.scoring,
-            self.k1, self.b, self.avgdl,
-        )
+        # union-of-members hit set -> same disjunctive df-bound routing as
+        # plain ranked queries (dfs already in cache from the idf pass)
+        route = self._route_disjunctive(all_members)
+        if route == "empty":
+            return {"query": query_text, "total_hits": 0, "results": []}
+        if route == "local":
+            parts = [self._local_allsegs().search_synonyms(
+                groups, group_idfs, size, self.scoring,
+                self.k1, self.b, self.avgdl,
+            )]
+        else:
+            parts = self._fanout(
+                "search_synonyms", groups, group_idfs, size, self.scoring,
+                self.k1, self.b, self.avgdl,
+            )
         ids = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])
         total = int(sum(p[2] for p in parts))

@@ -557,3 +557,49 @@ def test_local_routing_boolean_pure_and(tmp_path_factory):
     finally:
         eng.close()
         pure.close()
+
+
+def test_local_routing_differential_fuzz(tmp_path_factory):
+    """Randomized differential check of the whole routing surface:
+    ranked (all modes), phrase, pure-AND / OR / NOT boolean, and synonym
+    queries over a multi-segment corpus must be result-identical between
+    a routed engine (threshold above every df => maximal local routing)
+    and pure scatter-gather."""
+    import random
+
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    idx = _mk_corpus_idx(tmp_path_factory, "routerfuzz", n=140, seed=43)
+    routed = QueryEngine(idx, num_searchers=3, local_route_df_max=10**9)
+    pure = QueryEngine(idx, num_searchers=3)
+    vocab = ["merge", "hash", "scan", "join", "filter", "probe", "spark",
+             "union", "batch", "window", "zzznope"]
+    rng = random.Random(7)
+    try:
+        for _ in range(60):
+            w = [rng.choice(vocab) for _ in range(3)]
+            kind = rng.randrange(5)
+            if kind == 0:
+                q = " ".join(w[:rng.randint(1, 3)])
+                mode = rng.choice(["taat", "daat", "wand"])
+                a = routed.search(q, size=15, mode=mode)
+                b = pure.search(q, size=15, mode=mode)
+            elif kind == 1:
+                q = f'"{w[0]} {w[1]}"'
+                a, b = routed.search(q, size=15), pure.search(q, size=15)
+            elif kind == 2:
+                op = rng.choice(["AND", "OR", "AND NOT"])
+                q = f"{w[0]} {op} {w[1]}"
+                a, b = routed.search(q, size=400), pure.search(q, size=400)
+            elif kind == 3:
+                q = f"({w[0]} OR {w[1]}) AND {w[2]}"
+                a, b = routed.search(q, size=400), pure.search(q, size=400)
+            else:
+                syn = {w[0]: [w[1]]} if w[0] != w[1] else {}
+                a = routed.search_synonyms(w[0], syn, size=15)
+                b = pure.search_synonyms(w[0], syn, size=15)
+            assert a["results"] == b["results"], (kind, w)
+            assert a["total_hits"] == b["total_hits"], (kind, w)
+    finally:
+        routed.close()
+        pure.close()
