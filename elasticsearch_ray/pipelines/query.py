@@ -1829,7 +1829,11 @@ class QueryEngine:
         fetch = from_ + size
         route = self._route_disjunctive(terms)
         if route == "empty":
-            return {"query": query_label, "total_hits": 0, "results": []}
+            # mirror the scorer's total_hits contract exactly: wand
+            # reports -1 ("not counted") even for an empty hit set
+            total = -1 if mode == "wand" else 0
+            return {"query": query_label, "total_hits": total,
+                    "results": []}
         if route == "local":
             parts = [self._local_allsegs().search_ranked(
                 terms, idfs, fetch, self.scoring, self.k1, self.b,
@@ -3096,12 +3100,16 @@ class QueryEngine:
         tokens = preprocess_boolean_query(query_text, self.normalizer)
         rpn = to_rpn(tokens)
         fetch = from_ + size
-        # a pure-AND expression is conjunctive: same min-df routing as
-        # phrases (OR/NOT expressions have no cheap candidate bound)
-        if all(t == "AND" for t in rpn if t in BOOLEAN_OPERATORS):
-            route = self._route_conjunctive(
-                [t for t in rpn if t not in BOOLEAN_OPERATORS]
-            )
+        # a pure-AND expression is conjunctive (min-df bound, like
+        # phrases); a pure-OR expression is a union (sum-df bound, like
+        # ranked queries — operands are literal term lookups, so the sum
+        # is exact).  Only NOT, or mixed operators, lack a cheap bound.
+        ops = {t for t in rpn if t in BOOLEAN_OPERATORS}
+        operands = [t for t in rpn if t not in BOOLEAN_OPERATORS]
+        if not ops or ops == {"AND"}:
+            route = self._route_conjunctive(operands)
+        elif ops == {"OR"}:
+            route = self._route_disjunctive(operands)
         else:
             route = "fanout"
         if route == "empty":
@@ -3237,55 +3245,71 @@ class QueryEngine:
 
     # -- misc --------------------------------------------------------------
 
-    def _route_conjunctive(self, terms: list[str]) -> str:
-        """Routing decision for a conjunctive (every-term-required) query:
-        ``'empty'`` when a required non-prefix term has global df 0 (no doc
-        can match — answered driver-side from the df shards, zero fanout),
-        ``'local'`` when the candidate bound (min df over required terms)
-        is under ``local_route_df_max`` and the index is small enough to
-        serve in-process, else ``'fanout'``.  Prefix terms (``t*``) have
-        no cheap df bound and are excluded from the min; a query of ONLY
-        prefix terms always fans out."""
-        bounded = [t for t in terms if not t.endswith("*")]
+    def _route(self, terms: list[str], conjunctive: bool) -> str:
+        """Routing decision shared by the conjunctive (phrase / pure-AND
+        boolean: bound = MIN df over required terms) and disjunctive
+        (ranked / synonym / pure-OR boolean unions: bound = SUM of dfs)
+        paths.  ``'empty'`` when the bound is 0 (no doc can match —
+        answered driver-side from the df shards, zero fanout), ``'local'``
+        when the bound fits under ``local_route_df_max``, else
+        ``'fanout'``.  All gates (routing enabled, index small enough,
+        df shards present) are checked BEFORE the df probe: when the
+        local route is impossible, a query must not pay a df lookup it
+        never needed (on a pre-df-shard-layout index that lookup is
+        itself a full actor fanout).
+
+        Conjunctive prefix terms (``t*``) expand against the dictionary
+        so they have no cheap df bound — they're excluded from the min
+        (an upper bound stays an upper bound); a conjunctive query of
+        ONLY prefix terms fans out.  Disjunctive callers never pass
+        expanding terms (boolean OR operands are literal lookups)."""
         if (self.embedded is not None or not self._route_enabled
-                or not bounded):
+                or not self._df_shards
+                or self.doc_count > self._local_route_docs_max):
             return "fanout"  # embedded already IS the local path
-        min_df = min(self._global_dfs(bounded).values())
-        if min_df == 0:
+        if conjunctive:
+            terms = [t for t in terms if not t.endswith("*")]
+        if not terms:
+            return "fanout"
+        dfs = self._global_dfs(terms)
+        bound = min(dfs.values()) if conjunctive else sum(dfs.values())
+        if bound == 0:
             return "empty"
-        if (min_df <= self.local_route_df_max
-                and self.doc_count <= self._local_route_docs_max):
+        if bound <= self.local_route_df_max:
             return "local"
         return "fanout"
 
+    def _route_conjunctive(self, terms: list[str]) -> str:
+        return self._route(terms, conjunctive=True)
+
     def _route_disjunctive(self, terms: list[str]) -> str:
-        """Routing decision for a ranked (union-of-terms) query: the hit
-        set is bounded by the SUM of the terms' global dfs.  ``'empty'``
-        when every term has df 0 (driver-side answer, zero fanout),
-        ``'local'`` when the bound fits under ``local_route_df_max`` on a
-        small-enough index, else ``'fanout'``.  dfs are already cached by
-        the caller's ``_idfs`` so the decision costs one dict pass."""
-        if (self.embedded is not None or not self._route_enabled
-                or not terms):
-            return "fanout"
-        bound = sum(self._global_dfs(terms).values())
-        if bound == 0:
-            return "empty"
-        if (bound <= self.local_route_df_max
-                and self.doc_count <= self._local_route_docs_max):
-            return "local"
-        return "fanout"
+        return self._route(terms, conjunctive=False)
 
     def _local_allsegs(self) -> Searcher:
         """Lazily-built in-process Searcher over ALL served segments for
         the cheap-query local route (mmap'd segments share page cache with
         the actor pool; gated by ``_local_route_docs_max`` in the router).
-        Dropped on refresh() so it rebuilds over the new served set."""
+        Dropped on refresh() so it rebuilds over the new served set.
+        When hybrid serving already holds shard 0 in this process, those
+        readers (mmaps, tombstone-applied doc_lens, warm caches) are
+        SHARED rather than opened a second time."""
         if self._cheap_local is None:
-            self._cheap_local = Searcher(
-                self.index_dir, sorted(self._served_seg_ids),
-                sorted(self.tombstones),
-            )
+            tombs = sorted(self.tombstones)
+            if self.local is not None:
+                have = {r.seg_id: r for r in self.local.readers}
+                s = Searcher(
+                    self.index_dir,
+                    sorted(self._served_seg_ids - set(have)), tombs,
+                )
+                s.readers = sorted(
+                    s.readers + list(have.values()),
+                    key=lambda r: r.doc_id_base,
+                )
+            else:
+                s = Searcher(
+                    self.index_dir, sorted(self._served_seg_ids), tombs
+                )
+            self._cheap_local = s
         return self._cheap_local
 
     def _cursorable(self, query_text: str) -> bool:

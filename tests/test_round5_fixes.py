@@ -539,8 +539,9 @@ def test_local_routing_boolean_pure_and(tmp_path_factory):
         calls, _ = _spy_fanout(eng)
         for q, fans in [("merge AND hash", False),
                         ("merge AND hash AND scan", False),
-                        ("merge OR hash", True),
-                        ("merge AND NOT hash", True)]:
+                        ("merge OR hash", False),   # pure-OR: sum-df bound
+                        ("merge AND NOT hash", True),
+                        ("merge OR (hash AND scan)", True)]:
             calls.clear()
             got = eng.search(q, size=200)
             want = pure.search(q, size=200)
@@ -551,9 +552,15 @@ def test_local_routing_boolean_pure_and(tmp_path_factory):
         calls.clear()
         r = eng.search("merge AND zzznope")
         assert r["total_hits"] == 0 and "search_boolean" not in calls
-        # ...but under OR it must still fan out and match
+        # ...and under OR the union bound still matches pure fanout
         assert (eng.search("merge OR zzznope", size=200)["results"]
                 == pure.search("merge OR zzznope", size=200)["results"])
+        # wand zero-df empty route mirrors the scorer's total_hits=-1
+        # "not counted" sentinel instead of inventing a 0
+        e = eng.search("zzznope", mode="wand")
+        p = pure.search("zzznope", mode="wand")
+        assert e["total_hits"] == p["total_hits"] == -1
+        assert e["results"] == p["results"] == []
     finally:
         eng.close()
         pure.close()
@@ -602,4 +609,31 @@ def test_local_routing_differential_fuzz(tmp_path_factory):
             assert a["total_hits"] == b["total_hits"], (kind, w)
     finally:
         routed.close()
+        pure.close()
+
+
+def test_local_route_shares_hybrid_readers(tmp_path_factory):
+    """When hybrid serving already holds shard 0 in-process, the local
+    route's all-segments searcher must reuse those SegmentReaders (same
+    objects) instead of re-opening chunk 0, and still cover every served
+    segment in doc order with results identical to pure fanout."""
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    idx = _mk_corpus_idx(tmp_path_factory, "routershare", n=100, seed=31)
+    eng = QueryEngine(idx, num_searchers=3, hybrid=True,
+                      local_route_df_max=10_000)
+    pure = QueryEngine(idx, num_searchers=3)
+    try:
+        assert eng.local is not None
+        got = eng.search("merge hash", size=30)
+        assert got["results"] == pure.search("merge hash", size=30)["results"]
+        allsegs = eng._local_allsegs()
+        shared = {id(r) for r in eng.local.readers}
+        reused = [r for r in allsegs.readers if id(r) in shared]
+        assert len(reused) == len(eng.local.readers)  # every one shared
+        assert {r.seg_id for r in allsegs.readers} == eng._served_seg_ids
+        bases = [r.doc_id_base for r in allsegs.readers]
+        assert bases == sorted(bases)
+    finally:
+        eng.close()
         pure.close()
