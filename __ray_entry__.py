@@ -1056,6 +1056,112 @@ def _q_stats_agg(sf_dir: str):
     )
 
 
+def _q_multi_terms(sf_dir: str):
+    """ES multi_terms aggregation: doc counts per compound (source, lang)
+    key over each query's full hit set, buckets (doc_count desc, key asc),
+    top 10 — exact-path route (compound cardinality under the threshold)."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "source": [], "lang": [], "doc_count": []}
+    for q in STATS_QUERIES:
+        res = eng.search_multi_terms(q, ["source", "lang"], size=10)
+        for b in res["buckets"]:
+            rows["query"].append(q)
+            rows["source"].append(b["key"][0])
+            rows["lang"].append(b["key"][1])
+            rows["doc_count"].append(b["doc_count"])
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "source": pa.array(rows["source"], pa.string()),
+            "lang": pa.array(rows["lang"], pa.string()),
+            "doc_count": pa.array(rows["doc_count"], pa.int64()),
+        }
+    )
+
+
+def _q_string_stats(sf_dir: str):
+    """ES string_stats aggregation over the source keyword field: doc
+    count, min/max/avg value length, Shannon entropy (base 2) of the
+    character distribution — exact from merged per-value doc counts."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "count": [], "min_length": [], "max_length": [],
+            "avg_len_u": [], "entropy_u": []}
+    for q in STATS_QUERIES:
+        s = eng.search_string_stats(q, "source")
+        rows["query"].append(q)
+        rows["count"].append(s["count"])
+        rows["min_length"].append(s["min_length"])
+        rows["max_length"].append(s["max_length"])
+        rows["avg_len_u"].append(int(math.floor(s["avg_length"] * 1e6 + 0.5)))
+        rows["entropy_u"].append(int(math.floor(s["entropy"] * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "count": pa.array(rows["count"], pa.int64()),
+            "min_length": pa.array(rows["min_length"], pa.int64()),
+            "max_length": pa.array(rows["max_length"], pa.int64()),
+            "avg_len_u": pa.array(rows["avg_len_u"], pa.int64()),
+            "entropy_u": pa.array(rows["entropy_u"], pa.int64()),
+        }
+    )
+
+
+def _q_boxplot(sf_dir: str):
+    """ES boxplot aggregation over n_chars: min/max/q1/q2/q3 — exact
+    nearest-rank quartiles (SQL percentile_disc convention), not ES's
+    t-digest approximation."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "n": [], "min": [], "max": [],
+            "q1": [], "q2": [], "q3": []}
+    for q in STATS_QUERIES:
+        b = eng.search_boxplot(q, "n_chars")
+        rows["query"].append(q)
+        rows["n"].append(b["count"])
+        for k in ("min", "max", "q1", "q2", "q3"):
+            rows[k].append(b[k])
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "min": pa.array(rows["min"], pa.int64()),
+            "max": pa.array(rows["max"], pa.int64()),
+            "q1": pa.array(rows["q1"], pa.int64()),
+            "q2": pa.array(rows["q2"], pa.int64()),
+            "q3": pa.array(rows["q3"], pa.int64()),
+        }
+    )
+
+
+def _q_matrix_stats(sf_dir: str):
+    """ES matrix_stats over (n_chars, doc_len): per-field mean / population
+    variance / skewness / kurtosis plus covariance and Pearson correlation,
+    derived from exact integer moment sums merged across shards (doc_len is
+    the plain-analyzer token count, a build-time doc-value)."""
+    eng = _engine(sf_dir, "plain")
+    cols = ["query", "n", "meanx_u", "varx_u", "skewx_u", "kurtx_u",
+            "meany_u", "vary_u", "skewy_u", "kurty_u", "cov_u", "corr_u"]
+    rows = {c: [] for c in cols}
+    for q in STATS_QUERIES:
+        m = eng.search_matrix_stats(q, "n_chars", "doc_len")
+        rows["query"].append(q)
+        rows["n"].append(m["count"])
+        for pre, fld in (("x", "n_chars"), ("y", "doc_len")):
+            s = m[fld]
+            rows[f"mean{pre}_u"].append(int(math.floor(s["mean"] * 1e6 + 0.5)))
+            rows[f"var{pre}_u"].append(
+                int(math.floor(s["variance"] * 1e6 + 0.5)))
+            rows[f"skew{pre}_u"].append(
+                int(math.floor(s["skewness"] * 1e6 + 0.5)))
+            rows[f"kurt{pre}_u"].append(
+                int(math.floor(s["kurtosis"] * 1e6 + 0.5)))
+        rows["cov_u"].append(int(math.floor(m["covariance"] * 1e6 + 0.5)))
+        rows["corr_u"].append(int(math.floor(m["correlation"] * 1e6 + 0.5)))
+    return pa.table(
+        {c: pa.array(rows[c], pa.string() if c == "query" else pa.int64())
+         for c in cols}
+    )
+
+
 HISTOGRAM_QUERIES = [("merge", 100), ("merge AND hash", 50), ("scan OR join", 200)]
 
 
@@ -3033,6 +3139,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentiles_approx": _q_percentiles_approx,
         "lang_counts": _q_lang_counts,
         "top_chars": _q_top_chars,
+        # round-5 additions (past the driver's 50-entry gate window;
+        # verified by tools/driver_sim.py and pytest on this tree)
+        "multi_terms": _q_multi_terms,
+        "string_stats": _q_string_stats,
+        "boxplot": _q_boxplot,
+        "matrix_stats": _q_matrix_stats,
     }
 
 
@@ -3873,6 +3985,114 @@ def _stats_sql() -> str:
             f"FROM documents WHERE doc_id IN ({hits_by_q[q]})"
         )
     return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
+def _multi_terms_sql() -> str:
+    parts = []
+    for q in STATS_QUERIES:
+        parts.append(
+            f"SELECT '{q}' AS query, source, lang, doc_count FROM ("
+            f"SELECT source, lang, count(*)::BIGINT AS doc_count "
+            f"FROM documents WHERE doc_id IN ({_AGG_HITS[q]}) "
+            f"AND source IS NOT NULL AND lang IS NOT NULL "
+            f"GROUP BY source, lang "
+            f"ORDER BY doc_count DESC, source, lang LIMIT 10)"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
+def _string_stats_sql() -> str:
+    parts = []
+    for q in STATS_QUERIES:
+        parts.append(
+            f"SELECT '{q}' AS query, "
+            f"(SELECT count(*)::BIGINT FROM documents "
+            f" WHERE doc_id IN ({_AGG_HITS[q]}) AND source IS NOT NULL"
+            f") AS count, "
+            f"(SELECT min(length(source))::BIGINT FROM documents "
+            f" WHERE doc_id IN ({_AGG_HITS[q]})) AS min_length, "
+            f"(SELECT max(length(source))::BIGINT FROM documents "
+            f" WHERE doc_id IN ({_AGG_HITS[q]})) AS max_length, "
+            f"(SELECT CAST(floor(avg(length(source)) * 1000000 + 0.5) "
+            f" AS BIGINT) FROM documents "
+            f" WHERE doc_id IN ({_AGG_HITS[q]})) AS avg_len_u, "
+            f"(SELECT CAST(floor(entropy(ch) * 1000000 + 0.5) AS BIGINT) "
+            f" FROM (SELECT unnest(string_split(source, '')) AS ch "
+            f"       FROM documents WHERE doc_id IN ({_AGG_HITS[q]}) "
+            f"       AND source IS NOT NULL)) AS entropy_u"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
+def _boxplot_sql() -> str:
+    parts = []
+    for q in STATS_QUERIES:
+        cols = ", ".join(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY n_chars) AS q{i}"
+            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+        )
+        parts.append(
+            f"SELECT '{q}' AS query, count(*)::BIGINT AS n, "
+            f"min(n_chars) AS min, max(n_chars) AS max, {cols} "
+            f"FROM documents WHERE doc_id IN ({_AGG_HITS[q]})"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
+def _matrix_stats_sql() -> str:
+    # Mirrors search_matrix_stats: exact integer moment sums, then the
+    # SAME float expression shapes (explicit multiplication chains, no
+    # pow) so the micro-rounded values match bit-for-bit.
+    u = "CAST(floor(({expr}) * 1000000 + 0.5) AS BIGINT) AS {name}"
+    per_field = []
+    for pre, s1, s2, s3, s4 in (
+        ("x", "sx", "sx2", "sx3", "sx4"),
+        ("y", "sy", "sy2", "sy3", "sy4"),
+    ):
+        mean = f"({s1} / n)"
+        m2 = f"({s2} / n - {mean} * {mean})"
+        m3 = (f"({s3} / n - 3 * {mean} * ({s2} / n) "
+              f"+ 2 * ({mean} * {mean} * {mean}))")
+        m4 = (f"({s4} / n - 4 * {mean} * ({s3} / n) "
+              f"+ 6 * ({mean} * {mean}) * ({s2} / n) "
+              f"- 3 * (({mean} * {mean}) * ({mean} * {mean})))")
+        per_field += [
+            u.format(expr=mean, name=f"mean{pre}_u"),
+            u.format(expr=m2, name=f"var{pre}_u"),
+            u.format(expr=f"CASE WHEN {m2} > 0 THEN {m3} / ({m2} * "
+                          f"sqrt({m2})) ELSE 0.0 END", name=f"skew{pre}_u"),
+            u.format(expr=f"CASE WHEN {m2} > 0 THEN {m4} / ({m2} * {m2}) "
+                          f"ELSE 0.0 END", name=f"kurt{pre}_u"),
+        ]
+    cov = "(sxy / n - (sx / n) * (sy / n))"
+    vx = "(sx2 / n - (sx / n) * (sx / n))"
+    vy = "(sy2 / n - (sy / n) * (sy / n))"
+    tail = ", ".join(per_field + [
+        u.format(expr=cov, name="cov_u"),
+        u.format(
+            expr=f"CASE WHEN {vx} > 0 AND {vy} > 0 THEN {cov} / "
+                 f"sqrt({vx} * {vy}) ELSE 0.0 END",
+            name="corr_u",
+        ),
+    ])
+    parts = []
+    for q in STATS_QUERIES:
+        parts.append(
+            f"SELECT '{q}' AS query, n, {tail} FROM ("
+            f"SELECT count(*)::BIGINT AS n, "
+            f"sum(x) AS sx, sum(x*x) AS sx2, sum(x*x*x) AS sx3, "
+            f"sum(x*x*x*x) AS sx4, "
+            f"sum(y) AS sy, sum(y*y) AS sy2, sum(y*y*y) AS sy3, "
+            f"sum(y*y*y*y) AS sy4, sum(x*y) AS sxy "
+            f"FROM (SELECT d.n_chars AS x, dl.doc_len AS y "
+            f"      FROM documents d JOIN dl ON d.doc_id = dl.doc_id "
+            f"      WHERE d.doc_id IN ({_AGG_HITS[q]})))"
+        )
+    return (
+        f"WITH tok AS ({_TOK}), "
+        f"dl AS (SELECT doc_id, count(*)::BIGINT AS doc_len "
+        f"FROM tok GROUP BY doc_id) " + " UNION ALL ".join(parts)
+    )
 
 
 def _extended_stats_sql() -> str:
@@ -5061,6 +5281,10 @@ GROUP BY d.doc_id
         "extended_stats": _extended_stats_sql(),
         "histogram_agg": _histogram_sql(),
         "percentiles_agg": _percentiles_sql(),
+        "multi_terms": _multi_terms_sql(),
+        "string_stats": _string_stats_sql(),
+        "boxplot": _boxplot_sql(),
+        "matrix_stats": _matrix_stats_sql(),
         "cardinality_agg": _cardinality_sql(),
         "cardinality_approx": _cardinality_approx_sql(),
         "percentiles_approx": _percentiles_approx_sql(),

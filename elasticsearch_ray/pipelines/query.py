@@ -469,6 +469,121 @@ class Searcher:
                 n += int((vals[slots] == sentinel).sum())
         return n
 
+    def _multi_key_columns(self, fields: list[str],
+                           numerics: list[bool]) -> list:
+        """Per-reader compound-key columns for ``multi_terms``: for each
+        reader, a list of (codes-or-values int64 array, cats-or-None) per
+        field, plus the per-slot validity mask primitive is left to the
+        caller (ES multi_terms drops a doc missing ANY key field)."""
+        cols = []
+        for field, numeric in zip(fields, numerics):
+            if numeric:
+                cols.append([(vals, None)
+                             for vals in self._facet_numeric(field)])
+            else:
+                cols.append([(codes, cats)
+                             for codes, cats in self._facet_column(field)])
+        # transpose: per reader -> per field
+        return [
+            [cols[f][ri] for f in range(len(fields))]
+            for ri in range(len(self.readers))
+        ]
+
+    def multi_terms_agg(self, kind: str, payload, fields: list[str],
+                        numerics: list[bool], shard_size: int):
+        """ES ``multi_terms`` aggregation, shard side: doc counts per
+        COMPOUND key tuple over the full hit set, docs missing any key
+        field dropped (ES semantics).  With ``shard_size > 0`` ships only
+        the local top buckets (count desc, key asc) plus the cutoff and
+        the docs-with-all-values total — O(shard_size) traffic like
+        ``facet_counts_topn``; ``shard_size <= 0`` ships the exact full
+        map (bounded by the PRODUCT of the fields' cardinalities; the
+        driver routes on that bound)."""
+        sentinel = np.iinfo(np.int64).min
+        out: dict[tuple, int] = {}
+        per_reader = self._multi_key_columns(fields, numerics)
+        for r, field_cols in zip(self.readers, per_reader):
+            slots = self._match_slots(r, kind, payload)
+            if not slots.size:
+                continue
+            keys = []
+            valid = np.ones(slots.size, dtype=bool)
+            for (col, cats), numeric in zip(field_cols, numerics):
+                v = col[slots]
+                valid &= (v != sentinel) if numeric else (v >= 0)
+                keys.append(v)
+            if not valid.any():
+                continue
+            mat = np.stack([k[valid] for k in keys], axis=1)
+            uniq, cnt = np.unique(mat, axis=0, return_counts=True)
+            for row, c in zip(uniq, cnt.tolist()):
+                key = tuple(
+                    int(v) if cats is None else cats[int(v)]
+                    for v, (_col, cats) in zip(row, field_cols)
+                )
+                out[key] = out.get(key, 0) + c
+        if shard_size <= 0:
+            return out
+        items = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+        top = items[:shard_size]
+        cutoff = top[-1][1] if top and len(items) > shard_size else 0
+        return top, cutoff, sum(out.values())
+
+    def multi_terms_cardinality(self, fields: list[str],
+                                numerics: list[bool]) -> int:
+        """Upper bound on this shard's distinct compound keys: the product
+        of per-field distinct-value bounds (dictionary size for strings,
+        exact unique count for numerics) — one int of traffic, used by the
+        driver to route multi_terms to the bounded path."""
+        bound = 1
+        sentinel = np.iinfo(np.int64).min
+        for field, numeric in zip(fields, numerics):
+            if numeric:
+                card = 0
+                for vals in self._facet_numeric(field):
+                    u = np.unique(vals)
+                    card += int(u.size - (1 if (u.size and
+                                                u[0] == sentinel) else 0))
+            else:
+                card = sum(
+                    len(cats) for _c, cats in self._facet_column(field)
+                )
+            bound *= max(card, 1)
+        return bound
+
+    def moments2_agg(self, kind: str, payload, fx: str, fy: str) -> dict:
+        """Exact integer moment sums of TWO numeric doc-value fields over
+        the hit set (docs with BOTH present): n, sum/sum2/sum3/sum4 per
+        field and the cross sum(x*y) — python ints (no int64 overflow at
+        any corpus size), merged losslessly at the driver into ES
+        ``matrix_stats`` (means, variances, skewness, kurtosis,
+        covariance, correlation)."""
+        sentinel = np.iinfo(np.int64).min
+        acc = {"n": 0, "sx": 0, "sx2": 0, "sx3": 0, "sx4": 0,
+               "sy": 0, "sy2": 0, "sy3": 0, "sy4": 0, "sxy": 0}
+        per_x = self._facet_numeric(fx)
+        per_y = self._facet_numeric(fy)
+        for r, xv, yv in zip(self.readers, per_x, per_y):
+            slots = self._match_slots(r, kind, payload)
+            x = xv[slots]
+            y = yv[slots]
+            keep = (x != sentinel) & (y != sentinel)
+            x, y = x[keep].astype(object), y[keep].astype(object)
+            if not x.size:
+                continue
+            acc["n"] += int(x.size)
+            x2, y2 = x * x, y * y
+            acc["sx"] += int(x.sum())
+            acc["sx2"] += int(x2.sum())
+            acc["sx3"] += int((x2 * x).sum())
+            acc["sx4"] += int((x2 * x2).sum())
+            acc["sy"] += int(y.sum())
+            acc["sy2"] += int(y2.sum())
+            acc["sy3"] += int((y2 * y).sum())
+            acc["sy4"] += int((y2 * y2).sum())
+            acc["sxy"] += int((x * y).sum())
+        return acc
+
     def facet_stats(self, kind: str, payload, field: str,
                     metric_field: str) -> dict:
         """ES terms aggregation WITH a numeric sub-aggregation: per facet
@@ -2395,6 +2510,181 @@ class QueryEngine:
             "variance": var,
             "std_deviation": _math.sqrt(var) if var is not None else None,
         }
+
+    def search_multi_terms(self, query_text: str | None,
+                           fields: list[str], size: int = 10,
+                           shard_size: int | None = None) -> dict:
+        """ES ``multi_terms`` aggregation: doc counts per COMPOUND key
+        (one value from each of ``fields``), buckets ordered
+        (doc_count desc, key asc), docs missing any key field dropped.
+
+        Routing mirrors the terms agg: when the compound-key cardinality
+        bound (product of per-field distinct-value bounds, one int per
+        shard) is <= ``facet_exact_max`` the shards ship exact full maps
+        (lossless merge, all error bounds 0); above it each shard ships
+        only its top ``shard_size`` buckets with ES's
+        doc_count_error_upper_bound accounting — actor->driver traffic
+        never exceeds O(shard_size) on high-cardinality key tuples."""
+        numerics = [self._field_is_numeric(f) for f in fields]
+        kind, payload = self._agg_route(query_text)
+        card = sum(self._fanout("multi_terms_cardinality", fields, numerics))
+        if card <= self.facet_exact_max:
+            parts = self._fanout(
+                "multi_terms_agg", kind, payload, fields, numerics, 0
+            )
+            merged: dict[tuple, int] = {}
+            for p in parts:
+                for k, n in p.items():
+                    merged[k] = merged.get(k, 0) + n
+            buckets = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+            out = [
+                {"key": list(k), "doc_count": n,
+                 "doc_count_error_upper_bound": 0}
+                for k, n in buckets[:size]
+            ]
+            return {
+                "query": query_text or "", "fields": list(fields),
+                "doc_count_error_upper_bound": 0,
+                "sum_other_doc_count": int(
+                    sum(merged.values())
+                    - sum(b["doc_count"] for b in out)
+                ),
+                "buckets": out,
+            }
+        if shard_size is None:
+            shard_size = int(size * 1.5 + 10)
+        shard_size = max(1, size, shard_size)
+        parts = self._fanout(
+            "multi_terms_agg", kind, payload, fields, numerics, shard_size
+        )
+        shard_maps = [dict(p[0]) for p in parts]
+        cutoffs = [p[1] for p in parts]
+        total_with_value = sum(p[2] for p in parts)
+        merged = {}
+        for m in shard_maps:
+            for k, n in m.items():
+                merged[k] = merged.get(k, 0) + n
+        buckets = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+        out = []
+        for k, n in buckets[:size]:
+            err = sum(
+                c for m, c in zip(shard_maps, cutoffs) if k not in m
+            )
+            out.append({"key": list(k), "doc_count": n,
+                        "doc_count_error_upper_bound": int(err)})
+        return {
+            "query": query_text or "", "fields": list(fields),
+            "doc_count_error_upper_bound": int(sum(cutoffs)),
+            "sum_other_doc_count": int(
+                total_with_value - sum(b["doc_count"] for b in out)
+            ),
+            "buckets": out,
+        }
+
+    def search_string_stats(self, query_text: str | None,
+                            field: str) -> dict:
+        """ES ``string_stats`` aggregation over a keyword doc-value field:
+        count (docs with a value), min/max/avg length, and Shannon entropy
+        (base 2) over the CHARACTER distribution of all values — computed
+        EXACTLY from the merged per-value doc counts (the same lossless
+        merge primitive as the terms agg: a value seen c times contributes
+        c copies of each of its characters), with the summation in sorted
+        character order for cross-run determinism."""
+        merged = self._merged_value_counts(query_text, field)
+        count = sum(merged.values())
+        if not count:
+            return {"query": query_text or "", "field": field, "count": 0,
+                    "min_length": None, "max_length": None,
+                    "avg_length": None, "entropy": 0.0}
+        lens = {v: len(v) for v in merged}
+        total_len = sum(lens[v] * c for v, c in merged.items())
+        char_counts: dict[str, int] = {}
+        for v, c in merged.items():
+            for ch in v:
+                char_counts[ch] = char_counts.get(ch, 0) + c
+        total_chars = sum(char_counts.values())
+        ent = 0.0
+        for ch in sorted(char_counts):
+            p = char_counts[ch] / total_chars
+            ent -= p * math.log2(p)
+        return {
+            "query": query_text or "", "field": field, "count": count,
+            "min_length": min(lens.values()),
+            "max_length": max(lens.values()),
+            "avg_length": total_len / count,
+            "entropy": ent,
+        }
+
+    def search_boxplot(self, query_text: str | None, field: str) -> dict:
+        """ES ``boxplot`` aggregation over an integer doc-value field:
+        min, max and the three quartiles — EXACT (discrete nearest-rank,
+        SQL ``percentile_disc``, same convention as ``search_percentiles``)
+        rather than ES's t-digest approximation; the per-searcher
+        value-count maps merge losslessly."""
+        merged = self._merged_value_counts(query_text, field)
+        vals = np.array(sorted(merged), dtype=np.int64)
+        cum = np.cumsum([merged[int(v)] for v in vals], dtype=np.int64)
+        n = int(cum[-1]) if vals.size else 0
+        if not n:
+            return {"query": query_text or "", "field": field, "count": 0,
+                    "min": None, "max": None, "q1": None, "q2": None,
+                    "q3": None}
+        def q(p: float) -> int:
+            rank = max(1, math.ceil(p * n))
+            return int(vals[np.searchsorted(cum, rank)])
+        return {
+            "query": query_text or "", "field": field, "count": n,
+            "min": int(vals[0]), "max": int(vals[-1]),
+            "q1": q(0.25), "q2": q(0.50), "q3": q(0.75),
+        }
+
+    def search_matrix_stats(self, query_text: str | None, fx: str,
+                            fy: str) -> dict:
+        """ES ``matrix_stats`` aggregation for a pair of numeric doc-value
+        fields: count, mean, population variance, skewness and kurtosis
+        per field plus covariance and Pearson correlation — derived from
+        EXACT integer moment sums (sum, sum^2..sum^4, cross sum) merged
+        losslessly across shards, so the result is deterministic and
+        SQL-twinnable (ES itself streams running moments per shard and
+        combines them; same quantities, fixed expression shape).  Docs
+        missing either field are dropped (ES pairwise semantics).
+        Moments use population (n) normalization; kurtosis is raw
+        (NOT excess — ES reports the same un-subtracted quantity)."""
+        kind, payload = self._agg_route(query_text)
+        parts = self._fanout("moments2_agg", kind, payload, fx, fy)
+        tot = {k: sum(p[k] for p in parts) for k in parts[0]}
+        n = tot["n"]
+        if not n:
+            return {"query": query_text or "", "fields": [fx, fy],
+                    "count": 0}
+        out = {"query": query_text or "", "fields": [fx, fy], "count": n}
+        for name, s1, s2, s3, s4 in (
+            (fx, tot["sx"], tot["sx2"], tot["sx3"], tot["sx4"]),
+            (fy, tot["sy"], tot["sy2"], tot["sy3"], tot["sy4"]),
+        ):
+            # explicit multiplication chains (no **) so the float
+            # expression shape is reproducible bit-for-bit by the SQL twin
+            mean = s1 / n
+            m2 = s2 / n - mean * mean
+            m3 = s3 / n - 3 * mean * (s2 / n) + 2 * (mean * mean * mean)
+            m4 = (s4 / n - 4 * mean * (s3 / n)
+                  + 6 * (mean * mean) * (s2 / n)
+                  - 3 * ((mean * mean) * (mean * mean)))
+            out[name] = {
+                "mean": mean,
+                "variance": m2,
+                "skewness": (m3 / (m2 * math.sqrt(m2))) if m2 > 0 else 0.0,
+                "kurtosis": (m4 / (m2 * m2)) if m2 > 0 else 0.0,
+            }
+        mx, my = tot["sx"] / n, tot["sy"] / n
+        cov = tot["sxy"] / n - mx * my
+        vx = tot["sx2"] / n - mx * mx
+        vy = tot["sy2"] / n - my * my
+        out["covariance"] = cov
+        out["correlation"] = (
+            cov / math.sqrt(vx * vy) if vx > 0 and vy > 0 else 0.0
+        )
+        return out
 
     def search_histogram(self, query_text: str, field: str, interval: int,
                          min_doc_count: int = 1) -> dict:
