@@ -1162,6 +1162,83 @@ def _q_matrix_stats(sf_dir: str):
     )
 
 
+def _q_mad(sf_dir: str):
+    """ES median_absolute_deviation over n_chars — exact nearest-rank
+    medians (percentile_disc convention), not ES's t-digest approx."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "n": [], "median": [], "mad": []}
+    for q in STATS_QUERIES:
+        r = eng.search_mad(q, "n_chars")
+        rows["query"].append(q)
+        rows["n"].append(r["count"])
+        rows["median"].append(r["median"])
+        rows["mad"].append(r["mad"])
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "median": pa.array(rows["median"], pa.int64()),
+            "mad": pa.array(rows["mad"], pa.int64()),
+        }
+    )
+
+
+T_TEST_PAIRS = [("merge", "merg*"), ("merge AND hash", "scan OR join"),
+                ("merg*", "scan OR join")]
+
+
+def _q_t_test(sf_dir: str):
+    """ES t_test aggregation (Welch): t statistic and Welch-Satterthwaite
+    df between two queries' hit sets over n_chars, from exact integer
+    (n, sum, sum2) merges with sample (n-1) variances.  The p-value the
+    engine also returns needs the t CDF (no SQL equivalent) and is pinned
+    by pytest against textbook critical values instead."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"qa": [], "qb": [], "n_a": [], "n_b": [], "t_u": [], "df_u": []}
+    for qa, qb in T_TEST_PAIRS:
+        r = eng.search_t_test(qa, qb, "n_chars")
+        rows["qa"].append(qa)
+        rows["qb"].append(qb)
+        rows["n_a"].append(r["n_a"])
+        rows["n_b"].append(r["n_b"])
+        rows["t_u"].append(int(math.floor(r["t"] * 1e6 + 0.5)))
+        rows["df_u"].append(int(math.floor(r["df"] * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "qa": pa.array(rows["qa"], pa.string()),
+            "qb": pa.array(rows["qb"], pa.string()),
+            "n_a": pa.array(rows["n_a"], pa.int64()),
+            "n_b": pa.array(rows["n_b"], pa.int64()),
+            "t_u": pa.array(rows["t_u"], pa.int64()),
+            "df_u": pa.array(rows["df_u"], pa.int64()),
+        }
+    )
+
+
+def _q_top_metrics(sf_dir: str):
+    """ES top_metrics: doc_len of the top-3 hits by n_chars desc per
+    query (ties doc_id asc — pinned; ES leaves them undefined)."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "rank": [], "sort": [], "doc_id": [], "doc_len": []}
+    for q in STATS_QUERIES:
+        r = eng.search_top_metrics(q, "n_chars", ["doc_len"], size=3)
+        for i, t in enumerate(r["top"], 1):
+            rows["query"].append(q)
+            rows["rank"].append(i)
+            rows["sort"].append(t["sort"])
+            rows["doc_id"].append(t["doc_id"])
+            rows["doc_len"].append(t["metrics"]["doc_len"])
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "sort": pa.array(rows["sort"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "doc_len": pa.array(rows["doc_len"], pa.int64()),
+        }
+    )
+
+
 HISTOGRAM_QUERIES = [("merge", 100), ("merge AND hash", 50), ("scan OR join", 200)]
 
 
@@ -3145,6 +3222,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_stats": _q_string_stats,
         "boxplot": _q_boxplot,
         "matrix_stats": _q_matrix_stats,
+        "mad_agg": _q_mad,
+        "t_test": _q_t_test,
+        "top_metrics": _q_top_metrics,
     }
 
 
@@ -4087,6 +4167,74 @@ def _matrix_stats_sql() -> str:
             f"FROM (SELECT d.n_chars AS x, dl.doc_len AS y "
             f"      FROM documents d JOIN dl ON d.doc_id = dl.doc_id "
             f"      WHERE d.doc_id IN ({_AGG_HITS[q]})))"
+        )
+    return (
+        f"WITH tok AS ({_TOK}), "
+        f"dl AS (SELECT doc_id, count(*)::BIGINT AS doc_len "
+        f"FROM tok GROUP BY doc_id) " + " UNION ALL ".join(parts)
+    )
+
+
+def _mad_sql() -> str:
+    parts = []
+    for q in STATS_QUERIES:
+        parts.append(
+            f"SELECT '{q}' AS query, n, median, mad FROM ("
+            f"WITH v AS (SELECT n_chars AS v FROM documents "
+            f"           WHERE doc_id IN ({_AGG_HITS[q]})), "
+            f"med AS (SELECT percentile_disc(0.5) WITHIN GROUP "
+            f"        (ORDER BY v) AS m FROM v) "
+            f"SELECT count(*)::BIGINT AS n, any_value(med.m)::BIGINT AS "
+            f"median, percentile_disc(0.5) WITHIN GROUP "
+            f"(ORDER BY abs(v.v - med.m))::BIGINT AS mad "
+            f"FROM v, med)"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
+def _t_test_sql() -> str:
+    # same float expression shapes as search_t_test (sample variances
+    # from exact integer sums, explicit multiplication chains)
+    parts = []
+    for qa, qb in T_TEST_PAIRS:
+        m = (
+            "SELECT count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s, "
+            "sum(n_chars * n_chars)::BIGINT AS s2 "
+            "FROM documents WHERE doc_id IN ({hits})"
+        )
+        parts.append(
+            f"SELECT '{qa}' AS qa, '{qb}' AS qb, a.n AS n_a, b.n AS n_b, "
+            f"CAST(floor(((a.s / a.n - b.s / b.n) / sqrt("
+            f"  ((a.s2 - a.s * a.s / a.n) / (a.n - 1)) / a.n "
+            f"+ ((b.s2 - b.s * b.s / b.n) / (b.n - 1)) / b.n"
+            f")) * 1000000 + 0.5) AS BIGINT) AS t_u, "
+            f"CAST(floor(((("
+            f"  ((a.s2 - a.s * a.s / a.n) / (a.n - 1)) / a.n "
+            f"+ ((b.s2 - b.s * b.s / b.n) / (b.n - 1)) / b.n) * ("
+            f"  ((a.s2 - a.s * a.s / a.n) / (a.n - 1)) / a.n "
+            f"+ ((b.s2 - b.s * b.s / b.n) / (b.n - 1)) / b.n)) / ("
+            f"  (((a.s2 - a.s * a.s / a.n) / (a.n - 1)) / a.n) * "
+            f"  (((a.s2 - a.s * a.s / a.n) / (a.n - 1)) / a.n) / (a.n - 1) "
+            f"+ (((b.s2 - b.s * b.s / b.n) / (b.n - 1)) / b.n) * "
+            f"  (((b.s2 - b.s * b.s / b.n) / (b.n - 1)) / b.n) / (b.n - 1)"
+            f")) * 1000000 + 0.5) AS BIGINT) AS df_u "
+            f"FROM ({m.format(hits=_AGG_HITS[qa])}) a, "
+            f"({m.format(hits=_AGG_HITS[qb])}) b"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
+def _top_metrics_sql() -> str:
+    parts = []
+    for q in STATS_QUERIES:
+        parts.append(
+            f"SELECT * FROM ("
+            f"SELECT '{q}' AS query, "
+            f"CAST(row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id) "
+            f"AS INTEGER) AS rank, d.n_chars AS sort, d.doc_id, dl.doc_len "
+            f"FROM documents d JOIN dl ON d.doc_id = dl.doc_id "
+            f"WHERE d.doc_id IN ({_AGG_HITS[q]}) "
+            f"ORDER BY d.n_chars DESC, d.doc_id LIMIT 3)"
         )
     return (
         f"WITH tok AS ({_TOK}), "
@@ -5285,6 +5433,9 @@ GROUP BY d.doc_id
         "string_stats": _string_stats_sql(),
         "boxplot": _boxplot_sql(),
         "matrix_stats": _matrix_stats_sql(),
+        "mad_agg": _mad_sql(),
+        "t_test": _t_test_sql(),
+        "top_metrics": _top_metrics_sql(),
         "cardinality_agg": _cardinality_sql(),
         "cardinality_approx": _cardinality_approx_sql(),
         "percentiles_approx": _percentiles_approx_sql(),

@@ -44,6 +44,55 @@ def fuzzy_auto_edits(term: str) -> int:
     """ES ``fuzziness=AUTO``: 0 edits for length <=2, 1 for 3-5, 2 above."""
     n = len(term)
     return 0 if n <= 2 else (1 if n <= 5 else 2)
+
+
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the incomplete beta (modified Lentz
+    evaluation — the standard public algorithm; see Numerical Recipes
+    §6.4 / DLMF 8.17.22)."""
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    d = 1.0 / (d if abs(d) >= tiny else tiny)
+    h = d
+    for m in range(1, 300):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        c = 1.0 + aa / (c if abs(c) >= tiny else tiny)
+        d = 1.0 / (d if abs(d) >= tiny else tiny)
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        c = 1.0 + aa / (c if abs(c) >= tiny else tiny)
+        d = 1.0 / (d if abs(d) >= tiny else tiny)
+        delt = d * c
+        h *= delt
+        if abs(delt - 1.0) < 3e-12:
+            break
+    return h
+
+
+def _ibeta(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log1p(-x)
+    )
+    front = math.exp(ln_front)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def _t_sf_two_sided(t: float, df: float) -> float:
+    """Two-sided p-value of Student's t: I_{df/(df+t^2)}(df/2, 1/2)."""
+    return _ibeta(df / 2.0, 0.5, df / (df + t * t))
 from ..oracle.oracle import BOOLEAN_OPERATORS, looks_boolean, to_rpn
 from ..stages import scoring as sc
 from ..state.segment import SegmentReader
@@ -550,6 +599,35 @@ class Searcher:
                 )
             bound *= max(card, 1)
         return bound
+
+    def top_metrics_agg(self, kind: str, payload, sort_field: str,
+                        asc: bool, metric_fields: list[str],
+                        size: int) -> list:
+        """ES ``top_metrics`` aggregation, shard side: the metric values
+        of this shard's top ``size`` hits by the ``sort_field`` doc-value
+        (ties broken doc_id asc — ES leaves ties undefined; we pin them
+        for determinism).  Ships O(size) rows: (sort_value, doc_id,
+        metrics...) tuples; the driver merges k-bounded."""
+        sentinel = np.iinfo(np.int64).min
+        rows = []
+        per_sort = self._facet_numeric(sort_field)
+        per_metric = [self._facet_numeric(f) for f in metric_fields]
+        for ri, (r, sv) in enumerate(zip(self.readers, per_sort)):
+            slots = self._match_slots(r, kind, payload)
+            v = sv[slots]
+            keep = v != sentinel
+            slots, v = slots[keep], v[keep]
+            if not v.size:
+                continue
+            order = np.lexsort((slots, v if asc else -v))[:size]
+            for s in order.tolist():
+                slot = int(slots[s])
+                rows.append((
+                    int(v[s]), int(r.doc_id_base + slot),
+                    [int(pm[ri][slot]) for pm in per_metric],
+                ))
+        rows.sort(key=lambda t: ((t[0] if asc else -t[0]), t[1]))
+        return rows[:size]
 
     def moments2_agg(self, kind: str, payload, fx: str, fy: str) -> dict:
         """Exact integer moment sums of TWO numeric doc-value fields over
@@ -2685,6 +2763,108 @@ class QueryEngine:
             cov / math.sqrt(vx * vy) if vx > 0 and vy > 0 else 0.0
         )
         return out
+
+    def search_mad(self, query_text: str | None, field: str) -> dict:
+        """ES ``median_absolute_deviation`` aggregation over an integer
+        doc-value field — EXACT (both medians by discrete nearest-rank,
+        SQL ``percentile_disc(0.5)``, same convention as
+        ``search_percentiles``) rather than ES's t-digest approximation:
+        median of |v - median(v)| over the hit set, from the lossless
+        per-searcher value-count merge."""
+        merged = self._merged_value_counts(query_text, field)
+        n = sum(merged.values())
+        if not n:
+            return {"query": query_text or "", "field": field,
+                    "count": 0, "median": None, "mad": None}
+        def disc_median(counts: dict) -> int:
+            vals = sorted(counts)
+            rank = max(1, math.ceil(0.5 * n))
+            cum = 0
+            for v in vals:
+                cum += counts[v]
+                if cum >= rank:
+                    return v
+            return vals[-1]
+        med = disc_median(merged)
+        dev: dict[int, int] = {}
+        for v, c in merged.items():
+            d = abs(int(v) - med)
+            dev[d] = dev.get(d, 0) + c
+        return {"query": query_text or "", "field": field, "count": n,
+                "median": med, "mad": disc_median(dev)}
+
+    def search_t_test(self, query_a: str | None, query_b: str | None,
+                      field: str) -> dict:
+        """ES ``t_test`` aggregation (heteroscedastic / Welch, the ES
+        default) between two queries' hit sets over an integer doc-value
+        field.  The t statistic and Welch-Satterthwaite df derive from
+        exact integer (n, sum, sum^2) merges with SAMPLE (n-1) variances
+        — SQL-twinnable; the two-sided p-value additionally ships via the
+        regularized incomplete beta I_{df/(df+t^2)}(df/2, 1/2) (standard
+        continued-fraction evaluation — public Lentz/Numerical-Recipes
+        form), which SQL lacks, so gate entries pin t and df exactly and
+        the p-value is pinned by pytest against textbook critical
+        values."""
+        def moments(q):
+            kind, payload = self._agg_route(q)
+            parts = self._fanout("stats_agg", kind, payload, field)
+            n = sum(p["count"] for p in parts)
+            s = sum(p["sum"] for p in parts)
+            s2 = sum(p["sum2"] for p in parts)
+            return n, s, s2
+        na, sa, sa2 = moments(query_a)
+        nb, sb, sb2 = moments(query_b)
+        if na < 2 or nb < 2:
+            return {"query_a": query_a or "", "query_b": query_b or "",
+                    "field": field, "n_a": na, "n_b": nb, "t": None,
+                    "df": None, "p_value": None}
+        ma, mb = sa / na, sb / nb
+        va = (sa2 - sa * sa / na) / (na - 1)
+        vb = (sb2 - sb * sb / nb) / (nb - 1)
+        se2 = va / na + vb / nb
+        if se2 <= 0:
+            return {"query_a": query_a or "", "query_b": query_b or "",
+                    "field": field, "n_a": na, "n_b": nb, "t": None,
+                    "df": None, "p_value": None}
+        t = (ma - mb) / math.sqrt(se2)
+        df = (se2 * se2) / (
+            (va / na) * (va / na) / (na - 1)
+            + (vb / nb) * (vb / nb) / (nb - 1)
+        )
+        p = _t_sf_two_sided(t, df)
+        return {"query_a": query_a or "", "query_b": query_b or "",
+                "field": field, "n_a": na, "n_b": nb, "t": t, "df": df,
+                "p_value": p}
+
+    def search_top_metrics(self, query_text: str | None, sort_field: str,
+                           metric_fields: list[str], size: int = 1,
+                           asc: bool = False) -> dict:
+        """ES ``top_metrics`` aggregation: the metric doc-values of the
+        hit set's top ``size`` docs by ``sort_field`` (desc by default).
+        Each shard ships only its local top ``size`` rows (sort value,
+        doc_id tie-break asc, metrics) — O(size) traffic; missing metric
+        values come back null (ES semantics)."""
+        kind, payload = self._agg_route(query_text)
+        parts = self._fanout(
+            "top_metrics_agg", kind, payload, sort_field, bool(asc),
+            list(metric_fields), size,
+        )
+        rows = [r for p in parts for r in p]
+        rows.sort(key=lambda r: ((r[0] if asc else -r[0]), r[1]))
+        sentinel = np.iinfo(np.int64).min
+        top = [
+            {
+                "sort": r[0],
+                "doc_id": r[1],
+                "metrics": {
+                    f: (None if v == sentinel else v)
+                    for f, v in zip(metric_fields, r[2])
+                },
+            }
+            for r in rows[:size]
+        ]
+        return {"query": query_text or "", "sort_field": sort_field,
+                "top": top}
 
     def search_histogram(self, query_text: str, field: str, interval: int,
                          min_doc_count: int = 1) -> dict:

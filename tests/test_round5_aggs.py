@@ -177,3 +177,65 @@ def test_matrix_stats_empty_hit_set(agg_engine):
     eng, _rows = agg_engine
     res = eng.search_matrix_stats("zzznope", "n_chars", "doc_len")
     assert res["count"] == 0
+
+
+def test_mad_vs_brute(agg_engine):
+    eng, rows = agg_engine
+    for q, hit in (("merge", _hits(rows, "merge")), (None, rows)):
+        res = eng.search_mad(q, "n_chars")
+        vals = sorted(r["n_chars"] for r in hit)
+        n = len(vals)
+        med = vals[max(1, math.ceil(0.5 * n)) - 1]
+        devs = sorted(abs(v - med) for v in vals)
+        mad = devs[max(1, math.ceil(0.5 * n)) - 1]
+        assert res["count"] == n
+        assert res["median"] == med and res["mad"] == mad
+
+
+def test_t_test_vs_brute(agg_engine):
+    eng, rows = agg_engine
+    a = [r["n_chars"] for r in _hits(rows, "merge")]
+    b = [r["n_chars"] for r in _hits(rows, "scan")]
+    res = eng.search_t_test("merge", "scan", "n_chars")
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    df = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert res["n_a"] == na and res["n_b"] == nb
+    assert res["t"] == pytest.approx(t)
+    assert res["df"] == pytest.approx(df)
+    assert 0.0 <= res["p_value"] <= 1.0
+
+
+def test_t_p_value_textbook_criticals():
+    """The two-sided p-value implementation pinned against published
+    t-distribution critical values (two-sided alpha at the quoted df)."""
+    from elasticsearch_ray.pipelines.query import _t_sf_two_sided
+
+    for t, df, want in ((2.228, 10, 0.05), (1.812, 10, 0.10),
+                        (2.086, 20, 0.05), (12.706, 1, 0.05),
+                        (2.576, 100000, 0.01)):
+        assert _t_sf_two_sided(t, df) == pytest.approx(want, abs=2e-3)
+    assert _t_sf_two_sided(0.0, 7) == pytest.approx(1.0)
+    assert _t_sf_two_sided(50.0, 30) < 1e-10
+
+
+def test_top_metrics_vs_brute(agg_engine):
+    eng, rows = agg_engine
+    for q, hit in (("sort", _hits(rows, "sort")), (None, rows)):
+        for asc in (False, True):
+            res = eng.search_top_metrics(
+                q, "n_chars", ["doc_len"], size=4, asc=asc)
+            want = sorted(
+                hit, key=lambda r: (
+                    r["n_chars"] if asc else -r["n_chars"], r["doc_id"])
+            )[:4]
+            got = [(t["sort"], t["doc_id"], t["metrics"]["doc_len"])
+                   for t in res["top"]]
+            assert got == [
+                (r["n_chars"], r["doc_id"], len(r["text"].split()))
+                for r in want
+            ]
