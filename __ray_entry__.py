@@ -2638,6 +2638,80 @@ def _q_phrase_prefix(sf_dir: str):
     )
 
 
+SPAN_NEAR_QUERIES = [
+    ("customer join", 2, False),
+    ("customer join", 2, True),
+    ("spark window join", 5, False),
+    ("join hash", 0, False),
+]
+
+
+def _q_span_near(sf_dir: str):
+    """ES span_near over single-term clauses: all terms within ``slop``
+    extra positions; in_order=False admits any order
+    (max(p)-min(p)-(n-1) <= slop), in_order=True is the in-order sloppy
+    window.  SQL twin: positional self-join with the window bound
+    (abs / greatest-least for unordered, increasing positions for
+    ordered)."""
+    eng = _engine(sf_dir, "plain", positions=True)
+    rows = {"query": [], "slop": [], "in_order": [], "doc_id": []}
+    for q, slop, ino in SPAN_NEAR_QUERIES:
+        res = eng.search_span_near(q, slop=slop, in_order=ino, size=50)
+        for r in res["results"]:
+            rows["query"].append(q)
+            rows["slop"].append(slop)
+            rows["in_order"].append(ino)
+            rows["doc_id"].append(r["doc_id"])
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "slop": pa.array(rows["slop"], pa.int32()),
+            "in_order": pa.array(rows["in_order"], pa.bool_()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        }
+    )
+
+
+def _span_near_sql() -> str:
+    parts = []
+    for q, slop, ino in SPAN_NEAR_QUERIES:
+        words = q.split()
+        n = len(words)
+        aliases = [chr(ord("a") + i) for i in range(n)]
+        joins = " ".join(
+            f"JOIN tok {al} ON {al}.doc_id = a.doc_id"
+            for al in aliases[1:]
+        )
+        where = " AND ".join(
+            f"{al}.tok = '{w}'" for al, w in zip(aliases, words)
+        )
+        pos = [f"{al}.pos" for al in aliases]
+        if ino:
+            order = " AND ".join(
+                f"{pos[i + 1]} > {pos[i]}" for i in range(n - 1)
+            )
+            win = f"{order} AND {pos[-1]} - {pos[0]} <= {slop + n - 1}"
+        elif n == 2:
+            win = f"abs({pos[0]} - {pos[1]}) <= {slop + 1}"
+        else:
+            win = (
+                f"greatest({', '.join(pos)}) - least({', '.join(pos)}) "
+                f"<= {slop + n - 1}"
+            )
+        parts.append(
+            f"SELECT '{q}' AS query, {slop} AS slop, {ino} AS in_order, "
+            f"doc_id FROM (SELECT DISTINCT a.doc_id FROM tok a {joins} "
+            f"WHERE {where} AND {win} ORDER BY a.doc_id LIMIT 50)"
+        )
+    return (
+        "WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "FROM documents), "
+        "tok AS (SELECT doc_id, unnest(l) AS tok, "
+        "unnest(range(1, len(l) + 1)) AS pos FROM lists) "
+        + " UNION ALL ".join(parts)
+    )
+
+
 def _q_word_freq_top50(sf_dir: str):
     from elasticsearch_ray.ops.wordfreq import top_words
 
@@ -3225,6 +3299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_agg": _q_mad,
         "t_test": _q_t_test,
         "top_metrics": _q_top_metrics,
+        "span_near": _q_span_near,
     }
 
 
@@ -5436,6 +5511,7 @@ GROUP BY d.doc_id
         "mad_agg": _mad_sql(),
         "t_test": _t_test_sql(),
         "top_metrics": _top_metrics_sql(),
+        "span_near": _span_near_sql(),
         "cardinality_agg": _cardinality_sql(),
         "cardinality_approx": _cardinality_approx_sql(),
         "percentiles_approx": _percentiles_approx_sql(),

@@ -1365,6 +1365,17 @@ class Searcher:
         ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
         return ids[:k], total
 
+    def search_span_near(self, terms: list[str], slop: int,
+                         in_order: bool, k: int):
+        out: list[np.ndarray] = []
+        total = 0
+        for r in self.readers:
+            ids, n = sc.span_near_eval(r, terms, slop, in_order, k)
+            total += n
+            out.append(ids)
+        ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        return ids[:k], total
+
     def search_boolean(self, rpn: tuple[str, ...], k: int,
                        phrase_ops: dict | None = None):
         out: list[np.ndarray] = []
@@ -2184,6 +2195,55 @@ class QueryEngine:
         else:
             parts = self._fanout(
                 "search_phrase", phrases, residual, fetch, slops
+            )
+        ids = np.concatenate([p[0] for p in parts])
+        total = int(sum(p[1] for p in parts))
+        return {
+            "query": query_text,
+            "total_hits": total,
+            "results": [{"doc_id": int(d), "score": 1.0}
+                        for d in ids[from_:fetch]],
+        }
+
+    def search_span_near(self, query_text: str, slop: int = 0,
+                         in_order: bool = False, size: int = 10,
+                         from_: int = 0) -> dict:
+        """ES ``span_near`` query over single-term clauses: the words of
+        ``query_text`` (each analyzed to exactly one indexed term) must
+        all occur within ``slop`` extra positions of each other —
+        ``in_order=True`` requires index order (Lucene sloppy-phrase
+        window, same engine path as ``"a b"~N``), ``in_order=False``
+        admits any order (``max(p) - min(p) - (n-1) <= slop``).  Hits
+        come back doc_id ascending with exact totals (span queries are
+        constant-scored here, like the boolean family).  Duplicate
+        clause terms are rejected: distinct-position assignment for
+        repeated terms needs Lucene's per-doc span lattice, which the
+        vectorized window scan intentionally trades away."""
+        words = query_text.split()
+        if len(words) < 2:
+            raise ValueError("span_near needs at least two clause terms")
+        terms = []
+        for w in words:
+            toks = self.normalizer.preprocess_query_list(w)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"span_near clause {w!r} must analyze to exactly one "
+                    f"term (got {toks!r})"
+                )
+            terms.append(toks[0])
+        if len(set(terms)) != len(terms):
+            raise ValueError("span_near clause terms must be distinct")
+        fetch = from_ + size
+        route = self._route_conjunctive(terms)
+        if route == "empty":
+            return {"query": query_text, "total_hits": 0, "results": []}
+        if route == "local":
+            parts = [self._local_allsegs().search_span_near(
+                terms, slop, in_order, fetch
+            )]
+        else:
+            parts = self._fanout(
+                "search_span_near", terms, slop, in_order, fetch
             )
         ids = np.concatenate([p[0] for p in parts])
         total = int(sum(p[1] for p in parts))

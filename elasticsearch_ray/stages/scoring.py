@@ -743,6 +743,79 @@ def phrase_eval(
     return cand[:size] + reader.doc_id_base, int(cand.size)
 
 
+def span_near_eval(
+    reader: SegmentReader,
+    terms: list[str],
+    slop: int,
+    in_order: bool,
+    size: int,
+):
+    """ES/Lucene ``span_near`` over single-term clauses.  ``in_order=True``
+    is exactly the sloppy-phrase window (total in-order slack
+    ``(p_n - p_1) - (n - 1) <= slop``) and delegates to ``phrase_eval``.
+    ``in_order=False`` matches a doc iff one occurrence of EVERY term fits
+    in a window of ``slop + n`` consecutive positions, any order
+    (equivalently ``max(p) - min(p) - (n - 1) <= slop``; distinct terms
+    can't share a position, so the chosen occurrences are automatically
+    distinct — duplicate clauses are rejected at the driver).
+
+    Vectorized window-anchor scan, no per-doc loop: every minimal window
+    starts at some occurrence, so over the union U of the terms' composite
+    ``(slot<<32 | pos)`` key arrays, a doc matches iff some anchor ``a ∈ U``
+    has ``nextocc_t(a) - a <= slop + n - 1`` for all terms t (cross-doc
+    false positives impossible: a different slot differs by >= 2^32).
+    Returns (first ``size`` matching global doc_ids ascending, count)."""
+    empty = np.empty(0, dtype=np.int64)
+    if in_order:
+        return phrase_eval(reader, [list(terms)], [], size, slops=[slop])
+
+    def intersect(a, b):
+        if a.size > b.size:
+            a, b = b, a
+        if not a.size:
+            return a
+        idx = np.searchsorted(b, a)
+        idx[idx == b.size] = 0
+        return a[b[idx] == a]
+
+    cand: np.ndarray | None = None
+    rows = []
+    for t in terms:
+        row = reader.term_row(t)
+        if row is None:
+            return empty, 0
+        rows.append(row)
+        docs = reader.positions_flat_by_row(row)[0]
+        cand = docs if cand is None else intersect(cand, docs)
+        if not cand.size:
+            return empty, 0
+    cand = cand[reader.doc_lens[cand] >= 0]  # tombstones
+    if not cand.size:
+        return empty, 0
+    keysets = [reader.positions_keys_by_row(r) for r in rows]
+    anchors = (
+        np.unique(np.concatenate(keysets))
+        if len(keysets) > 1 else keysets[0]
+    )
+    width = np.int64(slop + len(terms) - 1)
+    ok = np.ones(anchors.size, dtype=bool)
+    far = np.int64(1) << np.int64(62)
+    for keys in keysets:
+        idx = np.searchsorted(keys, anchors)
+        nxt = np.where(
+            idx < keys.size, keys[np.minimum(idx, keys.size - 1)], far
+        )
+        ok &= (nxt - anchors) <= width
+    hit = anchors[ok]
+    if not hit.size:
+        return empty, 0
+    slots = np.unique(hit >> np.int64(32))
+    # key sets are query-independent (full LRU arrays): re-impose the
+    # all-terms + tombstone candidate set
+    slots = intersect(slots, cand)
+    return slots[:size] + reader.doc_id_base, int(slots.size)
+
+
 def wildcard_eval(
     reader: SegmentReader,
     pattern: str,

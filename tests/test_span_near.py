@@ -1,0 +1,112 @@
+"""span_near queries (unordered/ordered proximity over stored positions):
+brute-force positional oracle + randomized fuzz on dense co-occurrence
+corpora (the corpus shape that catches window-boundary bugs)."""
+
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _build(texts, tmp, seg=4, part=3):
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    src = str(tmp / "docs.parquet")
+    pq.write_table(
+        pa.table({"text": pa.array(texts, pa.string())}), src,
+        row_group_size=part,
+    )
+    idx = str(tmp / "idx")
+    build_index(
+        src, idx,
+        BuildConfig(analyzer="plain", target_partition_rows=part,
+                    docs_per_segment=seg, url_column=None,
+                    lang_column=None, store_positions=True),
+    )
+    return QueryEngine(idx, num_searchers=2)
+
+
+def _brute(texts, terms, slop, in_order):
+    out = []
+    for doc_id, t in enumerate(texts):
+        toks = t.split()
+        pos = {w: [i for i, x in enumerate(toks) if x == w] for w in terms}
+        if any(not pos[w] for w in terms):
+            continue
+        hit = False
+        import itertools
+        for combo in itertools.product(*(pos[w] for w in terms)):
+            if in_order and any(
+                combo[i + 1] <= combo[i] for i in range(len(combo) - 1)
+            ):
+                continue
+            if max(combo) - min(combo) - (len(terms) - 1) <= slop:
+                hit = True
+                break
+        if hit:
+            out.append(doc_id)
+    return out
+
+
+def test_span_near_brute(tmp_path):
+    texts = [
+        "alpha beta gamma",
+        "beta alpha gamma",
+        "alpha x x beta",
+        "beta x x alpha",
+        "alpha x x x beta",
+        "gamma only here",
+        "alpha beta alpha beta",
+    ]
+    eng = _build(texts, tmp_path)
+    try:
+        for terms, slop, ino in (
+            (["alpha", "beta"], 0, False), (["alpha", "beta"], 0, True),
+            (["alpha", "beta"], 2, False), (["alpha", "beta"], 2, True),
+            (["alpha", "beta", "gamma"], 0, False),
+            (["alpha", "beta", "gamma"], 1, True),
+        ):
+            res = eng.search_span_near(" ".join(terms), slop=slop,
+                                       in_order=ino, size=50)
+            got = [r["doc_id"] for r in res["results"]]
+            want = _brute(texts, terms, slop, ino)
+            assert got == want, (terms, slop, ino)
+            assert res["total_hits"] == len(want)
+    finally:
+        eng.close()
+
+
+def test_span_near_fuzz(tmp_path):
+    rng = random.Random(17)
+    vocab = ["a", "b", "c", "d"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 20)))
+        for _ in range(60)
+    ]
+    eng = _build(texts, tmp_path, seg=16, part=10)
+    try:
+        for _ in range(40):
+            k = rng.randint(2, 3)
+            terms = rng.sample(vocab, k)
+            slop = rng.randint(0, 4)
+            ino = rng.random() < 0.5
+            res = eng.search_span_near(" ".join(terms), slop=slop,
+                                       in_order=ino, size=100)
+            got = [r["doc_id"] for r in res["results"]]
+            assert got == _brute(texts, terms, slop, ino), \
+                (terms, slop, ino)
+    finally:
+        eng.close()
+
+
+def test_span_near_rejects_bad_clauses(tmp_path):
+    eng = _build(["x y z", "y x z"], tmp_path)
+    try:
+        with pytest.raises(ValueError, match="at least two"):
+            eng.search_span_near("x", slop=1)
+        with pytest.raises(ValueError, match="distinct"):
+            eng.search_span_near("x x", slop=1)
+    finally:
+        eng.close()
