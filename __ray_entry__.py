@@ -1969,6 +1969,47 @@ def _q_function_score(sf_dir: str):
     )
 
 
+RF_FUNCS = [
+    # (name, engine params, SQL additive expression over documents d)
+    ("saturation", (250.0,), "d.n_chars / (d.n_chars + 250.0)"),
+    ("log", (0.1,), "ln(1.0 + 0.1 * d.n_chars)"),
+    ("sigmoid", (300.0, 2.0),
+     "pow(d.n_chars, 2.0) / (pow(d.n_chars, 2.0) + pow(300.0, 2.0))"),
+    ("distance", (100.0, 400.0),
+     "100.0 / (100.0 + abs(d.n_chars - 400.0))"),
+]
+
+
+def _q_rank_feature(sf_dir: str):
+    """ES rank_feature / distance_feature inside a bool-should: BM25 +
+    boost * S(n_chars) for the four ES feature functions (saturation
+    with explicit pivot, log, sigmoid, distance), re-ranked, top-10.
+
+    SQL twin: the bm25 scored CTE joined to documents, ranked by
+    s + 1.5 * expression."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "func": [], "rank": [], "doc_id": [], "score": []}
+    for q in BM25_QUERIES[:3]:
+        for func, params, _expr in RF_FUNCS:
+            res = eng.search_rank_feature(
+                q, "n_chars", func=func, params=params, boost=1.5, size=10)
+            for rank, r in enumerate(res["results"], 1):
+                rows["query"].append(q)
+                rows["func"].append(func)
+                rows["rank"].append(rank)
+                rows["doc_id"].append(r["doc_id"])
+                rows["score"].append(int(math.floor(r["score"] * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "func": pa.array(rows["func"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score_u": pa.array(rows["score"], pa.int64()),
+        }
+    )
+
+
 MLT_SEEDS = [3, 17, 42]
 MLT_MAX_TERMS = 8
 
@@ -3300,6 +3341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_test": _q_t_test,
         "top_metrics": _q_top_metrics,
         "span_near": _q_span_near,
+        "rank_feature": _q_rank_feature,
     }
 
 
@@ -4248,6 +4290,54 @@ def _matrix_stats_sql() -> str:
         f"dl AS (SELECT doc_id, count(*)::BIGINT AS doc_len "
         f"FROM tok GROUP BY doc_id) " + " UNION ALL ".join(parts)
     )
+
+
+def _rank_feature_sql() -> str:
+    qt = []
+    for q in BM25_QUERIES[:3]:
+        for t in q.split():
+            qt.append((q, t))
+    ranked = []
+    selects = []
+    for i, (func, _params, expr) in enumerate(RF_FUNCS):
+        ranked.append(f"""
+ranked_{i} AS (
+  SELECT '{func}' AS func, sc.query, sc.doc_id,
+         sc.s + 1.5 * ({expr}) AS rs,
+         row_number() OVER (PARTITION BY sc.query
+                            ORDER BY sc.s + 1.5 * ({expr}) DESC,
+                                     sc.doc_id) AS rank
+  FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
+)""")
+        selects.append(
+            f"SELECT query, func, CAST(rank AS INT) AS rank, doc_id, "
+            f"CAST(floor(rs * 1000000 + 0.5) AS BIGINT) AS score_u "
+            f"FROM ranked_{i} WHERE rank <= 10"
+        )
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query, term) AS (VALUES {_bm25_values_sql(qt)}),
+scored AS (
+  SELECT q.query, tf.doc_id,
+         sum(ln((stats.n + 1.0) / (df.df + 1.0))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+  GROUP BY q.query, tf.doc_id
+),
+{",".join(ranked)}
+{" UNION ALL ".join(selects)}
+ORDER BY query, func, rank
+"""
 
 
 def _mad_sql() -> str:
@@ -5512,6 +5602,7 @@ GROUP BY d.doc_id
         "t_test": _t_test_sql(),
         "top_metrics": _top_metrics_sql(),
         "span_near": _span_near_sql(),
+        "rank_feature": _rank_feature_sql(),
         "cardinality_agg": _cardinality_sql(),
         "cardinality_approx": _cardinality_approx_sql(),
         "percentiles_approx": _percentiles_approx_sql(),

@@ -853,6 +853,63 @@ class Searcher:
             np.concatenate(all_ids), np.concatenate(all_scores), total
         )
 
+    def search_rank_feature(self, terms: list[str],
+                            idfs: dict[str, float], field: str,
+                            func: str, params: tuple, boost: float,
+                            k: int, scoring: str, k1: float, b: float,
+                            avgdl: float):
+        """ES ``bool { must: match, should: rank_feature }`` scoring:
+        relevance score PLUS ``boost * S(v)`` of an integer doc-value —
+        ``saturation`` S = v/(v+pivot), ``log`` S = ln(1 + scaling*v),
+        ``sigmoid`` S = v^exp/(v^exp + pivot^exp), or the
+        ``distance_feature`` query S = pivot/(pivot + |v - origin|).
+        Additive boosting reorders docs, so scoring is exhaustive TAAT
+        with one vectorized kernel over the candidate set; docs missing
+        the feature get contribution 0 (the rank_feature clause doesn't
+        match them).  Negative values clamp to 0 (ES rank_feature fields
+        are positive).  Returns the local top-k only."""
+        per_reader = self._facet_numeric(field)
+        all_ids: list[np.ndarray] = []
+        all_scores: list[np.ndarray] = []
+        total = 0
+        for r, vals in zip(self.readers, per_reader):
+            slots, scores = sc.taat_candidates(
+                r, terms, idfs, scoring, k1, b, avgdl
+            )
+            total += int(slots.size)
+            if not slots.size:
+                continue
+            v = vals[slots]
+            missing = v == np.iinfo(np.int64).min
+            vf = np.maximum(v.astype(np.float64), 0.0)
+            if func == "saturation":
+                (pivot,) = params
+                s = vf / (vf + pivot)
+            elif func == "log":
+                (scaling,) = params
+                s = np.log(1.0 + scaling * vf)
+            elif func == "sigmoid":
+                pivot, exp = params
+                vp = vf ** exp
+                s = vp / (vp + pivot ** exp)
+            elif func == "distance":
+                pivot, origin = params
+                s = pivot / (pivot + np.abs(vf - origin))
+            else:
+                raise ValueError(f"unknown rank_feature function {func!r}")
+            s[missing] = 0.0
+            ids, ranked = sc._topk_by_score(
+                slots + r.doc_id_base, scores + boost * s, k
+            )
+            all_ids.append(ids)
+            all_scores.append(ranked)
+        if not all_ids:
+            e = np.empty(0, dtype=np.int64)
+            return e, np.empty(0, dtype=np.float64), total
+        return (
+            np.concatenate(all_ids), np.concatenate(all_scores), total
+        )
+
     def search_boosting(self, terms: list[str], idfs: dict[str, float],
                         neg_kind: str, neg_payload, negative_boost: float,
                         k: int, scoring: str, k1: float, b: float,
@@ -3363,6 +3420,46 @@ class QueryEngine:
         parts = self._fanout(
             "search_boosted", terms, idfs, field, modifier, size,
             self.scoring, self.k1, self.b, self.avgdl,
+        )
+        ids = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        total = int(sum(p[2] for p in parts))
+        order = np.lexsort((ids, -scores))[:size]
+        return {
+            "query": query_text,
+            "total_hits": total,
+            "results": [
+                {"doc_id": int(ids[i]), "score": float(scores[i])}
+                for i in order
+            ],
+        }
+
+    def search_rank_feature(self, query_text: str, field: str,
+                            func: str = "saturation",
+                            params: tuple = (), boost: float = 1.0,
+                            size: int = 10) -> dict:
+        """ES ``rank_feature`` (and ``distance_feature``) queries inside a
+        bool-should: BM25/TF-IDF relevance of ``query_text`` PLUS
+        ``boost * S(doc-value)`` — ``func``: ``saturation`` (params:
+        pivot), ``log`` (scaling_factor), ``sigmoid`` (pivot, exponent),
+        ``distance`` (pivot, origin).  The pivot must be explicit (ES
+        defaults saturation's pivot to an index statistic; we pin it for
+        determinism).  Re-ranked with the (-score, doc_id) tie-break;
+        shards ship local top-k of the combined order."""
+        terms = self.normalizer.preprocess_query_list(query_text)
+        if not terms or self.doc_count == 0:
+            return {"query": query_text, "total_hits": 0, "results": []}
+        if not params:
+            raise ValueError(
+                "rank_feature needs explicit function params "
+                "(saturation: (pivot,), log: (scaling,), "
+                "sigmoid: (pivot, exponent), distance: (pivot, origin))"
+            )
+        idfs = self._idfs(terms)
+        parts = self._fanout(
+            "search_rank_feature", terms, idfs, field, func,
+            tuple(params), float(boost), size, self.scoring, self.k1,
+            self.b, self.avgdl,
         )
         ids = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])

@@ -239,3 +239,56 @@ def test_top_metrics_vs_brute(agg_engine):
                 (r["n_chars"], r["doc_id"], len(r["text"].split()))
                 for r in want
             ]
+
+
+def _bm25_brute(rows, terms):
+    """Engine-formula BM25 (k1=1.2, b=0.75, idf=ln((N+1)/(df+1)), zero-idf
+    terms skipped) over the plain-analyzer token lists."""
+    docs = {r["doc_id"]: r["text"].split() for r in rows}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    scores = {}
+    for term in dict.fromkeys(terms):
+        df = sum(1 for t in docs.values() if term in t)
+        idf = math.log((n + 1.0) / (df + 1.0))
+        if idf == 0.0 or df == 0:
+            continue
+        for d, toks in docs.items():
+            tf = toks.count(term)
+            if not tf:
+                continue
+            s = idf * (tf * 2.2) / (
+                tf + 1.2 * (1 - 0.75 + 0.75 * len(toks) / avgdl))
+            scores[d] = scores.get(d, 0.0) + s
+    return scores
+
+
+def test_rank_feature_vs_brute(agg_engine):
+    eng, rows = agg_engine
+    nc = {r["doc_id"]: r["n_chars"] for r in rows}
+    funcs = {
+        "saturation": ((40.0,), lambda v: v / (v + 40.0)),
+        "log": ((0.5,), lambda v: math.log(1.0 + 0.5 * v)),
+        "sigmoid": ((30.0, 2.0), lambda v: v**2 / (v**2 + 30.0**2)),
+        "distance": ((10.0, 35.0), lambda v: 10.0 / (10.0 + abs(v - 35.0))),
+    }
+    for q in ("merge hash", "scan join sort"):
+        base = _bm25_brute(rows, q.split())
+        for func, (params, f) in funcs.items():
+            res = eng.search_rank_feature(q, "n_chars", func=func,
+                                          params=params, boost=2.0, size=10)
+            want = sorted(
+                ((s + 2.0 * f(nc[d]), d) for d, s in base.items()),
+                key=lambda t: (-t[0], t[1]),
+            )[:10]
+            got = [(r["score"], r["doc_id"]) for r in res["results"]]
+            assert [d for _s, d in got] == [d for _s, d in want]
+            for (gs, _), (ws, _) in zip(got, want):
+                assert gs == pytest.approx(ws)
+            assert res["total_hits"] == len(base)
+
+
+def test_rank_feature_requires_params(agg_engine):
+    eng, _rows = agg_engine
+    with pytest.raises(ValueError, match="params"):
+        eng.search_rank_feature("merge", "n_chars", func="saturation")
