@@ -3077,14 +3077,20 @@ def _q_date_histogram(sf_dir: str):
 def _q_pipeline_aggs(sf_dir: str):
     """ES pipeline aggregations over the daily date_histogram: derivative
     + cumulative_sum + moving_fn(avg, window 7, shift 0 = trailing seven
-    buckets EXCLUDING current) of sum_cents.  The first bucket is dropped
-    (ES omits the derivative key there); moving averages ship as
+    buckets EXCLUDING current) + serial_diff(lag 7) + bucket_script
+    (per-event average) of sum_cents; bucket_selector drops the first
+    bucket (ES omits the derivative key there).  Float metrics ship as
     floor(x*1e6+0.5) micro-units."""
+    import numpy as np
+
     from elasticsearch_ray.ops.events import date_histogram
     from elasticsearch_ray.ops.pipeline_aggs import (
+        bucket_script,
+        bucket_selector,
         cumulative_sum,
         derivative,
         moving_avg,
+        serial_diff,
     )
 
     b = pa.Table.from_pandas(
@@ -3093,8 +3099,21 @@ def _q_pipeline_aggs(sf_dir: str):
     b = derivative(b, "sum_cents", out_col="deriv")
     b = cumulative_sum(b, "sum_cents", out_col="cum_cents")
     b = moving_avg(b, "sum_cents", window=7, shift=0, out_col="mov")
-    b = b.slice(1)  # ES omits the first bucket's derivative
+    b = serial_diff(b, "sum_cents", lag=7, out_col="sdiff7")
+    b = bucket_script(
+        b, {"s": "sum_cents", "n": "n"}, lambda s, n: s / n,
+        out_col="avg_evt",
+    )
+    # bucket_selector stands in for "ES omits the first bucket's
+    # derivative" — keep only buckets where the derivative exists.
+    b = bucket_selector(b, {"d": "deriv"}, lambda d: ~np.isnan(d))
     import pyarrow.compute as pc
+
+    def _u(col: str) -> pa.Array:
+        return pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column(col), 1e6), 0.5)),
+            pa.int64(),
+        )
 
     return pa.table(
         {
@@ -3103,12 +3122,9 @@ def _q_pipeline_aggs(sf_dir: str):
             "sum_cents": b.column("sum_cents"),
             "deriv_cents": pc.cast(b.column("deriv"), pa.int64()),
             "cum_cents": pc.cast(b.column("cum_cents"), pa.int64()),
-            "mov7_u": pc.cast(
-                pc.floor(
-                    pc.add(pc.multiply(b.column("mov"), 1e6), 0.5)
-                ),
-                pa.int64(),
-            ),
+            "mov7_u": _u("mov"),
+            "sdiff7_cents": pc.cast(b.column("sdiff7"), pa.int64()),
+            "avg_evt_u": _u("avg_evt"),
         }
     )
 
@@ -4101,8 +4117,9 @@ def _date_histogram_sql() -> str:
 
 def _pipeline_aggs_sql() -> str:
     """Window-function twin of the pipeline aggs: lag diff, running sum,
-    and the trailing-7-excluding-current average (ROWS BETWEEN 7
-    PRECEDING AND 1 PRECEDING)."""
+    the trailing-7-excluding-current average (ROWS BETWEEN 7 PRECEDING
+    AND 1 PRECEDING), serial_diff(lag 7), and the bucket_script
+    per-event average."""
     return """
 WITH b AS (
   SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS bucket_us,
@@ -4117,13 +4134,18 @@ w AS (
          sum(sum_cents) OVER (ORDER BY bucket_us
             ROWS UNBOUNDED PRECEDING) AS cum_cents,
          avg(sum_cents) OVER (ORDER BY bucket_us
-            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS mov
+            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS mov,
+         sum_cents - lag(sum_cents, 7) OVER (ORDER BY bucket_us)
+           AS sdiff7_cents
   FROM b
 )
 SELECT bucket_us, n, sum_cents,
        CAST(deriv_cents AS BIGINT) AS deriv_cents,
        CAST(cum_cents AS BIGINT) AS cum_cents,
-       CAST(floor(mov * 1e6 + 0.5) AS BIGINT) AS mov7_u
+       CAST(floor(mov * 1e6 + 0.5) AS BIGINT) AS mov7_u,
+       CAST(sdiff7_cents AS BIGINT) AS sdiff7_cents,
+       CAST(floor(CAST(sum_cents AS DOUBLE) / n * 1e6 + 0.5) AS BIGINT)
+         AS avg_evt_u
 FROM w WHERE deriv_cents IS NOT NULL ORDER BY bucket_us"""
 
 

@@ -117,3 +117,52 @@ def sibling_stats(buckets: pa.Table, buckets_path: str) -> dict:
         "avg": float(m.mean()),
         "sum": float(m.sum()),
     }
+
+
+def serial_diff(buckets: pa.Table, buckets_path: str, lag: int = 1,
+                out_col: str | None = None) -> pa.Table:
+    """ES ``serial_diff``: metric minus the metric ``lag`` buckets back;
+    the first ``lag`` buckets have no value (null), like ES omitting
+    them."""
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    m = _metric(buckets, buckets_path).astype(np.float64)
+    out = np.full(len(m), np.nan)
+    if len(m) > lag:
+        out[lag:] = m[lag:] - m[:-lag]
+    return buckets.append_column(
+        out_col or f"{buckets_path}_diff_{lag}",
+        pa.array([None if np.isnan(v) else float(v) for v in out],
+                 pa.float64()),
+    )
+
+
+def bucket_script(buckets: pa.Table, paths: dict[str, str], fn,
+                  out_col: str) -> pa.Table:
+    """ES ``bucket_script``: a per-bucket value computed from several
+    metric paths.  ``paths`` maps script variable names to bucket
+    columns; ``fn(**vars)`` receives float64 numpy arrays and must
+    return one array (vectorized — the ES Painless script, expressed as
+    a numpy expression)."""
+    args = {
+        name: _metric(buckets, col).astype(np.float64)
+        for name, col in paths.items()
+    }
+    out = np.asarray(fn(**args), dtype=np.float64)
+    if out.shape != (buckets.num_rows,):
+        raise ValueError("bucket_script must return one value per bucket")
+    return buckets.append_column(out_col, pa.array(out, pa.float64()))
+
+
+def bucket_selector(buckets: pa.Table, paths: dict[str, str], fn) -> pa.Table:
+    """ES ``bucket_selector``: keep only buckets where the predicate over
+    the named metric paths is true.  ``fn(**vars)`` receives float64
+    numpy arrays and returns a boolean mask."""
+    args = {
+        name: _metric(buckets, col).astype(np.float64)
+        for name, col in paths.items()
+    }
+    mask = np.asarray(fn(**args), dtype=bool)
+    if mask.shape != (buckets.num_rows,):
+        raise ValueError("bucket_selector must return one bool per bucket")
+    return buckets.filter(pa.array(mask))

@@ -1211,6 +1211,30 @@ def test_pipeline_aggs_semantics():
                   "sum": 26.0}
     assert sibling_stats(b.slice(0, 0), "m")["count"] == 0
 
+    from elasticsearch_ray.ops.pipeline_aggs import (
+        bucket_script,
+        bucket_selector,
+        serial_diff,
+    )
+
+    # serial_diff: first `lag` buckets null, then m[i]-m[i-lag]
+    sd = serial_diff(b, "m", lag=2).column("m_diff_2").to_pylist()
+    assert sd == [None, None, -6.0, 3.0, -3.0]
+    with pytest.raises(ValueError):
+        serial_diff(b, "m", lag=0)
+    # lag >= len → all null
+    assert serial_diff(b, "m", lag=9).column("m_diff_9").to_pylist() == \
+        [None] * 5
+    # bucket_script: vectorized painless stand-in
+    bs = bucket_script(b, {"x": "m", "k": "key"},
+                       lambda x, k: x * 2 + k, out_col="v")
+    assert bs.column("v").to_pylist() == [20.0, 9.0, 10.0, 17.0, 6.0]
+    with pytest.raises(ValueError):
+        bucket_script(b, {"x": "m"}, lambda x: x[:2], out_col="v")
+    # bucket_selector: keep buckets passing the predicate
+    sel = bucket_selector(b, {"x": "m"}, lambda x: x >= 5)
+    assert sel.column("key").to_pylist() == [0, 3]
+
 
 def test_scrub_rerun_and_empty_pipeline_aggs():
     """Review regressions: (a) re-running pii_scrub / decontaminate on
