@@ -2010,6 +2010,120 @@ def _q_rank_feature(sf_dir: str):
     )
 
 
+TERMS_SET_TERMS = ["merge", "hash", "scan"]
+
+
+def _q_terms_set(sf_dir: str):
+    """ES terms_set query: docs matching at least N of the terms where N
+    is PER DOC (1 + doc_id % 3, the 'mod_plus1' script idiom over the
+    doc_id doc-value); matching docs score the BM25 sum of their
+    matching terms, (-score, doc_id) order, top-20 + exact total."""
+    eng = _engine(sf_dir, "plain")
+    res = eng.search_terms_set(
+        TERMS_SET_TERMS, "doc_id", ("mod_plus1", 3), size=20
+    )
+    n = len(res["results"])
+    return pa.table({
+        "rank": pa.array(range(1, n + 1), pa.int32()),
+        "doc_id": pa.array([r["doc_id"] for r in res["results"]], pa.int64()),
+        "score_u": pa.array(
+            [int(math.floor(r["score"] * 1e6 + 0.5)) for r in res["results"]],
+            pa.int64(),
+        ),
+        "total": pa.array([res["total_hits"]] * n, pa.int64()),
+    })
+
+
+def _q_match_bool_prefix(sf_dir: str):
+    """ES match_bool_prefix: 'filter sc' = term 'filter' (BM25) OR
+    prefix 'sc*' (constant 1.0, Lucene constant-score rewrite), union
+    scored additively, top-15 + exact union total."""
+    eng = _engine(sf_dir, "plain")
+    res = eng.search_match_bool_prefix("filter sc", size=15)
+    n = len(res["results"])
+    return pa.table({
+        "rank": pa.array(range(1, n + 1), pa.int32()),
+        "doc_id": pa.array([r["doc_id"] for r in res["results"]], pa.int64()),
+        "score_u": pa.array(
+            [int(math.floor(r["score"] * 1e6 + 0.5)) for r in res["results"]],
+            pa.int64(),
+        ),
+        "total": pa.array([res["total_hits"]] * n, pa.int64()),
+    })
+
+
+PINNED_IDS = [42, 7, 313, 10**9]  # last id never exists -> dropped
+
+
+def _q_pinned_query(sf_dir: str):
+    """ES pinned query: the (live) pinned ids rank first in given order,
+    then 'join hash' organic BM25 hits with pins removed; total is the
+    exact union count (organic total + unmatched pins)."""
+    eng = _engine(sf_dir, "plain")
+    res = eng.search_pinned(PINNED_IDS, "join hash", size=10)
+    n = len(res["results"])
+    return pa.table({
+        "rank": pa.array(range(1, n + 1), pa.int32()),
+        "doc_id": pa.array([r["doc_id"] for r in res["results"]], pa.int64()),
+        "pinned": pa.array(
+            [1 if r["score"] > 1e30 else 0 for r in res["results"]],
+            pa.int64(),
+        ),
+        "total": pa.array([res["total_hits"]] * n, pa.int64()),
+    })
+
+
+def _q_sampler_agg(sf_dir: str):
+    """ES sampler / diversified_sampler: terms agg on source over only
+    the top-N best-scoring 'join hash' hits (single-shard semantics =
+    the global deterministic (-score, doc_id) top-N); the diversified
+    variant caps docs per lang at 3 before filling the sample."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"variant": [], "key": [], "doc_count": [], "sample_count": []}
+    plain = eng.search_sampler("join hash", 60, "source")
+    div = eng.search_sampler("join hash", 30, "source",
+                             diversify_field="lang", max_docs_per_value=3)
+    for variant, res in (("sampler", plain), ("diversified", div)):
+        for b in res["buckets"]:
+            rows["variant"].append(variant)
+            rows["key"].append(b["key"])
+            rows["doc_count"].append(b["doc_count"])
+            rows["sample_count"].append(res["sample_count"])
+    return pa.table({
+        "variant": pa.array(rows["variant"], pa.string()),
+        "key": pa.array(rows["key"], pa.string()),
+        "doc_count": pa.array(rows["doc_count"], pa.int64()),
+        "sample_count": pa.array(rows["sample_count"], pa.int64()),
+    })
+
+
+PCT_RANK_VALUES = (500, 1000, 2000, 4000)
+
+
+def _q_percentile_ranks(sf_dir: str):
+    """ES percentile_ranks over the n_chars doc-value — EXACT empirical
+    CDF (100 * count(x <= v) / n), the same exactness trade as the
+    percentiles entry; percents ship as micro-units."""
+    eng = _engine(sf_dir, "plain")
+    rows: dict[str, list] = {"query": [], "n": []}
+    for v in PCT_RANK_VALUES:
+        rows[f"r{v}_u"] = []
+    for q in PERCENTILE_QUERIES:
+        res = eng.search_percentile_ranks(
+            q, "n_chars", values=PCT_RANK_VALUES
+        )
+        rows["query"].append(q)
+        rows["n"].append(res["count"])
+        for v in PCT_RANK_VALUES:
+            rows[f"r{v}_u"].append(
+                int(math.floor(res["values"][f"{v}"] * 1e6 + 0.5))
+            )
+    return pa.table(
+        {k: pa.array(v, pa.string() if k == "query" else pa.int64())
+         for k, v in rows.items()}
+    )
+
+
 MLT_SEEDS = [3, 17, 42]
 MLT_MAX_TERMS = 8
 
@@ -3129,6 +3243,88 @@ def _q_pipeline_aggs(sf_dir: str):
     )
 
 
+def _q_normalize_buckets(sf_dir: str):
+    """ES ``normalize`` pipeline aggregation over the daily
+    date_histogram: percent_of_sum, rescale_0_1, and z-score of
+    sum_cents (population stddev, like ES), shipped as micro-units."""
+    from elasticsearch_ray.ops.events import date_histogram
+    from elasticsearch_ray.ops.pipeline_aggs import normalize
+
+    b = pa.Table.from_pandas(
+        date_histogram(_events_ds(sf_dir), "day").sort("bucket_us").to_pandas()
+    )
+    b = normalize(b, "sum_cents", "percent_of_sum", out_col="pct")
+    b = normalize(b, "sum_cents", "rescale_0_1", out_col="r01")
+    b = normalize(b, "sum_cents", "z-score", out_col="z")
+    import pyarrow.compute as pc
+
+    def _u(col: str) -> pa.Array:
+        return pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column(col), 1e6), 0.5)),
+            pa.int64(),
+        )
+
+    return pa.table({
+        "bucket_us": b.column("bucket_us"),
+        "sum_cents": b.column("sum_cents"),
+        "pct_u": _u("pct"),
+        "r01_u": _u("r01"),
+        "z_u": _u("z"),
+    })
+
+
+def _q_sibling_buckets(sf_dir: str):
+    """ES sibling pipeline metrics (avg/min/max/sum/stats_bucket +
+    max_bucket/min_bucket keys) over the daily date_histogram's
+    sum_cents — one reduced row."""
+    from elasticsearch_ray.ops.events import date_histogram
+    from elasticsearch_ray.ops.pipeline_aggs import (
+        extremum_bucket,
+        sibling_stats,
+    )
+
+    b = pa.Table.from_pandas(
+        date_histogram(_events_ds(sf_dir), "day").sort("bucket_us").to_pandas()
+    )
+    st = sibling_stats(b, "sum_cents")
+    mx = extremum_bucket(b, "sum_cents", "bucket_us", "max")
+    mn = extremum_bucket(b, "sum_cents", "bucket_us", "min")
+    return pa.table({
+        "n_buckets": pa.array([st["count"]], pa.int64()),
+        "min_cents": pa.array([int(st["min"])], pa.int64()),
+        "max_cents": pa.array([int(st["max"])], pa.int64()),
+        "sum_cents": pa.array([int(st["sum"])], pa.int64()),
+        "avg_u": pa.array(
+            [int(math.floor(st["avg"] * 1e6 + 0.5))], pa.int64()
+        ),
+        # first bucket key attaining each extremum (keys are in bucket
+        # order; ES returns the full tie list — the twin checks the min)
+        "max_key_us": pa.array([int(mx["keys"][0])], pa.int64()),
+        "min_key_us": pa.array([int(mn["keys"][0])], pa.int64()),
+    })
+
+
+def _q_auto_date_histogram(sf_dir: str):
+    """ES ``auto_date_histogram``: the rounding rung is chosen from the
+    ES ladder by the data's span (span-based like ES's widening
+    collector); two targets exercise two rungs over the 30-day events
+    stream.  Fixed rungs floor on the UTC epoch (documented deviation:
+    ES's 7d rung is calendar-anchored); the SQL twin replicates the
+    ladder choice with the identical arithmetic."""
+    from elasticsearch_ray.ops.events import auto_date_histogram
+
+    parts = []
+    for target in (300, 12):
+        t = pa.Table.from_pandas(
+            auto_date_histogram(_events_ds(sf_dir), target_buckets=target)
+            .sort("bucket_us").to_pandas()
+        )
+        parts.append(t.append_column(
+            "target", pa.array([target] * t.num_rows, pa.int64())
+        ))
+    return pa.concat_tables(parts)
+
+
 def _q_composite_pages(sf_dir: str):
     """ES composite aggregation: page through ALL (source, lang) buckets
     in strict key order with after-key pagination (size 7 per page) —
@@ -3358,6 +3554,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_metrics": _q_top_metrics,
         "span_near": _q_span_near,
         "rank_feature": _q_rank_feature,
+        "terms_set": _q_terms_set,
+        "match_bool_prefix": _q_match_bool_prefix,
+        "pinned_query": _q_pinned_query,
+        "sampler_agg": _q_sampler_agg,
+        "percentile_ranks": _q_percentile_ranks,
+        "normalize_buckets": _q_normalize_buckets,
+        "sibling_buckets": _q_sibling_buckets,
+        "auto_date_histogram": _q_auto_date_histogram,
     }
 
 
@@ -4147,6 +4351,255 @@ SELECT bucket_us, n, sum_cents,
        CAST(floor(CAST(sum_cents AS DOUBLE) / n * 1e6 + 0.5) AS BIGINT)
          AS avg_evt_u
 FROM w WHERE deriv_cents IS NOT NULL ORDER BY bucket_us"""
+
+
+_PLAIN_BM25_PRELUDE = """
+WITH tok AS ({tok}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok
+       GROUP BY doc_id, tok),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+"""
+
+
+def _plain_prelude() -> str:
+    return _PLAIN_BM25_PRELUDE.format(tok=_TOK)
+
+
+_BM25_EXPR = (
+    "ln((stats.n + 1.0) / (df.df + 1.0)) * (tf.tf * 2.2) "
+    "/ (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))"
+)
+
+
+def _terms_set_sql() -> str:
+    vals = ", ".join(f"('{t}')" for t in TERMS_SET_TERMS)
+    return f"""{_plain_prelude()},
+q(term) AS (VALUES {vals}),
+m AS (
+  SELECT tf.doc_id, count(DISTINCT tf.term) AS nmatch,
+         sum(CASE WHEN ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+             THEN {_BM25_EXPR} ELSE 0 END) AS s
+  FROM q JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+kept AS (SELECT doc_id, s FROM m WHERE nmatch >= 1 + (doc_id % 3)),
+ranked AS (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id) AS rank,
+         count(*) OVER () AS total
+  FROM kept
+)
+SELECT CAST(rank AS INT) AS rank, doc_id,
+       CAST(floor(s * 1e6 + 0.5) AS BIGINT) AS score_u,
+       total::BIGINT AS total
+FROM ranked WHERE rank <= 20 ORDER BY rank"""
+
+
+def _match_bool_prefix_sql() -> str:
+    return f"""{_plain_prelude()},
+b AS (
+  SELECT tf.doc_id, {_BM25_EXPR} AS s
+  FROM tf JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE tf.term = 'filter'
+    AND ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+),
+p AS (SELECT DISTINCT doc_id FROM tok WHERE tok LIKE 'sc%'),
+u AS (
+  SELECT coalesce(b.doc_id, p.doc_id) AS doc_id,
+         coalesce(b.s, 0)
+         + CASE WHEN p.doc_id IS NULL THEN 0 ELSE 1.0 END AS s
+  FROM b FULL OUTER JOIN p ON b.doc_id = p.doc_id
+),
+ranked AS (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s DESC, doc_id) AS rank,
+         count(*) OVER () AS total
+  FROM u
+)
+SELECT CAST(rank AS INT) AS rank, doc_id,
+       CAST(floor(s * 1e6 + 0.5) AS BIGINT) AS score_u,
+       total::BIGINT AS total
+FROM ranked WHERE rank <= 15 ORDER BY rank"""
+
+
+def _pinned_sql() -> str:
+    pin_vals = ", ".join(
+        f"({i + 1}, {d})" for i, d in enumerate(PINNED_IDS)
+    )
+    return f"""{_plain_prelude()},
+q(term) AS (VALUES ('join'), ('hash')),
+scored AS (
+  SELECT tf.doc_id, sum({_BM25_EXPR}) AS s
+  FROM q JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+  GROUP BY tf.doc_id
+),
+pins AS (
+  SELECT row_number() OVER (ORDER BY ord) AS prank, doc_id
+  FROM (VALUES {pin_vals}) p(ord, doc_id)
+  WHERE doc_id IN (SELECT doc_id FROM documents)
+),
+np AS (SELECT count(*) AS n FROM pins),
+organic AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY s DESC, doc_id) AS orank
+  FROM scored WHERE doc_id NOT IN (SELECT doc_id FROM pins)
+),
+tot AS (
+  SELECT (SELECT count(*) FROM scored)
+       + (SELECT count(*) FROM pins
+          WHERE doc_id NOT IN (SELECT doc_id FROM scored)) AS t
+),
+allrows AS (
+  SELECT prank AS rank, doc_id, 1 AS pinned FROM pins
+  UNION ALL
+  SELECT orank + (SELECT n FROM np), doc_id, 0 FROM organic
+)
+SELECT CAST(rank AS INT) AS rank, doc_id, pinned::BIGINT AS pinned,
+       (SELECT t FROM tot)::BIGINT AS total
+FROM allrows WHERE rank <= 10 ORDER BY rank"""
+
+
+def _sampler_sql() -> str:
+    return f"""{_plain_prelude()},
+q(term) AS (VALUES ('join'), ('hash')),
+scored AS (
+  SELECT tf.doc_id, sum({_BM25_EXPR}) AS s
+  FROM q JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT r.doc_id, r.s, d.source, d.lang,
+         row_number() OVER (ORDER BY r.s DESC, r.doc_id) AS rn,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY r.s DESC, r.doc_id) AS lr
+  FROM scored r JOIN documents d USING (doc_id)
+),
+samp AS (SELECT source FROM ranked WHERE rn <= 60),
+divq AS (
+  SELECT source FROM ranked WHERE lr <= 3
+  ORDER BY s DESC, doc_id LIMIT 30
+)
+SELECT 'sampler' AS variant, source AS key, count(*)::BIGINT AS doc_count,
+       (SELECT count(*) FROM samp)::BIGINT AS sample_count
+FROM samp GROUP BY source
+UNION ALL
+SELECT 'diversified', source, count(*)::BIGINT,
+       (SELECT count(*) FROM divq)::BIGINT
+FROM divq GROUP BY source"""
+
+
+def _percentile_ranks_sql() -> str:
+    parts = []
+    for q in PERCENTILE_QUERIES:
+        cols = ", ".join(
+            "CAST(floor(100.0 * sum(CASE WHEN n_chars <= "
+            f"{v} THEN 1 ELSE 0 END) / count(*) * 1e6 + 0.5) AS BIGINT) "
+            f"AS r{v}_u"
+            for v in PCT_RANK_VALUES
+        )
+        parts.append(
+            f"SELECT '{q}' AS query, count(*)::BIGINT AS n, {cols} "
+            f"FROM documents WHERE doc_id IN ({_AGG_HITS[q]})"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
+_EVENTS_BUCKETS_CTE = """
+b AS (
+  SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS bucket_us,
+         sum(CAST(floor(value*100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+  FROM events GROUP BY 1
+)
+"""
+
+
+def _normalize_buckets_sql() -> str:
+    return f"""
+WITH {_EVENTS_BUCKETS_CTE},
+st AS (
+  SELECT sum(sum_cents) AS total, min(sum_cents) AS lo,
+         max(sum_cents) AS hi, avg(sum_cents) AS mu,
+         sqrt(avg((sum_cents - mu2) * (sum_cents - mu2))) AS sd
+  FROM b, (SELECT avg(sum_cents) AS mu2 FROM b)
+)
+SELECT bucket_us, sum_cents,
+  CAST(floor(CAST(sum_cents AS DOUBLE) / total * 1e6 + 0.5) AS BIGINT)
+    AS pct_u,
+  CAST(floor(CAST(sum_cents - lo AS DOUBLE) / (hi - lo) * 1e6 + 0.5)
+       AS BIGINT) AS r01_u,
+  CAST(floor((sum_cents - mu) / sd * 1e6 + 0.5) AS BIGINT) AS z_u
+FROM b, st ORDER BY bucket_us"""
+
+
+def _sibling_buckets_sql() -> str:
+    return f"""
+WITH {_EVENTS_BUCKETS_CTE}
+SELECT count(*)::BIGINT AS n_buckets,
+       min(sum_cents)::BIGINT AS min_cents,
+       max(sum_cents)::BIGINT AS max_cents,
+       sum(sum_cents)::BIGINT AS sum_cents,
+       CAST(floor(avg(sum_cents) * 1e6 + 0.5) AS BIGINT) AS avg_u,
+       min(bucket_us) FILTER (
+         WHERE sum_cents = (SELECT max(sum_cents) FROM b)
+       )::BIGINT AS max_key_us,
+       min(bucket_us) FILTER (
+         WHERE sum_cents = (SELECT min(sum_cents) FROM b)
+       )::BIGINT AS min_key_us
+FROM b"""
+
+
+# the fixed rungs of the ES auto_date_histogram ladder (label, width_us);
+# calendar rungs are unreachable for the 30-day events stream and the
+# twin falls back to month via date_trunc if ever needed
+_AUTO_SQL_LADDER = [
+    ("1s", 1_000_000), ("5s", 5_000_000), ("10s", 10_000_000),
+    ("30s", 30_000_000), ("1m", 60_000_000), ("5m", 300_000_000),
+    ("10m", 600_000_000), ("30m", 1_800_000_000),
+    ("1h", 3_600_000_000), ("3h", 10_800_000_000),
+    ("12h", 43_200_000_000), ("1d", 86_400_000_000),
+    ("7d", 604_800_000_000),
+]
+
+
+def _auto_date_histogram_sql() -> str:
+    parts = []
+    for target in (300, 12):
+        w_case = " ".join(
+            f"WHEN hi // {w} - lo // {w} + 1 <= {target} THEN {w}"
+            for _, w in _AUTO_SQL_LADDER
+        )
+        l_case = " ".join(
+            f"WHEN hi // {w} - lo // {w} + 1 <= {target} THEN '{lab}'"
+            for lab, w in _AUTO_SQL_LADDER
+        )
+        parts.append(f"""
+SELECT {target}::BIGINT AS target, pick.label AS interval,
+       (epoch_us(ts) // pick.w) * pick.w AS bucket_us,
+       count(*)::BIGINT AS n,
+       sum(CAST(floor(value*100 + 0.5) AS BIGINT))::BIGINT AS sum_cents
+FROM events, (
+  SELECT CASE {w_case} END AS w, CASE {l_case} END AS label
+  FROM (SELECT min(epoch_us(ts))::BIGINT AS lo,
+               max(epoch_us(ts))::BIGINT AS hi FROM events)
+) pick
+GROUP BY 1, 2, 3""")
+        parts.append(" UNION ALL ")
+    return "".join(parts[:-1])
 
 
 def _composite_pages_sql() -> str:
@@ -5625,6 +6078,14 @@ GROUP BY d.doc_id
         "top_metrics": _top_metrics_sql(),
         "span_near": _span_near_sql(),
         "rank_feature": _rank_feature_sql(),
+        "terms_set": _terms_set_sql(),
+        "match_bool_prefix": _match_bool_prefix_sql(),
+        "pinned_query": _pinned_sql(),
+        "sampler_agg": _sampler_sql(),
+        "percentile_ranks": _percentile_ranks_sql(),
+        "normalize_buckets": _normalize_buckets_sql(),
+        "sibling_buckets": _sibling_buckets_sql(),
+        "auto_date_histogram": _auto_date_histogram_sql(),
         "cardinality_agg": _cardinality_sql(),
         "cardinality_approx": _cardinality_approx_sql(),
         "percentiles_approx": _percentiles_approx_sql(),

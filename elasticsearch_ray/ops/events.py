@@ -388,3 +388,124 @@ def date_histogram(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ES auto_date_histogram rounding ladder (second..12h..7d fixed, then
+# calendar month/quarter/year like ES's DateHistogramInterval ladder).
+# Fixed rungs bucket by UTC epoch floor; calendar rungs by date_trunc.
+_AUTO_LADDER: list[tuple[str, str | int]] = [
+    ("1s", 1_000_000), ("5s", 5_000_000), ("10s", 10_000_000),
+    ("30s", 30_000_000),
+    ("1m", 60_000_000), ("5m", 300_000_000), ("10m", 600_000_000),
+    ("30m", 1_800_000_000),
+    ("1h", 3_600_000_000), ("3h", 10_800_000_000),
+    ("12h", 43_200_000_000),
+    ("1d", 86_400_000_000), ("7d", 604_800_000_000),
+    ("1M", "month"), ("3M", "quarter"), ("1y", "year"),
+]
+
+
+def auto_date_histogram(
+    ds: ray.data.Dataset,
+    target_buckets: int = 10,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> ray.data.Dataset:
+    """ES ``auto_date_histogram``: pick the smallest rounding from the
+    ES interval ladder whose bucket span fits ``target_buckets``, then
+    bucket like ``date_histogram``.  Like ES, the choice is span-based
+    (ES widens the rounding whenever the key range would exceed the
+    target, so sparse interiors don't shrink the interval).
+
+    Deviation vs ES, documented: fixed rungs (1s..7d) floor on the UTC
+    epoch (ES 7d rounding is calendar-anchored); month/quarter/year are
+    calendar date_trunc like ES.  The SQL twin uses the identical
+    arithmetic, so results are exact for the twin.
+
+    Scale shape: pass 1 is a min/max aggregate over the timestamp column
+    only; pass 2 is the same map-side pre-aggregated groupby as
+    ``date_histogram`` — the shuffle never moves the event stream.  The
+    result carries the chosen rung in an ``interval`` column.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+    if target_buckets < 1:
+        raise ValueError("target_buckets must be >= 1")
+
+    def tsu(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"us": batch.column(ts_col).cast(pa.timestamp("us"))
+                .cast(pa.int64())}
+        )
+
+    mm = ds.map_batches(tsu, batch_format="pyarrow").aggregate(
+        Min("us"), Max("us")
+    )
+    lo, hi = mm["min(us)"], mm["max(us)"]
+    if lo is None:
+        return ray.data.from_arrow(pa.table({
+            "interval": pa.array([], pa.string()),
+            "bucket_us": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "sum_cents": pa.array([], pa.int64()),
+        }))
+
+    import datetime as _dt
+
+    def _cal_parts(us: int) -> tuple[int, int]:
+        d = _dt.datetime.fromtimestamp(us / 1e6, _dt.timezone.utc)
+        return d.year, d.month
+
+    label = _AUTO_LADDER[-1][0]
+    for lab, width in _AUTO_LADDER:
+        if isinstance(width, int):
+            span = hi // width - lo // width + 1
+        else:
+            (y0, m0), (y1, m1) = _cal_parts(lo), _cal_parts(hi)
+            months = (y1 - y0) * 12 + (m1 - m0)
+            per = {"month": 1, "quarter": 3, "year": 12}[width]
+            span = (
+                ((y1 * 12 + m1 - 1) // per) - ((y0 * 12 + m0 - 1) // per) + 1
+            )
+        if span <= target_buckets:
+            label = lab
+            break
+    width = dict(_AUTO_LADDER)[label]
+    from ray.data.aggregate import Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.timestamp("us"))
+        if isinstance(width, int):
+            us = ts.cast(pa.int64())
+            bucket = pc.multiply(pc.divide(us, width), width)
+        else:
+            bucket = pc.floor_temporal(ts, unit=width).cast(pa.int64())
+        cents = np.floor(
+            np.asarray(batch.column(value_col).to_numpy(), np.float64) * 100
+            + 0.5
+        ).astype(np.int64)
+        part = pa.table({"bucket_us": bucket, "cents": pa.array(cents)})
+        g = part.group_by("bucket_us").aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return pa.table({
+            "bucket_us": g.column("bucket_us"),
+            "cents_part": g.column("cents_sum"),
+            "n_part": g.column("cents_count").cast(pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket_us")
+        .aggregate(Sum("n_part"), Sum("cents_part"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "interval": pa.array([label] * batch.num_rows, pa.string()),
+            "bucket_us": batch.column("bucket_us"),
+            "n": batch.column("sum(n_part)"),
+            "sum_cents": batch.column("sum(cents_part)"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -166,3 +166,59 @@ def bucket_selector(buckets: pa.Table, paths: dict[str, str], fn) -> pa.Table:
     if mask.shape != (buckets.num_rows,):
         raise ValueError("bucket_selector must return one bool per bucket")
     return buckets.filter(pa.array(mask))
+
+
+def extremum_bucket(buckets: pa.Table, buckets_path: str,
+                    key_col: str, kind: str = "max") -> dict:
+    """ES ``max_bucket`` / ``min_bucket``: the extremum of the metric
+    across the parent's buckets PLUS the list of bucket keys attaining
+    it (ES returns ``keys`` as a list — several buckets can tie)."""
+    if kind not in ("max", "min"):
+        raise ValueError("kind must be 'max' or 'min'")
+    m = _metric(buckets, buckets_path).astype(np.float64)
+    if not len(m):
+        return {"value": None, "keys": []}
+    v = float(m.max() if kind == "max" else m.min())
+    keys = buckets.column(key_col).to_numpy(zero_copy_only=False)[m == v]
+    return {"value": v, "keys": [k.item() if hasattr(k, "item") else k
+                                 for k in keys]}
+
+
+def normalize(buckets: pa.Table, buckets_path: str, method: str,
+              out_col: str | None = None) -> pa.Table:
+    """ES ``normalize`` pipeline aggregation: rescale the metric across
+    the parent's buckets.  Methods (ES names): ``percent_of_sum``,
+    ``rescale_0_1``, ``rescale_0_100``, ``mean`` (x - avg), ``z-score``
+    ((x - avg) / stddev, population stddev like ES), ``softmax``.
+    Degenerate spans (max == min, stddev == 0, sum == 0) yield null for
+    every bucket, matching ES skipping the value."""
+    m = _metric(buckets, buckets_path).astype(np.float64)
+    n = len(m)
+    out = np.full(n, np.nan)
+    if n:
+        if method == "percent_of_sum":
+            s = m.sum()
+            if s != 0.0:
+                out = m / s
+        elif method in ("rescale_0_1", "rescale_0_100"):
+            lo, hi = m.min(), m.max()
+            if hi != lo:
+                out = (m - lo) / (hi - lo)
+                if method == "rescale_0_100":
+                    out = out * 100.0
+        elif method == "mean":
+            out = m - m.mean()
+        elif method == "z-score":
+            sd = m.std()  # population, like ES
+            if sd != 0.0:
+                out = (m - m.mean()) / sd
+        elif method == "softmax":
+            e = np.exp(m - m.max())  # stable; ES uses plain exp(x)/sum
+            out = e / e.sum()
+        else:
+            raise ValueError(f"unknown normalize method {method!r}")
+    return buckets.append_column(
+        out_col or f"{buckets_path}_{method}",
+        pa.array([None if np.isnan(v) else float(v) for v in out],
+                 pa.float64()),
+    )

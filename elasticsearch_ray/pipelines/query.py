@@ -1411,6 +1411,81 @@ class Searcher:
         ids, scores = sc._topk_by_score(ids, scores, k)
         return ids, scores, total
 
+    def search_terms_set(self, terms: list[str], idfs: dict[str, float],
+                         k: int, scoring: str, k1: float, b: float,
+                         avgdl: float, msm_field: str, msm_spec: tuple):
+        """ES ``terms_set`` over this searcher's segments: BM25-scored
+        union of the terms, kept only where the doc's DISTINCT-term
+        match count reaches the doc's own required number — read from
+        the ``msm_field`` doc-value column via ``msm_spec`` (see
+        ``_terms_set_required``).  Docs missing the field never match
+        (Lucene CoveringQuery skips docs with no minimum value)."""
+        per_reader_vals = self._facet_numeric(msm_field)
+        nterms = len(dict.fromkeys(terms))
+        sentinel = np.iinfo(np.int64).min
+        all_ids: list[np.ndarray] = []
+        all_scores: list[np.ndarray] = []
+        total = 0
+        for ri, r in enumerate(self.readers):
+            slots, scores, nmatch = sc.terms_set_candidates(
+                r, terms, idfs, scoring, k1, b, avgdl
+            )
+            if slots.size:
+                vals = per_reader_vals[ri][slots]
+                required = _terms_set_required(vals, msm_spec, nterms)
+                keep = (vals != sentinel) & (nmatch >= required)
+                slots, scores = slots[keep], scores[keep]
+            total += int(slots.size)
+            all_ids.append(slots + r.doc_id_base)
+            all_scores.append(scores)
+        ids = (np.concatenate(all_ids) if all_ids
+               else np.empty(0, dtype=np.int64))
+        scores = (np.concatenate(all_scores) if all_scores
+                  else np.empty(0, dtype=np.float64))
+        ids, scores = sc._topk_by_score(ids, scores, k)
+        return ids, scores, total
+
+    def search_match_bool_prefix(self, terms: list[str],
+                                 idfs: dict[str, float], prefix: str,
+                                 k: int, scoring: str, k1: float, b: float,
+                                 avgdl: float,
+                                 max_expansions: int | None = None):
+        """ES ``match_bool_prefix`` over this searcher's segments: the
+        full terms score BM25 (TAAT sum) and the trailing prefix clause
+        contributes a CONSTANT 1.0 to any doc containing a dictionary
+        term with that prefix (Lucene's constant-score multi-term
+        rewrite inside a bool should) — the union is the hit set."""
+        all_ids: list[np.ndarray] = []
+        all_scores: list[np.ndarray] = []
+        total = 0
+        for r in self.readers:
+            slots, scores = sc.taat_candidates(
+                r, terms, idfs, scoring, k1, b, avgdl
+            ) if terms else (np.empty(0, np.int64), np.empty(0, np.float64))
+            rows = r.term_rows_matching(prefix + "*", max_expansions)
+            if rows:
+                arrs = [r.postings_slots_by_row(rw)[0] for rw in rows]
+                ps = (np.unique(np.concatenate(arrs)) if len(arrs) > 1
+                      else arrs[0])
+                ps = ps[r.doc_lens[ps] > 0]
+            else:
+                ps = np.empty(0, dtype=np.int64)
+            u = np.union1d(slots, ps)
+            s = np.zeros(u.size, dtype=np.float64)
+            if slots.size:
+                s[np.searchsorted(u, slots)] += scores
+            if ps.size:
+                s[np.searchsorted(u, ps)] += 1.0
+            total += int(u.size)
+            all_ids.append(u + r.doc_id_base)
+            all_scores.append(s)
+        ids = (np.concatenate(all_ids) if all_ids
+               else np.empty(0, dtype=np.int64))
+        scores = (np.concatenate(all_scores) if all_scores
+                  else np.empty(0, dtype=np.float64))
+        ids, scores = sc._topk_by_score(ids, scores, k)
+        return ids, scores, total
+
     def search_phrase(self, phrases: list[list[str]], residual: list[str], k: int,
                       slops: list[int] | None = None):
         out: list[np.ndarray] = []
@@ -1601,6 +1676,25 @@ class MultiIndexEngine:
                 for negs, _, d, name in cands[:size]
             ],
         }
+
+
+def _terms_set_required(vals: np.ndarray, spec: tuple,
+                        num_terms: int) -> np.ndarray:
+    """Vectorized ES ``terms_set`` minimum-match source: ``('field',)``
+    reads the doc-value raw (``minimum_should_match_field``);
+    ``('min_terms',)`` is the ES-documented Painless idiom
+    ``Math.min(params.num_terms, doc[field].value)``; ``('mod_plus1',
+    k)`` is ``1 + doc[field].value % k`` (a deterministic per-doc
+    requirement for tests/twins).  Arbitrary Painless is out of scope —
+    these cover the documented deployment patterns with one vectorized
+    expression each."""
+    if spec[0] == "field":
+        return vals
+    if spec[0] == "min_terms":
+        return np.minimum(vals, num_terms)
+    if spec[0] == "mod_plus1":
+        return 1 + (vals % int(spec[1]))
+    raise ValueError(f"unknown terms_set msm spec {spec!r}")
 
 
 def _compile_filter(filter: dict | None) -> tuple | None:
@@ -2309,6 +2403,172 @@ class QueryEngine:
             "total_hits": total,
             "results": [{"doc_id": int(d), "score": 1.0}
                         for d in ids[from_:fetch]],
+        }
+
+    def search_terms_set(self, terms: list[str], msm_field: str,
+                         msm_script: tuple = ("field",),
+                         size: int = 10) -> dict:
+        """ES ``terms_set`` query: match docs containing at least N of
+        the given terms, where N comes PER DOC from a numeric doc-value
+        field (``minimum_should_match_field``) or one of the documented
+        script idioms (``msm_script``, see ``_terms_set_required``).
+        Matching docs score as the BM25 sum of their matching terms
+        (Lucene CoveringQuery sums the matching clause scores), ties
+        broken (-score, doc_id).  Terms are analyzed individually and
+        must each survive as one indexed term."""
+        analyzed: list[str] = []
+        for t in terms:
+            toks = self.normalizer.preprocess_query_list(t)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"terms_set term {t!r} must analyze to exactly one "
+                    f"term (got {toks!r})"
+                )
+            analyzed.append(toks[0])
+        if not analyzed or self.doc_count == 0:
+            return {"query": " ".join(terms), "total_hits": 0,
+                    "results": []}
+        idfs = self._idfs(analyzed)
+        route = self._route_disjunctive(analyzed)
+        if route == "empty":
+            return {"query": " ".join(terms), "total_hits": 0,
+                    "results": []}
+        if route == "local":
+            parts = [self._local_allsegs().search_terms_set(
+                analyzed, idfs, size, self.scoring, self.k1, self.b,
+                self.avgdl, msm_field, msm_script,
+            )]
+        else:
+            parts = self._fanout(
+                "search_terms_set", analyzed, idfs, size, self.scoring,
+                self.k1, self.b, self.avgdl, msm_field, msm_script,
+            )
+        ids = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        total = int(sum(p[2] for p in parts))
+        order = np.lexsort((ids, -scores))[:size]
+        return {
+            "query": " ".join(terms),
+            "total_hits": total,
+            "results": [{"doc_id": int(ids[i]), "score": float(scores[i])}
+                        for i in order],
+        }
+
+    def search_match_bool_prefix(self, query_text: str, size: int = 10,
+                                 max_expansions: int | None = None) -> dict:
+        """ES ``match_bool_prefix``: the analyzed query's last token is a
+        prefix clause, the rest are full term clauses, all OR'd in a bool
+        should.  Full terms score BM25; the prefix clause adds a constant
+        1.0 to docs containing any dictionary term with the prefix
+        (Lucene constant-score rewrite).  The prefix is the ANALYZED last
+        token — a stem under the 'reference' analyzer, matching the
+        stored dictionary like ES matching its index terms."""
+        analyzed = self.normalizer.preprocess_query_list(query_text)
+        if not analyzed or self.doc_count == 0:
+            return {"query": query_text, "total_hits": 0, "results": []}
+        terms, prefix = analyzed[:-1], analyzed[-1]
+        idfs = self._idfs(terms) if terms else {}
+        parts = self._fanout(
+            "search_match_bool_prefix", terms, idfs, prefix, size,
+            self.scoring, self.k1, self.b, self.avgdl, max_expansions,
+        )
+        ids = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        total = int(sum(p[2] for p in parts))
+        order = np.lexsort((ids, -scores))[:size]
+        return {
+            "query": query_text,
+            "total_hits": total,
+            "results": [{"doc_id": int(ids[i]), "score": float(scores[i])}
+                        for i in order],
+        }
+
+    def search_pinned(self, pinned_ids: list[int], query_text: str,
+                      size: int = 10) -> dict:
+        """ES ``pinned`` query: the given doc ids rank first IN THE GIVEN
+        ORDER (alive ones only), then the organic query's results with
+        any pinned ids removed, until ``size``.  Pinned docs get the ES
+        sentinel score 1.7014124e38 descending by position (ES pins via
+        decreasing float boosts just below FLT_MAX); organic hits keep
+        their BM25 scores.  total_hits counts the organic hit set plus
+        pinned docs outside it, like ES counting the dis_max union."""
+        organic = self.search(query_text, size=size + len(pinned_ids))
+        want = list(dict.fromkeys(int(i) for i in pinned_ids))
+        present = set(self.lookup_docvalues(want, []))  # one bounded read
+        pin_alive = [d for d in want
+                     if d in present and d not in self.tombstones]
+        pinned_set = set(pin_alive)
+        base = 1.7014124e38
+        results = [
+            {"doc_id": d, "score": base - 1e30 * i}
+            for i, d in enumerate(pin_alive)
+        ]
+        results += [r for r in organic["results"]
+                    if r["doc_id"] not in pinned_set]
+        # exact union count: organic total + pinned docs the query does
+        # NOT match (membership via one bounded _explain probe per pin —
+        # pinned lists are tiny by construction)
+        extra = sum(
+            1 for d in pin_alive
+            if not self.explain(query_text, d)["matched"]
+        )
+        total = organic["total_hits"] + extra
+        return {"query": query_text, "total_hits": total,
+                "results": results[:size]}
+
+    def search_sampler(self, query_text: str, shard_size: int,
+                       agg_field: str, diversify_field: str | None = None,
+                       max_docs_per_value: int = 1) -> dict:
+        """ES ``sampler`` / ``diversified_sampler`` aggregation: a terms
+        sub-aggregation over only the top ``shard_size`` best-scoring
+        hits.  Single-shard ES semantics (the sample is the GLOBAL
+        top-N in deterministic (-score, doc_id) order — per-shard
+        sampling would make results depend on shard count, which the
+        deterministic twin forbids).  ``diversify_field`` keeps at most
+        ``max_docs_per_value`` docs per distinct value of that field,
+        walking the ranked order and skipping over-quota docs exactly
+        like DiversifiedTopDocsCollector; the walk pages with
+        ``search_after`` so no more than one page beyond the quota fill
+        is ever fetched.  Buckets: (-count, key) order."""
+        if shard_size < 1:
+            raise ValueError("shard_size must be >= 1")
+        sample: list[int] = []
+        if diversify_field is None:
+            hits = self.search(query_text, size=shard_size)
+            sample = [r["doc_id"] for r in hits["results"]]
+        else:
+            per_value: dict = {}
+            after = None
+            page = max(shard_size, 100)
+            while len(sample) < shard_size:
+                res = self.search(query_text, size=page,
+                                  search_after=after)
+                rows = res["results"]
+                if not rows:
+                    break
+                ids = [r["doc_id"] for r in rows]
+                dvs = self.lookup_docvalues(ids, [diversify_field])
+                for r in rows:
+                    key = dvs.get(r["doc_id"], {}).get(diversify_field)
+                    if per_value.get(key, 0) >= max_docs_per_value:
+                        continue
+                    per_value[key] = per_value.get(key, 0) + 1
+                    sample.append(r["doc_id"])
+                    if len(sample) >= shard_size:
+                        break
+                after = (rows[-1]["score"], rows[-1]["doc_id"])
+        if not sample:
+            return {"query": query_text, "sample_count": 0, "buckets": []}
+        dv = self.lookup_docvalues(sample, [agg_field])
+        counts: dict = {}
+        for d in sample:
+            v = dv[d][agg_field]
+            counts[v] = counts.get(v, 0) + 1
+        buckets = sorted(counts.items(), key=lambda kv: (-kv[1], str(kv[0])))
+        return {
+            "query": query_text,
+            "sample_count": len(sample),
+            "buckets": [{"key": k, "doc_count": n} for k, n in buckets],
         }
 
     def search_facets(self, query_text: str, field: str,
@@ -3038,6 +3298,29 @@ class QueryEngine:
                 continue
             rank = max(1, math.ceil(p / 100.0 * n))
             out[f"p{p:g}"] = int(vals[np.searchsorted(cum, rank)])
+        return {"query": query_text, "field": field, "count": n,
+                "values": out}
+
+    def search_percentile_ranks(self, query_text: str, field: str,
+                                values: tuple = ()) -> dict:
+        """ES ``percentile_ranks`` aggregation (the inverse of
+        percentiles): for each given value, the percent of field values
+        <= it over the hit set.  EXACT (``100 * count(x <= v) / n``,
+        the empirical CDF) rather than ES's t-digest interpolation —
+        same exactness trade as ``search_percentiles``, and identical
+        to the SQL twin ``100.0 * sum(x <= v) / count(*)``."""
+        merged = self._merged_value_counts(query_text, field)
+        vals = np.array(sorted(merged), dtype=np.int64)
+        cum = np.cumsum([merged[int(v)] for v in vals], dtype=np.int64)
+        n = int(cum[-1]) if vals.size else 0
+        out: dict[str, float | None] = {}
+        for v in values:
+            if n == 0:
+                out[f"{v:g}"] = None
+                continue
+            idx = np.searchsorted(vals, v, side="right")
+            le = int(cum[idx - 1]) if idx > 0 else 0
+            out[f"{v:g}"] = 100.0 * le / n
         return {"query": query_text, "field": field, "count": n,
                 "values": out}
 

@@ -169,6 +169,51 @@ def synonym_candidates(
     return cand, acc[cand]
 
 
+def terms_set_candidates(
+    reader: SegmentReader,
+    terms: list[str],
+    idfs: dict[str, float],
+    scoring: str,
+    k1: float,
+    b: float,
+    avgdl: float,
+):
+    """ES ``terms_set`` support over one segment: TAAT accumulation plus
+    a per-doc DISTINCT-term match count.  Unlike ``taat_candidates``'s
+    minimum_should_match (a fixed query-level threshold), terms_set
+    compares the count against a PER-DOC required number, which only the
+    caller (holding the doc-value column) can apply — so this returns
+    (slots, scores, nmatch) and the caller filters.
+
+    Counting rule matches the ES terms_set contract: duplicate terms in
+    the query count once; terms absent from the whole index still count
+    toward ``num_terms`` on the query side but can never match.  Unlike
+    the msm path, zero-idf (df == N) terms DO count as matches here —
+    ES's terms_set counts term OCCURRENCE, not scoring contribution —
+    but contribute 0 to the BM25 sum (idf 0), keeping scores consistent
+    with the ranked oracle."""
+    acc = np.zeros(reader.num_docs, dtype=np.float64)
+    nmatch = np.zeros(reader.num_docs, dtype=np.int32)
+    touched: list[np.ndarray] = []
+    for term in dict.fromkeys(terms):
+        res = reader.postings_slots(term)
+        if res is None:
+            continue
+        slots, tfs = res
+        idf = idfs.get(term, 0.0)
+        if idf != 0.0:
+            dls = reader.doc_lens[slots]
+            acc[slots] += term_scores(tfs, dls, idf, scoring, k1, b, avgdl)
+        nmatch[slots] += 1
+        touched.append(slots)
+    if not touched:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64),
+                np.empty(0, dtype=np.int32))
+    cand = np.unique(np.concatenate(touched))
+    cand = cand[reader.doc_lens[cand] > 0]  # drop tombstoned (-1) docs
+    return cand, acc[cand], nmatch[cand]
+
+
 def taat_topk(
     reader: SegmentReader,
     terms: list[str],
