@@ -3243,6 +3243,20 @@ def _q_pipeline_aggs(sf_dir: str):
     )
 
 
+def _q_dup_ngram_spans(sf_dir: str):
+    """Span-level dedup signal (Lee et al. 2022, fixed-gram ExactSubstr):
+    per doc, the token positions covered by 8-grams that occur in >= 2
+    distinct docs — two hash-partition exchanges with segmented kernels
+    (`ops/dedup.py::dup_ngram_spans`)."""
+    from elasticsearch_ray.ops.dedup import dup_ngram_spans
+
+    t = pa.Table.from_pandas(
+        dup_ngram_spans(_docs_ds(sf_dir), n=8).to_pandas(),
+        preserve_index=False,
+    )
+    return t.sort_by("doc_id")
+
+
 def _q_normalize_buckets(sf_dir: str):
     """ES ``normalize`` pipeline aggregation over the daily
     date_histogram: percent_of_sum, rescale_0_1, and z-score of
@@ -3562,6 +3576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_buckets": _q_normalize_buckets,
         "sibling_buckets": _q_sibling_buckets,
         "auto_date_histogram": _q_auto_date_histogram,
+        "dup_ngram_spans": _q_dup_ngram_spans,
     }
 
 
@@ -4526,6 +4541,35 @@ b AS (
   FROM events GROUP BY 1
 )
 """
+
+
+def _dup_ngram_spans_sql() -> str:
+    leads = " || '|' || ".join(
+        f"lead(tok, {i}) OVER w" for i in range(1, 8)
+    )
+    return f"""
+WITH tp AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+g AS (
+  SELECT doc_id, pos, tok || '|' || {leads} AS gram
+  FROM tp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+g2 AS (SELECT doc_id, pos, gram FROM g WHERE gram IS NOT NULL),
+dup AS (
+  SELECT gram FROM g2 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+starts AS (
+  SELECT doc_id, pos FROM g2 WHERE gram IN (SELECT gram FROM dup)
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos + d AS cpos
+  FROM starts, (SELECT unnest(generate_series(0, 7)) AS d) r
+)
+SELECT doc_id, count(*)::BIGINT AS dup_tokens
+FROM cov GROUP BY doc_id ORDER BY doc_id"""
 
 
 def _normalize_buckets_sql() -> str:
@@ -6086,6 +6130,7 @@ GROUP BY d.doc_id
         "normalize_buckets": _normalize_buckets_sql(),
         "sibling_buckets": _sibling_buckets_sql(),
         "auto_date_histogram": _auto_date_histogram_sql(),
+        "dup_ngram_spans": _dup_ngram_spans_sql(),
         "cardinality_agg": _cardinality_sql(),
         "cardinality_approx": _cardinality_approx_sql(),
         "percentiles_approx": _percentiles_approx_sql(),

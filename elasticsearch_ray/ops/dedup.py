@@ -1161,3 +1161,127 @@ def dup_clusters(
     return labels.map_batches(
         _ren({"node": id_col, "label": "cluster"}), batch_format="pyarrow"
     )
+
+
+def _gram_hashes64(tokens: list[str], n: int) -> np.ndarray:
+    """64-bit hash per n-token window (one memoized blake2b per distinct
+    token + an FNV fold, like ``_shingle_hashes`` but full-width — gram
+    identity must be collision-free enough to stand in for the gram
+    STRING).  Docs shorter than ``n`` emit NO grams (no whole-doc
+    fallback: span detection has no use for a sub-n gram and the SQL
+    twin's lead()-window NULLs drop them too)."""
+    ids = _token_ids(tokens)
+    if ids.size < n:
+        return np.empty(0, dtype=np.int64)
+    m = ids.size - n + 1
+    acc = np.full(m, _FNV_BASIS, dtype=np.uint64)
+    for j in range(n):
+        acc = (acc * _FNV_PRIME) ^ ids[j : j + m]
+    return acc.view(np.int64)
+
+
+def dup_ngram_spans(
+    ds: ray.data.Dataset,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Duplicate n-gram span detection (the span-level dedup signal of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", 2022 — their ExactSubstr at fixed gram length): an n-token
+    window is DUPLICATED when it occurs in >= 2 distinct docs; a doc's
+    ``dup_tokens`` is the number of its token positions covered by the
+    union of its duplicated windows.  Emits (doc_id, dup_tokens) for
+    docs with any covered span.
+
+    Scale shape: two coarse hash-partition exchanges of the token
+    stream — (1) by gram hash: a segmented kernel keeps grams whose run
+    spans >= 2 distinct docs (never a Python loop per gram), (2) by
+    doc: a segmented interval-union kernel turns surviving window
+    starts into covered-token counts.  This op's exchange volume is
+    O(corpus tokens) by nature (the published algorithm sorts the full
+    suffix stream; fixed-length grams already cut that to one row per
+    position); partials shrink nothing because every position matters.
+    Gram identity is a 64-bit hash (Lee et al. hash too); collisions
+    over-mark ~N^2/2^64 spans, negligible below ~1e9 distinct grams."""
+    from .partition import hash_partition_apply
+
+    if n < 2:
+        raise ValueError("n must be >= 2")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        texts = batch.column(text_col).to_pylist()
+        parts = [_gram_hashes64((t or "").split(), n) for t in texts]
+        counts = np.fromiter((p.size for p in parts), np.int64, len(parts))
+        pos = (np.concatenate([np.arange(c, dtype=np.int64) for c in counts])
+               if len(counts) else np.empty(0, dtype=np.int64))
+        return pa.table({
+            "gram": pa.array(
+                np.concatenate(parts) if parts
+                else np.empty(0, dtype=np.int64), pa.int64()),
+            id_col: pa.array(np.repeat(ids, counts), pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+        })
+
+    def dup_starts(tbl: pa.Table) -> pa.Table:
+        """Keep (doc, pos) rows of grams appearing in >= 2 distinct docs
+        within this gram-partition (partitioning is BY GRAM, so a gram's
+        whole corpus run is local)."""
+        gram = tbl.column("gram").to_numpy()
+        doc = tbl.column(id_col).to_numpy()
+        pos = tbl.column("pos").to_numpy()
+        order = np.lexsort((doc, gram))
+        gram, doc, pos = gram[order], doc[order], pos[order]
+        m = gram.size
+        if not m:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        new_gram = np.empty(m, dtype=bool)
+        new_gram[0] = True
+        new_gram[1:] = gram[1:] != gram[:-1]
+        new_pair = new_gram.copy()
+        new_pair[1:] |= doc[1:] != doc[:-1]
+        # distinct docs per gram run = count of pair-starts in the run
+        run_id = np.cumsum(new_gram) - 1
+        ndocs = np.bincount(run_id[new_pair])
+        keep = ndocs[run_id] >= 2
+        return pa.table({id_col: pa.array(doc[keep], pa.int64()),
+                         "pos": pa.array(pos[keep], pa.int64())})
+
+    def coverage(tbl: pa.Table) -> pa.Table:
+        """Union-of-intervals [pos, pos+n-1] per doc: covered tokens =
+        sum over sorted starts of min(next_start - start, n), last
+        start of each doc contributing n."""
+        doc = tbl.column(id_col).to_numpy()
+        pos = tbl.column("pos").to_numpy()
+        order = np.lexsort((pos, doc))
+        doc, pos = doc[order], pos[order]
+        m = doc.size
+        if not m:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dup_tokens": pa.array([], pa.int64())})
+        last = np.empty(m, dtype=bool)  # last start of its doc
+        last[:-1] = doc[1:] != doc[:-1]
+        last[-1] = True
+        gaps = np.empty(m, dtype=np.int64)
+        gaps[:-1] = np.minimum(pos[1:] - pos[:-1], n)
+        gaps[last] = n
+        new_doc = np.empty(m, dtype=bool)
+        new_doc[0] = True
+        new_doc[1:] = last[:-1]
+        run_id = np.cumsum(new_doc) - 1
+        covered = np.bincount(run_id, weights=gaps).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(doc[new_doc], pa.int64()),
+            "dup_tokens": pa.array(covered, pa.int64()),
+        })
+
+    starts = hash_partition_apply(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["gram"], dup_starts, num_partitions=num_partitions,
+    )
+    return hash_partition_apply(
+        starts, [id_col], coverage, num_partitions=num_partitions,
+    )

@@ -284,3 +284,51 @@ def test_auto_date_histogram_rungs(tmp_path):
     assert empty.count() == 0
     assert sorted(empty.schema().names) == ["bucket_us", "interval", "n",
                                             "sum_cents"]
+
+
+def test_dup_ngram_spans_vs_brute():
+    """Randomized corpus with planted shared passages: engine counts ==
+    brute python union-of-intervals over string grams."""
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.dedup import dup_ngram_spans
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    shared = [rng.choice(vocab) for _ in range(12)]  # planted passage
+    docs = []
+    for i in range(60):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        if i % 4 == 0:  # a quarter of docs embed the shared passage
+            at = rng.randint(0, len(toks))
+            toks = toks[:at] + shared + toks[at:]
+        docs.append(" ".join(toks))
+    n = 5
+    # brute: string grams, >= 2 distinct docs, union of [p, p+n-1]
+    grams = {}
+    for d, text in enumerate(docs):
+        toks = text.split()
+        for p in range(len(toks) - n + 1):
+            grams.setdefault(tuple(toks[p:p + n]), set()).add(d)
+    dup = {g for g, ds_ in grams.items() if len(ds_) >= 2}
+    want = {}
+    for d, text in enumerate(docs):
+        toks = text.split()
+        covered = set()
+        for p in range(len(toks) - n + 1):
+            if tuple(toks[p:p + n]) in dup:
+                covered.update(range(p, p + n))
+        if covered:
+            want[d] = len(covered)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }))
+    got = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in dup_ngram_spans(ds, n=n, num_partitions=8).take_all()
+    }
+    assert got == want
+    assert want  # the planted passage must actually produce spans
+    with pytest.raises(ValueError):
+        dup_ngram_spans(ds, n=1)
