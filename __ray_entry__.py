@@ -3243,6 +3243,65 @@ def _q_pipeline_aggs(sf_dir: str):
     )
 
 
+def _q_scripted_metric(sf_dir: str):
+    """ES scripted_metric: population variance of n_chars via
+    vectorized per-batch map states (n, sum, sumsq) folded on the
+    driver — the ES init/map/combine/reduce contract over Ray batches.
+    Partial sums stay exact python ints; the final float expression
+    mirrors the SQL twin operation-for-operation."""
+    from elasticsearch_ray.ops.scripted_metric import scripted_metric
+
+    def map_script(batch: pa.Table) -> dict:
+        import pyarrow.compute as pc
+
+        col = batch.column("n_chars")
+        return {
+            "n": batch.num_rows,
+            "sum": int(pc.sum(col).as_py() or 0),
+            "sumsq": int(
+                pc.sum(pc.multiply(col, col)).as_py() or 0
+            ),
+        }
+
+    def combine(a: dict, b: dict) -> dict:
+        return {k: a[k] + b[k] for k in ("n", "sum", "sumsq")}
+
+    def reduce(st: dict) -> pa.Table:
+        n = st.get("n", 0)
+        var = (
+            (float(st["sumsq"])
+             - float(st["sum"]) * float(st["sum"]) / float(n)) / float(n)
+            if n else None
+        )
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "sum_chars": pa.array([st.get("sum", 0)], pa.int64()),
+            "var_u": pa.array(
+                [None if var is None
+                 else int(math.floor(var * 1e6 + 0.5))],
+                pa.int64(),
+            ),
+        })
+
+    return scripted_metric(
+        _docs_ds(sf_dir).select_columns(["n_chars"]),
+        map_script, combine, reduce,
+    )
+
+
+def _q_cumulative_cardinality(sf_dir: str):
+    """ES cumulative_cardinality over the daily date_histogram: per day,
+    the exact distinct user_id count seen so far (first-bucket-per-key
+    plan — one groupby(user).min(bucket) exchange, never per-bucket key
+    sets)."""
+    from elasticsearch_ray.ops.events import cumulative_cardinality
+
+    return pa.Table.from_pandas(
+        cumulative_cardinality(_events_ds(sf_dir), "day")
+        .to_pandas(), preserve_index=False,
+    ).sort_by("bucket_us")
+
+
 def _q_dup_ngram_spans(sf_dir: str):
     """Span-level dedup signal (Lee et al. 2022, fixed-gram ExactSubstr):
     per doc, the token positions covered by 8-grams that occur in >= 2
@@ -3577,6 +3636,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sibling_buckets": _q_sibling_buckets,
         "auto_date_histogram": _q_auto_date_histogram,
         "dup_ngram_spans": _q_dup_ngram_spans,
+        "scripted_metric": _q_scripted_metric,
+        "cumulative_cardinality": _q_cumulative_cardinality,
     }
 
 
@@ -4541,6 +4602,34 @@ b AS (
   FROM events GROUP BY 1
 )
 """
+
+
+def _scripted_metric_sql() -> str:
+    return """
+SELECT count(*)::BIGINT AS n,
+       sum(n_chars)::BIGINT AS sum_chars,
+       CAST(floor(
+         (CAST(sum(n_chars * n_chars) AS DOUBLE)
+          - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE)
+         * 1e6 + 0.5) AS BIGINT) AS var_u
+FROM documents"""
+
+
+def _cumulative_cardinality_sql() -> str:
+    return """
+WITH e AS (
+  SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS b, user_id
+  FROM events
+),
+fb AS (SELECT user_id, min(b) AS b FROM e GROUP BY user_id),
+nb AS (SELECT b, count(*)::BIGINT AS new_keys FROM fb GROUP BY b),
+bk AS (SELECT DISTINCT b FROM e)
+SELECT bk.b AS bucket_us,
+       coalesce(nb.new_keys, 0)::BIGINT AS new_keys,
+       sum(coalesce(nb.new_keys, 0)) OVER (ORDER BY bk.b)::BIGINT
+         AS cum_cardinality
+FROM bk LEFT JOIN nb ON nb.b = bk.b ORDER BY 1"""
 
 
 def _dup_ngram_spans_sql() -> str:
@@ -6131,6 +6220,8 @@ GROUP BY d.doc_id
         "sibling_buckets": _sibling_buckets_sql(),
         "auto_date_histogram": _auto_date_histogram_sql(),
         "dup_ngram_spans": _dup_ngram_spans_sql(),
+        "scripted_metric": _scripted_metric_sql(),
+        "cumulative_cardinality": _cumulative_cardinality_sql(),
         "cardinality_agg": _cardinality_sql(),
         "cardinality_approx": _cardinality_approx_sql(),
         "percentiles_approx": _percentiles_approx_sql(),

@@ -509,3 +509,73 @@ def auto_date_histogram(
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def cumulative_cardinality(
+    ds: ray.data.Dataset,
+    interval: str = "day",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> ray.data.Dataset:
+    """ES ``cumulative_cardinality`` pipeline aggregation over a
+    date_histogram: per calendar bucket, the number of DISTINCT keys
+    seen in that bucket or any earlier one, plus the bucket's new-key
+    count.  Exact at any scale without per-bucket key sets: a key's
+    contribution to every cumulative count is fully determined by its
+    FIRST bucket, so the plan is (1) map-side (bucket, key) dedupe,
+    (2) ``groupby(key).min(bucket)`` — the one wide exchange, keyed on
+    the same column a real pipeline already co-locates on, (3) a tiny
+    per-first-bucket count joined onto the bucket list with a driver
+    cumsum over O(buckets) rows.  (ES itself computes this from merged
+    per-bucket HLL sketches — approximately; this plan is exact.)"""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    allowed = {"hour", "day", "week", "month", "quarter", "year"}
+    if interval not in allowed:
+        raise ValueError(f"interval {interval!r} not in {sorted(allowed)}")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.timestamp("us"))
+        bucket = pc.floor_temporal(ts, unit=interval).cast(pa.int64())
+        part = pa.table({
+            "bucket_us": bucket,
+            key_col: batch.column(key_col),
+        })
+        # batch-local dedupe: the shuffle moves one row per (batch,
+        # bucket, key), never the event stream
+        return part.group_by(["bucket_us", key_col]).aggregate([])
+
+    dedup = ds.map_batches(prep, batch_format="pyarrow")
+    firsts = dedup.groupby(key_col).aggregate(Min("bucket_us"))
+
+    def count_new(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("min(bucket_us)").aggregate(
+            [("min(bucket_us)", "count")]
+        )
+        return pa.table({
+            "bucket_us": g.column("min(bucket_us)"),
+            "new_part": g.column("min(bucket_us)_count").cast(pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    new_counts = (
+        firsts.map_batches(count_new, batch_format="pyarrow")
+        .groupby("bucket_us").aggregate(Sum("new_part"))
+        .to_pandas()
+    )
+    buckets = sorted(
+        r["bucket_us"]
+        for r in dedup.groupby("bucket_us").count().take_all()
+    )
+    new_by_bucket = dict(
+        zip(new_counts["bucket_us"], new_counts["sum(new_part)"])
+    )
+    new = [int(new_by_bucket.get(b, 0)) for b in buckets]
+    cum = np.cumsum(new, dtype=np.int64) if new else np.empty(0, np.int64)
+    return ray.data.from_arrow(pa.table({
+        "bucket_us": pa.array(buckets, pa.int64()),
+        "new_keys": pa.array(new, pa.int64()),
+        "cum_cardinality": pa.array(cum, pa.int64()),
+    }))

@@ -332,3 +332,75 @@ def test_dup_ngram_spans_vs_brute():
     assert want  # the planted passage must actually produce spans
     with pytest.raises(ValueError):
         dup_ngram_spans(ds, n=1)
+
+
+def test_scripted_metric_fold():
+    """Map/combine/reduce contract: randomized value column, variance
+    matches numpy; empty dataset hits init_state; fold order covered by
+    multi-block input."""
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.scripted_metric import scripted_metric
+
+    rng = random.Random(11)
+    vals = [rng.randint(0, 500) for _ in range(400)]
+    ds = rd.from_arrow(
+        pa.table({"x": pa.array(vals, pa.int64())})
+    ).repartition(7)
+
+    def map_script(batch):
+        import pyarrow.compute as pc
+        col = batch.column("x")
+        return {"n": batch.num_rows,
+                "sum": int(pc.sum(col).as_py() or 0),
+                "sumsq": int(pc.sum(pc.multiply(col, col)).as_py() or 0)}
+
+    def combine(a, b):
+        return {k: a[k] + b[k] for k in ("n", "sum", "sumsq")}
+
+    def var(st):
+        if not st.get("n"):
+            return None
+        return (st["sumsq"] - st["sum"] ** 2 / st["n"]) / st["n"]
+
+    got = scripted_metric(ds, map_script, combine, var)
+    assert got == pytest.approx(np.var(np.array(vals, dtype=np.float64)))
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    assert scripted_metric(empty, map_script, combine, var,
+                           init_state={"n": 0, "sum": 0, "sumsq": 0}) is None
+
+
+def test_cumulative_cardinality_vs_brute():
+    import datetime as dt
+
+    import ray.data as rd
+
+    from elasticsearch_ray.ops.events import cumulative_cardinality
+
+    rng = random.Random(13)
+    base = int(dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc).timestamp()
+               * 1e6)
+    ts, users = [], []
+    for _ in range(2000):
+        day = rng.randint(0, 14)
+        ts.append(base + day * 86_400_000_000 + rng.randint(0, 86_399) * 10**6)
+        users.append(rng.randint(0, 120))
+    ds = rd.from_arrow(pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+    })).repartition(5)
+    got = cumulative_cardinality(ds, "day").to_pandas() \
+        .sort_values("bucket_us").reset_index(drop=True)
+    # brute
+    per_day = {}
+    for t, u in zip(ts, users):
+        d = (t // 86_400_000_000) * 86_400_000_000
+        per_day.setdefault(d, set()).add(u)
+    seen, want = set(), []
+    for d in sorted(per_day):
+        new = per_day[d] - seen
+        seen |= per_day[d]
+        want.append((d, len(new), len(seen)))
+    assert list(map(tuple, got.itertuples(index=False))) == want
+    with pytest.raises(ValueError):
+        cumulative_cardinality(ds, "fortnight")
