@@ -3243,6 +3243,27 @@ def _q_pipeline_aggs(sf_dir: str):
     )
 
 
+def _q_significant_text(sf_dir: str):
+    """ES significant_text: JLH-scored over-represented terms from the
+    re-analyzed _source of the top-50 'merge sort' hits, duplicate
+    texts counted once (filter_duplicate_text), background = index
+    dfs."""
+    eng = _engine(sf_dir, "plain")
+    res = eng.significant_text("merge sort", size=10, sample_size=50)
+    return pa.table({
+        "key": pa.array([b["key"] for b in res["buckets"]], pa.string()),
+        "doc_count": pa.array(
+            [b["doc_count"] for b in res["buckets"]], pa.int64()),
+        "bg_count": pa.array(
+            [b["bg_count"] for b in res["buckets"]], pa.int64()),
+        "score_u": pa.array(
+            [int(math.floor(b["score"] * 1e6 + 0.5))
+             for b in res["buckets"]], pa.int64()),
+        "sample_count": pa.array(
+            [res["sample_count"]] * len(res["buckets"]), pa.int64()),
+    })
+
+
 def _q_scripted_metric(sf_dir: str):
     """ES scripted_metric: population variance of n_chars via
     vectorized per-batch map states (n, sum, sumsq) folded on the
@@ -3638,6 +3659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_spans": _q_dup_ngram_spans,
         "scripted_metric": _q_scripted_metric,
         "cumulative_cardinality": _q_cumulative_cardinality,
+        "significant_text": _q_significant_text,
     }
 
 
@@ -4602,6 +4624,57 @@ b AS (
   FROM events GROUP BY 1
 )
 """
+
+
+def _significant_text_sql() -> str:
+    return f"""{_plain_prelude()},
+q(term) AS (VALUES ('merge'), ('sort')),
+scored AS (
+  SELECT tf.doc_id, sum({_BM25_EXPR}) AS s
+  FROM q JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE ln((stats.n + 1.0) / (df.df + 1.0)) <> 0
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+  FROM scored
+),
+top AS (
+  SELECT r.doc_id, r.rn, d.text FROM ranked r
+  JOIN documents d USING (doc_id) WHERE rn <= 50
+),
+dedup AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY text ORDER BY rn) AS tr
+    FROM top
+  ) WHERE tr = 1
+),
+ns AS (SELECT count(*) AS sampled FROM dedup),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+fg AS (
+  SELECT t.tok AS term, count(DISTINCT t.doc_id) AS f
+  FROM tok t JOIN dedup s ON s.doc_id = t.doc_id
+  GROUP BY t.tok HAVING count(DISTINCT t.doc_id) >= 3
+),
+jlh AS (
+  SELECT fg.term, fg.f, df.df,
+         (fg.f / CAST(sampled AS DOUBLE)
+          - df.df / CAST(n_docs AS DOUBLE))
+         * ((fg.f / CAST(sampled AS DOUBLE))
+            / (df.df / CAST(n_docs AS DOUBLE))) AS score,
+         sampled
+  FROM fg JOIN df ON df.term = fg.term, ns, nd
+  WHERE df.df > 0
+    AND fg.f / CAST(sampled AS DOUBLE) > df.df / CAST(n_docs AS DOUBLE)
+)
+SELECT term AS key, f::BIGINT AS doc_count, df::BIGINT AS bg_count,
+       CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_u,
+       sampled::BIGINT AS sample_count
+FROM jlh ORDER BY score DESC, term LIMIT 10"""
 
 
 def _scripted_metric_sql() -> str:
@@ -6222,6 +6295,7 @@ GROUP BY d.doc_id
         "dup_ngram_spans": _dup_ngram_spans_sql(),
         "scripted_metric": _scripted_metric_sql(),
         "cumulative_cardinality": _cumulative_cardinality_sql(),
+        "significant_text": _significant_text_sql(),
         "cardinality_agg": _cardinality_sql(),
         "cardinality_approx": _cardinality_approx_sql(),
         "percentiles_approx": _percentiles_approx_sql(),

@@ -3875,6 +3875,66 @@ class QueryEngine:
             ],
         }
 
+    def significant_text(self, query_text: str, size: int = 10,
+                         sample_size: int = 200, min_doc_count: int = 3,
+                         filter_duplicate_text: bool = True) -> dict:
+        """ES ``significant_text`` aggregation: like significant_terms
+        (same JLH score against the index background) but re-analyzing
+        the stored ``_source`` of only a SAMPLE — the top
+        ``sample_size`` best-scoring hits — with ES's
+        ``filter_duplicate_text`` dedup (copy/paste and boilerplate
+        docs counted once, first occurrence in rank order wins).  Needs
+        ``store_source=True``.  Work is bounded by the sample: one
+        ranked search, one k-row docmap read, one df fanout over the
+        surfaced candidates."""
+        hits = self.search(query_text, size=sample_size)
+        ids = [r["doc_id"] for r in hits["results"]]
+        srcs = self._lookup_sources(ids)
+        fg: dict[str, int] = {}
+        seen_texts: set[int] = set()
+        sampled = 0
+        for d in ids:  # rank order — dedup keeps the best-scoring copy
+            txt = srcs.get(d)
+            if txt is None:
+                continue
+            if filter_duplicate_text:
+                h = hash(txt)
+                if h in seen_texts:
+                    continue
+                seen_texts.add(h)
+            sampled += 1
+            terms = {
+                self.normalizer.map_token(t)
+                for t in self.normalizer.tokenize(txt)
+            } - {""}
+            for t in terms:
+                fg[t] = fg.get(t, 0) + 1
+        buckets = []
+        if sampled:
+            cands = sorted(t for t, f in fg.items() if f >= min_doc_count)
+            df = {t: 0 for t in cands}
+            for dfs in self._fanout("dfs_live", cands):
+                for t, x in zip(cands, dfs):
+                    df[t] += int(x)
+            n_docs = float(self.doc_count)
+            for t in cands:
+                f = fg[t]
+                fg_rate = f / sampled
+                bg_rate = df[t] / n_docs
+                if bg_rate == 0.0 or fg_rate <= bg_rate:
+                    continue
+                score = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+                buckets.append((score, t, f, df[t]))
+            buckets.sort(key=lambda b: (-b[0], b[1]))
+        return {
+            "query": query_text,
+            "sample_count": sampled,
+            "buckets": [
+                {"key": t, "doc_count": f, "bg_count": d, "score": s}
+                for s, t, f, d in buckets[:size]
+            ],
+        }
+
     def count(self, query_text: str | None = None) -> dict:
         """ES _count API: exact hit count of a match / boolean / wildcard
         query (None or blank = match_all, i.e. live doc count), no
