@@ -2729,6 +2729,61 @@ BOOL_PHRASE_QUERIES = [
     '(filter OR "window batch") AND scan',
 ]
 
+QUERY_STRING_QUERIES = [
+    "(merge OR sort) AND batch*",
+    'customer -"hash join"',
+    "windoq~1 && scan",
+    "+filter -merg*",
+    "text:join AND /jo.n/",
+]
+
+
+def _q_query_string(sf_dir: str):
+    """ES query_string (Lucene syntax): groups, AND/OR/NOT/&&, +must /
+    -must_not prefixes, quoted phrases, wildcard / fuzzy / regexp
+    operands and field: prefixes, composed through the skip-accelerated
+    RPN set engine with per-segment multi-term rewrite.
+
+    SQL twin: hand-lowered set algebra (INTERSECT/UNION/EXCEPT) with
+    LIKE for wildcards, levenshtein() for fuzziness,
+    regexp_full_match() for regexps and the positional adjacency join
+    for phrases."""
+    eng = _engine(sf_dir, "plain", positions=True)
+    rows_q, rows_d = [], []
+    for q in QUERY_STRING_QUERIES:
+        res = eng.query_string(q, size=200)
+        for r in res["results"]:
+            rows_q.append(q)
+            rows_d.append(r["doc_id"])
+    return pa.table(
+        {"query": pa.array(rows_q, pa.string()), "doc_id": pa.array(rows_d, pa.int64())}
+    )
+
+
+SIMPLE_QS_QUERIES = [
+    'merge + batch* | "hash join"',
+    "scan -filt*",
+    "custome~2 + order",
+    'bad(( quote" scan',  # tolerant-parse contract: never raises
+]
+
+
+def _q_simple_query_string(sf_dir: str):
+    """ES simple_query_string: the forgiving surface (+ = AND, | = OR,
+    - = NOT, trailing-* prefix terms, ~N fuzziness, quoted phrases);
+    syntax errors are dropped, not raised — the last query has unbalanced
+    parens and quotes and still runs its valid remainder."""
+    eng = _engine(sf_dir, "plain", positions=True)
+    rows_q, rows_d = [], []
+    for q in SIMPLE_QS_QUERIES:
+        res = eng.simple_query_string(q, size=200)
+        for r in res["results"]:
+            rows_q.append(q)
+            rows_d.append(r["doc_id"])
+    return pa.table(
+        {"query": pa.array(rows_q, pa.string()), "doc_id": pa.array(rows_d, pa.int64())}
+    )
+
 
 def _q_bool_phrase(sf_dir: str):
     """Boolean queries with quoted-phrase operands (phrases as RPN
@@ -3660,6 +3715,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scripted_metric": _q_scripted_metric,
         "cumulative_cardinality": _q_cumulative_cardinality,
         "significant_text": _q_significant_text,
+        "query_string": _q_query_string,
+        "simple_query_string": _q_simple_query_string,
     }
 
 
@@ -5296,6 +5353,85 @@ def _regexp_sql() -> str:
     return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
 
 
+def _query_string_sql() -> str:
+    """Hand-lowered set-algebra twins of QUERY_STRING_QUERIES (same
+    lowering the engine's parser performs, expressed as DuckDB CTEs)."""
+    return r"""
+WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+tok AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS pos
+  FROM lists
+),
+ph_hj AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          WHERE a.tok = 'hash' AND b.tok = 'join'),
+q0 AS ((SELECT DISTINCT doc_id FROM tok WHERE tok = 'merge'
+        UNION SELECT DISTINCT doc_id FROM tok WHERE tok = 'sort')
+       INTERSECT
+       SELECT DISTINCT doc_id FROM tok WHERE tok LIKE 'batch%'),
+q1 AS (SELECT DISTINCT doc_id FROM tok WHERE tok = 'customer'
+       EXCEPT SELECT doc_id FROM ph_hj),
+q2 AS (SELECT DISTINCT doc_id FROM tok WHERE levenshtein(tok, 'windoq') <= 1
+       INTERSECT SELECT DISTINCT doc_id FROM tok WHERE tok = 'scan'),
+q3 AS (SELECT DISTINCT doc_id FROM tok WHERE tok = 'filter'
+       EXCEPT SELECT DISTINCT doc_id FROM tok WHERE tok LIKE 'merg%'),
+q4 AS (SELECT DISTINCT doc_id FROM tok WHERE tok = 'join'
+       INTERSECT
+       SELECT DISTINCT doc_id FROM tok WHERE regexp_full_match(tok, 'jo.n'))
+SELECT '(merge OR sort) AND batch*' AS query, doc_id
+  FROM (SELECT doc_id FROM q0 ORDER BY doc_id LIMIT 200)
+UNION ALL
+SELECT 'customer -"hash join"' AS query, doc_id
+  FROM (SELECT doc_id FROM q1 ORDER BY doc_id LIMIT 200)
+UNION ALL
+SELECT 'windoq~1 && scan' AS query, doc_id
+  FROM (SELECT doc_id FROM q2 ORDER BY doc_id LIMIT 200)
+UNION ALL
+SELECT '+filter -merg*' AS query, doc_id
+  FROM (SELECT doc_id FROM q3 ORDER BY doc_id LIMIT 200)
+UNION ALL
+SELECT 'text:join AND /jo.n/' AS query, doc_id
+  FROM (SELECT doc_id FROM q4 ORDER BY doc_id LIMIT 200)"""
+
+
+def _simple_qs_sql() -> str:
+    """Twins of SIMPLE_QS_QUERIES under the engine's lowering:
+    + = AND, | = OR (AND binds tighter), - = NOT, trailing-* prefix,
+    ~N fuzziness; the malformed last query drops its unbalanced
+    punctuation and runs the OR of its surviving terms."""
+    return r"""
+WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+tok AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS pos
+  FROM lists
+),
+ph_hj AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          WHERE a.tok = 'hash' AND b.tok = 'join'),
+q0 AS ((SELECT DISTINCT doc_id FROM tok WHERE tok = 'merge'
+        INTERSECT
+        SELECT DISTINCT doc_id FROM tok WHERE tok LIKE 'batch%')
+       UNION SELECT doc_id FROM ph_hj),
+q1 AS (SELECT DISTINCT doc_id FROM tok WHERE tok = 'scan'
+       EXCEPT SELECT DISTINCT doc_id FROM tok WHERE tok LIKE 'filt%'),
+q2 AS (SELECT DISTINCT doc_id FROM tok
+         WHERE levenshtein(tok, 'custome') <= 2
+       INTERSECT SELECT DISTINCT doc_id FROM tok WHERE tok = 'order'),
+q3 AS (SELECT DISTINCT doc_id FROM tok
+       WHERE tok IN ('bad', 'scan') OR tok = 'quote"')
+SELECT 'merge + batch* | "hash join"' AS query, doc_id
+  FROM (SELECT doc_id FROM q0 ORDER BY doc_id LIMIT 200)
+UNION ALL
+SELECT 'scan -filt*' AS query, doc_id
+  FROM (SELECT doc_id FROM q1 ORDER BY doc_id LIMIT 200)
+UNION ALL
+SELECT 'custome~2 + order' AS query, doc_id
+  FROM (SELECT doc_id FROM q2 ORDER BY doc_id LIMIT 200)
+UNION ALL
+SELECT 'bad(( quote" scan' AS query, doc_id
+  FROM (SELECT doc_id FROM q3 ORDER BY doc_id LIMIT 200)"""
+
+
 def _fuzzy_sql() -> str:
     from elasticsearch_ray.pipelines.query import _FUZZY_RE, fuzzy_auto_edits
 
@@ -6296,6 +6432,8 @@ GROUP BY d.doc_id
         "scripted_metric": _scripted_metric_sql(),
         "cumulative_cardinality": _cumulative_cardinality_sql(),
         "significant_text": _significant_text_sql(),
+        "query_string": _query_string_sql(),
+        "simple_query_string": _simple_qs_sql(),
         "cardinality_agg": _cardinality_sql(),
         "cardinality_approx": _cardinality_approx_sql(),
         "percentiles_approx": _percentiles_approx_sql(),

@@ -4137,6 +4137,245 @@ class QueryEngine:
                         for d in ids[from_:fetch]],
         }
 
+    # ------------------------------------------------------------------
+    # Lucene query_string / simple_query_string parsers
+    # ------------------------------------------------------------------
+
+    _QS_SCAN_RE = re.compile(
+        # quoted phrase [occur-prefix]["..."][~slop][^boost]
+        r'[+\-!]?"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?'
+        r"|[+\-!]?/(?:[^/\\]|\\.)+/"               # /regexp/ operand
+        r"|\(|\)"                                   # grouping
+        r"|&&|\|\||!"                               # symbolic AND / OR / NOT
+        r"|[^\s()]+"                                # bare operand or keyword
+    )
+
+    def _qs_operand(self, word: str, ops: dict, default_field: str,
+                    strict: bool) -> list[str]:
+        """Classify one query_string operand into RPN-ready tokens,
+        registering multi-term operands (phrase / wildcard / fuzzy /
+        regexp) as typed placeholders in ``ops``.
+
+        Wildcard / fuzzy / regexp operands are lowercased but NOT
+        analyzed (ES behavior — they match stored dictionary terms);
+        plain words analyze through the index analyzer and may expand to
+        an AND-group when the analyzer splits them."""
+        m = re.fullmatch(r"(.+)\^\d+(?:\.\d+)?", word)
+        if m:
+            # boost is a scoring modifier; this surface is constant-score
+            # (like the engine's boolean path), so ^n parses and drops
+            word = m.group(1)
+        if not word.startswith('"') and ":" in word:
+            field, rest = word.split(":", 1)
+            if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", field) and rest:
+                if field != default_field:
+                    if strict:
+                        raise ValueError(
+                            f"unknown field {field!r} (index default "
+                            f"field is {default_field!r})")
+                    return []  # simple_query_string: ignore invalid part
+                word = rest
+        if word.startswith('"'):
+            m = re.fullmatch(r'"([^"]*)"(?:~(\d+))?', word)
+            if m is None:  # unterminated quote
+                if strict:
+                    raise ValueError(f"unbalanced quote in {word!r}")
+                word = word.strip('"')
+                m = None
+            else:
+                terms = self.normalizer.preprocess_query_list(m.group(1))
+                if not terms:
+                    return []
+                if len(terms) == 1:
+                    return [terms[0]]  # one-word phrase == term query
+                if not self.has_positions:
+                    raise ValueError(
+                        "phrase operand needs an index built with "
+                        "store_positions=True")
+                key = f"\0QS{len(ops)}"
+                ops[key] = ("phrase", terms,
+                            int(m.group(2)) if m.group(2) else 0)
+                return [key]
+        if len(word) > 2 and word.startswith("/") and word.endswith("/"):
+            key = f"\0QS{len(ops)}"
+            ops[key] = ("regexp", word[1:-1])
+            return [key]
+        m = _FUZZY_RE.match(word)
+        if m:
+            t = m.group(1).lower()
+            edits = int(m.group(2)) if m.group(2) else fuzzy_auto_edits(t)
+            key = f"\0QS{len(ops)}"
+            ops[key] = ("fuzzy", t, edits)
+            return [key]
+        if "*" in word or "?" in word:
+            key = f"\0QS{len(ops)}"
+            ops[key] = ("wildcard", word.lower())
+            return [key]
+        terms = self.normalizer.preprocess_query_list(word)
+        if not terms:
+            return []
+        if len(terms) == 1:
+            return [terms[0]]
+        # analyzer split one operand into several terms ("data-base"):
+        # conjunctive group, like ES's analyzed term sequence under AND
+        out: list[str] = ["("]
+        for i, t in enumerate(terms):
+            if i:
+                out.append("AND")
+            out.append(t)
+        out.append(")")
+        return out
+
+    def _qs_lower(self, query_text: str, default_operator: str,
+                  default_field: str, strict: bool,
+                  simple_ops: bool = False):
+        """Lower a Lucene query string to (rpn, placeholder_ops).
+
+        ``simple_ops=True`` switches the operator surface to
+        simple_query_string's: ``+``=AND, ``|``=OR, ``-``=NOT; otherwise
+        uppercase AND/OR/NOT plus ``&&``/``||``/``!`` and the ``+x``
+        (must) / ``-x`` (must-not) clause prefixes.
+
+        Documented deviation from Lucene's classic QueryParser: operator
+        resolution uses the engine's RPN precedence (NOT > AND > OR, the
+        reference's boolean engine) instead of Lucene's flat
+        occur-flag rewrite, and ``+x`` lowers to an AND-joined operand —
+        identical results for single-operator queries, well-defined (and
+        documented) for mixed ones."""
+        default_operator = default_operator.upper()
+        if default_operator not in ("AND", "OR"):
+            raise ValueError("default_operator must be 'AND' or 'OR'")
+        out: list[str] = []
+        ops: dict[str, tuple] = {}
+        join_op: str | None = None   # explicit operator awaiting operand
+        neg = False                  # pending NOT prefix
+        must = False                 # '+' clause prefix forces AND join
+        depth = 0
+
+        def emit(tokens: list[str]) -> None:
+            nonlocal join_op, neg, must
+            if not tokens:
+                join_op, neg, must = None, False, False
+                return
+            if out and out[-1] not in ("AND", "OR", "NOT", "("):
+                op = join_op or ("AND" if (must or neg) else default_operator)
+                out.append(op)
+            if neg:
+                out.append("NOT")
+            out.extend(tokens)
+            join_op, neg, must = None, False, False
+
+        for raw in self._QS_SCAN_RE.findall(query_text):
+            if raw == "(":
+                if out and out[-1] not in ("AND", "OR", "NOT", "("):
+                    out.append(
+                        join_op
+                        or ("AND" if (must or neg) else default_operator)
+                    )
+                if neg:
+                    out.append("NOT")
+                out.append("(")
+                depth += 1
+                join_op, neg, must = None, False, False
+                continue
+            if raw == ")":
+                if depth == 0:
+                    if strict:
+                        raise ValueError("unbalanced ')' in query string")
+                    continue
+                out.append(")")
+                depth -= 1
+                continue
+            if simple_ops:
+                if raw == "|":
+                    join_op = "OR"
+                    continue
+                if raw == "+":
+                    join_op = "AND"
+                    continue
+            else:
+                if raw in ("AND", "&&"):
+                    join_op = "AND"
+                    continue
+                if raw in ("OR", "||"):
+                    join_op = "OR"
+                    continue
+                if raw in ("NOT", "!"):
+                    neg = True
+                    continue
+            if raw.startswith("+") and not simple_ops:
+                must = True
+                raw = raw[1:]
+            elif raw.startswith("+") and simple_ops and len(raw) > 1:
+                join_op = "AND"
+                raw = raw[1:]
+            if raw.startswith("!") and len(raw) > 1 and not simple_ops:
+                neg = True
+                must = True
+                raw = raw[1:]
+            if raw.startswith("-") and len(raw) > 1:
+                neg = True
+                must = True  # must_not joins conjunctively (excludes)
+                raw = raw[1:]
+            if not raw:
+                continue
+            emit(self._qs_operand(raw, ops, default_field, strict))
+        if depth:
+            if strict:
+                raise ValueError("unbalanced '(' in query string")
+            out.extend(")" * depth)
+        # trailing dangling operator/NOT is dropped (tolerant) or the RPN
+        # evaluator's malformed guard defines it as no-matches (strict)
+        return to_rpn(tuple(out)), ops
+
+    def query_string(self, query_text: str, size: int = 10,
+                     default_operator: str = "OR",
+                     default_field: str = "text",
+                     from_: int = 0) -> dict:
+        """ES ``query_string`` query (Lucene syntax): grouping parens,
+        AND/OR/NOT (and ``&&``/``||``/``!``), ``+must`` / ``-must_not``
+        clause prefixes, quoted phrases with slop (``"a b"~2``), wildcard
+        (``ba*ch``), fuzzy (``term~1``), regexp (``/jo.n/``) operands,
+        ``field:`` prefixes on the default field, and ``^boost`` (parsed,
+        inert — this surface is constant-score like the engine's boolean
+        path).  Each multi-term operand resolves per segment exactly like
+        its standalone query (dictionary expansion for wildcard/fuzzy/
+        regexp, positions machinery for phrases), then composes through
+        the skip-accelerated RPN set engine.  Results are doc_id
+        ascending, score 1.0, exact total — the boolean-path contract."""
+        rpn, ops = self._qs_lower(query_text, default_operator,
+                                  default_field, strict=True)
+        return self._qs_execute(query_text, rpn, ops, size, from_)
+
+    def simple_query_string(self, query_text: str, size: int = 10,
+                            default_operator: str = "OR",
+                            default_field: str = "text",
+                            from_: int = 0) -> dict:
+        """ES ``simple_query_string``: the forgiving surface — ``+``=AND,
+        ``|``=OR, ``-``=NOT, quoted phrases (with ``~slop``), trailing-*
+        prefix terms, ``term~N`` fuzziness, parens; syntax errors never
+        raise (unbalanced quotes/parens and unknown fields are dropped,
+        per ES docs), the rest of the query still runs."""
+        rpn, ops = self._qs_lower(query_text, default_operator,
+                                  default_field, strict=False,
+                                  simple_ops=True)
+        return self._qs_execute(query_text, rpn, ops, size, from_)
+
+    def _qs_execute(self, query_text: str, rpn: tuple, ops: dict,
+                    size: int, from_: int) -> dict:
+        if not rpn:
+            return {"query": query_text, "total_hits": 0, "results": []}
+        fetch = from_ + size
+        parts = self._fanout("search_boolean", rpn, fetch, ops or None)
+        ids = np.concatenate([p[0] for p in parts])
+        total = int(sum(p[1] for p in parts))
+        return {
+            "query": query_text,
+            "total_hits": total,
+            "results": [{"doc_id": int(d), "score": 1.0}
+                        for d in ids[from_:fetch]],
+        }
+
     def batch_search(self, queries: list[str], size: int = 10,
                      mode: str | None = None) -> list[dict]:
         """Pipelined multi-query execution (QPS harness path): round 1 (df

@@ -960,14 +960,51 @@ def _skip_intersect(reader: SegmentReader, lazy: _LazyTerm,
     return np.intersect1d(np.concatenate(parts), cand, assume_unique=True)
 
 
+def _expansion_slots(reader: SegmentReader, rows) -> np.ndarray:
+    """Union of live posting slots over expanded dictionary rows (the
+    per-segment multi-term rewrite Lucene applies to wildcard / fuzzy /
+    regexp operands)."""
+    if not rows:
+        return np.empty(0, dtype=np.int64)
+    arrs = [reader.postings_slots_by_row(r)[0] for r in rows]
+    slots = np.unique(np.concatenate(arrs)) if len(arrs) > 1 else arrs[0]
+    return slots
+
+
+def _special_slots(reader: SegmentReader, spec) -> np.ndarray:
+    """Resolve a typed placeholder operand to its sorted slot set.
+
+    ``spec`` is either the legacy phrase tuple ``(terms, slop)`` or a
+    typed spec: ``("phrase", terms, slop)``, ``("wildcard", pattern)``,
+    ``("fuzzy", term, max_edits)``, ``("regexp", pattern)`` — each
+    resolved per segment exactly the way its standalone query path
+    resolves it (dictionary expansion / positions machinery)."""
+    kind = spec[0] if isinstance(spec[0], str) else "phrase"
+    if kind == "phrase":
+        terms, slop = spec[1:] if isinstance(spec[0], str) else spec
+        ids, _ = phrase_eval(reader, [terms], [], None, slops=[slop])
+        return ids - reader.doc_id_base
+    if kind == "wildcard":
+        return _expansion_slots(
+            reader, reader.term_rows_matching(spec[1], None))
+    if kind == "fuzzy":
+        return _expansion_slots(
+            reader, reader.term_rows_fuzzy(spec[1], spec[2]))
+    if kind == "regexp":
+        return _expansion_slots(
+            reader, reader.term_rows_regexp(spec[1], None))
+    raise ValueError(f"unknown special operand kind: {kind!r}")
+
+
 def boolean_eval(reader: SegmentReader, rpn: tuple[str, ...], size: int,
                  phrase_ops: dict[str, tuple[list[str], int]] | None = None):
     """RPN evaluation over sorted slot arrays (reference Q5 engine,
     ``measure_latency_datastores.py:137-188``).  AND of term operands is
     skip-accelerated: the lower-df side decodes fully, the other side
-    decodes only candidate-bearing blocks.  ``phrase_ops`` maps phrase
-    placeholder operands (Lucene ``"a b"~N`` inside a boolean query) to
-    (terms, slop), resolved through ``phrase_eval``.  Returns
+    decodes only candidate-bearing blocks.  ``phrase_ops`` maps placeholder
+    operands to typed specs resolved by ``_special_slots`` — quoted
+    phrases (Lucene ``"a b"~N``), and the multi-term wildcard / fuzzy /
+    regexp operands the query_string parser emits.  Returns
     (first `size` matching global doc_ids ascending, total local matches)."""
     universe = None
     stack: list = []
@@ -1006,15 +1043,10 @@ def boolean_eval(reader: SegmentReader, rpn: tuple[str, ...], size: int,
                     universe = reader.present_doc_ids() - reader.doc_id_base
                 stack.append(np.setdiff1d(universe, a, assume_unique=True))
             elif phrase_ops is not None and token in phrase_ops:
-                # quoted-phrase operand inside a boolean expression: its
-                # doc set comes from the positions machinery (slop-aware),
-                # already sorted slots — composes with AND/OR/NOT as a
-                # plain array
-                p_terms, p_slop = phrase_ops[token]
-                ids, _ = phrase_eval(
-                    reader, [p_terms], [], None, slops=[p_slop]
-                )
-                stack.append(ids - reader.doc_id_base)
+                # placeholder operand (quoted phrase / wildcard / fuzzy /
+                # regexp) inside a boolean expression: resolves to sorted
+                # slots — composes with AND/OR/NOT as a plain array
+                stack.append(_special_slots(reader, phrase_ops[token]))
             else:
                 row = reader.term_row(token)
                 if row is None:
