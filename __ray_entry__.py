@@ -2738,6 +2738,60 @@ QUERY_STRING_QUERIES = [
 ]
 
 
+def _q_composite(sf_dir: str):
+    """ES composite aggregation: full-bucket enumeration of
+    (lang, source, histogram(n_chars, 500)) paginated with after_key
+    cursors (size=9 per page) — every shard ships at most size combos
+    past the cursor per page (never its cardinality), counts exact.
+
+    SQL twin: the plain GROUP BY in composite-key order with
+    row_number()-derived page ids — identical rows proves cursor
+    pagination loses/duplicates nothing."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"page": [], "lang": [], "source": [], "nc": [], "doc_count": []}
+    after, page = None, 0
+    while True:
+        res = eng.search_composite(
+            None,
+            [("lang", "terms", "lang"), ("source", "terms", "source"),
+             ("nc", "histogram", "n_chars", 500)],
+            size=9, after=after,
+        )
+        for b in res["buckets"]:
+            rows["page"].append(page)
+            rows["lang"].append(b["key"]["lang"])
+            rows["source"].append(b["key"]["source"])
+            rows["nc"].append(b["key"]["nc"])
+            rows["doc_count"].append(b["doc_count"])
+        if len(res["buckets"]) < 9:
+            break
+        after, page = res["after_key"], page + 1
+    return pa.table(
+        {
+            "page": pa.array(rows["page"], pa.int64()),
+            "lang": pa.array(rows["lang"], pa.string()),
+            "source": pa.array(rows["source"], pa.string()),
+            "nc": pa.array(rows["nc"], pa.int64()),
+            "doc_count": pa.array(rows["doc_count"], pa.int64()),
+        }
+    )
+
+
+def _composite_sql() -> str:
+    return """
+SELECT CAST((row_number() OVER (ORDER BY lang, source, nc) - 1) // 9
+            AS BIGINT) AS page,
+       lang, source, nc, doc_count
+FROM (
+  SELECT lang, source, (n_chars // 500) * 500 AS nc,
+         count(*)::BIGINT AS doc_count
+  FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+ORDER BY lang, source, nc"""
+
+
 def _q_query_string(sf_dir: str):
     """ES query_string (Lucene syntax): groups, AND/OR/NOT/&&, +must /
     -must_not prefixes, quoted phrases, wildcard / fuzzy / regexp
@@ -3717,6 +3771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "significant_text": _q_significant_text,
         "query_string": _q_query_string,
         "simple_query_string": _q_simple_query_string,
+        "composite_pages": _q_composite,
     }
 
 
@@ -6434,6 +6489,7 @@ GROUP BY d.doc_id
         "significant_text": _significant_text_sql(),
         "query_string": _query_string_sql(),
         "simple_query_string": _simple_qs_sql(),
+        "composite_pages": _composite_sql(),
         "cardinality_agg": _cardinality_sql(),
         "cardinality_approx": _cardinality_approx_sql(),
         "percentiles_approx": _percentiles_approx_sql(),

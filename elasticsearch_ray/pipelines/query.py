@@ -499,6 +499,105 @@ class Searcher:
         cutoff = top[-1][1] if top and len(items) > shard_size else 0
         return top, cutoff, sum(local.values())
 
+    def composite_agg(self, kind: str, payload, sources: tuple,
+                      size: int, after: tuple | None):
+        """ES ``composite`` aggregation, shard phase: the first ``size``
+        composite buckets strictly AFTER ``after`` in ascending
+        composite-key order, with exact local doc_counts.
+
+        ``sources``: tuple of (stype, field, param) with stype in
+        {'terms', 'terms_num', 'histogram'} (param = histogram interval).
+        Docs missing any source value are excluded (ES default,
+        ``missing_bucket=false``).
+
+        Per reader, the hit set's doc-values aggregate under ONE lexsort
+        + run-length scan; the after-cursor filter is vectorized over run
+        starts (string cursors compare through the lexicographic rank of
+        the sorted dictionary), so only <= ``size`` combos per reader
+        ever cross into Python.  Shipping the local first-size is
+        lossless: a combo in the global first-size is preceded, on every
+        shard holding it, only by combos that are also global combos —
+        so it lies within each local first-size (the ES composite shard
+        protocol); counts for shipped combos are exact."""
+        sent = np.iinfo(np.int64).min
+        merged: dict[tuple, int] = {}
+        for ri, r in enumerate(self.readers):
+            slots = self._match_slots(r, kind, payload)
+            if slots.size == 0:
+                continue
+            raw = []
+            ok = np.ones(slots.size, dtype=bool)
+            for stype, field, param in sources:
+                if stype == "terms":
+                    codes, cats = self._facet_column(field)[ri]
+                    a = codes[slots]
+                    ok &= a >= 0
+                    raw.append(("s", a, cats))
+                else:
+                    v = self._facet_numeric(field)[ri][slots]
+                    ok &= v != sent
+                    raw.append(
+                        ("h" if stype == "histogram" else "n", v, param)
+                    )
+            if not ok.any():
+                continue
+            full = bool(ok.all())
+            keyarrs: list[np.ndarray] = []
+            decs: list[np.ndarray | None] = []
+            for t, a, extra in raw:
+                if not full:
+                    a = a[ok]
+                if t == "s":
+                    catarr = np.asarray(extra, dtype=object)
+                    order = np.argsort(catarr)
+                    rank = np.empty(catarr.size, dtype=np.int64)
+                    rank[order] = np.arange(catarr.size)
+                    keyarrs.append(rank[a])
+                    decs.append(catarr[order])  # rank -> string
+                elif t == "h":
+                    keyarrs.append(np.floor_divide(a, extra) * extra)
+                    decs.append(None)
+                else:
+                    keyarrs.append(a)
+                    decs.append(None)
+            n = keyarrs[0].size
+            lex = np.lexsort(tuple(reversed(keyarrs)))
+            sk = [k[lex] for k in keyarrs]
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            for k in sk:
+                change[1:] |= k[1:] != k[:-1]
+            starts = np.flatnonzero(change)
+            counts = np.diff(np.append(starts, n))
+            run_keys = [k[starts] for k in sk]
+            if after is not None:
+                # vectorized strict tuple-greater-than over run starts
+                keep = np.zeros(starts.size, dtype=bool)
+                eq = np.ones(starts.size, dtype=bool)
+                for rk, dec, av in zip(run_keys, decs, after):
+                    if dec is not None:
+                        pos = int(np.searchsorted(dec, av))
+                        exact = pos < dec.size and dec[pos] == av
+                    else:
+                        pos, exact = int(av), True
+                    gt = rk > pos
+                    if not exact:
+                        gt = gt | (rk == pos)
+                    keep |= eq & gt
+                    eq &= (rk == pos) & exact
+                idx = np.flatnonzero(keep)[:size]
+            else:
+                idx = np.arange(min(size, starts.size))
+            for i in idx:
+                key = tuple(
+                    (decs[j][run_keys[j][i]] if decs[j] is not None
+                     else int(run_keys[j][i]))
+                    for j in range(len(run_keys))
+                )
+                merged[key] = merged.get(key, 0) + int(counts[i])
+        items = sorted(merged.items())[:size]
+        return [list(k) for k, _ in items], [v for _, v in items]
+
     def missing_count(self, kind: str, payload, field: str,
                       is_string: bool) -> int:
         """ES ``missing`` aggregation: how many docs of the hit set have NO
@@ -2745,6 +2844,57 @@ class QueryEngine:
             ),
             "buckets": out,
         }
+
+    def search_composite(self, query_text: str | None,
+                         sources: list[tuple], size: int = 10,
+                         after: dict | None = None) -> dict:
+        """ES ``composite`` aggregation: ALL distinct combinations of the
+        source values, paginated in ascending composite-key order with an
+        ``after_key`` cursor — ES's scale path for full-bucket enumeration
+        (constant traffic per page: every shard ships at most ``size``
+        combos past the cursor, never its full cardinality, and counts
+        for returned buckets are exact — no shard_size error bounds).
+
+        ``sources``: list of (name, stype, field[, interval]) with stype
+        'terms' (string or integer doc-value) or 'histogram' (integer
+        doc-value, fixed interval).  ``after``: the ``after_key`` dict of
+        the previous page.  Docs missing any source value are skipped
+        (ES ``missing_bucket=false`` default)."""
+        if not sources:
+            raise ValueError("composite needs at least one source")
+        spec, names = [], []
+        for s in sources:
+            name, stype, field = s[0], s[1], s[2]
+            names.append(name)
+            if stype == "histogram":
+                iv = int(s[3])
+                if iv <= 0:
+                    raise ValueError("histogram interval must be >= 1")
+                spec.append(("histogram", field, iv))
+            elif stype == "terms":
+                spec.append((
+                    "terms_num" if self._field_is_numeric(field)
+                    else "terms", field, None))
+            else:
+                raise ValueError(f"unknown composite source type {stype!r}")
+        kind, payload = self._agg_route(query_text)
+        after_t = tuple(after[n] for n in names) if after else None
+        parts = self._fanout(
+            "composite_agg", kind, payload, tuple(spec), size, after_t
+        )
+        merged: dict[tuple, int] = {}
+        for keys, counts in parts:
+            for k, c in zip(keys, counts):
+                kt = tuple(k)
+                merged[kt] = merged.get(kt, 0) + int(c)
+        items = sorted(merged.items())[:size]
+        buckets = [
+            {"key": dict(zip(names, k)), "doc_count": c} for k, c in items
+        ]
+        out: dict = {"query": query_text or "", "buckets": buckets}
+        if buckets:
+            out["after_key"] = dict(zip(names, items[-1][0]))
+        return out
 
     def search_weighted_avg(self, query_text: str | None, field: str,
                             weight_field: str) -> dict:

@@ -404,3 +404,51 @@ def test_cumulative_cardinality_vs_brute():
     assert list(map(tuple, got.itertuples(index=False))) == want
     with pytest.raises(ValueError):
         cumulative_cardinality(ds, "fortnight")
+
+
+def test_composite_pagination_vs_brute(surf_engine):
+    """composite agg: full after_key pagination over (terms, terms,
+    histogram) equals the brute GROUP BY in composite-key order, counts
+    exact on every page, no lost/duplicated buckets across cursors."""
+    eng, rows = surf_engine
+    want: dict = {}
+    for r in rows:
+        key = (r["lang"], r["source"], (r["n_chars"] // 10) * 10)
+        want[key] = want.get(key, 0) + 1
+    want_items = sorted(want.items())
+
+    got, after, pages = [], None, 0
+    while True:
+        res = eng.search_composite(
+            None,
+            [("lang", "terms", "lang"), ("src", "terms", "source"),
+             ("nc", "histogram", "n_chars", 10)],
+            size=5, after=after,
+        )
+        for b in res["buckets"]:
+            got.append(((b["key"]["lang"], b["key"]["src"], b["key"]["nc"]),
+                        b["doc_count"]))
+        pages += 1
+        if len(res["buckets"]) < 5:
+            break
+        after = res["after_key"]
+    assert got == want_items
+    assert pages == -(-len(want_items) // 5)
+
+    # filtered hit set + numeric terms source
+    res = eng.search_composite(
+        "merge AND scan", [("nc", "terms", "n_chars")], size=1000)
+    want2: dict = {}
+    for r in rows:
+        toks = r["text"].split()
+        if "merge" in toks and "scan" in toks:
+            want2[r["n_chars"]] = want2.get(r["n_chars"], 0) + 1
+    assert [(b["key"]["nc"], b["doc_count"]) for b in res["buckets"]] == \
+        sorted(want2.items())
+
+    # validation surface
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        eng.search_composite(None, [])
+    with _pytest.raises(ValueError):
+        eng.search_composite(None, [("x", "histogram", "n_chars", 0)])
