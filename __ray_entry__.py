@@ -2738,6 +2738,88 @@ QUERY_STRING_QUERIES = [
 ]
 
 
+def _q_combined_fields(sf_dir: str):
+    """ES combined_fields (BM25F as ES simplifies it) over title^2,text:
+    per term the combined tf_c = 2*tf_title + tf_text, combined doc
+    length and avgdl weighted the same way, combined df = docs holding
+    the term in ANY field — plain BM25 over those pseudo-stats.
+
+    SQL twin: the weighted UNION ALL of the two token streams grouped to
+    (tf_c, dl_c, df_c) feeding the standard BM25 expression."""
+    from elasticsearch_ray.pipelines.fields import CrossFieldEngine
+
+    _field_engine(sf_dir)  # ensures both field indexes exist
+    key = f"combined::{sf_dir}"
+    if key not in _ENGINES:
+        dirs = {
+            "title": _index_dir_for(sf_dir, "fidx") + "/field_title",
+            "text": _ensure_index(sf_dir, "plain"),
+        }
+        _ENGINES[key] = CrossFieldEngine(
+            dirs, boosts={"title": 2.0}, num_shards=2
+        )
+    eng = _ENGINES[key]
+    rows = {"query": [], "rank": [], "doc_id": [], "score_u": []}
+    for q in BM25_QUERIES:
+        res = eng.search_combined(q, size=10)
+        for rank, r in enumerate(res["results"], 1):
+            rows["query"].append(q)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r["doc_id"])
+            rows["score_u"].append(int(math.floor(r["score"] * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "rank": pa.array(rows["rank"], pa.int32()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "score_u": pa.array(rows["score_u"], pa.int64()),
+        }
+    )
+
+
+def _combined_fields_sql() -> str:
+    qt = []
+    for q in BM25_QUERIES:
+        for t in q.split():
+            qt.append((q, t))
+    return f"""
+WITH xtok AS ({_TOK}),
+ttok AS (SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 5)) AS tok
+         FROM documents),
+ctok AS (SELECT doc_id, tok, 1.0 AS w FROM xtok
+         UNION ALL SELECT doc_id, tok, 2.0 AS w FROM ttok),
+cdl AS (SELECT d.doc_id, coalesce(sum(c.w), 0) AS dl
+        FROM documents d LEFT JOIN ctok c ON d.doc_id = c.doc_id
+        GROUP BY d.doc_id),
+cstats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM cdl),
+ctf AS (SELECT doc_id, tok AS term, sum(w) AS tf FROM ctok
+        GROUP BY doc_id, tok),
+cdf AS (SELECT term, count(*) AS df FROM ctf GROUP BY term),
+q(query, term) AS (VALUES {_bm25_values_sql(qt)}),
+scored AS (
+  SELECT q.query, ctf.doc_id,
+         sum(ln((cstats.n + 1.0) / (cdf.df + 1.0))
+             * (ctf.tf * 2.2)
+             / (ctf.tf + 1.2 * (1 - 0.75 + 0.75 * cdl.dl / cstats.avgdl))) AS s
+  FROM q
+  JOIN cdf ON cdf.term = q.term
+  JOIN ctf ON ctf.term = q.term
+  JOIN cdl ON cdl.doc_id = ctf.doc_id
+  CROSS JOIN cstats
+  WHERE ln((cstats.n + 1.0) / (cdf.df + 1.0)) <> 0
+  GROUP BY q.query, ctf.doc_id
+)
+SELECT query, CAST(rank AS INT) AS rank, doc_id,
+       CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_u
+FROM (
+  SELECT query, doc_id, s,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY s DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+ORDER BY query, rank"""
+
+
 def _q_composite(sf_dir: str):
     """ES composite aggregation: full-bucket enumeration of
     (lang, source, histogram(n_chars, 500)) paginated with after_key
@@ -3772,6 +3854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_string": _q_query_string,
         "simple_query_string": _q_simple_query_string,
         "composite_pages": _q_composite,
+        "combined_fields_top10": _q_combined_fields,
     }
 
 
@@ -6490,6 +6573,7 @@ GROUP BY d.doc_id
         "query_string": _query_string_sql(),
         "simple_query_string": _simple_qs_sql(),
         "composite_pages": _composite_sql(),
+        "combined_fields_top10": _combined_fields_sql(),
         "cardinality_agg": _cardinality_sql(),
         "cardinality_approx": _cardinality_approx_sql(),
         "percentiles_approx": _percentiles_approx_sql(),

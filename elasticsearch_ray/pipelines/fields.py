@@ -15,6 +15,8 @@ global top-k.
 
 from __future__ import annotations
 
+import math
+
 from .query import QueryEngine
 
 
@@ -246,6 +248,123 @@ class CrossFieldSearcher:
         return ids, scores, int(uniq.size)
 
 
+    # -------------------------------------------------- combined_fields
+
+    def _combined_dl(self, weights: tuple) -> "np.ndarray":
+        """Combined document length dl_c(d) = sum_f w_f * len_f(d) over
+        this shard's doc range, built once and cached (the range is
+        N / num_shards wide, so this is a bounded float array, not a
+        corpus-sized one).  Tombstoned docs contribute -inf so they can
+        never surface as candidates."""
+        import numpy as np
+
+        cached = getattr(self, "_dlc_cache", None)
+        if cached is not None and cached[0] == weights:
+            return cached[1]
+        dlc = np.zeros(self.hi - self.lo, dtype=np.float64)
+        dead = np.zeros(self.hi - self.lo, dtype=bool)
+        wmap = dict(weights)
+        for f, readers in self.readers.items():
+            w = wmap.get(f, 1.0)
+            for r in readers:
+                s = max(self.lo, r.doc_id_base)
+                e = min(self.hi, r.doc_id_base + r.doc_lens.size)
+                if s >= e:
+                    continue
+                seg = r.doc_lens[s - r.doc_id_base:e - r.doc_id_base]
+                dlc[s - self.lo:e - self.lo] += w * np.maximum(seg, 0)
+                dead[s - self.lo:e - self.lo] |= seg < 0
+        dlc[dead] = -np.inf
+        self._dlc_cache = (weights, dlc)
+        return dlc
+
+    def combined_dfs(self, terms: list[str]) -> list[int]:
+        """Per term: how many docs of this shard's range contain it in
+        ANY field (the combined-field document frequency).  Shard ranges
+        partition the corpus, so the driver's sum is the exact global
+        df_c."""
+        import numpy as np
+
+        out = []
+        for t in terms:
+            acc = []
+            for readers in self.readers.values():
+                for r in readers:
+                    res = r.postings_slots(t)
+                    if res is None:
+                        continue
+                    slots = res[0]
+                    slots = slots[r.doc_lens[slots] >= 0]
+                    g = slots + r.doc_id_base
+                    acc.append(g[(g >= self.lo) & (g < self.hi)])
+            out.append(
+                int(np.unique(np.concatenate(acc)).size) if acc else 0
+            )
+        return out
+
+    def combined_topk(self, terms: list[str], idfs: dict[str, float],
+                      weights: tuple, avgdl_c: float, k: int,
+                      k1: float, b: float):
+        """ES ``combined_fields`` shard scoring (BM25F as ES simplifies
+        it, combined_fields docs): per term the COMBINED term frequency
+        tf_c = sum_f w_f * tf_f, per doc the combined length dl_c and the
+        corpus-level combined avgdl, fed through plain BM25 with the
+        combined df.  All-field candidate gather is one concatenate +
+        lexsort + run-length sum per term; no per-doc python."""
+        import numpy as np
+
+        from ..stages import scoring as sc
+
+        dlc = self._combined_dl(weights)
+        wmap = dict(weights)
+        cand_ids: list[np.ndarray] = []
+        cand_sc: list[np.ndarray] = []
+        for t in terms:
+            idf = idfs.get(t, 0.0)
+            if idf == 0.0:
+                continue
+            gids, tfs = [], []
+            for f, readers in self.readers.items():
+                w = wmap.get(f, 1.0)
+                for r in readers:
+                    res = r.postings_slots(t)
+                    if res is None:
+                        continue
+                    slots, tf = res
+                    g = slots + r.doc_id_base
+                    m = (g >= self.lo) & (g < self.hi)
+                    if m.any():
+                        gids.append(g[m])
+                        tfs.append(w * tf[m].astype(np.float64))
+            if not gids:
+                continue
+            ids = np.concatenate(gids)
+            tfc = np.concatenate(tfs)
+            order = np.argsort(ids, kind="stable")
+            ids, tfc = ids[order], tfc[order]
+            bnd = np.flatnonzero(np.diff(ids)) + 1
+            uids = ids[np.r_[0, bnd]]
+            sums = np.add.reduceat(tfc, np.r_[0, bnd])
+            dl = dlc[uids - self.lo]
+            live = dl >= 0  # -inf marks tombstones
+            uids, sums, dl = uids[live], sums[live], dl[live]
+            denom = sums + k1 * (1.0 - b + b * dl / avgdl_c)
+            cand_ids.append(uids)
+            cand_sc.append(idf * sums * (k1 + 1.0) / denom)
+        if not cand_ids:
+            e = np.empty(0, dtype=np.int64)
+            return e, np.empty(0, dtype=np.float64), 0
+        ids = np.concatenate(cand_ids)
+        scores = np.concatenate(cand_sc)
+        order = np.argsort(ids, kind="stable")
+        ids, scores = ids[order], scores[order]
+        bnd = np.flatnonzero(np.diff(ids)) + 1
+        uids = ids[np.r_[0, bnd]]
+        total = np.add.reduceat(scores, np.r_[0, bnd])
+        tids, tsc = sc._topk_by_score(uids, total, k)
+        return tids, tsc, int(uids.size)
+
+
 class CrossFieldEngine:
     """ES ``multi_match`` with a tie_breaker (``dis_max``) / ``most_fields``
     over per-field indexes that index the SAME corpus (equal doc_counts,
@@ -333,6 +452,73 @@ class CrossFieldEngine:
         else:
             parts = ray.get(
                 [s.dismax.remote(*args) for s in self.searchers]
+            )
+        ids = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        total = int(sum(p[2] for p in parts))
+        order = np.lexsort((ids, -scores))[:size]
+        return {
+            "query": query_text,
+            "total_hits": total,
+            "results": [
+                {"doc_id": int(ids[i]), "score": float(scores[i])}
+                for i in order
+            ],
+        }
+
+    def search_combined(self, query_text: str, size: int = 10) -> dict:
+        """ES ``combined_fields`` query: all fields scored as ONE
+        pseudo-field (the principled BM25F-style alternative to
+        cross_fields — ES combined_fields docs): per doc and term the
+        combined tf_c = sum_f w_f * tf_f(t,d), combined length
+        dl_c = sum_f w_f * len_f(d), corpus combined
+        avgdl_c = sum_f w_f * total_len_f / N, and the combined
+        df_c(t) = |{d : t in any field}|, fed through plain BM25 with
+        idf = ln((N+1)/(df_c+1)) (engine convention).
+
+        Two actor rounds, like ranked search: (1) exact global df_c per
+        term (shard ranges partition the corpus, so per-shard unions sum
+        exactly), (2) shard-local top-k.  Requires all fields to share
+        an analyzer (ES requirement too)."""
+        import numpy as np
+        import ray
+
+        meta0 = next(iter(self.meta.values()))
+        terms = meta0.normalizer.preprocess_query_list(query_text)
+        if not terms or self.doc_count == 0:
+            return {"query": query_text, "total_hits": 0, "results": []}
+        terms = list(dict.fromkeys(terms))  # df round dedups; scoring
+        # re-weights duplicates below
+        counts: dict[str, int] = dict.fromkeys(terms, 0)
+        weights = tuple(sorted(self.boosts.items()))
+        if self.embedded is not None:
+            df_parts = [self.embedded.combined_dfs(terms)]
+        else:
+            df_parts = ray.get(
+                [s.combined_dfs.remote(terms) for s in self.searchers]
+            )
+        for part in df_parts:
+            for t, n in zip(terms, part):
+                counts[t] += int(n)
+        n_docs = self.doc_count
+        # duplicate query terms score once per occurrence (BM25 bag of
+        # words): fold multiplicity into idf
+        mult: dict[str, int] = {}
+        for t in meta0.normalizer.preprocess_query_list(query_text):
+            mult[t] = mult.get(t, 0) + 1
+        idfs = {
+            t: mult[t] * math.log((n_docs + 1.0) / (counts[t] + 1.0))
+            for t in terms
+        }
+        avgdl_c = sum(
+            self.boosts[f] * m.avgdl for f, m in self.meta.items()
+        )
+        args = (terms, idfs, weights, avgdl_c, size, self.k1, self.b)
+        if self.embedded is not None:
+            parts = [self.embedded.combined_topk(*args)]
+        else:
+            parts = ray.get(
+                [s.combined_topk.remote(*args) for s in self.searchers]
             )
         ids = np.concatenate([p[0] for p in parts])
         scores = np.concatenate([p[1] for p in parts])

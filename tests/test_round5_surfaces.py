@@ -452,3 +452,67 @@ def test_composite_pagination_vs_brute(surf_engine):
         eng.search_composite(None, [])
     with _pytest.raises(ValueError):
         eng.search_composite(None, [("x", "histogram", "n_chars", 0)])
+
+
+def test_combined_fields_vs_brute(tmp_path):
+    """combined_fields (BM25F): engine's two-round distributed scoring ==
+    the naive all-docs pseudo-field BM25, including duplicate query
+    terms (idf multiplicity) and the tombstone guard."""
+    import math
+    from collections import Counter
+
+    from elasticsearch_ray.pipelines.fields import (
+        CrossFieldEngine,
+        build_field_indexes,
+    )
+
+    rng = random.Random(77)
+    vocab = ["merge", "hash", "scan", "join", "sort", "filter", "spark"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+             for _ in range(90)]
+    titles = [" ".join(t.split()[:2]) for t in texts]
+    src = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(90), pa.int64()),
+            "title": pa.array(titles, pa.string()),
+            "text": pa.array(texts, pa.string()),
+        }), str(src))
+    dirs = build_field_indexes(
+        {"title": (str(src), "title"), "text": (str(src), "text")},
+        str(tmp_path / "fidx"), analyzer="plain",
+        target_partition_rows=20, docs_per_segment=30,
+    )
+    eng = CrossFieldEngine(dirs, boosts={"title": 2.0}, num_shards=2)
+
+    N = len(texts)
+    wt, wx = 2.0, 1.0
+    tis = [t.split() for t in titles]
+    txs = [t.split() for t in texts]
+    dlc = [wt * len(a) + wx * len(b) for a, b in zip(tis, txs)]
+    avgdl = sum(dlc) / N
+
+    def brute(q, k=10):
+        terms = q.split()
+        scores: Counter = Counter()
+        for t in set(terms):
+            dfc = sum(1 for a, b in zip(tis, txs) if t in a or t in b)
+            idf = terms.count(t) * math.log((N + 1) / (dfc + 1))
+            if idf == 0:
+                continue
+            for d in range(N):
+                tfc = wt * tis[d].count(t) + wx * txs[d].count(t)
+                if tfc:
+                    scores[d] += idf * tfc * 2.2 / (
+                        tfc + 1.2 * (1 - 0.75 + 0.75 * dlc[d] / avgdl))
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    try:
+        for q in ["merge hash", "scan", "join join filter", "spark sort merge"]:
+            got = [(r["doc_id"], round(r["score"], 9))
+                   for r in eng.search_combined(q, size=10)["results"]]
+            want = [(d, round(s, 9)) for d, s in brute(q)]
+            assert got == want, q
+        assert eng.search_combined("zzz")["results"] == []
+    finally:
+        eng.close()
