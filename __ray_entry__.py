@@ -2738,6 +2738,92 @@ QUERY_STRING_QUERIES = [
 ]
 
 
+INTERVALS_RULES = [
+    ("ordered_g1",
+     {"match": {"query": "join hash", "ordered": True, "max_gaps": 1}}),
+    ("unordered_g2",
+     {"match": {"query": "hash join", "ordered": False, "max_gaps": 2}}),
+    ("ordered_unlimited",
+     {"match": {"query": "customer join batch", "ordered": True,
+                "max_gaps": -1}}),
+    ("nested_all_of",
+     {"all_of": {"ordered": True, "max_gaps": 2, "intervals": [
+         {"match": {"query": "merge sort", "ordered": True, "max_gaps": 0}},
+         {"match": {"query": "batch"}}]}}),
+    ("any_of",
+     {"any_of": {"intervals": [
+         {"match": {"query": "scan filter", "ordered": True, "max_gaps": 0}},
+         {"match": {"query": "window batch", "ordered": True,
+                    "max_gaps": 0}}]}}),
+]
+
+
+def _q_intervals(sf_dir: str):
+    """ES intervals query (minimal-interval algebra over positions):
+    flat ordered/unordered matches with gap budgets, unlimited-gap
+    ordered chains, nested all_of with a cross-rule gap budget, any_of
+    unions.
+
+    SQL twin: positional self-joins — for the nested case the minimal
+    child intervals (adjacent pairs) chained to the greedy next
+    occurrence, which for fixed-covered-length children is exactly the
+    algebra's match condition."""
+    eng = _engine(sf_dir, "plain", positions=True)
+    rows_c, rows_d = [], []
+    for name, rule in INTERVALS_RULES:
+        res = eng.search_intervals(rule, size=200)
+        for r in res["results"]:
+            rows_c.append(name)
+            rows_d.append(r["doc_id"])
+    return pa.table(
+        {"case": pa.array(rows_c, pa.string()),
+         "doc_id": pa.array(rows_d, pa.int64())}
+    )
+
+
+def _intervals_sql() -> str:
+    return r"""
+WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+tok AS (
+  SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS pos
+  FROM lists
+),
+q0 AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+       ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2
+       WHERE a.tok = 'join' AND b.tok = 'hash'),
+q1 AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+       ON a.doc_id = b.doc_id AND a.pos <> b.pos
+          AND abs(b.pos - a.pos) <= 3
+       WHERE a.tok = 'hash' AND b.tok = 'join'),
+q2 AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+       ON a.doc_id = b.doc_id AND b.pos > a.pos
+       JOIN tok c ON c.doc_id = a.doc_id AND c.pos > b.pos
+       WHERE a.tok = 'customer' AND b.tok = 'join' AND c.tok = 'batch'),
+q3 AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+       ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       JOIN tok c ON c.doc_id = a.doc_id AND c.pos > b.pos
+          AND c.pos <= a.pos + 4
+       WHERE a.tok = 'merge' AND b.tok = 'sort' AND c.tok = 'batch'),
+q4 AS (SELECT DISTINCT a.doc_id FROM tok a JOIN tok b
+       ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE (a.tok = 'scan' AND b.tok = 'filter')
+          OR (a.tok = 'window' AND b.tok = 'batch'))
+SELECT 'ordered_g1' AS "case", doc_id
+  FROM (SELECT doc_id FROM q0 ORDER BY doc_id LIMIT 200)
+UNION ALL
+SELECT 'unordered_g2' AS "case", doc_id
+  FROM (SELECT doc_id FROM q1 ORDER BY doc_id LIMIT 200)
+UNION ALL
+SELECT 'ordered_unlimited' AS "case", doc_id
+  FROM (SELECT doc_id FROM q2 ORDER BY doc_id LIMIT 200)
+UNION ALL
+SELECT 'nested_all_of' AS "case", doc_id
+  FROM (SELECT doc_id FROM q3 ORDER BY doc_id LIMIT 200)
+UNION ALL
+SELECT 'any_of' AS "case", doc_id
+  FROM (SELECT doc_id FROM q4 ORDER BY doc_id LIMIT 200)"""
+
+
 def _q_combined_fields(sf_dir: str):
     """ES combined_fields (BM25F as ES simplifies it) over title^2,text:
     per term the combined tf_c = 2*tf_title + tf_text, combined doc
@@ -3855,6 +3941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simple_query_string": _q_simple_query_string,
         "composite_pages": _q_composite,
         "combined_fields_top10": _q_combined_fields,
+        "intervals": _q_intervals,
     }
 
 
@@ -6574,6 +6661,7 @@ GROUP BY d.doc_id
         "simple_query_string": _simple_qs_sql(),
         "composite_pages": _composite_sql(),
         "combined_fields_top10": _combined_fields_sql(),
+        "intervals": _intervals_sql(),
         "cardinality_agg": _cardinality_sql(),
         "cardinality_approx": _cardinality_approx_sql(),
         "percentiles_approx": _percentiles_approx_sql(),

@@ -1629,6 +1629,16 @@ class Searcher:
         ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
         return ids[:k], total
 
+    def search_intervals(self, rule: tuple, k: int):
+        out: list[np.ndarray] = []
+        total = 0
+        for r in self.readers:
+            ids, n = sc.intervals_eval(r, rule, k)
+            total += n
+            out.append(ids)
+        ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        return ids[:k], total
+
     def complete_prefix(self, prefix: str, k: int):
         """Per-shard completion-suggester candidates: EVERY dictionary term
         starting with ``prefix`` with its df summed over this shard's
@@ -2499,6 +2509,80 @@ class QueryEngine:
         total = int(sum(p[1] for p in parts))
         return {
             "query": query_text,
+            "total_hits": total,
+            "results": [{"doc_id": int(d), "score": 1.0}
+                        for d in ids[from_:fetch]],
+        }
+
+    def _iv_compile(self, rule: dict) -> tuple:
+        """ES intervals JSON -> internal rule tuples, analyzing leaf
+        words through the index analyzer (each must map to exactly one
+        indexed term — the span/intervals family's contract here)."""
+        if not isinstance(rule, dict) or len(rule) != 1:
+            raise ValueError(
+                "intervals rule must be one of "
+                "{'match': ...}, {'all_of': ...}, {'any_of': ...}")
+        kind, body = next(iter(rule.items()))
+        if kind == "match":
+            words = body["query"].split()
+            terms = []
+            for w in words:
+                toks = self.normalizer.preprocess_query_list(w)
+                if len(toks) != 1:
+                    raise ValueError(
+                        f"intervals match word {w!r} must analyze to "
+                        f"exactly one term (got {toks!r})")
+                terms.append(toks[0])
+            if not terms:
+                raise ValueError("intervals match needs at least one word")
+            if len(terms) == 1:
+                return ("term", terms[0])
+            return ("match", tuple(terms),
+                    int(body.get("max_gaps", -1)),
+                    bool(body.get("ordered", False)))
+        if kind == "all_of":
+            children = tuple(self._iv_compile(c) for c in body["intervals"])
+            if not children:
+                raise ValueError("all_of needs at least one sub-rule")
+            return ("all_of", children, int(body.get("max_gaps", -1)),
+                    bool(body.get("ordered", False)))
+        if kind == "any_of":
+            children = tuple(self._iv_compile(c) for c in body["intervals"])
+            if not children:
+                raise ValueError("any_of needs at least one sub-rule")
+            return ("any_of", children)
+        raise ValueError(f"unsupported intervals rule {kind!r}")
+
+    def search_intervals(self, rule: dict, size: int = 10,
+                         from_: int = 0) -> dict:
+        """ES ``intervals`` query: Lucene's minimal-interval algebra over
+        stored positions — ``match`` (ordered / max_gaps),
+        ``all_of`` (positional conjunction with ordering and gap budget
+        ACROSS sub-rules), ``any_of`` (positional union), arbitrarily
+        nested.  ``rule`` takes the ES JSON shape, e.g.::
+
+            {"all_of": {"ordered": True, "max_gaps": 2, "intervals": [
+                {"match": {"query": "merge sort", "ordered": True}},
+                {"any_of": {"intervals": [
+                    {"match": {"query": "batch"}},
+                    {"match": {"query": "stream"}}]}},
+            ]}}
+
+        Flat rules run the vectorized phrase/span_near kernels; nested
+        rules run the per-doc minimal-interval algebra bounded by the
+        rarest required clause's postings (Lucene's own per-doc lazy
+        iterator design).  Constant-scored (like the boolean family),
+        doc_id ascending, exact totals.  Needs store_positions=True."""
+        if not self.has_positions:
+            raise ValueError(
+                "intervals needs an index built with store_positions=True")
+        compiled = self._iv_compile(rule)
+        fetch = from_ + size
+        parts = self._fanout("search_intervals", compiled, fetch)
+        ids = np.concatenate([p[0] for p in parts])
+        total = int(sum(p[1] for p in parts))
+        return {
+            "query": repr(rule),
             "total_hits": total,
             "results": [{"doc_id": int(d), "score": 1.0}
                         for d in ids[from_:fetch]],

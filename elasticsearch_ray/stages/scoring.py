@@ -861,6 +861,302 @@ def span_near_eval(
     return slots[:size] + reader.doc_id_base, int(slots.size)
 
 
+# --------------------------------------------------------------------
+# ES/Lucene intervals query: minimal-interval algebra
+# --------------------------------------------------------------------
+#
+# Rule tuples (hashable, RPC-able):
+#   ("term", t)
+#   ("match", (t1, ..., tn), max_gaps, ordered)
+#   ("all_of", (child, ...), max_gaps, ordered)
+#   ("any_of", (child, ...))
+#
+# Semantics are Lucene's minimal-interval algebra (the intervals query is
+# DEFINED over minimal interval sets, not over exhaustive assignments):
+# each combinator consumes its children's minimal sets, produces combined
+# intervals, filters by max_gaps (gaps = span length minus the sum of the
+# chosen child interval lengths; for flat terms this is exactly the
+# in-order/unordered window slack of span_near), then prunes to the
+# minimal antichain.  ordered chaining requires non-overlap
+# (start > previous end), unordered allows overlaps (Lucene UNORDERED).
+
+_IV_UNLIMITED = 1 << 30
+
+
+def _iv_rule_terms(rule) -> set[str]:
+    kind = rule[0]
+    if kind == "term":
+        return {rule[1]}
+    if kind == "match":
+        return set(rule[1])
+    out: set[str] = set()
+    for c in rule[1]:
+        out |= _iv_rule_terms(c)
+    return out
+
+
+def _iv_candidates(reader: SegmentReader, rule) -> np.ndarray:
+    """Slots that could possibly match: intersection over required
+    children (term/match/all_of), union over any_of — the same
+    rarest-clause bound Lucene's conjunction iterators give."""
+    kind = rule[0]
+    empty = np.empty(0, dtype=np.int64)
+
+    def term_docs(t):
+        row = reader.term_row(t)
+        if row is None:
+            return empty
+        return reader.positions_flat_by_row(row)[0]
+
+    def inter(a, b):
+        if a.size > b.size:
+            a, b = b, a
+        if not a.size:
+            return a
+        idx = np.searchsorted(b, a)
+        idx[idx == b.size] = 0
+        return a[b[idx] == a]
+
+    if kind == "term":
+        return term_docs(rule[1])
+    if kind == "match":
+        cand = None
+        for t in rule[1]:
+            d = term_docs(t)
+            cand = d if cand is None else inter(cand, d)
+            if not cand.size:
+                return cand
+        return cand if cand is not None else empty
+    if kind == "all_of":
+        cand = None
+        for c in rule[1]:
+            d = _iv_candidates(reader, c)
+            cand = d if cand is None else inter(cand, d)
+            if not cand.size:
+                return cand
+        return cand if cand is not None else empty
+    # any_of
+    parts = [_iv_candidates(reader, c) for c in rule[1]]
+    parts = [p for p in parts if p.size]
+    if not parts:
+        return empty
+    return np.unique(np.concatenate(parts)) if len(parts) > 1 else parts[0]
+
+
+def _iv_prune(ivs: list) -> list:
+    """Minimal antichain: drop intervals that strictly contain another."""
+    if len(ivs) <= 1:
+        return ivs
+    ivs = sorted(set(ivs))
+    # equal starts: keep only the smallest end (it is contained in the rest)
+    dedup = []
+    for s, e in ivs:
+        if dedup and dedup[-1][0] == s:
+            continue  # sorted: previous has smaller end
+        dedup.append((s, e))
+    out = []
+    min_end = None
+    for s, e in reversed(dedup):
+        if min_end is None or e < min_end:
+            out.append((s, e))
+            min_end = e
+    out.reverse()
+    return out
+
+
+def _iv_combine(childs: list, ordered: bool, max_gaps: int) -> list:
+    """Minimal combined intervals over per-child minimal sets (each an
+    antichain sorted by start, so ends ascend too — greedy earliest-next
+    is optimal).  Lucene order of operations: produce the combined
+    minimal set FIRST, then filter it by max_gaps (``Intervals.maxgaps``
+    wraps an already-minimal source)."""
+    import bisect
+
+    if any(not c for c in childs):
+        return []
+    cand: list = []  # (start, end, covered)
+    if ordered:
+        starts_per_child = [[s for s, _ in c] for c in childs]
+        for s0, e0 in childs[0]:
+            cur_end = e0
+            covered = e0 - s0 + 1
+            ok = True
+            for c, starts in zip(childs[1:], starts_per_child[1:]):
+                j = bisect.bisect_right(starts, cur_end)
+                if j == len(c):
+                    ok = False
+                    break
+                cs, ce = c[j]
+                covered += ce - cs + 1
+                cur_end = ce
+            if ok:
+                cand.append((s0, cur_end, covered))
+    else:
+        ptr = [0] * len(childs)
+        n = len(childs)
+        while True:
+            cur = [childs[i][ptr[i]] for i in range(n)]
+            s = min(c[0] for c in cur)
+            e = max(c[1] for c in cur)
+            covered = sum(c[1] - c[0] + 1 for c in cur)
+            cand.append((s, e, covered))
+            # advance the child holding the earliest start (try to shrink)
+            k = min(range(n), key=lambda i: cur[i][0])
+            ptr[k] += 1
+            if ptr[k] == len(childs[k]):
+                break
+    gaps_of: dict = {}
+    for s, e, cov in cand:
+        # same span reachable via different child states: keep the
+        # densest (fewest internal gaps)
+        if (s, e) not in gaps_of or cov > gaps_of[(s, e)]:
+            gaps_of[(s, e)] = cov
+    minimal = _iv_prune([(s, e) for s, e, _ in cand])
+    return [
+        (s, e) for s, e in minimal
+        if (e - s + 1) - gaps_of[(s, e)] <= max_gaps
+    ]
+
+
+def _iv_eval_doc(rule, positions_of) -> list:
+    """Minimal interval set of ``rule`` within one doc.  ``positions_of``
+    maps term -> sorted position list for this doc."""
+    kind = rule[0]
+    if kind == "term":
+        return [(p, p) for p in positions_of(rule[1])]
+    if kind == "match":
+        _, terms, max_gaps, ordered = rule
+        childs = [[(p, p) for p in positions_of(t)] for t in terms]
+        if len(childs) == 1:
+            return childs[0]
+        return _iv_combine(
+            childs, ordered,
+            max_gaps if max_gaps >= 0 else _IV_UNLIMITED,
+        )
+    if kind == "all_of":
+        _, children, max_gaps, ordered = rule
+        childs = [_iv_eval_doc(c, positions_of) for c in children]
+        if len(childs) == 1:
+            return childs[0]
+        return _iv_combine(
+            childs, ordered,
+            max_gaps if max_gaps >= 0 else _IV_UNLIMITED,
+        )
+    # any_of
+    out: list = []
+    for c in rule[1]:
+        out.extend(_iv_eval_doc(c, positions_of))
+    return _iv_prune(out)
+
+
+def _ordered_chain_docs(reader: SegmentReader, terms: list[str],
+                        size: int | None):
+    """Docs where ``terms`` occur at strictly increasing positions in
+    order, ANY distance apart (ordered match with unlimited max_gaps).
+    One vectorized left-to-right walk over composite ``slot<<32|pos``
+    keys: a key of term i+1 survives iff some surviving key of term i
+    precedes it within the same slot — O(n_terms) vector ops, no
+    slop-dependent work (the sloppy-phrase DP is O(slop^2), unusable at
+    unlimited gaps)."""
+    empty = np.empty(0, dtype=np.int64)
+
+    def intersect(a, b):
+        if a.size > b.size:
+            a, b = b, a
+        if not a.size:
+            return a
+        idx = np.searchsorted(b, a)
+        idx[idx == b.size] = 0
+        return a[b[idx] == a]
+
+    rows, cand = [], None
+    for t in terms:
+        row = reader.term_row(t)
+        if row is None:
+            return empty, 0
+        rows.append(row)
+        docs = reader.positions_flat_by_row(row)[0]
+        cand = docs if cand is None else intersect(cand, docs)
+        if not cand.size:
+            return empty, 0
+    cand = cand[reader.doc_lens[cand] >= 0]
+    if not cand.size:
+        return empty, 0
+    shift = np.int64(32)
+    surv = reader.positions_keys_by_row(rows[0])
+    for row in rows[1:]:
+        if not surv.size:
+            return empty, 0
+        keys = reader.positions_keys_by_row(row)
+        idx = np.searchsorted(surv, keys)  # surviving keys strictly before
+        ok = idx > 0
+        prev = surv[np.maximum(idx - 1, 0)]
+        ok &= (prev >> shift) == (keys >> shift)
+        surv = keys[ok]
+    slots = np.unique(surv >> shift)
+    slots = intersect(slots, cand)  # re-impose tombstone/candidate set
+    return slots[:size] + reader.doc_id_base, int(slots.size)
+
+
+def intervals_eval(reader: SegmentReader, rule, size: int | None):
+    """ES ``intervals`` query over stored positions.  Flat rules
+    (term / single-level match) delegate to the vectorized phrase /
+    span_near kernels — for flat terms the max_gaps filter depends only
+    on the window endpoints, so minimal-interval matching coincides with
+    the window semantics those kernels implement.  (Ordered flat match
+    with unlimited gaps uses a dedicated O(n) chain walk; with a large
+    finite gap budget it falls through to the per-doc algebra — the
+    sloppy-phrase DP is O(max_gaps^2).)  Nested rules run the per-doc
+    minimal-interval algebra over the candidate set (intersection of
+    required clauses — the rarest-clause bound, Lucene's conjunction
+    iterator design).  Returns (first ``size`` global doc_ids ascending,
+    local match count)."""
+    empty = np.empty(0, dtype=np.int64)
+    if rule[0] == "term":
+        res = reader.postings_slots(rule[1])
+        if res is None:
+            return empty, 0
+        slots = res[0]
+        slots = slots[reader.doc_lens[slots] >= 0]
+        return slots[:size] + reader.doc_id_base, int(slots.size)
+    if rule[0] == "match":
+        _, terms, max_gaps, ordered = rule
+        if ordered and max_gaps < 0:
+            return _ordered_chain_docs(reader, list(terms), size)
+        if not ordered or max_gaps <= 32:
+            slop = max_gaps if max_gaps >= 0 else _IV_UNLIMITED
+            return span_near_eval(reader, list(terms), slop, ordered, size)
+        # ordered with a large finite gap budget: per-doc algebra below
+    cand = _iv_candidates(reader, rule)
+    if cand.size:
+        cand = cand[reader.doc_lens[cand] >= 0]
+    if not cand.size:
+        return empty, 0
+    term_keys = {
+        t: reader.positions_keys_by_row(row)
+        for t in _iv_rule_terms(rule)
+        if (row := reader.term_row(t)) is not None
+    }
+    hits = []
+    shift = np.int64(32)
+    for slot in cand:
+        lo = np.int64(slot) << shift
+        hi = np.int64(slot + 1) << shift
+
+        def positions_of(t, _lo=lo, _hi=hi):
+            keys = term_keys.get(t)
+            if keys is None:
+                return []
+            i = np.searchsorted(keys, _lo)
+            j = np.searchsorted(keys, _hi)
+            return (keys[i:j] & np.int64(0xFFFFFFFF)).tolist()
+
+        if _iv_eval_doc(rule, positions_of):
+            hits.append(slot)
+    slots = np.asarray(hits, dtype=np.int64)
+    return slots[:size] + reader.doc_id_base, int(slots.size)
+
+
 def wildcard_eval(
     reader: SegmentReader,
     pattern: str,
