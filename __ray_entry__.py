@@ -2738,6 +2738,114 @@ QUERY_STRING_QUERIES = [
 ]
 
 
+def _q_rate_agg(sf_dir: str):
+    """ES rate aggregation inside a calendar date_histogram: per bucket,
+    sum(value) scaled to per-HOUR using the bucket's ACTUAL length (ES
+    calendar-aware rate; a 29-day February divides by 696).  Buckets are
+    map-side pre-aggregated sums; the length division is O(buckets).
+
+    SQL twin: date_trunc buckets + epoch-difference of consecutive
+    calendar boundaries, identical integer rounding."""
+    from elasticsearch_ray.ops.events import rate_agg
+
+    t = pa.Table.from_pandas(
+        rate_agg(_events_ds(sf_dir), interval="week", unit="hour")
+        .sort("bucket_us").to_pandas()
+    )
+    return t
+
+
+def _rate_agg_sql() -> str:
+    return """
+SELECT CAST(epoch_us(bucket) AS BIGINT) AS bucket_us,
+       count(*)::BIGINT AS n,
+       sum(cents)::BIGINT AS sum_cents,
+       CAST(floor(CAST(sum(cents) AS DOUBLE) * 1e6 /
+            ((epoch_us(bucket + INTERVAL 7 DAY) - epoch_us(bucket))
+             / 3600000000.0) + 0.5) AS BIGINT) AS rate_u
+FROM (
+  SELECT date_trunc('week', ts) AS bucket,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+GROUP BY bucket ORDER BY bucket_us"""
+
+
+DATE_RANGES = [
+    (None, "2024-01-08T00:00:00"),
+    ("2024-01-08T00:00:00", "2024-01-15T00:00:00"),
+    ("2024-01-15T00:00:00", None),
+]
+
+
+def _q_date_range(sf_dir: str):
+    """ES date_range aggregation: per [from, to) range (from inclusive,
+    to exclusive, either end open), event count + exact integer-cents
+    sum — map-side boolean masks, no shuffle."""
+    from elasticsearch_ray.ops.events import date_range_agg
+
+    out = date_range_agg(_events_ds(sf_dir), DATE_RANGES)
+    return pa.table({
+        "ri": pa.array(range(len(out)), pa.int64()),
+        "doc_count": pa.array([r["doc_count"] for r in out], pa.int64()),
+        "sum_cents": pa.array([r["sum_cents"] for r in out], pa.int64()),
+    })
+
+
+def _date_range_sql() -> str:
+    parts = []
+    for i, (a, b) in enumerate(DATE_RANGES):
+        conds = []
+        if a is not None:
+            conds.append(f"ts >= TIMESTAMP '{a.replace('T', ' ')}'")
+        if b is not None:
+            conds.append(f"ts < TIMESTAMP '{b.replace('T', ' ')}'")
+        where = " AND ".join(conds)
+        parts.append(
+            f"SELECT {i}::BIGINT AS ri, count(*)::BIGINT AS doc_count, "
+            f"coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0)"
+            f"::BIGINT AS sum_cents FROM events WHERE {where}"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY ri"
+
+
+def _q_random_sampler(sf_dir: str):
+    """ES random_sampler aggregation: seeded deterministic doc sampling
+    (md5-keyed inclusion, stable across runs/shards) with a sum
+    sub-aggregation and the 1/p-scaled total estimate.
+
+    SQL twin: the identical md5 predicate over doc_id."""
+    eng = _engine(sf_dir, "plain")
+    rows = []
+    for p, seed in ((0.1, 42), (0.25, 7)):
+        r = eng.search_random_sampler(None, p, "n_chars", seed=seed)
+        rows.append((seed, int(p * 1_000_000), r["doc_count"],
+                     r["estimated_total"], r["sum_n_chars"]))
+    return pa.table({
+        "seed": pa.array([r[0] for r in rows], pa.int64()),
+        "p_micro": pa.array([r[1] for r in rows], pa.int64()),
+        "doc_count": pa.array([r[2] for r in rows], pa.int64()),
+        "estimated_total": pa.array([r[3] for r in rows], pa.int64()),
+        "sum_n_chars": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+def _random_sampler_sql() -> str:
+    parts = []
+    for p, seed in ((0.1, 42), (0.25, 7)):
+        pm = int(p * 1_000_000)
+        parts.append(f"""
+SELECT {seed}::BIGINT AS seed, {pm}::BIGINT AS p_micro,
+       count(*)::BIGINT AS doc_count,
+       CAST(floor(count(*) * 1000000.0 / {pm} + 0.5) AS BIGINT)
+         AS estimated_total,
+       coalesce(sum(n_chars), 0)::BIGINT AS sum_n_chars
+FROM documents
+WHERE ('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      ::BIGINT % 1000000 < {pm}""")
+    return " UNION ALL ".join(f"({p})" for p in parts) + " ORDER BY seed"
+
+
 INTERVALS_RULES = [
     ("ordered_g1",
      {"match": {"query": "join hash", "ordered": True, "max_gaps": 1}}),
@@ -3939,9 +4047,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "significant_text": _q_significant_text,
         "query_string": _q_query_string,
         "simple_query_string": _q_simple_query_string,
-        "composite_pages": _q_composite,
+        "composite_agg_pages": _q_composite,
         "combined_fields_top10": _q_combined_fields,
         "intervals": _q_intervals,
+        "rate_agg": _q_rate_agg,
+        "date_range_agg": _q_date_range,
+        "random_sampler": _q_random_sampler,
     }
 
 
@@ -6659,9 +6770,12 @@ GROUP BY d.doc_id
         "significant_text": _significant_text_sql(),
         "query_string": _query_string_sql(),
         "simple_query_string": _simple_qs_sql(),
-        "composite_pages": _composite_sql(),
+        "composite_agg_pages": _composite_sql(),
         "combined_fields_top10": _combined_fields_sql(),
         "intervals": _intervals_sql(),
+        "rate_agg": _rate_agg_sql(),
+        "date_range_agg": _date_range_sql(),
+        "random_sampler": _random_sampler_sql(),
         "cardinality_agg": _cardinality_sql(),
         "cardinality_approx": _cardinality_approx_sql(),
         "percentiles_approx": _percentiles_approx_sql(),

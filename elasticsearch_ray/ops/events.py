@@ -511,6 +511,143 @@ def auto_date_histogram(
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+_UNIT_US = {
+    "second": _US,
+    "minute": 60 * _US,
+    "hour": 3600 * _US,
+    "day": 86_400 * _US,
+}
+
+
+def rate_agg(
+    ds: ray.data.Dataset,
+    interval: str = "day",
+    unit: str = "hour",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """ES ``rate`` aggregation inside a date_histogram: per calendar
+    bucket, ``sum(value) / (bucket length in ``unit``)`` — like ES,
+    calendar buckets use their ACTUAL length (a 31-day month divides by
+    744 hours), so the scaling is computed from each bucket's real span.
+
+    Distribution: reuses :func:`date_histogram`'s map-side pre-aggregated
+    sums (shuffle moves one row per batch x bucket); the per-bucket
+    length and division happen on the bucket table (O(buckets)).  Rates
+    are returned in integer micro-cents-per-unit
+    (``floor(sum_cents * 1e6 / length + 0.5)``) for exact twinning.
+    """
+    if unit not in _UNIT_US:
+        raise ValueError(f"unit {unit!r} not in {sorted(_UNIT_US)}")
+    unit_us = _UNIT_US[unit]
+    buckets = date_histogram(ds, interval=interval, ts_col=ts_col,
+                             value_col=value_col)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # actual bucket length: next calendar boundary minus this one
+        # (month/quarter/year lengths vary — O(buckets) python, not rows)
+        s_us = batch.column("bucket_us").cast(pa.int64()).to_numpy()
+        import datetime as _dt
+
+        ends = np.empty(s_us.size, dtype=np.int64)
+        utc = _dt.timezone.utc
+        for i, us in enumerate(s_us):
+            d = _dt.datetime.fromtimestamp(int(us) / _US, tz=utc)
+            if interval == "hour":
+                e = d + _dt.timedelta(hours=1)
+            elif interval == "day":
+                e = d + _dt.timedelta(days=1)
+            elif interval == "week":
+                e = d + _dt.timedelta(days=7)
+            elif interval == "month":
+                e = (d.replace(day=1) + _dt.timedelta(days=32)).replace(
+                    day=1)
+            elif interval == "quarter":
+                m = d.month + 3
+                e = d.replace(year=d.year + (m - 1) // 12,
+                              month=(m - 1) % 12 + 1, day=1)
+            else:  # year
+                e = d.replace(year=d.year + 1)
+            ends[i] = int(e.timestamp() * _US)
+        length_units = (ends - s_us) / unit_us
+        cents = batch.column("sum_cents").to_numpy().astype(np.float64)
+        rate_u = np.floor(cents * 1e6 / length_units + 0.5).astype(np.int64)
+        return pa.table({
+            "bucket_us": batch.column("bucket_us"),
+            "n": batch.column("n"),
+            "sum_cents": batch.column("sum_cents"),
+            "rate_u": pa.array(rate_u),
+        })
+
+    return buckets.map_batches(finish, batch_format="pyarrow")
+
+
+def date_range_agg(
+    ds: ray.data.Dataset,
+    ranges: list[tuple[str | None, str | None]],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> list[dict]:
+    """ES ``date_range`` aggregation: per [from, to) ISO-timestamp range
+    (either end open; ES convention — from inclusive, to EXCLUSIVE),
+    event count and exact sum(value) in integer cents.
+
+    Map-side: one boolean mask per range per batch feeding integer
+    partials; the driver sums O(ranges) numbers per batch — no shuffle,
+    the event stream never moves."""
+    import datetime as _dt
+
+    def us(iso):
+        if iso is None:
+            return None
+        d = _dt.datetime.fromisoformat(iso)
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=_dt.timezone.utc)
+        return int(d.timestamp() * _US)
+
+    bounds = [(us(a), us(b)) for a, b in ranges]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch, ts_col)
+        cents = np.floor(
+            np.asarray(batch.column(value_col).to_numpy(), np.float64) * 100
+            + 0.5
+        ).astype(np.int64)
+        ns, sums = [], []
+        for lo, hi in bounds:
+            m = np.ones(ts.size, dtype=bool)
+            if lo is not None:
+                m &= ts >= lo
+            if hi is not None:
+                m &= ts < hi
+            ns.append(int(m.sum()))
+            sums.append(int(cents[m].sum()))
+        return pa.table({
+            "ri": pa.array(range(len(bounds)), pa.int64()),
+            "n_part": pa.array(ns, pa.int64()),
+            "cents_part": pa.array(sums, pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ri")
+        .aggregate(Sum("n_part"), Sum("cents_part"))
+        .take_all()
+    )  # O(ranges) rows — bounded driver materialization
+    by_ri = {int(r["ri"]): r for r in agg}
+    out = []
+    for i, (a, b) in enumerate(ranges):
+        r = by_ri.get(i)
+        out.append({
+            "from": a, "to": b,
+            "doc_count": int(r["sum(n_part)"]) if r else 0,
+            "sum_cents": int(r["sum(cents_part)"]) if r else 0,
+        })
+    return out
+
+
 def cumulative_cardinality(
     ds: ray.data.Dataset,
     interval: str = "day",

@@ -499,6 +499,40 @@ class Searcher:
         cutoff = top[-1][1] if top and len(items) > shard_size else 0
         return top, cutoff, sum(local.values())
 
+    def random_sampler_agg(self, kind: str, payload, seed: int,
+                           p_micro: int, field: str):
+        """ES ``random_sampler`` aggregation, shard phase: deterministic
+        per-doc inclusion — doc d samples in iff
+        ``md5(f"{seed}:{doc_id}")[:8] % 1e6 < p_micro`` (seeded,
+        reproducible across runs/shards, exact DuckDB ``md5()`` parity —
+        the same keying discipline as the corpus hash_split).  Returns
+        (sampled doc count, sum of ``field`` over sampled docs holding a
+        value) — integer partials, exact merge."""
+        import hashlib
+
+        sent = np.iinfo(np.int64).min
+        n = 0
+        tot = 0
+        for ri, r in enumerate(self.readers):
+            slots = self._match_slots(r, kind, payload)
+            if not slots.size:
+                continue
+            gids = slots + r.doc_id_base
+            keep = np.fromiter(
+                (
+                    int(hashlib.md5(
+                        f"{seed}:{g}".encode()).hexdigest()[:8], 16)
+                    % 1_000_000 < p_micro
+                    for g in gids
+                ),
+                dtype=bool, count=gids.size,
+            )
+            n += int(keep.sum())
+            vals = self._facet_numeric(field)[ri][slots][keep]
+            vals = vals[vals != sent]
+            tot += int(vals.sum())
+        return n, tot
+
     def composite_agg(self, kind: str, payload, sources: tuple,
                       size: int, after: tuple | None):
         """ES ``composite`` aggregation, shard phase: the first ``size``
@@ -2927,6 +2961,34 @@ class QueryEngine:
                 total_with_value - sum(b["doc_count"] for b in out)
             ),
             "buckets": out,
+        }
+
+    def search_random_sampler(self, query_text: str | None,
+                              probability: float, field: str,
+                              seed: int = 42) -> dict:
+        """ES ``random_sampler`` aggregation: a seeded deterministic
+        sample of the hit set (inclusion keyed on md5 of the doc id, so
+        the sample is stable across runs, shards and retries — never
+        position- or RNG-state-dependent), with a sum sub-aggregation
+        over ``field`` on the sampled docs and the 1/p-scaled estimate
+        of the full hit count.  Traffic is two ints per shard."""
+        if not (0.0 < probability <= 1.0):
+            raise ValueError("probability must be in (0, 1]")
+        p_micro = int(round(probability * 1_000_000))
+        kind, payload = self._agg_route(query_text)
+        parts = self._fanout(
+            "random_sampler_agg", kind, payload, int(seed), p_micro, field
+        )
+        n = sum(p[0] for p in parts)
+        tot = sum(p[1] for p in parts)
+        return {
+            "query": query_text or "",
+            "probability": probability,
+            "seed": int(seed),
+            "doc_count": int(n),
+            "estimated_total": int(
+                math.floor(n * 1_000_000 / p_micro + 0.5)),
+            f"sum_{field}": int(tot),
         }
 
     def search_composite(self, query_text: str | None,

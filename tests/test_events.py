@@ -260,3 +260,54 @@ def test_date_histogram_rejects_unknown_interval():
     })
     with pytest.raises(ValueError):
         date_histogram(ray.data.from_arrow(t), interval="fortnight")
+
+
+def test_rate_agg_actual_bucket_length():
+    """rate: calendar buckets divide by their ACTUAL length in the unit
+    (a January month bucket divides by 744 hours, February by 696)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from elasticsearch_ray.ops.events import rate_agg
+
+    rows = []
+    for month, n in ((1, 10), (2, 4)):
+        for i in range(n):
+            rows.append({
+                "ts": dt.datetime(2024, month, 1 + i, 6, 0, 0),
+                "value": 10.0,
+            })
+    ds = ray.data.from_items(rows)
+    out = {r["bucket_us"]: r for r in
+           rate_agg(ds, interval="month", unit="hour").take_all()}
+    jan = out[int(dt.datetime(2024, 1, 1,
+                              tzinfo=dt.timezone.utc).timestamp() * 1e6)]
+    feb = out[int(dt.datetime(2024, 2, 1,
+                              tzinfo=dt.timezone.utc).timestamp() * 1e6)]
+    assert jan["n"] == 10 and feb["n"] == 4
+    assert jan["rate_u"] == int(np.floor(10_000 * 1e6 / 744.0 + 0.5))
+    assert feb["rate_u"] == int(np.floor(4_000 * 1e6 / 696.0 + 0.5))
+    with pytest.raises(ValueError):
+        rate_agg(ds, unit="fortnight")
+
+
+def test_date_range_agg_open_ends_and_empty():
+    import datetime as dt
+
+    from elasticsearch_ray.ops.events import date_range_agg
+
+    rows = [{"ts": dt.datetime(2024, 1, d, 12), "value": float(d)}
+            for d in (1, 5, 10, 20)]
+    ds = ray.data.from_items(rows)
+    out = date_range_agg(ds, [
+        (None, "2024-01-05T00:00:00"),          # d=1
+        ("2024-01-05T00:00:00", "2024-01-11T00:00:00"),  # d=5,10
+        ("2024-02-01T00:00:00", None),          # empty
+    ])
+    assert [r["doc_count"] for r in out] == [1, 2, 0]
+    assert [r["sum_cents"] for r in out] == [100, 1500, 0]
+    # boundary: 'to' is exclusive, 'from' inclusive
+    out2 = date_range_agg(ds, [("2024-01-05T12:00:00",
+                                "2024-01-10T12:00:00")])
+    assert out2[0]["doc_count"] == 1  # d=5 included, d=10 excluded

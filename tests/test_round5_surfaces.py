@@ -516,3 +516,29 @@ def test_combined_fields_vs_brute(tmp_path):
         assert eng.search_combined("zzz")["results"] == []
     finally:
         eng.close()
+
+
+def test_random_sampler_deterministic(surf_engine):
+    """random_sampler: seeded md5 inclusion — identical across calls,
+    different seeds give different samples, p=1.0 is the full hit set."""
+    eng, rows = surf_engine
+    a = eng.search_random_sampler(None, 0.3, "n_chars", seed=42)
+    b = eng.search_random_sampler(None, 0.3, "n_chars", seed=42)
+    assert a == b
+    c = eng.search_random_sampler(None, 0.3, "n_chars", seed=7)
+    assert c["doc_count"] != a["doc_count"] or \
+        c["sum_n_chars"] != a["sum_n_chars"]
+    full = eng.search_random_sampler(None, 1.0, "n_chars")
+    assert full["doc_count"] == len(rows)
+    assert full["sum_n_chars"] == sum(r["n_chars"] for r in rows)
+    assert full["estimated_total"] == len(rows)
+    # brute twin of the md5 predicate
+    import hashlib
+    want = [r for r in rows if int(hashlib.md5(
+        f"42:{r['doc_id']}".encode()).hexdigest()[:8], 16) % 1_000_000
+        < 300_000]
+    assert a["doc_count"] == len(want)
+    assert a["sum_n_chars"] == sum(r["n_chars"] for r in want)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        eng.search_random_sampler(None, 0.0, "n_chars")
