@@ -2846,6 +2846,124 @@ WHERE ('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 8))
     return " UNION ALL ".join(f"({p})" for p in parts) + " ORDER BY seed"
 
 
+_GEO_PTS_SQL = """
+pts AS (SELECT event_id,
+  ((user_id * 37) % 12000) / 100.0 - 60.0 + 0.005 AS lat,
+  ((event_id * 73) % 36000) / 100.0 - 180.0 + 0.005 AS lon
+FROM events)"""
+
+_GEO_DIST_SQL = (
+    "2.0 * 6371000.0 * asin(sqrt("
+    "sin((radians(lat) - radians(10.0)) / 2.0)"
+    " * sin((radians(lat) - radians(10.0)) / 2.0)"
+    " + cos(radians(10.0)) * cos(radians(lat))"
+    " * sin((radians(lon) - radians(20.0)) / 2.0)"
+    " * sin((radians(lon) - radians(20.0)) / 2.0)))"
+)
+
+
+def _q_geo_bbox(sf_dir: str):
+    """ES geo_bounding_box query over deterministic derived geo_points
+    (centidegree grid off integer keys — bit-identical doubles in numpy
+    and DuckDB): ids inside the box, pure comparisons."""
+    from elasticsearch_ray.ops.geo import geo_bounding_box
+
+    out = geo_bounding_box(
+        _events_ds(sf_dir), top=-10.0, left=0.0, bottom=-50.0, right=90.0
+    ).take_all()
+    ids = sorted(int(r["event_id"]) for r in out)[:500]
+    return pa.table({"event_id": pa.array(ids, pa.int64())})
+
+
+def _q_geo_distance(sf_dir: str):
+    """ES geo_distance query: ids + floor(haversine meters) within 6000km
+    of (10, 20).  Edge margins verified >= 78 m at the gate scales vs
+    ~1e-9 m cross-libm jitter, so the float twin is exact."""
+    from elasticsearch_ray.ops.geo import geo_distance_filter
+
+    out = geo_distance_filter(
+        _events_ds(sf_dir), 10.0, 20.0, 6_000_000.0
+    ).take_all()
+    rows = sorted((int(r["event_id"]), int(r["dist_m"])) for r in out)[:500]
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "dist_m": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+def _q_geo_rings(sf_dir: str):
+    """ES geo_distance aggregation: doc counts per distance ring around
+    (10, 20) — map-side searchsorted partials, O(rings) traffic."""
+    from elasticsearch_ray.ops.geo import geo_distance_agg
+
+    out = geo_distance_agg(
+        _events_ds(sf_dir), 10.0, 20.0, [3e6, 6e6, 10e6])
+    return pa.table({
+        "ring": pa.array(range(len(out)), pa.int64()),
+        "doc_count": pa.array([r["doc_count"] for r in out], pa.int64()),
+    })
+
+
+def _q_geotile(sf_dir: str):
+    """ES geotile_grid aggregation at zoom 4: top-10 web-mercator z/x/y
+    tiles by (count desc, key asc), map-side per-tile partials."""
+    from elasticsearch_ray.ops.geo import geotile_grid
+
+    out = geotile_grid(_events_ds(sf_dir), zoom=4, size=10)
+    return pa.table({
+        "key": pa.array([b["key"] for b in out], pa.string()),
+        "doc_count": pa.array([b["doc_count"] for b in out], pa.int64()),
+    })
+
+
+def _geo_bbox_sql() -> str:
+    return f"""
+WITH {_GEO_PTS_SQL}
+SELECT event_id FROM pts
+WHERE lat <= -10.0 AND lat >= -50.0 AND lon >= 0.0 AND lon <= 90.0
+ORDER BY event_id LIMIT 500"""
+
+
+def _geo_distance_sql() -> str:
+    return f"""
+WITH {_GEO_PTS_SQL},
+d AS (SELECT event_id, {_GEO_DIST_SQL} AS dist FROM pts)
+SELECT event_id, CAST(floor(dist) AS BIGINT) AS dist_m
+FROM d WHERE dist <= 6000000.0 ORDER BY event_id LIMIT 500"""
+
+
+def _geo_rings_sql() -> str:
+    return f"""
+WITH {_GEO_PTS_SQL},
+d AS (SELECT {_GEO_DIST_SQL} AS dist FROM pts),
+r AS (SELECT CASE WHEN dist < 3000000.0 THEN 0
+                  WHEN dist < 6000000.0 THEN 1
+                  WHEN dist < 10000000.0 THEN 2
+                  ELSE 3 END AS ring FROM d),
+ids(ring) AS (VALUES (0), (1), (2), (3))
+SELECT ids.ring::BIGINT AS ring,
+       coalesce(cnt, 0)::BIGINT AS doc_count
+FROM ids LEFT JOIN (SELECT ring, count(*) AS cnt FROM r GROUP BY ring) g
+  ON g.ring = ids.ring
+ORDER BY ids.ring"""
+
+
+def _geotile_sql() -> str:
+    return f"""
+WITH {_GEO_PTS_SQL},
+t AS (SELECT
+  CAST(least(greatest(floor((lon + 180.0) / 360.0 * 16), 0), 15) AS BIGINT)
+    AS x,
+  CAST(least(greatest(floor(
+    (1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi())
+    / 2.0 * 16), 0), 15) AS BIGINT) AS y
+FROM pts)
+SELECT '4/' || CAST(x AS VARCHAR) || '/' || CAST(y AS VARCHAR) AS key,
+       count(*)::BIGINT AS doc_count
+FROM t GROUP BY x, y
+ORDER BY doc_count DESC, x * 16 + y LIMIT 10"""
+
+
 INTERVALS_RULES = [
     ("ordered_g1",
      {"match": {"query": "join hash", "ordered": True, "max_gaps": 1}}),
@@ -4053,6 +4171,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_agg": _q_rate_agg,
         "date_range_agg": _q_date_range,
         "random_sampler": _q_random_sampler,
+        "geo_bbox": _q_geo_bbox,
+        "geo_distance": _q_geo_distance,
+        "geo_rings": _q_geo_rings,
+        "geotile_grid": _q_geotile,
     }
 
 
@@ -6776,6 +6898,10 @@ GROUP BY d.doc_id
         "rate_agg": _rate_agg_sql(),
         "date_range_agg": _date_range_sql(),
         "random_sampler": _random_sampler_sql(),
+        "geo_bbox": _geo_bbox_sql(),
+        "geo_distance": _geo_distance_sql(),
+        "geo_rings": _geo_rings_sql(),
+        "geotile_grid": _geotile_sql(),
         "cardinality_agg": _cardinality_sql(),
         "cardinality_approx": _cardinality_approx_sql(),
         "percentiles_approx": _percentiles_approx_sql(),

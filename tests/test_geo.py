@@ -1,0 +1,92 @@
+"""Geo family (geo_bounding_box / geo_distance / rings / geotile_grid)
+over deterministic derived points — brute-force parity on a synthetic
+events table."""
+
+import datetime as dt
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+def _events(n=400):
+    return ray.data.from_arrow(pa.table({
+        "event_id": pa.array(range(1, n + 1), pa.int64()),
+        "user_id": pa.array([(i * 13) % 97 + 1 for i in range(n)],
+                            pa.int64()),
+        "ts": pa.array([dt.datetime(2024, 1, 1)] * n),
+        "value": pa.array([1.0] * n),
+    }))
+
+
+def _pts(n=400):
+    a = np.array([(i * 13) % 97 + 1 for i in range(n)], dtype=np.int64)
+    b = np.arange(1, n + 1, dtype=np.int64)
+    lat = ((a * 37) % 12000) / 100.0 - 60.0 + 0.005
+    lon = ((b * 73) % 36000) / 100.0 - 180.0 + 0.005
+    return lat, lon
+
+
+def _hav(lat, lon, clat, clon):
+    rlat, rlon = np.radians(lat), np.radians(lon)
+    rc, rl = math.radians(clat), math.radians(clon)
+    h = (np.sin((rlat - rc) / 2) ** 2
+         + math.cos(rc) * np.cos(rlat) * np.sin((rlon - rl) / 2) ** 2)
+    return 2 * 6_371_000.0 * np.arcsin(np.sqrt(h))
+
+
+def test_geo_bounding_box():
+    from elasticsearch_ray.ops.geo import geo_bounding_box
+
+    out = geo_bounding_box(_events(), top=0.0, left=-90.0,
+                           bottom=-40.0, right=90.0).take_all()
+    got = sorted(r["event_id"] for r in out)
+    lat, lon = _pts()
+    m = (lat <= 0.0) & (lat >= -40.0) & (lon >= -90.0) & (lon <= 90.0)
+    want = sorted((np.arange(1, 401)[m]).tolist())
+    assert got == want and got  # non-trivial
+
+
+def test_geo_distance_filter_and_rings():
+    from elasticsearch_ray.ops.geo import geo_distance_agg, geo_distance_filter
+
+    lat, lon = _pts()
+    d = _hav(lat, lon, 10.0, 20.0)
+    out = geo_distance_filter(_events(), 10.0, 20.0, 9e6).take_all()
+    got = sorted((r["event_id"], r["dist_m"]) for r in out)
+    ids = np.arange(1, 401)
+    want = sorted(
+        (int(i), int(np.floor(x))) for i, x in zip(ids, d) if x <= 9e6)
+    assert got == want and got
+
+    rings = geo_distance_agg(_events(), 10.0, 20.0, [5e6, 9e6, 14e6])
+    cuts = [0, 5e6, 9e6, 14e6, np.inf]
+    want_counts = [int(((d >= cuts[i]) & (d < cuts[i + 1])).sum())
+                   for i in range(4)]
+    assert [r["doc_count"] for r in rings] == want_counts
+    assert sum(want_counts) == 400
+    assert rings[0]["from"] == 0.0 and rings[-1]["to"] is None
+
+
+def test_geotile_grid():
+    from elasticsearch_ray.ops.geo import geotile_grid
+
+    lat, lon = _pts()
+    n = 16
+    x = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(int)
+    rlat = np.radians(lat)
+    y = np.clip(np.floor(
+        (1.0 - np.log(np.tan(rlat) + 1.0 / np.cos(rlat)) / math.pi)
+        / 2.0 * n), 0, n - 1).astype(int)
+    from collections import Counter
+
+    want = Counter(zip(x.tolist(), y.tolist()))
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0][0] * n
+                                               + kv[0][1]))[:10]
+    got = geotile_grid(_events(), zoom=4, size=10)
+    assert [(b["key"], b["doc_count"]) for b in got] == \
+        [(f"4/{xx}/{yy}", c) for (xx, yy), c in top]
+    with pytest.raises(ValueError):
+        geotile_grid(_events(), zoom=31)
