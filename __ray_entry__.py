@@ -2809,6 +2809,55 @@ def _date_range_sql() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY ri"
 
 
+def _q_moving_percentiles(sf_dir: str):
+    """ES moving_percentiles pipeline aggregation: per daily bucket,
+    p50/p95 of the integer-cents value distribution over the 7
+    PRECEDING buckets (current excluded, like moving_fn shift=0); the
+    first bucket's empty window yields nulls.  Distributed phase emits
+    (bucket, cents, n) partials; only the deduplicated histogram
+    reaches the driver."""
+    from elasticsearch_ray.ops.events import moving_percentiles
+
+    out = moving_percentiles(
+        _events_ds(sf_dir), window=7, percents=(50.0, 95.0),
+        interval="day",
+    )
+    return pa.table({
+        "bucket_us": pa.array([r["bucket_us"] for r in out], pa.int64()),
+        "p50_cents": pa.array([r["p50_cents"] for r in out], pa.int64()),
+        "p95_cents": pa.array([r["p95_cents"] for r in out], pa.int64()),
+    })
+
+
+def _moving_percentiles_sql() -> str:
+    """Window twin: for each daily bucket (ranked by position, matching
+    the op's index-based window), percentile_disc over the raw cents of
+    events in the up-to-7 preceding buckets."""
+    return """
+WITH e AS (
+  SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS bucket_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+b AS (
+  SELECT bucket_us, row_number() OVER (ORDER BY bucket_us) AS rn
+  FROM (SELECT DISTINCT bucket_us FROM e)
+),
+j AS (
+  SELECT b1.bucket_us AS bucket_us, e.cents
+  FROM b b1
+  JOIN b b2 ON b2.rn BETWEEN b1.rn - 7 AND b1.rn - 1
+  JOIN e ON e.bucket_us = b2.bucket_us
+)
+SELECT b.bucket_us,
+       CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY j.cents)
+            AS BIGINT) AS p50_cents,
+       CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY j.cents)
+            AS BIGINT) AS p95_cents
+FROM b LEFT JOIN j ON j.bucket_us = b.bucket_us
+GROUP BY b.bucket_us ORDER BY b.bucket_us"""
+
+
 def _q_random_sampler(sf_dir: str):
     """ES random_sampler aggregation: seeded deterministic doc sampling
     (md5-keyed inclusion, stable across runs/shards) with a sum
@@ -4170,6 +4219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intervals": _q_intervals,
         "rate_agg": _q_rate_agg,
         "date_range_agg": _q_date_range,
+        "moving_percentiles": _q_moving_percentiles,
         "random_sampler": _q_random_sampler,
         "geo_bbox": _q_geo_bbox,
         "geo_distance": _q_geo_distance,
@@ -6897,6 +6947,7 @@ GROUP BY d.doc_id
         "intervals": _intervals_sql(),
         "rate_agg": _rate_agg_sql(),
         "date_range_agg": _date_range_sql(),
+        "moving_percentiles": _moving_percentiles_sql(),
         "random_sampler": _random_sampler_sql(),
         "geo_bbox": _geo_bbox_sql(),
         "geo_distance": _geo_distance_sql(),

@@ -19,6 +19,8 @@ combiner).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import ray.data
@@ -645,6 +647,88 @@ def date_range_agg(
             "doc_count": int(r["sum(n_part)"]) if r else 0,
             "sum_cents": int(r["sum(cents_part)"]) if r else 0,
         })
+    return out
+
+
+def moving_percentiles(
+    ds: ray.data.Dataset,
+    window: int = 7,
+    percents: tuple = (50.0, 95.0),
+    interval: str = "day",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> list[dict]:
+    """ES ``moving_percentiles`` pipeline aggregation: per calendar
+    bucket, percentiles of the value distribution over the ``window``
+    PRECEDING buckets (moving_fn shift=0 semantics — the current bucket
+    is excluded; an empty window yields nulls, like ES's first bucket).
+
+    ES merges per-bucket TDigests; this is the EXACT equivalent over
+    integer-cents value counts (nearest-rank / percentile_disc
+    convention, same as the boxplot/MAD aggs): phase 1 distributes —
+    per batch an Arrow group-by emits (bucket, cents, n) partials, the
+    shuffle carries one row per (batch, bucket, distinct value); the
+    driver holds only the deduplicated (bucket, value) histogram
+    (O(buckets x distinct cents) rows — exact-path bound; swap the
+    per-bucket maps for ``functions/sketches.py`` centroid digests when
+    value cardinality outgrows it, the same exact->sketch routing the
+    percentile aggregations use).  The O(buckets x window) merge runs
+    driver-side like every pipeline agg (ES reduces them on the
+    coordinating node)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.timestamp("us"))
+        bucket = pc.floor_temporal(ts, unit=interval).cast(pa.int64())
+        cents = np.floor(
+            np.asarray(batch.column(value_col).to_numpy(), np.float64) * 100
+            + 0.5
+        ).astype(np.int64)
+        part = pa.table({"bucket_us": bucket, "cents": pa.array(cents)})
+        g = part.group_by(["bucket_us", "cents"]).aggregate(
+            [("cents", "count")]
+        )
+        return pa.table({
+            "bucket_us": g.column("bucket_us"),
+            "cents": g.column("cents"),
+            "n_part": g.column("cents_count").cast(pa.int64()),
+        })
+
+    rows = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["bucket_us", "cents"])
+        .aggregate(Sum("n_part"))
+        .take_all()
+    )  # exact-path bound: O(buckets x distinct cents), see docstring
+    per_bucket: dict[int, dict[int, int]] = {}
+    for r in rows:
+        per_bucket.setdefault(int(r["bucket_us"]), {})[int(r["cents"])] = \
+            int(r["sum(n_part)"])
+    buckets = sorted(per_bucket)
+    out = []
+    for i, b in enumerate(buckets):
+        lo = max(0, i - window)
+        merged: dict[int, int] = {}
+        for j in range(lo, i):
+            for v, n in per_bucket[buckets[j]].items():
+                merged[v] = merged.get(v, 0) + n
+        row = {"bucket_us": b}
+        if not merged:
+            for p in percents:
+                row[f"p{p:g}_cents"] = None
+        else:
+            vals = sorted(merged)
+            cum = np.cumsum([merged[v] for v in vals])
+            total = int(cum[-1])
+            for p in percents:
+                rank = math.ceil(p / 100.0 * total)
+                idx = int(np.searchsorted(cum, max(rank, 1)))
+                row[f"p{p:g}_cents"] = int(vals[idx])
+        out.append(row)
     return out
 
 

@@ -311,3 +311,30 @@ def test_date_range_agg_open_ends_and_empty():
     out2 = date_range_agg(ds, [("2024-01-05T12:00:00",
                                 "2024-01-10T12:00:00")])
     assert out2[0]["doc_count"] == 1  # d=5 included, d=10 excluded
+
+
+def test_moving_percentiles_trailing_window():
+    import datetime as dt
+
+    from elasticsearch_ray.ops.events import moving_percentiles
+
+    rows = []
+    for day, vals in ((1, [1.00, 2.00, 3.00]), (2, [10.00]),
+                      (3, [4.00, 4.00]), (4, [7.00])):
+        for v in vals:
+            rows.append({"ts": dt.datetime(2024, 1, day, 6),
+                         "value": v})
+    ds = ray.data.from_items(rows)
+    out = moving_percentiles(ds, window=2, percents=(50.0, 100.0),
+                             interval="day")
+    assert len(out) == 4
+    # day 1: empty preceding window -> nulls (ES first-bucket behavior)
+    assert out[0]["p50_cents"] is None and out[0]["p100_cents"] is None
+    # day 2: window {100,200,300}; nearest-rank p50 = 200, max = 300
+    assert (out[1]["p50_cents"], out[1]["p100_cents"]) == (200, 300)
+    # day 3: window d1+d2 {100,200,300,1000}; p50 rank ceil(2)=2 -> 200
+    assert (out[2]["p50_cents"], out[2]["p100_cents"]) == (200, 1000)
+    # day 4: window d2+d3 {1000, 400, 400}; p50 -> 400
+    assert (out[3]["p50_cents"], out[3]["p100_cents"]) == (400, 1000)
+    with pytest.raises(ValueError):
+        moving_percentiles(ds, window=0)
