@@ -3353,6 +3353,59 @@ SPAN_NEAR_QUERIES = [
 ]
 
 
+# (alternatives, end) — span_first over a span_or of the alternatives;
+# end=None is the plain span_or union
+SPAN_FIRST_QUERIES = [
+    ("customer", 3),
+    ("customer", 10),
+    ("spark window", 5),
+    ("join hash", None),
+]
+
+
+def _q_span_first(sf_dir: str):
+    """ES span_first over a span_or of single-term clauses: any
+    alternative must occur with Lucene span end <= end (term at 0-based
+    position p qualifies iff p+1 <= end); end=None degenerates to the
+    span_or union.  SQL twin: 1-based tokenization positions with
+    pos <= end."""
+    eng = _engine(sf_dir, "plain", positions=True)
+    rows = {"query": [], "end": [], "doc_id": []}
+    for q, end in SPAN_FIRST_QUERIES:
+        res = eng.search_span_first(q, end=end, size=50)
+        for r in res["results"]:
+            rows["query"].append(q)
+            rows["end"].append(-1 if end is None else end)
+            rows["doc_id"].append(r["doc_id"])
+    return pa.table({
+        "query": pa.array(rows["query"], pa.string()),
+        "end": pa.array(rows["end"], pa.int32()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+    })
+
+
+def _span_first_sql() -> str:
+    parts = []
+    for q, end in SPAN_FIRST_QUERIES:
+        alts = ", ".join(f"'{w}'" for w in q.split())
+        where = f"tok IN ({alts})"
+        if end is not None:
+            where += f" AND pos <= {end}"
+        parts.append(
+            f"SELECT '{q}' AS query, "
+            f"CAST({-1 if end is None else end} AS INTEGER) AS \"end\", "
+            f"doc_id FROM (SELECT DISTINCT doc_id FROM tok WHERE {where} "
+            f"ORDER BY doc_id LIMIT 50)"
+        )
+    return (
+        "WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "FROM documents), "
+        "tok AS (SELECT doc_id, unnest(l) AS tok, "
+        "unnest(range(1, len(l) + 1)) AS pos FROM lists) "
+        + " UNION ALL ".join(parts)
+    )
+
+
 def _q_span_near(sf_dir: str):
     """ES span_near over single-term clauses: all terms within ``slop``
     extra positions; in_order=False admits any order
@@ -4199,6 +4252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_test": _q_t_test,
         "top_metrics": _q_top_metrics,
         "span_near": _q_span_near,
+        "span_first": _q_span_first,
         "rank_feature": _q_rank_feature,
         "terms_set": _q_terms_set,
         "match_bool_prefix": _q_match_bool_prefix,
@@ -6927,6 +6981,7 @@ GROUP BY d.doc_id
         "t_test": _t_test_sql(),
         "top_metrics": _top_metrics_sql(),
         "span_near": _span_near_sql(),
+        "span_first": _span_first_sql(),
         "rank_feature": _rank_feature_sql(),
         "terms_set": _terms_set_sql(),
         "match_bool_prefix": _match_bool_prefix_sql(),

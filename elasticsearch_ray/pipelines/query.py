@@ -1641,6 +1641,17 @@ class Searcher:
         ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
         return ids[:k], total
 
+    def search_span_first(self, alt_terms: list[str], end: int | None,
+                          k: int):
+        out: list[np.ndarray] = []
+        total = 0
+        for r in self.readers:
+            ids, n = sc.span_first_eval(r, alt_terms, end, k)
+            total += n
+            out.append(ids)
+        ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        return ids[:k], total
+
     def search_boolean(self, rpn: tuple[str, ...], k: int,
                        phrase_ops: dict | None = None):
         out: list[np.ndarray] = []
@@ -2539,6 +2550,50 @@ class QueryEngine:
             parts = self._fanout(
                 "search_span_near", terms, slop, in_order, fetch
             )
+        ids = np.concatenate([p[0] for p in parts])
+        total = int(sum(p[1] for p in parts))
+        return {
+            "query": query_text,
+            "total_hits": total,
+            "results": [{"doc_id": int(d), "score": 1.0}
+                        for d in ids[from_:fetch]],
+        }
+
+    def search_span_first(self, query_text: str, end: int | None = None,
+                          size: int = 10, from_: int = 0) -> dict:
+        """ES ``span_first`` wrapping a ``span_or`` of single-term
+        clauses: the words of ``query_text`` are the alternatives (each
+        must analyze to exactly one indexed term); a doc matches iff ANY
+        alternative has an occurrence whose span end is <= ``end`` —
+        Lucene's exclusive span end over 0-based analyzed positions, so
+        a term at position ``p`` qualifies when ``p + 1 <= end``.
+        ``end=None`` degenerates to the plain ``span_or`` union.  Like
+        the rest of the span family, hits are constant-scored and come
+        back doc_id ascending with exact totals."""
+        words = query_text.split()
+        if not words:
+            raise ValueError("span_first needs at least one clause term")
+        if end is not None and end < 1:
+            raise ValueError("span_first end must be >= 1")
+        terms = []
+        for w in words:
+            toks = self.normalizer.preprocess_query_list(w)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"span_first clause {w!r} must analyze to exactly "
+                    f"one term (got {toks!r})"
+                )
+            terms.append(toks[0])
+        fetch = from_ + size
+        route = self._route_disjunctive(terms)
+        if route == "empty":
+            return {"query": query_text, "total_hits": 0, "results": []}
+        if route == "local":
+            parts = [self._local_allsegs().search_span_first(
+                terms, end, fetch
+            )]
+        else:
+            parts = self._fanout("search_span_first", terms, end, fetch)
         ids = np.concatenate([p[0] for p in parts])
         total = int(sum(p[1] for p in parts))
         return {

@@ -861,6 +861,44 @@ def span_near_eval(
     return slots[:size] + reader.doc_id_base, int(slots.size)
 
 
+def span_first_eval(
+    reader: SegmentReader,
+    alt_terms: list[str],
+    end: int,
+    size: int,
+):
+    """ES/Lucene ``span_first`` over a ``span_or`` of single-term
+    clauses: a doc matches iff ANY alternative term has an occurrence
+    whose span end position is <= ``end``.  A single-term span at
+    0-based position ``p`` has end ``p + 1`` (Lucene's exclusive span
+    end), so the test is ``p <= end - 1``.  ``end=None`` degenerates to
+    the plain ``span_or`` union (any alternative anywhere).
+
+    Vectorized: each alternative's composite ``slot<<32|pos`` key array
+    (shared phrase LRU) is mask-filtered on the position half — no
+    per-doc loop; the union of surviving slots is the match set.
+    Returns (first ``size`` matching global doc_ids ascending, count)."""
+    empty = np.empty(0, dtype=np.int64)
+    hits: list[np.ndarray] = []
+    for t in alt_terms:
+        row = reader.term_row(t)
+        if row is None:
+            continue
+        if end is None:
+            slots = reader.postings_slots_by_row(row)[0]
+        else:
+            keys = reader.positions_keys_by_row(row)
+            pos = keys & np.int64(0xFFFFFFFF)
+            slots = np.unique(keys[pos <= end - 1] >> np.int64(32))
+        if slots.size:
+            hits.append(slots)
+    if not hits:
+        return empty, 0
+    slots = np.unique(np.concatenate(hits)) if len(hits) > 1 else hits[0]
+    slots = slots[reader.doc_lens[slots] >= 0]  # tombstones
+    return slots[:size] + reader.doc_id_base, int(slots.size)
+
+
 # --------------------------------------------------------------------
 # ES/Lucene intervals query: minimal-interval algebra
 # --------------------------------------------------------------------

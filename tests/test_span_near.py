@@ -110,3 +110,59 @@ def test_span_near_rejects_bad_clauses(tmp_path):
             eng.search_span_near("x x", slop=1)
     finally:
         eng.close()
+
+
+def _brute_first(texts, alts, end):
+    out = []
+    for doc_id, t in enumerate(texts):
+        toks = t.split()
+        if any(w in alts and (end is None or i + 1 <= end)
+               for i, w in enumerate(toks)):
+            out.append(doc_id)
+    return out
+
+
+def test_span_first_brute(tmp_path):
+    texts = [
+        "alpha beta gamma",        # alpha@0, beta@1
+        "x alpha beta",            # alpha@1
+        "x x alpha",               # alpha@2
+        "beta x alpha",            # beta@0
+        "x x x x alpha",           # alpha@4
+        "gamma only here",         # no alt
+    ]
+    eng = _build(texts, tmp_path)
+    try:
+        for alts, end in (
+            (["alpha"], 1), (["alpha"], 2), (["alpha"], 3),
+            (["alpha", "beta"], 1), (["alpha", "beta"], 2),
+            (["alpha", "beta"], None), (["alpha"], None),
+        ):
+            r = eng.search_span_first(" ".join(alts), end=end, size=50)
+            got = [h["doc_id"] for h in r["results"]]
+            want = _brute_first(texts, set(alts), end)
+            assert got == want, (alts, end, got, want)
+            assert r["total_hits"] == len(want)
+        with pytest.raises(ValueError):
+            eng.search_span_first("alpha", end=0)
+        with pytest.raises(ValueError):
+            eng.search_span_first("")
+    finally:
+        eng.close()
+
+
+def test_span_first_fuzz(tmp_path):
+    rng = random.Random(71)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 9)))
+             for _ in range(40)]
+    eng = _build(texts, tmp_path, seg=7, part=5)
+    try:
+        for _ in range(30):
+            alts = rng.sample(vocab, rng.randint(1, 3))
+            end = rng.choice([None, 1, 2, 3, 5])
+            r = eng.search_span_first(" ".join(alts), end=end, size=100)
+            got = [h["doc_id"] for h in r["results"]]
+            assert got == _brute_first(texts, set(alts), end), (alts, end)
+    finally:
+        eng.close()
