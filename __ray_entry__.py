@@ -3013,6 +3013,88 @@ FROM t GROUP BY x, y
 ORDER BY doc_count DESC, x * 16 + y LIMIT 10"""
 
 
+def _q_geo_centroid_bounds(sf_dir: str):
+    """ES geo_centroid + geo_bounds aggregations over the derived
+    points: exact integer milli-degree sums/extrema (order-independent
+    reductions), centroid in floor'd micro-degrees."""
+    from elasticsearch_ray.ops.geo import geo_bounds, geo_centroid
+
+    c = geo_centroid(_events_ds(sf_dir))
+    b = geo_bounds(_events_ds(sf_dir))
+    return pa.table({
+        "count": pa.array([c["count"]], pa.int64()),
+        "lat_u": pa.array([c["lat_u"]], pa.int64()),
+        "lon_u": pa.array([c["lon_u"]], pa.int64()),
+        "top_milli": pa.array([b["top_milli"]], pa.int64()),
+        "bottom_milli": pa.array([b["bottom_milli"]], pa.int64()),
+        "left_milli": pa.array([b["left_milli"]], pa.int64()),
+        "right_milli": pa.array([b["right_milli"]], pa.int64()),
+    })
+
+
+def _geo_centroid_bounds_sql() -> str:
+    return """
+WITH m AS (SELECT ((user_id * 37) % 12000) * 10 - 59995 AS lat_m,
+                  ((event_id * 73) % 36000) * 10 - 179995 AS lon_m
+           FROM events)
+SELECT count(*)::BIGINT AS count,
+       CAST(floor(sum(lat_m) * 1000.0 / count(*)) AS BIGINT) AS lat_u,
+       CAST(floor(sum(lon_m) * 1000.0 / count(*)) AS BIGINT) AS lon_u,
+       max(lat_m)::BIGINT AS top_milli,
+       min(lat_m)::BIGINT AS bottom_milli,
+       min(lon_m)::BIGINT AS left_milli,
+       max(lon_m)::BIGINT AS right_milli
+FROM m"""
+
+
+GEOHASH_PRECISION = 3
+
+
+def _q_geohash_grid(sf_dir: str):
+    """ES geohash_grid aggregation at precision 3: top-10 cells by
+    (count desc, geohash asc) — the base32 string order IS the
+    interleaved-bit key order, which the SQL twin reproduces with
+    explicit bit arithmetic (the string itself stays Ray-side, pinned
+    by the published-vector pytest)."""
+    from elasticsearch_ray.ops.geo import geohash_grid
+
+    out = geohash_grid(_events_ds(sf_dir), precision=GEOHASH_PRECISION,
+                       size=10)
+    return pa.table({
+        "gx": pa.array([b["gx"] for b in out], pa.int64()),
+        "gy": pa.array([b["gy"] for b in out], pa.int64()),
+        "hash_key": pa.array([b["hash_key"] for b in out], pa.int64()),
+        "doc_count": pa.array([b["doc_count"] for b in out], pa.int64()),
+    })
+
+
+def _geohash_grid_sql() -> str:
+    from elasticsearch_ray.ops.geo import geohash_cell_bits
+
+    p = GEOHASH_PRECISION
+    total, lon_bits, lat_bits = geohash_cell_bits(p)
+    terms = []
+    xi, yi = lon_bits, lat_bits
+    for j in range(total):
+        shift = total - 1 - j
+        if j % 2 == 0:
+            xi -= 1
+            terms.append(f"(((gx >> {xi}) & 1) << {shift})")
+        else:
+            yi -= 1
+            terms.append(f"(((gy >> {yi}) & 1) << {shift})")
+    key_expr = " + ".join(terms)
+    return f"""
+WITH {_GEO_PTS_SQL},
+c AS (SELECT
+  CAST(floor((lon + 180.0) / 360.0 * {1 << lon_bits}) AS BIGINT) AS gx,
+  CAST(floor((lat + 90.0) / 180.0 * {1 << lat_bits}) AS BIGINT) AS gy
+FROM pts),
+g AS (SELECT gx, gy, count(*)::BIGINT AS doc_count FROM c GROUP BY gx, gy)
+SELECT gx, gy, CAST({key_expr} AS BIGINT) AS hash_key, doc_count
+FROM g ORDER BY doc_count DESC, hash_key LIMIT 10"""
+
+
 INTERVALS_RULES = [
     ("ordered_g1",
      {"match": {"query": "join hash", "ordered": True, "max_gaps": 1}}),
@@ -4279,6 +4361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_distance": _q_geo_distance,
         "geo_rings": _q_geo_rings,
         "geotile_grid": _q_geotile,
+        "geo_centroid_bounds": _q_geo_centroid_bounds,
+        "geohash_grid": _q_geohash_grid,
     }
 
 
@@ -7008,6 +7092,8 @@ GROUP BY d.doc_id
         "geo_distance": _geo_distance_sql(),
         "geo_rings": _geo_rings_sql(),
         "geotile_grid": _geotile_sql(),
+        "geo_centroid_bounds": _geo_centroid_bounds_sql(),
+        "geohash_grid": _geohash_grid_sql(),
         "cardinality_agg": _cardinality_sql(),
         "cardinality_approx": _cardinality_approx_sql(),
         "percentiles_approx": _percentiles_approx_sql(),

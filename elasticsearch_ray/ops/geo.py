@@ -184,3 +184,192 @@ def geotile_grid(
         {"key": f"{zoom}/{t // n}/{t % n}", "doc_count": c}
         for c, t in buckets
     ]
+
+
+# Integer milli-degree twins of derive_points: lat = (k*10 - 59995)/1000,
+# lon = (m*10 - 179995)/1000 — the derived grid is exact in units of
+# 0.001 degrees, so centroid/bounds aggregations can run on int64 sums
+# (order-independent, bit-exact across engines) instead of float sums.
+def derive_points_milli(batch: pa.Table, lat_key: str = "user_id",
+                        lon_key: str = "event_id"
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    a = batch.column(lat_key).to_numpy().astype(np.int64)
+    b = batch.column(lon_key).to_numpy().astype(np.int64)
+    lat_m = ((a * 37) % 12000) * 10 - 59995
+    lon_m = ((b * 73) % 36000) * 10 - 179995
+    return lat_m, lon_m
+
+
+def geo_centroid(ds: ray.data.Dataset) -> dict:
+    """ES ``geo_centroid`` aggregation: arithmetic mean of lat and lon
+    plus the doc count.  Sums run in exact integer milli-degrees
+    (map-side int64 partials, one row per batch), so the reduction is
+    order-independent; the centroid ships as
+    ``floor(sum_milli * 1000 / n)`` micro-degrees — one IEEE
+    multiply+divide+floor any engine reproduces bit-identically (the
+    products stay < 2^53)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat_m, lon_m = derive_points_milli(batch)
+        return pa.table({
+            "sum_lat_milli": pa.array([int(lat_m.sum())], pa.int64()),
+            "sum_lon_milli": pa.array([int(lon_m.sum())], pa.int64()),
+            "n": pa.array([len(lat_m)], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    row = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .aggregate(Sum("sum_lat_milli"), Sum("sum_lon_milli"), Sum("n"))
+    )
+    slat = int(row["sum(sum_lat_milli)"])
+    slon = int(row["sum(sum_lon_milli)"])
+    n = int(row["sum(n)"])
+    if n == 0:
+        return {"count": 0, "lat_u": None, "lon_u": None}
+    return {
+        "count": n,
+        "lat_u": math.floor(slat * 1000.0 / n),
+        "lon_u": math.floor(slon * 1000.0 / n),
+    }
+
+
+def geo_bounds(ds: ray.data.Dataset) -> dict:
+    """ES ``geo_bounds`` aggregation: the smallest box containing every
+    point — top_left (max lat, min lon) and bottom_right (min lat,
+    max lon), exact in integer milli-degrees (map-side min/max
+    partials)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat_m, lon_m = derive_points_milli(batch)
+        if not lat_m.size:
+            return pa.table({
+                "top_milli": pa.array([], pa.int64()),
+                "bottom_milli": pa.array([], pa.int64()),
+                "left_milli": pa.array([], pa.int64()),
+                "right_milli": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "top_milli": pa.array([int(lat_m.max())], pa.int64()),
+            "bottom_milli": pa.array([int(lat_m.min())], pa.int64()),
+            "left_milli": pa.array([int(lon_m.min())], pa.int64()),
+            "right_milli": pa.array([int(lon_m.max())], pa.int64()),
+        })
+
+    from ray.data.aggregate import Max, Min
+
+    row = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .aggregate(Max("top_milli"), Min("bottom_milli"),
+                   Min("left_milli"), Max("right_milli"))
+    )
+    return {
+        "top_milli": int(row["max(top_milli)"]),
+        "bottom_milli": int(row["min(bottom_milli)"]),
+        "left_milli": int(row["min(left_milli)"]),
+        "right_milli": int(row["max(right_milli)"]),
+    }
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_cell_bits(precision: int) -> tuple[int, int, int]:
+    """(total_bits, lon_bits, lat_bits) of a geohash at ``precision``
+    characters: 5 bits per char, alternating lon/lat starting with lon,
+    so lon gets the extra bit at odd precisions."""
+    total = 5 * precision
+    return total, (total + 1) // 2, total // 2
+
+
+def geohash_interleave(gx: np.ndarray, gy: np.ndarray,
+                       precision: int) -> np.ndarray:
+    """Vectorized MSB-first interleave of cell coords into the geohash
+    bit key (lon bit first — the base32 string is the 5-bit grouping of
+    this key, so integer order == geohash string order)."""
+    total, lon_bits, lat_bits = geohash_cell_bits(precision)
+    key = np.zeros_like(gx)
+    xi, yi = lon_bits, lat_bits
+    for j in range(total):
+        if j % 2 == 0:
+            xi -= 1
+            bit = (gx >> xi) & 1
+        else:
+            yi -= 1
+            bit = (gy >> yi) & 1
+        key = (key << 1) | bit
+    return key
+
+
+def geohash_encode(lat: float, lon: float, precision: int) -> str:
+    """Standard geohash of a point (floor-of-scaled-coordinate form of
+    the usual bisection loop) — pinned against published vectors in
+    tests."""
+    _, lon_bits, lat_bits = geohash_cell_bits(precision)
+    gx = np.int64(math.floor((lon + 180.0) / 360.0 * (1 << lon_bits)))
+    gy = np.int64(math.floor((lat + 90.0) / 180.0 * (1 << lat_bits)))
+    key = int(geohash_interleave(gx, gy, precision))
+    return "".join(
+        GEOHASH_ALPHABET[(key >> (5 * (precision - 1 - i))) & 31]
+        for i in range(precision)
+    )
+
+
+def geohash_grid(
+    ds: ray.data.Dataset,
+    precision: int = 2,
+    size: int = 10,
+) -> list[dict]:
+    """ES ``geohash_grid`` aggregation: doc counts per geohash cell at
+    ``precision`` chars, top ``size`` cells by (count desc, key asc) —
+    key order is the base32 string order, i.e. the interleaved bit key.
+    Map-side partials grouped on (cell_x, cell_y); traffic is
+    O(distinct cells per batch), driver holds O(cells at precision)
+    rows — use small precisions (<= 4) or pre-filter, like ES's
+    ``geohash_grid`` doc warns."""
+    if not (1 <= precision <= 8):
+        raise ValueError("precision must be in [1, 8]")
+    _, lon_bits, lat_bits = geohash_cell_bits(precision)
+    nx, ny = 1 << lon_bits, 1 << lat_bits
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat, lon = derive_points(batch)
+        gx = np.floor((lon + 180.0) / 360.0 * nx).astype(np.int64)
+        gy = np.floor((lat + 90.0) / 180.0 * ny).astype(np.int64)
+        # derived points sit strictly inside (-180,180)x(-60,60) so the
+        # floors are already in range — no clamp, keeping the SQL twin
+        # expression-identical
+        cell = gx * ny + gy
+        u, c = np.unique(cell, return_counts=True)
+        return pa.table({
+            "gx": pa.array(u // ny),
+            "gy": pa.array(u % ny),
+            "n_part": pa.array(c.astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["gx", "gy"]).aggregate(Sum("n_part")).take_all()
+    )  # O(cells at precision) rows
+    gx = np.array([int(r["gx"]) for r in rows], dtype=np.int64)
+    gy = np.array([int(r["gy"]) for r in rows], dtype=np.int64)
+    n = np.array([int(r["sum(n_part)"]) for r in rows], dtype=np.int64)
+    keys = geohash_interleave(gx, gy, precision)
+    order = np.lexsort((keys, -n))[:size]
+    out = []
+    for i in order:
+        key = int(keys[i])
+        out.append({
+            "key": "".join(
+                GEOHASH_ALPHABET[(key >> (5 * (precision - 1 - j))) & 31]
+                for j in range(precision)
+            ),
+            "gx": int(gx[i]),
+            "gy": int(gy[i]),
+            "hash_key": key,
+            "doc_count": int(n[i]),
+        })
+    return out

@@ -90,3 +90,61 @@ def test_geotile_grid():
         [(f"4/{xx}/{yy}", c) for (xx, yy), c in top]
     with pytest.raises(ValueError):
         geotile_grid(_events(), zoom=31)
+
+
+def test_geo_centroid_and_bounds():
+    from elasticsearch_ray.ops.geo import geo_bounds, geo_centroid
+
+    lat, lon = _pts()
+    c = geo_centroid(_events())
+    lat_m = np.round(lat * 1000).astype(np.int64)
+    lon_m = np.round(lon * 1000).astype(np.int64)
+    assert c["count"] == lat.size
+    assert c["lat_u"] == math.floor(int(lat_m.sum()) * 1000.0 / lat.size)
+    assert c["lon_u"] == math.floor(int(lon_m.sum()) * 1000.0 / lat.size)
+    # sanity: micro-degree centroid within 1e-3 deg of the float mean
+    assert abs(c["lat_u"] / 1e6 - lat.mean()) < 1e-3
+    assert abs(c["lon_u"] / 1e6 - lon.mean()) < 1e-3
+
+    b = geo_bounds(_events())
+    assert b["top_milli"] == int(lat_m.max())
+    assert b["bottom_milli"] == int(lat_m.min())
+    assert b["left_milli"] == int(lon_m.min())
+    assert b["right_milli"] == int(lon_m.max())
+
+
+def test_geohash_encode_vectors():
+    # published vectors: Wikipedia's (57.64911, 10.40744) -> u4pruydqqvj
+    # and the classic ezs42 example
+    from elasticsearch_ray.ops.geo import geohash_encode
+
+    assert geohash_encode(57.64911, 10.40744, 11) == "u4pruydqqvj"
+    assert geohash_encode(42.605, -5.603, 5) == "ezs42"
+    assert geohash_encode(57.64911, 10.40744, 5) == "u4pru"
+    assert geohash_encode(0.0, 0.0, 1) == "s"
+
+
+def test_geohash_grid():
+    from elasticsearch_ray.ops.geo import (
+        geohash_cell_bits, geohash_encode, geohash_grid,
+    )
+
+    for precision in (2, 3):  # even + odd bit splits
+        lat, lon = _pts()
+        _, lon_bits, lat_bits = geohash_cell_bits(precision)
+        want = {}
+        for la, lo in zip(lat, lon):
+            want[geohash_encode(la, lo, precision)] = \
+                want.get(geohash_encode(la, lo, precision), 0) + 1
+        top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        got = geohash_grid(_events(), precision=precision, size=10)
+        assert [(b["key"], b["doc_count"]) for b in got] == top
+        # cell coords round-trip through the interleave
+        for b in got:
+            assert b["key"] == geohash_encode(
+                (b["gy"] + 0.5) / (1 << lat_bits) * 180.0 - 90.0,
+                (b["gx"] + 0.5) / (1 << lon_bits) * 360.0 - 180.0,
+                precision,
+            )
+    with pytest.raises(ValueError):
+        geohash_grid(_events(), precision=0)
