@@ -2858,6 +2858,81 @@ FROM b LEFT JOIN j ON j.bucket_us = b.bucket_us
 GROUP BY b.bucket_us ORDER BY b.bucket_us"""
 
 
+IP_RANGES = [
+    {"from": "0.0.0.0", "to": "64.0.0.0"},
+    {"mask": "128.0.0.0/1"},
+    {"from": "200.0.0.0", "to": None},
+    {"from": None, "to": "32.0.0.0"},
+    {"mask": "64.0.0.0/3"},
+]
+
+
+def _q_ip_range(sf_dir: str):
+    """ES ip_range aggregation over the derived IPv4 column (Knuth
+    multiplicative hash of user_id — the corpus has no IP column):
+    doc count per from/to/CIDR range, ranges may overlap.  SQL twin:
+    identical u32 arithmetic."""
+    from elasticsearch_ray.ops.events import ip_range_agg
+
+    out = ip_range_agg(_events_ds(sf_dir), IP_RANGES)
+    return pa.table({
+        "ri": pa.array(range(len(out)), pa.int64()),
+        "from_u32": pa.array([r["from_u32"] for r in out], pa.int64()),
+        "to_u32": pa.array([r["to_u32"] for r in out], pa.int64()),
+        "doc_count": pa.array([r["doc_count"] for r in out], pa.int64()),
+    })
+
+
+def _ip_range_sql() -> str:
+    from elasticsearch_ray.ops.events import _ip_to_u32
+
+    bounds = []
+    for r in IP_RANGES:
+        if "mask" in r:
+            base, _, nbits = r["mask"].partition("/")
+            n = int(nbits)
+            lo = _ip_to_u32(base) & ~((1 << (32 - n)) - 1) if n else 0
+            bounds.append((lo, lo + (1 << (32 - n))))
+        else:
+            lo = _ip_to_u32(r["from"]) if r.get("from") else 0
+            hi = _ip_to_u32(r["to"]) if r.get("to") else 1 << 32
+            bounds.append((lo, hi))
+    parts = [
+        f"SELECT {i}::BIGINT AS ri, {lo}::BIGINT AS from_u32, "
+        f"{hi}::BIGINT AS to_u32, count(*)::BIGINT AS doc_count "
+        f"FROM ip WHERE v >= {lo} AND v < {hi}"
+        for i, (lo, hi) in enumerate(bounds)
+    ]
+    return (
+        "WITH ip AS (SELECT (user_id * 2654435761) % 4294967296 AS v "
+        "FROM events) "
+        + " UNION ALL ".join(parts) + " ORDER BY ri"
+    )
+
+
+def _q_categorize_text(sf_dir: str):
+    """ES categorize_text aggregation (deterministic variant): docs
+    bucket by the space-join of their first 2 digit-free tokens; top-10
+    buckets by (count desc, key asc)."""
+    from elasticsearch_ray.ops.textstats import categorize_text
+
+    out = categorize_text(_docs_ds(sf_dir), max_tokens=2, size=10)
+    return pa.table({
+        "key": pa.array([b["key"] for b in out], pa.string()),
+        "doc_count": pa.array([b["doc_count"] for b in out], pa.int64()),
+    })
+
+
+def _categorize_text_sql() -> str:
+    return """
+WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+k AS (SELECT array_to_string(
+        list_filter(l, x -> NOT regexp_matches(x, '[0-9]'))[1:2], ' ')
+      AS key FROM t)
+SELECT key, count(*)::BIGINT AS doc_count
+FROM k GROUP BY key ORDER BY doc_count DESC, key LIMIT 10"""
+
+
 def _q_random_sampler(sf_dir: str):
     """ES random_sampler aggregation: seeded deterministic doc sampling
     (md5-keyed inclusion, stable across runs/shards) with a sum
@@ -4363,6 +4438,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geotile_grid": _q_geotile,
         "geo_centroid_bounds": _q_geo_centroid_bounds,
         "geohash_grid": _q_geohash_grid,
+        "ip_range": _q_ip_range,
+        "categorize_text": _q_categorize_text,
     }
 
 
@@ -7094,6 +7171,8 @@ GROUP BY d.doc_id
         "geotile_grid": _geotile_sql(),
         "geo_centroid_bounds": _geo_centroid_bounds_sql(),
         "geohash_grid": _geohash_grid_sql(),
+        "ip_range": _ip_range_sql(),
+        "categorize_text": _categorize_text_sql(),
         "cardinality_agg": _cardinality_sql(),
         "cardinality_approx": _cardinality_approx_sql(),
         "percentiles_approx": _percentiles_approx_sql(),

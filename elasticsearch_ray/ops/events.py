@@ -800,3 +800,76 @@ def cumulative_cardinality(
         "new_keys": pa.array(new, pa.int64()),
         "cum_cardinality": pa.array(cum, pa.int64()),
     }))
+
+
+def derive_ips(batch: pa.Table, key_col: str = "user_id") -> np.ndarray:
+    """Deterministic synthetic IPv4 per row (the corpus has no IP
+    column): Knuth multiplicative hash of the integer key, truncated to
+    u32 — integer multiply/mod every engine computes identically."""
+    k = batch.column(key_col).to_numpy().astype(np.int64)
+    return (k * 2654435761) % (1 << 32)
+
+
+def _ip_to_u32(s: str) -> int:
+    parts = s.split(".")
+    if len(parts) != 4:
+        raise ValueError(f"bad IPv4 literal {s!r}")
+    v = 0
+    for p in parts:
+        b = int(p)
+        if not (0 <= b <= 255):
+            raise ValueError(f"bad IPv4 octet in {s!r}")
+        v = (v << 8) | b
+    return v
+
+
+def ip_range_agg(
+    ds: ray.data.Dataset,
+    ranges: list[dict],
+    key_col: str = "user_id",
+) -> list[dict]:
+    """ES ``ip_range`` aggregation over the derived IPv4 column: per
+    range, the doc count.  Each range is ES's shape — either
+    ``{"from": "a.b.c.d", "to": "a.b.c.d"}`` (from inclusive, to
+    EXCLUSIVE, either end open) or ``{"mask": "a.b.c.d/n"}`` (CIDR
+    block).  Ranges may overlap; each is an independent boolean mask
+    (map-side integer partials, one row per range per batch)."""
+    bounds: list[tuple[int, int]] = []  # [lo, hi) in u32
+    for r in ranges:
+        if "mask" in r:
+            base, _, nbits = r["mask"].partition("/")
+            n = int(nbits)
+            if not (0 <= n <= 32):
+                raise ValueError(f"bad CIDR width in {r['mask']!r}")
+            lo = _ip_to_u32(base) & ~((1 << (32 - n)) - 1) \
+                if n else 0
+            bounds.append((lo, lo + (1 << (32 - n))))
+        else:
+            lo = _ip_to_u32(r["from"]) if r.get("from") else 0
+            hi = _ip_to_u32(r["to"]) if r.get("to") else 1 << 32
+            bounds.append((lo, hi))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ip = derive_ips(batch, key_col)
+        counts = [int(((ip >= lo) & (ip < hi)).sum())
+                  for lo, hi in bounds]
+        return pa.table({
+            "ri": pa.array(range(len(bounds)), pa.int64()),
+            "n_part": pa.array(counts, pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ri").aggregate(Sum("n_part")).take_all()
+    )  # O(ranges) rows
+    by_ri = {int(r["ri"]): int(r["sum(n_part)"]) for r in rows}
+    out = []
+    for i, (lo, hi) in enumerate(bounds):
+        out.append({
+            "from_u32": lo,
+            "to_u32": hi,
+            "doc_count": by_ri.get(i, 0),
+        })
+    return out

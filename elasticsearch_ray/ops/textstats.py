@@ -404,3 +404,69 @@ def repetition_stats(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def categorize_text(
+    ds: ray.data.Dataset,
+    max_tokens: int = 2,
+    size: int = 10,
+    text_col: str = "text",
+) -> list[dict]:
+    """ES ``categorize_text`` aggregation, deterministic variant: docs
+    bucket by their token-pattern category — the space-join of the
+    first ``max_tokens`` whitespace tokens that contain NO digit (ES's
+    categorizer likewise discards numeric tokens as variable parts; its
+    drain-style merge heuristic is replaced here by a documented exact
+    key so the result is engine-independent).  Buckets come back
+    (count desc, key asc), top ``size``.
+
+    Vectorized per batch: one split_pattern + list_filter + slice +
+    binary_join chain in Arrow; the shuffle carries one row per
+    (batch, distinct category) partial.  Driver merge is
+    O(distinct categories) — bounded by vocabulary^max_tokens, keep
+    ``max_tokens`` small (ES's equivalent knob is
+    ``similarity_threshold``; both cap category cardinality)."""
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(pc.coalesce(col, ""), " ")
+        flat = pc.list_flatten(toks)
+        mask = pc.invert(pc.match_substring_regex(flat, "[0-9]"))
+        # rebuild list offsets over the kept tokens (no list_filter
+        # kernel in this pyarrow): segment-sum the keep mask
+        offs = np.asarray(toks.offsets)
+        cum = np.concatenate(
+            [[0], np.cumsum(mask.to_numpy(zero_copy_only=False)
+                            .astype(np.int64))]
+        )
+        new_off = np.concatenate(
+            [[0], np.cumsum(cum[offs[1:]] - cum[offs[:-1]])]
+        ).astype(np.int32)
+        kept = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()), flat.filter(mask)
+        )
+        head = pc.list_slice(kept, 0, max_tokens)
+        key = pc.binary_join(head, " ")
+        g = pa.table({"category": key}).group_by("category").aggregate(
+            [("category", "count")]
+        )
+        return pa.table({
+            "category": g.column("category"),
+            "n_part": g.column("category_count").cast(pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("category").aggregate(Sum("n_part")).take_all()
+    )  # O(distinct categories) rows
+    buckets = sorted(
+        ((int(r["sum(n_part)"]), str(r["category"])) for r in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:size]
+    return [{"key": k, "doc_count": n} for n, k in buckets]

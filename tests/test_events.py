@@ -338,3 +338,40 @@ def test_moving_percentiles_trailing_window():
     assert (out[3]["p50_cents"], out[3]["p100_cents"]) == (400, 1000)
     with pytest.raises(ValueError):
         moving_percentiles(ds, window=0)
+
+
+def test_ip_range_agg():
+    import datetime as dt
+
+    from elasticsearch_ray.ops.events import derive_ips, ip_range_agg
+
+    rows = [{"ts": dt.datetime(2024, 1, 1), "user_id": u, "value": 1.0}
+            for u in range(1, 40)]
+    ds = ray.data.from_items(rows)
+    ips = (np.arange(1, 40, dtype=np.int64) * 2654435761) % (1 << 32)
+
+    def u32(s):
+        a, b, c, d = (int(x) for x in s.split("."))
+        return (a << 24) | (b << 16) | (c << 8) | d
+
+    ranges = [
+        {"from": "0.0.0.0", "to": "128.0.0.0"},
+        {"from": "128.0.0.0", "to": None},
+        {"mask": "192.0.0.0/2"},
+        {"from": None, "to": "10.0.0.0"},
+    ]
+    out = ip_range_agg(ds, ranges)
+    assert out[0]["doc_count"] == int((ips < u32("128.0.0.0")).sum())
+    assert out[1]["doc_count"] == int((ips >= u32("128.0.0.0")).sum())
+    lo = u32("192.0.0.0")
+    assert out[2]["from_u32"] == lo and out[2]["to_u32"] == lo + (1 << 30)
+    assert out[2]["doc_count"] == int(((ips >= lo) &
+                                       (ips < lo + (1 << 30))).sum())
+    assert out[3]["doc_count"] == int((ips < u32("10.0.0.0")).sum())
+    # overlapping ranges count independently
+    assert out[0]["doc_count"] + out[1]["doc_count"] == 39
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ip_range_agg(ds, [{"mask": "1.2.3.4/40"}])
+    with _pt.raises(ValueError):
+        ip_range_agg(ds, [{"from": "1.2.3"}])

@@ -1295,3 +1295,37 @@ def test_image_decode_meta_null_payload():
     assert out.column("width").to_pylist() == [0, 0, 2]
     assert out.column("height").to_pylist() == [0, 0, 2]
     assert out.column("mean_luma_u").to_pylist()[2] == 9_000_000
+
+
+def test_categorize_text():
+    import ray.data
+
+    from elasticsearch_ray.ops.textstats import categorize_text
+
+    texts = [
+        "error in module 42 retry",
+        "error in module 7 retry",
+        "warn disk full",
+        "error out of memory now",
+        "error out of memory",
+        "x1 y2 z3",          # every token numeric-ish -> empty category
+        "",                   # empty doc -> empty category
+    ]
+    ds = ray.data.from_items([{"text": t} for t in texts])
+    out = categorize_text(ds, max_tokens=3, size=10)
+
+    # python oracle: first 3 digit-free tokens
+    from collections import Counter
+    want = Counter(
+        " ".join([w for w in t.split() if not any(c.isdigit() for c in w)][:3])
+        for t in texts
+    )
+    exp = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(b["key"], b["doc_count"]) for b in out] == exp
+    assert {"key": "error in module", "doc_count": 2} in out
+    assert {"key": "error out of", "doc_count": 2} in out
+    # numeric-only and empty docs share the '' category
+    assert {"key": "", "doc_count": 2} in out
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        categorize_text(ds, max_tokens=0)
