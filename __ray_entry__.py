@@ -3563,6 +3563,60 @@ def _span_first_sql() -> str:
     )
 
 
+# (include, exclude words, pre, post)
+SPAN_NOT_QUERIES = [
+    ("customer", "table", 0, 1),
+    ("customer", "table", 1, 1),
+    ("join", "hash merge", 2, 2),
+    ("scan", "slow", 0, 3),
+]
+
+
+def _q_span_not(sf_dir: str):
+    """ES span_not over single-term clauses: docs where the include
+    term has an occurrence with no exclude-term occurrence within
+    [p-pre, p+post].  SQL twin: positional anti-join with the same
+    window."""
+    eng = _engine(sf_dir, "plain", positions=True)
+    rows = {"query": [], "pre": [], "post": [], "doc_id": []}
+    for inc, exc, pre, post in SPAN_NOT_QUERIES:
+        res = eng.search_span_not(inc, exc, pre=pre, post=post, size=50)
+        for r in res["results"]:
+            rows["query"].append(f"{inc} NOT {exc}")
+            rows["pre"].append(pre)
+            rows["post"].append(post)
+            rows["doc_id"].append(r["doc_id"])
+    return pa.table({
+        "query": pa.array(rows["query"], pa.string()),
+        "pre": pa.array(rows["pre"], pa.int32()),
+        "post": pa.array(rows["post"], pa.int32()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+    })
+
+
+def _span_not_sql() -> str:
+    parts = []
+    for inc, exc, pre, post in SPAN_NOT_QUERIES:
+        excs = ", ".join(f"'{w}'" for w in exc.split())
+        parts.append(
+            f"SELECT '{inc} NOT {exc}' AS query, "
+            f"CAST({pre} AS INTEGER) AS pre, "
+            f"CAST({post} AS INTEGER) AS post, doc_id FROM ("
+            f"SELECT DISTINCT i.doc_id FROM tok i WHERE i.tok = '{inc}' "
+            f"AND NOT EXISTS (SELECT 1 FROM tok e "
+            f"WHERE e.doc_id = i.doc_id AND e.tok IN ({excs}) "
+            f"AND e.pos BETWEEN i.pos - {pre} AND i.pos + {post}) "
+            f"ORDER BY i.doc_id LIMIT 50)"
+        )
+    return (
+        "WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "FROM documents), "
+        "tok AS (SELECT doc_id, unnest(l) AS tok, "
+        "unnest(range(1, len(l) + 1)) AS pos FROM lists) "
+        + " UNION ALL ".join(parts)
+    )
+
+
 def _q_span_near(sf_dir: str):
     """ES span_near over single-term clauses: all terms within ``slop``
     extra positions; in_order=False admits any order
@@ -4410,6 +4464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_metrics": _q_top_metrics,
         "span_near": _q_span_near,
         "span_first": _q_span_first,
+        "span_not": _q_span_not,
         "rank_feature": _q_rank_feature,
         "terms_set": _q_terms_set,
         "match_bool_prefix": _q_match_bool_prefix,
@@ -7143,6 +7198,7 @@ GROUP BY d.doc_id
         "top_metrics": _top_metrics_sql(),
         "span_near": _span_near_sql(),
         "span_first": _span_first_sql(),
+        "span_not": _span_not_sql(),
         "rank_feature": _rank_feature_sql(),
         "terms_set": _terms_set_sql(),
         "match_bool_prefix": _match_bool_prefix_sql(),

@@ -1641,6 +1641,20 @@ class Searcher:
         ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
         return ids[:k], total
 
+    def search_span_not(self, include_term: str,
+                        exclude_terms: list[str], pre: int, post: int,
+                        k: int):
+        out: list[np.ndarray] = []
+        total = 0
+        for r in self.readers:
+            ids, n = sc.span_not_eval(
+                r, include_term, exclude_terms, pre, post, k
+            )
+            total += n
+            out.append(ids)
+        ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        return ids[:k], total
+
     def search_span_first(self, alt_terms: list[str], end: int | None,
                           k: int):
         out: list[np.ndarray] = []
@@ -2554,6 +2568,62 @@ class QueryEngine:
         total = int(sum(p[1] for p in parts))
         return {
             "query": query_text,
+            "total_hits": total,
+            "results": [{"doc_id": int(d), "score": 1.0}
+                        for d in ids[from_:fetch]],
+        }
+
+    def search_span_not(self, include: str, exclude: str,
+                        pre: int = 0, post: int = 0, size: int = 10,
+                        from_: int = 0) -> dict:
+        """ES ``span_not`` over single-term clauses: docs where the
+        ``include`` term has at least one occurrence with no occurrence
+        of ANY ``exclude`` word (a span_or of the exclude string's
+        words) overlapping it or within ``pre`` positions before /
+        ``post`` positions after.  Width-1 spans make pure overlap
+        (pre=post=0) require an exclude term at the exact same analyzed
+        position — impossible for distinct terms, matching Lucene,
+        where span_not only bites via pre/post (or duplicated clause
+        terms, rejected here like the rest of the span family).
+        Constant-scored, doc_id ascending, exact totals."""
+        inc_toks = self.normalizer.preprocess_query_list(include)
+        if len(inc_toks) != 1:
+            raise ValueError(
+                f"span_not include clause {include!r} must analyze to "
+                f"exactly one term (got {inc_toks!r})"
+            )
+        exc_terms = []
+        for w in exclude.split():
+            toks = self.normalizer.preprocess_query_list(w)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"span_not exclude clause {w!r} must analyze to "
+                    f"exactly one term (got {toks!r})"
+                )
+            exc_terms.append(toks[0])
+        if not exc_terms:
+            raise ValueError("span_not needs at least one exclude term")
+        if inc_toks[0] in exc_terms:
+            raise ValueError("span_not include must differ from excludes")
+        if pre < 0 or post < 0:
+            raise ValueError("span_not pre/post must be >= 0")
+        fetch = from_ + size
+        route = self._route_conjunctive(inc_toks)
+        if route == "empty":
+            return {"query": include, "total_hits": 0, "results": []}
+        if route == "local":
+            parts = [self._local_allsegs().search_span_not(
+                inc_toks[0], exc_terms, pre, post, fetch
+            )]
+        else:
+            parts = self._fanout(
+                "search_span_not", inc_toks[0], exc_terms, pre, post,
+                fetch,
+            )
+        ids = np.concatenate([p[0] for p in parts])
+        total = int(sum(p[1] for p in parts))
+        return {
+            "query": include,
             "total_hits": total,
             "results": [{"doc_id": int(d), "score": 1.0}
                         for d in ids[from_:fetch]],

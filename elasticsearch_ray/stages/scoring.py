@@ -861,6 +861,54 @@ def span_near_eval(
     return slots[:size] + reader.doc_id_base, int(slots.size)
 
 
+def span_not_eval(
+    reader: SegmentReader,
+    include_term: str,
+    exclude_terms: list[str],
+    pre: int,
+    post: int,
+    size: int,
+):
+    """ES/Lucene ``span_not`` over single-term clauses: keep docs where
+    the include term has at least one occurrence with NO exclude-term
+    occurrence overlapping it or within ``pre`` positions before /
+    ``post`` positions after (Lucene's pre/post windows; width-1 spans
+    make overlap = same position).  Vectorized: one searchsorted of the
+    include key array into the union of the exclude terms' key arrays —
+    an exclude key q kills include key p iff ``p - pre <= q <= p +
+    post``.  Cross-doc false kills are impossible: composite keys of
+    different slots differ by >= 2^32 while pre/post windows are tiny.
+    Returns (first ``size`` matching global doc_ids ascending, count)."""
+    empty = np.empty(0, dtype=np.int64)
+    if pre < 0 or post < 0:
+        raise ValueError("span_not pre/post must be >= 0")
+    row = reader.term_row(include_term)
+    if row is None:
+        return empty, 0
+    inc = reader.positions_keys_by_row(row)
+    exc_parts = []
+    for t in exclude_terms:
+        r2 = reader.term_row(t)
+        if r2 is not None:
+            exc_parts.append(reader.positions_keys_by_row(r2))
+    if exc_parts:
+        exc = (
+            np.sort(np.concatenate(exc_parts))
+            if len(exc_parts) > 1 else exc_parts[0]
+        )
+        idx = np.searchsorted(exc, inc - np.int64(pre))
+        nxt = np.where(
+            idx < exc.size, exc[np.minimum(idx, exc.size - 1)],
+            np.int64(1) << np.int64(62),
+        )
+        inc = inc[nxt > inc + np.int64(post)]
+    if not inc.size:
+        return empty, 0
+    slots = np.unique(inc >> np.int64(32))
+    slots = slots[reader.doc_lens[slots] >= 0]  # tombstones
+    return slots[:size] + reader.doc_id_base, int(slots.size)
+
+
 def span_first_eval(
     reader: SegmentReader,
     alt_terms: list[str],

@@ -166,3 +166,69 @@ def test_span_first_fuzz(tmp_path):
             assert got == _brute_first(texts, set(alts), end), (alts, end)
     finally:
         eng.close()
+
+
+def _brute_not(texts, inc, excs, pre, post):
+    out = []
+    for doc_id, t in enumerate(texts):
+        toks = t.split()
+        ipos = [i for i, w in enumerate(toks) if w == inc]
+        epos = [i for i, w in enumerate(toks) if w in excs]
+        if any(all(not (p - pre <= q <= p + post) for q in epos)
+               for p in ipos):
+            out.append(doc_id)
+    return out
+
+
+def test_span_not_brute(tmp_path):
+    texts = [
+        "alpha beta gamma",     # beta right after alpha
+        "beta alpha gamma",     # beta right before alpha
+        "alpha x x beta",
+        "alpha x gamma",
+        "x alpha",
+        "beta gamma only",
+    ]
+    eng = _build(texts, tmp_path)
+    try:
+        for pre, post in ((0, 0), (0, 1), (1, 0), (1, 1), (0, 3), (5, 5)):
+            r = eng.search_span_not("alpha", "beta", pre=pre, post=post,
+                                    size=50)
+            got = [h["doc_id"] for h in r["results"]]
+            want = _brute_not(texts, "alpha", {"beta"}, pre, post)
+            assert got == want, (pre, post, got, want)
+            assert r["total_hits"] == len(want)
+        # span_or excludes
+        r = eng.search_span_not("alpha", "beta gamma", pre=1, post=1,
+                                size=50)
+        assert [h["doc_id"] for h in r["results"]] == \
+            _brute_not(texts, "alpha", {"beta", "gamma"}, 1, 1)
+        with pytest.raises(ValueError):
+            eng.search_span_not("alpha", "alpha")
+        with pytest.raises(ValueError):
+            eng.search_span_not("alpha", "")
+        with pytest.raises(ValueError):
+            eng.search_span_not("alpha", "beta", pre=-1)
+    finally:
+        eng.close()
+
+
+def test_span_not_fuzz(tmp_path):
+    rng = random.Random(5)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 9)))
+             for _ in range(40)]
+    eng = _build(texts, tmp_path, seg=7, part=5)
+    try:
+        for _ in range(30):
+            inc = rng.choice(vocab)
+            excs = rng.sample([v for v in vocab if v != inc],
+                              rng.randint(1, 2))
+            pre, post = rng.randint(0, 3), rng.randint(0, 3)
+            r = eng.search_span_not(inc, " ".join(excs), pre=pre,
+                                    post=post, size=100)
+            got = [h["doc_id"] for h in r["results"]]
+            assert got == _brute_not(texts, inc, set(excs), pre, post), \
+                (inc, excs, pre, post)
+    finally:
+        eng.close()
