@@ -4495,6 +4495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geohash_grid": _q_geohash_grid,
         "ip_range": _q_ip_range,
         "categorize_text": _q_categorize_text,
+        "variable_width_histogram": _q_variable_width_histogram,
     }
 
 
@@ -5641,6 +5642,71 @@ FROM events, (
 GROUP BY 1, 2, 3""")
         parts.append(" UNION ALL ")
     return "".join(parts[:-1])
+
+
+VWH_QUERIES = [("merge", 4), ("__all__", 3), ("merge", 1)]
+
+
+def _q_variable_width_histogram(sf_dir: str):
+    """ES variable_width_histogram (deterministic largest-gap variant):
+    clusters of the hit set's n_chars values split at the buckets-1
+    largest inter-value gaps (ties toward the smaller left value); per
+    bucket min/max/count and the floor'd micro-unit mean."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "nb": [], "mn": [], "mx": [], "doc_count": [],
+            "key_u": []}
+    for q, nb in VWH_QUERIES:
+        res = eng.search_variable_width_histogram(
+            None if q == "__all__" else q, "n_chars", buckets=nb
+        )
+        for b in res["buckets"]:
+            rows["query"].append(q)
+            rows["nb"].append(nb)
+            rows["mn"].append(b["min"])
+            rows["mx"].append(b["max"])
+            rows["doc_count"].append(b["doc_count"])
+            rows["key_u"].append(b["key_u"])
+    return pa.table({
+        "query": pa.array(rows["query"], pa.string()),
+        "nb": pa.array(rows["nb"], pa.int32()),
+        "mn": pa.array(rows["mn"], pa.int64()),
+        "mx": pa.array(rows["mx"], pa.int64()),
+        "doc_count": pa.array(rows["doc_count"], pa.int64()),
+        "key_u": pa.array(rows["key_u"], pa.int64()),
+    })
+
+
+def _variable_width_histogram_sql() -> str:
+    parts = []
+    for q, nb in VWH_QUERIES:
+        where = (
+            "" if q == "__all__"
+            else f"WHERE doc_id IN ({_FACET_HITS[q]})"
+        )
+        src = f"SELECT n_chars AS v FROM documents {where}"
+        boundaries = f"""
+        SELECT g.v AS sv FROM (
+          SELECT d.v, d.v - lag(d.v) OVER (ORDER BY d.v) AS gap,
+                 row_number() OVER (ORDER BY d.v) AS rn
+          FROM (SELECT DISTINCT v FROM ({src})) d
+        ) g WHERE g.rn > 1 ORDER BY g.gap DESC, g.rn LIMIT {nb - 1}"""
+        parts.append(f"""
+SELECT '{q}' AS query, CAST({nb} AS INTEGER) AS nb, mn, mx, doc_count,
+       key_u FROM (
+  SELECT min(v)::BIGINT AS mn, max(v)::BIGINT AS mx,
+         count(*)::BIGINT AS doc_count,
+         CAST(floor(sum(v) * 1000000.0 / count(*)) AS BIGINT) AS key_u
+  FROM (
+    SELECT vv.v,
+           (SELECT count(*) FROM ({boundaries}) b WHERE b.sv <= vv.v)
+             AS cid
+    FROM ({src}) vv
+  ) a GROUP BY cid
+)""")
+    return (
+        f"WITH tok AS ({_TOK}) "
+        + " UNION ALL ".join(f"({p})" for p in parts)
+    )
 
 
 def _composite_pages_sql() -> str:
@@ -7229,6 +7295,7 @@ GROUP BY d.doc_id
         "geohash_grid": _geohash_grid_sql(),
         "ip_range": _ip_range_sql(),
         "categorize_text": _categorize_text_sql(),
+        "variable_width_histogram": _variable_width_histogram_sql(),
         "cardinality_agg": _cardinality_sql(),
         "cardinality_approx": _cardinality_approx_sql(),
         "percentiles_approx": _percentiles_approx_sql(),

@@ -3689,6 +3689,51 @@ class QueryEngine:
         return {"query": query_text, "field": field, "interval": interval,
                 "buckets": buckets}
 
+    def search_variable_width_histogram(
+        self, query_text: str | None, field: str, buckets: int = 5,
+    ) -> dict:
+        """ES ``variable_width_histogram``, deterministic variant: at
+        most ``buckets`` clusters of the hit set's integer doc-values,
+        split at the ``buckets - 1`` LARGEST gaps between consecutive
+        distinct values (ties broken toward the smaller left value) —
+        the classic exact 1-D clustering, replacing ES's
+        streaming-order-dependent nearest-cluster heuristic with a
+        documented engine-independent rule.  Each bucket reports
+        ES's shape: min, max, the doc count, and key = the bucket mean
+        in floor'd micro-units.  Built on the same per-searcher
+        value-count maps as the exact percentiles path (O(distinct
+        values) traffic; the sketch route is the answer past that, as
+        with percentiles_approx)."""
+        if buckets < 1:
+            raise ValueError("buckets must be >= 1")
+        merged = self._merged_value_counts(query_text, field)
+        vals = np.array(sorted(merged), dtype=np.int64)
+        out = {"query": query_text, "field": field, "buckets": []}
+        if not vals.size:
+            return out
+        cnts = np.array([merged[int(v)] for v in vals], dtype=np.int64)
+        if vals.size > 1 and buckets > 1:
+            gaps = vals[1:] - vals[:-1]
+            nb = min(buckets - 1, gaps.size)
+            # largest gaps, ties to the leftmost (smaller left value)
+            cut = np.sort(np.lexsort((np.arange(gaps.size), -gaps))[:nb])
+        else:
+            cut = np.array([], dtype=np.int64)
+        starts = np.concatenate([[0], cut + 1])
+        ends = np.concatenate([cut + 1, [vals.size]])
+        for s, e in zip(starts, ends):
+            n = int(cnts[s:e].sum())
+            mean_u = math.floor(
+                int((vals[s:e] * cnts[s:e]).sum()) * 1_000_000.0 / n
+            )
+            out["buckets"].append({
+                "min": int(vals[s]),
+                "max": int(vals[e - 1]),
+                "doc_count": n,
+                "key_u": mean_u,
+            })
+        return out
+
     def _merged_value_counts(self, query_text: str, field: str):
         numeric = self._field_is_numeric(field)
         kind, payload = self._agg_route(query_text)

@@ -2527,3 +2527,74 @@ def test_terms_agg_shard_size_error_bounds(tmp_path):
                 )
         finally:
             eng.close()
+
+
+def test_variable_width_histogram(tmp_path):
+    """variable_width_histogram (largest-gap deterministic clustering)
+    vs a pure-python oracle; distributed to exercise the shard merge."""
+    import math
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    rng = random.Random(23)
+    vocab = ["merge", "hash", "scan", "join", "other"]
+    # three obvious value clusters + duplicates + a tie-gap pair
+    pools = [list(range(0, 20)), list(range(500, 520)),
+             list(range(1000, 1005)), [2000, 2600, 3200]]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(6)),
+            "n_bytes": rng.choice(rng.choice(pools)),
+        }
+        for i in range(180)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("n_bytes",), docs_per_segment=50,
+                    target_partition_rows=25),
+    )
+
+    def brute(values, buckets):
+        vals = sorted(set(values))
+        gaps = [(vals[i + 1] - vals[i], i) for i in range(len(vals) - 1)]
+        cuts = sorted(i for _, i in
+                      sorted(gaps, key=lambda g: (-g[0], g[1]))
+                      [:max(0, buckets - 1)])
+        out, s = [], 0
+        for c in cuts + [len(vals) - 1]:
+            seg = set(vals[s:c + 1])
+            sel = [v for v in values if v in seg]
+            out.append({
+                "min": min(sel), "max": max(sel), "doc_count": len(sel),
+                "key_u": math.floor(sum(sel) * 1_000_000.0 / len(sel)),
+            })
+            s = c + 1
+        return out
+
+    eng = QueryEngine(idx, num_searchers=2)
+    try:
+        for q, pred in ((None, lambda t: True),
+                        ("merge", lambda t: "merge" in t.split())):
+            values = [r["n_bytes"] for r in rows if pred(r["text"])]
+            for nb in (1, 2, 4, 7, 100):
+                got = eng.search_variable_width_histogram(
+                    q, "n_bytes", buckets=nb
+                )["buckets"]
+                assert got == brute(values, nb), (q, nb)
+        with pytest.raises(ValueError):
+            eng.search_variable_width_histogram(None, "n_bytes", buckets=0)
+    finally:
+        eng.close()
