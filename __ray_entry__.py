@@ -4496,6 +4496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ip_range": _q_ip_range,
         "categorize_text": _q_categorize_text,
         "variable_width_histogram": _q_variable_width_histogram,
+        "frequent_item_sets": _q_frequent_item_sets,
     }
 
 
@@ -5642,6 +5643,35 @@ FROM events, (
 GROUP BY 1, 2, 3""")
         parts.append(" UNION ALL ")
     return "".join(parts[:-1])
+
+
+def _q_frequent_item_sets(sf_dir: str):
+    """ES frequent_item_sets (2-item sets over distinct doc tokens):
+    top-20 co-occurring token pairs among the 15 highest-df tokens,
+    min support 5, ordered (support desc, pair asc)."""
+    from elasticsearch_ray.ops.corpus import frequent_item_sets
+
+    out = frequent_item_sets(_docs_ds(sf_dir), top_items=15,
+                             min_support=5, size=20)
+    return pa.table({
+        "item_a": pa.array([r["item_a"] for r in out], pa.string()),
+        "item_b": pa.array([r["item_b"] for r in out], pa.string()),
+        "support": pa.array([r["support"] for r in out], pa.int64()),
+    })
+
+
+def _frequent_item_sets_sql() -> str:
+    return f"""
+WITH tok AS ({_TOK}),
+t AS (SELECT DISTINCT doc_id, tok FROM tok),
+top AS (SELECT tok FROM (SELECT tok, count(*) AS df FROM t GROUP BY tok
+        ORDER BY df DESC, tok LIMIT 15)),
+tt AS (SELECT doc_id, tok FROM t WHERE tok IN (SELECT tok FROM top))
+SELECT item_a, item_b, support FROM (
+  SELECT a.tok AS item_a, b.tok AS item_b, count(*)::BIGINT AS support
+  FROM tt a JOIN tt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2 HAVING count(*) >= 5
+  ORDER BY support DESC, item_a, item_b LIMIT 20)"""
 
 
 VWH_QUERIES = [("merge", 4), ("__all__", 3), ("merge", 1)]
@@ -7296,6 +7326,7 @@ GROUP BY d.doc_id
         "ip_range": _ip_range_sql(),
         "categorize_text": _categorize_text_sql(),
         "variable_width_histogram": _variable_width_histogram_sql(),
+        "frequent_item_sets": _frequent_item_sets_sql(),
         "cardinality_agg": _cardinality_sql(),
         "cardinality_approx": _cardinality_approx_sql(),
         "percentiles_approx": _percentiles_approx_sql(),

@@ -292,3 +292,101 @@ def composite_buckets(
         else None
     )
     return page, after_key
+
+
+def frequent_item_sets(
+    ds: ray.data.Dataset,
+    top_items: int = 20,
+    min_support: int = 2,
+    size: int = 20,
+    text_col: str = "text",
+) -> list[dict]:
+    """ES ``frequent_item_sets`` aggregation (2-item sets over the
+    document's distinct tokens): the ``size`` token PAIRS that co-occur
+    in the most documents, ordered (support desc, item_a asc, item_b
+    asc), restricted to pairs of the ``top_items`` highest-document-
+    frequency tokens — the standard apriori candidate pruning (ES's
+    eclat miner prunes by min support; a fixed frequent-item universe
+    makes the result deterministic and the pair space M^2-bounded).
+
+    Two bounded passes:
+    1. document frequency per token — per batch an Arrow distinct
+       (doc, token) group-by, shuffle carries one row per (batch,
+       distinct token); driver keeps the top-M by (df desc, token asc).
+    2. pair supports — per batch a boolean docs-x-M membership matrix
+       (``pc.index_in`` against the broadcast item list) and one
+       M x M matmul; the shuffle carries <= M^2 partial rows per batch.
+    """
+    if top_items < 2:
+        raise ValueError("top_items must be >= 2")
+    from ray.data.aggregate import Sum
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        split = _space_split(batch.column(text_col))
+        lens = pc.list_value_length(split).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(split)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        rows = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        dt = pa.table({"r": pa.array(rows), "tok": flat})
+        distinct = dt.group_by(["r", "tok"]).aggregate([])
+        g = distinct.group_by("tok").aggregate([("r", "count")])
+        return pa.table({
+            "tok": g.column("tok"),
+            "df_part": g.column("r_count").cast(pa.int64()),
+        })
+
+    df_rows = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("df_part")).take_all()
+    )  # O(vocabulary) rows — token vocab, not corpus tokens
+    ranked = sorted(
+        ((int(r["sum(df_part)"]), str(r["tok"])) for r in df_rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:top_items]
+    items = [t for _, t in ranked]
+    if not items:
+        return []
+    item_arr = pa.array(items, pa.string())
+    m = len(items)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        split = _space_split(batch.column(text_col))
+        lens = pc.list_value_length(split).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(split)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        rows = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        idx = pc.index_in(flat, value_set=item_arr)
+        codes = idx.to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(codes) if codes.dtype.kind == "f" else \
+            idx.is_valid().to_numpy(zero_copy_only=False)
+        r = rows[valid]
+        c = codes[valid].astype(np.int64)
+        mat = np.zeros((lens.size, m), dtype=np.float32)
+        mat[r, c] = 1.0
+        co = (mat.T @ mat).astype(np.int64)
+        iu, ju = np.triu_indices(m, k=1)
+        n = co[iu, ju]
+        keep = n > 0
+        return pa.table({
+            "ia": pa.array(iu[keep].astype(np.int64)),
+            "ib": pa.array(ju[keep].astype(np.int64)),
+            "n_part": pa.array(n[keep]),
+        })
+
+    pair_rows = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["ia", "ib"]).aggregate(Sum("n_part")).take_all()
+    )  # <= M^2 rows
+    out = []
+    for r in pair_rows:
+        s = int(r["sum(n_part)"])
+        if s >= min_support:
+            # indices are df-ranked; emit the pair lexicographically
+            ta, tb = items[int(r["ia"])], items[int(r["ib"])]
+            if ta > tb:
+                ta, tb = tb, ta
+            out.append({"item_a": ta, "item_b": tb, "support": s})
+    out.sort(key=lambda d: (-d["support"], d["item_a"], d["item_b"]))
+    return out[:size]

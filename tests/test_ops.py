@@ -1329,3 +1329,50 @@ def test_categorize_text():
     import pytest as _pt
     with _pt.raises(ValueError):
         categorize_text(ds, max_tokens=0)
+
+
+def test_frequent_item_sets_randomized():
+    """frequent_item_sets vs a pure-python apriori over doc token sets
+    (same top-M candidate universe, same tie-breaks)."""
+    import itertools
+    import random
+    from collections import Counter
+
+    import ray.data
+
+    from elasticsearch_ray.ops.corpus import frequent_item_sets
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [" ".join(rng.choice(vocab)
+                     for _ in range(rng.randint(1, 14)))
+            for _ in range(120)]
+
+    def brute(top_items, min_support, size):
+        df = Counter()
+        for t in docs:
+            df.update(set(t.split(" ")))
+        items = [w for w, _ in sorted(df.items(),
+                                      key=lambda kv: (-kv[1], kv[0]))
+                 [:top_items]]
+        iset = set(items)
+        sup = Counter()
+        for t in docs:
+            present = sorted(set(t.split(" ")) & iset)
+            for a, b in itertools.combinations(present, 2):
+                sup[(a, b)] += 1
+        out = [{"item_a": a, "item_b": b, "support": s}
+               for (a, b), s in sup.items() if s >= min_support]
+        out.sort(key=lambda d: (-d["support"], d["item_a"], d["item_b"]))
+        return out[:size]
+
+    ds = ray.data.from_items([{"text": t} for t in docs])
+    for top_items, min_support, size in ((5, 2, 10), (12, 10, 20),
+                                         (8, 1, 50)):
+        got = frequent_item_sets(ds, top_items=top_items,
+                                 min_support=min_support, size=size)
+        assert got == brute(top_items, min_support, size), \
+            (top_items, min_support, size)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        frequent_item_sets(ds, top_items=1)
