@@ -1026,6 +1026,71 @@ def _q_suggest_plain(sf_dir: str):
     )
 
 
+PHRASE_SUGGEST_QUERIES = ["sow dat", "pat tha", "scat lin"]
+
+
+def _q_phrase_suggest(sf_dir: str):
+    """ES phrase suggester (deterministic variant): per-word top-3
+    candidates within Levenshtein 2 (the word itself at distance 0 when
+    indexed) by (dist, df desc, term); candidate phrases = cross
+    product ranked (total dist, df sum desc, phrase), top 5."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "rank": [], "phrase": [], "total_dist": [],
+            "df_sum": []}
+    for q in PHRASE_SUGGEST_QUERIES:
+        res = eng.suggest_phrase(q, size=5, max_edits=2, per_word=3)
+        for i, o in enumerate(res["options"]):
+            rows["query"].append(q)
+            rows["rank"].append(i + 1)
+            rows["phrase"].append(o["text"])
+            rows["total_dist"].append(o["total_dist"])
+            rows["df_sum"].append(o["df_sum"])
+    return pa.table({
+        "query": pa.array(rows["query"], pa.string()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "phrase": pa.array(rows["phrase"], pa.string()),
+        "total_dist": pa.array(rows["total_dist"], pa.int64()),
+        "df_sum": pa.array(rows["df_sum"], pa.int64()),
+    })
+
+
+def _phrase_suggest_sql() -> str:
+    parts = []
+    for q in PHRASE_SUGGEST_QUERIES:
+        words = q.lower().split()
+        ctes = []
+        for i, w in enumerate(words):
+            ctes.append(
+                f"w{i} AS (SELECT tok AS text, levenshtein(tok, '{w}') "
+                f"AS dist, df FROM d WHERE levenshtein(tok, '{w}') <= 2 "
+                f"ORDER BY dist, df DESC, text LIMIT 3), "
+                f"f{i} AS (SELECT * FROM w{i} UNION ALL "
+                f"SELECT '{w}', 0, 0 "
+                f"WHERE NOT EXISTS (SELECT 1 FROM w{i}))"
+            )
+        phrase = " || ' ' || ".join(f"f{i}.text"
+                                    for i in range(len(words)))
+        dist = " + ".join(f"f{i}.dist" for i in range(len(words)))
+        dfs = " + ".join(f"f{i}.df" for i in range(len(words)))
+        froms = " CROSS JOIN ".join(f"f{i}" for i in range(len(words)))
+        parts.append(
+            f"SELECT '{q}' AS query, "
+            f"row_number() OVER (ORDER BY total_dist, df_sum DESC, "
+            f"phrase) AS rank, phrase, total_dist, df_sum FROM ("
+            f"WITH {', '.join(ctes)} "
+            f"SELECT {phrase} AS phrase, "
+            f"CAST({dist} AS BIGINT) AS total_dist, "
+            f"CAST({dfs} AS BIGINT) AS df_sum FROM {froms} "
+            f"ORDER BY total_dist, df_sum DESC, phrase LIMIT 5)"
+        )
+    return (
+        f"WITH tok AS ({_TOK}), "
+        f"d AS (SELECT tok, count(DISTINCT doc_id) AS df "
+        f"FROM tok GROUP BY tok) "
+        + " UNION ALL ".join(f"({p})" for p in parts)
+    )
+
+
 STATS_QUERIES = ["merge", "merge AND hash", "merg*", "scan OR join"]
 
 
@@ -4497,6 +4562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "categorize_text": _q_categorize_text,
         "variable_width_histogram": _q_variable_width_histogram,
         "frequent_item_sets": _q_frequent_item_sets,
+        "phrase_suggest": _q_phrase_suggest,
     }
 
 
@@ -7327,6 +7393,7 @@ GROUP BY d.doc_id
         "categorize_text": _categorize_text_sql(),
         "variable_width_histogram": _variable_width_histogram_sql(),
         "frequent_item_sets": _frequent_item_sets_sql(),
+        "phrase_suggest": _phrase_suggest_sql(),
         "cardinality_agg": _cardinality_sql(),
         "cardinality_approx": _cardinality_approx_sql(),
         "percentiles_approx": _percentiles_approx_sql(),

@@ -4531,6 +4531,67 @@ class QueryEngine:
             )
         return {"suggest": out}
 
+    def suggest_phrase(self, text: str, size: int = 5,
+                       max_edits: int = 1, per_word: int = 3) -> dict:
+        """ES phrase suggester (did-you-mean over the WHOLE phrase),
+        deterministic variant: per whitespace token (lowercased, like
+        the term suggester) the top ``per_word`` candidates — dictionary
+        terms within ``max_edits`` Levenshtein, the input term itself
+        at distance 0 when indexed — ordered (distance asc, df desc,
+        term asc); candidate phrases are the per-word cross product,
+        ranked by (total edit distance asc, sum of candidate dfs desc,
+        phrase asc), top ``size``.  ES scores candidates with a smoothed
+        bigram LM times an error model and prunes with a beam; the
+        integer (distance, df-sum) surrogate keeps the ranking exact,
+        engine-independent, and SQL-twinnable.  A word with no
+        candidate at all stays as itself with df 0 (ES likewise emits
+        the original term).  Fanout cost: one suggest_term round per
+        word; the cross product is driver-side over
+        ``per_word ** n_words`` tuples — keep phrases short, like ES's
+        ``gram_size``/beam defaults do."""
+        if per_word < 1:
+            raise ValueError("per_word must be >= 1")
+        words = [w.lower() for w in text.split()]
+        if not words:
+            return {"text": text, "options": []}
+        if per_word ** len(words) > 100_000:
+            raise ValueError("phrase too long for the cross product")
+        per: list[list[tuple[str, int, int]]] = []  # (term, dist, df)
+        for term in words:
+            merged: dict[str, list[int]] = {}
+            for terms, dists, dfs in self._fanout(
+                "suggest_term", term, max_edits
+            ):
+                for t, d, f in zip(terms, dists, dfs):
+                    cur = merged.get(t)
+                    if cur is None:
+                        merged[t] = [d, f]
+                    else:
+                        cur[1] += f
+            opts = sorted(
+                (d, -f, t) for t, (d, f) in merged.items()
+            )[:per_word]
+            per.append(
+                [(t, d, -nf) for d, nf, t in opts] or [(term, 0, 0)]
+            )
+        import itertools
+
+        phrases = []
+        for combo in itertools.product(*per):
+            phrases.append((
+                sum(c[1] for c in combo),
+                -sum(c[2] for c in combo),
+                " ".join(c[0] for c in combo),
+            ))
+        phrases.sort()
+        return {
+            "text": text,
+            "options": [
+                {"text": p, "total_dist": d, "df_sum": -nf}
+                for d, nf, p in phrases[:size]
+            ],
+        }
+
     def _search_boolean(self, query_text: str, size: int,
                         from_: int = 0) -> dict:
         tokens = preprocess_boolean_query(query_text, self.normalizer)
