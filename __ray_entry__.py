@@ -1026,6 +1026,77 @@ def _q_suggest_plain(sf_dir: str):
     )
 
 
+# (query, doc_ids) — _explain cases: dup query term (qtf 2), absent term
+EXPLAIN_CASES = [
+    ("merge hash", [0, 1, 2, 3, 4]),
+    ("scan scan", [5, 6, 7, 8, 9]),
+    ("qqq merge", [0, 1]),
+]
+
+
+def _q_explain(sf_dir: str):
+    """ES _explain API: per-term score breakdown (tf, df, query-term
+    multiplicity, micro-unit contribution) of fixed docs against ranked
+    queries — contributions sum to the engine's search score (pinned by
+    pytest); SQL twin recomputes the BM25 term expression per (doc,
+    term)."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "doc_id": [], "term": [], "tf": [], "df": [],
+            "qtf": [], "score_u": []}
+    for q, doc_ids in EXPLAIN_CASES:
+        for did in doc_ids:
+            ex = eng.explain(q, did)
+            for d in ex["details"]:
+                rows["query"].append(q)
+                rows["doc_id"].append(did)
+                rows["term"].append(d["term"])
+                rows["tf"].append(d["tf"])
+                rows["df"].append(d["df"])
+                rows["qtf"].append(d["qtf"])
+                rows["score_u"].append(
+                    math.floor(d["score"] * 1e6 + 0.5)
+                )
+    return pa.table({
+        "query": pa.array(rows["query"], pa.string()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "term": pa.array(rows["term"], pa.string()),
+        "tf": pa.array(rows["tf"], pa.int64()),
+        "df": pa.array(rows["df"], pa.int64()),
+        "qtf": pa.array(rows["qtf"], pa.int64()),
+        "score_u": pa.array(rows["score_u"], pa.int64()),
+    })
+
+
+def _explain_sql() -> str:
+    parts = []
+    for q, doc_ids in EXPLAIN_CASES:
+        from collections import Counter
+
+        qc = Counter(q.split())
+        qvals = ", ".join(f"('{t}', {n})" for t, n in qc.items())
+        dvals = ", ".join(f"({d})" for d in doc_ids)
+        parts.append(f"""
+SELECT '{q}' AS query, x.doc_id, x.term, x.tf::BIGINT AS tf,
+       x.df::BIGINT AS df, x.qtf::BIGINT AS qtf,
+       CAST(floor((CASE WHEN x.tf > 0 AND x.df > 0
+         THEN x.qtf * ln((stats.n + 1.0) / (x.df + 1.0)) * (x.tf * 2.2)
+              / (x.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ELSE 0 END) * 1e6 + 0.5) AS BIGINT) AS score_u
+FROM (
+  SELECT d.doc_id, qq.term, qq.qtf, coalesce(tf.tf, 0) AS tf,
+         coalesce(df.df, 0) AS df
+  FROM (SELECT * FROM (VALUES {dvals}) AS t(doc_id)) d
+  CROSS JOIN (SELECT * FROM (VALUES {qvals}) AS t(term, qtf)) qq
+  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.term = qq.term
+  LEFT JOIN df ON df.term = qq.term
+) x
+JOIN dl ON dl.doc_id = x.doc_id
+CROSS JOIN stats""")
+    return _plain_prelude() + " " + " UNION ALL ".join(
+        f"({p})" for p in parts
+    )
+
+
 PHRASE_SUGGEST_QUERIES = ["sow dat", "pat tha", "scat lin"]
 
 
@@ -4563,6 +4634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "variable_width_histogram": _q_variable_width_histogram,
         "frequent_item_sets": _q_frequent_item_sets,
         "phrase_suggest": _q_phrase_suggest,
+        "explain_api": _q_explain,
     }
 
 
@@ -7394,6 +7466,7 @@ GROUP BY d.doc_id
         "variable_width_histogram": _variable_width_histogram_sql(),
         "frequent_item_sets": _frequent_item_sets_sql(),
         "phrase_suggest": _phrase_suggest_sql(),
+        "explain_api": _explain_sql(),
         "cardinality_agg": _cardinality_sql(),
         "cardinality_approx": _cardinality_approx_sql(),
         "percentiles_approx": _percentiles_approx_sql(),

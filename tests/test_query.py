@@ -2676,3 +2676,59 @@ def test_suggest_phrase(tmp_path):
             eng.suggest_phrase("a", per_word=0)
     finally:
         eng.close()
+
+
+def test_explain_matches_search_scores(tmp_path):
+    """_explain: per-term breakdown sums exactly to the ranked-search
+    score for every top-k hit; unmatched/missing docs explain as such."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    rng = random.Random(41)
+    vocab = ["merge", "hash", "scan", "join", "table", "x"]
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(vocab) for _ in range(8))}
+        for i in range(150)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    docs_per_segment=40, target_partition_rows=30),
+    )
+    for n_searchers in (2, 0):
+        eng = QueryEngine(idx, num_searchers=n_searchers)
+        try:
+            for q in ("merge hash", "scan", "merge merge hash"):
+                res = eng.search(q, size=10)
+                for h in res["results"]:
+                    ex = eng.explain(q, h["doc_id"])
+                    assert ex["matched"]
+                    assert ex["value"] == pytest.approx(h["score"],
+                                                        abs=1e-12)
+                    assert ex["value"] == pytest.approx(
+                        sum(d["score"] for d in ex["details"]))
+                    for d in ex["details"]:
+                        toks = rows[h["doc_id"]]["text"].split()
+                        assert d["tf"] == toks.count(d["term"])
+            # doc that doesn't contain the term
+            no_scan = next(r["doc_id"] for r in rows
+                           if "scan" not in r["text"].split())
+            ex = eng.explain("scan", no_scan)
+            assert not ex["matched"] and ex["value"] == 0.0
+            # doc outside the corpus
+            ex = eng.explain("scan", 10_000)
+            assert not ex["matched"] and ex["details"] == []
+        finally:
+            eng.close()
