@@ -508,6 +508,23 @@ class RayBM25Index:
             return self.engine.search_cardinality_approx(query, field)
         return self.engine.search_cardinality(query, field)
 
+    def explain(self, query: str, doc_id: int) -> dict:
+        """ES GET /index/_explain/{id}: per-term score breakdown (tf,
+        df, idf, query-term multiplicity, contribution) of one doc
+        against a ranked query; ``value`` sums to the search score."""
+        assert self.engine is not None, "load_index first"
+        return self.engine.explain(query, doc_id)
+
+    def suggest_phrase(self, text: str, size: int = 5,
+                       max_edits: int = 1, per_word: int = 3) -> dict:
+        """ES phrase suggester (deterministic variant): whole-phrase
+        did-you-mean built from per-word fuzzy dictionary candidates,
+        ranked (total edit distance, df sum desc, phrase)."""
+        assert self.engine is not None, "load_index first"
+        return self.engine.suggest_phrase(text, size=size,
+                                          max_edits=max_edits,
+                                          per_word=per_word)
+
     def range_query(self, query: str | None, field: str,
                     gte: int | None = None, lte: int | None = None,
                     size: int = 10) -> dict:

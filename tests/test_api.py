@@ -293,3 +293,18 @@ def test_inspect_index_tool(tmp_path_factory):
     assert sum(s["num_docs"] for s in info["segments"]) == len(DOCS)
     assert info["tombstones"] == 0
     ix.delete_index("i1")
+
+
+def test_explain_and_phrase_suggest_api(idx):
+    idx.load_index("t1")
+    res = json.loads(idx.query("apple banana"))
+    hit = res["results"][0]
+    ex = idx.explain("apple banana", hit["doc_id"])
+    assert ex["matched"]
+    assert ex["value"] == pytest.approx(hit["score"], abs=1e-12)
+    assert {d["term"] for d in ex["details"]} == {"appl", "banana"}
+    sp = idx.suggest_phrase("aple banan", size=3, max_edits=2)
+    assert sp["options"], "expected phrase candidates"
+    # best candidate corrects both words to indexed terms
+    assert sp["options"][0]["text"] == "appl banana" or \
+        sp["options"][0]["total_dist"] <= 4
