@@ -442,6 +442,16 @@ def bench_ops(sf_dir: str) -> dict:
         out["asof_join_rows"] = asof_join(ev).count()
         out["asof_join_sec"] = round(time.perf_counter() - t0, 3)
 
+        # final-session geo aggregations over the derived points
+        from elasticsearch_ray.ops.geo import geo_centroid, geohash_grid
+
+        t0 = time.perf_counter()
+        geo_centroid(ev)
+        out["geo_centroid_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        out["geohash_cells"] = len(geohash_grid(ev, precision=3, size=10))
+        out["geohash_grid_sec"] = round(time.perf_counter() - t0, 3)
+
     # corpus curation ops (round 3): bigram stats, domain quota, hash split
     from elasticsearch_ray.ops.corpus import (
         bigram_counts,
@@ -458,6 +468,21 @@ def bench_ops(sf_dir: str) -> dict:
     t0 = time.perf_counter()
     hash_split_counts(docs).take_all()
     out["hash_split_sec"] = round(time.perf_counter() - t0, 3)
+
+    # final-session corpus ops: frequent token pairs + text categorization
+    from elasticsearch_ray.ops.corpus import frequent_item_sets
+    from elasticsearch_ray.ops.textstats import categorize_text
+
+    t0 = time.perf_counter()
+    out["frequent_item_sets_rows"] = len(
+        frequent_item_sets(docs, top_items=15, min_support=5, size=20)
+    )
+    out["frequent_item_sets_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    out["categorize_text_rows"] = len(
+        categorize_text(docs, max_tokens=2, size=10)
+    )
+    out["categorize_text_sec"] = round(time.perf_counter() - t0, 3)
 
     # near-dup clustering (CC over verified LSH pairs) + packing manifest
     from elasticsearch_ray.ops.dedup import dup_clusters
