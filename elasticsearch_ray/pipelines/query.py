@@ -2564,6 +2564,9 @@ class QueryEngine:
         clause terms are rejected: distinct-position assignment for
         repeated terms needs Lucene's per-doc span lattice, which the
         vectorized window scan intentionally trades away."""
+        if not self.has_positions:
+            raise ValueError(
+                "span_near needs an index built with store_positions=True")
         words = query_text.split()
         if len(words) < 2:
             raise ValueError("span_near needs at least two clause terms")
@@ -2612,6 +2615,9 @@ class QueryEngine:
         where span_not only bites via pre/post (or duplicated clause
         terms, rejected here like the rest of the span family).
         Constant-scored, doc_id ascending, exact totals."""
+        if not self.has_positions:
+            raise ValueError(
+                "span_not needs an index built with store_positions=True")
         inc_toks = self.normalizer.preprocess_query_list(include)
         if len(inc_toks) != 1:
             raise ValueError(
@@ -2666,6 +2672,10 @@ class QueryEngine:
         ``end=None`` degenerates to the plain ``span_or`` union.  Like
         the rest of the span family, hits are constant-scored and come
         back doc_id ascending with exact totals."""
+        if end is not None and not self.has_positions:
+            raise ValueError(
+                "span_first with a bounded end needs an index built "
+                "with store_positions=True")
         words = query_text.split()
         if not words:
             raise ValueError("span_first needs at least one clause term")

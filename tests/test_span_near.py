@@ -232,3 +232,32 @@ def test_span_not_fuzz(tmp_path):
                 (inc, excs, pre, post)
     finally:
         eng.close()
+
+
+def test_span_queries_require_positions(tmp_path):
+    """Clear ValueError (not an actor TypeError) when the index lacks
+    stored positions; span_first without an end bound still works."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({"text": pa.array(["alpha beta", "beta"])}),
+                   src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, BuildConfig(analyzer="plain", url_column=None,
+                                      lang_column=None))  # no positions
+    eng = QueryEngine(idx, num_searchers=0)
+    try:
+        with pytest.raises(ValueError, match="store_positions"):
+            eng.search_span_near("alpha beta", slop=1)
+        with pytest.raises(ValueError, match="store_positions"):
+            eng.search_span_not("alpha", "beta")
+        with pytest.raises(ValueError, match="store_positions"):
+            eng.search_span_first("alpha", end=2)
+        r = eng.search_span_first("alpha beta")  # span_or union: fine
+        assert r["total_hits"] == 2
+    finally:
+        eng.close()
