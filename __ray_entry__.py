@@ -3020,19 +3020,9 @@ def _q_ip_range(sf_dir: str):
 
 
 def _ip_range_sql() -> str:
-    from elasticsearch_ray.ops.events import _ip_to_u32
+    from elasticsearch_ray.ops.events import ip_bounds
 
-    bounds = []
-    for r in IP_RANGES:
-        if "mask" in r:
-            base, _, nbits = r["mask"].partition("/")
-            n = int(nbits)
-            lo = _ip_to_u32(base) & ~((1 << (32 - n)) - 1) if n else 0
-            bounds.append((lo, lo + (1 << (32 - n))))
-        else:
-            lo = _ip_to_u32(r["from"]) if r.get("from") else 0
-            hi = _ip_to_u32(r["to"]) if r.get("to") else 1 << 32
-            bounds.append((lo, hi))
+    bounds = ip_bounds(IP_RANGES)
     parts = [
         f"SELECT {i}::BIGINT AS ri, {lo}::BIGINT AS from_u32, "
         f"{hi}::BIGINT AS to_u32, count(*)::BIGINT AS doc_count "
@@ -3228,18 +3218,13 @@ def _q_geo_centroid_bounds(sf_dir: str):
     """ES geo_centroid + geo_bounds aggregations over the derived
     points: exact integer milli-degree sums/extrema (order-independent
     reductions), centroid in floor'd micro-degrees."""
-    from elasticsearch_ray.ops.geo import geo_bounds, geo_centroid
+    from elasticsearch_ray.ops.geo import geo_summary
 
-    c = geo_centroid(_events_ds(sf_dir))
-    b = geo_bounds(_events_ds(sf_dir))
+    s = geo_summary(_events_ds(sf_dir))  # ONE pass: centroid + bounds
     return pa.table({
-        "count": pa.array([c["count"]], pa.int64()),
-        "lat_u": pa.array([c["lat_u"]], pa.int64()),
-        "lon_u": pa.array([c["lon_u"]], pa.int64()),
-        "top_milli": pa.array([b["top_milli"]], pa.int64()),
-        "bottom_milli": pa.array([b["bottom_milli"]], pa.int64()),
-        "left_milli": pa.array([b["left_milli"]], pa.int64()),
-        "right_milli": pa.array([b["right_milli"]], pa.int64()),
+        k: pa.array([s[k]], pa.int64())
+        for k in ("count", "lat_u", "lon_u", "top_milli",
+                  "bottom_milli", "left_milli", "right_milli")
     })
 
 

@@ -358,11 +358,10 @@ def frequent_item_sets(
             flat = flat.combine_chunks()
         rows = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
         idx = pc.index_in(flat, value_set=item_arr)
-        codes = idx.to_numpy(zero_copy_only=False)
-        valid = ~np.isnan(codes) if codes.dtype.kind == "f" else \
-            idx.is_valid().to_numpy(zero_copy_only=False)
+        valid = idx.is_valid().to_numpy(zero_copy_only=False)
         r = rows[valid]
-        c = codes[valid].astype(np.int64)
+        c = idx.drop_null().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         mat = np.zeros((lens.size, m), dtype=np.float32)
         mat[r, c] = 1.0
         co = (mat.T @ mat).astype(np.int64)

@@ -823,18 +823,13 @@ def _ip_to_u32(s: str) -> int:
     return v
 
 
-def ip_range_agg(
-    ds: ray.data.Dataset,
-    ranges: list[dict],
-    key_col: str = "user_id",
-) -> list[dict]:
-    """ES ``ip_range`` aggregation over the derived IPv4 column: per
-    range, the doc count.  Each range is ES's shape — either
-    ``{"from": "a.b.c.d", "to": "a.b.c.d"}`` (from inclusive, to
-    EXCLUSIVE, either end open) or ``{"mask": "a.b.c.d/n"}`` (CIDR
-    block).  Ranges may overlap; each is an independent boolean mask
-    (map-side integer partials, one row per range per batch)."""
-    bounds: list[tuple[int, int]] = []  # [lo, hi) in u32
+def ip_bounds(ranges: list[dict]) -> list[tuple[int, int]]:
+    """ES ip_range range specs -> [lo, hi) u32 bounds.  Each spec is
+    either ``{"from": "a.b.c.d", "to": "a.b.c.d"}`` (from inclusive,
+    to EXCLUSIVE, either end open) or ``{"mask": "a.b.c.d/n"}`` (CIDR
+    block).  Shared by the aggregation and its SQL twin so the parsing
+    can never diverge."""
+    bounds: list[tuple[int, int]] = []
     for r in ranges:
         if "mask" in r:
             base, _, nbits = r["mask"].partition("/")
@@ -848,6 +843,19 @@ def ip_range_agg(
             lo = _ip_to_u32(r["from"]) if r.get("from") else 0
             hi = _ip_to_u32(r["to"]) if r.get("to") else 1 << 32
             bounds.append((lo, hi))
+    return bounds
+
+
+def ip_range_agg(
+    ds: ray.data.Dataset,
+    ranges: list[dict],
+    key_col: str = "user_id",
+) -> list[dict]:
+    """ES ``ip_range`` aggregation over the derived IPv4 column: per
+    range (see :func:`ip_bounds` for the from/to/CIDR shapes), the doc
+    count.  Ranges may overlap; each is an independent boolean mask
+    (map-side integer partials, one row per range per batch)."""
+    bounds = ip_bounds(ranges)
 
     def partial(batch: pa.Table) -> pa.Table:
         ip = derive_ips(batch, key_col)

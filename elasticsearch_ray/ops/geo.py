@@ -200,76 +200,74 @@ def derive_points_milli(batch: pa.Table, lat_key: str = "user_id",
     return lat_m, lon_m
 
 
-def geo_centroid(ds: ray.data.Dataset) -> dict:
-    """ES ``geo_centroid`` aggregation: arithmetic mean of lat and lon
-    plus the doc count.  Sums run in exact integer milli-degrees
-    (map-side int64 partials, one row per batch), so the reduction is
-    order-independent; the centroid ships as
-    ``floor(sum_milli * 1000 / n)`` micro-degrees — one IEEE
-    multiply+divide+floor any engine reproduces bit-identically (the
-    products stay < 2^53)."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        lat_m, lon_m = derive_points_milli(batch)
-        return pa.table({
-            "sum_lat_milli": pa.array([int(lat_m.sum())], pa.int64()),
-            "sum_lon_milli": pa.array([int(lon_m.sum())], pa.int64()),
-            "n": pa.array([len(lat_m)], pa.int64()),
-        })
-
-    from ray.data.aggregate import Sum
-
-    row = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .aggregate(Sum("sum_lat_milli"), Sum("sum_lon_milli"), Sum("n"))
-    )
-    slat = int(row["sum(sum_lat_milli)"])
-    slon = int(row["sum(sum_lon_milli)"])
-    n = int(row["sum(n)"])
-    if n == 0:
-        return {"count": 0, "lat_u": None, "lon_u": None}
-    return {
-        "count": n,
-        "lat_u": math.floor(slat * 1000.0 / n),
-        "lon_u": math.floor(slon * 1000.0 / n),
-    }
-
-
-def geo_bounds(ds: ray.data.Dataset) -> dict:
-    """ES ``geo_bounds`` aggregation: the smallest box containing every
-    point — top_left (max lat, min lon) and bottom_right (min lat,
-    max lon), exact in integer milli-degrees (map-side min/max
-    partials)."""
+def geo_summary(ds: ray.data.Dataset) -> dict:
+    """One-pass ES ``geo_centroid`` + ``geo_bounds``: per batch ONE row
+    of (lat/lon milli-degree sums, count, extrema) partials, one
+    driver-side reduce.  Sums/extrema run in exact integer
+    milli-degrees (order-independent, bit-exact across engines); the
+    centroid ships as ``floor(sum_milli * 1000 / n)`` micro-degrees —
+    one IEEE multiply+divide+floor any engine reproduces bit-identically
+    (the products stay < 2^53).  An empty dataset yields count 0 and
+    all-null coordinates, like ES's empty hit set."""
 
     def partial(batch: pa.Table) -> pa.Table:
         lat_m, lon_m = derive_points_milli(batch)
         if not lat_m.size:
-            return pa.table({
-                "top_milli": pa.array([], pa.int64()),
-                "bottom_milli": pa.array([], pa.int64()),
-                "left_milli": pa.array([], pa.int64()),
-                "right_milli": pa.array([], pa.int64()),
-            })
+            return pa.table({k: pa.array([], pa.int64()) for k in (
+                "sum_lat_milli", "sum_lon_milli", "n", "top_milli",
+                "bottom_milli", "left_milli", "right_milli",
+            )})
         return pa.table({
+            "sum_lat_milli": pa.array([int(lat_m.sum())], pa.int64()),
+            "sum_lon_milli": pa.array([int(lon_m.sum())], pa.int64()),
+            "n": pa.array([len(lat_m)], pa.int64()),
             "top_milli": pa.array([int(lat_m.max())], pa.int64()),
             "bottom_milli": pa.array([int(lat_m.min())], pa.int64()),
             "left_milli": pa.array([int(lon_m.min())], pa.int64()),
             "right_milli": pa.array([int(lon_m.max())], pa.int64()),
         })
 
-    from ray.data.aggregate import Max, Min
+    from ray.data.aggregate import Max, Min, Sum
 
     row = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .aggregate(Max("top_milli"), Min("bottom_milli"),
+        .aggregate(Sum("sum_lat_milli"), Sum("sum_lon_milli"), Sum("n"),
+                   Max("top_milli"), Min("bottom_milli"),
                    Min("left_milli"), Max("right_milli"))
     )
+    row = row or {}  # a fully-empty dataset can yield no row at all
+    n = int(row.get("sum(n)") or 0)  # empty input -> None-valued fields
+    if n == 0:
+        return {"count": 0, "lat_u": None, "lon_u": None,
+                "top_milli": None, "bottom_milli": None,
+                "left_milli": None, "right_milli": None}
     return {
+        "count": n,
+        "lat_u": math.floor(int(row["sum(sum_lat_milli)"]) * 1000.0 / n),
+        "lon_u": math.floor(int(row["sum(sum_lon_milli)"]) * 1000.0 / n),
         "top_milli": int(row["max(top_milli)"]),
         "bottom_milli": int(row["min(bottom_milli)"]),
         "left_milli": int(row["min(left_milli)"]),
         "right_milli": int(row["max(right_milli)"]),
     }
+
+
+def geo_centroid(ds: ray.data.Dataset) -> dict:
+    """ES ``geo_centroid`` aggregation — see :func:`geo_summary` (the
+    shared one-pass kernel)."""
+    s = geo_summary(ds)
+    return {"count": s["count"], "lat_u": s["lat_u"],
+            "lon_u": s["lon_u"]}
+
+
+def geo_bounds(ds: ray.data.Dataset) -> dict:
+    """ES ``geo_bounds`` aggregation: the smallest box containing every
+    point — top_left (max lat, min lon) and bottom_right (min lat,
+    max lon); null bounds on an empty dataset.  See
+    :func:`geo_summary`."""
+    s = geo_summary(ds)
+    return {k: s[k] for k in ("top_milli", "bottom_milli",
+                              "left_milli", "right_milli")}
 
 
 GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
@@ -302,18 +300,28 @@ def geohash_interleave(gx: np.ndarray, gy: np.ndarray,
     return key
 
 
-def geohash_encode(lat: float, lon: float, precision: int) -> str:
-    """Standard geohash of a point (floor-of-scaled-coordinate form of
-    the usual bisection loop) — pinned against published vectors in
-    tests."""
-    _, lon_bits, lat_bits = geohash_cell_bits(precision)
-    gx = np.int64(math.floor((lon + 180.0) / 360.0 * (1 << lon_bits)))
-    gy = np.int64(math.floor((lat + 90.0) / 180.0 * (1 << lat_bits)))
-    key = int(geohash_interleave(gx, gy, precision))
+def geohash_key_string(key: int, precision: int) -> str:
+    """Base32 string of an interleaved geohash bit key (5-bit groups,
+    MSB first)."""
     return "".join(
         GEOHASH_ALPHABET[(key >> (5 * (precision - 1 - i))) & 31]
         for i in range(precision)
     )
+
+
+def geohash_encode(lat: float, lon: float, precision: int) -> str:
+    """Standard geohash of a point (floor-of-scaled-coordinate form of
+    the usual bisection loop) — pinned against published vectors in
+    tests.  Cell indices clamp to the last cell so the boundary points
+    lat=90 / lon=180 encode like ES/Lucene (all-ones cell), not as an
+    off-grid overflow."""
+    _, lon_bits, lat_bits = geohash_cell_bits(precision)
+    gx = np.int64(min(math.floor((lon + 180.0) / 360.0 * (1 << lon_bits)),
+                      (1 << lon_bits) - 1))
+    gy = np.int64(min(math.floor((lat + 90.0) / 180.0 * (1 << lat_bits)),
+                      (1 << lat_bits) - 1))
+    key = int(geohash_interleave(gx, gy, precision))
+    return geohash_key_string(key, precision)
 
 
 def geohash_grid(
@@ -363,10 +371,7 @@ def geohash_grid(
     for i in order:
         key = int(keys[i])
         out.append({
-            "key": "".join(
-                GEOHASH_ALPHABET[(key >> (5 * (precision - 1 - j))) & 31]
-                for j in range(precision)
-            ),
+            "key": geohash_key_string(key, precision),
             "gx": int(gx[i]),
             "gy": int(gy[i]),
             "hash_key": key,

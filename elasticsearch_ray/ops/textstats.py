@@ -420,9 +420,11 @@ def categorize_text(
     key so the result is engine-independent).  Buckets come back
     (count desc, key asc), top ``size``.
 
-    Vectorized per batch: one split_pattern + list_filter + slice +
-    binary_join chain in Arrow; the shuffle carries one row per
-    (batch, distinct category) partial.  Driver merge is
+    Vectorized per batch: one Arrow split (corpus._space_split — the
+    DuckDB string_split-parity tokenization) + regex token mask +
+    offset rebuild + list_slice + binary_join chain; the shuffle
+    carries one row per (batch, distinct category) partial.  Driver
+    merge is
     O(distinct categories) — bounded by vocabulary^max_tokens, keep
     ``max_tokens`` small (ES's equivalent knob is
     ``similarity_threshold``; both cap category cardinality)."""
@@ -430,10 +432,9 @@ def categorize_text(
         raise ValueError("max_tokens must be >= 1")
 
     def partial(batch: pa.Table) -> pa.Table:
-        col = batch.column(text_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        toks = pc.split_pattern(pc.coalesce(col, ""), " ")
+        from .corpus import _space_split
+
+        toks = _space_split(pc.coalesce(batch.column(text_col), ""))
         flat = pc.list_flatten(toks)
         mask = pc.invert(pc.match_substring_regex(flat, "[0-9]"))
         # rebuild list offsets over the kept tokens (no list_filter

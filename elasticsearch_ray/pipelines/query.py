@@ -2139,6 +2139,39 @@ class QueryEngine:
             lambda: [getattr(s, method).remote(*args) for s in self.searchers]
         )
 
+    def _fanout_many(self, method: str, calls: list[tuple]) -> list[list]:
+        """Batched fanout for several independent calls of the same
+        method: every remote ref is submitted before any gather, so n
+        calls pay ONE scatter-gather round instead of n sequential ones
+        (the hybrid local shard computes while the remotes fly).  Each
+        returned element is that call's parts list, shaped exactly like
+        a ``_fanout`` result."""
+        if self.embedded is not None:
+            return [[getattr(self.embedded, method)(*a)] for a in calls]
+        if self.local is not None:
+            def run():
+                refs = [
+                    [getattr(s, method).remote(*a)
+                     for s in self.searchers]
+                    for a in calls
+                ]
+                locs = [getattr(self.local, method)(*a) for a in calls]
+                return [[loc] + ray.get(r)
+                        for loc, r in zip(locs, refs)]
+
+            try:
+                return run()
+            except ray.exceptions.RayActorError:
+                if not self._revive_dead():
+                    raise
+                return run()
+        flat = self._gather(lambda: [
+            getattr(s, method).remote(*a)
+            for a in calls for s in self.searchers
+        ])
+        ns = len(self.searchers)
+        return [flat[i * ns:(i + 1) * ns] for i in range(len(calls))]
+
     def _facet_cardinality(self, field: str) -> int:
         """Distinct-value upper bound for a facet field (sum of shard
         dictionary sizes) — one extra fanout on FIRST use of the field,
@@ -2639,6 +2672,8 @@ class QueryEngine:
             raise ValueError("span_not include must differ from excludes")
         if pre < 0 or post < 0:
             raise ValueError("span_not pre/post must be >= 0")
+        if pre >= (1 << 31) or post >= (1 << 31):
+            raise ValueError("span_not pre/post must be < 2^31")
         fetch = from_ + size
         route = self._route_conjunctive(inc_toks)
         if route == "empty":
@@ -4540,13 +4575,15 @@ class QueryEngine:
         tie-break here is the deterministic, SQL-twinnable equivalent.
         df is the global live doc count, summed across shards/segments."""
         out = []
-        for raw in text.split():
-            term = raw.lower()
-            edits = (
-                max_edits if max_edits is not None else fuzzy_auto_edits(term)
-            )
+        lowered = [raw.lower() for raw in text.split()]
+        all_parts = self._fanout_many("suggest_term", [
+            (term,
+             max_edits if max_edits is not None else fuzzy_auto_edits(term))
+            for term in lowered
+        ])  # one scatter-gather round for every token
+        for term, word_parts in zip(lowered, all_parts):
             merged: dict[str, list[int]] = {}
-            for terms, dists, dfs in self._fanout("suggest_term", term, edits):
+            for terms, dists, dfs in word_parts:
                 for t, d, f in zip(terms, dists, dfs):
                     cur = merged.get(t)
                     if cur is None:
@@ -4645,11 +4682,12 @@ class QueryEngine:
         if per_word ** len(words) > 100_000:
             raise ValueError("phrase too long for the cross product")
         per: list[list[tuple[str, int, int]]] = []  # (term, dist, df)
-        for term in words:
+        all_parts = self._fanout_many(
+            "suggest_term", [(term, max_edits) for term in words]
+        )  # one scatter-gather round for the whole phrase
+        for term, word_parts in zip(words, all_parts):
             merged: dict[str, list[int]] = {}
-            for terms, dists, dfs in self._fanout(
-                "suggest_term", term, max_edits
-            ):
+            for terms, dists, dfs in word_parts:
                 for t, d, f in zip(terms, dists, dfs):
                     cur = merged.get(t)
                     if cur is None:

@@ -882,6 +882,10 @@ def span_not_eval(
     empty = np.empty(0, dtype=np.int64)
     if pre < 0 or post < 0:
         raise ValueError("span_not pre/post must be >= 0")
+    if pre >= (1 << 31) or post >= (1 << 31):
+        # positions fit 32 bits: a window this wide would cross the
+        # slot<<32 boundary and break the cross-doc-safety invariant
+        raise ValueError("span_not pre/post must be < 2^31")
     row = reader.term_row(include_term)
     if row is None:
         return empty, 0

@@ -148,3 +148,21 @@ def test_geohash_grid():
             )
     with pytest.raises(ValueError):
         geohash_grid(_events(), precision=0)
+
+
+def test_geo_summary_empty_and_boundary():
+    from elasticsearch_ray.ops.geo import (
+        geo_bounds, geo_centroid, geo_summary, geohash_encode,
+    )
+
+    empty = ray.data.from_arrow(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+    }))
+    s = geo_summary(empty)
+    assert s["count"] == 0 and s["lat_u"] is None
+    assert geo_centroid(empty)["count"] == 0
+    assert geo_bounds(empty)["top_milli"] is None
+    # boundary coordinates clamp to the last cell (ES/Lucene behavior)
+    assert geohash_encode(90.0, 180.0, 5) == "zzzzz"
+    assert geohash_encode(-90.0, -180.0, 5) == "00000"

@@ -261,3 +261,12 @@ def test_span_queries_require_positions(tmp_path):
         assert r["total_hits"] == 2
     finally:
         eng.close()
+
+
+def test_span_not_window_bound(tmp_path):
+    eng = _build(["alpha beta"], tmp_path)
+    try:
+        with pytest.raises(ValueError, match="2\\^31"):
+            eng.search_span_not("alpha", "beta", pre=1 << 31)
+    finally:
+        eng.close()
