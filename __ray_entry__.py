@@ -4260,6 +4260,46 @@ def _q_cumulative_cardinality(sf_dir: str):
     ).sort_by("bucket_us")
 
 
+def _q_remove_dup_spans(sf_dir: str):
+    """Lee et al. span-level dedup, the rewrite half: every doc with
+    its duplicated 8-gram windows excised (clean_text, removed_tokens)
+    — `ops/dedup.py::remove_dup_spans`.  SQL twin: lead()-window grams,
+    HAVING >= 2 distinct docs, EXISTS-coverage, ordered string_agg."""
+    from elasticsearch_ray.ops.dedup import remove_dup_spans
+
+    t = pa.Table.from_pandas(
+        remove_dup_spans(_docs_ds(sf_dir), n=8).to_pandas(),
+        preserve_index=False,
+    )
+    return t.sort_by("doc_id")
+
+
+def _remove_dup_spans_sql() -> str:
+    gram = " || chr(31) || ".join(
+        ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, 8)]
+    )
+    return f"""
+WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l
+               FROM documents),
+t AS (SELECT doc_id, unnest(l) AS tok,
+             unnest(range(0, len(l))) AS pos FROM lists),
+g AS (SELECT doc_id, pos, {gram} AS gram,
+             lead(tok, 7) OVER w IS NOT NULL AS whole
+      FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+d AS (SELECT gram FROM g WHERE whole
+      GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+s AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram) WHERE g.whole),
+cov AS (SELECT t.doc_id, t.pos, t.tok,
+          EXISTS (SELECT 1 FROM s WHERE s.doc_id = t.doc_id
+                  AND s.pos BETWEEN t.pos - 7 AND t.pos) AS covered
+        FROM t)
+SELECT doc_id,
+  coalesce(string_agg(tok, ' ' ORDER BY pos)
+           FILTER (WHERE NOT covered), '') AS clean_text,
+  (count(*) FILTER (WHERE covered))::BIGINT AS removed_tokens
+FROM cov GROUP BY doc_id ORDER BY doc_id"""
+
+
 def _q_dup_ngram_spans(sf_dir: str):
     """Span-level dedup signal (Lee et al. 2022, fixed-gram ExactSubstr):
     per doc, the token positions covered by 8-grams that occur in >= 2
@@ -4596,6 +4636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sibling_buckets": _q_sibling_buckets,
         "auto_date_histogram": _q_auto_date_histogram,
         "dup_ngram_spans": _q_dup_ngram_spans,
+        "remove_dup_spans": _q_remove_dup_spans,
         "scripted_metric": _q_scripted_metric,
         "cumulative_cardinality": _q_cumulative_cardinality,
         "significant_text": _q_significant_text,
@@ -7428,6 +7469,7 @@ GROUP BY d.doc_id
         "sibling_buckets": _sibling_buckets_sql(),
         "auto_date_histogram": _auto_date_histogram_sql(),
         "dup_ngram_spans": _dup_ngram_spans_sql(),
+        "remove_dup_spans": _remove_dup_spans_sql(),
         "scripted_metric": _scripted_metric_sql(),
         "cumulative_cardinality": _cumulative_cardinality_sql(),
         "significant_text": _significant_text_sql(),

@@ -26,6 +26,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -1284,4 +1285,136 @@ def dup_ngram_spans(
     )
     return hash_partition_apply(
         starts, [id_col], coverage, num_partitions=num_partitions,
+    )
+
+
+def remove_dup_spans(
+    ds: ray.data.Dataset,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """The ACTION half of Lee et al. span-level dedup: rewrite each doc
+    with every duplicated n-gram window (one occurring in >= 2 distinct
+    docs — the same signal :func:`dup_ngram_spans` counts) excised,
+    emitting (doc_id, clean_text, removed_tokens).  Docs with no
+    duplicated span pass through verbatim; a fully-covered doc emits
+    clean_text ''.
+
+    Scale shape: the same two coarse hash exchanges as
+    ``dup_ngram_spans`` — by gram hash for the duplicate test, then by
+    DOC with the original text unioned in, so each partition rewrites
+    its docs with one segmented kernel: interval union via a +-1 diff
+    array over the partition's flat token stream, one Arrow
+    filter + list rebuild + binary_join for the reassembly — no
+    per-doc Python string work."""
+    from .partition import hash_partition_apply
+
+    if n < 2:
+        raise ValueError("n must be >= 2")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        texts = batch.column(text_col).to_pylist()
+        parts = [_gram_hashes64((t or "").split(), n) for t in texts]
+        counts = np.fromiter((p.size for p in parts), np.int64, len(parts))
+        pos = (np.concatenate([np.arange(c, dtype=np.int64) for c in counts])
+               if len(counts) else np.empty(0, dtype=np.int64))
+        return pa.table({
+            "gram": pa.array(
+                np.concatenate(parts) if parts
+                else np.empty(0, dtype=np.int64), pa.int64()),
+            id_col: pa.array(np.repeat(ids, counts), pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+        })
+
+    def dup_starts(tbl: pa.Table) -> pa.Table:
+        gram = tbl.column("gram").to_numpy()
+        doc = tbl.column(id_col).to_numpy()
+        pos = tbl.column("pos").to_numpy()
+        order = np.lexsort((doc, gram))
+        gram, doc, pos = gram[order], doc[order], pos[order]
+        m = gram.size
+        if not m:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "txt": pa.array([], pa.string())})
+        new_gram = np.empty(m, dtype=bool)
+        new_gram[0] = True
+        new_gram[1:] = gram[1:] != gram[:-1]
+        new_pair = new_gram.copy()
+        new_pair[1:] |= doc[1:] != doc[:-1]
+        run_id = np.cumsum(new_gram) - 1
+        ndocs = np.bincount(run_id[new_pair])
+        keep = ndocs[run_id] >= 2
+        return pa.table({id_col: pa.array(doc[keep], pa.int64()),
+                         "pos": pa.array(pos[keep], pa.int64()),
+                         "txt": pa.array([""] * int(keep.sum()),
+                                         pa.string())})
+
+    def tag_text(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "pos": pa.array(
+                np.full(batch.num_rows, -1, dtype=np.int64)),
+            "txt": pc.coalesce(batch.column(text_col), ""),
+        })
+
+    def rewrite(tbl: pa.Table) -> pa.Table:
+        pos = tbl.column("pos").to_numpy()
+        doc = tbl.column(id_col).to_numpy()
+        is_text = pos < 0
+        tdoc = doc[is_text]
+        torder = np.argsort(tdoc, kind="stable")
+        tdoc = tdoc[torder]
+        texts = tbl.column("txt").take(
+            pa.array(np.flatnonzero(is_text)[torder])
+        )
+        split = pc.split_pattern(texts.combine_chunks()
+                                 if isinstance(texts, pa.ChunkedArray)
+                                 else texts, " ")
+        counts = pc.list_value_length(split).to_numpy().astype(np.int64)
+        off = np.zeros(counts.size + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
+        total = int(off[-1])
+        # duplicated starts -> +-1 diff array over the flat token stream
+        sdoc = doc[~is_text]
+        spos = pos[~is_text]
+        di = np.searchsorted(tdoc, sdoc)  # starts' doc row (tdoc sorted)
+        delta = np.zeros(total + 1, dtype=np.int64)
+        if sdoc.size:
+            g0 = off[di] + spos
+            g1 = off[di] + np.minimum(spos + n, counts[di])
+            np.add.at(delta, g0, 1)
+            np.add.at(delta, g1, -1)
+        covered = np.cumsum(delta[:total]) > 0
+        flat = pc.list_flatten(split)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        keep = ~covered
+        cum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+        kept_counts = cum[off[1:]] - cum[off[:-1]]
+        new_off = np.zeros(counts.size + 1, dtype=np.int64)
+        np.cumsum(kept_counts, out=new_off[1:])
+        clean = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(new_off, pa.int32()),
+                flat.filter(pa.array(keep)),
+            ),
+            " ",
+        )
+        return pa.table({
+            id_col: pa.array(tdoc, pa.int64()),
+            "clean_text": clean,
+            "removed_tokens": pa.array(counts - kept_counts, pa.int64()),
+        })
+
+    starts = hash_partition_apply(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["gram"], dup_starts, num_partitions=num_partitions,
+    )
+    tagged = ds.map_batches(tag_text, batch_format="pyarrow").union(starts)
+    return hash_partition_apply(
+        tagged, [id_col], rewrite, num_partitions=num_partitions,
     )

@@ -1376,3 +1376,55 @@ def test_frequent_item_sets_randomized():
     import pytest as _pt
     with _pt.raises(ValueError):
         frequent_item_sets(ds, top_items=1)
+
+
+def test_remove_dup_spans_randomized():
+    """remove_dup_spans vs a pure-python oracle (duplicated n-gram
+    windows across >= 2 distinct docs, interval union, token excision)."""
+    import random
+
+    import ray.data
+
+    from elasticsearch_ray.ops.dedup import remove_dup_spans
+
+    rng = random.Random(61)
+    vocab = [f"w{i}" for i in range(10)]
+    docs = [" ".join(rng.choice(vocab) for _ in range(rng.randint(2, 25)))
+            for _ in range(60)]
+    # plant an exact shared phrase in several docs
+    phrase = "p1 p2 p3 p4 p5"
+    for i in (3, 17, 41):
+        docs[i] = docs[i] + " " + phrase
+    n = 4
+
+    def brute():
+        grams = {}
+        toks = [d.split() for d in docs]
+        for di, t in enumerate(toks):
+            for p in range(len(t) - n + 1):
+                grams.setdefault(tuple(t[p:p + n]), set()).add(di)
+        out = []
+        for di, t in enumerate(toks):
+            covered = [False] * len(t)
+            for p in range(len(t) - n + 1):
+                if len(grams[tuple(t[p:p + n])]) >= 2:
+                    for j in range(p, min(p + n, len(t))):
+                        covered[j] = True
+            kept = [w for w, c in zip(t, covered) if not c]
+            out.append({"doc_id": di, "clean_text": " ".join(kept),
+                        "removed_tokens": sum(covered)})
+        return out
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    )
+    got = sorted(remove_dup_spans(ds, n=n, num_partitions=8).take_all(),
+                 key=lambda r: r["doc_id"])
+    got = [dict(r) for r in got]
+    assert got == brute()
+    # planted phrase removed everywhere
+    for i in (3, 17, 41):
+        assert "p1" not in got[i]["clean_text"]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        remove_dup_spans(ds, n=1)
