@@ -361,6 +361,23 @@ def bench_aggs(index_dir: str, docs_parquet: str) -> dict:
                 late["rrf"].append((time.perf_counter() - t0) * 1e3)
             out["knn"] = _percentiles(late["knn"])
             out["rrf_hybrid"] = _percentiles(late["rrf"])
+        # suggesters: term (batched one-round fanout) + phrase cross
+        sug_qs = [
+            f"{a[:3]}x{a[4:]} {b[:3]}y{b[4:]}"
+            for a, b in zip(terms[:8], terms[8:16] or terms[:8])
+            if len(a) > 4 and len(b) > 4
+        ] or ["datx basx"]
+        sl, pl = [], []
+        eng.suggest(sug_qs[0])  # warm the dictionary scans
+        for q in sug_qs:
+            t0 = time.perf_counter()
+            eng.suggest(q, size=3)
+            sl.append((time.perf_counter() - t0) * 1e3)
+            t0 = time.perf_counter()
+            eng.suggest_phrase(q, size=5, max_edits=2)
+            pl.append((time.perf_counter() - t0) * 1e3)
+        out["suggest"] = _percentiles(sl)
+        out["phrase_suggest"] = _percentiles(pl)
         out["facets"] = _percentiles(lats["facets"])
         out["stats"] = _percentiles(lats["stats"])
         out["wildcard"] = _percentiles(wl)
@@ -715,6 +732,10 @@ def main_single():
                 res["query_aggs"]["function_score"]["p50_ms"],
             "query_sigterms_p50_ms":
                 res["query_aggs"]["sigterms"]["p50_ms"],
+            "query_suggest_p50_ms":
+                res["query_aggs"]["suggest"]["p50_ms"],
+            "query_phrase_suggest_p50_ms":
+                res["query_aggs"]["phrase_suggest"]["p50_ms"],
             **(
                 {
                     "query_knn_p50_ms":
