@@ -1035,14 +1035,15 @@ EXPLAIN_CASES = [
 
 
 def _q_explain(sf_dir: str):
-    """ES _explain API: per-term score breakdown (tf, df, query-term
-    multiplicity, micro-unit contribution) of fixed docs against ranked
-    queries — contributions sum to the engine's search score (pinned by
-    pytest); SQL twin recomputes the BM25 term expression per (doc,
-    term)."""
+    """ES _explain API: per-term score breakdown (tf, df, repetition
+    count, micro-unit contribution) of fixed docs against ranked
+    queries — only contributing terms appear (tf > 0, idf != 0), reps
+    scale the contribution, and the rows sum to the engine's search
+    score (pinned by pytest); SQL twin recomputes the BM25 term
+    expression per (doc, term)."""
     eng = _engine(sf_dir, "plain")
     rows = {"query": [], "doc_id": [], "term": [], "tf": [], "df": [],
-            "qtf": [], "score_u": []}
+            "reps": [], "score_u": []}
     for q, doc_ids in EXPLAIN_CASES:
         for did in doc_ids:
             ex = eng.explain(q, did)
@@ -1052,7 +1053,7 @@ def _q_explain(sf_dir: str):
                 rows["term"].append(d["term"])
                 rows["tf"].append(d["tf"])
                 rows["df"].append(d["df"])
-                rows["qtf"].append(d["qtf"])
+                rows["reps"].append(d["reps"])
                 rows["score_u"].append(
                     math.floor(d["score"] * 1e6 + 0.5)
                 )
@@ -1062,36 +1063,36 @@ def _q_explain(sf_dir: str):
         "term": pa.array(rows["term"], pa.string()),
         "tf": pa.array(rows["tf"], pa.int64()),
         "df": pa.array(rows["df"], pa.int64()),
-        "qtf": pa.array(rows["qtf"], pa.int64()),
+        "reps": pa.array(rows["reps"], pa.int64()),
         "score_u": pa.array(rows["score_u"], pa.int64()),
     })
 
 
 def _explain_sql() -> str:
+    from collections import Counter
+
     parts = []
     for q, doc_ids in EXPLAIN_CASES:
-        from collections import Counter
-
         qc = Counter(q.split())
         qvals = ", ".join(f"('{t}', {n})" for t, n in qc.items())
         dvals = ", ".join(f"({d})" for d in doc_ids)
         parts.append(f"""
 SELECT '{q}' AS query, x.doc_id, x.term, x.tf::BIGINT AS tf,
-       x.df::BIGINT AS df, x.qtf::BIGINT AS qtf,
-       CAST(floor((CASE WHEN x.tf > 0 AND x.df > 0
-         THEN x.qtf * ln((stats.n + 1.0) / (x.df + 1.0)) * (x.tf * 2.2)
+       x.df::BIGINT AS df, x.reps::BIGINT AS reps,
+       CAST(floor(x.reps * ln((stats.n + 1.0) / (x.df + 1.0))
+              * (x.tf * 2.2)
               / (x.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
-         ELSE 0 END) * 1e6 + 0.5) AS BIGINT) AS score_u
+              * 1e6 + 0.5) AS BIGINT) AS score_u
 FROM (
-  SELECT d.doc_id, qq.term, qq.qtf, coalesce(tf.tf, 0) AS tf,
-         coalesce(df.df, 0) AS df
+  SELECT d.doc_id, qq.term, qq.reps, tf.tf, df.df
   FROM (SELECT * FROM (VALUES {dvals}) AS t(doc_id)) d
-  CROSS JOIN (SELECT * FROM (VALUES {qvals}) AS t(term, qtf)) qq
-  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.term = qq.term
-  LEFT JOIN df ON df.term = qq.term
+  CROSS JOIN (SELECT * FROM (VALUES {qvals}) AS t(term, reps)) qq
+  JOIN tf ON tf.doc_id = d.doc_id AND tf.term = qq.term
+  JOIN df ON df.term = qq.term
 ) x
 JOIN dl ON dl.doc_id = x.doc_id
-CROSS JOIN stats""")
+CROSS JOIN stats
+WHERE x.df <> stats.n""")
     return _plain_prelude() + " " + " UNION ALL ".join(
         f"({p})" for p in parts
     )

@@ -510,8 +510,8 @@ class RayBM25Index:
 
     def explain(self, query: str, doc_id: int) -> dict:
         """ES GET /index/_explain/{id}: per-term score breakdown (tf,
-        df, idf, query-term multiplicity, contribution) of one doc
-        against a ranked query; ``value`` sums to the search score."""
+        df, idf, repetition count, contribution) of one doc against a
+        ranked query; ``score`` sums to the search score."""
         assert self.engine is not None, "load_index first"
         return self.engine.explain(query, doc_id)
 

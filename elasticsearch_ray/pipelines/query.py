@@ -1732,32 +1732,6 @@ class Searcher:
         terms = list(agg)
         return terms, [agg[t][0] for t in terms], [agg[t][1] for t in terms]
 
-    def explain_doc(self, terms: list[str], doc_id: int):
-        """Per-shard half of the ES _explain API: if ``doc_id`` lives in
-        one of this shard's segments (and isn't tombstoned), return
-        (doc_len, {term: tf}) from the postings; else None.  One binary
-        search per term — k-bounded traffic."""
-        for r in self.readers:
-            slot = doc_id - r.doc_id_base
-            if not (0 <= slot < r.doc_lens.size):
-                continue
-            if r.doc_lens[slot] < 0:  # tombstone
-                return None
-            tfs: dict[str, int] = {}
-            for t in terms:
-                row = r.term_row(t)
-                if row is None:
-                    tfs[t] = 0
-                    continue
-                slots, tf_arr = r.postings_slots_by_row(row)
-                i = int(np.searchsorted(slots, slot))
-                tfs[t] = (
-                    int(tf_arr[i]) if i < slots.size and slots[i] == slot
-                    else 0
-                )
-            return int(r.doc_lens[slot]), tfs
-        return None
-
     def search_regexp(self, pattern: str, k: int,
                       max_expansions: int | None = None):
         out: list[np.ndarray] = []
@@ -4603,58 +4577,6 @@ class QueryEngine:
                 }
             )
         return {"suggest": out}
-
-    def explain(self, query_text: str, doc_id: int) -> dict:
-        """ES ``_explain`` API: the score breakdown of one document
-        against a ranked query — per distinct analyzed term its tf in
-        the doc, global df, idf (the engine's ln((N+1)/(df+1)), zeroed
-        when df is 0 or N like the TAAT scorer), and the term's score
-        contribution under the engine's scoring/k1/b/avgdl; ``value`` is
-        their sum and ``matched`` is ES's value > 0.  One fanout; only
-        the shard owning the doc answers — O(terms) traffic."""
-        from collections import Counter
-
-        from ..stages.scoring import term_scores
-
-        analyzed = self.normalizer.preprocess_query_list(query_text)
-        qtf = Counter(analyzed)  # TAAT adds once per query OCCURRENCE
-        terms = list(dict.fromkeys(analyzed))
-        base = {"query": query_text, "doc_id": doc_id}
-        if not terms or self.doc_count == 0:
-            return {**base, "matched": False, "value": 0.0, "details": []}
-        idfs = self._idfs(terms)
-        dfs = self._global_dfs(terms)
-        hit = None
-        for p in self._fanout("explain_doc", terms, doc_id):
-            if p is not None:
-                hit = p
-                break
-        if hit is None:
-            return {**base, "matched": False, "value": 0.0, "details": []}
-        doc_len, tfs = hit
-        details = []
-        total = 0.0
-        for t in terms:
-            tf = tfs.get(t, 0)
-            idf = idfs.get(t, 0.0)
-            unit = (
-                float(term_scores(
-                    np.array([tf]), np.array([doc_len]), idf,
-                    self.scoring, self.k1, self.b, self.avgdl,
-                )[0])
-                if tf > 0 and idf != 0.0 else 0.0
-            )
-            s = unit * qtf[t]
-            total += s
-            details.append({
-                "term": t, "tf": tf, "df": dfs.get(t, 0),
-                "idf": idf, "qtf": qtf[t], "score": s,
-            })
-        return {
-            **base, "matched": total > 0, "value": total,
-            "doc_len": doc_len, "avgdl": self.avgdl,
-            "doc_count": self.doc_count, "details": details,
-        }
 
     def suggest_phrase(self, text: str, size: int = 5,
                        max_edits: int = 1, per_word: int = 3) -> dict:

@@ -301,7 +301,7 @@ def test_explain_and_phrase_suggest_api(idx):
     hit = res["results"][0]
     ex = idx.explain("apple banana", hit["doc_id"])
     assert ex["matched"]
-    assert ex["value"] == pytest.approx(hit["score"], abs=1e-12)
+    assert ex["score"] == pytest.approx(hit["score"], abs=1e-12)
     assert {d["term"] for d in ex["details"]} == {"appl", "banana"}
     sp = idx.suggest_phrase("aple banan", size=3, max_edits=2)
     assert sp["options"], "expected phrase candidates"
