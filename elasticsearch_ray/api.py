@@ -465,6 +465,12 @@ class RayBM25Index:
         assert self.engine is not None, "load_index first"
         return self.engine.get_doc(doc_id)
 
+    def mget(self, doc_ids: list[int]) -> list[dict]:
+        """ES _mget: all requested docs in one bounded docmap predicate
+        read; absent/tombstoned ids report found=False in order."""
+        assert self.engine is not None, "load_index first"
+        return self.engine.mget(doc_ids)
+
     def highlight(self, query: str, size: int = 10,
                   before: int = 3, after: int = 3) -> dict:
         """ES highlight: per-hit ``<em>``-tagged fragments around the first

@@ -5233,6 +5233,38 @@ class QueryEngine:
             "source": row.get("source_text"),
         }
 
+    def mget(self, doc_ids: list[int]) -> list[dict]:
+        """ES _mget: every requested doc in ONE row-group-pruned docmap
+        predicate read (vs one read per id with repeated
+        :meth:`get_doc`).  Result order follows ``doc_ids``; absent or
+        tombstoned ids come back {'doc_id': id, 'found': False}, like
+        ES's per-doc found flag."""
+        import pyarrow.dataset as pads
+
+        want = [int(d) for d in doc_ids]
+        live = [d for d in want
+                if not (self.tombstones and d in self.tombstones)]
+        by_id: dict[int, dict] = {}
+        if live:
+            dset = pads.dataset(os.path.join(self.index_dir, "docmap"))
+            cols = ["doc_id", "url"]
+            if "source_text" in dset.schema.names:
+                cols.append("source_text")
+            t = dset.to_table(
+                columns=cols,
+                filter=pads.field("doc_id").isin(live),
+            )
+            for row in t.to_pylist():
+                by_id[int(row["doc_id"])] = {
+                    "doc_id": int(row["doc_id"]),
+                    "found": True,
+                    "url": row.get("url"),
+                    "source": row.get("source_text"),
+                }
+        return [
+            by_id.get(d, {"doc_id": d, "found": False}) for d in want
+        ]
+
     def highlight(self, query_text: str, size: int = 10,
                   before: int = 3, after: int = 3) -> dict:
         """ES highlight: for each top hit and each analyzed query term

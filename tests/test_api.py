@@ -308,3 +308,14 @@ def test_explain_and_phrase_suggest_api(idx):
     # best candidate corrects both words to indexed terms
     assert sp["options"][0]["text"] == "appl banana" or \
         sp["options"][0]["total_dist"] <= 4
+
+
+def test_mget(idx):
+    idx.load_index("t1")
+    singles = [idx.engine.get_doc(d) for d in (0, 2, 4)]
+    got = idx.mget([0, 2, 99_999, 4])
+    assert [g["doc_id"] for g in got] == [0, 2, 99_999, 4]
+    assert got[2] == {"doc_id": 99_999, "found": False}
+    for g, s in zip([got[0], got[1], got[3]], singles):
+        assert g["found"] and g["url"] == s["url"] \
+            and g["source"] == s["source"]
