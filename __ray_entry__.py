@@ -3060,6 +3060,45 @@ SELECT key, count(*)::BIGINT AS doc_count
 FROM k GROUP BY key ORDER BY doc_count DESC, key LIMIT 10"""
 
 
+def _q_change_point(sf_dir: str):
+    """ES change_point aggregation (deterministic largest-mean-shift
+    variant): over daily integer-cents bucket sums, the split
+    maximizing |left mean - right mean| in floor'd micro-cents (ties
+    to the earliest split); reports the right segment's first bucket
+    plus both means."""
+    from elasticsearch_ray.ops.events import change_point
+
+    out = change_point(_events_ds(sf_dir), interval="day")
+    return pa.table({
+        "bucket_us": pa.array([out["bucket_us"]], pa.int64()),
+        "left_mean_u": pa.array([out["left_mean_u"]], pa.int64()),
+        "right_mean_u": pa.array([out["right_mean_u"]], pa.int64()),
+        "shift_u": pa.array([out["shift_u"]], pa.int64()),
+    })
+
+
+def _change_point_sql() -> str:
+    return """
+WITH b AS (SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT)
+                    AS bucket_us,
+                  sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+           FROM events GROUP BY 1),
+o AS (SELECT bucket_us, v,
+             row_number() OVER (ORDER BY bucket_us) AS rn FROM b),
+tot AS (SELECT count(*) AS m, sum(v) AS s FROM o),
+c AS (SELECT rn AS k, sum(v) OVER (ORDER BY rn) AS cs FROM o),
+cand AS (SELECT k,
+           CAST(floor(cs * 1000000.0 / k) AS BIGINT) AS lm,
+           CAST(floor((tot.s - cs) * 1000000.0 / (tot.m - k))
+                AS BIGINT) AS rm
+         FROM c CROSS JOIN tot WHERE k < tot.m),
+best AS (SELECT k, lm, rm, abs(lm - rm) AS shift FROM cand
+         ORDER BY shift DESC, k LIMIT 1)
+SELECT o.bucket_us, best.lm AS left_mean_u, best.rm AS right_mean_u,
+       best.shift AS shift_u
+FROM best JOIN o ON o.rn = best.k + 1"""
+
+
 def _q_random_sampler(sf_dir: str):
     """ES random_sampler aggregation: seeded deterministic doc sampling
     (md5-keyed inclusion, stable across runs/shards) with a sum
@@ -4649,6 +4688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_agg": _q_rate_agg,
         "date_range_agg": _q_date_range,
         "moving_percentiles": _q_moving_percentiles,
+        "change_point": _q_change_point,
         "random_sampler": _q_random_sampler,
         "geo_bbox": _q_geo_bbox,
         "geo_distance": _q_geo_distance,
@@ -7482,6 +7522,7 @@ GROUP BY d.doc_id
         "rate_agg": _rate_agg_sql(),
         "date_range_agg": _date_range_sql(),
         "moving_percentiles": _moving_percentiles_sql(),
+        "change_point": _change_point_sql(),
         "random_sampler": _random_sampler_sql(),
         "geo_bbox": _geo_bbox_sql(),
         "geo_distance": _geo_distance_sql(),

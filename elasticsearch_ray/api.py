@@ -471,6 +471,18 @@ class RayBM25Index:
         assert self.engine is not None, "load_index first"
         return self.engine.mget(doc_ids)
 
+    def validate_query(self, query: str) -> dict:
+        """ES _validate/query: parse-check a query (analyzer + boolean
+        RPN compile) without executing it."""
+        assert self.engine is not None, "load_index first"
+        return self.engine.validate_query(query)
+
+    def field_caps(self) -> dict:
+        """ES _field_caps: docmap doc-value columns with type /
+        aggregatability — one schema read."""
+        assert self.engine is not None, "load_index first"
+        return self.engine.field_caps()
+
     def highlight(self, query: str, size: int = 10,
                   before: int = 3, after: int = 3) -> dict:
         """ES highlight: per-hit ``<em>``-tagged fragments around the first

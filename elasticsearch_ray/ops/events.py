@@ -881,3 +881,71 @@ def ip_range_agg(
             "doc_count": by_ri.get(i, 0),
         })
     return out
+
+
+def change_point(
+    ds: ray.data.Dataset,
+    interval: str = "day",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> dict:
+    """ES ``change_point`` aggregation, deterministic variant: over the
+    calendar-bucketed integer-cents sums, the split k (1 <= k < m
+    buckets on the left) that maximizes the absolute mean shift
+    |mean(left) - mean(right)| — means in floor'd micro-cents so the
+    argmax is integer-exact and engine-independent (ES fits p-values
+    with an ML test; the documented surrogate keeps the same "largest
+    step change" answer on clean shifts).  Ties break toward the
+    smallest k.  Returns the first bucket of the RIGHT segment (ES
+    reports the change point's bucket) plus both segment means and the
+    shift.
+
+    Distributed phase: the same map-side (bucket, cents) partials as
+    ``date_histogram``; the driver scan is O(buckets)."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).cast(pa.timestamp("us"))
+        bucket = pc.floor_temporal(ts, unit=interval).cast(pa.int64())
+        cents = np.floor(
+            np.asarray(batch.column(value_col).to_numpy(), np.float64)
+            * 100 + 0.5
+        ).astype(np.int64)
+        part = pa.table({"bucket_us": bucket, "cents": pa.array(cents)})
+        g = part.group_by("bucket_us").aggregate([("cents", "sum"),
+                                                  ("cents", "count")])
+        return pa.table({
+            "bucket_us": g.column("bucket_us"),
+            "s_part": g.column("cents_sum").cast(pa.int64()),
+            "n_part": g.column("cents_count").cast(pa.int64()),
+        })
+
+    rows = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket_us")
+        .aggregate(Sum("s_part"), Sum("n_part")).take_all()
+    )  # O(buckets) rows
+    rows.sort(key=lambda r: int(r["bucket_us"]))
+    if len(rows) < 2:
+        return {"bucket_us": None, "left_mean_u": None,
+                "right_mean_u": None, "shift_u": None}
+    buckets = [int(r["bucket_us"]) for r in rows]
+    # per-bucket mean cents drive the shift (bucket = one observation,
+    # like ES's per-bucket metric series)
+    vals = [int(r["sum(s_part)"]) for r in rows]
+    m = len(vals)
+    total = sum(vals)
+    best = None
+    cs = 0
+    for k in range(1, m):
+        cs += vals[k - 1]
+        lm = math.floor(cs * 1_000_000.0 / k)
+        rm = math.floor((total - cs) * 1_000_000.0 / (m - k))
+        shift = abs(lm - rm)
+        if best is None or shift > best[0]:
+            best = (shift, k, lm, rm)
+    shift, k, lm, rm = best
+    return {"bucket_us": buckets[k], "left_mean_u": lm,
+            "right_mean_u": rm, "shift_u": shift}

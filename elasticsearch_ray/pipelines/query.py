@@ -5233,6 +5233,78 @@ class QueryEngine:
             "source": row.get("source_text"),
         }
 
+    def validate_query(self, query_text: str) -> dict:
+        """ES _validate/query: run the query through the router's parse
+        path (analyzer + boolean shunting-yard RPN when it looks
+        boolean) WITHOUT executing it.  Returns {'valid': bool,
+        'explanation': str} — the explanation names the route a valid
+        query would take, or carries the parser's error."""
+        try:
+            q = (query_text or "").strip()
+            if not q:
+                return {"valid": False,
+                        "explanation": "empty query string"}
+            if looks_boolean(q):
+                rpn = to_rpn(preprocess_boolean_query(q, self.normalizer))
+                # the reference's shunting-yard is lax — structurally
+                # check the RPN: parens must be consumed and the stack
+                # must evaluate to exactly one operand
+                depth = 0
+                for t in rpn:
+                    if t in ("(", ")"):
+                        return {"valid": False,
+                                "explanation": "unbalanced parentheses"}
+                    if t == "NOT":
+                        if depth < 1:
+                            return {"valid": False,
+                                    "explanation": "dangling NOT"}
+                    elif t in BOOLEAN_OPERATORS:
+                        if depth < 2:
+                            return {"valid": False,
+                                    "explanation":
+                                        f"operator {t} missing operand"}
+                        depth -= 1
+                    else:
+                        depth += 1
+                if depth != 1:
+                    return {"valid": False,
+                            "explanation": "malformed boolean expression"}
+                ops = sum(1 for t in rpn if t in BOOLEAN_OPERATORS)
+                return {"valid": True,
+                        "explanation":
+                            f"boolean query ({ops} operators)"}
+            terms = self.normalizer.preprocess_query_list(q)
+            if not terms and '"' not in q and "*" not in q \
+                    and "~" not in q:
+                return {"valid": False,
+                        "explanation":
+                            "no indexable terms after analysis"}
+            return {"valid": True,
+                    "explanation": f"ranked query ({len(terms)} terms)"}
+        except ValueError as e:
+            return {"valid": False, "explanation": str(e)}
+
+    def field_caps(self) -> dict:
+        """ES _field_caps: every docmap doc-value column with its Arrow
+        type and whether the numeric aggregation paths accept it — one
+        schema read, no data scan."""
+        import pyarrow.dataset as pads
+        import pyarrow.types as patypes
+
+        dset = pads.dataset(os.path.join(self.index_dir, "docmap"))
+        out = {}
+        for fld in dset.schema:
+            if fld.name == "doc_id":
+                continue
+            t = fld.type
+            out[fld.name] = {
+                "type": str(t),
+                "aggregatable": True,
+                "numeric": patypes.is_integer(t),
+                "searchable": fld.name == "source_text",
+            }
+        return {"fields": out}
+
     def mget(self, doc_ids: list[int]) -> list[dict]:
         """ES _mget: every requested doc in ONE row-group-pruned docmap
         predicate read (vs one read per id with repeated

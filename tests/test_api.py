@@ -319,3 +319,14 @@ def test_mget(idx):
     for g, s in zip([got[0], got[1], got[3]], singles):
         assert g["found"] and g["url"] == s["url"] \
             and g["source"] == s["source"]
+
+
+def test_validate_and_field_caps(idx):
+    idx.load_index("t1")
+    assert idx.validate_query("apple AND banana")["valid"]
+    assert idx.validate_query("apple banana")["valid"]
+    assert not idx.validate_query("")["valid"]
+    bad = idx.validate_query("apple AND (banana OR")
+    assert not bad["valid"] and bad["explanation"]
+    caps = idx.field_caps()["fields"]
+    assert all("type" in c and "numeric" in c for c in caps.values())

@@ -375,3 +375,29 @@ def test_ip_range_agg():
         ip_range_agg(ds, [{"mask": "1.2.3.4/40"}])
     with _pt.raises(ValueError):
         ip_range_agg(ds, [{"from": "1.2.3"}])
+
+
+def test_change_point():
+    import datetime as dt
+
+    from elasticsearch_ray.ops.events import change_point
+
+    rows = []
+    # 6 low days then 4 high days -> change point at day 7
+    for d in range(1, 11):
+        v = 1.00 if d <= 6 else 50.00
+        for _ in range(3):
+            rows.append({"ts": dt.datetime(2024, 1, d, 9), "value": v})
+    ds = ray.data.from_items(rows)
+    out = change_point(ds, interval="day")
+    want_bucket = int(dt.datetime(2024, 1, 7,
+                                  tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    assert out["bucket_us"] == want_bucket
+    # left mean = 3 events x 100 cents per bucket = 300 cents/bucket
+    assert out["left_mean_u"] == 300 * 1_000_000
+    assert out["right_mean_u"] == 15_000 * 1_000_000
+    assert out["shift_u"] == (15_000 - 300) * 1_000_000
+    # degenerate: single bucket -> nulls
+    one = ray.data.from_items(
+        [{"ts": dt.datetime(2024, 1, 1), "value": 2.0}])
+    assert change_point(one)["bucket_us"] is None
