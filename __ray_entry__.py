@@ -4626,6 +4626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redis_export_doclens": _q_redis_export_doclens,
         "es_bulk_roundtrip": _q_es_bulk_roundtrip,
         "knn_engine": _q_knn_engine,
+        "knn_filtered": _q_knn_filtered,
         "rrf_hybrid": _q_rrf_hybrid,
         "simhash_dups": _q_simhash_dups,
         "embedding_dups": _q_embedding_dups,
@@ -5054,6 +5055,57 @@ JOIN sz nb ON nb.doc_id = p.b
 LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
 ORDER BY p.a, p.b
 """
+
+
+KNN_FILTERS = ["merge", "merge AND hash", "scan OR join"]
+
+
+def _q_knn_filtered(sf_dir: str):
+    """ES knn search with filter: candidates PRE-filtered to each
+    filter query's hit set before exact cosine ranking (never
+    filter-after-rank); top-10 per filter for one query vector."""
+    eng = _engine(sf_dir, "plain")
+    eng.attach_embeddings(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = _query_vecs(sf_dir)[0]
+    rows = {"filter_id": [], "rank": [], "doc_id": [], "cos_u": []}
+    for fi, fq in enumerate(KNN_FILTERS):
+        res = eng.knn(qv, k=10, filter_query=fq)
+        for rank, r in enumerate(res["results"], 1):
+            rows["filter_id"].append(fi)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(r["doc_id"])
+            rows["cos_u"].append(int(math.floor(r["cos"] * 1e6 + 0.5)))
+    return pa.table({
+        "filter_id": pa.array(rows["filter_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int32()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "cos_u": pa.array(rows["cos_u"], pa.int64()),
+    })
+
+
+def _knn_filtered_sql() -> str:
+    parts = []
+    for fi, fq in enumerate(KNN_FILTERS):
+        parts.append(f"""
+SELECT {fi}::BIGINT AS filter_id, CAST(rank AS INT) AS rank, doc_id,
+       CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS cos_u
+FROM (
+  SELECT e.vec_id AS doc_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+           AS cos,
+         row_number() OVER (ORDER BY
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+           DESC, e.vec_id) AS rank
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id IN ({_FACET_HITS[fq]})
+) WHERE rank <= 10""")
+    return (
+        f"WITH tok AS ({_TOK}), "
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings "
+        "ORDER BY vec_id LIMIT 1) "
+        + " UNION ALL ".join(f"({p})" for p in parts)
+        + " ORDER BY filter_id, rank"
+    )
 
 
 def _knn_engine_sql() -> str:
@@ -7771,6 +7823,7 @@ ORDER BY k.doc_id
         "dup_clusters": _dup_clusters_sql(),
         "pack_manifest": _pack_manifest_sql(),
         "knn_engine": _knn_engine_sql(),
+        "knn_filtered": _knn_filtered_sql(),
         "rrf_hybrid": _rrf_hybrid_sql(),
         "simhash_dups": _simhash_sql(),
         "embedding_dups": _embedding_dups_sql(),

@@ -250,10 +250,14 @@ class Searcher:
         return per_reader
 
     def knn_local(self, path: str, id_col: str, col: str,
-                  qvec: list[float], k: int):
+                  qvec: list[float], k: int,
+                  kind: str | None = None, payload=None):
         """ES knn search per shard: exact cosine of every live doc against
         the query vector (one matvec over the shard's cached matrix),
-        local top-k by (-cos, doc_id)."""
+        local top-k by (-cos, doc_id).  With ``kind``/``payload`` set,
+        the candidate set is PRE-filtered to the filter query's hit set
+        (ES's knn ``filter`` semantics for exact search — top-k OF the
+        filtered docs, never filter-after-rank)."""
         q = np.asarray(qvec, dtype=np.float64)
         nrm = float(np.linalg.norm(q))
         q = q / (nrm if nrm else 1.0)
@@ -262,7 +266,13 @@ class Searcher:
         for r, mat in zip(self.readers, self._embeddings(path, id_col, col)):
             if not mat.shape[1]:
                 continue
-            live = np.flatnonzero(r.doc_lens >= 0)
+            if kind is not None:
+                live = self._match_slots(r, kind, payload)
+                live = live[r.doc_lens[live] >= 0]
+                if not live.size:
+                    continue
+            else:
+                live = np.flatnonzero(r.doc_lens >= 0)
             sims = mat[live] @ q
             order = np.lexsort((live, -sims))[:k]
             all_ids.append(live[order] + r.doc_id_base)
@@ -4067,16 +4077,23 @@ class QueryEngine:
         Shards lazily load + cache only their doc range."""
         self._emb = (path, id_col, col)
 
-    def knn(self, query_vec, k: int = 10) -> dict:
+    def knn(self, query_vec, k: int = 10,
+            filter_query: str | None = None) -> dict:
         """ES knn search (exact): cosine top-k over the attached
         doc-aligned embeddings — one matvec per shard, shard top-k, driver
-        merges shards*k rows with the (-cos, doc_id) tie-break."""
+        merges shards*k rows with the (-cos, doc_id) tie-break.
+        ``filter_query`` (match / boolean / wildcard string) applies
+        ES's knn ``filter``: candidates are PRE-filtered to its hit set
+        before ranking."""
         if not getattr(self, "_emb", None):
             raise ValueError("attach_embeddings(path) first")
         path, id_col, col = self._emb
+        kind = payload = None
+        if filter_query is not None:
+            kind, payload = self._agg_route(filter_query)
         parts = self._fanout(
             "knn_local", path, id_col, col,
-            [float(x) for x in query_vec], k,
+            [float(x) for x in query_vec], k, kind, payload,
         )
         ids = np.concatenate([p[0] for p in parts])
         cos = np.concatenate([p[1] for p in parts])

@@ -2813,3 +2813,77 @@ def test_suggest_phrase(tmp_path):
         eng.close()
 
 
+
+
+def test_knn_filtered(tmp_path):
+    """ES knn with filter: candidates PRE-filtered to the filter query's
+    hit set before ranking (never filter-after-rank) — vs numpy brute
+    force over the filtered subset; distributed and embedded agree."""
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    rng = random.Random(97)
+    vocab = ["merge", "hash", "scan", "join", "other"]
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(vocab)
+                          for _ in range(rng.randint(3, 9)))}
+        for i in range(100)
+    ]
+    nprng = np.random.default_rng(97)
+    vecs = nprng.normal(size=(100, 8)).astype(np.float64)
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    emb = tmp_path / "emb.parquet"
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(100), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float64())),
+        }),
+        str(emb),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    docs_per_segment=30, target_partition_rows=20),
+    )
+    n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for eng in (QueryEngine(idx, num_searchers=2),
+                QueryEngine(idx, num_searchers=0)):
+        try:
+            eng.attach_embeddings(str(emb))
+            for fq, pred in (
+                ("merge", lambda t: "merge" in t.split()),
+                ("merge AND hash",
+                 lambda t: {"merge", "hash"} <= set(t.split())),
+                ("mer*", lambda t: any(w.startswith("mer")
+                                       for w in t.split())),
+            ):
+                allowed = np.array(
+                    [i for i, r in enumerate(rows) if pred(r["text"])])
+                q = vecs[5] / np.linalg.norm(vecs[5])
+                sims = n[allowed] @ q
+                exp = allowed[np.lexsort((allowed, -sims))][:7]
+                got = eng.knn(vecs[5], k=7, filter_query=fq)
+                assert [r["doc_id"] for r in got["results"]] == \
+                    exp.tolist(), fq
+                for r in got["results"]:  # every hit satisfies the filter
+                    assert pred(rows[r["doc_id"]]["text"])
+            # unfiltered path unchanged
+            sims = n @ (vecs[5] / np.linalg.norm(vecs[5]))
+            exp = np.lexsort((np.arange(100), -sims))[:7]
+            got = eng.knn(vecs[5], k=7)
+            assert [r["doc_id"] for r in got["results"]] == exp.tolist()
+        finally:
+            eng.close()
