@@ -2690,6 +2690,36 @@ def _q_ann_ivf_top10(sf_dir: str):
     return t.append_column("cos_u", cos_u)
 
 
+def _q_ann_ivfpq_top10(sf_dir: str):
+    """IVF-PQ ADC search (no SQL twin — product quantization has no
+    SQL-expressible oracle; `tests/test_ops.py::test_ann_ivfpq` pins
+    recall vs brute force, determinism, and the near-lossless
+    pq_k >= n regime): 5 query vectors, top-10 by quantized cosine in
+    floor'd micro-units."""
+    import shutil
+
+    from elasticsearch_ray.ops.ann import ivfpq_build, ivfpq_query
+
+    idx = _index_dir_for(sf_dir, "ivfpqidx")
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        shutil.rmtree(idx, ignore_errors=True)
+        ivfpq_build(_emb_ds(sf_dir), idx, n_clusters=8, m=8, pq_k=256)
+    res = ivfpq_query(idx, _query_vecs(sf_dir), k=10, nprobe=3)
+    rows = {"query_id": [], "rank": [], "vec_id": [], "sim_u": []}
+    for r in res:
+        for rank, (vid, su) in enumerate(zip(r["ids"], r["sims_u"]), 1):
+            rows["query_id"].append(r["query_id"])
+            rows["rank"].append(rank)
+            rows["vec_id"].append(vid)
+            rows["sim_u"].append(su)
+    return pa.table({
+        "query_id": pa.array(rows["query_id"], pa.int64()),
+        "rank": pa.array(rows["rank"], pa.int32()),
+        "vec_id": pa.array(rows["vec_id"], pa.int64()),
+        "sim_u": pa.array(rows["sim_u"], pa.int64()),
+    })
+
+
 def _q_token_counts(sf_dir: str):
     from elasticsearch_ray.ops.textstats import token_counts
 
@@ -4632,6 +4662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": _q_embedding_dups,
         "ann_top10": _q_ann_top10,
         "ann_ivf_top10": _q_ann_ivf_top10,
+        "ann_ivfpq_top10": _q_ann_ivfpq_top10,
         "bigrams_top20": _q_bigrams_top20,
         "source_quota": _q_source_quota,
         "hash_split": _q_hash_split,

@@ -486,3 +486,175 @@ def ivf_topk(
     finally:
         if transient:
             shutil.rmtree(index_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization on top of the IVF bucket layout
+# ---------------------------------------------------------------------------
+
+def pq_train(sample: np.ndarray, m: int = 8, pq_k: int = 256,
+             iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Train product-quantizer codebooks: split the dimension into ``m``
+    contiguous subspaces and run the deterministic seeded k-means in
+    each (FAISS IndexPQ's layout; sub-seed = seed + subspace index so
+    every codebook is independently reproducible).  Returns float32
+    ``(m, pq_k, d/m)``."""
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    pq_k = min(pq_k, n)
+    dsub = d // m
+    books = np.empty((m, pq_k, dsub), dtype=np.float32)
+    for j in range(m):
+        sub = np.ascontiguousarray(sample[:, j * dsub:(j + 1) * dsub],
+                                   dtype=np.float32)
+        books[j] = kmeans_fit(sub, pq_k, iters=iters, seed=seed + j)
+    return books
+
+
+def pq_encode(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """uint8/uint16 codes ``(n, m)``: per subspace the nearest codeword
+    (argmin L2, ties to the lowest index — numpy argmin semantics,
+    deterministic)."""
+    m, pq_k, dsub = books.shape
+    codes = np.empty((mat.shape[0], m),
+                     dtype=np.uint8 if pq_k <= 256 else np.uint16)
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub].astype(np.float32)
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
+        d2 = (books[j] ** 2).sum(1)[None, :] - 2.0 * (sub @ books[j].T)
+        codes[:, j] = d2.argmin(1)
+    return codes
+
+
+def ivfpq_build(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    n_clusters: int = 16,
+    m: int = 8,
+    pq_k: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> dict:
+    """IVF-PQ: the IVF bucket layout of :func:`ivf_build`, but buckets
+    store ``m``-byte PQ codes instead of full vectors — memory/IO per
+    vector drops from ``4*d`` to ``m`` bytes (the 100 TB memory path;
+    FAISS IndexIVFPQ with ``by_residual=False``: codes quantize the
+    normalized vector itself, so the ADC dot product below decomposes
+    exactly over subspaces).  Codebooks/centroids train driver-side on
+    a bounded sample; assignment + encoding stream map-side."""
+    import shutil
+
+    sample = np.array(
+        [r[vec_col] for r in ds.limit(sample_size).take_all()],
+        dtype=np.float32,
+    )
+    sample = _normalize(sample)
+    cent = _normalize(kmeans_fit(sample, n_clusters, seed=seed))
+    books = pq_train(sample, m=m, pq_k=pq_k, seed=seed)
+    os.makedirs(index_dir, exist_ok=True)
+    shutil.rmtree(os.path.join(index_dir, "buckets"), ignore_errors=True)
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    np.save(os.path.join(index_dir, "codebooks.npy"), books)
+    cref = ray.put((cent, books))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm, bk = ray.get(cref)
+        ids = batch.column(id_col).to_numpy()
+        mat = _normalize(list_to_matrix(batch.column(vec_col), np.float32))
+        cid = (mat @ cm.T).argmax(1).astype(np.int32)
+        codes = pq_encode(mat, bk)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "code": pa.array(list(codes.astype(np.int32)),
+                             pa.list_(pa.int32())),
+            "cid": pa.array(cid),
+            "bucket": pa.array(cid),
+        })
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "buckets"), partition_cols=["cid"]
+    )
+    import pyarrow.dataset as pads
+
+    num_vectors = pads.dataset(
+        os.path.join(index_dir, "buckets"), format="parquet",
+        partitioning="hive",
+    ).count_rows()
+    with open(meta_path, "w") as f:
+        json.dump({
+            "kind": "ivfpq", "n_clusters": int(cent.shape[0]),
+            "m": int(m), "pq_k": int(books.shape[1]),
+            "id_col": id_col, "vec_col": vec_col, "seed": seed,
+            "num_vectors": num_vectors,
+        }, f)
+    return {"n_clusters": int(cent.shape[0]), "m": m,
+            "pq_k": int(books.shape[1]), "index_dir": index_dir}
+
+
+def ivfpq_query(
+    index_dir: str,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+) -> list[dict]:
+    """ADC search over the probed buckets: per query an ``(m, pq_k)``
+    lookup table of query-subvector dot codewords; a candidate's
+    approximate cosine is the sum of its codes' table entries (exact
+    for the quantized vector — the dot product separates across
+    subspaces).  I/O = the ``nprobe`` bucket partitions only; top-k by
+    (-sim, id) with sims in floor'd micro-units for deterministic
+    ordering."""
+    import pyarrow.dataset as pads
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("kind") != "ivfpq":
+        raise ValueError("not an IVF-PQ index (use ivf_query)")
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    books = np.load(os.path.join(index_dir, "codebooks.npy"))
+    m, pq_k, dsub = books.shape
+    q = _normalize(np.asarray(query_vecs, dtype=np.float32))
+    out = []
+    id_col = meta["id_col"]
+    for qi in range(q.shape[0]):
+        probes = np.argsort(-(cent @ q[qi]))[:nprobe]
+        lut = np.empty((m, pq_k), dtype=np.float64)
+        for j in range(m):
+            lut[j] = books[j] @ q[qi, j * dsub:(j + 1) * dsub]
+        cand_ids: list[np.ndarray] = []
+        cand_sim: list[np.ndarray] = []
+        for cid in probes:
+            part = os.path.join(index_dir, "buckets", f"cid={int(cid)}")
+            if not os.path.isdir(part):
+                continue
+            t = pads.dataset(part, format="parquet").to_table(
+                columns=[id_col, "code"]
+            )
+            if not t.num_rows:
+                continue
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64)
+                 for c in t.column("code").to_pylist()]
+            )
+            sims = lut[np.arange(m)[None, :], codes].sum(1)
+            cand_ids.append(t.column(id_col).to_numpy())
+            cand_sim.append(sims)
+        if not cand_ids:
+            out.append({"query_id": qi, "ids": [], "sims_u": []})
+            continue
+        ids = np.concatenate(cand_ids)
+        sims = np.concatenate(cand_sim)
+        sims_u = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+        order = np.lexsort((ids, -sims_u))[:k]
+        out.append({
+            "query_id": qi,
+            "ids": ids[order].astype(np.int64).tolist(),
+            "sims_u": sims_u[order].tolist(),
+        })
+    return out

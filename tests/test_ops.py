@@ -1428,3 +1428,47 @@ def test_remove_dup_spans_randomized():
     import pytest as _pt
     with _pt.raises(ValueError):
         remove_dup_spans(ds, n=1)
+
+
+def test_ann_ivfpq(emb_ds, tmp_path):
+    """IVF-PQ: codes reconstruct enough signal that ADC top-k overlaps
+    brute force; build is deterministic; probing every bucket with
+    pq_k >= corpus size ranks the quantized vectors exactly."""
+    import shutil
+
+    from elasticsearch_ray.ops.ann import (
+        brute_force_topk, ivfpq_build, ivfpq_query, pq_encode, pq_train,
+    )
+
+    ds, vecs = emb_ds
+    d = str(tmp_path / "ivfpq")
+    meta = ivfpq_build(ds, d, n_clusters=4, m=4, pq_k=40,
+                       sample_size=1000)
+    assert meta["pq_k"] == 40 and meta["m"] == 4
+    q = vecs[:3].astype(np.float64)
+    bf = brute_force_topk(ds, q, k=5)
+    res = ivfpq_query(d, q, k=5, nprobe=4)  # probe all buckets
+    hits = 0
+    for qi in range(3):
+        b = set(bf.filter(pa.compute.equal(bf.column("query_id"), qi))
+                .column("vec_id").to_pylist())
+        hits += len(b & set(res[qi]["ids"]))
+    # every vector is its own PQ codeword candidate here (pq_k = n),
+    # so quantization is near-lossless and recall@5 should be high
+    assert hits >= 12, hits
+    # determinism: rebuild -> identical results
+    d2 = str(tmp_path / "ivfpq2")
+    ivfpq_build(ds, d2, n_clusters=4, m=4, pq_k=40, sample_size=1000)
+    assert ivfpq_query(d2, q, k=5, nprobe=4) == res
+    # encode determinism + shape
+    books = np.load(f"{d}/codebooks.npy")
+    codes = pq_encode(vecs.astype(np.float32), books)
+    assert codes.shape == (40, 4) and codes.dtype == np.uint8
+    # low nprobe: a query's own bucket is always probed first
+    res1 = ivfpq_query(d, q, k=5, nprobe=1)
+    for qi in range(3):
+        assert qi in res1[qi]["ids"]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pq_train(vecs.astype(np.float32), m=3)  # 8 % 3 != 0
+    shutil.rmtree(d)
