@@ -4370,6 +4370,54 @@ SELECT doc_id,
 FROM cov GROUP BY doc_id ORDER BY doc_id"""
 
 
+def _q_lm_perplexity(sf_dir: str):
+    """CCNet-style LM quality scoring: per doc the average negative
+    log-likelihood under an in-corpus interpolated bigram LM —
+    P(b|a) = 0.9*c(ab)/c(a) + 0.1*(c(b)+1)/(N+V), per-pair integer
+    micro-nat costs so sums are order-independent.  SQL twin: the
+    identical model from lag-window bigrams."""
+    from elasticsearch_ray.ops.corpus import lm_perplexity
+
+    t = pa.Table.from_pandas(
+        lm_perplexity(_docs_ds(sf_dir)).to_pandas(),
+        preserve_index=False,
+    )
+    return t.sort_by("doc_id")
+
+
+def _lm_perplexity_sql() -> str:
+    return """
+WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l
+               FROM documents),
+t AS (SELECT doc_id, unnest(l) AS tok,
+             unnest(range(0, len(l))) AS pos FROM lists),
+uni AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+tot AS (SELECT count(*) AS n, (SELECT count(*) FROM uni) AS v FROM t),
+bi AS (SELECT a.doc_id, a.tok AS ta, b.tok AS tb
+       FROM t a JOIN t b
+       ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+bc AS (SELECT ta, tb, count(*) AS c2 FROM bi GROUP BY ta, tb),
+p AS (SELECT bi.doc_id,
+        0.9 * bc.c2 / ua.c + 0.1 * (ub.c + 1) / (tot.n + tot.v) AS prob
+      FROM bi JOIN bc USING (ta, tb)
+      JOIN uni ua ON ua.tok = bi.ta
+      JOIN uni ub ON ub.tok = bi.tb
+      CROSS JOIN tot),
+pu AS (SELECT doc_id,
+         CAST(floor(-ln(prob) * 1e6 + 0.5) AS BIGINT) AS nl FROM p),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_pairs,
+               sum(nl)::BIGINT AS sum_nl_u,
+               CAST(floor(sum(nl) * 1.0 / count(*)) AS BIGINT)
+                 AS avg_nl_u
+        FROM pu GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(agg.n_pairs, 0)::BIGINT AS n_pairs,
+       coalesce(agg.sum_nl_u, 0)::BIGINT AS sum_nl_u,
+       coalesce(agg.avg_nl_u, -1)::BIGINT AS avg_nl_u
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
 def _q_dup_ngram_spans(sf_dir: str):
     """Span-level dedup signal (Lee et al. 2022, fixed-gram ExactSubstr):
     per doc, the token positions covered by 8-grams that occur in >= 2
@@ -4708,6 +4756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sibling_buckets": _q_sibling_buckets,
         "auto_date_histogram": _q_auto_date_histogram,
         "dup_ngram_spans": _q_dup_ngram_spans,
+        "lm_perplexity": _q_lm_perplexity,
         "remove_dup_spans": _q_remove_dup_spans,
         "scripted_metric": _q_scripted_metric,
         "cumulative_cardinality": _q_cumulative_cardinality,
@@ -7593,6 +7642,7 @@ GROUP BY d.doc_id
         "sibling_buckets": _sibling_buckets_sql(),
         "auto_date_histogram": _auto_date_histogram_sql(),
         "dup_ngram_spans": _dup_ngram_spans_sql(),
+        "lm_perplexity": _lm_perplexity_sql(),
         "remove_dup_spans": _remove_dup_spans_sql(),
         "scripted_metric": _scripted_metric_sql(),
         "cumulative_cardinality": _cumulative_cardinality_sql(),

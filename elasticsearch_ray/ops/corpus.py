@@ -389,3 +389,166 @@ def frequent_item_sets(
             out.append({"item_a": ta, "item_b": tb, "support": s})
     out.sort(key=lambda d: (-d["support"], d["item_a"], d["item_b"]))
     return out[:size]
+
+
+def lm_perplexity(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_vocab: int | None = None,
+) -> ray.data.Dataset:
+    """CCNet-style LM quality scoring with an in-corpus bigram model:
+    each doc's average negative log-likelihood under an interpolated
+    bigram LM trained on the corpus itself (CCNet filters on KenLM
+    perplexity; the self-trained variant needs no external model and
+    flags the same low-likelihood outliers).
+
+    Per within-doc adjacent pair (a, b):
+        P(b|a) = 0.9 * c(ab)/c(a) + 0.1 * (c(b) + 1)/(N + V)
+    (interpolated with add-one-smoothed unigrams; OOV tokens — outside
+    the ``top_vocab`` pruning — take the unigram term only with
+    c(b) = 0).  Each pair contributes the INTEGER micro-nat cost
+    ``floor(-ln P * 1e6 + 0.5)``, so per-doc sums are order-independent
+    and engine-exact; emits (doc_id, n_pairs, sum_nl_u, avg_nl_u) with
+    n_pairs = 0 and null costs for docs under two tokens.
+
+    Scale shape: unigram/bigram counts come from the same map-side
+    partial + groupby exchanges as ``bigram_counts``; the model tables
+    broadcast once via ``ray.put`` (``top_vocab`` bounds them the way
+    CCNet's pretrained KenLM binary is bounded); scoring is one
+    dictionary-encode + two searchsorted lookups per batch."""
+    from ray.data.aggregate import Sum
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        split = _space_split(pc.coalesce(batch.column(text_col), ""))
+        flat = pc.list_flatten(split)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        g = pa.table({"tok": flat}).group_by("tok").aggregate(
+            [("tok", "count")]
+        )
+        return pa.table({
+            "tok": g.column("tok"),
+            "c_part": g.column("tok_count").cast(pa.int64()),
+        })
+
+    uni_rows = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("c_part")).take_all()
+    )  # O(vocabulary) rows
+    uni = sorted(((int(r["sum(c_part)"]), str(r["tok"]))
+                  for r in uni_rows), key=lambda t: (-t[0], t[1]))
+    total_n = sum(c for c, _ in uni)
+    vocab_v = len(uni)
+    if top_vocab is not None:
+        uni = uni[:top_vocab]
+    vocab = np.array(sorted(t for _, t in uni))
+    counts_by_tok = dict((t, c) for c, t in uni)
+    uni_counts = np.array([counts_by_tok[t] for t in vocab],
+                          dtype=np.int64)
+    vocab_arr = pa.array(vocab, pa.string())
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        split = _space_split(pc.coalesce(batch.column(text_col), ""))
+        lens = pc.list_value_length(split).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(split)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        code = pc.index_in(flat, value_set=vocab_arr)
+        codes = np.where(
+            code.is_valid().to_numpy(zero_copy_only=False),
+            code.fill_null(0).to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            -1,
+        )
+        ntok = codes.size
+        if ntok < 2:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "c_part": pa.array([], pa.int64())})
+        doc_first = np.zeros(ntok, dtype=bool)
+        doc_first[0] = True
+        doc_first[np.cumsum(lens[:-1])] = True
+        a, b = codes[:-1], codes[1:]
+        m = ~doc_first[1:] & (a >= 0) & (b >= 0)
+        key = a[m] * vocab.size + b[m]
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(u),
+                         "c_part": pa.array(c.astype(np.int64))})
+
+    bi_rows = (
+        ds.map_batches(bi_partial, batch_format="pyarrow")
+        .groupby("key").aggregate(Sum("c_part")).take_all()
+    )  # O(distinct in-vocab bigrams) rows
+    bi_keys = np.array([int(r["key"]) for r in bi_rows], dtype=np.int64)
+    bi_counts = np.array([int(r["sum(c_part)"]) for r in bi_rows],
+                         dtype=np.int64)
+    order = np.argsort(bi_keys)
+    bi_keys, bi_counts = bi_keys[order], bi_counts[order]
+    model = ray.put((vocab_arr, uni_counts, bi_keys, bi_counts,
+                     total_n, vocab_v))
+
+    def score(batch: pa.Table) -> pa.Table:
+        voc, uc, bk, bc, n_tot, v_tot = ray.get(model)
+        split = _space_split(pc.coalesce(batch.column(text_col), ""))
+        lens = pc.list_value_length(split).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(split)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        code = pc.index_in(flat, value_set=voc)
+        codes = np.where(
+            code.is_valid().to_numpy(zero_copy_only=False),
+            code.fill_null(0).to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            -1,
+        )
+        ntok = codes.size
+        nv = len(voc)
+        if ntok:
+            doc_first = np.zeros(ntok, dtype=bool)
+            doc_first[0] = True
+            doc_first[np.cumsum(lens[:-1])] = True
+            a, b = codes[:-1], codes[1:]
+            pair = ~doc_first[1:]
+            ca = np.where(a >= 0, uc[np.maximum(a, 0)], 0).astype(
+                np.float64)
+            cb = np.where(b >= 0, uc[np.maximum(b, 0)], 0).astype(
+                np.float64)
+            key = np.maximum(a, 0) * nv + np.maximum(b, 0)
+            idx = np.searchsorted(bk, key)
+            idx_c = np.minimum(idx, max(bk.size - 1, 0))
+            c2 = np.where(
+                (bk.size > 0) & (a >= 0) & (b >= 0)
+                & (bk[idx_c] == key) if bk.size else False,
+                bc[idx_c] if bk.size else 0, 0,
+            ).astype(np.float64)
+            # EXACT operation order of the SQL twin:
+            # 0.9*c2/ca + 0.1*(cb+1)/(n+v); c2>0 implies ca>0
+            prob = np.where(ca > 0, 0.9 * c2 / np.maximum(ca, 1.0), 0.0) \
+                + 0.1 * (cb + 1.0) / (n_tot + v_tot)
+            nl = np.floor(-np.log(prob) * 1e6 + 0.5).astype(np.int64)
+            nl = np.where(pair, nl, 0)
+            # per-doc pair sums via the doc offsets
+            offs = np.zeros(lens.size + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            cs = np.concatenate([[0], np.cumsum(nl)])
+            # pairs of doc i live at flat indices offs[i]..offs[i+1]-2
+            sum_nl = cs[np.maximum(offs[1:] - 1, 0)] - cs[
+                np.minimum(offs[:-1], ntok - 1)]
+            npairs = np.maximum(lens - 1, 0)
+        else:
+            sum_nl = np.zeros(lens.size, dtype=np.int64)
+            npairs = np.zeros(lens.size, dtype=np.int64)
+        avg = np.where(
+            npairs > 0,
+            np.floor(sum_nl / np.maximum(npairs, 1)).astype(np.int64),
+            -1,
+        )
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "n_pairs": pa.array(npairs.astype(np.int64)),
+            "sum_nl_u": pa.array(np.where(npairs > 0, sum_nl, 0)
+                                 .astype(np.int64)),
+            "avg_nl_u": pa.array(avg.astype(np.int64)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

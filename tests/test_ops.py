@@ -1472,3 +1472,63 @@ def test_ann_ivfpq(emb_ds, tmp_path):
     with _pt.raises(ValueError):
         pq_train(vecs.astype(np.float32), m=3)  # 8 % 3 != 0
     shutil.rmtree(d)
+
+
+def test_lm_perplexity_randomized():
+    """lm_perplexity vs a pure-python bigram-LM oracle, including the
+    top_vocab pruning (OOV tokens), empty docs, and 1-token docs."""
+    import math
+    import random
+    from collections import Counter
+
+    import ray.data
+
+    from elasticsearch_ray.ops.corpus import lm_perplexity
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(9)]
+    docs = [" ".join(rng.choice(vocab)
+                     for _ in range(rng.randint(0, 15)))
+            for _ in range(80)]
+    docs[5] = ""          # empty -> 0 pairs
+    docs[6] = "w1"        # single token -> 0 pairs
+
+    def brute(top_vocab):
+        toks = [d.split(" ") if d else [""] for d in docs]
+        # arrow split of "" yields one empty-string token; python
+        # split(" ") of "" yields [""] too — keep both conventions equal
+        uni = Counter(t for ts in toks for t in ts)
+        n_tot, v_tot = sum(uni.values()), len(uni)
+        ranked = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))
+        kept = dict(ranked[:top_vocab]) if top_vocab else dict(ranked)
+        bi = Counter()
+        for ts in toks:
+            for a, b in zip(ts, ts[1:]):
+                if a in kept and b in kept:
+                    bi[(a, b)] += 1
+        out = []
+        for i, ts in enumerate(toks):
+            pairs = list(zip(ts, ts[1:]))
+            s = 0
+            for a, b in pairs:
+                ca = kept.get(a, 0)
+                cb = kept.get(b, 0)
+                c2 = bi.get((a, b), 0)
+                p = (0.9 * c2 / ca if ca > 0 else 0.0) \
+                    + 0.1 * (cb + 1.0) / (n_tot + v_tot)
+                s += math.floor(-math.log(p) * 1e6 + 0.5)
+            out.append({
+                "doc_id": i, "n_pairs": len(pairs),
+                "sum_nl_u": s if pairs else 0,
+                "avg_nl_u": math.floor(s / len(pairs)) if pairs else -1,
+            })
+        return out
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    )
+    for tv in (None, 5):
+        got = sorted((dict(r) for r in
+                      lm_perplexity(ds, top_vocab=tv).take_all()),
+                     key=lambda r: r["doc_id"])
+        assert got == brute(tv), tv
