@@ -16,14 +16,24 @@ def _entry_module():
     return m
 
 
+# Entries with NO SQL-expressible oracle (the driver records a weaker
+# rows-only check for these; each names the pytest that pins it instead).
+ROWS_ONLY = {
+    # product quantization: tests/test_ops.py::test_ann_ivfpq pins
+    # recall vs brute force, rebuild determinism, and pq_k >= n
+    "ann_ivfpq_top10",
+}
+
+
 def test_every_query_has_a_twin():
     m = _entry_module()
     qs = set(m.queries())
     sqls = set(m.oracle_sql())
-    missing = qs - sqls
+    missing = qs - sqls - ROWS_ONLY
     extra = sqls - qs
     assert not missing, f"queries without oracle twins: {sorted(missing)}"
     assert not extra, f"twins without queries: {sorted(extra)}"
+    assert not (ROWS_ONLY & sqls), "rows-only entry grew a twin: update"
     assert len(qs) >= 75
 
 
