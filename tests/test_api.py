@@ -311,14 +311,21 @@ def test_explain_and_phrase_suggest_api(idx):
 
 
 def test_mget(idx):
+    # state-agnostic vs get_doc: earlier module tests may have
+    # tombstoned or rewritten docs in the shared fixture index
     idx.load_index("t1")
-    singles = [idx.engine.get_doc(d) for d in (0, 2, 4)]
-    got = idx.mget([0, 2, 99_999, 4])
-    assert [g["doc_id"] for g in got] == [0, 2, 99_999, 4]
-    assert got[2] == {"doc_id": 99_999, "found": False}
-    for g, s in zip([got[0], got[1], got[3]], singles):
-        assert g["found"] and g["url"] == s["url"] \
-            and g["source"] == s["source"]
+    ids = [0, 2, 99_999, 4]
+    singles = {d: idx.engine.get_doc(d) for d in ids}
+    got = idx.mget(ids)
+    assert [g["doc_id"] for g in got] == ids
+    for g in got:
+        s = singles[g["doc_id"]]
+        if s is None:
+            assert g == {"doc_id": g["doc_id"], "found": False}
+        else:
+            assert g["found"] and g["url"] == s["url"] \
+                and g["source"] == s["source"]
+    assert not got[2]["found"]  # id beyond the corpus
 
 
 def test_validate_and_field_caps(idx):
