@@ -1181,6 +1181,65 @@ def _gram_hashes64(tokens: list[str], n: int) -> np.ndarray:
     return acc.view(np.int64)
 
 
+
+def _gram_prep(batch: pa.Table, text_col: str, id_col: str,
+               n: int) -> pa.Table:
+    """Shared phase-1 kernel of the span-dedup pair: one row per n-gram
+    window start — (gram hash, doc, 0-based token position).  Tokens
+    split on SINGLE SPACES (``text.split(" ")``), matching the ops'
+    DuckDB ``string_split(text, ' ')`` twins AND the Arrow
+    ``split_pattern`` stream the rewrite phase re-tokenizes with — a
+    whitespace-class split here would silently misalign positions on
+    texts with newlines/tabs/double spaces."""
+    ids = batch.column(id_col).to_numpy()
+    texts = batch.column(text_col).to_pylist()
+    parts = [_gram_hashes64((t or "").split(" "), n) for t in texts]
+    counts = np.fromiter((p.size for p in parts), np.int64, len(parts))
+    pos = (np.concatenate([np.arange(c, dtype=np.int64) for c in counts])
+           if len(counts) else np.empty(0, dtype=np.int64))
+    return pa.table({
+        "gram": pa.array(
+            np.concatenate(parts) if parts
+            else np.empty(0, dtype=np.int64), pa.int64()),
+        id_col: pa.array(np.repeat(ids, counts), pa.int64()),
+        "pos": pa.array(pos, pa.int64()),
+    })
+
+
+def _dup_start_rows(tbl: pa.Table, id_col: str,
+                    with_txt: bool = False) -> pa.Table:
+    """Shared phase-2 kernel: keep (doc, pos) rows of grams appearing in
+    >= 2 distinct docs within this gram-partition (partitioning is BY
+    GRAM, so a gram's whole corpus run is local).  ``with_txt`` adds the
+    empty ``txt`` column remove_dup_spans' text-unioned rewrite
+    exchange needs."""
+    gram = tbl.column("gram").to_numpy()
+    doc = tbl.column(id_col).to_numpy()
+    pos = tbl.column("pos").to_numpy()
+    order = np.lexsort((doc, gram))
+    gram, doc, pos = gram[order], doc[order], pos[order]
+    m = gram.size
+    if not m:
+        cols = {id_col: pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64())}
+        if with_txt:
+            cols["txt"] = pa.array([], pa.string())
+        return pa.table(cols)
+    new_gram = np.empty(m, dtype=bool)
+    new_gram[0] = True
+    new_gram[1:] = gram[1:] != gram[:-1]
+    new_pair = new_gram.copy()
+    new_pair[1:] |= doc[1:] != doc[:-1]
+    run_id = np.cumsum(new_gram) - 1
+    ndocs = np.bincount(run_id[new_pair])
+    keep = ndocs[run_id] >= 2
+    cols = {id_col: pa.array(doc[keep], pa.int64()),
+            "pos": pa.array(pos[keep], pa.int64())}
+    if with_txt:
+        cols["txt"] = pa.array([""] * int(keep.sum()), pa.string())
+    return pa.table(cols)
+
+
 def dup_ngram_spans(
     ds: ray.data.Dataset,
     n: int = 8,
@@ -1212,44 +1271,10 @@ def dup_ngram_spans(
         raise ValueError("n must be >= 2")
 
     def prep(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy()
-        texts = batch.column(text_col).to_pylist()
-        parts = [_gram_hashes64((t or "").split(), n) for t in texts]
-        counts = np.fromiter((p.size for p in parts), np.int64, len(parts))
-        pos = (np.concatenate([np.arange(c, dtype=np.int64) for c in counts])
-               if len(counts) else np.empty(0, dtype=np.int64))
-        return pa.table({
-            "gram": pa.array(
-                np.concatenate(parts) if parts
-                else np.empty(0, dtype=np.int64), pa.int64()),
-            id_col: pa.array(np.repeat(ids, counts), pa.int64()),
-            "pos": pa.array(pos, pa.int64()),
-        })
+        return _gram_prep(batch, text_col, id_col, n)
 
     def dup_starts(tbl: pa.Table) -> pa.Table:
-        """Keep (doc, pos) rows of grams appearing in >= 2 distinct docs
-        within this gram-partition (partitioning is BY GRAM, so a gram's
-        whole corpus run is local)."""
-        gram = tbl.column("gram").to_numpy()
-        doc = tbl.column(id_col).to_numpy()
-        pos = tbl.column("pos").to_numpy()
-        order = np.lexsort((doc, gram))
-        gram, doc, pos = gram[order], doc[order], pos[order]
-        m = gram.size
-        if not m:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "pos": pa.array([], pa.int64())})
-        new_gram = np.empty(m, dtype=bool)
-        new_gram[0] = True
-        new_gram[1:] = gram[1:] != gram[:-1]
-        new_pair = new_gram.copy()
-        new_pair[1:] |= doc[1:] != doc[:-1]
-        # distinct docs per gram run = count of pair-starts in the run
-        run_id = np.cumsum(new_gram) - 1
-        ndocs = np.bincount(run_id[new_pair])
-        keep = ndocs[run_id] >= 2
-        return pa.table({id_col: pa.array(doc[keep], pa.int64()),
-                         "pos": pa.array(pos[keep], pa.int64())})
+        return _dup_start_rows(tbl, id_col)
 
     def coverage(tbl: pa.Table) -> pa.Table:
         """Union-of-intervals [pos, pos+n-1] per doc: covered tokens =
@@ -1315,43 +1340,10 @@ def remove_dup_spans(
         raise ValueError("n must be >= 2")
 
     def prep(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy()
-        texts = batch.column(text_col).to_pylist()
-        parts = [_gram_hashes64((t or "").split(), n) for t in texts]
-        counts = np.fromiter((p.size for p in parts), np.int64, len(parts))
-        pos = (np.concatenate([np.arange(c, dtype=np.int64) for c in counts])
-               if len(counts) else np.empty(0, dtype=np.int64))
-        return pa.table({
-            "gram": pa.array(
-                np.concatenate(parts) if parts
-                else np.empty(0, dtype=np.int64), pa.int64()),
-            id_col: pa.array(np.repeat(ids, counts), pa.int64()),
-            "pos": pa.array(pos, pa.int64()),
-        })
+        return _gram_prep(batch, text_col, id_col, n)
 
     def dup_starts(tbl: pa.Table) -> pa.Table:
-        gram = tbl.column("gram").to_numpy()
-        doc = tbl.column(id_col).to_numpy()
-        pos = tbl.column("pos").to_numpy()
-        order = np.lexsort((doc, gram))
-        gram, doc, pos = gram[order], doc[order], pos[order]
-        m = gram.size
-        if not m:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "pos": pa.array([], pa.int64()),
-                             "txt": pa.array([], pa.string())})
-        new_gram = np.empty(m, dtype=bool)
-        new_gram[0] = True
-        new_gram[1:] = gram[1:] != gram[:-1]
-        new_pair = new_gram.copy()
-        new_pair[1:] |= doc[1:] != doc[:-1]
-        run_id = np.cumsum(new_gram) - 1
-        ndocs = np.bincount(run_id[new_pair])
-        keep = ndocs[run_id] >= 2
-        return pa.table({id_col: pa.array(doc[keep], pa.int64()),
-                         "pos": pa.array(pos[keep], pa.int64()),
-                         "txt": pa.array([""] * int(keep.sum()),
-                                         pa.string())})
+        return _dup_start_rows(tbl, id_col, with_txt=True)
 
     def tag_text(batch: pa.Table) -> pa.Table:
         return pa.table({

@@ -914,26 +914,25 @@ def change_point(
             * 100 + 0.5
         ).astype(np.int64)
         part = pa.table({"bucket_us": bucket, "cents": pa.array(cents)})
-        g = part.group_by("bucket_us").aggregate([("cents", "sum"),
-                                                  ("cents", "count")])
+        g = part.group_by("bucket_us").aggregate([("cents", "sum")])
         return pa.table({
             "bucket_us": g.column("bucket_us"),
             "s_part": g.column("cents_sum").cast(pa.int64()),
-            "n_part": g.column("cents_count").cast(pa.int64()),
         })
 
     rows = (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("bucket_us")
-        .aggregate(Sum("s_part"), Sum("n_part")).take_all()
+        .aggregate(Sum("s_part")).take_all()
     )  # O(buckets) rows
     rows.sort(key=lambda r: int(r["bucket_us"]))
     if len(rows) < 2:
         return {"bucket_us": None, "left_mean_u": None,
                 "right_mean_u": None, "shift_u": None}
     buckets = [int(r["bucket_us"]) for r in rows]
-    # per-bucket mean cents drive the shift (bucket = one observation,
-    # like ES's per-bucket metric series)
+    # per-bucket SUMS are the observed series (one observation per
+    # bucket, like ES's per-bucket metric values) — pinned by the SQL
+    # twin; don't "fix" this to per-event means
     vals = [int(r["sum(s_part)"]) for r in rows]
     m = len(vals)
     total = sum(vals)

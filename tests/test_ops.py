@@ -1532,3 +1532,34 @@ def test_lm_perplexity_randomized():
                       lm_perplexity(ds, top_vocab=tv).take_all()),
                      key=lambda r: r["doc_id"])
         assert got == brute(tv), tv
+
+
+def test_remove_dup_spans_nonspace_whitespace():
+    """Regression: gram positions and the rewrite must tokenize the SAME
+    way (single-space split).  A doc with newline-joined tokens shares a
+    duplicated 8-gram; the excision must hit the right positions."""
+    import ray.data
+
+    from elasticsearch_ray.ops.dedup import dup_ngram_spans, remove_dup_spans
+
+    shared = " ".join(f"t{i}" for i in range(8))
+    docs = [
+        "\n".join(f"x{i}" for i in range(12)) + " " + shared,
+        shared,
+        "zz yy ww vv uu tt ss rr qq",
+    ]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    )
+    out = {r["doc_id"]: dict(r) for r in
+           remove_dup_spans(ds, n=8, num_partitions=4).take_all()}
+    # doc 0 under single-space split: ['x0\n...\nx11 t0'? no — the 12
+    # x-tokens are ONE newline-joined token, then t0..t7 -> 9 tokens;
+    # the shared 8-gram is t0..t7 at positions 1..8
+    assert out[0]["removed_tokens"] == 8
+    assert out[0]["clean_text"] == "\n".join(f"x{i}" for i in range(12))
+    assert out[1]["removed_tokens"] == 8 and out[1]["clean_text"] == ""
+    assert out[2]["removed_tokens"] == 0
+    spans = {r["doc_id"]: r["dup_tokens"] for r in
+             dup_ngram_spans(ds, n=8, num_partitions=4).take_all()}
+    assert spans == {0: 8, 1: 8}  # detector agrees with the rewriter

@@ -2600,84 +2600,6 @@ def test_variable_width_histogram(tmp_path):
         eng.close()
 
 
-def test_suggest_phrase(tmp_path):
-    """Phrase suggester vs a pure-python oracle (per-word candidate
-    top-k by (dist, df desc, term), cross product ranked by total dist
-    / df sum / phrase)."""
-    import itertools
-    import random
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
-    from elasticsearch_ray.pipelines.query import QueryEngine
-
-    rng = random.Random(17)
-    vocab = ["table", "tables", "cable", "scan", "scon" * 0 or "span",
-             "merge", "merges", "value", "vale", "hash"]
-    rows = [
-        {"doc_id": i,
-         "text": " ".join(rng.choice(vocab) for _ in range(6))}
-        for i in range(120)
-    ]
-    src = tmp_path / "src"; src.mkdir()
-    pq.write_table(
-        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
-        str(src / "p.parquet"),
-    )
-    idx = str(tmp_path / "idx")
-    build_index(
-        [str(src / "p.parquet")], idx,
-        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
-                    docs_per_segment=40, target_partition_rows=30),
-    )
-
-    def lev(a, b):
-        dp = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            prev, dp[0] = dp[0], i
-            for j, cb in enumerate(b, 1):
-                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
-                                         prev + (ca != cb))
-        return dp[-1]
-
-    df = {}
-    for r in rows:
-        for t in set(r["text"].split()):
-            df[t] = df.get(t, 0) + 1
-
-    def brute(text, size, max_edits, per_word):
-        per = []
-        for w in text.lower().split():
-            cands = sorted(
-                (lev(t, w), -f, t) for t, f in df.items()
-                if lev(t, w) <= max_edits
-            )[:per_word]
-            per.append([(t, d, -nf) for d, nf, t in cands]
-                       or [(w, 0, 0)])
-        phrases = sorted(
-            (sum(c[1] for c in combo), -sum(c[2] for c in combo),
-             " ".join(c[0] for c in combo))
-            for combo in itertools.product(*per)
-        )
-        return [{"text": p, "total_dist": d, "df_sum": -nf}
-                for d, nf, p in phrases[:size]]
-
-    eng = QueryEngine(idx, num_searchers=2)
-    try:
-        for text, me, pw in (("tble scon", 1, 3), ("table merg", 1, 2),
-                             ("vale hash", 1, 3), ("zzzz", 1, 3),
-                             ("tble merge span", 2, 2)):
-            got = eng.suggest_phrase(text, size=5, max_edits=me,
-                                     per_word=pw)
-            assert got["options"] == brute(text, 5, me, pw), (text, me, pw)
-        with pytest.raises(ValueError):
-            eng.suggest_phrase("a", per_word=0)
-    finally:
-        eng.close()
-
-
 def test_explain_matches_search_scores(tmp_path):
     """_explain on a built index: per-term breakdown sums exactly to the
     ranked-search score for every top-k hit, distributed AND embedded;
