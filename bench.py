@@ -501,6 +501,40 @@ def bench_ops(sf_dir: str) -> dict:
     )
     out["categorize_text_sec"] = round(time.perf_counter() - t0, 3)
 
+    # final-session corpus ops: LM perplexity, span excision, IVF-PQ
+    from elasticsearch_ray.ops.corpus import lm_perplexity
+    from elasticsearch_ray.ops.dedup import remove_dup_spans
+
+    t0 = time.perf_counter()
+    lm_perplexity(docs).count()
+    out["lm_perplexity_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    out["remove_dup_spans_rows"] = remove_dup_spans(docs).count()
+    out["remove_dup_spans_sec"] = round(time.perf_counter() - t0, 3)
+    emb_path2 = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.exists(emb_path2):
+        import shutil as _sh2
+
+        from elasticsearch_ray.ops.ann import ivfpq_build, ivfpq_query
+
+        emb2 = ray.data.read_parquet(emb_path2)
+        pq_dir = "/tmp/esray_bench_ivfpq"
+        _sh2.rmtree(pq_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        ivfpq_build(emb2, pq_dir, n_clusters=16, m=8, pq_k=256)
+        out["ivfpq_build_sec"] = round(time.perf_counter() - t0, 3)
+        import numpy as _np2
+        import pyarrow.parquet as _pq2
+
+        qv2 = _np2.array(
+            _pq2.read_table(emb_path2).sort_by("vec_id")
+            .slice(0, 8).column("embedding").to_pylist(),
+            dtype=_np2.float64,
+        )
+        t0 = time.perf_counter()
+        ivfpq_query(pq_dir, qv2, k=10, nprobe=4)
+        out["ivfpq_query_sec"] = round(time.perf_counter() - t0, 3)
+
     # near-dup clustering (CC over verified LSH pairs) + packing manifest
     from elasticsearch_ray.ops.dedup import dup_clusters
     from elasticsearch_ray.ops.packing import pack_manifest
