@@ -4370,6 +4370,39 @@ SELECT doc_id,
 FROM cov GROUP BY doc_id ORDER BY doc_id"""
 
 
+def _q_terms_partition(sf_dir: str):
+    """ES terms aggregation with include partitions: the 'merge' hit
+    set's source buckets paged across 3 md5-value partitions (each
+    value in exactly one page); (partition, count desc, key) order."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"p": [], "key": [], "doc_count": []}
+    for p in range(3):
+        res = eng.search_facets_partition("merge", "source", p, 3,
+                                          size=10)
+        for b in res["buckets"]:
+            rows["p"].append(p)
+            rows["key"].append(b["key"])
+            rows["doc_count"].append(b["doc_count"])
+    return pa.table({
+        "p": pa.array(rows["p"], pa.int64()),
+        "key": pa.array(rows["key"], pa.string()),
+        "doc_count": pa.array(rows["doc_count"], pa.int64()),
+    })
+
+
+def _terms_partition_sql() -> str:
+    hits = _FACET_HITS["merge"]
+    parts = [
+        f"SELECT {p}::BIGINT AS p, key, doc_count FROM ("
+        f"SELECT source AS key, count(*)::BIGINT AS doc_count "
+        f"FROM documents WHERE doc_id IN ({hits}) "
+        f"AND ('0x' || substr(md5(source), 1, 8))::BIGINT % 3 = {p} "
+        f"GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 10)"
+        for p in range(3)
+    ]
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
 def _q_lm_perplexity(sf_dir: str):
     """CCNet-style LM quality scoring: per doc the average negative
     log-likelihood under an in-corpus interpolated bigram LM —
@@ -4757,6 +4790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auto_date_histogram": _q_auto_date_histogram,
         "dup_ngram_spans": _q_dup_ngram_spans,
         "lm_perplexity": _q_lm_perplexity,
+        "terms_partition": _q_terms_partition,
         "remove_dup_spans": _q_remove_dup_spans,
         "scripted_metric": _q_scripted_metric,
         "cumulative_cardinality": _q_cumulative_cardinality,
@@ -7643,6 +7677,7 @@ GROUP BY d.doc_id
         "auto_date_histogram": _auto_date_histogram_sql(),
         "dup_ngram_spans": _dup_ngram_spans_sql(),
         "lm_perplexity": _lm_perplexity_sql(),
+        "terms_partition": _terms_partition_sql(),
         "remove_dup_spans": _remove_dup_spans_sql(),
         "scripted_metric": _scripted_metric_sql(),
         "cumulative_cardinality": _cumulative_cardinality_sql(),

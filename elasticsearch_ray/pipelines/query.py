@@ -456,6 +456,26 @@ class Searcher:
                 out[v] = out.get(v, 0) + int(counts[i])
         return out
 
+    def facet_counts_partition(self, kind: str, payload, field: str,
+                               partition: int,
+                               num_partitions: int) -> dict:
+        """ES terms aggregation with ``include: {partition,
+        num_partitions}``: per-value counts of the hit set, restricted
+        to values whose md5-derived bucket equals ``partition`` — the
+        documented ES recipe for paging a high-cardinality field
+        without ever shipping the full value space.  The filter runs
+        per DISTINCT dictionary value BEFORE anything leaves the shard,
+        so traffic is O(values in this partition)."""
+        import hashlib
+
+        local = self._facet_counts_cached(kind, payload, field)
+        out = {}
+        for v, n in local.items():
+            h = int(hashlib.md5((v or "").encode()).hexdigest()[:8], 16)
+            if h % num_partitions == partition:
+                out[v] = n
+        return out
+
     def facet_cardinality(self, field: str) -> int:
         """Upper bound on this shard's distinct values of ``field`` (sum
         of per-reader doc-value dictionary sizes) — one int of traffic;
@@ -2993,6 +3013,39 @@ class QueryEngine:
         return {
             "query": query_text,
             "field": field,
+            "buckets": [
+                {"key": v, "doc_count": n} for v, n in buckets[:size]
+            ],
+        }
+
+    def search_facets_partition(self, query_text: str | None, field: str,
+                                partition: int, num_partitions: int,
+                                size: int = 10) -> dict:
+        """ES terms aggregation with ``include: {partition,
+        num_partitions}``: page through a high-cardinality field's
+        value space — each call sees ONLY values whose md5-derived
+        bucket (first 8 hex digits mod ``num_partitions``, the same
+        convention as the corpus hash_split so the DuckDB twin is
+        exact) equals ``partition``.  Shards filter values before
+        shipping; bucket order is the default (count desc, value
+        asc)."""
+        if not (0 <= partition < num_partitions):
+            raise ValueError("partition must be in [0, num_partitions)")
+        kind, payload = self._agg_route(query_text)
+        parts = self._fanout(
+            "facet_counts_partition", kind, payload, field,
+            partition, num_partitions,
+        )
+        merged: dict[str, int] = {}
+        for p in parts:
+            for v, n in p.items():
+                merged[v] = merged.get(v, 0) + n
+        buckets = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+        return {
+            "query": query_text,
+            "field": field,
+            "partition": partition,
+            "num_partitions": num_partitions,
             "buckets": [
                 {"key": v, "doc_count": n} for v, n in buckets[:size]
             ],

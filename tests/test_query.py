@@ -2809,3 +2809,67 @@ def test_knn_filtered(tmp_path):
             assert [r["doc_id"] for r in got["results"]] == exp.tolist()
         finally:
             eng.close()
+
+
+def test_facets_partition(tmp_path):
+    """terms agg with include partitions: every value lands in exactly
+    one partition (md5 bucket), partition counts match the plain terms
+    agg, and the union over partitions is complete."""
+    import hashlib
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    rng = random.Random(53)
+    vocab = ["merge", "hash", "scan"]
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(vocab) for _ in range(5)),
+         "source": f"s{rng.randint(0, 19)}"}
+        for i in range(200)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("source",), docs_per_segment=50,
+                    target_partition_rows=40),
+    )
+    eng = QueryEngine(idx, num_searchers=2)
+    try:
+        for q in (None, "merge"):
+            full = {
+                b["key"]: b["doc_count"]
+                for b in eng.search_facets(q or "", "source",
+                                           size=1000)["buckets"]
+            } if q else {
+                b["key"]: b["doc_count"]
+                for b in eng.search_facets_partition(
+                    None, "source", 0, 1, size=1000)["buckets"]
+            }
+            n_part = 4
+            union: dict = {}
+            for p in range(n_part):
+                res = eng.search_facets_partition(q, "source", p, n_part,
+                                                  size=1000)
+                for b in res["buckets"]:
+                    v = b["key"]
+                    assert v not in union, "value in two partitions"
+                    union[v] = b["doc_count"]
+                    h = int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
+                    assert h % n_part == p
+            if q:
+                assert union == full
+        with pytest.raises(ValueError):
+            eng.search_facets_partition(None, "source", 4, 4)
+    finally:
+        eng.close()
