@@ -4370,6 +4370,58 @@ SELECT doc_id,
 FROM cov GROUP BY doc_id ORDER BY doc_id"""
 
 
+# (query or None, include regex, exclude regex, min_doc_count)
+FACET_FILTER_CASES = [
+    ("merge", r"src1\d", None, 1),
+    ("merge", None, r"src1\d", 1),
+    (None, r"src[0-9]", None, 20),
+    ("merge", None, None, 10),
+]
+
+
+def _q_facets_filtered(sf_dir: str):
+    """ES terms aggregation include/exclude regex (anchored whole-value
+    match, filtered per distinct dictionary value shard-side) +
+    min_doc_count; SQL twin via regexp_full_match + HAVING."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"case_id": [], "key": [], "doc_count": []}
+    for ci, (q, inc, exc, mdc) in enumerate(FACET_FILTER_CASES):
+        res = eng.search_facets_filtered(
+            q, "source", include=inc, exclude=exc,
+            min_doc_count=mdc, size=30,
+        )
+        for b in res["buckets"]:
+            rows["case_id"].append(ci)
+            rows["key"].append(b["key"])
+            rows["doc_count"].append(b["doc_count"])
+    return pa.table({
+        "case_id": pa.array(rows["case_id"], pa.int64()),
+        "key": pa.array(rows["key"], pa.string()),
+        "doc_count": pa.array(rows["doc_count"], pa.int64()),
+    })
+
+
+def _facets_filtered_sql() -> str:
+    parts = []
+    for ci, (q, inc, exc, mdc) in enumerate(FACET_FILTER_CASES):
+        conds = []
+        if q is not None:
+            conds.append(f"doc_id IN ({_FACET_HITS[q]})")
+        if inc:
+            conds.append(f"regexp_full_match(source, '{inc}')")
+        if exc:
+            conds.append(f"NOT regexp_full_match(source, '{exc}')")
+        where = ("WHERE " + " AND ".join(conds)) if conds else ""
+        parts.append(
+            f"SELECT {ci}::BIGINT AS case_id, key, doc_count FROM ("
+            f"SELECT source AS key, count(*)::BIGINT AS doc_count "
+            f"FROM documents {where} GROUP BY 1 "
+            f"HAVING count(*) >= {mdc} "
+            f"ORDER BY doc_count DESC, key LIMIT 30)"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
 def _q_terms_partition(sf_dir: str):
     """ES terms aggregation with include partitions: the 'merge' hit
     set's source buckets paged across 3 md5-value partitions (each
@@ -4791,6 +4843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_spans": _q_dup_ngram_spans,
         "lm_perplexity": _q_lm_perplexity,
         "terms_partition": _q_terms_partition,
+        "facets_filtered": _q_facets_filtered,
         "remove_dup_spans": _q_remove_dup_spans,
         "scripted_metric": _q_scripted_metric,
         "cumulative_cardinality": _q_cumulative_cardinality,
@@ -7678,6 +7731,7 @@ GROUP BY d.doc_id
         "dup_ngram_spans": _dup_ngram_spans_sql(),
         "lm_perplexity": _lm_perplexity_sql(),
         "terms_partition": _terms_partition_sql(),
+        "facets_filtered": _facets_filtered_sql(),
         "remove_dup_spans": _remove_dup_spans_sql(),
         "scripted_metric": _scripted_metric_sql(),
         "cumulative_cardinality": _cumulative_cardinality_sql(),

@@ -476,6 +476,35 @@ class Searcher:
                 out[v] = n
         return out
 
+    def facet_counts_filtered(self, kind: str, payload, field: str,
+                              include_re: str | None,
+                              exclude_re: str | None,
+                              count_missing: bool) -> tuple[dict, int]:
+        """ES terms aggregation ``include``/``exclude`` regex filtering:
+        per-value counts restricted to values whose WHOLE string matches
+        ``include_re`` (when set) and doesn't match ``exclude_re`` —
+        Lucene's anchored RegExp semantics (``re.fullmatch``).  The
+        filter runs per DISTINCT dictionary value before shipping.
+        Also returns this shard's count of hit docs with NO value for
+        the field (the ``missing`` bucket's raw material) when asked."""
+        inc = re.compile(include_re) if include_re else None
+        exc = re.compile(exclude_re) if exclude_re else None
+        local = self._facet_counts_cached(kind, payload, field)
+        out = {}
+        for v, n in local.items():
+            if inc is not None and not inc.fullmatch(v or ""):
+                continue
+            if exc is not None and exc.fullmatch(v or ""):
+                continue
+            out[v] = n
+        miss = 0
+        if count_missing:
+            for r, (codes, _cats) in zip(self.readers,
+                                         self._facet_column(field)):
+                slots = self._match_slots(r, kind, payload)
+                miss += int((codes[slots] < 0).sum())
+        return out, miss
+
     def facet_cardinality(self, field: str) -> int:
         """Upper bound on this shard's distinct values of ``field`` (sum
         of per-reader doc-value dictionary sizes) — one int of traffic;
@@ -3046,6 +3075,49 @@ class QueryEngine:
             "field": field,
             "partition": partition,
             "num_partitions": num_partitions,
+            "buckets": [
+                {"key": v, "doc_count": n} for v, n in buckets[:size]
+            ],
+        }
+
+    def search_facets_filtered(self, query_text: str | None, field: str,
+                               include: str | None = None,
+                               exclude: str | None = None,
+                               min_doc_count: int = 1,
+                               missing: str | None = None,
+                               size: int = 10) -> dict:
+        """ES terms aggregation with the value-filtering knobs:
+        ``include``/``exclude`` anchored regexes over the value string
+        (Lucene RegExp semantics — whole-value match, applied per
+        distinct dictionary value BEFORE shards ship anything),
+        ``min_doc_count`` (buckets under it are dropped after the
+        exact cross-shard merge, so there's no shard-truncation
+        undercount), and ``missing`` (docs without the field count
+        under this key, exempt from include/exclude like ES applies
+        the missing value before filtering is resolved).  Bucket order
+        (count desc, value asc)."""
+        if min_doc_count < 0:
+            raise ValueError("min_doc_count must be >= 0")
+        kind, payload = self._agg_route(query_text)
+        parts = self._fanout(
+            "facet_counts_filtered", kind, payload, field,
+            include, exclude, missing is not None,
+        )
+        merged: dict[str, int] = {}
+        miss_total = 0
+        for p, miss in parts:
+            for v, n in p.items():
+                merged[v] = merged.get(v, 0) + n
+            miss_total += miss
+        if missing is not None and miss_total > 0:
+            merged[missing] = merged.get(missing, 0) + miss_total
+        buckets = sorted(
+            ((v, n) for v, n in merged.items() if n >= min_doc_count),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        return {
+            "query": query_text,
+            "field": field,
             "buckets": [
                 {"key": v, "doc_count": n} for v, n in buckets[:size]
             ],

@@ -2873,3 +2873,89 @@ def test_facets_partition(tmp_path):
             eng.search_facets_partition(None, "source", 4, 4)
     finally:
         eng.close()
+
+
+def test_facets_filtered(tmp_path):
+    """terms agg include/exclude regex + min_doc_count + missing bucket
+    vs a python oracle (anchored whole-value regex, nulls counted under
+    the missing key)."""
+    import random
+    import re as _re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    rng = random.Random(29)
+    vocab = ["merge", "hash", "scan"]
+    sources = ["s1", "s2", "s10", "t1", None]
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(vocab) for _ in range(5)),
+         "source": rng.choice(sources)}
+        for i in range(150)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+        }),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("source",), docs_per_segment=40,
+                    target_partition_rows=30),
+    )
+
+    def brute(q_term, include, exclude, min_dc, missing):
+        hits = [r for r in rows
+                if q_term is None or q_term in r["text"].split()]
+        counts: dict = {}
+        miss = 0
+        for r in hits:
+            v = r["source"]
+            if v is None:
+                miss += 1
+                continue
+            if include and not _re.fullmatch(include, v):
+                continue
+            if exclude and _re.fullmatch(exclude, v):
+                continue
+            counts[v] = counts.get(v, 0) + 1
+        if missing is not None and miss:
+            counts[missing] = counts.get(missing, 0) + miss
+        return [
+            {"key": v, "doc_count": n}
+            for v, n in sorted(counts.items(),
+                               key=lambda kv: (-kv[1], kv[0]))
+            if n >= min_dc
+        ]
+
+    eng = QueryEngine(idx, num_searchers=2)
+    try:
+        cases = [
+            ("merge", r"s\d+", None, 1, None),
+            ("merge", None, r"s1", 1, None),     # excludes s1, not s10
+            (None, r"s1.*", None, 1, None),      # s1 and s10
+            ("merge", None, None, 10, None),
+            ("merge", None, None, 1, "__missing__"),
+            (None, r"t.*", None, 1, "NA"),       # missing exempt from include
+        ]
+        for q, inc, exc, mdc, miss in cases:
+            got = eng.search_facets_filtered(
+                q, "source", include=inc, exclude=exc,
+                min_doc_count=mdc, missing=miss, size=100,
+            )["buckets"]
+            assert got == brute(q, inc, exc, mdc, miss), \
+                (q, inc, exc, mdc, miss)
+        with pytest.raises(ValueError):
+            eng.search_facets_filtered(None, "source", min_doc_count=-1)
+    finally:
+        eng.close()
