@@ -169,3 +169,38 @@ def test_route_build_does_not_retry_deterministic_bugs(tmp_path):
             ),
         )
     assert os.path.exists(marker)
+
+
+def test_fanout_many_survives_actor_death(tmp_path):
+    """The batched multi-call fanout (suggesters) revives a dead actor
+    mid-round and returns identical results."""
+    rng = random.Random(43)
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(VOCAB) for _ in range(6))}
+        for i in range(90)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "a.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "a.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    docs_per_segment=25, target_partition_rows=20),
+    )
+    eng = QueryEngine(idx, num_searchers=3, hybrid=False)
+    try:
+        base_s = eng.suggest("merg scna", size=3)
+        base_p = eng.suggest_phrase("merg scna", size=5, max_edits=2)
+        killed = eng.searchers[1]
+        ray.kill(killed, no_restart=True)
+        assert eng.suggest("merg scna", size=3) == base_s
+        assert eng.searchers[1] is not killed
+        ray.kill(eng.searchers[0], no_restart=True)
+        assert eng.suggest_phrase("merg scna", size=5,
+                                  max_edits=2) == base_p
+    finally:
+        eng.close()
