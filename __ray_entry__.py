@@ -4844,6 +4844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": _q_lm_perplexity,
         "terms_partition": _q_terms_partition,
         "facets_filtered": _q_facets_filtered,
+        "histogram_bounds": _q_histogram_bounds,
         "remove_dup_spans": _q_remove_dup_spans,
         "scripted_metric": _q_scripted_metric,
         "cumulative_cardinality": _q_cumulative_cardinality,
@@ -6552,6 +6553,75 @@ def _histogram_sql() -> str:
     return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
 
 
+# (case_id kept stable: interval, min_doc_count, extended, hard)
+HISTOGRAM_BOUNDS_CASES = [
+    (200, 1, None, (200, 999)),
+    (200, 0, (0, 3000), None),
+    (200, 0, (0, 3000), (200, 999)),
+]
+
+
+def _q_histogram_bounds(sf_dir: str):
+    """ES histogram hard_bounds / extended_bounds over the 'merge' hit
+    set's n_chars: outside-bounds buckets dropped, zero-fill widened to
+    the extended range.  SQL twin: generate_series over the same bucket
+    arithmetic."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"case_id": [], "key": [], "doc_count": []}
+    for ci, (iv, mdc, ext, hard) in enumerate(HISTOGRAM_BOUNDS_CASES):
+        res = eng.search_histogram(
+            "merge", "n_chars", iv, min_doc_count=mdc,
+            extended_bounds=ext, hard_bounds=hard,
+        )
+        for b in res["buckets"]:
+            rows["case_id"].append(ci)
+            rows["key"].append(b["key"])
+            rows["doc_count"].append(b["doc_count"])
+    return pa.table({
+        "case_id": pa.array(rows["case_id"], pa.int64()),
+        "key": pa.array(rows["key"], pa.int64()),
+        "doc_count": pa.array(rows["doc_count"], pa.int64()),
+    })
+
+
+def _histogram_bounds_sql() -> str:
+    parts = []
+    for ci, (iv, mdc, ext, hard) in enumerate(HISTOGRAM_BOUNDS_CASES):
+        base = (
+            f"SELECT CAST(floor(n_chars / {iv}.0) AS BIGINT) * {iv} "
+            f"AS key, count(*)::BIGINT AS doc_count "
+            f"FROM documents WHERE doc_id IN ({_FACET_HITS['merge']}) "
+            f"GROUP BY 1"
+        )
+        if hard is not None:
+            lo = (hard[0] // iv) * iv
+            hi = (hard[1] // iv) * iv
+            base = (
+                f"SELECT * FROM ({base}) WHERE key BETWEEN {lo} AND {hi}"
+            )
+        if mdc == 0:
+            assert ext is not None
+            elo = (ext[0] // iv) * iv
+            ehi = (ext[1] // iv) * iv
+            base = f"""
+WITH b AS ({base}),
+rng AS (SELECT least({elo}, coalesce((SELECT min(key) FROM b), {elo}))
+          AS lo,
+        greatest({ehi}, coalesce((SELECT max(key) FROM b), {ehi}))
+          AS hi),
+keys AS (SELECT unnest(generate_series(rng.lo, rng.hi, {iv})) AS key
+         FROM rng)
+SELECT keys.key, coalesce(b.doc_count, 0)::BIGINT AS doc_count
+FROM keys LEFT JOIN b ON b.key = keys.key"""
+        parts.append(
+            f"SELECT {ci}::BIGINT AS case_id, key, doc_count "
+            f"FROM ({base})"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(
+        f"({p})" for p in parts
+    )
+
+
 def _percentiles_sql() -> str:
     parts = []
     for q in PERCENTILE_QUERIES:
@@ -7732,6 +7802,7 @@ GROUP BY d.doc_id
         "lm_perplexity": _lm_perplexity_sql(),
         "terms_partition": _terms_partition_sql(),
         "facets_filtered": _facets_filtered_sql(),
+        "histogram_bounds": _histogram_bounds_sql(),
         "remove_dup_spans": _remove_dup_spans_sql(),
         "scripted_metric": _scripted_metric_sql(),
         "cumulative_cardinality": _cumulative_cardinality_sql(),

@@ -3845,11 +3845,18 @@ class QueryEngine:
                 "top": top}
 
     def search_histogram(self, query_text: str, field: str, interval: int,
-                         min_doc_count: int = 1) -> dict:
+                         min_doc_count: int = 1,
+                         extended_bounds: tuple[int, int] | None = None,
+                         hard_bounds: tuple[int, int] | None = None,
+                         ) -> dict:
         """ES histogram aggregation: fixed-interval buckets
         (key = floor(v / interval) * interval) with exact doc counts over
         the full hit set; ``min_doc_count=0`` fills empty buckets between
-        the min and max populated keys (ES default shape)."""
+        the min and max populated keys (ES default shape).
+        ``hard_bounds=(lo, hi)`` drops buckets whose key falls outside
+        the bounds' bucket range; ``extended_bounds=(lo, hi)`` (ES:
+        meaningful with min_doc_count=0) widens the zero-filled range to
+        cover the bounds even when no docs land there."""
         if interval <= 0:
             raise ValueError("interval must be > 0")
         kind, payload = self._agg_route(query_text)
@@ -3858,9 +3865,22 @@ class QueryEngine:
         for p in parts:
             for k_, n in p.items():
                 merged[k_] = merged.get(k_, 0) + n
-        if merged and min_doc_count == 0:
-            for k_ in range(min(merged), max(merged) + interval, interval):
-                merged.setdefault(k_, 0)
+        if hard_bounds is not None:
+            lo_k = (hard_bounds[0] // interval) * interval
+            hi_k = (hard_bounds[1] // interval) * interval
+            merged = {k_: v for k_, v in merged.items()
+                      if lo_k <= k_ <= hi_k}
+        if min_doc_count == 0:
+            lo_k = min(merged) if merged else None
+            hi_k = max(merged) if merged else None
+            if extended_bounds is not None:
+                elo = (extended_bounds[0] // interval) * interval
+                ehi = (extended_bounds[1] // interval) * interval
+                lo_k = elo if lo_k is None else min(lo_k, elo)
+                hi_k = ehi if hi_k is None else max(hi_k, ehi)
+            if lo_k is not None:
+                for k_ in range(lo_k, hi_k + interval, interval):
+                    merged.setdefault(k_, 0)
         buckets = [
             {"key": k_, "doc_count": merged[k_]}
             for k_ in sorted(merged)

@@ -2959,3 +2959,74 @@ def test_facets_filtered(tmp_path):
             eng.search_facets_filtered(None, "source", min_doc_count=-1)
     finally:
         eng.close()
+
+
+def test_histogram_bounds(tmp_path):
+    """histogram hard_bounds (buckets outside dropped) and
+    extended_bounds (zero-fill widened to the bounds) vs a python
+    oracle, including negative keys."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    rng = random.Random(19)
+    rows = [
+        {"doc_id": i, "text": "merge",
+         "n_bytes": rng.randint(-250, 750)}
+        for i in range(120)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("n_bytes",), docs_per_segment=40,
+                    target_partition_rows=30),
+    )
+
+    def brute(mdc, ext, hard):
+        iv = 100
+        counts: dict = {}
+        for r in rows:
+            k = (r["n_bytes"] // iv) * iv
+            counts[k] = counts.get(k, 0) + 1
+        if hard:
+            lo, hi = (hard[0] // iv) * iv, (hard[1] // iv) * iv
+            counts = {k: v for k, v in counts.items() if lo <= k <= hi}
+        if mdc == 0 and (counts or ext):
+            lo = min(counts) if counts else None
+            hi = max(counts) if counts else None
+            if ext:
+                elo, ehi = (ext[0] // iv) * iv, (ext[1] // iv) * iv
+                lo = elo if lo is None else min(lo, elo)
+                hi = ehi if hi is None else max(hi, ehi)
+            for k in range(lo, hi + iv, iv):
+                counts.setdefault(k, 0)
+        return [{"key": k, "doc_count": counts[k]}
+                for k in sorted(counts)
+                if counts[k] >= mdc or mdc == 0]
+
+    eng = QueryEngine(idx, num_searchers=2)
+    try:
+        for mdc, ext, hard in (
+            (1, None, (0, 399)),
+            (0, (-500, 1000), None),
+            (0, (-500, 1000), (0, 399)),
+            (1, None, None),
+            (0, None, (10_000, 20_000)),  # everything dropped
+        ):
+            got = eng.search_histogram(
+                "merge", "n_bytes", 100, min_doc_count=mdc,
+                extended_bounds=ext, hard_bounds=hard,
+            )["buckets"]
+            assert got == brute(mdc, ext, hard), (mdc, ext, hard)
+    finally:
+        eng.close()
