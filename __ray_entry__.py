@@ -4845,6 +4845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_partition": _q_terms_partition,
         "facets_filtered": _q_facets_filtered,
         "histogram_bounds": _q_histogram_bounds,
+        "sigterms_background": _q_sigterms_background,
         "remove_dup_spans": _q_remove_dup_spans,
         "scripted_metric": _q_scripted_metric,
         "cumulative_cardinality": _q_cumulative_cardinality,
@@ -7373,6 +7374,67 @@ SELECT query, term, doc_count, bg_count, score_u FROM (
     )
 
 
+SIGTERMS_BG_CASES = [("merge", "hash"), ("scan", "join")]
+
+
+def _q_sigterms_background(sf_dir: str):
+    """significant_terms with background_filter: JLH rates against the
+    FILTER's hit set (bg df and total), not the whole index; terms
+    absent from the background are skipped (ES expects fg to be a
+    subset of the background)."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"fg": [], "bg": [], "term": [], "doc_count": [],
+            "bg_count": [], "score_u": []}
+    for fg_q, bg_q in SIGTERMS_BG_CASES:
+        res = eng.significant_terms(fg_q, size=10, min_doc_count=3,
+                                    background_filter=bg_q)
+        for b in res["buckets"]:
+            rows["fg"].append(fg_q)
+            rows["bg"].append(bg_q)
+            rows["term"].append(b["key"])
+            rows["doc_count"].append(b["doc_count"])
+            rows["bg_count"].append(b["bg_count"])
+            rows["score_u"].append(
+                int(math.floor(b["score"] * 1e6 + 0.5)))
+    return pa.table({
+        "fg": pa.array(rows["fg"], pa.string()),
+        "bg": pa.array(rows["bg"], pa.string()),
+        "term": pa.array(rows["term"], pa.string()),
+        "doc_count": pa.array(rows["doc_count"], pa.int64()),
+        "bg_count": pa.array(rows["bg_count"], pa.int64()),
+        "score_u": pa.array(rows["score_u"], pa.int64()),
+    })
+
+
+def _sigterms_background_sql() -> str:
+    parts = []
+    for fg_q, bg_q in SIGTERMS_BG_CASES:
+        fg_hits = f"SELECT DISTINCT doc_id FROM tok WHERE tok = '{fg_q}'"
+        bg_hits = f"SELECT DISTINCT doc_id FROM tok WHERE tok = '{bg_q}'"
+        parts.append(f"""
+SELECT fg, bg, term, doc_count, bg_count, score_u FROM (
+  SELECT '{fg_q}' AS fg, '{bg_q}' AS bg, f.tok AS term,
+         f.f AS doc_count, d.d AS bg_count,
+         CAST(floor(((f.f / h.hits - d.d / n.n)
+                     * ((f.f / h.hits) / (d.d / n.n))) * 1000000 + 0.5)
+              AS BIGINT) AS score_u,
+         row_number() OVER (
+           ORDER BY (f.f / h.hits - d.d / n.n)
+                    * ((f.f / h.hits) / (d.d / n.n)) DESC, f.tok
+         ) AS rk
+  FROM (SELECT tok, count(DISTINCT doc_id) AS f FROM tok
+        WHERE doc_id IN ({fg_hits}) GROUP BY tok) f
+  JOIN (SELECT tok, count(DISTINCT doc_id) AS d FROM tok
+        WHERE doc_id IN ({bg_hits}) GROUP BY tok) d ON d.tok = f.tok
+  CROSS JOIN (SELECT count(*) AS hits FROM ({fg_hits})) h
+  CROSS JOIN (SELECT count(*) AS n FROM ({bg_hits})) n
+  WHERE f.f >= 3 AND (f.f / h.hits) > (d.d / n.n)
+) WHERE rk <= 10""")
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(
+        f"({p})" for p in parts
+    )
+
+
 def _top_hits_sql() -> str:
     qt = []
     for q in BM25_QUERIES:
@@ -7803,6 +7865,7 @@ GROUP BY d.doc_id
         "terms_partition": _terms_partition_sql(),
         "facets_filtered": _facets_filtered_sql(),
         "histogram_bounds": _histogram_bounds_sql(),
+        "sigterms_background": _sigterms_background_sql(),
         "remove_dup_spans": _remove_dup_spans_sql(),
         "scripted_metric": _scripted_metric_sql(),
         "cumulative_cardinality": _cumulative_cardinality_sql(),

@@ -1373,6 +1373,27 @@ class Searcher:
                     out[i] += int(np.count_nonzero(live[got[0]]))
         return out
 
+    def dfs_in_set(self, terms: list[str], kind: str, payload) -> list:
+        """Doc frequency of each term WITHIN a filter query's hit set —
+        the ``background_filter`` counts of significant_terms: one hit
+        mask per reader, then a postings-intersection count per
+        surfaced term (bounded by the candidate vocabulary).  Also
+        returns this shard's background hit total."""
+        out = [0] * len(terms)
+        total = 0
+        for r in self.readers:
+            bg_slots = self._match_slots(r, kind, payload)
+            total += int(bg_slots.size)
+            if not bg_slots.size:
+                continue
+            mask = np.zeros(r.num_docs, dtype=bool)
+            mask[bg_slots] = True
+            for i, t in enumerate(terms):
+                got = r.postings_slots(t)
+                if got is not None:
+                    out[i] += int(np.count_nonzero(mask[got[0]]))
+        return out, total
+
     def count(self, kind: str, payload) -> int:
         """ES _count API: exact live hit count, no scoring, no fetch."""
         return sum(
@@ -4503,16 +4524,21 @@ class QueryEngine:
         return {"query": query_text, "field": field, "buckets": out}
 
     def significant_terms(self, query_text: str, size: int = 10,
-                          min_doc_count: int = 3) -> dict:
+                          min_doc_count: int = 3,
+                          background_filter: str | None = None) -> dict:
         """ES significant_terms aggregation (JLH): terms over-represented
-        in the query's hit set vs the whole index.  score =
-        (fg_rate - bg_rate) * fg_rate / bg_rate with fg_rate = fg/hits,
-        bg_rate = df/N; only terms with fg_rate > bg_rate and fg >=
-        ``min_doc_count`` surface; (-score, term) deterministic order.
-        Exact counts (no shard-local cutoffs): shards return every term
-        touched by the hit set; background dfs come from a SECOND fanout
-        over the surfaced candidates, because a term's df contribution
-        from readers/shards with zero foreground hits would otherwise be
+        in the query's hit set vs the background — the whole index by
+        default, or ``background_filter``'s hit set (ES's
+        ``background_filter``: compare against a narrower context; fg
+        should be a subset of it for sane rates, as ES's docs note).
+        score = (fg_rate - bg_rate) * fg_rate / bg_rate with
+        fg_rate = fg/hits, bg_rate = df/N; only terms with
+        fg_rate > bg_rate and fg >= ``min_doc_count`` surface;
+        (-score, term) deterministic order.  Exact counts (no
+        shard-local cutoffs): shards return every term touched by the
+        hit set; background dfs come from a SECOND fanout over the
+        surfaced candidates, because a term's df contribution from
+        readers/shards with zero foreground hits would otherwise be
         dropped (bg_rate too small, scores inflated)."""
         kind, payload = self._agg_route(query_text)
         parts = self._fanout("significant_terms_counts", kind, payload)
@@ -4526,12 +4552,28 @@ class QueryEngine:
         if hits:
             cands = sorted(t for t, f in fg.items() if f >= min_doc_count)
             df = {t: 0 for t in cands}
-            for dfs in self._fanout("dfs_live", cands):
-                for t, d in zip(cands, dfs):
-                    df[t] += int(d)
-            n_docs = float(self.doc_count)
+            if background_filter is not None:
+                bkind, bpayload = self._agg_route(background_filter)
+                bg_total = 0
+                for dfs, btot in self._fanout(
+                    "dfs_in_set", cands, bkind, bpayload
+                ):
+                    bg_total += int(btot)
+                    for t, d in zip(cands, dfs):
+                        df[t] += int(d)
+                n_docs = float(bg_total) if bg_total else 1.0
+            else:
+                for dfs in self._fanout("dfs_live", cands):
+                    for t, d in zip(cands, dfs):
+                        df[t] += int(d)
+                n_docs = float(self.doc_count)
             for t in cands:
                 f = fg[t]
+                if df[t] == 0:
+                    # only reachable with a background_filter whose set
+                    # misses fg docs (ES expects fg to be a subset of
+                    # the background); no rate is defined — skip
+                    continue
                 fg_rate = f / hits
                 bg_rate = df[t] / n_docs
                 if fg_rate <= bg_rate:

@@ -3030,3 +3030,74 @@ def test_histogram_bounds(tmp_path):
             assert got == brute(mdc, ext, hard), (mdc, ext, hard)
     finally:
         eng.close()
+
+
+def test_significant_terms_background_filter(tmp_path):
+    """significant_terms with background_filter: JLH rates computed
+    against the filter's hit set (counts and totals) vs a python
+    oracle; default path unchanged."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    rng = random.Random(67)
+    vocab = ["merge", "hash", "scan", "join", "tablex", "rowy"]
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(vocab)
+                          for _ in range(rng.randint(4, 9)))}
+        for i in range(160)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    docs_per_segment=40, target_partition_rows=30),
+    )
+
+    def brute(fg_q, bg_q, min_dc):
+        toks = {r["doc_id"]: set(r["text"].split()) for r in rows}
+        fg_ids = [d for d, t in toks.items() if fg_q in t]
+        bg_ids = [d for d, t in toks.items()
+                  if bg_q is None or bg_q in t]
+        hits = len(fg_ids)
+        n = len(bg_ids) if bg_q is not None else len(rows)
+        cands = sorted({w for d in fg_ids for w in toks[d]})
+        out = []
+        for t in cands:
+            f = sum(1 for d in fg_ids if t in toks[d])
+            if f < min_dc:
+                continue
+            d_ = sum(1 for d in bg_ids if t in toks[d])
+            if d_ == 0:
+                continue
+            fr, br = f / hits, d_ / n
+            if fr <= br:
+                continue
+            out.append(((fr - br) * (fr / br), t, f, d_))
+        out.sort(key=lambda b: (-b[0], b[1]))
+        return [(t, f, d_, round(s, 12)) for s, t, f, d_ in out]
+
+    for eng in (QueryEngine(idx, num_searchers=2),
+                QueryEngine(idx, num_searchers=0)):
+        try:
+            for fg_q, bg_q in (("merge", "hash"), ("merge", None),
+                               ("tablex", "rowy")):
+                got = eng.significant_terms(
+                    fg_q, size=50, min_doc_count=2,
+                    background_filter=bg_q,
+                )["buckets"]
+                assert [(b["key"], b["doc_count"], b["bg_count"],
+                         round(b["score"], 12)) for b in got] == \
+                    brute(fg_q, bg_q, 2), (fg_q, bg_q)
+        finally:
+            eng.close()
