@@ -3090,6 +3090,60 @@ SELECT key, count(*)::BIGINT AS doc_count
 FROM k GROUP BY key ORDER BY doc_count DESC, key LIMIT 10"""
 
 
+def _q_date_histogram_fixed(sf_dir: str):
+    """ES date_histogram with fixed_interval=12h and offset=+3h:
+    bucket grid shifted by the offset, exact integer-cents sums."""
+    from elasticsearch_ray.ops.events import date_histogram_fixed
+
+    hour = 3_600_000_000
+    t = pa.Table.from_pandas(
+        date_histogram_fixed(_events_ds(sf_dir), 12 * hour,
+                             offset_us=3 * hour).to_pandas(),
+        preserve_index=False,
+    )
+    return t.sort_by("bucket_us")
+
+
+def _date_histogram_fixed_sql() -> str:
+    hour = 3_600_000_000
+    iv, off = 12 * hour, 3 * hour
+    return f"""
+WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS t,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events)
+SELECT CAST(floor((t - {off}) / {iv}.0) AS BIGINT) * {iv} + {off}
+         AS bucket_us,
+       count(*)::BIGINT AS n, sum(cents)::BIGINT AS sum_cents
+FROM e GROUP BY 1 ORDER BY bucket_us"""
+
+
+def _q_percentiles_bucket(sf_dir: str):
+    """ES percentiles_bucket sibling aggregation: nearest-rank p50/p95
+    of the daily sum_cents series."""
+    from elasticsearch_ray.ops.events import date_histogram
+    from elasticsearch_ray.ops.pipeline_aggs import percentiles_bucket
+
+    b = pa.Table.from_pandas(
+        date_histogram(_events_ds(sf_dir), interval="day").to_pandas()
+    )
+    out = percentiles_bucket(b, "sum_cents", percents=(50.0, 95.0))
+    return pa.table({
+        "p50_cents": pa.array([int(out["p50"])], pa.int64()),
+        "p95_cents": pa.array([int(out["p95"])], pa.int64()),
+    })
+
+
+def _percentiles_bucket_sql() -> str:
+    return """
+WITH b AS (SELECT sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s
+           FROM events GROUP BY date_trunc('day', ts))
+SELECT CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY s) AS BIGINT)
+         AS p50_cents,
+       CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY s) AS BIGINT)
+         AS p95_cents
+FROM b"""
+
+
 def _q_change_point(sf_dir: str):
     """ES change_point aggregation (deterministic largest-mean-shift
     variant): over daily integer-cents bucket sums, the split
@@ -4859,6 +4913,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_range_agg": _q_date_range,
         "moving_percentiles": _q_moving_percentiles,
         "change_point": _q_change_point,
+        "date_histogram_fixed": _q_date_histogram_fixed,
+        "percentiles_bucket": _q_percentiles_bucket,
         "random_sampler": _q_random_sampler,
         "geo_bbox": _q_geo_bbox,
         "geo_distance": _q_geo_distance,
@@ -7879,6 +7935,8 @@ GROUP BY d.doc_id
         "date_range_agg": _date_range_sql(),
         "moving_percentiles": _moving_percentiles_sql(),
         "change_point": _change_point_sql(),
+        "date_histogram_fixed": _date_histogram_fixed_sql(),
+        "percentiles_bucket": _percentiles_bucket_sql(),
         "random_sampler": _random_sampler_sql(),
         "geo_bbox": _geo_bbox_sql(),
         "geo_distance": _geo_distance_sql(),

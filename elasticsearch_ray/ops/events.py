@@ -948,3 +948,50 @@ def change_point(
     shift, k, lm, rm = best
     return {"bucket_us": buckets[k], "left_mean_u": lm,
             "right_mean_u": rm, "shift_u": shift}
+
+
+def date_histogram_fixed(
+    ds: ray.data.Dataset,
+    interval_us: int,
+    offset_us: int = 0,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> ray.data.Dataset:
+    """ES ``date_histogram`` with ``fixed_interval`` + ``offset``
+    semantics: bucket = ``floor((ts - offset) / interval) * interval +
+    offset`` in epoch microseconds (ES shifts the grid by the offset;
+    negative timestamps floor correctly).  Same map-side pre-aggregated
+    shape as the calendar :func:`date_histogram` — one row per
+    (batch, bucket) rides the shuffle.  Emits (bucket_us, n,
+    sum_cents)."""
+    from ray.data.aggregate import Count, Sum
+
+    if interval_us <= 0:
+        raise ValueError("interval_us must be > 0")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch, ts_col)
+        bucket = ((ts - offset_us) // interval_us) * interval_us \
+            + offset_us
+        cents = np.floor(
+            np.asarray(batch.column(value_col).to_numpy(), np.float64)
+            * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "bucket_us": pa.array(bucket),
+            "cents": pa.array(cents),
+        })
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket_us").aggregate(Count(), Sum("cents"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket_us": batch.column("bucket_us"),
+            "n": batch.column("count()").cast(pa.int64()),
+            "sum_cents": batch.column("sum(cents)").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -222,3 +222,24 @@ def normalize(buckets: pa.Table, buckets_path: str, method: str,
         pa.array([None if np.isnan(v) else float(v) for v in out],
                  pa.float64()),
     )
+
+
+def percentiles_bucket(buckets: pa.Table, buckets_path: str,
+                       percents: tuple = (50.0, 95.0)) -> dict:
+    """ES ``percentiles_bucket`` sibling aggregation: nearest-rank
+    percentiles (``percentile_disc``: the value at cumulative rank
+    ``ceil(p/100 * n)``, same convention as the metric percentiles) of
+    a metric across ALL buckets.  Null metrics are skipped (ES's
+    default skip gap policy); an empty series yields nulls."""
+    import math
+
+    vals = _metric(buckets, buckets_path)
+    vals = vals[~np.isnan(vals)]
+    out: dict[str, float | None] = {}
+    if not vals.size:
+        return {f"p{p:g}": None for p in percents}
+    vals = np.sort(vals)
+    for p in percents:
+        rank = max(math.ceil(p / 100.0 * vals.size), 1)
+        out[f"p{p:g}"] = float(vals[min(rank, vals.size) - 1])
+    return out

@@ -401,3 +401,42 @@ def test_change_point():
     one = ray.data.from_items(
         [{"ts": dt.datetime(2024, 1, 1), "value": 2.0}])
     assert change_point(one)["bucket_us"] is None
+
+
+def test_date_histogram_fixed_offset():
+    import datetime as dt
+
+    from elasticsearch_ray.ops.events import date_histogram_fixed
+
+    rows = []
+    for h in (0, 5, 11, 12, 13, 23):
+        rows.append({"ts": dt.datetime(2024, 1, 1, h), "value": 1.0})
+    ds = ray.data.from_items(rows)
+    hour = 3_600 * US
+    # 12h buckets with +3h offset: boundaries at 03:00 and 15:00
+    out = {r["bucket_us"]: r["n"] for r in
+           date_histogram_fixed(ds, 12 * hour, offset_us=3 * hour)
+           .take_all()}
+    base = int(dt.datetime(2024, 1, 1,
+                           tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    assert out == {
+        base - 9 * hour: 1,          # 00:00 -> prev day's 15:00 bucket
+        base + 3 * hour: 4,          # 05..13 -> 03:00 bucket
+        base + 15 * hour: 1,         # 23:00 -> 15:00 bucket
+    }
+    with pytest.raises(ValueError):
+        date_histogram_fixed(ds, 0)
+
+
+def test_percentiles_bucket():
+    import pyarrow as pa
+
+    from elasticsearch_ray.ops.pipeline_aggs import percentiles_bucket
+
+    b = pa.table({"m": pa.array([10.0, 40.0, 20.0, 30.0, None],
+                                pa.float64())})
+    out = percentiles_bucket(b, "m", percents=(25.0, 50.0, 100.0))
+    # sorted non-null [10,20,30,40]; ranks ceil(1)=1, ceil(2)=2, 4
+    assert out == {"p25": 10.0, "p50": 20.0, "p100": 40.0}
+    empty = pa.table({"m": pa.array([], pa.float64())})
+    assert percentiles_bucket(empty, "m") == {"p50": None, "p95": None}
