@@ -6651,15 +6651,20 @@ def _histogram_bounds_sql() -> str:
             f"GROUP BY 1"
         )
         if hard is not None:
-            lo = (hard[0] // iv) * iv
-            hi = (hard[1] // iv) * iv
+            # ES semantics: the bucket KEY compares against the RAW
+            # bounds (a bucket starting below lo is dropped)
             base = (
-                f"SELECT * FROM ({base}) WHERE key BETWEEN {lo} AND {hi}"
+                f"SELECT * FROM ({base}) "
+                f"WHERE key BETWEEN {hard[0]} AND {hard[1]}"
             )
         if mdc == 0:
             assert ext is not None
-            elo = (ext[0] // iv) * iv
+            elo = -((-ext[0]) // iv) * iv
             ehi = (ext[1] // iv) * iv
+            clamp = (
+                f"WHERE keys.key BETWEEN {hard[0]} AND {hard[1]}"
+                if hard is not None else ""
+            )
             base = f"""
 WITH b AS ({base}),
 rng AS (SELECT least({elo}, coalesce((SELECT min(key) FROM b), {elo}))
@@ -6669,7 +6674,7 @@ rng AS (SELECT least({elo}, coalesce((SELECT min(key) FROM b), {elo}))
 keys AS (SELECT unnest(generate_series(rng.lo, rng.hi, {iv})) AS key
          FROM rng)
 SELECT keys.key, coalesce(b.doc_count, 0)::BIGINT AS doc_count
-FROM keys LEFT JOIN b ON b.key = keys.key"""
+FROM keys LEFT JOIN b ON b.key = keys.key {clamp}"""
         parts.append(
             f"SELECT {ci}::BIGINT AS case_id, key, doc_count "
             f"FROM ({base})"

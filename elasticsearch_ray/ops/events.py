@@ -964,7 +964,7 @@ def date_histogram_fixed(
     shape as the calendar :func:`date_histogram` — one row per
     (batch, bucket) rides the shuffle.  Emits (bucket_us, n,
     sum_cents)."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     if interval_us <= 0:
         raise ValueError("interval_us must be > 0")
@@ -977,21 +977,31 @@ def date_histogram_fixed(
             np.asarray(batch.column(value_col).to_numpy(), np.float64)
             * 100 + 0.5
         ).astype(np.int64)
-        return pa.table({
+        part = pa.table({
             "bucket_us": pa.array(bucket),
             "cents": pa.array(cents),
+        })
+        # map-side combiner: the shuffle carries one row per
+        # (batch, bucket), like the calendar date_histogram
+        g = part.group_by("bucket_us").aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return pa.table({
+            "bucket_us": g.column("bucket_us"),
+            "s_part": g.column("cents_sum").cast(pa.int64()),
+            "n_part": g.column("cents_count").cast(pa.int64()),
         })
 
     agg = (
         ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("bucket_us").aggregate(Count(), Sum("cents"))
+        .groupby("bucket_us").aggregate(Sum("n_part"), Sum("s_part"))
     )
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
             "bucket_us": batch.column("bucket_us"),
-            "n": batch.column("count()").cast(pa.int64()),
-            "sum_cents": batch.column("sum(cents)").cast(pa.int64()),
+            "n": batch.column("sum(n_part)").cast(pa.int64()),
+            "sum_cents": batch.column("sum(s_part)").cast(pa.int64()),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")

@@ -489,20 +489,31 @@ class Searcher:
         the field (the ``missing`` bucket's raw material) when asked."""
         inc = re.compile(include_re) if include_re else None
         exc = re.compile(exclude_re) if exclude_re else None
-        local = self._facet_counts_cached(kind, payload, field)
-        out = {}
-        for v, n in local.items():
+
+        def keep(v: str) -> bool:
             if inc is not None and not inc.fullmatch(v or ""):
-                continue
-            if exc is not None and exc.fullmatch(v or ""):
-                continue
-            out[v] = n
+                return False
+            return not (exc is not None and exc.fullmatch(v or ""))
+
+        out: dict[str, int] = {}
         miss = 0
-        if count_missing:
-            for r, (codes, _cats) in zip(self.readers,
-                                         self._facet_column(field)):
-                slots = self._match_slots(r, kind, payload)
-                miss += int((codes[slots] < 0).sum())
+        # ONE _match_slots pass per reader covers counts AND the
+        # missing tally (re-using facet_counts would re-evaluate the
+        # query a second time just to count nulls)
+        for r, (codes, cats) in zip(self.readers,
+                                    self._facet_column(field)):
+            slots = self._match_slots(r, kind, payload)
+            c = codes[slots]
+            if count_missing:
+                miss += int((c < 0).sum())
+            c = c[c >= 0]
+            if not c.size:
+                continue
+            counts = np.bincount(c, minlength=len(cats))
+            for i in np.flatnonzero(counts):
+                v = cats[i]
+                if keep(v):
+                    out[v] = out.get(v, 0) + int(counts[i])
         return out, miss
 
     def facet_cardinality(self, field: str) -> int:
@@ -1373,7 +1384,8 @@ class Searcher:
                     out[i] += int(np.count_nonzero(live[got[0]]))
         return out
 
-    def dfs_in_set(self, terms: list[str], kind: str, payload) -> list:
+    def dfs_in_set(self, terms: list[str], kind: str,
+                   payload) -> tuple[list[int], int]:
         """Doc frequency of each term WITHIN a filter query's hit set —
         the ``background_filter`` counts of significant_terms: one hit
         mask per reader, then a postings-intersection count per
@@ -3114,9 +3126,9 @@ class QueryEngine:
         ``min_doc_count`` (buckets under it are dropped after the
         exact cross-shard merge, so there's no shard-truncation
         undercount), and ``missing`` (docs without the field count
-        under this key, exempt from include/exclude like ES applies
-        the missing value before filtering is resolved).  Bucket order
-        (count desc, value asc)."""
+        under this key; ES substitutes the missing value BEFORE key
+        filtering, so the substituted key passes include/exclude like
+        any other value).  Bucket order (count desc, value asc)."""
         if min_doc_count < 0:
             raise ValueError("min_doc_count must be >= 0")
         kind, payload = self._agg_route(query_text)
@@ -3131,7 +3143,17 @@ class QueryEngine:
                 merged[v] = merged.get(v, 0) + n
             miss_total += miss
         if missing is not None and miss_total > 0:
-            merged[missing] = merged.get(missing, 0) + miss_total
+            # ES substitutes the missing value at the values-source
+            # level, so the substituted key passes through
+            # include/exclude like any other value
+            ok = True
+            if include is not None and not re.fullmatch(include,
+                                                        missing):
+                ok = False
+            if exclude is not None and re.fullmatch(exclude, missing):
+                ok = False
+            if ok:
+                merged[missing] = merged.get(missing, 0) + miss_total
         buckets = sorted(
             ((v, n) for v, n in merged.items() if n >= min_doc_count),
             key=lambda kv: (-kv[1], kv[0]),
@@ -3874,10 +3896,12 @@ class QueryEngine:
         (key = floor(v / interval) * interval) with exact doc counts over
         the full hit set; ``min_doc_count=0`` fills empty buckets between
         the min and max populated keys (ES default shape).
-        ``hard_bounds=(lo, hi)`` drops buckets whose key falls outside
-        the bounds' bucket range; ``extended_bounds=(lo, hi)`` (ES:
-        meaningful with min_doc_count=0) widens the zero-filled range to
-        cover the bounds even when no docs land there."""
+        ``hard_bounds=(lo, hi)`` drops buckets whose KEY falls outside
+        the raw bounds (ES compares the key itself, so a bucket
+        starting below lo never survives); ``extended_bounds=(lo, hi)``
+        (ES: meaningful with min_doc_count=0) widens the zero-filled
+        range to cover the bounds even when no docs land there — but
+        never past hard_bounds."""
         if interval <= 0:
             raise ValueError("interval must be > 0")
         kind, payload = self._agg_route(query_text)
@@ -3887,20 +3911,26 @@ class QueryEngine:
             for k_, n in p.items():
                 merged[k_] = merged.get(k_, 0) + n
         if hard_bounds is not None:
-            lo_k = (hard_bounds[0] // interval) * interval
-            hi_k = (hard_bounds[1] // interval) * interval
+            # ES compares the bucket KEY against the RAW bounds — a
+            # bucket whose key falls below min survives in no case
             merged = {k_: v for k_, v in merged.items()
-                      if lo_k <= k_ <= hi_k}
+                      if hard_bounds[0] <= k_ <= hard_bounds[1]}
         if min_doc_count == 0:
             lo_k = min(merged) if merged else None
             hi_k = max(merged) if merged else None
             if extended_bounds is not None:
-                elo = (extended_bounds[0] // interval) * interval
+                elo = -((-extended_bounds[0]) // interval) * interval
                 ehi = (extended_bounds[1] // interval) * interval
                 lo_k = elo if lo_k is None else min(lo_k, elo)
                 hi_k = ehi if hi_k is None else max(hi_k, ehi)
             if lo_k is not None:
                 for k_ in range(lo_k, hi_k + interval, interval):
+                    # the zero-fill never resurrects keys hard_bounds
+                    # excluded
+                    if hard_bounds is not None and not (
+                        hard_bounds[0] <= k_ <= hard_bounds[1]
+                    ):
+                        continue
                     merged.setdefault(k_, 0)
         buckets = [
             {"key": k_, "doc_count": merged[k_]}

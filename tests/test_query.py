@@ -2851,10 +2851,6 @@ def test_facets_partition(tmp_path):
                 b["key"]: b["doc_count"]
                 for b in eng.search_facets(q or "", "source",
                                            size=1000)["buckets"]
-            } if q else {
-                b["key"]: b["doc_count"]
-                for b in eng.search_facets_partition(
-                    None, "source", 0, 1, size=1000)["buckets"]
             }
             n_part = 4
             union: dict = {}
@@ -2867,8 +2863,7 @@ def test_facets_partition(tmp_path):
                     union[v] = b["doc_count"]
                     h = int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
                     assert h % n_part == p
-            if q:
-                assert union == full
+            assert union == full
         with pytest.raises(ValueError):
             eng.search_facets_partition(None, "source", 4, 4)
     finally:
@@ -2930,7 +2925,10 @@ def test_facets_filtered(tmp_path):
                 continue
             counts[v] = counts.get(v, 0) + 1
         if missing is not None and miss:
-            counts[missing] = counts.get(missing, 0) + miss
+            ok = (include is None or _re.fullmatch(include, missing)) \
+                and not (exclude and _re.fullmatch(exclude, missing))
+            if ok:
+                counts[missing] = counts.get(missing, 0) + miss
         return [
             {"key": v, "doc_count": n}
             for v, n in sorted(counts.items(),
@@ -2946,7 +2944,8 @@ def test_facets_filtered(tmp_path):
             (None, r"s1.*", None, 1, None),      # s1 and s10
             ("merge", None, None, 10, None),
             ("merge", None, None, 1, "__missing__"),
-            (None, r"t.*", None, 1, "NA"),       # missing exempt from include
+            (None, r"t.*", None, 1, "NA"),   # NA fails include -> dropped
+            (None, r"(t.*|NA)", None, 1, "NA"),  # NA passes include
         ]
         for q, inc, exc, mdc, miss in cases:
             got = eng.search_facets_filtered(
@@ -2999,16 +2998,19 @@ def test_histogram_bounds(tmp_path):
             k = (r["n_bytes"] // iv) * iv
             counts[k] = counts.get(k, 0) + 1
         if hard:
-            lo, hi = (hard[0] // iv) * iv, (hard[1] // iv) * iv
-            counts = {k: v for k, v in counts.items() if lo <= k <= hi}
+            counts = {k: v for k, v in counts.items()
+                      if hard[0] <= k <= hard[1]}
         if mdc == 0 and (counts or ext):
             lo = min(counts) if counts else None
             hi = max(counts) if counts else None
             if ext:
-                elo, ehi = (ext[0] // iv) * iv, (ext[1] // iv) * iv
+                elo = -((-ext[0]) // iv) * iv
+                ehi = (ext[1] // iv) * iv
                 lo = elo if lo is None else min(lo, elo)
                 hi = ehi if hi is None else max(hi, ehi)
             for k in range(lo, hi + iv, iv):
+                if hard and not (hard[0] <= k <= hard[1]):
+                    continue
                 counts.setdefault(k, 0)
         return [{"key": k, "doc_count": counts[k]}
                 for k in sorted(counts)
@@ -3022,6 +3024,8 @@ def test_histogram_bounds(tmp_path):
             (0, (-500, 1000), (0, 399)),
             (1, None, None),
             (0, None, (10_000, 20_000)),  # everything dropped
+            (1, None, (250, 650)),        # raw bounds, not multiples
+            (0, (-500, 1000), (150, 449)),
         ):
             got = eng.search_histogram(
                 "merge", "n_bytes", 100, min_doc_count=mdc,
