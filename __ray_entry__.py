@@ -4476,6 +4476,36 @@ def _facets_filtered_sql() -> str:
     return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
 
 
+def _q_filters_other(sf_dir: str):
+    """ES filters aggregation with other_bucket: the four named filter
+    counts plus the docs matching NONE of them (shard-side mask union,
+    one fanout)."""
+    eng = _engine(sf_dir, "plain")
+    res = eng.search_filters_agg(dict(FILTERS_AGG), other_bucket=True)
+    names = [n for n, _ in FILTERS_AGG] + ["_other_"]
+    return pa.table({
+        "name": pa.array(names, pa.string()),
+        "doc_count": pa.array(
+            [res["buckets"][n]["doc_count"] for n in names], pa.int64()),
+    })
+
+
+def _filters_other_sql() -> str:
+    parts = [
+        f"SELECT '{name}' AS name, "
+        f"(SELECT count(*) FROM ({_FACET_HITS[q]}))::BIGINT AS doc_count"
+        for name, q in FILTERS_AGG
+    ]
+    union = " UNION ".join(f"SELECT doc_id FROM ({_FACET_HITS[q]})"
+                           for _n, q in FILTERS_AGG)
+    parts.append(
+        "SELECT '_other_' AS name, "
+        "((SELECT count(*) FROM documents) - "
+        f"(SELECT count(*) FROM ({union})))::BIGINT AS doc_count"
+    )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
 def _q_terms_partition(sf_dir: str):
     """ES terms aggregation with include partitions: the 'merge' hit
     set's source buckets paged across 3 md5-value partitions (each
@@ -4897,6 +4927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_spans": _q_dup_ngram_spans,
         "lm_perplexity": _q_lm_perplexity,
         "terms_partition": _q_terms_partition,
+        "filters_other": _q_filters_other,
         "facets_filtered": _q_facets_filtered,
         "histogram_bounds": _q_histogram_bounds,
         "sigterms_background": _q_sigterms_background,
@@ -7924,6 +7955,7 @@ GROUP BY d.doc_id
         "dup_ngram_spans": _dup_ngram_spans_sql(),
         "lm_perplexity": _lm_perplexity_sql(),
         "terms_partition": _terms_partition_sql(),
+        "filters_other": _filters_other_sql(),
         "facets_filtered": _facets_filtered_sql(),
         "histogram_bounds": _histogram_bounds_sql(),
         "sigterms_background": _sigterms_background_sql(),

@@ -1406,6 +1406,24 @@ class Searcher:
                     out[i] += int(np.count_nonzero(mask[got[0]]))
         return out, total
 
+    def filters_counts_other(self, specs: list[tuple]) -> tuple:
+        """ES ``filters`` aggregation with ``other_bucket``: every named
+        filter's live hit count PLUS the count of live docs matching
+        NONE of them — one fanout instead of one per filter, and the
+        complement comes from a per-reader mask union (never a
+        driver-side id set).  ``specs`` = [(kind, payload), ...]."""
+        counts = [0] * len(specs)
+        other = 0
+        for r in self.readers:
+            live = r.doc_lens >= 0
+            union = np.zeros(r.num_docs, dtype=bool)
+            for i, (kind, payload) in enumerate(specs):
+                slots = self._match_slots(r, kind, payload)
+                counts[i] += int(slots.size)
+                union[slots] = True
+            other += int(np.count_nonzero(live & ~union))
+        return counts, other
+
     def count(self, kind: str, payload) -> int:
         """ES _count API: exact live hit count, no scoring, no fetch."""
         return sum(
@@ -3244,11 +3262,32 @@ class QueryEngine:
         )
         return {"field": field, "doc_count": int(sum(parts))}
 
-    def search_filters_agg(self, filters: dict[str, str]) -> dict:
+    def search_filters_agg(self, filters: dict[str, str],
+                           other_bucket: bool = False,
+                           other_bucket_key: str = "_other_") -> dict:
         """ES ``filters`` aggregation: one named bucket per filter query
         (match / boolean / wildcard semantics), each with its exact live
         hit count — no scoring, no fetch.  Bucket order preserves the
-        caller's dict order (ES keyed-filters behavior)."""
+        caller's dict order (ES keyed-filters behavior).
+        ``other_bucket=True`` adds ES's other bucket: live docs matching
+        NONE of the filters, under ``other_bucket_key`` — counted
+        shard-side from a mask union, one fanout for the whole
+        aggregation."""
+        if other_bucket:
+            specs = [self._agg_route(q) for q in filters.values()]
+            parts = self._fanout("filters_counts_other", specs)
+            counts = [0] * len(specs)
+            other = 0
+            for cs, o in parts:
+                other += int(o)
+                for i, c in enumerate(cs):
+                    counts[i] += int(c)
+            buckets = {
+                name: {"doc_count": counts[i]}
+                for i, name in enumerate(filters)
+            }
+            buckets[other_bucket_key] = {"doc_count": other}
+            return {"buckets": buckets}
         buckets = {}
         for name, q in filters.items():
             kind, payload = self._agg_route(q)

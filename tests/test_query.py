@@ -3105,3 +3105,60 @@ def test_significant_terms_background_filter(tmp_path):
                     brute(fg_q, bg_q, 2), (fg_q, bg_q)
         finally:
             eng.close()
+
+
+def test_filters_agg_other_bucket(tmp_path):
+    """filters agg other_bucket: docs matching NO named filter, counted
+    shard-side; named counts identical to the per-filter path."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    rng = random.Random(13)
+    vocab = ["merge", "hash", "scan", "join", "zzz"]
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(vocab)
+                          for _ in range(rng.randint(2, 6)))}
+        for i in range(140)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    docs_per_segment=40, target_partition_rows=30),
+    )
+    filters = {"m": "merge", "mh": "merge AND hash", "pre": "sc*"}
+    toks = [set(r["text"].split()) for r in rows]
+    want = {
+        "m": sum(1 for t in toks if "merge" in t),
+        "mh": sum(1 for t in toks if {"merge", "hash"} <= t),
+        "pre": sum(1 for t in toks
+                   if any(w.startswith("sc") for w in t)),
+    }
+    other = sum(
+        1 for t in toks
+        if "merge" not in t and not {"merge", "hash"} <= t
+        and not any(w.startswith("sc") for w in t)
+    )
+    for eng in (QueryEngine(idx, num_searchers=2),
+                QueryEngine(idx, num_searchers=0)):
+        try:
+            res = eng.search_filters_agg(filters, other_bucket=True)
+            got = {k: v["doc_count"] for k, v in res["buckets"].items()}
+            assert got == {**want, "_other_": other}
+            # per-filter path agrees on the named buckets
+            plain = eng.search_filters_agg(filters)
+            assert {k: v["doc_count"]
+                    for k, v in plain["buckets"].items()} == want
+        finally:
+            eng.close()
