@@ -3264,15 +3264,23 @@ class QueryEngine:
 
     def search_filters_agg(self, filters: dict[str, str],
                            other_bucket: bool = False,
-                           other_bucket_key: str = "_other_") -> dict:
+                           other_bucket_key: str | None = None) -> dict:
         """ES ``filters`` aggregation: one named bucket per filter query
         (match / boolean / wildcard semantics), each with its exact live
         hit count — no scoring, no fetch.  Bucket order preserves the
         caller's dict order (ES keyed-filters behavior).
         ``other_bucket=True`` adds ES's other bucket: live docs matching
-        NONE of the filters, under ``other_bucket_key`` — counted
-        shard-side from a mask union, one fanout for the whole
-        aggregation."""
+        NONE of the filters, under ``other_bucket_key`` (default
+        ``_other_``; setting the key alone IMPLIES other_bucket, like
+        ES) — counted shard-side from a mask union, one fanout for the
+        whole aggregation.  A filter named like the other bucket's key
+        is rejected rather than silently overwritten."""
+        if other_bucket_key is not None:
+            other_bucket = True  # ES: the key alone enables the bucket
+        key = other_bucket_key or "_other_"
+        if other_bucket and key in filters:
+            raise ValueError(
+                f"filter name {key!r} collides with other_bucket_key")
         if other_bucket:
             specs = [self._agg_route(q) for q in filters.values()]
             parts = self._fanout("filters_counts_other", specs)
@@ -3286,7 +3294,7 @@ class QueryEngine:
                 name: {"doc_count": counts[i]}
                 for i, name in enumerate(filters)
             }
-            buckets[other_bucket_key] = {"doc_count": other}
+            buckets[key] = {"doc_count": other}
             return {"buckets": buckets}
         buckets = {}
         for name, q in filters.items():

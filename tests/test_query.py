@@ -3162,3 +3162,32 @@ def test_filters_agg_other_bucket(tmp_path):
                     for k, v in plain["buckets"].items()} == want
         finally:
             eng.close()
+
+
+def test_filters_agg_other_bucket_key_semantics(tmp_path):
+    """other_bucket_key alone implies other_bucket (ES behavior); a
+    filter name colliding with the key raises instead of silently
+    dropping a bucket."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({"text": pa.array(
+        ["merge hash", "scan", "zzz"])}), src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, BuildConfig(analyzer="plain", url_column=None,
+                                      lang_column=None))
+    eng = QueryEngine(idx, num_searchers=0)
+    try:
+        res = eng.search_filters_agg({"m": "merge"},
+                                     other_bucket_key="rest")
+        assert res["buckets"]["rest"]["doc_count"] == 2
+        assert res["buckets"]["m"]["doc_count"] == 1
+        with pytest.raises(ValueError, match="collides"):
+            eng.search_filters_agg({"rest": "merge"},
+                                   other_bucket_key="rest")
+    finally:
+        eng.close()
