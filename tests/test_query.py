@@ -3191,3 +3191,62 @@ def test_filters_agg_other_bucket_key_semantics(tmp_path):
                                    other_bucket_key="rest")
     finally:
         eng.close()
+
+
+def test_terms_agg_paths_agree(tmp_path):
+    """Internal consistency fuzz: the four terms-agg paths (exact,
+    sharded with generous shard_size, partition union, filtered with no
+    filters) produce identical buckets for random queries."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    rng = random.Random(101)
+    vocab = ["merge", "hash", "scan", "join", "table"]
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(vocab)
+                          for _ in range(rng.randint(2, 8))),
+         "source": f"s{rng.randint(0, 11)}"}
+        for i in range(180)
+    ]
+    src = tmp_path / "src"; src.mkdir()
+    pq.write_table(
+        pa.table({k: pa.array([r[k] for r in rows]) for k in rows[0]}),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("source",), docs_per_segment=50,
+                    target_partition_rows=40),
+    )
+    eng = QueryEngine(idx, num_searchers=2)
+    try:
+        queries = ["merge", "merge AND hash", "mer*", "scan OR join",
+                   "hash~", ""]
+        for q in queries:
+            exact = eng.search_facets(q, "source", size=1000)["buckets"]
+            sharded = eng.search_facets_sharded(
+                q or None, "source", size=1000, shard_size=1000
+            )["buckets"]
+            assert [(b["key"], b["doc_count"]) for b in exact] == \
+                [(b["key"], b["doc_count"]) for b in sharded], q
+            filt = eng.search_facets_filtered(
+                q or None, "source", size=1000
+            )["buckets"]
+            assert exact == filt, q
+            union: dict = {}
+            for p in range(3):
+                for b in eng.search_facets_partition(
+                    q or None, "source", p, 3, size=1000
+                )["buckets"]:
+                    union[b["key"]] = b["doc_count"]
+            assert union == {b["key"]: b["doc_count"] for b in exact}, q
+    finally:
+        eng.close()
