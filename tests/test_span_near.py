@@ -270,3 +270,33 @@ def test_span_not_window_bound(tmp_path):
             eng.search_span_not("alpha", "beta", pre=1 << 31)
     finally:
         eng.close()
+
+
+def test_span_family_degenerate_equivalences(tmp_path):
+    """Internal consistency: span_near with a huge slop equals boolean
+    AND; span_first with a huge end equals the span_or union (boolean
+    OR); span_not with huge pre/post keeps only docs where the include
+    term appears but NO exclude term does."""
+    rng = random.Random(3)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 9)))
+             for _ in range(50)]
+    eng = _build(texts, tmp_path, seg=9, part=6)
+    try:
+        for a, b in (("aa", "bb"), ("cc", "dd"), ("aa", "dd")):
+            near = eng.search_span_near(f"{a} {b}", slop=10_000, size=200)
+            land = eng.search(f"{a} AND {b}", size=200)
+            assert [h["doc_id"] for h in near["results"]] == \
+                [h["doc_id"] for h in land["results"]], (a, b)
+            first = eng.search_span_first(f"{a} {b}", end=10_000,
+                                          size=200)
+            lor = eng.search(f"{a} OR {b}", size=200)
+            assert [h["doc_id"] for h in first["results"]] == \
+                [h["doc_id"] for h in lor["results"]], (a, b)
+            noti = eng.search_span_not(a, b, pre=10_000, post=10_000,
+                                       size=200)
+            lnot = eng.search(f"{a} AND NOT {b}", size=200)
+            assert [h["doc_id"] for h in noti["results"]] == \
+                [h["doc_id"] for h in lnot["results"]], (a, b)
+    finally:
+        eng.close()
