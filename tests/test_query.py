@@ -3250,3 +3250,38 @@ def test_terms_agg_paths_agree(tmp_path):
             assert union == {b["key"]: b["doc_count"] for b in exact}, q
     finally:
         eng.close()
+
+
+def test_validate_query_robustness_fuzz(tmp_path):
+    """Router hardening: validate_query never raises on arbitrary query
+    strings, and any query it declares valid must execute without an
+    exception."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({"text": pa.array(
+        ["merge hash scan", "scan join", "table merge"])}), src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, BuildConfig(analyzer="plain", url_column=None,
+                                      lang_column=None))
+    rng = random.Random(7)
+    pieces = ["merge", "hash", "scan", "AND", "OR", "NOT", "(", ")",
+              "mer*", "hash~", "zz", ""]
+    eng = QueryEngine(idx, num_searchers=0)
+    try:
+        for _ in range(300):
+            q = " ".join(rng.choice(pieces)
+                         for _ in range(rng.randint(1, 7)))
+            v = eng.validate_query(q)  # must never raise
+            assert set(v) == {"valid", "explanation"}
+            if v["valid"]:
+                res = eng.search(q, size=5)  # declared valid -> runs
+                assert "results" in res
+    finally:
+        eng.close()
