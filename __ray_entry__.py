@@ -3928,6 +3928,211 @@ def _span_near_sql() -> str:
     )
 
 
+# (case, big words, little word, slop, facade) — span_containing and
+# span_within share the per-anchor greedy-chain kernel (same doc set,
+# Lucene NearSpansOrdered enumeration); both facades are exercised.
+SPAN_CONTAINING_CASES = [
+    ("merge_sort_key", "merge sort", "key", 3, "containing"),
+    ("hash_join_filter", "hash join", "filter", 5, "within"),
+    ("cust_join_batch_row", "customer join batch", "row", 6, "containing"),
+]
+
+
+def _q_span_containing(sf_dir: str):
+    """ES span_containing / span_within at doc granularity: docs where
+    some enumerated span of span_near(big, slop, in_order=True)
+    contains an occurrence of little.  SQL twin: the greedy per-anchor
+    chain (e = min next occurrence after the previous link), slack
+    filter, EXISTS little inside [s, e]."""
+    eng = _engine(sf_dir, "plain", positions=True)
+    rows_c, rows_d = [], []
+    for name, big, little, slop, via in SPAN_CONTAINING_CASES:
+        if via == "within":
+            res = eng.search_span_within(little, big, slop=slop, size=300)
+        else:
+            res = eng.search_span_containing(big, little, slop=slop,
+                                             size=300)
+        for r in res["results"]:
+            rows_c.append(name)
+            rows_d.append(r["doc_id"])
+    return pa.table(
+        {"case": pa.array(rows_c, pa.string()),
+         "doc_id": pa.array(rows_d, pa.int64())}
+    )
+
+
+def _span_containing_sql() -> str:
+    parts = []
+    for name, big, little, slop, _via in SPAN_CONTAINING_CASES:
+        words = big.split()
+        n = len(words)
+        if n == 2:
+            spans = (
+                f"SELECT a.doc_id, a.pos AS s, min(b.pos) AS e "
+                f"FROM tok a JOIN tok b ON b.doc_id = a.doc_id "
+                f"AND b.pos > a.pos AND b.tok = '{words[1]}' "
+                f"WHERE a.tok = '{words[0]}' GROUP BY a.doc_id, a.pos "
+                f"HAVING min(b.pos) - a.pos <= {slop + 1}"
+            )
+        else:  # 3-term greedy chain
+            spans = (
+                f"WITH sp1 AS (SELECT a.doc_id, a.pos AS s, min(b.pos) "
+                f"AS m FROM tok a JOIN tok b ON b.doc_id = a.doc_id "
+                f"AND b.pos > a.pos AND b.tok = '{words[1]}' "
+                f"WHERE a.tok = '{words[0]}' GROUP BY a.doc_id, a.pos) "
+                f"SELECT s1.doc_id, s1.s, min(c.pos) AS e FROM sp1 s1 "
+                f"JOIN tok c ON c.doc_id = s1.doc_id AND c.pos > s1.m "
+                f"AND c.tok = '{words[2]}' GROUP BY s1.doc_id, s1.s "
+                f"HAVING min(c.pos) - s1.s <= {slop + 2}"
+            )
+        parts.append(
+            f"SELECT '{name}' AS \"case\", doc_id FROM (SELECT DISTINCT "
+            f"sp.doc_id FROM ({spans}) sp WHERE EXISTS (SELECT 1 FROM "
+            f"tok t WHERE t.doc_id = sp.doc_id AND t.tok = '{little}' "
+            f"AND t.pos BETWEEN sp.s AND sp.e) ORDER BY sp.doc_id "
+            f"LIMIT 300)"
+        )
+    return (
+        "WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "FROM documents), "
+        "tok AS (SELECT doc_id, unnest(l) AS tok, "
+        "unnest(range(1, len(l) + 1)) AS pos FROM lists) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+def _iv_minimal_pairs_cte(alias: str, t1: str, t2: str, mg: int) -> str:
+    """Minimal-interval set of the ordered 2-term match (t1, t2) as a
+    CTE body: greedy ends (e = first t2 after s), antichain prune (no
+    t1 strictly inside), THEN the max_gaps filter — Lucene's order of
+    operations."""
+    gap = f" AND p.e - p.s - 1 <= {mg}" if mg >= 0 else ""
+    return (
+        f"{alias}_p AS (SELECT a.doc_id, a.pos AS s, min(b.pos) AS e "
+        f"FROM tok a JOIN tok b ON b.doc_id = a.doc_id "
+        f"AND b.pos > a.pos AND b.tok = '{t2}' "
+        f"WHERE a.tok = '{t1}' GROUP BY a.doc_id, a.pos), "
+        f"{alias} AS (SELECT p.doc_id, p.s, p.e FROM {alias}_p p "
+        f"WHERE NOT EXISTS (SELECT 1 FROM tok x WHERE x.doc_id = "
+        f"p.doc_id AND x.tok = '{t1}' AND x.pos > p.s AND "
+        f"x.pos < p.e){gap})"
+    )
+
+
+# (case, rule) — the ES intervals filter surface: each filter kind once,
+# over 2-term ordered-match and single-term sources.
+INTERVALS_FILTER_RULES = [
+    ("containing",
+     {"match": {"query": "merge sort", "ordered": True, "max_gaps": 4,
+                "filter": {"containing": {"match": {"query": "key"}}}}}),
+    ("not_containing",
+     {"match": {"query": "merge sort", "ordered": True, "max_gaps": 4,
+                "filter": {"not_containing":
+                           {"match": {"query": "key"}}}}}),
+    ("contained_by",
+     {"match": {"query": "key",
+                "filter": {"contained_by": {"match": {
+                    "query": "merge sort", "ordered": True,
+                    "max_gaps": 4}}}}}),
+    ("not_contained_by",
+     {"match": {"query": "key",
+                "filter": {"not_contained_by": {"match": {
+                    "query": "merge sort", "ordered": True,
+                    "max_gaps": 4}}}}}),
+    ("overlapping",
+     {"match": {"query": "hash join", "ordered": True, "max_gaps": 2,
+                "filter": {"overlapping": {"match": {
+                    "query": "scan filter", "ordered": True,
+                    "max_gaps": 1}}}}}),
+    ("not_overlapping",
+     {"match": {"query": "hash join", "ordered": True, "max_gaps": 2,
+                "filter": {"not_overlapping": {"match": {
+                    "query": "scan filter", "ordered": True,
+                    "max_gaps": 1}}}}}),
+    ("before",
+     {"match": {"query": "window",
+                "filter": {"before": {"match": {
+                    "query": "merge sort", "ordered": True,
+                    "max_gaps": 4}}}}}),
+    ("after",
+     {"match": {"query": "window",
+                "filter": {"after": {"match": {
+                    "query": "merge sort", "ordered": True,
+                    "max_gaps": 4}}}}}),
+]
+
+
+def _q_intervals_filter(sf_dir: str):
+    """ES intervals query filter rules (containing / contained_by /
+    overlapping / before / after + not_* complements) over minimal
+    interval sets.  SQL twin: the greedy-pair + antichain-prune +
+    gap-filter CTE with per-kind EXISTS relations (before/after are
+    pruning-insensitive — the kept contained interval witnesses the
+    same relation — so minimal-set SQL is exact for every kind)."""
+    eng = _engine(sf_dir, "plain", positions=True)
+    rows_c, rows_d = [], []
+    for name, rule in INTERVALS_FILTER_RULES:
+        res = eng.search_intervals(rule, size=300)
+        for r in res["results"]:
+            rows_c.append(name)
+            rows_d.append(r["doc_id"])
+    return pa.table(
+        {"case": pa.array(rows_c, pa.string()),
+         "doc_id": pa.array(rows_d, pa.int64())}
+    )
+
+
+def _intervals_filter_sql() -> str:
+    ctes = ", ".join([
+        _iv_minimal_pairs_cte("ms", "merge", "sort", 4),
+        _iv_minimal_pairs_cte("hj", "hash", "join", 2),
+        _iv_minimal_pairs_cte("sf", "scan", "filter", 1),
+    ])
+    inside = ("EXISTS (SELECT 1 FROM tok t WHERE t.doc_id = m.doc_id "
+              "AND t.tok = 'key' AND t.pos BETWEEN m.s AND m.e)")
+    overl = ("EXISTS (SELECT 1 FROM sf f WHERE f.doc_id = m.doc_id "
+             "AND f.s <= m.e AND m.s <= f.e)")
+    cases = [
+        ("containing",
+         f"SELECT DISTINCT m.doc_id FROM ms m WHERE {inside}"),
+        ("not_containing",
+         f"SELECT DISTINCT m.doc_id FROM ms m WHERE NOT {inside}"),
+        ("contained_by",
+         "SELECT DISTINCT t.doc_id FROM tok t WHERE t.tok = 'key' AND "
+         "EXISTS (SELECT 1 FROM ms m WHERE m.doc_id = t.doc_id AND "
+         "m.s <= t.pos AND t.pos <= m.e)"),
+        ("not_contained_by",
+         "SELECT DISTINCT t.doc_id FROM tok t WHERE t.tok = 'key' AND "
+         "NOT EXISTS (SELECT 1 FROM ms m WHERE m.doc_id = t.doc_id AND "
+         "m.s <= t.pos AND t.pos <= m.e)"),
+        ("overlapping",
+         f"SELECT DISTINCT m.doc_id FROM hj m WHERE {overl}"),
+        ("not_overlapping",
+         f"SELECT DISTINCT m.doc_id FROM hj m WHERE NOT {overl}"),
+        ("before",
+         "SELECT DISTINCT t.doc_id FROM tok t WHERE t.tok = 'window' "
+         "AND EXISTS (SELECT 1 FROM ms m WHERE m.doc_id = t.doc_id "
+         "AND t.pos < m.s)"),
+        ("after",
+         "SELECT DISTINCT t.doc_id FROM tok t WHERE t.tok = 'window' "
+         "AND EXISTS (SELECT 1 FROM ms m WHERE m.doc_id = t.doc_id "
+         "AND t.pos > m.e)"),
+    ]
+    parts = [
+        f"SELECT '{name}' AS \"case\", doc_id FROM ({q} ORDER BY doc_id "
+        f"LIMIT 300)"
+        for name, q in cases
+    ]
+    return (
+        "WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "FROM documents), "
+        "tok AS (SELECT doc_id, unnest(l) AS tok, "
+        "unnest(range(1, len(l) + 1)) AS pos FROM lists), "
+        + ctes + " "
+        + " UNION ALL ".join(parts)
+    )
+
+
 def _q_word_freq_top50(sf_dir: str):
     from elasticsearch_ray.ops.wordfreq import top_words
 
@@ -4847,6 +5052,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": _q_multimodal_decode,
         "pii_scrub": _q_pii_scrub,
         "decontaminate": _q_decontaminate,
+        "span_containing": _q_span_containing,
+        "intervals_filter": _q_intervals_filter,
         "pipeline_aggs": _q_pipeline_aggs,
         "corpus_stats": _q_corpus_stats,
         "term_df_nostem_top100": _q_term_df_nostem_top100,
@@ -7968,6 +8175,8 @@ GROUP BY d.doc_id
         "composite_agg_pages": _composite_sql(),
         "combined_fields_top10": _combined_fields_sql(),
         "intervals": _intervals_sql(),
+        "span_containing": _span_containing_sql(),
+        "intervals_filter": _intervals_filter_sql(),
         "rate_agg": _rate_agg_sql(),
         "date_range_agg": _date_range_sql(),
         "moving_percentiles": _moving_percentiles_sql(),

@@ -1776,6 +1776,19 @@ class Searcher:
         ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
         return ids[:k], total
 
+    def search_span_containing(self, big_terms: list[str],
+                               little_term: str, slop: int, k: int):
+        out: list[np.ndarray] = []
+        total = 0
+        for r in self.readers:
+            ids, n = sc.span_containing_eval(
+                r, big_terms, little_term, slop, k
+            )
+            total += n
+            out.append(ids)
+        ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        return ids[:k], total
+
     def search_boolean(self, rpn: tuple[str, ...], k: int,
                        phrase_ops: dict | None = None):
         out: list[np.ndarray] = []
@@ -2850,22 +2863,47 @@ class QueryEngine:
             if not terms:
                 raise ValueError("intervals match needs at least one word")
             if len(terms) == 1:
-                return ("term", terms[0])
-            return ("match", tuple(terms),
-                    int(body.get("max_gaps", -1)),
-                    bool(body.get("ordered", False)))
+                base = ("term", terms[0])
+            else:
+                base = ("match", tuple(terms),
+                        int(body.get("max_gaps", -1)),
+                        bool(body.get("ordered", False)))
+            return self._iv_wrap_filter(base, body)
         if kind == "all_of":
             children = tuple(self._iv_compile(c) for c in body["intervals"])
             if not children:
                 raise ValueError("all_of needs at least one sub-rule")
-            return ("all_of", children, int(body.get("max_gaps", -1)),
+            base = ("all_of", children, int(body.get("max_gaps", -1)),
                     bool(body.get("ordered", False)))
+            return self._iv_wrap_filter(base, body)
         if kind == "any_of":
             children = tuple(self._iv_compile(c) for c in body["intervals"])
             if not children:
                 raise ValueError("any_of needs at least one sub-rule")
-            return ("any_of", children)
+            return self._iv_wrap_filter(("any_of", children), body)
         raise ValueError(f"unsupported intervals rule {kind!r}")
+
+    def _iv_wrap_filter(self, base: tuple, body: dict) -> tuple:
+        """Attach an ES intervals ``filter`` rule (``containing``,
+        ``contained_by``, ``overlapping``, ``before``, ``after`` and the
+        ``not_*`` complements) to a compiled rule.  The filter body is
+        ``{kind: <intervals rule>}``; filters nest (a filter's inner
+        rule may itself carry a filter)."""
+        from elasticsearch_ray.stages.scoring import _IV_FILTER_KINDS
+
+        flt = body.get("filter")
+        if flt is None:
+            return base
+        if not isinstance(flt, dict) or len(flt) != 1:
+            raise ValueError(
+                "intervals filter must be {kind: rule} with exactly one "
+                f"of {sorted(_IV_FILTER_KINDS)}")
+        fkind, inner = next(iter(flt.items()))
+        if fkind not in _IV_FILTER_KINDS:
+            raise ValueError(
+                f"unsupported intervals filter {fkind!r} (expected one "
+                f"of {sorted(_IV_FILTER_KINDS)})")
+        return ("filter", base, fkind, self._iv_compile(inner))
 
     def search_intervals(self, rule: dict, size: int = 10,
                          from_: int = 0) -> dict:
@@ -2897,6 +2935,91 @@ class QueryEngine:
         total = int(sum(p[1] for p in parts))
         return {
             "query": repr(rule),
+            "total_hits": total,
+            "results": [{"doc_id": int(d), "score": 1.0}
+                        for d in ids[from_:fetch]],
+        }
+
+    def _span_containing_parts(self, big: str, little: str, slop: int,
+                               fetch: int, label: str):
+        if not self.has_positions:
+            raise ValueError(
+                f"{label} needs an index built with store_positions=True")
+        words = big.split()
+        if len(words) < 2:
+            raise ValueError(f"{label} big clause needs at least two words")
+        big_terms = []
+        for w in words:
+            toks = self.normalizer.preprocess_query_list(w)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"{label} big clause word {w!r} must analyze to "
+                    f"exactly one term (got {toks!r})")
+            big_terms.append(toks[0])
+        if len(set(big_terms)) != len(big_terms):
+            raise ValueError(f"{label} big clause terms must be distinct")
+        ltoks = self.normalizer.preprocess_query_list(little)
+        if len(ltoks) != 1:
+            raise ValueError(
+                f"{label} little clause {little!r} must analyze to "
+                f"exactly one term (got {ltoks!r})")
+        route = self._route_conjunctive(big_terms + ltoks)
+        if route == "empty":
+            return None
+        if route == "local":
+            return [self._local_allsegs().search_span_containing(
+                big_terms, ltoks[0], slop, fetch)]
+        return self._fanout(
+            "search_span_containing", big_terms, ltoks[0], slop, fetch)
+
+    def search_span_containing(self, big: str, little: str,
+                               slop: int = 0, size: int = 10,
+                               from_: int = 0) -> dict:
+        """ES ``span_containing`` at doc granularity: docs where some
+        enumerated span of ``span_near(big words, slop, in_order=True)``
+        wholly contains an occurrence of ``little``.  Runs the
+        vectorized per-anchor greedy-chain kernel
+        (``span_containing_eval``) — Lucene's NearSpansOrdered
+        per-start-minimal span enumeration, NOT the intervals query's
+        global antichain (which would wrongly drop a containing span
+        when a smaller non-containing one nests inside it).
+        Constant-scored, doc_id ascending, exact totals.  Needs
+        store_positions=True."""
+        fetch = from_ + size
+        label = f"span_containing(big={big!r}, little={little!r})"
+        parts = self._span_containing_parts(
+            big, little, slop, fetch, "span_containing")
+        if parts is None:
+            return {"query": label, "total_hits": 0, "results": []}
+        ids = np.concatenate([p[0] for p in parts])
+        total = int(sum(p[1] for p in parts))
+        return {
+            "query": label,
+            "total_hits": total,
+            "results": [{"doc_id": int(d), "score": 1.0}
+                        for d in ids[from_:fetch]],
+        }
+
+    def search_span_within(self, little: str, big: str,
+                           slop: int = 0, size: int = 10,
+                           from_: int = 0) -> dict:
+        """ES ``span_within`` at doc granularity: docs where an
+        occurrence of ``little`` lies wholly inside some enumerated span
+        of ``span_near(big words, slop, in_order=True)``.  The same doc
+        set as ``span_containing(big, little)`` — both assert existence
+        of a big span containing a little occurrence; only the returned
+        spans differ, invisible at doc ranking — so it shares the
+        kernel.  Needs store_positions=True."""
+        fetch = from_ + size
+        label = f"span_within(little={little!r}, big={big!r})"
+        parts = self._span_containing_parts(
+            big, little, slop, fetch, "span_within")
+        if parts is None:
+            return {"query": label, "total_hits": 0, "results": []}
+        ids = np.concatenate([p[0] for p in parts])
+        total = int(sum(p[1] for p in parts))
+        return {
+            "query": label,
             "total_hits": total,
             "results": [{"doc_id": int(d), "score": 1.0}
                         for d in ids[from_:fetch]],

@@ -951,6 +951,79 @@ def span_first_eval(
     return slots[:size] + reader.doc_id_base, int(slots.size)
 
 
+def span_containing_eval(
+    reader: SegmentReader,
+    big_terms: list[str],
+    little_term: str,
+    slop: int,
+    size: int,
+):
+    """ES/Lucene ``span_containing`` / ``span_within`` at doc
+    granularity: docs where some enumerated span of
+    ``span_near(big_terms, slop, in_order=True)`` wholly contains an
+    occurrence of ``little_term``.  Lucene's NearSpansOrdered enumerates
+    per-start-MINIMAL spans (for each start position the smallest end),
+    NOT the interval algebra's global antichain — in "a c a b" with
+    big=("a","b") the span (1,4) is enumerated (and contains "c") even
+    though (3,4) ⊆ (1,4) would prune it from the minimal-interval set.
+    span_within(little, big) matches the same DOC set (both assert
+    ∃ big span ⊇ some little occurrence); only the returned spans
+    differ, which doc ranking can't see.
+
+    Vectorized greedy chain over composite ``slot<<32|pos`` keys: every
+    anchor occurrence of the first big term chains to the next strictly
+    later occurrence of each following term in the same slot (greedy
+    earliest-next = per-start minimal end for single-term clauses),
+    the total in-order slack ``(e - s) - (n - 1) <= slop`` filters,
+    then one searchsorted of the little key array against the
+    surviving [start, end] key windows tests containment — no per-doc
+    loop.  Returns (first ``size`` global doc_ids ascending, count)."""
+    empty = np.empty(0, dtype=np.int64)
+    shift = np.int64(32)
+    rows = [reader.term_row(t) for t in big_terms]
+    if any(r is None for r in rows):
+        return empty, 0
+    lrow = reader.term_row(little_term)
+    if lrow is None:
+        return empty, 0
+    starts = reader.positions_keys_by_row(rows[0])
+    if not starts.size:
+        return empty, 0
+    ends = starts
+    ok = np.ones(starts.size, dtype=bool)
+    far = np.int64(1) << np.int64(62)
+    for row in rows[1:]:
+        keys = reader.positions_keys_by_row(row)
+        # strictly after the current span end (ordered, non-overlapping)
+        idx = np.searchsorted(keys, ends, side="right")
+        nxt = np.where(
+            idx < keys.size, keys[np.minimum(idx, keys.size - 1)], far
+        )
+        ok &= (nxt >> shift) == (ends >> shift)
+        ends = np.where(ok, nxt, ends)
+    starts = starts[ok]
+    ends = ends[ok]
+    if not starts.size:
+        return empty, 0
+    # same slot: the key difference IS the position difference
+    keep = (ends - starts) <= np.int64(slop + len(big_terms) - 1)
+    starts = starts[keep]
+    ends = ends[keep]
+    if not starts.size:
+        return empty, 0
+    lkeys = reader.positions_keys_by_row(lrow)
+    idx = np.searchsorted(lkeys, starts)
+    cand = np.where(
+        idx < lkeys.size, lkeys[np.minimum(idx, lkeys.size - 1)], far
+    )
+    hit = cand <= ends
+    if not hit.any():
+        return empty, 0
+    slots = np.unique(starts[hit] >> shift)
+    slots = slots[reader.doc_lens[slots] >= 0]  # tombstones
+    return slots[:size] + reader.doc_id_base, int(slots.size)
+
+
 # --------------------------------------------------------------------
 # ES/Lucene intervals query: minimal-interval algebra
 # --------------------------------------------------------------------
@@ -979,10 +1052,23 @@ def _iv_rule_terms(rule) -> set[str]:
         return {rule[1]}
     if kind == "match":
         return set(rule[1])
+    if kind == "filter":
+        return _iv_rule_terms(rule[1]) | _iv_rule_terms(rule[3])
     out: set[str] = set()
     for c in rule[1]:
         out |= _iv_rule_terms(c)
     return out
+
+
+# Interval filters that REQUIRE the filter rule to match somewhere in the
+# doc (the source interval must relate to an existing filter interval);
+# the not_* complements keep source intervals when the filter is absent.
+_IV_POSITIVE_FILTERS = frozenset(
+    {"containing", "contained_by", "overlapping", "before", "after"}
+)
+_IV_FILTER_KINDS = _IV_POSITIVE_FILTERS | frozenset(
+    {"not_containing", "not_contained_by", "not_overlapping"}
+)
 
 
 def _iv_candidates(reader: SegmentReader, rule) -> np.ndarray:
@@ -1025,6 +1111,13 @@ def _iv_candidates(reader: SegmentReader, rule) -> np.ndarray:
             if not cand.size:
                 return cand
         return cand if cand is not None else empty
+    if kind == "filter":
+        src = _iv_candidates(reader, rule[1])
+        if rule[2] in _IV_POSITIVE_FILTERS:
+            # the filter rule must also match in the doc: rarest-clause
+            # bound tightens to the intersection (Lucene's conjunction)
+            return inter(src, _iv_candidates(reader, rule[3]))
+        return src
     # any_of
     parts = [_iv_candidates(reader, c) for c in rule[1]]
     parts = [p for p in parts if p.size]
@@ -1132,11 +1225,57 @@ def _iv_eval_doc(rule, positions_of) -> list:
             childs, ordered,
             max_gaps if max_gaps >= 0 else _IV_UNLIMITED,
         )
+    if kind == "filter":
+        _, src_rule, fkind, flt_rule = rule
+        src = _iv_eval_doc(src_rule, positions_of)
+        if not src:
+            return []
+        flt = _iv_eval_doc(flt_rule, positions_of)
+        return _iv_apply_filter(src, fkind, flt)
     # any_of
     out: list = []
     for c in rule[1]:
         out.extend(_iv_eval_doc(c, positions_of))
     return _iv_prune(out)
+
+
+def _iv_apply_filter(src: list, fkind: str, flt: list) -> list:
+    """Lucene interval filters (ES ``intervals`` ``filter`` rule) applied
+    to a minimal source set against the filter rule's minimal set —
+    filtering a subset of an antichain stays an antichain, so no
+    re-prune.  Existential semantics throughout (a source interval
+    survives if SOME filter interval relates as asked):
+
+    - ``containing``      source [s,e] with a filter [fs,fe] inside it
+    - ``contained_by``    source [s,e] inside some filter [fs,fe]
+    - ``overlapping``     source overlapping some filter interval
+    - ``before``          source ending before some filter's start
+    - ``after``           source starting after some filter's end
+    - ``not_*``           the complements over the same tests
+
+    before/after and the overlap tests are insensitive to the filter's
+    minimal-set pruning (pruning only drops an interval when a contained
+    one is kept, and the kept one witnesses the same relation);
+    containing/contained_by are defined against the minimal set exactly
+    as Lucene's ContainedBy/ContainingIntervalsSource iterate them."""
+    if fkind not in _IV_FILTER_KINDS:
+        raise ValueError(f"unsupported intervals filter {fkind!r}")
+    neg = fkind.startswith("not_")
+    base = fkind[4:] if neg else fkind
+
+    def rel(s: int, e: int) -> bool:
+        if base == "containing":
+            return any(s <= fs and fe <= e for fs, fe in flt)
+        if base == "contained_by":
+            return any(fs <= s and e <= fe for fs, fe in flt)
+        if base == "overlapping":
+            return any(fs <= e and s <= fe for fs, fe in flt)
+        if base == "before":
+            return any(e < fs for fs, _ in flt)
+        # after
+        return any(s > fe for _, fe in flt)
+
+    return [(s, e) for s, e in src if rel(s, e) != neg]
 
 
 def _ordered_chain_docs(reader: SegmentReader, terms: list[str],
