@@ -4133,6 +4133,209 @@ def _intervals_filter_sql() -> str:
     )
 
 
+def _missing_engine(sf_dir: str):
+    """Engine over a deterministically-sparsified twin of the documents
+    table (source nulled where doc_id %% 4 == 0, n_chars where
+    doc_id %% 8 == 0) — the corpus itself has no null doc-values, so the
+    ES ``missing``/``exists`` semantics need a derived column, the same
+    precedent as the geo/ip entries (fields derived from integer
+    keys)."""
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    key = f"missing::{sf_dir}"
+    if key in _ENGINES:
+        return _ENGINES[key]
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    idx = _index_dir_for(sf_dir, "missing")
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        did = t.column("doc_id")
+        null_s = pc.equal(pc.bit_wise_and(did, 3), 0)   # doc_id % 4 == 0
+        null_n = pc.equal(pc.bit_wise_and(did, 7), 0)   # doc_id % 8 == 0
+        t = t.set_column(
+            t.schema.get_field_index("source"), "source",
+            pc.if_else(null_s, pa.scalar(None, pa.string()),
+                       t.column("source")))
+        t = t.set_column(
+            t.schema.get_field_index("n_chars"), "n_chars",
+            pc.if_else(null_n, pa.scalar(None, pa.int64()),
+                       t.column("n_chars")))
+        os.makedirs("/tmp/esray_entry", exist_ok=True)
+        src = idx + "_src.parquet"
+        pq.write_table(t, src, row_group_size=500)
+        build_index(
+            src, idx,
+            BuildConfig(
+                text_column="text", url_column=None, lang_column="lang",
+                analyzer="plain", target_partition_rows=500,
+                docs_per_segment=2_000,
+                facet_columns=("source", "lang", "n_chars"),
+            ),
+        )
+    _ENGINES[key] = QueryEngine(idx)
+    return _ENGINES[key]
+
+
+MISSING_QUERIES = [(None, "match_all"), ("merge", "merge"),
+                   ("scan OR join", "scan OR join")]
+
+
+def _q_missing_agg(sf_dir: str):
+    """ES missing + exists over string and numeric doc-values, under
+    match-all and routed queries, on the sparsified twin corpus.  SQL
+    twin: the same CASE-derived nulls + IS NULL counts."""
+    eng = _missing_engine(sf_dir)
+    rows = {"query": [], "field": [], "missing": [], "exists": []}
+    for q, label in MISSING_QUERIES:
+        for fld, ftype in (("source", "str"), ("n_chars", "int")):
+            res = eng.search_missing(q, fld, field_type=ftype)
+            ex = eng.exists(fld, size=0)
+            rows["query"].append(label)
+            rows["field"].append(fld)
+            rows["missing"].append(res["doc_count"])
+            rows["exists"].append(ex["total_hits"])
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "field": pa.array(rows["field"], pa.string()),
+            "missing": pa.array(rows["missing"], pa.int64()),
+            "exists": pa.array(rows["exists"], pa.int64()),
+        }
+    )
+
+
+def _missing_sql() -> str:
+    hits = {
+        "match_all": "SELECT doc_id FROM documents",
+        "merge": "SELECT DISTINCT doc_id FROM tok WHERE tok='merge'",
+        "scan OR join": (
+            "SELECT doc_id FROM tok WHERE tok='scan' UNION "
+            "SELECT doc_id FROM tok WHERE tok='join'"
+        ),
+    }
+    parts = []
+    for _q, label in MISSING_QUERIES:
+        for fld in ("source", "n_chars"):
+            parts.append(
+                f"SELECT '{label}' AS query, '{fld}' AS field, "
+                f"(SELECT count(*) FROM sparse WHERE {fld} IS NULL AND "
+                f"doc_id IN ({hits[label]}))::BIGINT AS missing, "
+                f"(SELECT count(*) FROM sparse WHERE {fld} IS NOT "
+                f"NULL)::BIGINT AS \"exists\""
+            )
+    return (
+        f"WITH tok AS ({_TOK}), "
+        "sparse AS (SELECT doc_id, "
+        "CASE WHEN doc_id % 4 = 0 THEN NULL ELSE source END AS source, "
+        "CASE WHEN doc_id % 8 = 0 THEN NULL ELSE n_chars END AS n_chars "
+        "FROM documents) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+GLOBAL_AGG_QUERIES = ["merge", "scan OR join"]
+
+
+def _q_global_agg(sf_dir: str):
+    """ES global aggregation: the same stats sub-agg in query scope and
+    in the all-docs global bucket, from one call.  SQL twin: scoped
+    count/sum over the hit set, global over the whole table."""
+    eng = _engine(sf_dir, "plain")
+    rows = {"query": [], "scope": [], "count": [], "sum": [],
+            "avg_u": []}
+    for q in GLOBAL_AGG_QUERIES:
+        res = eng.search_global(q, "n_chars")
+        for scope in ("scoped", "global"):
+            b = res[scope]
+            rows["query"].append(q)
+            rows["scope"].append(scope)
+            rows["count"].append(b["count"])
+            rows["sum"].append(b["sum"])
+            rows["avg_u"].append(
+                int(math.floor(b["avg"] * 1e6 + 0.5))
+                if b["avg"] is not None else -1)
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "scope": pa.array(rows["scope"], pa.string()),
+            "count": pa.array(rows["count"], pa.int64()),
+            "sum": pa.array(rows["sum"], pa.int64()),
+            "avg_u": pa.array(rows["avg_u"], pa.int64()),
+        }
+    )
+
+
+def _global_agg_sql() -> str:
+    parts = []
+    for q in GLOBAL_AGG_QUERIES:
+        hits = _FACET_HITS.get(q) or (
+            "SELECT doc_id FROM tok WHERE tok='scan' UNION "
+            "SELECT doc_id FROM tok WHERE tok='join'"
+            if q == "scan OR join"
+            else f"SELECT DISTINCT doc_id FROM tok WHERE tok='{q}'"
+        )
+        parts.append(
+            f"SELECT '{q}' AS query, 'scoped' AS scope, count(*)::BIGINT "
+            f"AS count, sum(n_chars)::BIGINT AS sum, "
+            f"floor(avg(n_chars) * 1e6 + 0.5)::BIGINT AS avg_u "
+            f"FROM documents WHERE doc_id IN ({hits})"
+        )
+        parts.append(
+            f"SELECT '{q}' AS query, 'global' AS scope, count(*)::BIGINT "
+            f"AS count, sum(n_chars)::BIGINT AS sum, "
+            f"floor(avg(n_chars) * 1e6 + 0.5)::BIGINT AS avg_u "
+            f"FROM documents"
+        )
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
+TEMPLATE_CASES = [
+    ("and_tpl", "{{a}} AND {{b}}", {"a": "merge", "b": "hash"}),
+    ("wild_tpl", "{{w}}*", {"w": "merg"}),
+    ("or_tpl", "{{ q1 }} OR {{{q2}}}", {"q1": "scan", "q2": "join"}),
+]
+
+
+def _q_search_template(sf_dir: str):
+    """ES search_template: mustache {{var}} rendering (incl. padded and
+    triple-stash forms) into the query router.  SQL twin: the rendered
+    queries' boolean/wildcard set SQL."""
+    eng = _engine(sf_dir, "plain")
+    rows_c, rows_d = [], []
+    for name, tpl, params in TEMPLATE_CASES:
+        res = eng.search_template(tpl, params, size=20)
+        for r in res["results"]:
+            rows_c.append(name)
+            rows_d.append(r["doc_id"])
+    return pa.table(
+        {"case": pa.array(rows_c, pa.string()),
+         "doc_id": pa.array(rows_d, pa.int64())}
+    )
+
+
+def _search_template_sql() -> str:
+    bodies = {
+        "and_tpl": (
+            "SELECT doc_id FROM tok WHERE tok='merge' INTERSECT "
+            "SELECT doc_id FROM tok WHERE tok='hash'"
+        ),
+        "wild_tpl": "SELECT DISTINCT doc_id FROM tok WHERE tok LIKE 'merg%'",
+        "or_tpl": (
+            "SELECT doc_id FROM tok WHERE tok='scan' UNION "
+            "SELECT doc_id FROM tok WHERE tok='join'"
+        ),
+    }
+    parts = [
+        f"SELECT '{name}' AS \"case\", doc_id FROM (SELECT doc_id FROM "
+        f"({body}) ORDER BY doc_id LIMIT 20)"
+        for name, body in bodies.items()
+    ]
+    return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
+
+
 def _q_word_freq_top50(sf_dir: str):
     from elasticsearch_ray.ops.wordfreq import top_words
 
@@ -5041,20 +5244,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analyze_api": _q_analyze,
         "percolate": _q_percolate,
         "rescore": _q_rescore,
+        # new in round 5 — inside the gate's first-50 window (the
+        # r3-gated dedup/pack/corpus_stats entries moved behind the
+        # window to make room; they keep r3 driver rows, this tree's
+        # golden pytest oracles, and the GATE_REPLAY_r5 on-tree replay)
+        "multimodal_decode": _q_multimodal_decode,
+        "pii_scrub": _q_pii_scrub,
+        "decontaminate": _q_decontaminate,
+        "pipeline_aggs": _q_pipeline_aggs,
+        "span_containing": _q_span_containing,
+        "intervals_filter": _q_intervals_filter,
+        "missing_agg": _q_missing_agg,
+        "global_agg": _q_global_agg,
+        "search_template": _q_search_template,
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
         "jaccard_verify": _q_jaccard_verify,
         "dup_clusters": _q_dup_clusters,
         "pack_manifest": _q_pack_manifest,
-        # new in round 5 — inside the gate's first-50 window
-        # (term_df_* moved behind the window to make room; they are
-        # pinned by this tree's golden pytest oracles and r3's gate)
-        "multimodal_decode": _q_multimodal_decode,
-        "pii_scrub": _q_pii_scrub,
-        "decontaminate": _q_decontaminate,
-        "span_containing": _q_span_containing,
-        "intervals_filter": _q_intervals_filter,
-        "pipeline_aggs": _q_pipeline_aggs,
         "corpus_stats": _q_corpus_stats,
         "term_df_nostem_top100": _q_term_df_nostem_top100,
         "term_df_stemmed_top100": _q_term_df_stemmed_top100,
@@ -8177,6 +8384,9 @@ GROUP BY d.doc_id
         "intervals": _intervals_sql(),
         "span_containing": _span_containing_sql(),
         "intervals_filter": _intervals_filter_sql(),
+        "missing_agg": _missing_sql(),
+        "global_agg": _global_agg_sql(),
+        "search_template": _search_template_sql(),
         "rate_agg": _rate_agg_sql(),
         "date_range_agg": _date_range_sql(),
         "moving_percentiles": _moving_percentiles_sql(),

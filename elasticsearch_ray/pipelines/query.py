@@ -46,6 +46,27 @@ def fuzzy_auto_edits(term: str) -> int:
     return 0 if n <= 2 else (1 if n <= 5 else 2)
 
 
+_MUSTACHE_RE = re.compile(r"\{\{\{?\s*([A-Za-z0-9_.]+)\s*\}?\}\}")
+
+
+def render_template(template: str, params: dict) -> str:
+    """Mustache ``{{var}}`` substitution for ES search templates.
+    ``{{{var}}}`` (triple-stash) is accepted and identical — query
+    strings have no HTML escaping.  Unknown placeholders raise (ES's
+    render API errors on missing required params rather than silently
+    emitting an empty string into the query)."""
+    def sub(m: re.Match) -> str:
+        name = m.group(1)
+        if name not in params:
+            raise ValueError(f"search_template param {name!r} missing")
+        v = params[name]
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
+    return _MUSTACHE_RE.sub(sub, template)
+
+
 def _betacf(a: float, b: float, x: float) -> float:
     """Continued fraction for the incomplete beta (modified Lentz
     evaluation — the standard public algorithm; see Numerical Recipes
@@ -3384,6 +3405,40 @@ class QueryEngine:
             "missing_count", kind, payload, field, field_type == "str"
         )
         return {"field": field, "doc_count": int(sum(parts))}
+
+    def search_global(self, query_text: str | None, field: str) -> dict:
+        """ES ``global`` aggregation: a bucket spanning ALL live docs of
+        the index, ignoring the search query — paired, as in a real ES
+        request body, with the same stats sub-aggregation in query scope
+        so both contexts come back from one call.  Two stats fanouts
+        (query route + match-all route), O(shards) traffic each, no
+        per-doc shipping."""
+        def fold(parts):
+            n = sum(p["count"] for p in parts)
+            s = sum(p["sum"] for p in parts)
+            return {"count": int(n), "sum": int(s),
+                    "avg": (s / n) if n else None}
+
+        kind, payload = self._agg_route(query_text)
+        scoped = fold(self._fanout("stats_agg", kind, payload, field))
+        glob = fold(self._fanout("stats_agg", "all", None, field))
+        return {"query": query_text, "field": field,
+                "scoped": scoped, "global": glob}
+
+    def search_template(self, template: str, params: dict,
+                        size: int = 10, from_: int = 0) -> dict:
+        """ES ``search_template``: render a mustache template against
+        ``params`` and run the result through the query router (match /
+        boolean / phrase / wildcard / fuzzy — the same routing as
+        ``search``).  The supported mustache subset is ``{{var}}``
+        substitution with HTML-escape-free semantics (``{{var}}`` and
+        ``{{{var}}}`` are identical here — query strings aren't HTML);
+        a placeholder with no matching param raises, like ES's render
+        API does for missing required params."""
+        rendered = render_template(template, params)
+        out = self.search(rendered, size=size, from_=from_)
+        out["template"] = template
+        return out
 
     def search_filters_agg(self, filters: dict[str, str],
                            other_bucket: bool = False,

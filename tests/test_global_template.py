@@ -1,0 +1,115 @@
+"""ES global aggregation (all-docs bucket alongside query-scoped stats)
+and search_template (mustache {{var}} rendering into the query router):
+oracle comparisons against plain-python recomputation, embedded and
+distributed, plus render_template unit semantics."""
+
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _build(tmp_path):
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+
+    rng = random.Random(11)
+    vocab = ["merge", "hash", "scan", "join", "sort"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab) for _ in range(8)),
+            "n_chars": rng.randint(10, 200),
+        }
+        for i in range(90)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+        }),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("n_chars",),
+                    docs_per_segment=40, target_partition_rows=20),
+    )
+    return rows, idx
+
+
+def test_search_global(tmp_path):
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    rows, idx = _build(tmp_path)
+    for n_searchers in (0, 2):
+        eng = QueryEngine(idx, num_searchers=n_searchers)
+        try:
+            for q, pred in (
+                ("merge", lambda t: "merge" in t.split()),
+                ("merge AND hash",
+                 lambda t: "merge" in t.split() and "hash" in t.split()),
+                (None, lambda t: True),
+            ):
+                res = eng.search_global(q, "n_chars")
+                hit = [r for r in rows if pred(r["text"])]
+                assert res["scoped"]["count"] == len(hit)
+                assert res["scoped"]["sum"] == sum(
+                    r["n_chars"] for r in hit)
+                assert res["global"]["count"] == len(rows)
+                assert res["global"]["sum"] == sum(
+                    r["n_chars"] for r in rows)
+                if hit:
+                    assert res["scoped"]["avg"] == pytest.approx(
+                        sum(r["n_chars"] for r in hit) / len(hit))
+        finally:
+            eng.close()
+
+
+def test_render_template():
+    from elasticsearch_ray.pipelines.query import render_template
+
+    assert render_template("{{a}} AND {{b}}", {"a": "x", "b": "y"}) \
+        == "x AND y"
+    assert render_template("{{ a }} OR {{{b}}}", {"a": "x", "b": "y"}) \
+        == "x OR y"
+    assert render_template("n={{n}} f={{flag}}", {"n": 3, "flag": True}) \
+        == "n=3 f=true"
+    assert render_template("no placeholders", {}) == "no placeholders"
+    with pytest.raises(ValueError, match="missing"):
+        render_template("{{a}} {{missing_one}}", {"a": "x"})
+
+
+def test_search_template_routes(tmp_path):
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    rows, idx = _build(tmp_path)
+    eng = QueryEngine(idx, num_searchers=2)
+    try:
+        # boolean template == the rendered boolean query, verbatim
+        tpl = eng.search_template("{{a}} AND {{b}}",
+                                  {"a": "merge", "b": "hash"}, size=50)
+        direct = eng.search("merge AND hash", size=50)
+        assert [r["doc_id"] for r in tpl["results"]] \
+            == [r["doc_id"] for r in direct["results"]]
+        assert tpl["total_hits"] == direct["total_hits"]
+        assert tpl["template"] == "{{a}} AND {{b}}"
+        # wildcard route
+        tplw = eng.search_template("{{w}}*", {"w": "mer"}, size=50)
+        dw = eng.search("mer*", size=50)
+        assert [r["doc_id"] for r in tplw["results"]] \
+            == [r["doc_id"] for r in dw["results"]]
+        # ranked match route: scores identical
+        tplm = eng.search_template("{{q}}", {"q": "merge sort"}, size=10)
+        dm = eng.search("merge sort", size=10)
+        assert [(r["doc_id"], r["score"]) for r in tplm["results"]] \
+            == [(r["doc_id"], r["score"]) for r in dm["results"]]
+        with pytest.raises(ValueError, match="missing"):
+            eng.search_template("{{nope}}", {})
+    finally:
+        eng.close()
