@@ -3290,6 +3290,41 @@ def _q_geotile(sf_dir: str):
     })
 
 
+def _q_geo_line(sf_dir: str):
+    """ES geo_line aggregation: per-user tracks (derived points ordered
+    by ts with an event_id tie-break), first 5 points, complete flag —
+    over the user_id % 7 == 0 subset.  Map side pre-truncates to
+    <= size rows per (batch, group); one bounded groupby shuffle."""
+    import numpy as np
+
+    from elasticsearch_ray.ops.geo import geo_line_agg
+
+    def flt(b):
+        u = b.column("user_id").to_numpy()
+        return b.filter(pa.array(u % 7 == 0))
+
+    ds = _events_ds(sf_dir).map_batches(flt, batch_format="pyarrow")
+    return geo_line_agg(ds, size=5)
+
+
+def _geo_line_sql() -> str:
+    return """
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         ((user_id * 37) % 12000) * 10 - 59995 AS lat_m,
+         ((event_id * 73) % 36000) * 10 - 179995 AS lon_m
+  FROM events WHERE user_id % 7 = 0),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS tot
+  FROM pts)
+SELECT user_id, (rn - 1)::BIGINT AS seq, lat_m, lon_m,
+       (tot <= 5) AS complete
+FROM rk WHERE rn <= 5
+ORDER BY user_id, seq"""
+
+
 def _geo_bbox_sql() -> str:
     return f"""
 WITH {_GEO_PTS_SQL}
@@ -5367,6 +5402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geotile_grid": _q_geotile,
         "geo_centroid_bounds": _q_geo_centroid_bounds,
         "geohash_grid": _q_geohash_grid,
+        "geo_line": _q_geo_line,
         "ip_range": _q_ip_range,
         "categorize_text": _q_categorize_text,
         "variable_width_histogram": _q_variable_width_histogram,
@@ -8400,6 +8436,7 @@ GROUP BY d.doc_id
         "geotile_grid": _geotile_sql(),
         "geo_centroid_bounds": _geo_centroid_bounds_sql(),
         "geohash_grid": _geohash_grid_sql(),
+        "geo_line": _geo_line_sql(),
         "ip_range": _ip_range_sql(),
         "categorize_text": _categorize_text_sql(),
         "variable_width_histogram": _variable_width_histogram_sql(),

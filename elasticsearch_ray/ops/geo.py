@@ -270,6 +270,81 @@ def geo_bounds(ds: ray.data.Dataset) -> dict:
                               "left_milli", "right_milli")}
 
 
+def geo_line_agg(
+    ds: ray.data.Dataset,
+    group_key: str = "user_id",
+    sort_key: str = "ts",
+    size: int = 10,
+) -> pa.Table:
+    """ES ``geo_line`` aggregation: per bucket (one per ``group_key``
+    value) the track of derived points ordered ascending by
+    ``sort_key``, truncated to the FIRST ``size`` points, with ES's
+    ``complete`` flag (false when the bucket held more points than
+    ``size``).  Equal sort keys tie-break on event_id (deterministic;
+    ES leaves ties unspecified).
+
+    Scale shape: the map side pre-truncates — each batch ships at most
+    ``size`` rows per group (lexsort + run-boundary rank, no Python
+    loop) plus the per-(batch, group) total count carried on the first
+    kept row, so the single ``groupby().map_groups`` shuffle moves
+    O(groups x size) rows regardless of input skew; the merge re-sorts
+    only the <= size x num_batches survivors per group.  Returns one
+    row per kept point: (group, seq, lat_m, lon_m, complete)."""
+    if size < 1:
+        raise ValueError("geo_line size must be >= 1")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat_m, lon_m = derive_points_milli(batch)
+        grp = batch.column(group_key).to_numpy().astype(np.int64)
+        ts = batch.column(sort_key).to_numpy()
+        if ts.dtype.kind == "M":
+            ts = ts.astype("datetime64[us]").view(np.int64)
+        else:
+            ts = ts.astype(np.int64)
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, grp))
+        sg = grp[order]
+        starts = np.flatnonzero(np.r_[True, sg[1:] != sg[:-1]])
+        counts = np.diff(np.r_[starts, sg.size])
+        rank = np.arange(sg.size) - np.repeat(starts, counts)
+        gcnt = np.zeros(sg.size, dtype=np.int64)
+        gcnt[starts] = counts  # rank 0 is always kept
+        keep = rank < size
+        ko = order[keep]
+        return pa.table({
+            group_key: pa.array(sg[keep]),
+            "ts_us": pa.array(ts[ko]),
+            "event_id": pa.array(eid[ko]),
+            "lat_m": pa.array(lat_m[ko]),
+            "lon_m": pa.array(lon_m[ko]),
+            "grp_count": pa.array(gcnt[keep]),
+        })
+
+    def merge(df):
+        import pandas as pd
+
+        df = df.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        total = int(df["grp_count"].sum())
+        kept = df.head(size)
+        return pd.DataFrame({
+            group_key: kept[group_key],
+            "seq": np.arange(len(kept), dtype=np.int64),
+            "lat_m": kept["lat_m"].to_numpy(),
+            "lon_m": kept["lon_m"].to_numpy(),
+            "complete": np.full(len(kept), total <= size, dtype=bool),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_key)
+        .map_groups(merge, batch_format="pandas")
+    )
+    tbl = pa.Table.from_pandas(
+        out.to_pandas(), preserve_index=False
+    )
+    return tbl.sort_by([(group_key, "ascending"), ("seq", "ascending")])
+
+
 GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 

@@ -166,3 +166,53 @@ def test_geo_summary_empty_and_boundary():
     # boundary coordinates clamp to the last cell (ES/Lucene behavior)
     assert geohash_encode(90.0, 180.0, 5) == "zzzzz"
     assert geohash_encode(-90.0, -180.0, 5) == "00000"
+
+
+def test_geo_line_agg():
+    """geo_line: per-user track ordered by (ts, event_id), first `size`
+    points, complete flag — vs a plain-python oracle with varied
+    timestamps (including ties)."""
+    from elasticsearch_ray.ops.geo import geo_line_agg
+
+    n = 300
+    uid = [(i * 7) % 23 for i in range(n)]
+    # ts with deliberate ties inside users
+    ts = [dt.datetime(2024, 1, 1) + dt.timedelta(minutes=(i * 11) % 40)
+          for i in range(n)]
+    eid = list(range(1, n + 1))
+    ds = ray.data.from_arrow(pa.table({
+        "event_id": pa.array(eid, pa.int64()),
+        "user_id": pa.array(uid, pa.int64()),
+        "ts": pa.array(ts),
+    })).repartition(7)
+    for size in (1, 4, 50):
+        got = geo_line_agg(ds, size=size).to_pydict()
+        # oracle
+        import collections
+        per = collections.defaultdict(list)
+        for i in range(n):
+            a, b = uid[i], eid[i]
+            lat_m = ((a * 37) % 12000) * 10 - 59995
+            lon_m = ((b * 73) % 36000) * 10 - 179995
+            per[a].append((ts[i], b, lat_m, lon_m))
+        rows = []
+        for u in sorted(per):
+            pts = sorted(per[u])
+            comp = len(pts) <= size
+            for s, (_, _, la, lo) in enumerate(pts[:size]):
+                rows.append((u, s, la, lo, comp))
+        want = {
+            "user_id": [r[0] for r in rows],
+            "seq": [r[1] for r in rows],
+            "lat_m": [r[2] for r in rows],
+            "lon_m": [r[3] for r in rows],
+            "complete": [r[4] for r in rows],
+        }
+        assert got == want, size
+
+
+def test_geo_line_validation():
+    from elasticsearch_ray.ops.geo import geo_line_agg
+
+    with pytest.raises(ValueError, match=">= 1"):
+        geo_line_agg(_events(), size=0)
