@@ -4371,6 +4371,52 @@ def _search_template_sql() -> str:
     return f"WITH tok AS ({_TOK}) " + " UNION ALL ".join(parts)
 
 
+IDS_LOOKUP_CASES = [
+    ("ids", None),
+    ("lookup_source_3", (3, "source")),
+    ("lookup_lang_10", (10, "lang")),
+]
+
+IDS_QUERY_SET = [7, 3, 999_999_999, 12, 460, 3]
+
+
+def _q_ids_terms_lookup(sf_dir: str):
+    """ES ids query (explicit _id filter via the pruned docmap read)
+    and terms query with terms lookup (value set from another doc's
+    doc-value field, unanalyzed, then a dictionary-coded terms filter).
+    SQL twin: doc_id IN (...) and field = (scalar subquery)."""
+    eng = _engine(sf_dir, "plain")
+    rows_c, rows_d = [], []
+    for name, spec in IDS_LOOKUP_CASES:
+        if spec is None:
+            res = eng.search_ids(IDS_QUERY_SET, size=50)
+        else:
+            res = eng.search_terms_lookup(spec[0], spec[1], size=200)
+        for r in res["results"]:
+            rows_c.append(name)
+            rows_d.append(r["doc_id"])
+    return pa.table(
+        {"case": pa.array(rows_c, pa.string()),
+         "doc_id": pa.array(rows_d, pa.int64())}
+    )
+
+
+def _ids_terms_lookup_sql() -> str:
+    ids = ", ".join(str(i) for i in sorted(set(IDS_QUERY_SET)))
+    parts = [
+        f"SELECT 'ids' AS \"case\", doc_id FROM (SELECT doc_id FROM "
+        f"documents WHERE doc_id IN ({ids}) ORDER BY doc_id LIMIT 50)"
+    ]
+    for name, spec in IDS_LOOKUP_CASES[1:]:
+        lid, fld = spec
+        parts.append(
+            f"SELECT '{name}' AS \"case\", doc_id FROM (SELECT doc_id "
+            f"FROM documents WHERE {fld} = (SELECT {fld} FROM documents "
+            f"WHERE doc_id = {lid}) ORDER BY doc_id LIMIT 200)"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _q_word_freq_top50(sf_dir: str):
     from elasticsearch_ray.ops.wordfreq import top_words
 
@@ -5292,6 +5338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "missing_agg": _q_missing_agg,
         "global_agg": _q_global_agg,
         "search_template": _q_search_template,
+        "ids_terms_lookup": _q_ids_terms_lookup,
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
         "jaccard_verify": _q_jaccard_verify,
@@ -8423,6 +8470,7 @@ GROUP BY d.doc_id
         "missing_agg": _missing_sql(),
         "global_agg": _global_agg_sql(),
         "search_template": _search_template_sql(),
+        "ids_terms_lookup": _ids_terms_lookup_sql(),
         "rate_agg": _rate_agg_sql(),
         "date_range_agg": _date_range_sql(),
         "moving_percentiles": _moving_percentiles_sql(),

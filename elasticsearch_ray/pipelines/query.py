@@ -1502,6 +1502,34 @@ class Searcher:
             return {"tfs": tfs, "dl": int(r.doc_lens[slot])}
         return None
 
+    def terms_docvalue_ids(self, field: str, values: list[str], k: int):
+        """Filter-context terms query over a STRING doc-value field:
+        live docs whose value is one of ``values`` (exact, unanalyzed —
+        ES terms-query semantics on a keyword field).  The value set
+        maps to per-reader dictionary codes once, then one vectorized
+        ``isin`` mask — no per-doc string compares.  Returns (first k
+        local doc_ids ascending, exact local total)."""
+        per_reader = self._facet_column(field)
+        vset = set(values)
+        parts: list[np.ndarray] = []
+        total = 0
+        for r, (codes, cats) in zip(self.readers, per_reader):
+            want = np.asarray(
+                [i for i, c in enumerate(cats) if c in vset],
+                dtype=np.int64,
+            )
+            if not want.size:
+                parts.append(np.empty(0, dtype=np.int64))
+                continue
+            mask = np.isin(codes, want)
+            slots = np.flatnonzero(mask & (r.doc_lens >= 0))
+            total += int(slots.size)
+            parts.append(slots[:k] + r.doc_id_base)
+        ids = (
+            np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+        )
+        return ids[:k], total
+
     def exists_ids(self, field: str, k: int):
         """ES exists query per shard: live docs with a present doc-value
         for ``field`` — integer (sentinel gap) or categorical (code -1
@@ -4355,6 +4383,59 @@ class QueryEngine:
             "lte": lte,
             "total_hits": total,
             "results": [{"doc_id": int(d), "score": 1.0} for d in ids[:size]],
+        }
+
+    def search_ids(self, doc_ids: list[int], size: int = 10) -> dict:
+        """ES ``ids`` query: filter-context match of explicit ``_id``
+        values — the live subset of ``doc_ids``, doc_id ascending,
+        exact totals.  One row-group-pruned docmap predicate read (the
+        _mget path), never a corpus fanout."""
+        want = sorted({int(d) for d in doc_ids})
+        found = sorted(
+            d["doc_id"] for d in self.mget(want) if d["found"]
+        )
+        return {
+            "query": f"ids({len(want)})",
+            "total_hits": len(found),
+            "results": [{"doc_id": int(d), "score": 1.0}
+                        for d in found[:size]],
+        }
+
+    def search_terms_lookup(self, lookup_id: int, path: str,
+                            size: int = 10) -> dict:
+        """ES ``terms`` query with terms lookup: the value set comes
+        from another document's field (ES ``index``/``id``/``path`` —
+        same index here), then a filter-context terms match on the
+        string doc-value ``path``.  Like ES, looked-up values are NOT
+        analyzed.  One docmap point-read for the lookup doc + one
+        fanout; traffic O(values + size) per shard."""
+        label = f"terms_lookup(id={lookup_id}, path={path})"
+        if self.tombstones and int(lookup_id) in self.tombstones:
+            return {"query": label, "total_hits": 0, "results": []}
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(
+            os.path.join(self.index_dir, "docmap"), format="parquet"
+        )
+        if path not in dset.schema.names:
+            raise ValueError(
+                f"terms lookup path {path!r} is not a doc-value column")
+        t = dset.to_table(
+            columns=[path],
+            filter=pads.field("doc_id") == int(lookup_id),
+        )
+        vals = sorted({v for v in t.column(path).to_pylist()
+                       if v is not None})
+        if not vals:
+            return {"query": label, "total_hits": 0, "results": []}
+        parts = self._fanout("terms_docvalue_ids", path, vals, size)
+        ids = np.concatenate([p[0] for p in parts])
+        total = int(sum(p[1] for p in parts))
+        return {
+            "query": label,
+            "total_hits": total,
+            "results": [{"doc_id": int(d), "score": 1.0}
+                        for d in ids[:size]],
         }
 
     def explain(self, query_text: str, doc_id: int) -> dict:

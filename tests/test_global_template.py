@@ -113,3 +113,55 @@ def test_search_template_routes(tmp_path):
             eng.search_template("{{nope}}", {})
     finally:
         eng.close()
+
+
+def test_ids_and_terms_lookup(tmp_path):
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    rng = random.Random(3)
+    vocab = ["merge", "hash", "scan"]
+    srcs = ["web", "wiki", "book"]
+    rows = [
+        {"doc_id": i,
+         "text": " ".join(rng.choice(vocab) for _ in range(5)),
+         "source": srcs[i % 3]}
+        for i in range(60)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+        }),
+        str(src / "p.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer="plain", url_column=None, lang_column=None,
+                    facet_columns=("source",),
+                    docs_per_segment=25, target_partition_rows=20),
+    )
+    for n_searchers in (0, 2):
+        eng = QueryEngine(idx, num_searchers=n_searchers)
+        try:
+            # ids query: live subset, ascending, absent ids dropped
+            res = eng.search_ids([7, 3, 999999, 3, 41], size=10)
+            assert [r["doc_id"] for r in res["results"]] == [3, 7, 41]
+            assert res["total_hits"] == 3
+            # terms lookup: docs sharing doc 4's source value
+            res = eng.search_terms_lookup(4, "source", size=100)
+            want = [r["doc_id"] for r in rows
+                    if r["source"] == rows[4]["source"]]
+            assert [r["doc_id"] for r in res["results"]] == want
+            assert res["total_hits"] == len(want)
+            # absent lookup doc -> empty
+            assert eng.search_terms_lookup(999999, "source")[
+                "total_hits"] == 0
+            with pytest.raises(ValueError, match="doc-value column"):
+                eng.search_terms_lookup(4, "bogus_field")
+        finally:
+            eng.close()
