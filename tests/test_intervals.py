@@ -70,10 +70,36 @@ def _combine(childs, ordered, max_gaps):
     ]
 
 
+_FILTER_KINDS = ["containing", "contained_by", "overlapping", "before",
+                 "after", "not_containing", "not_contained_by",
+                 "not_overlapping"]
+
+
 def _eval(rule, toks):
     kind = rule[0]
     if kind == "term":
         return [(i, i) for i, w in enumerate(toks) if w == rule[1]]
+    if kind == "filter":
+        _, src_rule, fk, flt_rule = rule
+        src = _eval(src_rule, toks)
+        flt = _eval(flt_rule, toks)
+        neg = fk.startswith("not_")
+        base = fk[4:] if neg else fk
+        out = []
+        for s, e in src:
+            if base == "containing":
+                hit = any(s <= fs and fe <= e for fs, fe in flt)
+            elif base == "contained_by":
+                hit = any(fs <= s and e <= fe for fs, fe in flt)
+            elif base == "overlapping":
+                hit = any(fs <= e and s <= fe for fs, fe in flt)
+            elif base == "before":
+                hit = any(e < fs for fs, _ in flt)
+            else:
+                hit = any(s > fe for _, fe in flt)
+            if hit != neg:
+                out.append((s, e))
+        return out
     if kind in ("match", "all_of"):
         _, ch_, mg, ordered = rule
         childs = (
@@ -93,31 +119,44 @@ def _compile(rule):
     kind, body = next(iter(rule.items()))
     if kind == "match":
         ts = tuple(body["query"].split())
-        if len(ts) == 1:
-            return ("term", ts[0])
-        return ("match", ts, body.get("max_gaps", -1),
-                body.get("ordered", False))
-    ch = tuple(_compile(c) for c in body["intervals"])
-    if kind == "any_of":
-        return ("any_of", ch)
-    return ("all_of", ch, body.get("max_gaps", -1),
-            body.get("ordered", False))
+        base = (("term", ts[0]) if len(ts) == 1 else
+                ("match", ts, body.get("max_gaps", -1),
+                 body.get("ordered", False)))
+    else:
+        ch = tuple(_compile(c) for c in body["intervals"])
+        base = (("any_of", ch) if kind == "any_of" else
+                ("all_of", ch, body.get("max_gaps", -1),
+                 body.get("ordered", False)))
+    flt = body.get("filter")
+    if flt:
+        fk, inner = next(iter(flt.items()))
+        return ("filter", base, fk, _compile(inner))
+    return base
 
 
-def _rand_rule(rng, depth):
+def _rand_rule(rng, depth, filters=False):
     kind = rng.choice(
         ["match", "match", "all_of", "any_of"] if depth > 0 else ["match"])
     if kind == "match":
         n = rng.randint(1, 3)
-        return {"match": {"query": " ".join(rng.sample(VOCAB, n)),
+        rule = {"match": {"query": " ".join(rng.sample(VOCAB, n)),
                           "max_gaps": rng.choice([-1, 0, 1, 2, 5, 64]),
                           "ordered": rng.random() < 0.5}}
-    ch = [_rand_rule(rng, depth - 1) for _ in range(rng.randint(2, 3))]
-    if kind == "any_of":
-        return {"any_of": {"intervals": ch}}
-    return {"all_of": {"intervals": ch,
-                       "max_gaps": rng.choice([-1, 0, 2, 4, 8]),
-                       "ordered": rng.random() < 0.5}}
+    else:
+        ch = [_rand_rule(rng, depth - 1, filters)
+              for _ in range(rng.randint(2, 3))]
+        if kind == "any_of":
+            rule = {"any_of": {"intervals": ch}}
+        else:
+            rule = {"all_of": {"intervals": ch,
+                               "max_gaps": rng.choice([-1, 0, 2, 4, 8]),
+                               "ordered": rng.random() < 0.5}}
+    if filters and depth > 0 and rng.random() < 0.5:
+        body = next(iter(rule.values()))
+        body["filter"] = {
+            rng.choice(_FILTER_KINDS): _rand_rule(rng, depth - 1, filters)
+        }
+    return rule
 
 
 # ---------------------------------------------------------- fixture
@@ -205,3 +244,19 @@ def test_intervals_fuzz(iv_setup):
     for _ in range(60):
         rule = _rand_rule(rng, 2)
         assert _got(eng, rule) == _want(docs, rule), rule
+
+
+def test_intervals_filter_fuzz(iv_setup):
+    """Nested filter fuzz: filters attached to match/all_of/any_of at
+    any depth, filter rules themselves nested (filter-in-filter),
+    against the independent naive algebra + loop-based relation
+    checks."""
+    eng, docs = iv_setup
+    rng = random.Random(1234)
+    n_with_filter = 0
+    for _ in range(80):
+        rule = _rand_rule(rng, 2, filters=True)
+        if "filter" in repr(rule):
+            n_with_filter += 1
+        assert _got(eng, rule) == _want(docs, rule), rule
+    assert n_with_filter >= 30  # the fuzz actually exercises filters
