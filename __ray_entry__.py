@@ -4380,6 +4380,85 @@ IDS_LOOKUP_CASES = [
 IDS_QUERY_SET = [7, 3, 999_999_999, 12, 460, 3]
 
 
+# (case, clauses, slop, in_order) — wildcard patterns expand per
+# segment; literal words analyze to one term.
+SPAN_MULTI_CASES = [
+    ("ord_prefix", ["merg*", "sort"], 2, True),
+    ("unord_prefix", ["sc*", "filter"], 1, False),
+    ("ord3", ["cust*", "jo?n", "batch"], 5, True),
+    ("single", ["wind*"], 0, True),
+]
+
+
+def _q_span_multi(sf_dir: str):
+    """ES span_near over span_multi clauses (wildcard expansion inside
+    the span family).  SQL twin: existential positional self-joins with
+    LIKE predicates — doc-level span_near is existential, so greedy
+    enumeration and the plain join agree."""
+    eng = _engine(sf_dir, "plain", positions=True)
+    rows_c, rows_d = [], []
+    for name, clauses, slop, ino in SPAN_MULTI_CASES:
+        res = eng.search_span_multi(clauses, slop=slop, in_order=ino,
+                                    size=200)
+        for r in res["results"]:
+            rows_c.append(name)
+            rows_d.append(r["doc_id"])
+    return pa.table(
+        {"case": pa.array(rows_c, pa.string()),
+         "doc_id": pa.array(rows_d, pa.int64())}
+    )
+
+
+def _span_multi_like(pat: str) -> str:
+    return pat.replace("%", "").replace("_", "") \
+              .replace("*", "%").replace("?", "_")
+
+
+def _span_multi_sql() -> str:
+    parts = []
+    for name, clauses, slop, ino in SPAN_MULTI_CASES:
+        n = len(clauses)
+        aliases = [chr(ord("a") + i) for i in range(n)]
+        preds = []
+        for al, c in zip(aliases, clauses):
+            if "*" in c or "?" in c:
+                preds.append(f"{al}.tok LIKE '{_span_multi_like(c)}'")
+            else:
+                preds.append(f"{al}.tok = '{c}'")
+        joins = " ".join(
+            f"JOIN tok {al} ON {al}.doc_id = a.doc_id"
+            for al in aliases[1:]
+        )
+        where = " AND ".join(preds)
+        pos = [f"{al}.pos" for al in aliases]
+        if n == 1:
+            win = "TRUE"
+        elif ino:
+            order = " AND ".join(
+                f"{pos[i + 1]} > {pos[i]}" for i in range(n - 1)
+            )
+            win = f"{order} AND {pos[-1]} - {pos[0]} <= {slop + n - 1}"
+        elif n == 2:
+            win = f"abs({pos[0]} - {pos[1]}) <= {slop + 1}"
+        else:
+            win = (
+                f"greatest({', '.join(pos)}) - least({', '.join(pos)}) "
+                f"<= {slop + n - 1}"
+            )
+        parts.append(
+            f"SELECT '{name}' AS \"case\", doc_id FROM (SELECT DISTINCT "
+            f"a.doc_id FROM tok a {joins} WHERE {where} AND {win} "
+            f"ORDER BY a.doc_id LIMIT 200)"
+        )
+    return (
+        "WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "FROM documents), "
+        "tok AS (SELECT doc_id, unnest(l) AS tok, "
+        "unnest(range(1, len(l) + 1)) AS pos FROM lists) "
+        + " UNION ALL ".join(parts)
+    )
+
+
 def _q_ids_terms_lookup(sf_dir: str):
     """ES ids query (explicit _id filter via the pruned docmap read)
     and terms query with terms lookup (value set from another doc's
@@ -5339,6 +5418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_agg": _q_global_agg,
         "search_template": _q_search_template,
         "ids_terms_lookup": _q_ids_terms_lookup,
+        "span_multi": _q_span_multi,
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
         "jaccard_verify": _q_jaccard_verify,
@@ -8471,6 +8551,7 @@ GROUP BY d.doc_id
         "global_agg": _global_agg_sql(),
         "search_template": _search_template_sql(),
         "ids_terms_lookup": _ids_terms_lookup_sql(),
+        "span_multi": _span_multi_sql(),
         "rate_agg": _rate_agg_sql(),
         "date_range_agg": _date_range_sql(),
         "moving_percentiles": _moving_percentiles_sql(),

@@ -1838,6 +1838,20 @@ class Searcher:
         ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
         return ids[:k], total
 
+    def search_span_multi(self, clauses: list[str], slop: int,
+                          in_order: bool, k: int,
+                          max_expansions: int | None = None):
+        out: list[np.ndarray] = []
+        total = 0
+        for r in self.readers:
+            ids, n = sc.span_multi_near_eval(
+                r, clauses, slop, in_order, k, max_expansions
+            )
+            total += n
+            out.append(ids)
+        ids = np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        return ids[:k], total
+
     def search_boolean(self, rpn: tuple[str, ...], k: int,
                        phrase_ops: dict | None = None):
         out: list[np.ndarray] = []
@@ -3042,6 +3056,54 @@ class QueryEngine:
             return {"query": label, "total_hits": 0, "results": []}
         ids = np.concatenate([p[0] for p in parts])
         total = int(sum(p[1] for p in parts))
+        return {
+            "query": label,
+            "total_hits": total,
+            "results": [{"doc_id": int(d), "score": 1.0}
+                        for d in ids[from_:fetch]],
+        }
+
+    def search_span_multi(self, clauses: list[str], slop: int = 0,
+                          in_order: bool = False, size: int = 10,
+                          from_: int = 0,
+                          max_expansions: int | None = None) -> dict:
+        """ES ``span_near`` over ``span_multi``/``span_term`` clauses:
+        each clause is either a plain word (analyzed to exactly one
+        indexed term, like the rest of the span family) or a wildcard
+        pattern (``merg*``, ``ba?ch`` — lowercased but NOT analyzed, ES
+        multi-term behavior), expanded per segment against the
+        dictionary; a clause matches at the union of its expansions'
+        positions.  A single clause degenerates to the bare span_multi
+        (= wildcard filter-context).  Constant-scored, doc_id
+        ascending, exact totals.  Needs store_positions=True."""
+        if not self.has_positions:
+            raise ValueError(
+                "span_multi needs an index built with "
+                "store_positions=True")
+        if not clauses:
+            raise ValueError("span_multi needs at least one clause")
+        if slop < 0:
+            raise ValueError("span_multi slop must be >= 0")
+        lowered: list[str] = []
+        for c in clauses:
+            if "*" in c or "?" in c:
+                lowered.append(c.lower())
+                continue
+            toks = self.normalizer.preprocess_query_list(c)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"span_multi literal clause {c!r} must analyze to "
+                    f"exactly one term (got {toks!r})")
+            lowered.append(toks[0])
+        fetch = from_ + size
+        parts = self._fanout(
+            "search_span_multi", lowered, slop, in_order, fetch,
+            max_expansions,
+        )
+        ids = np.concatenate([p[0] for p in parts])
+        total = int(sum(p[1] for p in parts))
+        label = f"span_multi({', '.join(lowered)}, slop={slop}, " \
+                f"in_order={in_order})"
         return {
             "query": label,
             "total_hits": total,

@@ -1024,6 +1024,87 @@ def span_containing_eval(
     return slots[:size] + reader.doc_id_base, int(slots.size)
 
 
+def span_multi_near_eval(
+    reader: SegmentReader,
+    clauses: list[str],
+    slop: int,
+    in_order: bool,
+    size: int,
+    max_expansions: int | None = None,
+):
+    """ES ``span_near`` over ``span_multi`` / ``span_term`` clauses
+    (Lucene SpanMultiTermQueryWrapper): each clause is a literal term or
+    a wildcard pattern expanded against THIS segment's dictionary; a
+    clause's span set is the UNION of its expanded terms' one-position
+    spans (merged composite ``slot<<32|pos`` key arrays — expansion cost
+    is one dictionary range scan + one k-way key merge per clause, no
+    per-doc work).
+
+    in_order=True: per-anchor greedy chain (earliest next occurrence of
+    each following clause strictly after the previous link) — for
+    one-position spans the greedy chain minimizes the span end for each
+    start, so an ordered assignment with total slack <= slop exists iff
+    a greedy one does (the NearSpansOrdered doc set).  in_order=False:
+    the window-anchor scan (every minimal window starts at some clause
+    occurrence; all clauses must occur in [a, a + slop + n - 1]) —
+    a single position may satisfy two overlapping clauses, which
+    Lucene's unordered spans permit.  Returns (first ``size`` global
+    doc_ids ascending, count)."""
+    empty = np.empty(0, dtype=np.int64)
+    shift = np.int64(32)
+    keysets: list[np.ndarray] = []
+    for c in clauses:
+        if "*" in c or "?" in c:
+            rows = reader.term_rows_matching(c, max_expansions)
+        else:
+            row = reader.term_row(c)
+            rows = [] if row is None else [row]
+        if not rows:
+            return empty, 0
+        ks = [reader.positions_keys_by_row(r) for r in rows]
+        keys = np.sort(np.concatenate(ks)) if len(ks) > 1 else ks[0]
+        if not keys.size:
+            return empty, 0
+        keysets.append(keys)
+    far = np.int64(1) << np.int64(62)
+    if in_order:
+        starts = keysets[0]
+        ends = starts
+        ok = np.ones(starts.size, dtype=bool)
+        for keys in keysets[1:]:
+            idx = np.searchsorted(keys, ends, side="right")
+            nxt = np.where(
+                idx < keys.size, keys[np.minimum(idx, keys.size - 1)], far
+            )
+            ok &= (nxt >> shift) == (ends >> shift)
+            ends = np.where(ok, nxt, ends)
+        starts = starts[ok]
+        ends = ends[ok]
+        if not starts.size:
+            return empty, 0
+        hit = starts[(ends - starts)
+                     <= np.int64(slop + len(clauses) - 1)]
+    else:
+        anchors = (
+            np.unique(np.concatenate(keysets))
+            if len(keysets) > 1 else keysets[0]
+        )
+        width = np.int64(slop + len(clauses) - 1)
+        ok = np.ones(anchors.size, dtype=bool)
+        for keys in keysets:
+            idx = np.searchsorted(keys, anchors)
+            nxt = np.where(
+                idx < keys.size, keys[np.minimum(idx, keys.size - 1)], far
+            )
+            ok &= (nxt - anchors) <= width
+        hit = anchors[ok]
+    if not hit.size:
+        return empty, 0
+    slots = np.unique(hit >> shift)
+    slots = slots[reader.doc_lens[slots] >= 0]  # tombstones
+    return slots[:size] + reader.doc_id_base, int(slots.size)
+
+
 # --------------------------------------------------------------------
 # ES/Lucene intervals query: minimal-interval algebra
 # --------------------------------------------------------------------

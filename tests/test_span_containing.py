@@ -253,3 +253,101 @@ def test_filter_validation(tmp_path):
             eng.search_span_containing("alpha alpha", "gamma")
     finally:
         eng.close()
+
+
+def _brute_span_multi(texts, clauses, slop, in_order):
+    import fnmatch
+    import itertools
+
+    out = []
+    n = len(clauses)
+    for doc_id, t in enumerate(texts):
+        toks = t.split()
+        pos = []
+        for c in clauses:
+            if "*" in c or "?" in c:
+                p = [i for i, x in enumerate(toks)
+                     if fnmatch.fnmatchcase(x, c)]
+            else:
+                p = [i for i, x in enumerate(toks) if x == c]
+            pos.append(p)
+        if any(not p for p in pos):
+            continue
+        hit = False
+        for combo in itertools.product(*pos):
+            if in_order:
+                if any(combo[i + 1] <= combo[i] for i in range(n - 1)):
+                    continue
+            if max(combo) - min(combo) - (n - 1) <= slop:
+                hit = True
+                break
+        if hit:
+            out.append(doc_id)
+    return out
+
+
+def test_span_multi_brute(tmp_path):
+    texts = [
+        "alpha beta gamma",
+        "alphax beta",
+        "beta alphax",
+        "alpy gamma beta",
+        "gamma delta",
+        "alpha gamma gamma beta",
+    ]
+    eng = _build(texts, tmp_path)
+    try:
+        for clauses, slop, ino in (
+            (["alp*", "beta"], 0, True),
+            (["alp*", "beta"], 2, True),
+            (["alp*", "beta"], 0, False),
+            (["alp*", "beta"], 2, False),
+            (["*a", "beta"], 1, False),
+            (["alpha"], 0, True),          # single clause = wildcard/term
+            (["al?ha", "gamma", "beta"], 3, True),
+        ):
+            res = eng.search_span_multi(clauses, slop=slop, in_order=ino,
+                                        size=50)
+            got = [r["doc_id"] for r in res["results"]]
+            want = _brute_span_multi(texts, clauses, slop, ino)
+            assert got == want, (clauses, slop, ino)
+            assert res["total_hits"] == len(want)
+    finally:
+        eng.close()
+
+
+def test_span_multi_fuzz(tmp_path):
+    rng = random.Random(4242)
+    vocab = ["alpha", "alpine", "albeit", "beta", "betray", "gamma"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+        for _ in range(60)
+    ]
+    eng = _build(texts, tmp_path, seg=8, part=5)
+    try:
+        pools = ["al*", "bet*", "gamma", "a*a", "*ta", "alpha", "be?a"]
+        for _ in range(25):
+            n = rng.randint(1, 3)
+            clauses = rng.sample(pools, n)
+            slop = rng.choice([0, 1, 3, 9])
+            ino = rng.random() < 0.5
+            res = eng.search_span_multi(clauses, slop=slop, in_order=ino,
+                                        size=100)
+            got = [r["doc_id"] for r in res["results"]]
+            want = _brute_span_multi(texts, clauses, slop, ino)
+            assert got == want, (clauses, slop, ino)
+    finally:
+        eng.close()
+
+
+def test_span_multi_validation(tmp_path):
+    eng = _build(["alpha beta"], tmp_path)
+    try:
+        with pytest.raises(ValueError, match="at least one clause"):
+            eng.search_span_multi([])
+        with pytest.raises(ValueError, match="slop must be"):
+            eng.search_span_multi(["alpha"], slop=-1)
+        with pytest.raises(ValueError, match="exactly one"):
+            eng.search_span_multi(["alpha beta"])
+    finally:
+        eng.close()
