@@ -254,6 +254,38 @@ def bench_phrase(index_dir: str, queryset: list[str]) -> dict:
                 n += 1
             draws.append(round(n / (time.perf_counter() - t0), 1))
         out["qps_sustained_phrase"] = max(draws)
+        # span family + interval filters over the same positions index
+        words = []
+        for q in queryset:
+            words.extend(w for w in q.strip('"').split() if len(w) >= 3)
+        words = list(dict.fromkeys(words))[:16]
+        pairs = [
+            (words[i % len(words)], words[(i + 1) % len(words)])
+            for i in range(8)
+        ] if len(words) >= 2 else []
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if pairs:
+            sm, sct, ivf = [], [], []
+            a0, b0 = pairs[0]
+            eng.search_span_multi([a0[:3] + "*", b0], slop=3)  # warm
+            for a, b in pairs:
+                t0 = time.perf_counter()
+                eng.search_span_multi([a[:3] + "*", b], slop=3,
+                                      in_order=False)
+                sm.append((time.perf_counter() - t0) * 1e3)
+                t0 = time.perf_counter()
+                eng.search_span_containing(f"{a} {b}", words[0], slop=8)
+                sct.append((time.perf_counter() - t0) * 1e3)
+                t0 = time.perf_counter()
+                eng.search_intervals(
+                    {"match": {"query": f"{a} {b}", "ordered": True,
+                               "max_gaps": 8,
+                               "filter": {"not_containing": {
+                                   "match": {"query": words[0]}}}}})
+                ivf.append((time.perf_counter() - t0) * 1e3)
+            out["span_multi"] = _percentiles(sm)
+            out["span_containing"] = _percentiles(sct)
+            out["intervals_filter"] = _percentiles(ivf)
     finally:
         eng.close()
     return out
@@ -755,6 +787,18 @@ def main_single():
             "query_phrase_p50_ms": res["query_phrase"]["phrase"]["p50_ms"],
             "query_phrase_p99_ms": res["query_phrase"]["phrase"]["p99_ms"],
             "query_qps_phrase": res["query_phrase"]["qps_sustained_phrase"],
+            **(
+                {
+                    "query_span_multi_p50_ms":
+                        res["query_phrase"]["span_multi"]["p50_ms"],
+                    "query_span_containing_p50_ms":
+                        res["query_phrase"]["span_containing"]["p50_ms"],
+                    "query_intervals_filter_p50_ms":
+                        res["query_phrase"]["intervals_filter"]["p50_ms"],
+                }
+                if "span_multi" in res["query_phrase"]
+                else {}
+            ),
             "query_facets_p50_ms": res["query_aggs"]["facets"]["p50_ms"],
             "query_stats_p50_ms": res["query_aggs"]["stats"]["p50_ms"],
             "query_wildcard_p50_ms": res["query_aggs"]["wildcard"]["p50_ms"],
