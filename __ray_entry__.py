@@ -4459,6 +4459,78 @@ def _span_multi_sql() -> str:
     )
 
 
+RANK_EVAL_REL_SRC = {
+    q: f"src{(i * 3) % 20}" for i, q in enumerate(BM25_QUERIES)
+}
+
+
+def _q_rank_eval(sf_dir: str):
+    """ES _rank_eval API over the BM25 top-10: precision@10 (reference
+    retrieved-size quirk), recall@10 and MRR against deterministic
+    relevance sets (docs of one source value per query).  SQL twin:
+    the bm25 ranked CTE joined to the relevance sets."""
+    import pyarrow.parquet as pq_
+
+    eng = _engine(sf_dir, "plain")
+    tbl = pq_.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    )
+    by_src: dict[str, list[int]] = {}
+    for did, src in zip(tbl.column("doc_id").to_pylist(),
+                        tbl.column("source").to_pylist()):
+        by_src.setdefault(src, []).append(did)
+    requests = [
+        {"id": q, "query": q,
+         "relevant": by_src.get(RANK_EVAL_REL_SRC[q], [])}
+        for q in BM25_QUERIES
+    ]
+    rows = {"query": [], "metric": [], "score_u": []}
+    for metric in ("precision", "recall", "mrr"):
+        res = eng.rank_eval(requests, metric=metric, k=10)
+        for q in BM25_QUERIES:
+            rows["query"].append(q)
+            rows["metric"].append(metric)
+            rows["score_u"].append(
+                int(math.floor(res["details"][q]["score"] * 1e6 + 0.5)))
+    return pa.table(
+        {
+            "query": pa.array(rows["query"], pa.string()),
+            "metric": pa.array(rows["metric"], pa.string()),
+            "score_u": pa.array(rows["score_u"], pa.int64()),
+        }
+    )
+
+
+def _rank_eval_sql() -> str:
+    rel_rows = " UNION ALL ".join(
+        f"SELECT '{q}' AS query, doc_id FROM documents "
+        f"WHERE source = '{RANK_EVAL_REL_SRC[q]}'"
+        for q in BM25_QUERIES
+    )
+    return f"""
+WITH ranked AS (SELECT query, rank, doc_id FROM ({_bm25_sql(1, 10)}) t),
+rel AS ({rel_rows}),
+relcnt AS (SELECT query, count(*) AS nrel FROM rel GROUP BY query),
+hits AS (
+  SELECT r.query, r.rank, (rel.doc_id IS NOT NULL) AS is_rel
+  FROM ranked r LEFT JOIN rel
+    ON rel.query = r.query AND rel.doc_id = r.doc_id),
+per AS (
+  SELECT h.query,
+         count(*) FILTER (h.is_rel)::DOUBLE / count(*) AS prec,
+         count(*) FILTER (h.is_rel)::DOUBLE / any_value(c.nrel) AS rec,
+         coalesce(1.0 / min(h.rank) FILTER (h.is_rel), 0.0) AS mrr
+  FROM hits h JOIN relcnt c ON c.query = h.query
+  GROUP BY h.query)
+SELECT query, 'precision' AS metric,
+       floor(prec * 1e6 + 0.5)::BIGINT AS score_u FROM per
+UNION ALL
+SELECT query, 'recall', floor(rec * 1e6 + 0.5)::BIGINT FROM per
+UNION ALL
+SELECT query, 'mrr', floor(mrr * 1e6 + 0.5)::BIGINT FROM per"""
+
+
 def _q_ids_terms_lookup(sf_dir: str):
     """ES ids query (explicit _id filter via the pruned docmap read)
     and terms query with terms lookup (value set from another doc's
@@ -5419,6 +5491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_template": _q_search_template,
         "ids_terms_lookup": _q_ids_terms_lookup,
         "span_multi": _q_span_multi,
+        "rank_eval": _q_rank_eval,
         "exact_dedup": _q_exact_dedup,
         "minhash_dups": _q_minhash_dups,
         "jaccard_verify": _q_jaccard_verify,
@@ -8552,6 +8625,7 @@ GROUP BY d.doc_id
         "search_template": _search_template_sql(),
         "ids_terms_lookup": _ids_terms_lookup_sql(),
         "span_multi": _span_multi_sql(),
+        "rank_eval": _rank_eval_sql(),
         "rate_agg": _rate_agg_sql(),
         "date_range_agg": _date_range_sql(),
         "moving_percentiles": _moving_percentiles_sql(),

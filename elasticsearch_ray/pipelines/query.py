@@ -4447,6 +4447,45 @@ class QueryEngine:
             "results": [{"doc_id": int(d), "score": 1.0} for d in ids[:size]],
         }
 
+    def rank_eval(self, requests: list[dict], metric: str = "precision",
+                  k: int = 10) -> dict:
+        """ES ``_rank_eval`` API: run each request's query, score the
+        ranked top-k against its rated relevant ids with the chosen
+        metric, and return per-request details plus the mean
+        (ES ``metric_score``).  ``requests`` is
+        ``[{"id": name, "query": q, "relevant": [doc_id, ...]}]``
+        (``id`` optional, defaults to the query string); ``metric`` is
+        one of precision / recall / mrr / map / ndcg — the formulas in
+        ``elasticsearch_ray.metrics``, including the reference's
+        P@k retrieved-size quirk (`plot_d_functional_metrics.py:86-87`).
+        Driver cost is one bounded top-k search per request."""
+        from .. import metrics as M
+
+        fns = {
+            "precision": lambda r, rel: M.precision(r, rel, k),
+            "recall": lambda r, rel: M.recall(r, rel, k),
+            "mrr": lambda r, rel: M.reciprocal_rank(r[:k], rel),
+            "map": lambda r, rel: M.average_precision(r[:k], rel),
+            "ndcg": lambda r, rel: M.ndcg(r, rel, k),
+        }
+        if metric not in fns:
+            raise ValueError(
+                f"rank_eval metric {metric!r} not in {sorted(fns)}")
+        details = {}
+        total = 0.0
+        for req in requests:
+            name = req.get("id") or req["query"]
+            res = self.search(req["query"], size=k)
+            hits = [r["doc_id"] for r in res["results"]]
+            score = fns[metric](hits, list(req["relevant"]))
+            details[name] = {"score": score, "hits": hits}
+            total += score
+        return {
+            "metric": metric,
+            "metric_score": (total / len(requests)) if requests else 0.0,
+            "details": details,
+        }
+
     def search_ids(self, doc_ids: list[int], size: int = 10) -> dict:
         """ES ``ids`` query: filter-context match of explicit ``_id``
         values — the live subset of ``doc_ids``, doc_id ascending,

@@ -165,3 +165,36 @@ def test_ids_and_terms_lookup(tmp_path):
                 eng.search_terms_lookup(4, "bogus_field")
         finally:
             eng.close()
+
+
+def test_rank_eval(tmp_path):
+    from elasticsearch_ray import metrics as M
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    rows, idx = _build(tmp_path)
+    eng = QueryEngine(idx, num_searchers=2)
+    try:
+        rel = [r["doc_id"] for r in rows if r["doc_id"] % 3 == 0]
+        reqs = [{"id": "q1", "query": "merge hash", "relevant": rel},
+                {"query": "scan", "relevant": rel[:5]}]
+        for metric, fn in (
+            ("precision", lambda h, r: M.precision(h, r, 10)),
+            ("recall", lambda h, r: M.recall(h, r, 10)),
+            ("mrr", lambda h, r: M.reciprocal_rank(h[:10], r)),
+            ("map", lambda h, r: M.average_precision(h[:10], r)),
+            ("ndcg", lambda h, r: M.ndcg(h, r, 10)),
+        ):
+            res = eng.rank_eval(reqs, metric=metric, k=10)
+            want = []
+            for req in reqs:
+                hits = [x["doc_id"]
+                        for x in eng.search(req["query"], size=10)["results"]]
+                want.append(fn(hits, req["relevant"]))
+            assert res["details"]["q1"]["score"] == pytest.approx(want[0])
+            assert res["details"]["scan"]["score"] == pytest.approx(want[1])
+            assert res["metric_score"] == pytest.approx(sum(want) / 2)
+        with pytest.raises(ValueError, match="metric"):
+            eng.rank_eval(reqs, metric="bogus")
+        assert eng.rank_eval([], metric="mrr")["metric_score"] == 0.0
+    finally:
+        eng.close()
