@@ -3067,15 +3067,21 @@ class QueryEngine:
                           in_order: bool = False, size: int = 10,
                           from_: int = 0,
                           max_expansions: int | None = None) -> dict:
-        """ES ``span_near`` over ``span_multi``/``span_term`` clauses:
-        each clause is either a plain word (analyzed to exactly one
-        indexed term, like the rest of the span family) or a wildcard
-        pattern (``merg*``, ``ba?ch`` — lowercased but NOT analyzed, ES
-        multi-term behavior), expanded per segment against the
-        dictionary; a clause matches at the union of its expansions'
-        positions.  A single clause degenerates to the bare span_multi
-        (= wildcard filter-context).  Constant-scored, doc_id
-        ascending, exact totals.  Needs store_positions=True."""
+        """ES ``span_near`` over ``span_multi``/``span_term`` clauses —
+        the full Lucene SpanMultiTermQueryWrapper family.  Each clause
+        is one of (Lucene query-string syntax, multi-term patterns
+        lowercased but NOT analyzed, ES behavior):
+
+        - a plain word — analyzed to exactly one indexed term,
+        - a wildcard pattern (``merg*``, ``ba?ch``),
+        - a fuzzy term (``merge~``, ``merge~1`` — AUTO edits when bare),
+        - a regexp (``/merg.*/`` — slash-delimited, anchored like ES),
+
+        expanded per segment against the dictionary; a clause matches
+        at the union of its expansions' positions.  A single clause
+        degenerates to the bare span_multi (filter-context term
+        expansion).  Constant-scored, doc_id ascending, exact totals.
+        Needs store_positions=True."""
         if not self.has_positions:
             raise ValueError(
                 "span_multi needs an index built with "
@@ -3084,26 +3090,36 @@ class QueryEngine:
             raise ValueError("span_multi needs at least one clause")
         if slop < 0:
             raise ValueError("span_multi slop must be >= 0")
-        lowered: list[str] = []
+        compiled: list[tuple] = []
         for c in clauses:
+            if len(c) > 2 and c.startswith("/") and c.endswith("/"):
+                compiled.append(("regexp", c[1:-1].lower()))
+                continue
+            fz = _FUZZY_RE.match(c)
+            if fz:
+                t = fz.group(1).lower()
+                edits = (int(fz.group(2)) if fz.group(2)
+                         else fuzzy_auto_edits(t))
+                compiled.append(("fuzzy", t, edits))
+                continue
             if "*" in c or "?" in c:
-                lowered.append(c.lower())
+                compiled.append(("wildcard", c.lower()))
                 continue
             toks = self.normalizer.preprocess_query_list(c)
             if len(toks) != 1:
                 raise ValueError(
                     f"span_multi literal clause {c!r} must analyze to "
                     f"exactly one term (got {toks!r})")
-            lowered.append(toks[0])
+            compiled.append(("term", toks[0]))
         fetch = from_ + size
         parts = self._fanout(
-            "search_span_multi", lowered, slop, in_order, fetch,
+            "search_span_multi", compiled, slop, in_order, fetch,
             max_expansions,
         )
         ids = np.concatenate([p[0] for p in parts])
         total = int(sum(p[1] for p in parts))
-        label = f"span_multi({', '.join(lowered)}, slop={slop}, " \
-                f"in_order={in_order})"
+        label = f"span_multi({', '.join(map(str, clauses))}, " \
+                f"slop={slop}, in_order={in_order})"
         return {
             "query": label,
             "total_hits": total,

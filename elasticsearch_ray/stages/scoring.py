@@ -1026,15 +1026,17 @@ def span_containing_eval(
 
 def span_multi_near_eval(
     reader: SegmentReader,
-    clauses: list[str],
+    clauses: list[tuple],
     slop: int,
     in_order: bool,
     size: int,
     max_expansions: int | None = None,
 ):
     """ES ``span_near`` over ``span_multi`` / ``span_term`` clauses
-    (Lucene SpanMultiTermQueryWrapper): each clause is a literal term or
-    a wildcard pattern expanded against THIS segment's dictionary; a
+    (Lucene SpanMultiTermQueryWrapper): each clause tuple is
+    ``("term", t)``, ``("wildcard", pat)``, ``("regexp", pat)`` or
+    ``("fuzzy", term, max_edits)``, expanded against THIS segment's
+    dictionary (the full ES multi-term wrapper family); a
     clause's span set is the UNION of its expanded terms' one-position
     spans (merged composite ``slot<<32|pos`` key arrays — expansion cost
     is one dictionary range scan + one k-way key merge per clause, no
@@ -1054,10 +1056,15 @@ def span_multi_near_eval(
     shift = np.int64(32)
     keysets: list[np.ndarray] = []
     for c in clauses:
-        if "*" in c or "?" in c:
-            rows = reader.term_rows_matching(c, max_expansions)
-        else:
-            row = reader.term_row(c)
+        kind, arg = c[0], c[1]
+        if kind == "wildcard":
+            rows = reader.term_rows_matching(arg, max_expansions)
+        elif kind == "regexp":
+            rows = reader.term_rows_regexp(arg, max_expansions)
+        elif kind == "fuzzy":
+            rows = reader.term_rows_fuzzy(arg, c[2], max_expansions)
+        else:  # term
+            row = reader.term_row(arg)
             rows = [] if row is None else [row]
         if not rows:
             return empty, 0

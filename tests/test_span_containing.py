@@ -351,3 +351,86 @@ def test_span_multi_validation(tmp_path):
             eng.search_span_multi(["alpha beta"])
     finally:
         eng.close()
+
+
+def _lev(a, b, maxd):
+    if abs(len(a) - len(b)) > maxd:
+        return maxd + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _clause_positions(toks, c):
+    import fnmatch
+    import re as _re
+
+    if len(c) > 2 and c.startswith("/") and c.endswith("/"):
+        rx = _re.compile(c[1:-1])
+        return [i for i, x in enumerate(toks) if rx.fullmatch(x)]
+    m = _re.match(r"^([A-Za-z0-9]+)~([0-2]?)$", c)
+    if m:
+        t = m.group(1)
+        if m.group(2):
+            d = int(m.group(2))
+        else:
+            d = 0 if len(t) <= 2 else (1 if len(t) <= 5 else 2)
+        return [i for i, x in enumerate(toks) if _lev(t, x, d) <= d]
+    if "*" in c or "?" in c:
+        return [i for i, x in enumerate(toks)
+                if fnmatch.fnmatchcase(x, c)]
+    return [i for i, x in enumerate(toks) if x == c]
+
+
+def _brute_span_multi2(texts, clauses, slop, in_order):
+    import itertools
+
+    out = []
+    n = len(clauses)
+    for doc_id, t in enumerate(texts):
+        toks = t.split()
+        pos = [_clause_positions(toks, c) for c in clauses]
+        if any(not p for p in pos):
+            continue
+        for combo in itertools.product(*pos):
+            if in_order and any(
+                combo[i + 1] <= combo[i] for i in range(n - 1)
+            ):
+                continue
+            if max(combo) - min(combo) - (n - 1) <= slop:
+                out.append(doc_id)
+                break
+    return out
+
+
+def test_span_multi_fuzzy_regexp(tmp_path):
+    texts = [
+        "merge sorted alpha",
+        "merze sorted beta",      # merze ~1 of merge
+        "marge alpha sorted",
+        "sorted merge",
+        "merge alpha beta sorted",
+        "mxrze sorted",           # 2 edits from merge
+    ]
+    eng = _build(texts, tmp_path)
+    try:
+        for clauses, slop, ino in (
+            (["merge~1", "sorted"], 0, True),
+            (["merge~", "sorted"], 1, True),     # AUTO = 2 edits
+            (["merge~1", "sorted"], 2, False),
+            (["/m.rge/", "sorted"], 1, True),
+            (["/m.+e/", "alpha"], 3, False),
+            (["merge~0"], 0, True),              # exact via fuzzy 0
+        ):
+            res = eng.search_span_multi(clauses, slop=slop, in_order=ino,
+                                        size=50)
+            got = [r["doc_id"] for r in res["results"]]
+            want = _brute_span_multi2(texts, clauses, slop, ino)
+            assert got == want, (clauses, slop, ino)
+    finally:
+        eng.close()
