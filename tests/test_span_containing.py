@@ -434,3 +434,43 @@ def test_span_multi_fuzzy_regexp(tmp_path):
             assert got == want, (clauses, slop, ino)
     finally:
         eng.close()
+
+
+def test_new_surfaces_embedded_vs_distributed(tmp_path):
+    """Bit-identity across num_searchers for every surface added in the
+    continuation session (span_containing/within, span_multi with all
+    clause kinds, interval filters)."""
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    rng = random.Random(2024)
+    vocab = ["merge", "merze", "sorted", "alpha", "beta", "gamma"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 12)))
+        for _ in range(80)
+    ]
+    eng2 = _build(texts, tmp_path, seg=10, part=7)
+    idx = eng2.index_dir
+    eng0 = QueryEngine(idx, num_searchers=0)
+    try:
+        def both(fn):
+            a, b = fn(eng0), fn(eng2)
+            assert a == b
+            return a
+
+        both(lambda e: e.search_span_containing(
+            "merge sorted", "alpha", slop=6, size=100))
+        both(lambda e: e.search_span_within(
+            "alpha", "merge sorted", slop=6, size=100))
+        both(lambda e: e.search_span_multi(
+            ["mer*", "sorted"], slop=2, in_order=True, size=100))
+        both(lambda e: e.search_span_multi(
+            ["merge~1", "/s.rted/"], slop=3, in_order=False, size=100))
+        for fk in ("containing", "not_containing", "before", "after"):
+            both(lambda e, fk=fk: e.search_intervals(
+                {"match": {"query": "merge sorted", "ordered": True,
+                           "max_gaps": 5,
+                           "filter": {fk: {"match": {"query": "beta"}}}}},
+                size=100))
+    finally:
+        eng0.close()
+        eng2.close()
