@@ -255,9 +255,15 @@ def bench_phrase(index_dir: str, queryset: list[str]) -> dict:
             draws.append(round(n / (time.perf_counter() - t0), 1))
         out["qps_sustained_phrase"] = max(draws)
         # span family + interval filters over the same positions index
+        # analyzed forms: the span family requires each clause word to
+        # analyze to ONE term and big-clause terms to be distinct, so
+        # dedup/pair on what the analyzer produces, not the raw casing
         words = []
         for q in queryset:
-            words.extend(w for w in q.strip('"').split() if len(w) >= 3)
+            for w in q.strip('"').split():
+                toks = eng.normalizer.preprocess_query_list(w)
+                if len(toks) == 1 and len(toks[0]) >= 3:
+                    words.append(toks[0])
         words = list(dict.fromkeys(words))[:16]
         pairs = [
             (words[i % len(words)], words[(i + 1) % len(words)])

@@ -296,6 +296,15 @@ def geo_line_agg(
     def partial(batch: pa.Table) -> pa.Table:
         lat_m, lon_m = derive_points_milli(batch)
         grp = batch.column(group_key).to_numpy().astype(np.int64)
+        if not grp.size:  # empty block (e.g. a fully-filtered batch)
+            return pa.table({
+                group_key: pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "lat_m": pa.array([], pa.int64()),
+                "lon_m": pa.array([], pa.int64()),
+                "grp_count": pa.array([], pa.int64()),
+            })
         ts = batch.column(sort_key).to_numpy()
         if ts.dtype.kind == "M":
             ts = ts.astype("datetime64[us]").view(np.int64)
@@ -342,6 +351,14 @@ def geo_line_agg(
     tbl = pa.Table.from_pandas(
         out.to_pandas(), preserve_index=False
     )
+    if tbl.num_rows == 0:  # empty input: keep the documented schema
+        return pa.table({
+            group_key: pa.array([], pa.int64()),
+            "seq": pa.array([], pa.int64()),
+            "lat_m": pa.array([], pa.int64()),
+            "lon_m": pa.array([], pa.int64()),
+            "complete": pa.array([], pa.bool_()),
+        })
     return tbl.sort_by([(group_key, "ascending"), ("seq", "ascending")])
 
 

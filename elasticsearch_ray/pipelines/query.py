@@ -3526,10 +3526,12 @@ class QueryEngine:
                     "avg": (s / n) if n else None}
 
         kind, payload = self._agg_route(query_text)
-        scoped = fold(self._fanout("stats_agg", kind, payload, field))
-        glob = fold(self._fanout("stats_agg", "all", None, field))
+        scoped_parts, glob_parts = self._fanout_many(
+            "stats_agg",
+            [(kind, payload, field), ("all", None, field)],
+        )
         return {"query": query_text, "field": field,
-                "scoped": scoped, "global": glob}
+                "scoped": fold(scoped_parts), "global": fold(glob_parts)}
 
     def search_template(self, template: str, params: dict,
                         size: int = 10, from_: int = 0) -> dict:
@@ -4491,6 +4493,11 @@ class QueryEngine:
         total = 0.0
         for req in requests:
             name = req.get("id") or req["query"]
+            if name in details:
+                raise ValueError(
+                    f"rank_eval request id {name!r} is not unique — give "
+                    "duplicate queries distinct 'id's (ES keys details "
+                    "by unique request id)")
             res = self.search(req["query"], size=k)
             hits = [r["doc_id"] for r in res["results"]]
             score = fns[metric](hits, list(req["relevant"]))

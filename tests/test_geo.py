@@ -216,3 +216,29 @@ def test_geo_line_validation():
 
     with pytest.raises(ValueError, match=">= 1"):
         geo_line_agg(_events(), size=0)
+
+
+def test_geo_line_empty_batches():
+    """Empty blocks (fully-filtered batches / empty dataset) must not
+    crash the map-side partial."""
+    from elasticsearch_ray.ops.geo import geo_line_agg
+
+    ds = _events(200)
+
+    def keep_none(b):
+        return b.slice(0, 0)
+
+    empty = ds.map_batches(keep_none, batch_format="pyarrow")
+    out = geo_line_agg(empty, size=3)
+    assert out.num_rows == 0
+
+    # mixed: one of several blocks empties after a filter
+    import pyarrow.compute as pc
+
+    def keep_some(b):
+        return b.filter(pc.less(b.column("user_id"), 5))
+
+    part = ds.repartition(8).map_batches(keep_some, batch_format="pyarrow")
+    out2 = geo_line_agg(part, size=3)
+    assert out2.num_rows > 0
+    assert set(out2.column("user_id").to_pylist()) <= set(range(5))

@@ -198,3 +198,24 @@ def test_rank_eval(tmp_path):
         assert eng.rank_eval([], metric="mrr")["metric_score"] == 0.0
     finally:
         eng.close()
+
+
+def test_rank_eval_duplicate_ids_rejected(tmp_path):
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    rows, idx = _build(tmp_path)
+    eng = QueryEngine(idx, num_searchers=0)
+    try:
+        with pytest.raises(ValueError, match="not unique"):
+            eng.rank_eval([
+                {"query": "merge", "relevant": [1]},
+                {"query": "merge", "relevant": [2]},
+            ])
+        # distinct ids make the same queries fine
+        res = eng.rank_eval([
+            {"id": "a", "query": "merge", "relevant": [1]},
+            {"id": "b", "query": "merge", "relevant": [2]},
+        ])
+        assert set(res["details"]) == {"a", "b"}
+    finally:
+        eng.close()
