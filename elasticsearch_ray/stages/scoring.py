@@ -1415,6 +1415,115 @@ def _ordered_chain_docs(reader: SegmentReader, terms: list[str],
     return slots[:size] + reader.doc_id_base, int(slots.size)
 
 
+def _iv_minimal_pairs_vec(reader: SegmentReader, t1: str, t2: str,
+                          max_gaps: int):
+    """Vectorized minimal-interval set of the flat ordered 2-term match
+    (t1, t2) over composite ``slot<<32|pos`` keys: greedy ends (first t2
+    strictly after each t1), antichain prune (a pair is minimal iff no
+    t1 lies strictly inside — i.e. the NEXT t1 key is already past the
+    end; a next key in another slot is past it trivially), THEN the
+    max_gaps filter (Lucene's order of operations).  Returns sorted
+    (start_keys, end_keys) arrays, or None when either term is absent."""
+    r1 = reader.term_row(t1)
+    r2 = reader.term_row(t2)
+    if r1 is None or r2 is None:
+        return None
+    k1 = reader.positions_keys_by_row(r1)
+    k2 = reader.positions_keys_by_row(r2)
+    if not k1.size or not k2.size:
+        return None
+    far = np.int64(1) << np.int64(62)
+    idx = np.searchsorted(k2, k1, side="right")
+    e = np.where(idx < k2.size, k2[np.minimum(idx, k2.size - 1)], far)
+    ok = (e >> np.int64(32)) == (k1 >> np.int64(32))
+    nxt1 = np.empty_like(k1)
+    nxt1[:-1] = k1[1:]
+    nxt1[-1] = far
+    ok &= nxt1 > e  # antichain: no t1 strictly inside (s, e)
+    if max_gaps >= 0:
+        ok &= (e - k1) <= np.int64(max_gaps + 1)
+    s = k1[ok]
+    return s, e[ok]
+
+
+def _iv_filter_fast(reader: SegmentReader, rule, size: int | None):
+    """Vectorized fast path for the common interval-filter shapes —
+    flat ordered 2-term match source with a term filter (containing /
+    not_containing) and term source with a flat-pair filter
+    (contained_by / not_contained_by / before / after + not_*).
+    Returns (ids, total) or None when the shape doesn't match (the
+    per-doc algebra handles the general case)."""
+    _, src, fkind, flt = rule
+    shift = np.int64(32)
+    far = np.int64(1) << np.int64(62)
+    empty = np.empty(0, dtype=np.int64)
+
+    def done(slots):
+        slots = slots[reader.doc_lens[slots] >= 0]
+        return slots[:size] + reader.doc_id_base, int(slots.size)
+
+    if (src[0] == "match" and len(src[1]) == 2 and src[3]
+            and flt[0] == "term"
+            and fkind in ("containing", "not_containing")):
+        got = _iv_minimal_pairs_vec(reader, src[1][0], src[1][1], src[2])
+        if got is None:
+            return empty, 0
+        s, e = got
+        if not s.size:
+            return empty, 0
+        frow = reader.term_row(flt[1])
+        if frow is None:
+            hit = np.zeros(s.size, dtype=bool)
+        else:
+            fk = reader.positions_keys_by_row(frow)
+            idx = np.searchsorted(fk, s)
+            cand = np.where(
+                idx < fk.size, fk[np.minimum(idx, fk.size - 1)], far)
+            hit = cand <= e
+        keep = hit if fkind == "containing" else ~hit
+        return done(np.unique(s[keep] >> shift))
+
+    if (src[0] == "term" and flt[0] == "match" and len(flt[1]) == 2
+            and flt[3]
+            and fkind in ("contained_by", "not_contained_by",
+                          "before", "after")):
+        srow = reader.term_row(src[1])
+        if srow is None:
+            return empty, 0
+        p = reader.positions_keys_by_row(srow)
+        if not p.size:
+            return empty, 0
+        got = _iv_minimal_pairs_vec(reader, flt[1][0], flt[1][1], flt[2])
+        neg = fkind.startswith("not_")
+        base = fkind[4:] if neg else fkind
+        if got is None or not got[0].size:
+            hit = np.zeros(p.size, dtype=bool)
+        else:
+            fs, fe = got
+            if base == "contained_by":
+                # antichain: starts AND ends ascend, so the pair with
+                # the largest start <= p also has the largest end
+                idx = np.searchsorted(fs, p, side="right") - 1
+                prev_e = np.where(
+                    idx >= 0, fe[np.maximum(idx, 0)], np.int64(-1))
+                hit = prev_e >= p  # same-slot implied: fs <= p <= fe
+            elif base == "before":
+                # source [p,p] ends before some pair start in this slot
+                idx = np.searchsorted(fs, p, side="right")
+                nxt = np.where(
+                    idx < fs.size, fs[np.minimum(idx, fs.size - 1)], far)
+                hit = (nxt >> shift) == (p >> shift)
+            else:  # after: some pair end < p in this slot
+                idx = np.searchsorted(fe, p) - 1
+                prev = np.where(
+                    idx >= 0, fe[np.maximum(idx, 0)], np.int64(-1))
+                hit = (prev >= 0) & ((prev >> shift) == (p >> shift))
+        keep = ~hit if neg else hit
+        return done(np.unique(p[keep] >> shift))
+
+    return None
+
+
 def intervals_eval(reader: SegmentReader, rule, size: int | None):
     """ES ``intervals`` query over stored positions.  Flat rules
     (term / single-level match) delegate to the vectorized phrase /
@@ -1429,6 +1538,10 @@ def intervals_eval(reader: SegmentReader, rule, size: int | None):
     iterator design).  Returns (first ``size`` global doc_ids ascending,
     local match count)."""
     empty = np.empty(0, dtype=np.int64)
+    if rule[0] == "filter":
+        fast = _iv_filter_fast(reader, rule, size)
+        if fast is not None:
+            return fast
     if rule[0] == "term":
         res = reader.postings_slots(rule[1])
         if res is None:
