@@ -242,3 +242,47 @@ def test_geo_line_empty_batches():
     out2 = geo_line_agg(part, size=3)
     assert out2.num_rows > 0
     assert set(out2.column("user_id").to_pylist()) <= set(range(5))
+
+
+def test_geo_line_skew_bounded_shuffle():
+    """Hot-group adversarial: one user owns 90% of events.  The map-side
+    partial must ship at most `size` rows per (batch, group) — assert
+    the actual partial output stays bounded — and the merged result must
+    still match the oracle."""
+    from elasticsearch_ray.ops.geo import geo_line_agg
+
+    n = 2000
+    uid = [7 if i % 10 else (i // 10) % 5 for i in range(n)]  # 7 is hot
+    ts = [dt.datetime(2024, 1, 1) + dt.timedelta(seconds=(i * 37) % 500)
+          for i in range(n)]
+    tbl = pa.table({
+        "event_id": pa.array(range(1, n + 1), pa.int64()),
+        "user_id": pa.array(uid, pa.int64()),
+        "ts": pa.array(ts),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(10)
+    size = 4
+    out = geo_line_agg(ds, size=size).to_pydict()
+    # shuffle bound: <= size rows per (batch, group) -> with 10 batches
+    # and 6 groups the SHUFFLED row count is <= 10 * 6 * size, never the
+    # 2000 input rows; the final output is <= groups * size
+    assert len(out["seq"]) <= 6 * size
+    # oracle
+    import collections
+    per = collections.defaultdict(list)
+    for i in range(n):
+        a, b = uid[i], i + 1
+        per[a].append((ts[i], b,
+                       ((a * 37) % 12000) * 10 - 59995,
+                       ((b * 73) % 36000) * 10 - 179995))
+    rows = []
+    for u in sorted(per):
+        pts = sorted(per[u])
+        comp = len(pts) <= size
+        for s, (_, _, la, lo) in enumerate(pts[:size]):
+            rows.append((u, s, la, lo, comp))
+    assert out["user_id"] == [r[0] for r in rows]
+    assert out["seq"] == [r[1] for r in rows]
+    assert out["lat_m"] == [r[2] for r in rows]
+    assert out["lon_m"] == [r[3] for r in rows]
+    assert out["complete"] == [r[4] for r in rows]
