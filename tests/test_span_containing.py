@@ -474,3 +474,37 @@ def test_new_surfaces_embedded_vs_distributed(tmp_path):
     finally:
         eng0.close()
         eng2.close()
+
+
+def test_new_surfaces_reject_garbage_cleanly(tmp_path):
+    """Property: malformed inputs to the new surfaces raise ValueError
+    (or KeyError for missing rule keys) — never crash the actor pool or
+    return garbage silently."""
+    eng = _build(["alpha beta gamma", "beta gamma"], tmp_path)
+    try:
+        bad_calls = [
+            lambda: eng.search_span_multi(["alpha beta"]),      # 2 terms
+            lambda: eng.search_span_multi([""]),                # empty
+            lambda: eng.search_span_multi(["a*"], slop=-2),
+            lambda: eng.search_span_containing("alpha", "beta"),
+            lambda: eng.search_span_containing("alpha alpha", "beta"),
+            lambda: eng.search_span_within("x y", "alpha beta"),
+            lambda: eng.search_intervals({"match": {
+                "query": "alpha", "filter": {"inside": {
+                    "match": {"query": "beta"}}}}}),
+            lambda: eng.search_intervals({"match": {
+                "query": "alpha",
+                "filter": {"containing": {"bogus": {}}}}}),
+            lambda: eng.search_template("{{missing}}", {}),
+            lambda: eng.rank_eval([{"query": "a", "relevant": []}],
+                                  metric="f2"),
+            lambda: eng.search_terms_lookup(0, "no_such_col"),
+        ]
+        for fn in bad_calls:
+            with pytest.raises((ValueError, KeyError)):
+                fn()
+        # and the engine still serves fine afterwards (2-doc corpus so
+        # the query term's idf is nonzero)
+        assert eng.search("alpha")["total_hits"] == 1
+    finally:
+        eng.close()
