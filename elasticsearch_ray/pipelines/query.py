@@ -2760,6 +2760,11 @@ class QueryEngine:
         if not self.has_positions:
             raise ValueError(
                 "span_near needs an index built with store_positions=True")
+        if not (0 <= slop < (1 << 31)):
+            # positions fit 32 bits: a window wider than 2^31 would cross
+            # the slot<<32 composite-key boundary (cross-doc safety), and
+            # ES rejects negative slop rather than coercing it
+            raise ValueError("span_near slop must be in [0, 2^31)")
         words = query_text.split()
         if len(words) < 2:
             raise ValueError("span_near needs at least two clause terms")
@@ -3008,6 +3013,8 @@ class QueryEngine:
         if not self.has_positions:
             raise ValueError(
                 f"{label} needs an index built with store_positions=True")
+        if not (0 <= slop < (1 << 31)):
+            raise ValueError(f"{label} slop must be in [0, 2^31)")
         words = big.split()
         if len(words) < 2:
             raise ValueError(f"{label} big clause needs at least two words")
@@ -3088,8 +3095,10 @@ class QueryEngine:
                 "store_positions=True")
         if not clauses:
             raise ValueError("span_multi needs at least one clause")
-        if slop < 0:
-            raise ValueError("span_multi slop must be >= 0")
+        if not (0 <= slop < (1 << 31)):
+            # the unordered window test spans slop + n - 1 composite-key
+            # units; >= 2^31 would cross the slot<<32 doc boundary
+            raise ValueError("span_multi slop must be in [0, 2^31)")
         compiled: list[tuple] = []
         for c in clauses:
             if len(c) > 2 and c.startswith("/") and c.endswith("/"):

@@ -415,19 +415,39 @@ def _wand_multi_blockmax(reader, cursors, k, scoring, k1, b, avgdl,
         return slots, term_scores(tfs, dls, c.idf, scoring, k1, b, avgdl)
 
     # ---- phase 1: seed threshold from the richest blocks -----------------
-    seed = []
-    for ti, c in enumerate(cursors):
-        for blk in range(c.nblocks):
-            seed.append((float(c.blk_ub[blk]), ti, blk))
-    seed.sort(key=lambda x: -x[0])
+    # Top-C block selection via argpartition over the concatenated
+    # blk_ub arrays — O(B + C log C) vectorized — instead of
+    # materializing and fully sorting a Python (ub, ti, blk) tuple list
+    # (O(B log B) interpreted work on Zipf-head terms with tens of
+    # thousands of blocks).  The seed threshold is a CONSERVATIVE
+    # optimization: partial accumulated scores are lower bounds of true
+    # scores, so under-seeding only weakens phase-2 pruning, never
+    # top-k exactness — capping C is safe.  Blocks hold up to 128
+    # postings, so C blocks cover the posting budget with a wide margin
+    # even under heavy tombstoning.
+    budget = max(4 * k, 512)
+    flat_ub = (
+        np.concatenate(
+            [np.asarray(c.blk_ub, dtype=np.float64) for c in cursors]
+        )
+        if cursors else np.empty(0, dtype=np.float64)
+    )
+    B = flat_ub.size
+    C = min(B, max(budget // 16, 256))
+    if 0 < C < B:
+        part = np.argpartition(-flat_ub, C - 1)[:C]
+        order = part[np.argsort(-flat_ub[part], kind="stable")]
+    else:
+        order = np.argsort(-flat_ub, kind="stable")
+    starts = np.cumsum([0] + [c.nblocks for c in cursors])
     acc = np.zeros(N, dtype=np.float64)
     touched_parts = []
-    budget = max(4 * k, 512)
     n_seeded = 0
-    for ub, ti, blk in seed:
+    for fi in order:
         if n_seeded >= budget:
             break
-        slots, s = block_scores(cursors[ti], blk)
+        ti = int(np.searchsorted(starts, fi, side="right")) - 1
+        slots, s = block_scores(cursors[ti], int(fi - starts[ti]))
         acc[slots] += s
         touched_parts.append(slots)
         n_seeded += slots.size
@@ -541,6 +561,22 @@ def _wand_single_term(reader, c: _Cursor, k, scoring, k1, b, avgdl,
     return top_s, top_sc, -1
 
 
+def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two SORTED-unique int64 arrays: binary-search the
+    smaller into the larger — O(min log max), no re-sort (np.intersect1d
+    sorts the concatenation even with assume_unique).  The idx clamp
+    (out-of-range hits redirected to slot 0) keeps the gather in-bounds;
+    a false positive there would require b[0] == a[i] with a[i] > b[-1],
+    impossible for sorted inputs."""
+    if a.size > b.size:
+        a, b = b, a
+    if not a.size:
+        return a
+    idx = np.searchsorted(b, a)
+    idx[idx == b.size] = 0
+    return a[b[idx] == a]
+
+
 def phrase_eval(
     reader: SegmentReader,
     phrases: list[list[str]],
@@ -548,6 +584,7 @@ def phrase_eval(
     size: int,
     slops: list[int] | None = None,
     max_expansions: int = 50,
+    prefix_expand: bool = True,
 ):
     """Quoted-phrase retrieval over stored positions (beyond the reference,
     whose PHRASE grammar was never implemented — ``README.md:39-48`` vs the
@@ -574,24 +611,15 @@ def phrase_eval(
     ``union_d(R[c-d] + 1 + d)`` with the next term's keys — O(slop^2)
     vector ops per term, zero per-candidate work.
 
-    A phrase term ending in ``*`` is a PREFIX term (ES match_phrase_prefix):
+    A phrase term ending in ``*`` is a PREFIX term (ES match_phrase_prefix,
+    only when ``prefix_expand`` — span/intervals delegates pass False so
+    their clause terms stay literal like Lucene span terms):
     it expands to at most ``max_expansions`` dictionary terms per segment
     (sorted-dictionary range scan, ES's per-shard expansion semantics) and
     its key set is the union of the expansions' position keys — composes
     with slop unchanged."""
     empty = np.empty(0, dtype=np.int64)
-
-    def intersect(a, b):
-        """Intersection of two SORTED-unique arrays: binary-search the
-        smaller into the larger — O(min log max), no re-sort (intersect1d
-        sorts the concatenation even with assume_unique)."""
-        if a.size > b.size:
-            a, b = b, a
-        if not a.size:
-            return a
-        idx = np.searchsorted(b, a)
-        idx[idx == b.size] = 0
-        return a[b[idx] == a]
+    intersect = _intersect_sorted
 
     # candidate docs: every phrase term and residual term present.
     # Entries carry their dictionary ROW so the unpruned key build can hit
@@ -601,7 +629,8 @@ def phrase_eval(
     for phrase in phrases:
         datas = []
         for t in phrase:
-            if len(t) > 1 and t.endswith("*") and "*" not in t[:-1]:
+            if (prefix_expand and len(t) > 1 and t.endswith("*")
+                    and "*" not in t[:-1]):
                 rows = reader.term_rows_matching(t, max_expansions)
                 subs = [
                     (r, reader.positions_flat_by_row(r)) for r in rows
@@ -812,16 +841,13 @@ def span_near_eval(
     Returns (first ``size`` matching global doc_ids ascending, count)."""
     empty = np.empty(0, dtype=np.int64)
     if in_order:
-        return phrase_eval(reader, [list(terms)], [], size, slops=[slop])
-
-    def intersect(a, b):
-        if a.size > b.size:
-            a, b = b, a
-        if not a.size:
-            return a
-        idx = np.searchsorted(b, a)
-        idx[idx == b.size] = 0
-        return a[b[idx] == a]
+        # prefix_expand=False: span/intervals clause terms are LITERAL —
+        # ES never wildcard-expands a span_term, and the unordered path /
+        # the unlimited-gap chain walk both look the term up literally,
+        # so a trailing-* token must not flip semantics on in_order
+        return phrase_eval(reader, [list(terms)], [], size, slops=[slop],
+                           prefix_expand=False)
+    intersect = _intersect_sorted
 
     cand: np.ndarray | None = None
     rows = []
@@ -1172,14 +1198,7 @@ def _iv_candidates(reader: SegmentReader, rule) -> np.ndarray:
             return empty
         return reader.positions_flat_by_row(row)[0]
 
-    def inter(a, b):
-        if a.size > b.size:
-            a, b = b, a
-        if not a.size:
-            return a
-        idx = np.searchsorted(b, a)
-        idx[idx == b.size] = 0
-        return a[b[idx] == a]
+    inter = _intersect_sorted
 
     if kind == "term":
         return term_docs(rule[1])
@@ -1376,15 +1395,7 @@ def _ordered_chain_docs(reader: SegmentReader, terms: list[str],
     slop-dependent work (the sloppy-phrase DP is O(slop^2), unusable at
     unlimited gaps)."""
     empty = np.empty(0, dtype=np.int64)
-
-    def intersect(a, b):
-        if a.size > b.size:
-            a, b = b, a
-        if not a.size:
-            return a
-        idx = np.searchsorted(b, a)
-        idx[idx == b.size] = 0
-        return a[b[idx] == a]
+    intersect = _intersect_sorted
 
     rows, cand = [], None
     for t in terms:
@@ -1439,7 +1450,12 @@ def _iv_minimal_pairs_vec(reader: SegmentReader, t1: str, t2: str,
     nxt1 = np.empty_like(k1)
     nxt1[:-1] = k1[1:]
     nxt1[-1] = far
-    ok &= nxt1 > e  # antichain: no t1 strictly inside (s, e)
+    # antichain: no t1 STRICTLY inside (s, e).  >= not >: with t1 == t2
+    # (duplicate-term match) the next t1 key IS the greedy end itself,
+    # which sits on the boundary, so consecutive-occurrence pairs are
+    # all minimal; for distinct terms nxt1 == e is impossible and the
+    # two comparisons agree.
+    ok &= nxt1 >= e
     if max_gaps >= 0:
         ok &= (e - k1) <= np.int64(max_gaps + 1)
     s = k1[ok]
@@ -1598,11 +1614,8 @@ def wildcard_eval(
     exact total).  Wildcard queries are NOT analyzed (ES behavior): the
     lowercased pattern matches the stored dictionary terms directly.
     Returns (first ``size`` matching global doc_ids, local match count)."""
-    rows = reader.term_rows_matching(pattern, max_expansions)
-    if not rows:
-        return np.empty(0, dtype=np.int64), 0
-    arrs = [reader.postings_slots_by_row(r)[0] for r in rows]
-    slots = np.unique(np.concatenate(arrs)) if len(arrs) > 1 else arrs[0]
+    slots = _expansion_slots(reader, reader.term_rows_matching(
+        pattern, max_expansions))
     slots = slots[reader.doc_lens[slots] >= 0]  # tombstones
     return slots[:size] + reader.doc_id_base, int(slots.size)
 
@@ -1617,11 +1630,8 @@ def regexp_eval(
     matching the RE2 pattern (boolean-OR semantics, doc_id ascending,
     exact total).  Like wildcard/fuzzy, the pattern is NOT analyzed — it
     matches stored dictionary terms directly."""
-    rows = reader.term_rows_regexp(pattern, max_expansions)
-    if not rows:
-        return np.empty(0, dtype=np.int64), 0
-    arrs = [reader.postings_slots_by_row(r)[0] for r in rows]
-    slots = np.unique(np.concatenate(arrs)) if len(arrs) > 1 else arrs[0]
+    slots = _expansion_slots(reader, reader.term_rows_regexp(
+        pattern, max_expansions))
     slots = slots[reader.doc_lens[slots] >= 0]  # tombstones
     return slots[:size] + reader.doc_id_base, int(slots.size)
 
@@ -1638,11 +1648,8 @@ def fuzzy_eval(
     expanded terms, doc_id ascending, exact total).  Like wildcard, fuzzy
     terms are NOT analyzed (ES behavior) — the lowercased term matches
     stored dictionary terms; ``transpositions=false`` metric."""
-    rows = reader.term_rows_fuzzy(term, max_edits, max_expansions)
-    if not rows:
-        return np.empty(0, dtype=np.int64), 0
-    arrs = [reader.postings_slots_by_row(r)[0] for r in rows]
-    slots = np.unique(np.concatenate(arrs)) if len(arrs) > 1 else arrs[0]
+    slots = _expansion_slots(reader, reader.term_rows_fuzzy(
+        term, max_edits, max_expansions))
     slots = slots[reader.doc_lens[slots] >= 0]  # tombstones
     return slots[:size] + reader.doc_id_base, int(slots.size)
 
