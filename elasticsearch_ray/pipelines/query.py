@@ -31,6 +31,7 @@ import numpy as np
 import ray
 
 from ..normalizer import make_normalizer, preprocess_boolean_query
+from ..state.dfshards import idf as _dfshards_idf
 
 # one bare term containing * or ? -> ES wildcard-query routing
 _WILDCARD_RE = re.compile(r"^(?=.*[*?])[A-Za-z0-9*?]+$")
@@ -1233,9 +1234,11 @@ class Searcher:
             vv, ww = vv[m], ww[m]
             vmax = int(np.abs(vv).max())
             wmax = int(np.abs(ww).max())
-            if vmax * wmax * n < 2 ** 62:
-                # every product and the running block sum fit int64 ->
-                # vectorized exact path (the common case)
+            if vmax * wmax * n < 2 ** 62 and wmax * n < 2 ** 62:
+                # every product, the running block sum, AND the bare
+                # weight sum fit int64 (vmax == 0 would otherwise wave
+                # huge weights through the first bound) -> vectorized
+                # exact path (the common case)
                 num += int((vv * ww).sum(dtype=np.int64))
                 den += int(ww.sum(dtype=np.int64))
             else:  # arbitrary-precision fallback, still exact
@@ -1529,6 +1532,29 @@ class Searcher:
             np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
         )
         return ids[:k], total
+
+    def ids_match(self, kind: str, payload, ids: list[int]) -> list[int]:
+        """Which of the given GLOBAL doc ids match the routed query
+        (same kind/payload contract as the agg layer) on this
+        searcher's readers — membership via one searchsorted into each
+        reader's hit-slot array, O(|ids| log hits)."""
+        out: list[int] = []
+        for r in self.readers:
+            lo = r.doc_id_base
+            hi = lo + r.doc_lens.size
+            local = [d - lo for d in ids if lo <= d < hi]
+            if not local:
+                continue
+            slots = self._match_slots(r, kind, payload)
+            if not slots.size:
+                continue
+            la = np.asarray(sorted(local), dtype=np.int64)
+            idx = np.searchsorted(slots, la)
+            ok = (idx < slots.size) & (
+                slots[np.minimum(idx, slots.size - 1)] == la
+            )
+            out.extend((la[ok] + lo).tolist())
+        return out
 
     def exists_ids(self, field: str, k: int):
         """ES exists query per shard: live docs with a present doc-value
@@ -1996,10 +2022,8 @@ class MultiIndexEngine:
         for e in self.engines.values():
             for t, df in e._global_dfs(terms).items():
                 dfs[t] += df
-        return {
-            t: (math.log((self.doc_count + 1) / (df + 1)) if df > 0 else 0.0)
-            for t, df in dfs.items()
-        }
+        return {t: _dfshards_idf(self.doc_count, df)
+                for t, df in dfs.items()}
 
     def search(self, query_text: str, size: int = 10,
                mode: str = "taat") -> dict:
@@ -2012,19 +2036,26 @@ class MultiIndexEngine:
         idfs = self._idfs(sorted(set(terms)))
         cands: list[tuple[float, int, int, str]] = []
         total = 0
+        uncounted = False  # WAND shards return -1 ('not counted')
         for oi, (name, e) in enumerate(self.engines.items()):
             parts = e._fanout(
                 "search_ranked", terms, idfs, size, self.scoring, self.k1,
                 self.b, self.avgdl, mode, None, 0, None,
             )
             for ids, scores, n in parts:
-                total += int(n) if n >= 0 else 0
+                if n < 0:
+                    uncounted = True
+                else:
+                    total += int(n)
                 for d, s in zip(ids.tolist(), scores.tolist()):
                     cands.append((-s, oi, d, name))
         cands.sort()
         return {
             "query": query_text,
-            "total_hits": total,
+            # -1 propagates WAND's 'not counted' sentinel exactly like
+            # the single-index path, instead of fabricating an
+            # exact-looking partial count
+            "total_hits": -1 if uncounted else total,
             "results": [
                 {"index": name, "doc_id": d, "score": -negs}
                 for negs, _, d, name in cands[:size]
@@ -2498,6 +2529,17 @@ class QueryEngine:
                 "search_after is only supported for ranked term queries; "
                 "use from_ pagination for phrase/boolean/wildcard/fuzzy"
             )
+        if (minimum_should_match or filter is not None) and not (
+            search_after is not None or self._cursorable(query_text)
+        ):
+            # like the search_after guard above: silently running a
+            # phrase/boolean/wildcard/fuzzy route WITHOUT the requested
+            # constraint would return wrong results with no indication
+            raise ValueError(
+                "minimum_should_match / filter are only supported for "
+                "ranked term queries; compose boolean/phrase constraints "
+                "into the query string instead"
+            )
         if search_after is not None:
             res = self._search_ranked(
                 query_text, size, mode or self.mode, after=search_after,
@@ -2643,12 +2685,12 @@ class QueryEngine:
         ]
         all_members = sorted({m for g in groups for m in g})
         dfs = self._global_dfs(all_members)
-        group_idfs = []
-        for g in groups:
-            df = max(dfs[m] for m in g)
-            group_idfs.append(
-                math.log((self.doc_count + 1) / (df + 1)) if df > 0 else 0.0
-            )
+        # SynonymQuery idf from the MAX member df, via the one shared
+        # scoring-critical idf helper (rank parity with the ranked path)
+        group_idfs = [
+            _dfshards_idf(self.doc_count, max(dfs[m] for m in g))
+            for g in groups
+        ]
         # union-of-members hit set -> same disjunctive df-bound routing as
         # plain ranked queries (dfs already in cache from the idf pass)
         route = self._route_disjunctive(all_members)
@@ -3262,12 +3304,35 @@ class QueryEngine:
         results += [r for r in organic["results"]
                     if r["doc_id"] not in pinned_set]
         # exact union count: organic total + pinned docs the query does
-        # NOT match (membership via one bounded _explain probe per pin —
-        # pinned lists are tiny by construction)
-        extra = sum(
-            1 for d in pin_alive
-            if not self.explain(query_text, d)["matched"]
-        )
+        # NOT match.  Ranked route: one bounded _explain probe per pin
+        # (the scoring-model membership the ranked total counts).
+        # Boolean/wildcard/fuzzy routes: explain's bag-of-words model
+        # would mis-count (e.g. 'a AND NOT b' vs a pin containing 'a'),
+        # so membership comes from the agg layer's exact hit masks via
+        # ids_match.  Quoted-phrase organics have neither probe — the
+        # full hit set decides when it fits the retrieved window, else
+        # the combination is rejected rather than silently mis-counted.
+        if self._cursorable(query_text):
+            extra = sum(
+                1 for d in pin_alive
+                if not self.explain(query_text, d)["matched"]
+            )
+        elif '"' in query_text and self.has_positions:
+            if organic["total_hits"] <= len(organic["results"]):
+                hit = {r["doc_id"] for r in organic["results"]}
+                extra = sum(1 for d in pin_alive if d not in hit)
+            else:
+                raise ValueError(
+                    "pinned with a quoted-phrase organic query whose hit "
+                    "set exceeds the window has no exact membership "
+                    "probe; raise size or use a ranked/boolean organic")
+        else:
+            kind, payload = self._agg_route(query_text)
+            matched = set()
+            for part in self._fanout("ids_match", kind, payload,
+                                     pin_alive):
+                matched.update(part)
+            extra = sum(1 for d in pin_alive if d not in matched)
         total = organic["total_hits"] + extra
         return {"query": query_text, "total_hits": total,
                 "results": results[:size]}
@@ -4261,7 +4326,9 @@ class QueryEngine:
             lo_k = min(merged) if merged else None
             hi_k = max(merged) if merged else None
             if extended_bounds is not None:
-                elo = -((-extended_bounds[0]) // interval) * interval
+                # ES floors BOTH bounds to their containing bucket key
+                # (the bucket holding the min bound is zero-filled too)
+                elo = (extended_bounds[0] // interval) * interval
                 ehi = (extended_bounds[1] // interval) * interval
                 lo_k = elo if lo_k is None else min(lo_k, elo)
                 hi_k = ehi if hi_k is None else max(hi_k, ehi)
@@ -4393,13 +4460,25 @@ class QueryEngine:
         return {"query": query_text, "field": field,
                 "cardinality": len(merged)}
 
+    def _docmap_schema(self):
+        """Docmap schema, resolved once per engine: columns are fixed at
+        build time (refresh/extend add ROWS, never columns), so the
+        directory listing + parquet footer parse need not repeat on
+        every sort/agg/lookup call."""
+        sch = getattr(self, "_docmap_schema_c", None)
+        if sch is None:
+            import pyarrow.dataset as pads
+
+            sch = pads.dataset(
+                os.path.join(self.index_dir, "docmap"), format="parquet"
+            ).schema
+            self._docmap_schema_c = sch
+        return sch
+
     def _field_is_numeric(self, field: str) -> bool:
-        import pyarrow.dataset as pads
         import pyarrow.types as pat
 
-        ftype = pads.dataset(
-            os.path.join(self.index_dir, "docmap"), format="parquet"
-        ).schema.field(field).type
+        ftype = self._docmap_schema().field(field).type
         return not (pat.is_string(ftype) or pat.is_large_string(ftype))
 
     def search_cardinality_approx(self, query_text: str, field: str) -> dict:
@@ -4776,16 +4855,13 @@ class QueryEngine:
         of the previous page — paginates arbitrarily deep at constant
         per-shard cost (rows strictly after the cursor are masked BEFORE
         the local top-k).  ES forbids combining it with ``from``."""
-        import pyarrow.dataset as pads
         import pyarrow.types as patypes
 
         if search_after is not None and from_:
             raise ValueError("search_after cannot be combined with from_")
         kind, payload = self._agg_route(query_text)
         numeric = patypes.is_integer(
-            pads.dataset(
-                os.path.join(self.index_dir, "docmap"), format="parquet"
-            ).schema.field(field).type
+            self._docmap_schema().field(field).type
         )
         desc = order == "desc"
         fetch = from_ + size
@@ -5087,10 +5163,13 @@ class QueryEngine:
                     continue
                 seen_texts.add(h)
             sampled += 1
-            terms = {
-                self.normalizer.map_token(t)
-                for t in self.normalizer.tokenize(txt)
-            } - {""}
+            # tokenize() output is already fully analyzed (filtered +
+            # stemmed) — re-applying map_token would silently drop any
+            # indexed term whose stemmed form collides with a stopword
+            # or the length/digit filter (e.g. 'owned' -> 'own', an
+            # NLTK stopword), making vocabulary unreachable that
+            # significant_terms on the same query can surface
+            terms = set(self.normalizer.tokenize(txt))
             for t in terms:
                 fg[t] = fg.get(t, 0) + 1
         buckets = []
@@ -5446,7 +5525,9 @@ class QueryEngine:
                 return [key]
         if len(word) > 2 and word.startswith("/") and word.endswith("/"):
             key = f"\0QS{len(ops)}"
-            ops[key] = ("regexp", word[1:-1])
+            # lowercased like the wildcard/fuzzy operands and the
+            # standalone regexp surface: dictionary terms are lowercase
+            ops[key] = ("regexp", word[1:-1].lower())
             return [key]
         m = _FUZZY_RE.match(word)
         if m:
@@ -5647,6 +5728,12 @@ class QueryEngine:
         inline: dict[int, dict] = {}
         for qi, q in enumerate(queries):
             if '"' in q and self.has_positions:
+                metas.append(("done", q))
+                inline[qi] = self.search(q, size=size, mode=mode)
+            elif _WILDCARD_RE.match(q.strip()) or _FUZZY_RE.match(q.strip()):
+                # same routing as search(): a wildcard/fuzzy string must
+                # not silently degrade to a ranked query on the literal
+                # pattern characters
                 metas.append(("done", q))
                 inline[qi] = self.search(q, size=size, mode=mode)
             elif looks_boolean(q):

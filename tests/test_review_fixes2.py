@@ -1,0 +1,153 @@
+"""Regression tests for the continuation-session review findings:
+query_string regexp case-folding, significant_text double-analysis,
+histogram extended_bounds lower-bound rounding, batch_search
+wildcard/fuzzy routing, weighted_avg weight-sum overflow guard,
+search() constraint-drop guard, and pinned totals under boolean
+organic queries."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _build(tmp_path, rows, analyzer="plain", positions=False,
+           facet_columns=(), store_source=False):
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    src = tmp_path / "src"
+    src.mkdir(exist_ok=True)
+    cols = {k: [r.get(k) for r in rows] for k in rows[0]}
+    arrays = {}
+    for k, vals in cols.items():
+        if isinstance(vals[0], int):
+            arrays[k] = pa.array(vals, pa.int64())
+        else:
+            arrays[k] = pa.array(vals, pa.string())
+    pq.write_table(pa.table(arrays), str(src / "p.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(
+        [str(src / "p.parquet")], idx,
+        BuildConfig(analyzer=analyzer, url_column=None, lang_column=None,
+                    facet_columns=tuple(facet_columns),
+                    store_positions=positions,
+                    store_source=store_source,
+                    docs_per_segment=30, target_partition_rows=20),
+    )
+    return QueryEngine(idx, num_searchers=2)
+
+
+def test_query_string_regexp_case_folded(tmp_path):
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(
+        ["john meets joan", "jane here", "nothing else"])]
+    eng = _build(tmp_path, rows)
+    try:
+        up = eng.query_string("/Jo.n/", size=10)
+        lo = eng.query_string("/jo.n/", size=10)
+        assert [r["doc_id"] for r in up["results"]] \
+            == [r["doc_id"] for r in lo["results"]] == [0]
+    finally:
+        eng.close()
+
+
+def test_significant_text_reaches_stemmed_stopword_collisions(tmp_path):
+    # 'owned' stems to 'own', an NLTK stopword: the foreground count
+    # must still see the indexed term 'own' (single analysis, no
+    # re-mapping of already-analyzed tokens)
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(
+        ["crawler owned homes fast", "crawler owned parks fast",
+         "crawler owned homes fast", "unrelated text here",
+         "crawler owned parks fast", "other words entirely"])]
+    eng = _build(tmp_path, rows, analyzer="reference",
+                 store_source=True)
+    try:
+        res = eng.significant_text("crawler", size=10,
+                                          min_doc_count=2)
+        keys = {b["key"] for b in res["buckets"]}
+        assert "own" in keys
+    finally:
+        eng.close()
+
+
+def test_histogram_extended_bounds_floor_lower(tmp_path):
+    rows = [{"doc_id": i, "text": "data row", "n": 30 + i}
+            for i in range(5)]
+    eng = _build(tmp_path, rows, facet_columns=("n",))
+    try:
+        res = eng.search_histogram(None, "n", interval=10,
+                                   min_doc_count=0,
+                                   extended_bounds=(5, 25))
+        keys = [b["key"] for b in res["buckets"]]
+        # ES fills from the bucket CONTAINING the lower bound (key 0)
+        assert keys[0] == 0 and 10 in keys and 20 in keys
+        neg = eng.search_histogram(None, "n", interval=10,
+                                   min_doc_count=0,
+                                   extended_bounds=(-15, 5))
+        assert neg["buckets"][0]["key"] == -20
+    finally:
+        eng.close()
+
+
+def test_batch_search_routes_wildcard_fuzzy_like_search(tmp_path):
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(
+        ["merge here", "merged there", "merger third", "other doc"])]
+    eng = _build(tmp_path, rows)
+    try:
+        qs = ["merg*", "merge~1", "merge here"]
+        batched = eng.batch_search(qs, size=10)
+        for q, got in zip(qs, batched):
+            want = eng.search(q, size=10)
+            assert [r["doc_id"] for r in got["results"]] \
+                == [r["doc_id"] for r in want["results"]], q
+            assert got["total_hits"] == want["total_hits"], q
+    finally:
+        eng.close()
+
+
+def test_weighted_avg_weight_sum_overflow_guard(tmp_path):
+    big = 2 ** 61
+    rows = [{"doc_id": i, "text": "data row", "v": 0, "w": big}
+            for i in range(4)]
+    eng = _build(tmp_path, rows, facet_columns=("v", "w"))
+    try:
+        res = eng.search_weighted_avg(None, "v", "w")
+        # all values 0 -> exact weighted average 0; the weight sum is
+        # 2^63 which overflows int64 — the object-dtype path must run
+        assert res["value"] == 0.0
+    finally:
+        eng.close()
+
+
+def test_search_rejects_dropped_constraints(tmp_path):
+    rows = [{"doc_id": i, "text": t, "n": i} for i, t in enumerate(
+        ["alpha beta", "beta gamma", "alpha gamma"])]
+    eng = _build(tmp_path, rows, positions=True, facet_columns=("n",))
+    try:
+        with pytest.raises(ValueError, match="only supported"):
+            eng.search("alpha AND beta",
+                       filter={"range": {"n": {"gte": 1}}})
+        with pytest.raises(ValueError, match="only supported"):
+            eng.search('"alpha beta"', minimum_should_match=2)
+        # ranked route still accepts them
+        res = eng.search("alpha beta",
+                         filter={"range": {"n": {"gte": 1}}})
+        assert all(r["doc_id"] >= 1 for r in res["results"])
+    finally:
+        eng.close()
+
+
+def test_pinned_total_boolean_organic(tmp_path):
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(
+        ["data spark row", "data clean row", "data spark other",
+         "nothing here", "data fine too"])]
+    eng = _build(tmp_path, rows)
+    try:
+        # organic 'data AND NOT spark' matches docs 1, 4.
+        # pin doc 0 (contains data AND spark -> NOT an organic match)
+        # and doc 1 (an organic match):
+        res = eng.search_pinned([0, 1], "data AND NOT spark", size=10)
+        assert res["total_hits"] == 3  # organic {1,4} + extra pin {0}
+        assert [r["doc_id"] for r in res["results"]][:2] == [0, 1]
+    finally:
+        eng.close()
