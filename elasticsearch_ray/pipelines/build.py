@@ -33,7 +33,8 @@ import ray.data
 
 from ..stages.postings import SegmentAssembler, encode_runs_block
 from ..stages.tokenizer import TokenizePartition
-from ..state.manifest import atomic_write_json, read_json, segment_is_done
+from ..state.manifest import (atomic_write_json, read_json,
+                              segment_is_done, segment_manifest_path)
 from ..state.segment import BLOCK_SIZE
 from .plan import SegmentSpec, plan_partitions, plan_segments
 
@@ -427,7 +428,7 @@ def compact_index(index_dir: str) -> dict:
         part_names = sorted(
             f for f in os.listdir(dm_dir) if f.endswith(".parquet")
         )
-        tomb_arr_ref = ray.put(sorted(tombs))
+        tomb_arr_ref = tomb_ref  # same sorted list: one broadcast object
 
         def filter_docmap_part(batch):
             import pyarrow as pa
@@ -478,25 +479,6 @@ def _warm_worker() -> bool:
     from ..stages.postings import RUN_SCHEMA, SegmentAssembler  # noqa: F401
 
     return True
-
-
-@ray.remote
-def _assemble_one_routed(seg_id: int, infos: dict, index_dir: str, codec: str,
-                         block_size: int, *blocks):
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from ..stages.postings import RUN_SCHEMA, SegmentAssembler
-
-    parts = [
-        b.filter(pc.equal(b.column("seg"), seg_id))
-        for b in blocks
-    ]
-    parts = [p for p in parts if p.num_rows]
-    runs = pa.concat_tables(parts) if parts else RUN_SCHEMA.empty_table()
-    asm = SegmentAssembler(index_dir, infos, codec, block_size)
-    out = asm(runs, seg_id=seg_id)
-    return out.to_pylist()[0]
 
 
 def _build_route_pipelined(
@@ -688,9 +670,15 @@ def _build_route_pipelined(
         # zero-timeout wait: the driver pays ~1 round-trip per burst
         # instead of one per task (the 10^7-partition scaling concern)
         refs = list(ref_meta)
-        done, rest = ray.wait(refs, num_returns=1)
+        # fetch_local=False: the driver only observes COMPLETION — tok
+        # run tables (the corpus's shuffle bytes) flow straight to the
+        # assemble actors; pulling each one into the head node's object
+        # store first would pressure head memory and double the network
+        # transfer on a multi-node cluster
+        done, rest = ray.wait(refs, num_returns=1, fetch_local=False)
         if rest:
-            more, _ = ray.wait(rest, num_returns=len(rest), timeout=0)
+            more, _ = ray.wait(rest, num_returns=len(rest), timeout=0,
+                               fetch_local=False)
             done.extend(more)
         for r in done:
             a, handle, kind, meta = ref_meta.pop(r)
@@ -754,20 +742,64 @@ def _execute_build(
     t_start = time.perf_counter()
     infos = _seg_infos(segs)
 
-    pending = [
-        s for s in segs if not (resume and segment_is_done(index_dir, s.seg_id))
-    ]
+    def _resume_ok(seg) -> bool:
+        """Reuse a finished segment ONLY when its manifest's recorded
+        lineage (input paths, row-group ranges, row counts, doc bases)
+        matches what the CURRENT plan would build — file existence alone
+        would happily serve a previous input's documents under this
+        plan's doc ids after a retried extend with different files or a
+        modified source parquet."""
+        if not segment_is_done(index_dir, seg.seg_id):
+            return False
+        try:
+            m = read_json(segment_manifest_path(index_dir, seg.seg_id))
+        except (OSError, ValueError):
+            return False
+        return (
+            m.get("lineage") == infos[seg.seg_id]["lineage"]
+            and m.get("doc_id_base") == seg.doc_id_base
+            and m.get("num_docs") == seg.num_docs
+        )
+
+    pending = [s for s in segs if not (resume and _resume_ok(s))]
     skipped = len(segs) - len(pending)
 
+    if config.shuffle not in ("route", "combine", "segment", "sort"):
+        # an unknown mode would otherwise silently fall through the
+        # if/elif chain into the most expensive whole-corpus sort path
+        raise ValueError(
+            f"unknown shuffle mode {config.shuffle!r} "
+            "(expected route/combine/segment/sort)")
     if config.store_positions and config.shuffle not in ("combine", "route"):
         raise ValueError("store_positions requires shuffle='combine' or 'route'")
 
     timings: dict[str, float] = {}
     if pending:
+        avail = max(1, int(ray.cluster_resources().get("CPU", 8)))
+        n_cpus = config.tokenize_concurrency or avail
+        # clamp to placeable CPUs: the route dispatcher binds work to
+        # num_cpus=1 actors by load — actors the cluster can never place
+        # would hold their assignments pending forever (a silent hang);
+        # the Ray Data paths degrade gracefully but gain nothing from
+        # phantom concurrency either
+        n_cpus = min(int(n_cpus), avail)
+
+        if config.shuffle == "route":
+            # no warm task workers and no items/seg_bases staging here:
+            # the pipelined route path assembles on the same warm
+            # tokenize actors (no cold task workers), and its rare
+            # distributed-df finalize pass is after the build anyway
+            seg_stats = _build_route_pipelined(
+                index_dir, config, pending, infos, int(n_cpus), timings
+            )
+            timings["pipeline_sec"] = time.perf_counter() - t_start
+            stats_ds = None
+            return _finish_build(
+                index_dir, config, segs, pending, infos, seg_stats, stats_ds,
+                timings, skipped, extra_seg_ids, tombstones, persist_config,
+            )
+
         items = [p.to_row() for s in pending for p in s.partitions]
-        n_cpus = config.tokenize_concurrency or max(
-            1, int(ray.cluster_resources().get("CPU", 8))
-        )
         seg_bases = np.zeros(max(infos) + 1, dtype=np.int64)
         for sid, info in infos.items():
             seg_bases[sid] = info["doc_id_base"]
@@ -780,18 +812,6 @@ def _execute_build(
             _warm_worker.remote()
             for _ in range(min(int(n_cpus), max(1, len(pending))))
         ]
-
-        if config.shuffle == "route":
-            seg_stats = _build_route_pipelined(
-                index_dir, config, pending, infos, int(n_cpus), timings
-            )
-            ray.get(warm_futs)
-            timings["pipeline_sec"] = time.perf_counter() - t_start
-            stats_ds = None
-            return _finish_build(
-                index_dir, config, segs, pending, infos, seg_stats, stats_ds,
-                timings, skipped, extra_seg_ids, tombstones, persist_config,
-            )
 
         ds = ray.data.from_items(items)
         tokenized = ds.map_batches(
@@ -1010,11 +1030,16 @@ def _finalize(index_dir: str, config: BuildConfig, seg_ids: list[int],
     # the same aggregation runs as a distributed Ray Data groupby.
     df_dir = os.path.join(index_dir, "df")
     df_global_dir = os.path.join(index_dir, "df_global")
-    df_files = (
-        [f for f in os.listdir(df_dir) if f.endswith(".parquet")]
-        if os.path.isdir(df_dir)
-        else []
-    )
+    # ONLY this build's segments' df parts (deterministic filenames):
+    # df/ may hold leftovers from a crashed extend, an interrupted
+    # merge, or a prior larger build into the same dir — summing the
+    # whole directory would double-count shared terms and silently
+    # corrupt every idf (query.py's segment loader defends against the
+    # same leftovers; the finalize pass must too)
+    df_files = [
+        f"seg-{sid:05d}.parquet" for sid in seg_ids
+        if os.path.exists(os.path.join(df_dir, f"seg-{sid:05d}.parquet"))
+    ]
     if df_files:
         total_bytes = sum(
             os.path.getsize(os.path.join(df_dir, f)) for f in df_files
@@ -1023,11 +1048,12 @@ def _finalize(index_dir: str, config: BuildConfig, seg_ids: list[int],
 
         shutil.rmtree(df_global_dir, ignore_errors=True)  # re-finalize cleanly
         os.makedirs(df_global_dir, exist_ok=True)
+        df_paths = [os.path.join(df_dir, f) for f in df_files]
         if total_bytes < 256 * 1024 * 1024:
             import pyarrow as pa
             import pyarrow.parquet as pq
 
-            t = pq.read_table(df_dir)
+            t = pa.concat_tables(pq.read_table(fp) for fp in df_paths)
             agg = pa.TableGroupBy(t, "term").aggregate([("df", "sum")])
             # select by NAME: aggregate column order flipped across pyarrow
             # majors (key-first vs aggregates-first) — a positional rename
@@ -1044,10 +1070,15 @@ def _finalize(index_dir: str, config: BuildConfig, seg_ids: list[int],
                     os.path.join(df_global_dir, f"df-{i // DF_SHARD_ROWS:05d}.parquet"),
                 )
         else:
-            df_ds = ray.data.read_parquet(df_dir)
+            df_ds = ray.data.read_parquet(df_paths)
             agg = df_ds.groupby("term").sum("df")
+            # select by NAME like the fast path — a positional rename
+            # would silently swap term/df if a Ray Data / pyarrow major
+            # flips the aggregate column order
             agg = agg.map_batches(
-                lambda t: t.rename_columns(["term", "df"]), batch_format="pyarrow"
+                lambda t: t.select(["term", "sum(df)"]).rename_columns(
+                    ["term", "df"]),
+                batch_format="pyarrow",
             )
             # global sort -> each written file is a disjoint term range
             agg.sort("term").write_parquet(df_global_dir)

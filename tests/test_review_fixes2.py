@@ -151,3 +151,86 @@ def test_pinned_total_boolean_organic(tmp_path):
         assert [r["doc_id"] for r in res["results"]][:2] == [0, 1]
     finally:
         eng.close()
+
+
+def _write_docs(path, texts, row_group_size=20):
+    pq.write_table(
+        pa.table({"text": pa.array(texts, pa.string())}), str(path),
+        row_group_size=row_group_size,
+    )
+
+
+def test_finalize_ignores_stale_df_parts(tmp_path):
+    """Rebuilding a SMALLER corpus into an index_dir holding df parts
+    from a prior larger build must not double-count global df (idf
+    corruption)."""
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    cfg = dict(analyzer="plain", url_column=None, lang_column=None,
+               target_partition_rows=10, docs_per_segment=10)
+    big = tmp_path / "big.parquet"
+    _write_docs(big, ["alpha beta"] * 40, row_group_size=10)
+    idx = str(tmp_path / "idx")
+    build_index(str(big), idx, BuildConfig(**cfg))
+    import glob
+    assert len(glob.glob(idx + "/df/*.parquet")) == 4
+
+    small = tmp_path / "small.parquet"
+    _write_docs(small, ["alpha gamma"] * 10 + ["beta delta"] * 10,
+                row_group_size=10)
+    build_index(str(small), idx, BuildConfig(**cfg), resume=False)
+    eng = QueryEngine(idx, num_searchers=0)
+    try:
+        # df must reflect ONLY the new 20-doc corpus: alpha df=10 of 20
+        import math
+        res = eng.search("alpha", size=5)
+        want_idf = math.log((20 + 1) / (10 + 1))
+        assert res["results"], "alpha must match"
+        # idf>0 proves no stale-part inflation pushed df toward N
+        exp = eng.explain("alpha", res["results"][0]["doc_id"])
+        assert exp["details"][0]["df"] == 10
+        assert exp["details"][0]["idf"] == pytest.approx(want_idf)
+    finally:
+        eng.close()
+
+
+def test_resume_rejects_changed_lineage(tmp_path):
+    """A finished segment is only reused on resume when its recorded
+    lineage matches the current plan — swapping the input file forces a
+    rebuild instead of serving the old documents."""
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    cfg = dict(analyzer="plain", url_column=None, lang_column=None,
+               target_partition_rows=10, docs_per_segment=20)
+    a = tmp_path / "a.parquet"
+    _write_docs(a, ["oldword here"] * 20, row_group_size=10)
+    idx = str(tmp_path / "idx")
+    build_index(str(a), idx, BuildConfig(**cfg))
+
+    b = tmp_path / "b.parquet"
+    _write_docs(b, ["newword there"] * 10 + ["filler doc"] * 10,
+                row_group_size=10)
+    m = build_index(str(b), idx, BuildConfig(**cfg), resume=True)
+    assert m.get("segments_skipped_resume", 0) == 0
+    eng = QueryEngine(idx, num_searchers=0)
+    try:
+        assert eng.search("newword")["total_hits"] == 10
+        assert eng.search("oldword")["total_hits"] == 0
+        # unchanged input IS reused
+        m2 = build_index(str(b), idx, BuildConfig(**cfg), resume=True)
+        assert m2.get("segments_skipped_resume", 0) == 1
+    finally:
+        eng.close()
+
+
+def test_unknown_shuffle_mode_rejected(tmp_path):
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+
+    src = tmp_path / "s.parquet"
+    _write_docs(src, ["alpha"] * 5)
+    with pytest.raises(ValueError, match="unknown shuffle"):
+        build_index(str(src), str(tmp_path / "idx"),
+                    BuildConfig(analyzer="plain", url_column=None,
+                                lang_column=None, shuffle="comine"))
