@@ -149,7 +149,8 @@ def ivf_build(
     import shutil
 
     sample = np.array(
-        [r[vec_col] for r in ds.limit(sample_size).take_all()], dtype=np.float32
+        [r[vec_col] for r in ds.randomize_block_order(seed=seed)
+         .limit(sample_size).take_all()], dtype=np.float32
     )
     cent = _normalize(kmeans_fit(_normalize(sample), n_clusters, seed=seed))
     os.makedirs(index_dir, exist_ok=True)
@@ -548,7 +549,8 @@ def ivfpq_build(
     import shutil
 
     sample = np.array(
-        [r[vec_col] for r in ds.limit(sample_size).take_all()],
+        [r[vec_col] for r in ds.randomize_block_order(seed=seed)
+         .limit(sample_size).take_all()],
         dtype=np.float32,
     )
     sample = _normalize(sample)

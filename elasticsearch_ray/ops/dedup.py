@@ -266,20 +266,18 @@ def minhash_band_rows(
         band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
         doc_rep = np.repeat(ids, bands)
         keys = np.empty(n * bands, dtype=np.int64)
-        view = sig.reshape(n, bands, rows_per_band)
+        view = sig.reshape(n, bands, rows_per_band).astype(np.uint64)
+        # band key = FNV fold over the band's minhash rows (the same
+        # vectorized fold _gram_hashes64 uses) — bands x rows_per_band
+        # numpy ops per batch; the former per-(doc, band) hashlib call
+        # was 1.6e9 interpreter-level digests at 1e8 docs x 16 bands.
+        # Two docs collide iff their band rows are equal (modulo a
+        # ~2^-64 hash collision), the same contract as the old digest.
         for bnd in range(bands):
-            h = np.array(
-                [
-                    np.frombuffer(
-                        hashlib.blake2b(
-                            view[i, bnd].tobytes(), digest_size=8
-                        ).digest(),
-                        dtype=np.int64,
-                    )[0]
-                    for i in range(n)
-                ]
-            )
-            keys[bnd::bands] = h
+            acc = np.full(n, _FNV_BASIS, dtype=np.uint64)
+            for j in range(rows_per_band):
+                acc = (acc * _FNV_PRIME) ^ view[:, bnd, j]
+            keys[bnd::bands] = acc.view(np.int64)
         out = {
             "band": pa.array(band_ids),
             "key": pa.array(keys),
@@ -363,6 +361,13 @@ def minhash_lsh_dedup(
     # the row budget scales down accordingly (driver memory, not rows).
     exploded = exploded.materialize()
     row_limit = driver_band_limit // (num_perm if carry_sig else 1)
+    if exploded.count() == 0:
+        # an empty corpus yields schema-less blocks; return the
+        # documented empty shape instead of a KeyError in per_part
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "is_dup": pa.array([], pa.bool_()),
+        }))
     if exploded.count() <= row_limit:
         whole = pa.concat_tables(ray.get(exploded.to_arrow_refs()))
         uids = np.unique(per_part(whole).column(id_col).to_numpy())
@@ -433,6 +438,11 @@ def lsh_candidate_pairs(
         )
 
     exploded = exploded.materialize()
+    if exploded.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+        }))
     if exploded.count() <= driver_band_limit:
         whole = pa.concat_tables(ray.get(exploded.to_arrow_refs()))
         pt = per_part(whole)
@@ -596,6 +606,12 @@ def simhash_dedup(
         )
 
     exploded = exploded.materialize()
+    if exploded.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "is_dup": pa.array([], pa.bool_()),
+            "near_of": pa.array([], pa.int64()),
+        }))
     if exploded.count() <= driver_band_limit:
         whole = pa.concat_tables(ray.get(exploded.to_arrow_refs()))
         pt = per_part(whole)
@@ -662,7 +678,8 @@ def embedding_bucket_rows(
     from .ann import _normalize, kmeans_fit
 
     sample = np.array(
-        [r[vec_col] for r in ds.limit(sample_size).take_all()], dtype=np.float32
+        [r[vec_col] for r in ds.randomize_block_order(seed=seed)
+         .limit(sample_size).take_all()], dtype=np.float32
     )
     if sample.size == 0:
         return None
@@ -835,6 +852,13 @@ def embedding_cosine_dedup_bruteforce(
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=256)
 
 
+def _ren(cols: dict):
+    """Column-rename map_batches factory shared by the join pipelines."""
+    def f(t: pa.Table) -> pa.Table:
+        return t.rename_columns([cols.get(c, c) for c in t.column_names])
+    return f
+
+
 def verified_dup_edges(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -980,12 +1004,11 @@ def verified_dup_edges(
             )
         sh = sh_small
     else:
-        sh = shingle_rows(ds, text_col, id_col, shingle)
-
-    def _ren(cols: dict):
-        def f(t: pa.Table) -> pa.Table:
-            return t.rename_columns([cols.get(c, c) for c in t.column_names])
-        return f
+        # materialize: sh feeds THREE independent consumers below
+        # (sh_a join, sh_b join, the sizes groupby) — unmaterialized,
+        # each would re-run tokenization + shingle hashing over the
+        # whole corpus, tripling the dominant cost of the largest tier
+        sh = shingle_rows(ds, text_col, id_col, shingle).materialize()
 
     sh_a = sh.map_batches(_ren({id_col: "a"}), batch_format="pyarrow")
     sh_b = sh.map_batches(_ren({id_col: "b"}), batch_format="pyarrow")
@@ -1099,11 +1122,6 @@ def dup_clusters(
             )
         )
 
-    def _ren(cols: dict):
-        def f(t: pa.Table) -> pa.Table:
-            return t.rename_columns([cols.get(c, c) for c in t.column_names])
-        return f
-
     def sym(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy()
         b = t.column("b").to_numpy()
@@ -1157,8 +1175,42 @@ def dup_clusters(
         upd_ds = merged.map_batches(upd, batch_format="pyarrow").materialize()
         changed = upd_ds.sum("chg")
         labels = upd_ds.drop_columns(["chg"]).materialize()
+
+        # pointer jumping: label <- min(label, label-of-label).  The
+        # edge round alone advances one hop per round (O(diameter)
+        # shuffles — a 10k-doc boilerplate chain would need 10k rounds);
+        # shortcutting through the label table halves the remaining
+        # distance-to-root each round, so convergence is O(log diameter)
+        # and max_rounds=50 covers any physically possible component.
+        short = labels.map_batches(
+            _ren({"node": "label", "label": "l2"}), batch_format="pyarrow"
+        )
+        merged2 = labels.join(short, "inner", num_partitions, on=("label",))
+
+        def jump(t: pa.Table) -> pa.Table:
+            lab = t.column("label").to_numpy()
+            l2 = t.column("l2").to_numpy()
+            new = np.minimum(lab, l2)
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "label": pa.array(new, pa.int64()),
+                    "chg": pa.array((new != lab).astype(np.int64)),
+                }
+            )
+
+        jmp_ds = merged2.map_batches(jump, batch_format="pyarrow").materialize()
+        changed += jmp_ds.sum("chg")
+        labels = jmp_ds.drop_columns(["chg"]).materialize()
         if not changed:
             break
+    else:
+        # silent unconverged labels would contradict the 'both paths emit
+        # identical labels' contract — with pointer jumping this bound is
+        # unreachable for any real input, so treat it as a hard error
+        raise RuntimeError(
+            f"dup_clusters: min-label propagation did not converge in "
+            f"{max_rounds} rounds")
     return labels.map_batches(
         _ren({"node": id_col, "label": "cluster"}), batch_format="pyarrow"
     )
@@ -1223,7 +1275,7 @@ def _dup_start_rows(tbl: pa.Table, id_col: str,
         cols = {id_col: pa.array([], pa.int64()),
                 "pos": pa.array([], pa.int64())}
         if with_txt:
-            cols["txt"] = pa.array([], pa.string())
+            cols["txt"] = pa.array([], pa.large_string())
         return pa.table(cols)
     new_gram = np.empty(m, dtype=bool)
     new_gram[0] = True
@@ -1236,7 +1288,11 @@ def _dup_start_rows(tbl: pa.Table, id_col: str,
     cols = {id_col: pa.array(doc[keep], pa.int64()),
             "pos": pa.array(pos[keep], pa.int64())}
     if with_txt:
-        cols["txt"] = pa.array([""] * int(keep.sum()), pa.string())
+        # large_string: ONE fixed txt type for the text-unioned rewrite
+        # exchange (a small-string input corpus would otherwise diverge
+        # from a large_string one and break the union's schema), and no
+        # int32 offset ceiling on >2 GB text partitions
+        cols["txt"] = pa.array([""] * int(keep.sum()), pa.large_string())
     return pa.table(cols)
 
 
@@ -1350,7 +1406,11 @@ def remove_dup_spans(
             id_col: batch.column(id_col).cast(pa.int64()),
             "pos": pa.array(
                 np.full(batch.num_rows, -1, dtype=np.int64)),
-            "txt": pc.coalesce(batch.column(text_col), ""),
+            # cast to ONE fixed type: string vs large_string inputs must
+            # not diverge from _dup_start_rows' txt column in the union,
+            # and large offsets remove the 2 GB partition ceiling
+            "txt": pc.coalesce(
+                batch.column(text_col).cast(pa.large_string()), ""),
         })
 
     def rewrite(tbl: pa.Table) -> pa.Table:
@@ -1389,12 +1449,15 @@ def remove_dup_spans(
         kept_counts = cum[off[1:]] - cum[off[:-1]]
         new_off = np.zeros(counts.size + 1, dtype=np.int64)
         np.cumsum(kept_counts, out=new_off[1:])
+        # int64 offsets end-to-end: string arrays cap combined chunks at
+        # 2 GB and ListArray offsets at 2^31 tokens; the large variants
+        # carry a >2 GB-of-text partition without ArrowCapacityError
         clean = pc.binary_join(
-            pa.ListArray.from_arrays(
-                pa.array(new_off, pa.int32()),
-                flat.filter(pa.array(keep)),
+            pa.LargeListArray.from_arrays(
+                pa.array(new_off, pa.int64()),
+                flat.filter(pa.array(keep)).cast(pa.large_string()),
             ),
-            " ",
+            pa.scalar(" ", pa.large_string()),
         )
         return pa.table({
             id_col: pa.array(tdoc, pa.int64()),

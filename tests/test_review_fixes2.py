@@ -234,3 +234,33 @@ def test_unknown_shuffle_mode_rejected(tmp_path):
         build_index(str(src), str(tmp_path / "idx"),
                     BuildConfig(analyzer="plain", url_column=None,
                                 lang_column=None, shuffle="comine"))
+
+
+def test_dup_clusters_distributed_long_chain():
+    """A chain component longer than pure edge-propagation could resolve
+    in max_rounds must still converge (pointer jumping) and match the
+    exact driver tier."""
+    import ray.data
+    from elasticsearch_ray.ops.dedup import dup_clusters
+
+    n = 16
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array(list(range(n - 1)), pa.int64()),
+        "b": pa.array(list(range(1, n)), pa.int64()),
+    }))
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": pa.array(["x"] * n, pa.string()),
+    }))
+    # distributed tier (forced): a 15-hop chain at max_rounds=8 only
+    # converges with the pointer-jumping shortcut (pure edge
+    # propagation needs 15 rounds); every node must collapse to 0
+    out = dup_clusters(docs, edges=edges, driver_edge_limit=0,
+                       max_rounds=8, num_partitions=2).take_all()
+    assert {r["cluster"] for r in out} == {0}
+    assert len(out) == n
+    # driver tier agrees
+    out2 = dup_clusters(docs, edges=edges,
+                        driver_edge_limit=10**9).take_all()
+    assert sorted((r["doc_id"], r["cluster"]) for r in out) \
+        == sorted((r["doc_id"], r["cluster"]) for r in out2)
