@@ -67,6 +67,23 @@ class TokenizePartition:
         # hard-kills its worker (mode='exit' — drives the route
         # dispatcher's dead-actor recovery) or raises (mode='raise' —
         # a deterministic application bug, which must NOT be retried)
+        if fault_inject_mode not in ("exit", "raise"):
+            raise ValueError(
+                f"fault_inject_mode {fault_inject_mode!r} not in "
+                "('exit', 'raise')")
+        if store_positions and emit == "triples":
+            # the triples shuffle discards positions; accepting the
+            # combination would silently build a positions-less index
+            # that later rejects every phrase/span query
+            raise ValueError(
+                "store_positions requires emit='runs' (the triples "
+                "shuffle carries no positions)")
+        reserved = {"doc_id", "url", "doc_len", "source_text"} & set(
+            facet_columns or [])
+        if reserved:
+            raise ValueError(
+                f"facet_columns {sorted(reserved)} collide with core "
+                "docmap columns")
         self.fault_inject_path = fault_inject_path
         self.fault_inject_mode = fault_inject_mode
         self.store_positions = store_positions
@@ -105,13 +122,21 @@ class TokenizePartition:
         concatenated run table is exactly what the assembler would see
         from the chunk's individual runs (it keys runs by term + doc
         range, so intra-chunk order is immaterial)."""
-        if self.fault_inject_path is not None and not os.path.exists(
-            self.fault_inject_path
-        ):
-            open(self.fault_inject_path, "w").close()
-            if self.fault_inject_mode == "raise":
-                raise ValueError("injected deterministic bug")
-            os._exit(1)  # simulated node loss
+        if self.fault_inject_path is not None:
+            try:
+                # O_CREAT|O_EXCL: exactly ONE concurrent task claims the
+                # marker (exists-then-create raced when the dispatcher
+                # had several chunks in flight, losing multiple workers
+                # where the test contract says 'the FIRST tokenize task')
+                fd = os.open(self.fault_inject_path,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                pass
+            else:
+                os.close(fd)
+                if self.fault_inject_mode == "raise":
+                    raise ValueError("injected deterministic bug")
+                os._exit(1)  # simulated node loss
         return pa.concat_tables([self.process_spec(s) for s in specs])
 
     def assemble_segment(
@@ -156,47 +181,9 @@ class TokenizePartition:
         from ..functions.vbyte import vbyte_encode_with_lengths
         from .postings import RUN_SCHEMA, _binary_from_slices
 
-        from ..normalizer.tokenize import tokenize_rows_flat
-
-        tbl = self._read_rows(spec)
         doc_id_base = spec["doc_id_base"]
         seg_base = spec.get("seg_base", 0)
-        n = tbl.num_rows
-        texts, langs, urls = self._aligned_columns(tbl, doc_id_base, n)
-
-        # lang filter as a row mask BEFORE tokenize (cheapest point)
-        if self.lang_filter is not None:
-            keep_rows = np.fromiter(
-                (i for i in range(n) if langs[i] == self.lang_filter),
-                np.int64,
-            )
-            texts = [texts[i] for i in keep_rows]
-            urls = [urls[i] for i in keep_rows]
-        else:
-            keep_rows = np.arange(n, dtype=np.int64)
-        m = len(keep_rows)
-
-        cleaned = self.normalizer.clean_batch(texts)  # vectorized re2 clean
-        # flat token stream: no Python loop over tokens (normalizer decides
-        # once per UNIQUE surface token; everything else is Arrow/numpy)
-        tok_doc, codes, term_strs = tokenize_rows_flat(
-            self.normalizer, cleaned
-        )
-        kept_lens = (
-            np.bincount(tok_doc, minlength=m)
-            if m
-            else np.zeros(0, dtype=np.int64)
-        )
-        kept_doc_ids = (keep_rows + doc_id_base).tolist()
-        facets = {
-            fc: tbl.column(fc).take(pa.array(keep_rows))
-            for fc in self.facet_columns
-        }
-        if self.store_source:
-            facets["source_text"] = pa.array(texts, pa.string())
-        self._write_docmap_part(
-            spec, kept_doc_ids, urls, kept_lens.tolist(), facets
-        )
+        keep_rows, tok_doc, codes, term_strs = self._prepare_partition(spec)
 
         if len(codes) == 0:
             return RUN_SCHEMA.empty_table()
@@ -314,19 +301,31 @@ class TokenizePartition:
         )
         return texts, langs, urls
 
-    def _process_partition(self, spec: dict) -> pa.Table:
+    def _prepare_partition(self, spec: dict):
+        """Shared preamble of BOTH shuffle modes — read, lang filter,
+        tokenize, docmap part write (extracted so fixes can't silently
+        diverge between the runs and triples paths).  Returns
+        (keep_rows, tok_doc, codes, term_strs)."""
+        from ..normalizer.tokenize import tokenize_rows_flat
+
         tbl = self._read_rows(spec)
         doc_id_base = spec["doc_id_base"]
         n = tbl.num_rows
-
-        from ..normalizer.tokenize import tokenize_rows_flat
-
         texts, langs, urls = self._aligned_columns(tbl, doc_id_base, n)
         if self.lang_filter is not None:
-            keep_rows = np.fromiter(
-                (i for i in range(n) if langs[i] == self.lang_filter),
-                np.int64,
-            )
+            if not self.lang_column or (
+                n and self.lang_column not in tbl.column_names
+            ):
+                # pyarrow silently ignores missing columns in
+                # read_row_groups — without this check a misnamed lang
+                # column would filter out EVERY document and "succeed"
+                # with an empty index
+                raise ValueError(
+                    f"lang_filter={self.lang_filter!r} needs lang column "
+                    f"{self.lang_column!r}, absent from {spec['path']!r}")
+            keep_rows = np.flatnonzero(
+                np.asarray(langs, dtype=object) == self.lang_filter
+            ).astype(np.int64)
             texts = [texts[i] for i in keep_rows]
             urls = [urls[i] for i in keep_rows]
         else:
@@ -334,6 +333,8 @@ class TokenizePartition:
         m = len(keep_rows)
 
         cleaned = self.normalizer.clean_batch(texts)  # vectorized re2 clean
+        # flat token stream: no Python loop over tokens (normalizer decides
+        # once per UNIQUE surface token; everything else is Arrow/numpy)
         tok_doc, codes, term_strs = tokenize_rows_flat(
             self.normalizer, cleaned
         )
@@ -342,7 +343,6 @@ class TokenizePartition:
             if m
             else np.zeros(0, dtype=np.int64)
         )
-        kept_doc_ids = (keep_rows + doc_id_base).tolist()
         facets = {
             fc: tbl.column(fc).take(pa.array(keep_rows))
             for fc in self.facet_columns
@@ -350,8 +350,14 @@ class TokenizePartition:
         if self.store_source:
             facets["source_text"] = pa.array(texts, pa.string())
         self._write_docmap_part(
-            spec, kept_doc_ids, urls, kept_lens.tolist(), facets
+            spec, (keep_rows + doc_id_base).tolist(), urls,
+            kept_lens.tolist(), facets,
         )
+        return keep_rows, tok_doc, codes, term_strs
+
+    def _process_partition(self, spec: dict) -> pa.Table:
+        doc_id_base = spec["doc_id_base"]
+        keep_rows, tok_doc, codes, term_strs = self._prepare_partition(spec)
 
         # (code, doc) tf groups from one stable sort; triple emission order
         # is irrelevant downstream (the wide shuffle sorts by (th, doc_id))
@@ -419,6 +425,11 @@ class TokenizePartition:
         if extra:
             cols.update(extra)  # facet columns (doc-values for aggs)
         tbl = pa.table(cols)
-        tmp = path + ".tmp"
+        # unique tmp name: a presumed-dead-but-alive retry writing the
+        # same part must not interleave with the original through one
+        # shared .tmp file (manifest.py's atomic writer pattern)
+        import uuid
+
+        tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)

@@ -264,3 +264,26 @@ def test_dup_clusters_distributed_long_chain():
                         driver_edge_limit=10**9).take_all()
     assert sorted((r["doc_id"], r["cluster"]) for r in out) \
         == sorted((r["doc_id"], r["cluster"]) for r in out2)
+
+
+def test_tokenizer_misconfig_rejected(tmp_path):
+    """Misconfigurations fail loudly instead of silently building a
+    wrong/empty index: lang_filter without the column, facet names
+    colliding with core docmap columns, positions on the triples
+    shuffle, unknown fault mode."""
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.stages.tokenizer import TokenizePartition
+
+    src = tmp_path / "s.parquet"
+    _write_docs(src, ["alpha beta"] * 8)  # NO lang column
+    with pytest.raises(Exception, match="lang"):
+        build_index(str(src), str(tmp_path / "i1"),
+                    BuildConfig(analyzer="plain", url_column=None,
+                                lang_column="lang", lang_filter="en"))
+    with pytest.raises(ValueError, match="collide"):
+        TokenizePartition(str(tmp_path), facet_columns=["doc_len"])
+    with pytest.raises(ValueError, match="triples"):
+        TokenizePartition(str(tmp_path), emit="triples",
+                          store_positions=True)
+    with pytest.raises(ValueError, match="fault_inject_mode"):
+        TokenizePartition(str(tmp_path), fault_inject_mode="rasie")
