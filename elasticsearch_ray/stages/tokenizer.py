@@ -183,7 +183,10 @@ class TokenizePartition:
 
         doc_id_base = spec["doc_id_base"]
         seg_base = spec.get("seg_base", 0)
-        keep_rows, tok_doc, codes, term_strs = self._prepare_partition(spec)
+        keep_rows, tok_doc, codes, term_strs, kept_lens = (
+            self._prepare_partition(spec)
+        )
+        m = len(keep_rows)
 
         if len(codes) == 0:
             return RUN_SCHEMA.empty_table()
@@ -305,7 +308,7 @@ class TokenizePartition:
         """Shared preamble of BOTH shuffle modes — read, lang filter,
         tokenize, docmap part write (extracted so fixes can't silently
         diverge between the runs and triples paths).  Returns
-        (keep_rows, tok_doc, codes, term_strs)."""
+        (keep_rows, tok_doc, codes, term_strs, kept_lens)."""
         from ..normalizer.tokenize import tokenize_rows_flat
 
         tbl = self._read_rows(spec)
@@ -353,11 +356,13 @@ class TokenizePartition:
             spec, (keep_rows + doc_id_base).tolist(), urls,
             kept_lens.tolist(), facets,
         )
-        return keep_rows, tok_doc, codes, term_strs
+        return keep_rows, tok_doc, codes, term_strs, kept_lens
 
     def _process_partition(self, spec: dict) -> pa.Table:
         doc_id_base = spec["doc_id_base"]
-        keep_rows, tok_doc, codes, term_strs = self._prepare_partition(spec)
+        keep_rows, tok_doc, codes, term_strs, _ = (
+            self._prepare_partition(spec)
+        )
 
         # (code, doc) tf groups from one stable sort; triple emission order
         # is irrelevant downstream (the wide shuffle sorts by (th, doc_id))
