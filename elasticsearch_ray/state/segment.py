@@ -111,6 +111,14 @@ def write_ipc_atomic(path: str, table: pa.Table) -> int:
     with pa.OSFile(tmp, "wb") as sink:
         with ipc.new_file(sink, table.schema) as writer:
             writer.write_table(table)
+    # fsync before the rename: the manifest that will reference this
+    # file IS fsynced (state/manifest.py), so a power loss must not
+    # leave a durable manifest pointing at never-flushed segment pages
+    fd = os.open(tmp, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
     os.replace(tmp, path)
     return os.path.getsize(path)
 
@@ -263,26 +271,27 @@ class SegmentReader:
     def _prefix_row_range(self, prefix: str) -> tuple[int, int]:
         """Binary-searched [lo, hi) row range of dictionary terms starting
         with ``prefix`` (sorted-term assembler invariant); the whole
-        dictionary when prefix is empty."""
+        dictionary when prefix is empty.  The upper bound bisects on the
+        monotone predicate ``term[:len(prefix)] <= prefix`` — exact for
+        every unicode term, unlike a ``prefix + U+10FFFF`` sentinel
+        (which silently excluded terms containing U+10FFFF right after
+        the prefix).  Searches the plain Python term list built at init
+        (no per-probe Arrow scalar boxing)."""
         import bisect
 
-        terms = self._terms
-
-        class _View:
-            def __getitem__(self, i):
-                return terms[i].as_py()
-
-            def __len__(self):
-                return len(terms)
-
-        v = _View()
-        lo = bisect.bisect_left(v, prefix)
-        hi = (
-            bisect.bisect_left(v, prefix + "\U0010FFFF")
-            if prefix
-            else len(terms)
-        )
-        return lo, hi
+        tl = self._term_list
+        lo = bisect.bisect_left(tl, prefix)
+        if not prefix:
+            return 0, len(tl)
+        k = len(prefix)
+        lo2, hi2 = lo, len(tl)
+        while lo2 < hi2:
+            mid = (lo2 + hi2) // 2
+            if tl[mid][:k] <= prefix:
+                lo2 = mid + 1
+            else:
+                hi2 = mid
+        return lo, lo2
 
     def term_rows_matching(
         self, pattern: str, max_expansions: int | None = None
@@ -301,14 +310,15 @@ class SegmentReader:
             row = self._term_row.get(pattern)
             return [row] if row is not None else []
         lo, hi = self._prefix_row_range(prefix)
-        terms = self._terms
         # ES wildcard treats ONLY * and ? as special; escape fnmatch's
         # [class] syntax so a literal '[' in the pattern stays literal
         rx = re.compile(
             fnmatch.translate(pattern.replace("[", "[[]"))
         )
         out: list[int] = []
-        span = terms.slice(lo, hi - lo).to_pylist()
+        # the init-time Python term list: no per-query re-materialization
+        # of the dictionary slice (a leading wildcard spans ALL terms)
+        span = self._term_list[lo:hi]
         for off, t in enumerate(span):
             if rx.match(t):
                 out.append(lo + off)
@@ -615,6 +625,11 @@ class SegmentReader:
             flat = cs - np.repeat(prev, counts)
         else:
             flat = cs
+        # read-only like the postings/pkey caches: an accidental
+        # in-place op on a cached array must error, not silently corrupt
+        # every later phrase/span query on this term
+        for arr in (counts, flat, offsets):
+            arr.setflags(write=False)
         res = (slots, counts, flat, offsets)
         # bounded decoded-positions LRU: phrase workloads are Zipf-heavy, so
         # hot terms ("the", "of") pay the big VByte decode once per actor,
@@ -636,7 +651,10 @@ class SegmentReader:
         if cached is not None:
             self._pkey_cache.move_to_end(row)
             return cached
-        slots, counts, flat, _ = self.positions_flat_by_row(row)
+        got = self.positions_flat_by_row(row)
+        if got is None:  # positions-less index: clean empty, not a
+            return np.empty(0, dtype=np.int64)  # NoneType unpack crash
+        slots, counts, flat, _ = got
         keys = (np.repeat(slots, counts) << np.int64(32)) | flat
         keys.setflags(write=False)
         self._pkey_cache[row] = keys
@@ -724,13 +742,17 @@ class SegmentReader:
         docs = np.ascontiguousarray(docs, dtype=np.int64)
         docs.setflags(write=False)
         self._adj_cache[key] = docs
-        self._adj_cache_vals += docs.size + 1
+        # +32: per-entry overhead (tuple key, dict node, ndarray header)
+        # in budget units — a workload of diverse never-adjacent bigrams
+        # caches a 0-size array per pair, and a +1 cost would admit ~1M
+        # such entries (hundreds of MB of pure overhead) before evicting
+        self._adj_cache_vals += docs.size + 32
         while (
             self._adj_cache_vals > self._ADJ_CACHE_BUDGET
             and len(self._adj_cache) > 1
         ):
             _, old = self._adj_cache.popitem(last=False)
-            self._adj_cache_vals -= old.size + 1
+            self._adj_cache_vals -= old.size + 32
         return docs
 
     def positions_slots(self, term: str):

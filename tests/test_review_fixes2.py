@@ -287,3 +287,21 @@ def test_tokenizer_misconfig_rejected(tmp_path):
                           store_positions=True)
     with pytest.raises(ValueError, match="fault_inject_mode"):
         TokenizePartition(str(tmp_path), fault_inject_mode="rasie")
+
+
+def test_wildcard_prefix_range_unicode_edge(tmp_path):
+    """A term containing U+10FFFF right after the prefix must be found
+    by wildcard expansion (the old sentinel-based upper bound silently
+    excluded it)."""
+    weird = "foo\U0010FFFFx"
+    rows = [{"doc_id": 0, "text": f"foo {weird} fool"},
+            {"doc_id": 1, "text": "other doc"}]
+    eng = _build(tmp_path, rows)
+    try:
+        res = eng.search("foo*", size=10)
+        assert [r["doc_id"] for r in res["results"]] == [0]
+        # all three foo-prefixed terms expand (df probe via analyze of
+        # the wildcard route's total): doc 0 matched via any of them
+        assert res["total_hits"] == 1
+    finally:
+        eng.close()
