@@ -23,6 +23,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 _US = 1_000_000
@@ -33,6 +34,28 @@ def _ts_us(batch: pa.Table, ts_col: str) -> np.ndarray:
     # column's native unit (ns for pandas-written tables) and would silently
     # scale every window/gap/lag computation by 1000
     return batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+
+
+def _bucket_cents_prep(batch: pa.Table, ts_col: str, value_col: str):
+    """Shared null-safe prep of every date-histogram variant:
+    (ts timestamp[us] Arrow column, cents int64 numpy) over the rows
+    with a NON-NULL timestamp — ES drops docs missing the date field; a
+    null value still counts in its bucket but contributes 0 to the sum
+    (ES sum sub-aggs skip missing values, the SQL twins' sum() does the
+    same).  A nullable column's bare to_numpy() would drift to
+    float64 + NaN and cast to INT64_MIN-scale garbage — verified to
+    corrupt sum_cents before this helper existed.  floor(x*100 + 0.5),
+    not np.round: half-to-even would diverge from the twins' round()."""
+    ts = batch.column(ts_col).cast(pa.timestamp("us"))
+    valid = pc.is_valid(ts)
+    if not pc.all(valid).as_py():
+        batch = batch.filter(valid)
+        ts = batch.column(ts_col).cast(pa.timestamp("us"))
+    vals = pc.fill_null(
+        batch.column(value_col).cast(pa.float64()), 0.0
+    ).to_numpy(zero_copy_only=False)
+    cents = np.floor(vals * 100.0 + 0.5).astype(np.int64)
+    return ts, cents
 
 
 def window_agg(
@@ -354,14 +377,8 @@ def date_histogram(
         raise ValueError(f"interval {interval!r} not in {sorted(allowed)}")
 
     def prep(batch: pa.Table) -> pa.Table:
-        ts = batch.column(ts_col).cast(pa.timestamp("us"))
+        ts, cents = _bucket_cents_prep(batch, ts_col, value_col)
         bucket = pc.floor_temporal(ts, unit=interval).cast(pa.int64())
-        # floor(x+0.5), not np.round: half-to-even would diverge from the
-        # SQL twin's half-away round() on exact .5 cent boundaries
-        cents = np.floor(
-            np.asarray(batch.column(value_col).to_numpy(), np.float64) * 100
-            + 0.5
-        ).astype(np.int64)
         part = pa.table({"bucket_us": bucket, "cents": pa.array(cents)})
         g = part.group_by("bucket_us").aggregate(
             [("cents", "sum"), ("cents", "count")]
@@ -476,16 +493,12 @@ def auto_date_histogram(
     from ray.data.aggregate import Sum
 
     def prep(batch: pa.Table) -> pa.Table:
-        ts = batch.column(ts_col).cast(pa.timestamp("us"))
+        ts, cents = _bucket_cents_prep(batch, ts_col, value_col)
         if isinstance(width, int):
             us = ts.cast(pa.int64())
             bucket = pc.multiply(pc.divide(us, width), width)
         else:
             bucket = pc.floor_temporal(ts, unit=width).cast(pa.int64())
-        cents = np.floor(
-            np.asarray(batch.column(value_col).to_numpy(), np.float64) * 100
-            + 0.5
-        ).astype(np.int64)
         part = pa.table({"bucket_us": bucket, "cents": pa.array(cents)})
         g = part.group_by("bucket_us").aggregate(
             [("cents", "sum"), ("cents", "count")]
@@ -970,13 +983,10 @@ def date_histogram_fixed(
         raise ValueError("interval_us must be > 0")
 
     def prep(batch: pa.Table) -> pa.Table:
-        ts = _ts_us(batch, ts_col)
+        ts_col_a, cents = _bucket_cents_prep(batch, ts_col, value_col)
+        ts = ts_col_a.cast(pa.int64()).to_numpy(zero_copy_only=False)
         bucket = ((ts - offset_us) // interval_us) * interval_us \
             + offset_us
-        cents = np.floor(
-            np.asarray(batch.column(value_col).to_numpy(), np.float64)
-            * 100 + 0.5
-        ).astype(np.int64)
         part = pa.table({
             "bucket_us": pa.array(bucket),
             "cents": pa.array(cents),

@@ -305,3 +305,34 @@ def test_wildcard_prefix_range_unicode_edge(tmp_path):
         assert res["total_hits"] == 1
     finally:
         eng.close()
+
+
+def test_date_histograms_null_safe():
+    """Null timestamps are dropped (ES: docs missing the date field)
+    and null values count in the bucket but contribute 0 to the sum
+    (ES sum sub-aggs skip missing) — previously NaN leaked through
+    int64 casts into INT64_MIN-scale garbage."""
+    import datetime as dt
+
+    import ray.data
+    from elasticsearch_ray.ops.events import (
+        auto_date_histogram, date_histogram, date_histogram_fixed)
+
+    t0 = dt.datetime(2024, 1, 1)
+    tbl = pa.table({
+        "ts": pa.array([t0, t0 + dt.timedelta(hours=1), None, t0],
+                       pa.timestamp("us")),
+        "value": pa.array([1.0, None, 5.0, 2.0], pa.float64()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = sorted(date_histogram_fixed(ds, 24 * 3600 * 1_000_000)
+                 .take_all(), key=lambda r: r["bucket_us"])
+    assert len(out) == 1
+    assert out[0]["n"] == 3          # null-ts row dropped
+    assert out[0]["sum_cents"] == 300  # 1.0 + 0 + 2.0 in cents
+    assert isinstance(out[0]["bucket_us"], int)
+    out2 = date_histogram(ds, "day").take_all()
+    assert out2[0]["n"] == 3 and out2[0]["sum_cents"] == 300
+    out3 = auto_date_histogram(ds, target_buckets=10).take_all()
+    assert sum(r["n"] for r in out3) == 3
+    assert sum(r["sum_cents"] for r in out3) == 300
