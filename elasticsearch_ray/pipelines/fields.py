@@ -127,9 +127,14 @@ class _FieldMeta:
         self.doc_count = int(st["doc_count"])
         self.avgdl = float(st["avg_doc_length"])
         cfg = st.get("config", {})
-        self.normalizer = make_normalizer(cfg.get("analyzer", "reference"))
+        self.analyzer = cfg.get("analyzer", "reference")
+        self.normalizer = make_normalizer(self.analyzer)
         with open(os.path.join(index_dir, "manifest.json")) as f:
-            seg_ids = sorted(int(s) for s in json.load(f)["segments"])
+            man = json.load(f)
+        seg_ids = sorted(int(s) for s in man["segments"])
+        # manifest tombstones: deleted-but-not-compacted docs must be
+        # hidden immediately, exactly like QueryEngine's readers
+        self.tombstones: list[int] = sorted(man.get("tombstones", []))
         self.segs: list[tuple[int, int, int]] = []  # (seg_id, lo, hi)
         for s in seg_ids:
             with open(
@@ -137,7 +142,12 @@ class _FieldMeta:
             ) as f:
                 m = json.load(f)
             lo = int(m["doc_id_base"])
-            self.segs.append((s, lo, lo + int(m["kept_docs"])))
+            # num_docs, NOT kept_docs: doc ids live in slot space —
+            # kept_docs shrinks under lang filters / compacted deletes,
+            # which mis-assigned segments to doc-range shards and made
+            # live docs beyond sum(kept) unreachable
+            self.segs.append((s, lo, lo + int(m["num_docs"])))
+        self.id_space = max((hi for _, _, hi in self.segs), default=0)
         from ..state.dfshards import load_df_shards
 
         self._df_shards = load_df_shards(index_dir)
@@ -157,7 +167,8 @@ class _FieldMeta:
                 from ..state.segment import SegmentReader
 
                 self._readers = [
-                    SegmentReader(self.index_dir, s) for s, _, _ in self.segs
+                    SegmentReader(self.index_dir, s, self.tombstones)
+                    for s, _, _ in self.segs
                 ]
             return {
                 t: sum(r.df(t) for r in self._readers) for t in terms
@@ -178,7 +189,7 @@ class CrossFieldSearcher:
     may straddle a range boundary), so ranges partition the corpus exactly
     and per-shard candidate totals sum to the true total."""
 
-    def __init__(self, field_specs: dict[str, tuple[str, list[int]]],
+    def __init__(self, field_specs: dict[str, tuple],
                  doc_lo: int, doc_hi: int):
         from ..state.segment import SegmentReader
 
@@ -186,11 +197,14 @@ class CrossFieldSearcher:
         self.hi = doc_hi
         self.readers = {
             f: sorted(
-                (SegmentReader(d, s) for s in segs),
+                (SegmentReader(spec[0], s,
+                               spec[2] if len(spec) > 2 else None)
+                 for s in spec[1]),
                 key=lambda r: r.doc_id_base,
             )
-            for f, (d, segs) in field_specs.items()
+            for f, spec in field_specs.items()
         }
+        self._dead_cache = None
 
     def ready(self) -> int:
         return sum(
@@ -276,7 +290,28 @@ class CrossFieldSearcher:
                 dead[s - self.lo:e - self.lo] |= seg < 0
         dlc[dead] = -np.inf
         self._dlc_cache = (weights, dlc)
+        self._dead_cache = dead
         return dlc
+
+    def _dead_mask(self) -> "np.ndarray":
+        """OR of per-field dead flags over this shard's range — the ONE
+        liveness definition shared by candidate gathering (via
+        _combined_dl's -inf) and combined_dfs, so df_c can never count a
+        doc that combined_topk would refuse to return."""
+        import numpy as np
+
+        if self._dead_cache is None:
+            dead = np.zeros(self.hi - self.lo, dtype=bool)
+            for readers in self.readers.values():
+                for r in readers:
+                    s = max(self.lo, r.doc_id_base)
+                    e = min(self.hi, r.doc_id_base + r.doc_lens.size)
+                    if s >= e:
+                        continue
+                    seg = r.doc_lens[s - r.doc_id_base:e - r.doc_id_base]
+                    dead[s - self.lo:e - self.lo] |= seg < 0
+            self._dead_cache = dead
+        return self._dead_cache
 
     def combined_dfs(self, terms: list[str]) -> list[int]:
         """Per term: how many docs of this shard's range contain it in
@@ -285,6 +320,7 @@ class CrossFieldSearcher:
         df_c."""
         import numpy as np
 
+        dead = self._dead_mask()
         out = []
         for t in terms:
             acc = []
@@ -293,10 +329,13 @@ class CrossFieldSearcher:
                     res = r.postings_slots(t)
                     if res is None:
                         continue
-                    slots = res[0]
-                    slots = slots[r.doc_lens[slots] >= 0]
-                    g = slots + r.doc_id_base
-                    acc.append(g[(g >= self.lo) & (g < self.hi)])
+                    g = res[0] + r.doc_id_base
+                    g = g[(g >= self.lo) & (g < self.hi)]
+                    # the COMBINED liveness mask (dead in ANY field =
+                    # never a candidate), not this reader's own doc_lens
+                    # — otherwise df_c counts docs combined_topk refuses
+                    # to return and deflates every other doc's idf
+                    acc.append(g[~dead[g - self.lo]])
             out.append(
                 int(np.unique(np.concatenate(acc)).size) if acc else 0
             )
@@ -365,6 +404,26 @@ class CrossFieldSearcher:
         return tids, tsc, int(uids.size)
 
 
+def _merge_shard_parts(query_text: str, parts, size: int) -> dict:
+    """Driver-side merge shared by the dismax and combined paths: the
+    bounded per-shard (ids, scores, total) parts, ordered (-score,
+    doc_id)."""
+    import numpy as np
+
+    ids = np.concatenate([p[0] for p in parts])
+    scores = np.concatenate([p[1] for p in parts])
+    total = int(sum(p[2] for p in parts))
+    order = np.lexsort((ids, -scores))[:size]
+    return {
+        "query": query_text,
+        "total_hits": total,
+        "results": [
+            {"doc_id": int(ids[i]), "score": float(scores[i])}
+            for i in order
+        ],
+    }
+
+
 class CrossFieldEngine:
     """ES ``multi_match`` with a tie_breaker (``dis_max``) / ``most_fields``
     over per-field indexes that index the SAME corpus (equal doc_counts,
@@ -386,6 +445,9 @@ class CrossFieldEngine:
                 f"{ {f: m.doc_count for f, m in self.meta.items()} }"
             )
         self.doc_count = counts.pop()
+        # the doc-ID SPACE (max doc_id_base + num_docs over fields) —
+        # ranges must cover every slot, not just the live doc count
+        self.id_space = max(m.id_space for m in self.meta.values())
         self.boosts = {
             f: float((boosts or {}).get(f, 1.0)) for f in field_dirs
         }
@@ -408,28 +470,30 @@ class CrossFieldEngine:
         if num_shards == 0:
             self.embedded = CrossFieldSearcher(
                 {
-                    f: (m.index_dir, [s for s, _, _ in m.segs])
+                    f: (m.index_dir, [s for s, _, _ in m.segs],
+                        m.tombstones)
                     for f, m in self.meta.items()
                 },
-                0, self.doc_count,
+                0, self.id_space,
             )
             return
         edges = self._range_edges(num_shards)
         remote_cls = ray.remote(CrossFieldSearcher)
         for lo, hi in edges:
             spec = {
-                f: (m.index_dir, m.segs_overlapping(lo, hi))
+                f: (m.index_dir, m.segs_overlapping(lo, hi),
+                    m.tombstones)
                 for f, m in self.meta.items()
             }
             self.searchers.append(remote_cls.remote(spec, lo, hi))
         ray.get([s.ready.remote() for s in self.searchers])
 
     def _range_edges(self, n: int) -> list[tuple[int, int]]:
-        step = -(-self.doc_count // n)
+        step = -(-self.id_space // n)
         return [
-            (i * step, min((i + 1) * step, self.doc_count))
+            (i * step, min((i + 1) * step, self.id_space))
             for i in range(n)
-            if i * step < self.doc_count
+            if i * step < self.id_space
         ]
 
     def search(self, query_text: str, size: int = 10,
@@ -453,18 +517,7 @@ class CrossFieldEngine:
             parts = ray.get(
                 [s.dismax.remote(*args) for s in self.searchers]
             )
-        ids = np.concatenate([p[0] for p in parts])
-        scores = np.concatenate([p[1] for p in parts])
-        total = int(sum(p[2] for p in parts))
-        order = np.lexsort((ids, -scores))[:size]
-        return {
-            "query": query_text,
-            "total_hits": total,
-            "results": [
-                {"doc_id": int(ids[i]), "score": float(scores[i])}
-                for i in order
-            ],
-        }
+        return _merge_shard_parts(query_text, parts, size)
 
     def search_combined(self, query_text: str, size: int = 10) -> dict:
         """ES ``combined_fields`` query: all fields scored as ONE
@@ -483,12 +536,26 @@ class CrossFieldEngine:
         import numpy as np
         import ray
 
+        if self.scoring != "bm25":
+            # ES combined_fields is BM25-only; silently scoring BM25
+            # under scoring='tfidf' would mislead the caller
+            raise ValueError(
+                "combined_fields supports scoring='bm25' only "
+                f"(engine has {self.scoring!r})")
+        analyzers = {m.analyzer for m in self.meta.values()}
+        if len(analyzers) != 1:
+            # ES rejects combined_fields over mixed-analyzer fields —
+            # analyzing with one field's chain would silently miss
+            # every match in the others
+            raise ValueError(
+                f"combined_fields requires one shared analyzer, got "
+                f"{sorted(analyzers)}")
         meta0 = next(iter(self.meta.values()))
-        terms = meta0.normalizer.preprocess_query_list(query_text)
+        analyzed = meta0.normalizer.preprocess_query_list(query_text)
+        terms = list(dict.fromkeys(analyzed))  # df round dedups; scoring
+        # re-weights duplicates below
         if not terms or self.doc_count == 0:
             return {"query": query_text, "total_hits": 0, "results": []}
-        terms = list(dict.fromkeys(terms))  # df round dedups; scoring
-        # re-weights duplicates below
         counts: dict[str, int] = dict.fromkeys(terms, 0)
         weights = tuple(sorted(self.boosts.items()))
         if self.embedded is not None:
@@ -500,16 +567,19 @@ class CrossFieldEngine:
         for part in df_parts:
             for t, n in zip(terms, part):
                 counts[t] += int(n)
+        from ..state.dfshards import idf as _idf
+
         n_docs = self.doc_count
         # duplicate query terms score once per occurrence (BM25 bag of
-        # words): fold multiplicity into idf
+        # words): fold multiplicity into idf — reusing the ONE analyzed
+        # token list (no second analysis pass) and the engine's shared
+        # idf convention.  NOTE the raw-formula fallback when df_c is 0:
+        # dfshards.idf returns 0.0 there, but combined df_c == 0 with a
+        # candidate present can't happen (df round covers all shards)
         mult: dict[str, int] = {}
-        for t in meta0.normalizer.preprocess_query_list(query_text):
+        for t in analyzed:
             mult[t] = mult.get(t, 0) + 1
-        idfs = {
-            t: mult[t] * math.log((n_docs + 1.0) / (counts[t] + 1.0))
-            for t in terms
-        }
+        idfs = {t: mult[t] * _idf(n_docs, counts[t]) for t in terms}
         avgdl_c = sum(
             self.boosts[f] * m.avgdl for f, m in self.meta.items()
         )
@@ -520,18 +590,7 @@ class CrossFieldEngine:
             parts = ray.get(
                 [s.combined_topk.remote(*args) for s in self.searchers]
             )
-        ids = np.concatenate([p[0] for p in parts])
-        scores = np.concatenate([p[1] for p in parts])
-        total = int(sum(p[2] for p in parts))
-        order = np.lexsort((ids, -scores))[:size]
-        return {
-            "query": query_text,
-            "total_hits": total,
-            "results": [
-                {"doc_id": int(ids[i]), "score": float(scores[i])}
-                for i in order
-            ],
-        }
+        return _merge_shard_parts(query_text, parts, size)
 
     def close(self) -> None:
         import ray

@@ -336,3 +336,59 @@ def test_date_histograms_null_safe():
     out3 = auto_date_histogram(ds, target_buckets=10).take_all()
     assert sum(r["n"] for r in out3) == 3
     assert sum(r["sum_cents"] for r in out3) == 300
+
+
+def test_crossfield_tombstones_and_ranges(tmp_path):
+    """CrossFieldEngine must hide tombstoned docs immediately (like
+    QueryEngine) and shard by the doc-ID SPACE, not kept_docs — a
+    deleted doc previously stayed searchable cross-field and shrank the
+    range cover."""
+    from elasticsearch_ray.pipelines.build import (BuildConfig,
+                                                   add_tombstones,
+                                                   build_index)
+    from elasticsearch_ray.pipelines.fields import CrossFieldEngine
+
+    rows = [{"doc_id": i,
+             "title": ("target phrase" if i in (0, 41) else "other head"),
+             "text": ("body words here" if i % 2 else "target body")}
+            for i in range(42)]
+    src = tmp_path / "src.parquet"
+    pq.write_table(
+        pa.table({
+            "title": pa.array([r["title"] for r in rows], pa.string()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+        }), str(src))
+    dirs = {}
+    for fld in ("title", "text"):
+        idx = str(tmp_path / f"idx_{fld}")
+        build_index(str(src), idx,
+                    BuildConfig(analyzer="plain", text_column=fld,
+                                url_column=None, lang_column=None,
+                                docs_per_segment=20,
+                                target_partition_rows=10))
+        dirs[fld] = idx
+
+    for shards in (0, 3):
+        eng = CrossFieldEngine(dict(dirs), num_shards=shards)
+        try:
+            got = [r["doc_id"] for r in
+                   eng.search("target", size=50)["results"]]
+            # doc 41 (last doc, tail of the id space) must be reachable
+            assert 41 in got and 0 in got
+        finally:
+            eng.close()
+
+    # tombstone doc 0 in BOTH field indexes: cross-field must hide it
+    for idx in dirs.values():
+        add_tombstones(idx, [0])
+    for shards in (0, 3):
+        eng = CrossFieldEngine(dict(dirs), num_shards=shards)
+        try:
+            res = eng.search("target", size=50)
+            got = [r["doc_id"] for r in res["results"]]
+            assert 0 not in got and 41 in got
+            resc = eng.search_combined("target", size=50)
+            gotc = [r["doc_id"] for r in resc["results"]]
+            assert 0 not in gotc and 41 in gotc
+        finally:
+            eng.close()
