@@ -73,25 +73,14 @@ class Normalizer:
 
     def tokenize_cleaned(self, cleaned: str) -> list[str]:
         """Split + filter + stem a string already lowered and regex-cleaned
-        (the output of :meth:`clean_batch` / the inline subs above)."""
-        stem = self.stemmer.stem
-        stop = self.stop_words
-        cache = self._tok_cache
-        out: list[str] = []
-        append = out.append
-        for token in cleaned.split():
-            r = cache.get(token)
-            if r is None:
-                r = (
-                    stem(token)
-                    if len(token) >= 2 and not token.isdigit() and token not in stop
-                    else ""
-                )
-                if len(cache) < 4_000_000:  # bound per-actor memory
-                    cache[token] = r
-            if r:
-                append(r)
-        return out
+        (the output of :meth:`clean_batch` / the inline subs above).
+        Shares :meth:`map_token` — the ONE per-token filter+stem+cache
+        rule — so the per-row path can never drift from the vectorized
+        batch path (tokenize_rows_flat), the exact doc/query divergence
+        class this module exists to prevent; the hot path is one dict
+        hit per token either way."""
+        mt = self.map_token
+        return [r for token in cleaned.split() if (r := mt(token))]
 
     def map_token(self, token: str) -> str:
         """One surface token -> stemmed form, or '' when filtered
@@ -126,7 +115,13 @@ class Normalizer:
 
         safe = [t or "" for t in texts]
         arr = pa.array(safe, pa.string())
+        # ASCII alone is not enough: RE2 and Python re also disagree on
+        # the ASCII control chars \x0b, \x1c-\x1f (\S in the URL
+        # pattern), so such rows take the Python path too
         is_ascii = pc.string_is_ascii(arr)
+        diverg = pc.match_substring_regex(
+            arr, _RE2_DIVERGENT_RE_PATTERN
+        )
         low = pc.utf8_lower(arr)
         s = pc.replace_substring_regex(
             low, pattern=_URL_EMAIL_RE.pattern, replacement=""
@@ -135,8 +130,10 @@ class Normalizer:
             s, pattern=_NON_ALNUM_RE.pattern, replacement=" "
         )
         out = s.to_pylist()
-        for i, ok in enumerate(is_ascii.to_pylist()):
-            if not ok:
+        for i, (ok, dv) in enumerate(
+            zip(is_ascii.to_pylist(), diverg.to_pylist())
+        ):
+            if not ok or dv:
                 out[i] = _NON_ALNUM_RE.sub(
                     " ", _URL_EMAIL_RE.sub("", safe[i].lower())
                 )
@@ -156,10 +153,21 @@ class Normalizer:
 # ``nltk.word_tokenize`` on the lowered query; for the query grammar
 # (words, parens, boolean ops) this is equivalent to extracting
 # ``[a-z0-9]+`` runs and parens, which is what we do.
+# ASCII control chars where RE2's \\s ([\\t\\n\\f\\r ]) and Python's
+# \\s disagree: a row containing one must take the per-row Python path
+# or the batch (index) and scalar (query/oracle) token streams diverge
+_RE2_DIVERGENT_RE_PATTERN = "[\\x0b\\x1c-\\x1f]"
+
+
 _BOOL_TOKEN_RE = re.compile(r"[a-z0-9]+|\(|\)")
 
 
 def preprocess_boolean_query(query: str, normalizer: Normalizer) -> tuple[str, ...]:
+    # the analyzer's char filter runs on the query side too (ES: char
+    # filters precede tokenization on BOTH sides) — without this, a
+    # boolean query against an html_* index would tokenize markup
+    # ('<b>dogs</b>' -> 'b', 'dogs', 'b') the index side stripped
+    query = getattr(normalizer, "char_filter", lambda t: t)(query)
     tokens = _BOOL_TOKEN_RE.findall(query.lower())
     processed: list[str] = []
     for word in tokens:
@@ -298,12 +306,20 @@ _HTML_BLOCK_ELEMENTS = (
 )
 # chain order matters: comments first (their '>'s must not terminate a
 # tag scan), then script/style with content, then block, then the rest.
+# Tag bodies (_TAG_ATTRS) skip quoted attribute values — a '>' inside
+# href="x>y" must not terminate the tag (Lucene's char filter handles
+# quoted attributes; a bare [^>]* leaked attribute text as tokens).
+# Documented deviation (in addition to the entity/CDATA notes below):
+# an unterminated '<!--' inside script content deletes to end-of-text
+# (the comment rule runs first), where Lucene's state machine would end
+# the script element at '</script>'.
+_TAG_ATTRS = r"""(?:[^>"']|"[^"]*"|'[^']*')*"""
 _HTML_CHAIN: list[tuple[str, str]] = [
     (r"(?s)<!--.*?(?:-->|$)", ""),
-    (r"(?is)<script\b[^>]*>.*?(?:</script\s*>|$)", "\n"),
-    (r"(?is)<style\b[^>]*>.*?(?:</style\s*>|$)", "\n"),
-    (rf"(?i)</?(?:{_HTML_BLOCK_ELEMENTS})\b[^>]*>", "\n"),
-    (r"<[a-zA-Z/!?][^>]*>", ""),
+    (rf"(?is)<script\b{_TAG_ATTRS}>.*?(?:</script\s*>|$)", "\n"),
+    (rf"(?is)<style\b{_TAG_ATTRS}>.*?(?:</style\s*>|$)", "\n"),
+    (rf"(?i)</?(?:{_HTML_BLOCK_ELEMENTS})\b{_TAG_ATTRS}>", "\n"),
+    (rf"<[a-zA-Z/!?]{_TAG_ATTRS}>", ""),
 ]
 _HTML_CHAIN_RE = [(re.compile(p), r) for p, r in _HTML_CHAIN]
 # decode order matters (ES html_strip decodes entities ONCE, after tag
@@ -358,12 +374,32 @@ class HtmlStripNormalizer:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        arr = pa.array([t or "" for t in texts], pa.string())
+        safe = [t or "" for t in texts]
+        arr = pa.array(safe, pa.string())
+        # same batch/scalar consistency contract as Normalizer: rows
+        # where RE2's \s diverges from Python's (non-ASCII, or the
+        # ASCII control chars) run the scalar html_strip instead — the
+        # close-tag patterns use \s*, so a divergent char inside a
+        # </script\x0b> tag would otherwise delete the document's tail
+        # at index time while query-side html_strip keeps it
+        is_ascii = pc.string_is_ascii(arr)
+        diverg = pc.match_substring_regex(
+            arr, _RE2_DIVERGENT_RE_PATTERN
+        )
         for p, rep in _HTML_CHAIN:
             arr = pc.replace_substring_regex(arr, pattern=p, replacement=rep)
         for k, v in _HTML_ENTITIES:
             arr = pc.replace_substring(arr, pattern=k, replacement=v)
-        return self.base.clean_batch(arr.to_pylist())
+        out = arr.to_pylist()
+        for i, (ok, dv) in enumerate(
+            zip(is_ascii.to_pylist(), diverg.to_pylist())
+        ):
+            if not ok or dv:
+                out[i] = html_strip(safe[i])
+        return self.base.clean_batch(out)
+
+    def char_filter(self, text: str) -> str:
+        return html_strip(text)
 
     def preprocess_query(self, query: str) -> str:
         return self.base.preprocess_query(html_strip(query))

@@ -392,3 +392,29 @@ def test_crossfield_tombstones_and_ranges(tmp_path):
             assert 0 not in gotc and 41 in gotc
         finally:
             eng.close()
+
+
+def test_normalizer_batch_scalar_agree_on_control_chars():
+    """RE2 (batch/index) and Python re (scalar/query) token streams must
+    agree on the ASCII control chars where \\s definitions diverge, and
+    html tag bodies must skip quoted attribute values."""
+    from elasticsearch_ray.normalizer.tokenize import (
+        HtmlStripNormalizer, Normalizer, PlainNormalizer, html_strip,
+        preprocess_boolean_query, tokenize_rows_flat)
+
+    n = Normalizer()
+    cases = ["see www.example.com\x0bhello there",
+             "a@b\x1cnext words", "normal text rows", "café menu"]
+    td, codes, terms = tokenize_rows_flat(n, n.clean_batch(cases))
+    flat = [[terms[c] for c, d in zip(codes, td) if d == i]
+            for i in range(len(cases))]
+    for t, got in zip(cases, flat):
+        assert got == n.tokenize(t), t
+
+    assert html_strip('<a href="x>y">link</a>') == "link"
+    h = HtmlStripNormalizer(PlainNormalizer())
+    t = "a<script>x</script\x0b> b important tail"
+    assert h.clean_batch([t]) == [h.base.normalize_text(html_strip(t))] \
+        or h.clean_batch([t])[0].split() == h.tokenize(t)
+    assert preprocess_boolean_query("cats AND <b>dogs</b>", h) \
+        == ("cats", "AND", "dogs")
