@@ -1,7 +1,9 @@
 """Posting-list construction: run encoding + segment assembly.
 
 The wide shuffle (SURVEY.md §2.5 A5, §7.3) is a sort by
-``(seg, term, doc_id)``.  Skew handling: because ``doc_id`` is part of the
+``(th, doc_id)`` — th a stable 64-bit term hash (numeric keys sort
+faster and move fewer bytes than term strings; seg derives from doc-id
+ranges).  Skew handling: because ``doc_id`` is part of the
 range-partitioning key, a Zipf head term whose postings exceed one block is
 automatically split across consecutive sorted blocks into doc-range-disjoint
 sub-runs — ordered salting by doc-id range.  ``encode_runs_block`` encodes
@@ -47,9 +49,10 @@ RUN_SCHEMA = pa.schema(
         ("df", pa.int64()),
         ("postings", pa.large_binary()),
         ("tfs", pa.large_binary()),
-        # per-doc position streams [npos, p0, dp1, ...] (empty when the
-        # build does not store positions); doc order == postings order, so
-        # run merge is plain byte concatenation
+        # per-doc position streams, layout v2: [p0, dp1, ...] — deltas
+        # ONLY, the per-doc count is the tf already in the tfs cell
+        # (empty when the build does not store positions); doc order ==
+        # postings order, so run merge is plain byte concatenation
         ("positions", pa.large_binary()),
     ]
 )
@@ -185,6 +188,13 @@ class SegmentAssembler:
             path = os.path.join(self.index_dir, "docmap", f"part-{pid:06d}.parquet")
             t = pq.read_table(path, columns=["doc_id", "doc_len"])
             ids = t.column("doc_id").to_numpy() - base
+            if ids.size and (ids.min() < 0 or ids.max() >= num):
+                # a negative index would WRAP and silently overwrite the
+                # tail of the array (wrong stats + block-max bounds);
+                # ids above num already raise — make below-base loud too
+                raise ValueError(
+                    f"docmap part {pid} holds doc_ids outside segment "
+                    f"range [{base}, {base + num})")
             arr[ids] = t.column("doc_len").to_numpy()
         return arr
 
@@ -209,76 +219,55 @@ class SegmentAssembler:
         doclens = self._load_doclens(info)
         base = info["doc_id_base"]
 
-        th = triples.column("th").to_numpy()
         doc = triples.column("doc_id").to_numpy()
         tf = triples.column("tf").to_numpy().astype(np.int64)
         term = triples.column("term")
         if isinstance(term, pa.ChunkedArray):
             term = term.combine_chunks()
 
-        order = np.lexsort((doc, th))
-        th = th[order]
+        # group and ORDER by the real term string (dictionary-encode ->
+        # rank of each distinct string in sorted order -> lexsort on
+        # (rank, doc)): the written dictionary must be term-sorted — the
+        # reader's prefix/wildcard/regexp bisection assumes it, and the
+        # previous (doc, th) hash-order sort silently broke every such
+        # query on 'segment'-shuffle indexes.  Grouping by the actual
+        # string also retires the th-collision guard wholesale.
+        denc = term.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_arr = denc.dictionary
+        sort_idx = pc.sort_indices(dict_arr).to_numpy().astype(np.int64)
+        rank = np.empty(sort_idx.size, dtype=np.int64)
+        rank[sort_idx] = np.arange(sort_idx.size, dtype=np.int64)
+        key = rank[codes]
+        order = np.lexsort((doc, key))
+        k_s = key[order]
         slots = doc[order] - base
         tfs = tf[order]
-        term = term.take(pa.array(order))
 
-        n = th.size
+        n = k_s.size
         if n > 1:
-            change = th[1:] != th[:-1]
+            change = k_s[1:] != k_s[:-1]
             tstarts = np.concatenate(([0], np.flatnonzero(change) + 1))
         else:
             tstarts = np.zeros(1 if n else 0, dtype=np.int64)
-
-        # th-collision guard: a span whose terms aren't all equal is
-        # re-sorted by (term, doc) and split per real term.  Vanishingly
-        # rare (64-bit hashes), handled for correctness.
-        if n > 1:
-            adj_neq = ~pc.equal(term.slice(1), term.slice(0, n - 1)).to_numpy(
-                zero_copy_only=False
-            )
-            tstart_mask = np.zeros(n, dtype=bool)
-            tstart_mask[tstarts] = True
-            collision_pos = np.flatnonzero(adj_neq & ~tstart_mask[1:])
-            if collision_pos.size:
-                spans = np.unique(
-                    np.searchsorted(tstarts, collision_pos + 1, side="right") - 1
-                )
-                # rebuild affected spans via stable term-string sort
-                new_starts = [tstarts]
-                for sp in spans:
-                    s = tstarts[sp]
-                    e = tstarts[sp + 1] if sp + 1 < tstarts.size else n
-                    sub = term.slice(s, e - s)
-                    sub_order = pc.sort_indices(sub).to_numpy().astype(np.int64)
-                    # stable sort keeps doc order within each term
-                    idx = np.arange(s, e)[sub_order]
-                    th[s:e] = th[idx]
-                    slots[s:e] = slots[idx]
-                    tfs[s:e] = tfs[idx]
-                    term = pa.concat_arrays(
-                        [
-                            term.slice(0, s).combine_chunks()
-                            if isinstance(term, pa.ChunkedArray)
-                            else term.slice(0, s),
-                            term.take(pa.array(idx)),
-                            term.slice(e).combine_chunks()
-                            if isinstance(term, pa.ChunkedArray)
-                            else term.slice(e),
-                        ]
-                    )
-                    sub2 = term.slice(s, e - s)
-                    neq2 = ~pc.equal(
-                        sub2.slice(1), sub2.slice(0, e - s - 1)
-                    ).to_numpy(zero_copy_only=False)
-                    new_starts.append(s + 1 + np.flatnonzero(neq2))
-                tstarts = np.unique(np.concatenate(new_starts))
+        out_terms = (
+            dict_arr.take(pa.array(sort_idx[k_s[tstarts]]))
+            if n
+            else dict_arr.slice(0, 0)
+        )
 
         out_df = np.empty(tstarts.size, dtype=np.int64)
         if tstarts.size:
             out_df[:-1] = tstarts[1:] - tstarts[:-1]
             out_df[-1] = n - tstarts[-1]
-        out_terms = term.take(pa.array(tstarts))
-
+        # posting-order invariant (the runs path asserts the same in
+        # __call__): within each term, slots must strictly ascend — a
+        # violation here would vbyte-encode a negative delta as a huge
+        # uint64 and persist corrupt postings silently
+        if n > 1:
+            d = np.diff(slots)
+            d[tstarts[1:] - 1] = 1  # group boundaries exempt
+            assert (d > 0).all(), "segment assembler: non-ascending slots"
         stats = self._write_segment(
             seg_id, info, doclens, out_terms, out_df, tstarts, slots, tfs
         )
@@ -361,12 +350,18 @@ class SegmentAssembler:
         pos_col = runs.column("positions").combine_chunks()
         pos_cells: list[bytes] | None = None
         if (pc.sum(pc.binary_length(pos_col)).as_py() or 0) > 0:
-            raw = pos_col.to_pylist()
-            pos_cells = []
-            for k in range(nterms):
-                s = trun_starts[k]
-                e = trun_starts[k + 1] if k + 1 < nterms else nruns
-                pos_cells.append(b"".join(raw[s:e]))
+            # same zero-copy regroup as postings/tfs above: one flat
+            # byte buffer + per-term lengths via reduceat — the old
+            # to_pylist() + per-term b''.join materialized every run
+            # cell as a Python bytes object (positions are usually the
+            # segment's largest payload) and doubled assembler peak
+            run_lens = pc.binary_length(pos_col).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            pos_cells = _binary_from_slices(
+                _concat_binary_cells(pos_col).tobytes(),
+                np.add.reduceat(run_lens, trun_starts),
+            )
 
         out_terms = term.take(trun_starts)
         stats = self._write_segment(
@@ -454,6 +449,12 @@ class SegmentAssembler:
                 term_first_block = np.zeros(nterms, dtype=np.int64)
                 np.cumsum(blocks_per_term[:-1], out=term_first_block[1:])
                 poff = excl - np.repeat(excl[term_first_block], blocks_per_term)
+                if poff.size and poff.max() >= (1 << 31):
+                    # same loud-failure policy as the zlib branch and
+                    # vbyte.py: a silent int32 wrap would make
+                    # decode_block read garbage offsets
+                    raise OverflowError(
+                        "per-term postings cell exceeds int32 offsets")
                 blk_poff = _binary_from_slices(
                     poff.astype("<i4").tobytes(), blocks_per_term * 4
                 )
@@ -465,6 +466,10 @@ class SegmentAssembler:
                 )
 
             dls = doclens[slots]
+            if slots.size and slots.max() >= (1 << 31):
+                raise OverflowError(
+                    "segment slot ids exceed int32 block metadata "
+                    "(docs_per_segment too large)")
             blk_last = slots[bends].astype("<i4")
             blk_maxtf = np.maximum.reduceat(tfs, bstarts).astype("<i4")
             blk_mindl = np.minimum.reduceat(dls, bstarts).astype("<i4")
@@ -492,7 +497,9 @@ class SegmentAssembler:
         if isinstance(term_arr, pa.ChunkedArray):
             term_arr = term_arr.combine_chunks()
         term_arr = term_arr.cast(pa.large_string())
-        if pos_cells is not None:
+        if isinstance(pos_cells, pa.Array):
+            positions_col = pos_cells  # pre-built LargeBinary cells
+        elif pos_cells is not None:
             positions_col = pa.array(pos_cells, pa.large_binary())
         else:
             positions_col = _binary_from_slices(

@@ -418,3 +418,33 @@ def test_normalizer_batch_scalar_agree_on_control_chars():
         or h.clean_batch([t])[0].split() == h.tokenize(t)
     assert preprocess_boolean_query("cats AND <b>dogs</b>", h) \
         == ("cats", "AND", "dogs")
+
+
+def test_segment_shuffle_sorted_dictionary(tmp_path):
+    """shuffle='segment' must write a term-SORTED dictionary — the
+    reader's prefix/wildcard bisection assumes it (hash order silently
+    broke every wildcard/prefix/regexp query on such indexes)."""
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+    from elasticsearch_ray.state.segment import SegmentReader
+
+    texts = ["merge merged merger alpha", "beta mercy", "alpha beta",
+             "merge once more"]
+    src = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"text": pa.array(texts, pa.string())}),
+                   str(src))
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx,
+                BuildConfig(analyzer="plain", shuffle="segment",
+                            target_partition_rows=2, docs_per_segment=4,
+                            url_column=None, lang_column=None))
+    r = SegmentReader(idx, 0)
+    assert r._term_list == sorted(r._term_list)
+    eng = QueryEngine(idx, num_searchers=0)
+    try:
+        res = eng.search("merg*", size=10)
+        assert sorted(x["doc_id"] for x in res["results"]) == [0, 3]
+        res2 = eng.search("me*", size=10)
+        assert sorted(x["doc_id"] for x in res2["results"]) == [0, 1, 3]
+    finally:
+        eng.close()
