@@ -9,14 +9,21 @@ merge associatively at the same fanout point:
 
 * **HyperLogLog** (plain HLL with the linear-counting small-range
   correction; ES's cardinality agg uses HLL++): 2^p one-byte registers
-  (p=14 -> 16 KB), relative error ~1.04/sqrt(2^p) ≈ 0.8%.  Merge =
-  elementwise max.  All register updates are vectorized
-  (``np.maximum.at`` over the hashed value stream).
+  (p=14 -> 16 KB), relative standard error ~1.04/sqrt(2^p) ≈ 0.8%.
+  Plain HLL carries the known systematic bias hump just above the
+  linear-counting cutover (n ≈ 2.5m..5m, i.e. ~40k-80k at p=14):
+  estimates there run ~+1.5-2.5% — HLL++'s empirical bias tables are
+  deliberately not reimplemented; size tolerances off the bias band,
+  not the 0.8% figure, in that range.  Merge = elementwise max.  All
+  register updates are vectorized (``np.maximum.at``).
 * **Centroid digest** (a deterministic 1-D t-digest variant over integer
   doc-values): each searcher compresses its exact ``np.unique`` value
   counts into <= k (mean value, weight) centroids by equal-weight
   cumulative bucketing; the driver concatenates, re-compresses, and reads
-  quantiles off the cumulative weights.  Rank error <= n/k per side.
+  quantiles off the cumulative weights.  Rank error <= n/k per side
+  PER COMPRESSION STAGE — the full pipeline compresses up to three
+  times (reader, searcher merge, driver merge), so the end-to-end
+  bound is O(c * n/k) with c <= 3.
 
 Both are pure numpy — no per-row Python in the hot path.
 """
@@ -43,16 +50,12 @@ def hash64(values: np.ndarray) -> np.ndarray:
 
 def hash64_strings(strings: list[str]) -> np.ndarray:
     """64-bit content hashes of strings (blake2b-8); one Python call per
-    DISTINCT category, so cost is bounded by the dictionary, not rows."""
-    import hashlib
+    DISTINCT category, so cost is bounded by the dictionary, not rows.
+    Delegates to the one shared blake2b-8 helper in ops.dedup so the
+    two modules can never drift on the stable content-hash contract."""
+    from ..ops.dedup import _text_hash64
 
-    out = np.empty(len(strings), dtype=np.uint64)
-    for i, s in enumerate(strings):
-        out[i] = np.frombuffer(
-            hashlib.blake2b((s or "").encode(), digest_size=8).digest(),
-            dtype=np.uint64,
-        )[0]
-    return out
+    return _text_hash64(strings)
 
 
 def hll_empty(p: int = HLL_P) -> np.ndarray:
@@ -64,12 +67,14 @@ def hll_add_hashes(regs: np.ndarray, hashes: np.ndarray, p: int = HLL_P) -> None
     if hashes.size == 0:
         return
     idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
-    w = hashes << np.uint64(p)  # remaining 64-p bits, left-aligned
+    # low 64-p bits in one mask (the former shift-left/shift-right pair
+    # allocated an extra full-size temporary per batch)
+    wv_mask = np.uint64((1 << (64 - p)) - 1)
     # rho = (64-p) - floor(log2(wv)) for wv > 0.  Computed with an exact
     # integer bit-length (6 vectorized shift/compare steps): float64
     # log2 is NOT exact here — log2(2^49-1) rounds UP to 49, making
     # floor(log2) off by one for all-ones patterns >= 49 bits.
-    wv = w >> np.uint64(p)
+    wv = hashes & wv_mask
     v = wv.copy()
     bl = np.zeros(v.shape, dtype=np.int64)
     for s in (32, 16, 8, 4, 2, 1):
@@ -105,11 +110,19 @@ def centroids_from_counts(
     """Compress sorted (value, count) pairs to <= k (mean, weight)
     centroids by equal-weight cumulative bucketing (weighted means stay
     order-preserving because input values are sorted)."""
+    if np.any(counts <= 0):
+        # a zero count makes its bucket id -1 and divides 0/0 into a
+        # NaN centroid that silently poisons every later percentile —
+        # internal callers (np.unique counts, merged weights) never
+        # pass zeros, so make the contract loud for external ones
+        raise ValueError("centroids_from_counts: counts must be > 0")
     if values.size <= k:
         return values.astype(np.float64), counts.astype(np.int64)
     cw = np.cumsum(counts, dtype=np.int64)
     total = int(cw[-1])
-    # bucket b covers cumulative weight ((b*total)//k, ((b+1)*total)//k]
+    # equal-weight bucketing: cumulative weight c lands in bucket
+    # ((c-1)*k)//total — a monotone <= k-way partition whose boundary
+    # buckets absorb the rounding when k does not divide total
     bucket = np.minimum(((cw - 1) * k) // total, k - 1)
     starts = np.concatenate(
         ([0], np.flatnonzero(bucket[1:] != bucket[:-1]) + 1)

@@ -42,7 +42,9 @@ _MERSENNE = (1 << 31) - 1
 
 
 def _text_hash64(texts: list[str]) -> np.ndarray:
-    """Stable 64-bit content hash (blake2b) per text."""
+    """Stable 64-bit content hash (blake2b) per text — the ONE shared
+    implementation (functions.sketches imports it too; a drifting copy
+    would silently desynchronize dedup and sketch hashing)."""
     out = np.empty(len(texts), dtype=np.uint64)
     for i, t in enumerate(texts):
         out[i] = np.frombuffer(
