@@ -27,6 +27,22 @@ import ray.data
 from .partition import list_to_matrix
 
 
+def _topk_block(ids: np.ndarray, s: np.ndarray, kk: int) -> np.ndarray:
+    """Deterministic block-local top-k indices under the (-cos, vec_id)
+    order: argpartition prunes to the score boundary, then every tie AT
+    the boundary resolves by vec_id — a bare argpartition keeps an
+    arbitrary member of a boundary tie, so a duplicate vector with the
+    lower id could be dropped before the merge and the documented
+    oracle tie-break silently violated."""
+    if ids.size <= kk:
+        return np.arange(ids.size)
+    part = np.argpartition(-s, kk - 1)
+    kth = s[part[kk - 1]]
+    cand = np.flatnonzero(s >= kth)
+    order = np.lexsort((ids[cand], -s[cand]))[:kk]
+    return cand[order]
+
+
 def _normalize(mat: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(mat, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -53,13 +69,19 @@ def brute_force_topk(
     def fn(batch: pa.Table) -> pa.Table:
         qm = ray.get(qref)
         ids = batch.column(id_col).to_numpy()
+        if not ids.size:  # empty block: (0,0) matmul would crash
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            })
         mat = _normalize(list_to_matrix(batch.column(vec_col), dtype))
         sims = mat @ qm.T  # (n, nq)
         out_q, out_id, out_cos = [], [], []
         kk = min(k, ids.size)
         for qi in range(qm.shape[0]):
             s = sims[:, qi]
-            idx = np.argpartition(-s, kk - 1)[:kk] if ids.size > kk else np.arange(ids.size)
+            idx = _topk_block(ids, s, kk)
             out_q.extend([qi] * idx.size)
             out_id.extend(ids[idx].tolist())
             out_cos.extend(s[idx].astype(np.float64).tolist())
@@ -152,6 +174,8 @@ def ivf_build(
         [r[vec_col] for r in ds.randomize_block_order(seed=seed)
          .limit(sample_size).take_all()], dtype=np.float32
     )
+    if sample.size == 0:
+        raise ValueError("cannot build an IVF index over an empty dataset")
     cent = _normalize(kmeans_fit(_normalize(sample), n_clusters, seed=seed))
     os.makedirs(index_dir, exist_ok=True)
     # meta.json is written LAST (build-finished marker); a dir without it is
@@ -166,6 +190,13 @@ def ivf_build(
     def assign(batch: pa.Table) -> pa.Table:
         cm = ray.get(cref)
         ids = batch.column(id_col).to_numpy()
+        if not ids.size:  # empty block: (0,0) matmul would crash
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "embn": pa.array([], pa.list_(pa.float32())),
+                "cid": pa.array([], pa.int32()),
+                "bucket": pa.array([], pa.int32()),
+            })
         mat = _normalize(list_to_matrix(batch.column(vec_col), np.float32))
         cid = (mat @ cm.T).argmax(1).astype(np.int32)
         return pa.table(
@@ -219,6 +250,12 @@ def ivf_query(
     """
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
+    if meta.get("kind", "ivf") != "ivf":
+        # the reciprocal of ivfpq_query's guard: pointed at an IVF-PQ
+        # dir this would crash on the missing 'embn' column deep in a
+        # Ray task instead of failing intelligibly
+        raise ValueError(f"{index_dir!r} is not a plain IVF index "
+                         f"(kind={meta.get('kind')!r}); use ivfpq_query")
     id_col = meta["id_col"]
     cent = np.load(os.path.join(index_dir, "centroids.npy"))
     q = _normalize(np.asarray(query_vecs, dtype=np.float32))
@@ -253,12 +290,7 @@ def ivf_query(
                 continue
             s = mat[mask] @ qm[qi]
             sub_ids = ids[mask]
-            kk = min(k, sub_ids.size)
-            idx = (
-                np.argpartition(-s, kk - 1)[:kk]
-                if sub_ids.size > kk
-                else np.arange(sub_ids.size)
-            )
+            idx = _topk_block(sub_ids, s, min(k, sub_ids.size))
             out_q.extend([qi] * idx.size)
             out_id.extend(sub_ids[idx].tolist())
             out_cos.extend(s[idx].astype(np.float64).tolist())
@@ -276,27 +308,46 @@ def ivf_query(
     import glob as _glob
 
     files = [f for p in paths for f in sorted(_glob.glob(os.path.join(p, "*.parquet")))]
-    cand = ray.data.read_parquet(files).map_batches(
-        fn, batch_format="pyarrow"
-    ).take_all()
-    qids = np.array([r["query_id"] for r in cand], dtype=np.int64)
-    vids = np.array([r[id_col] for r in cand], dtype=np.int64)
-    coss = np.array([r["cos"] for r in cand], dtype=np.float64)
-    rows_q, rows_r, rows_v, rows_c = [], [], [], []
-    for qi in range(q.shape[0]):
-        m = qids == qi
-        v, c = vids[m], coss[m]
+
+    # distributed per-query merge (same bounded pattern as
+    # brute_force_topk): candidates shuffle by query_id and reduce to
+    # top-k INSIDE the cluster — the old take_all() of per-batch
+    # candidates grew with probed-bucket block count, the exact driver
+    # bottleneck the round-4 fix removed from the brute path
+    def merge_group(g: pa.Table) -> pa.Table:
+        v = g.column(id_col).to_numpy()
+        c = g.column("cos").to_numpy()
         order = np.lexsort((v, -c))[:k]
-        rows_q.extend([qi] * order.size)
-        rows_r.extend(range(1, order.size + 1))
-        rows_v.extend(v[order].tolist())
-        rows_c.extend(c[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    [g.column("query_id")[0].as_py()] * order.size,
+                    pa.int64(),
+                ),
+                "rank": pa.array(
+                    np.arange(1, order.size + 1, dtype=np.int32),
+                    pa.int32(),
+                ),
+                id_col: pa.array(v[order], pa.int64()),
+                "cos": pa.array(c[order], pa.float64()),
+            }
+        )
+
+    merged = (
+        ray.data.read_parquet(files)
+        .map_batches(fn, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge_group, batch_format="pyarrow")
+        .take_all()
+    )
+    merged.sort(key=lambda r: (r["query_id"], r["rank"]))
     return pa.table(
         {
-            "query_id": pa.array(rows_q, pa.int64()),
-            "rank": pa.array(rows_r, pa.int32()),
-            id_col: pa.array(rows_v, pa.int64()),
-            "cos": pa.array(rows_c, pa.float64()),
+            "query_id": pa.array(
+                [r["query_id"] for r in merged], pa.int64()),
+            "rank": pa.array([r["rank"] for r in merged], pa.int32()),
+            id_col: pa.array([r[id_col] for r in merged], pa.int64()),
+            "cos": pa.array([r["cos"] for r in merged], pa.float64()),
         }
     )
 
@@ -395,12 +446,7 @@ def ivf_query_rescore(
                 continue
             s = mat[mask] @ qm[qi]
             sub_ids = ids[mask]
-            kk = min(k, sub_ids.size)
-            idx = (
-                np.argpartition(-s, kk - 1)[:kk]
-                if sub_ids.size > kk
-                else np.arange(sub_ids.size)
-            )
+            idx = _topk_block(sub_ids, s, min(k, sub_ids.size))
             out_q.extend([qi] * idx.size)
             out_id.extend(sub_ids[idx].tolist())
             out_cos.extend(s[idx].astype(np.float64).tolist())
@@ -553,6 +599,9 @@ def ivfpq_build(
          .limit(sample_size).take_all()],
         dtype=np.float32,
     )
+    if sample.size == 0:
+        raise ValueError(
+            "cannot build an IVF-PQ index over an empty dataset")
     sample = _normalize(sample)
     cent = _normalize(kmeans_fit(sample, n_clusters, seed=seed))
     books = pq_train(sample, m=m, pq_k=pq_k, seed=seed)
@@ -565,16 +614,28 @@ def ivfpq_build(
     np.save(os.path.join(index_dir, "codebooks.npy"), books)
     cref = ray.put((cent, books))
 
+    # codes stay at their native width (uint8 for pq_k <= 256, uint16
+    # above) — widening to int32 quadrupled the per-vector footprint the
+    # PQ exists to shrink
+    code_type = pa.uint8() if books.shape[1] <= 256 else pa.uint16()
+
     def assign(batch: pa.Table) -> pa.Table:
         cm, bk = ray.get(cref)
         ids = batch.column(id_col).to_numpy()
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "code": pa.array([], pa.list_(code_type)),
+            "cid": pa.array([], pa.int32()),
+            "bucket": pa.array([], pa.int32()),
+        })
+        if not ids.size:
+            return empty
         mat = _normalize(list_to_matrix(batch.column(vec_col), np.float32))
         cid = (mat @ cm.T).argmax(1).astype(np.int32)
         codes = pq_encode(mat, bk)
         return pa.table({
             id_col: pa.array(ids, pa.int64()),
-            "code": pa.array(list(codes.astype(np.int32)),
-                             pa.list_(pa.int32())),
+            "code": pa.array(list(codes), pa.list_(code_type)),
             "cid": pa.array(cid),
             "bucket": pa.array(cid),
         })
@@ -624,6 +685,27 @@ def ivfpq_query(
     q = _normalize(np.asarray(query_vecs, dtype=np.float32))
     out = []
     id_col = meta["id_col"]
+    # decode each probed bucket ONCE across all queries (the former
+    # per-query read repeated identical parquet I/O + decoding up to
+    # nq times; ivf_probe_pairs already used this bucket-dict pattern)
+    all_probes = {
+        int(c)
+        for qi in range(q.shape[0])
+        for c in np.argsort(-(cent @ q[qi]))[:nprobe]
+    }
+    bucket_data: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for cid in sorted(all_probes):
+        part = os.path.join(index_dir, "buckets", f"cid={cid}")
+        if not os.path.isdir(part):
+            continue
+        t = pads.dataset(part, format="parquet").to_table(
+            columns=[id_col, "code"]
+        )
+        if not t.num_rows:
+            continue
+        # vectorized list-column decode (no per-row Python np.asarray)
+        codes = list_to_matrix(t.column("code"), np.int64)
+        bucket_data[cid] = (t.column(id_col).to_numpy(), codes)
     for qi in range(q.shape[0]):
         probes = np.argsort(-(cent @ q[qi]))[:nprobe]
         lut = np.empty((m, pq_k), dtype=np.float64)
@@ -632,20 +714,12 @@ def ivfpq_query(
         cand_ids: list[np.ndarray] = []
         cand_sim: list[np.ndarray] = []
         for cid in probes:
-            part = os.path.join(index_dir, "buckets", f"cid={int(cid)}")
-            if not os.path.isdir(part):
+            got = bucket_data.get(int(cid))
+            if got is None:
                 continue
-            t = pads.dataset(part, format="parquet").to_table(
-                columns=[id_col, "code"]
-            )
-            if not t.num_rows:
-                continue
-            codes = np.stack(
-                [np.asarray(c, dtype=np.int64)
-                 for c in t.column("code").to_pylist()]
-            )
+            ids_b, codes = got
             sims = lut[np.arange(m)[None, :], codes].sum(1)
-            cand_ids.append(t.column(id_col).to_numpy())
+            cand_ids.append(ids_b)
             cand_sim.append(sims)
         if not cand_ids:
             out.append({"query_id": qi, "ids": [], "sims_u": []})

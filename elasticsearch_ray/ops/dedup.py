@@ -692,6 +692,12 @@ def embedding_bucket_rows(
     def assign(batch: pa.Table) -> pa.Table:
         cm = ray.get(cref)
         ids = batch.column(id_col).to_numpy()
+        if not ids.size:  # empty block: (0,0) matmul would crash
+            return pa.table({
+                "cid": pa.array([], pa.int32()),
+                id_col: pa.array([], pa.int64()),
+                "vecn": pa.array([], pa.list_(pa.float32())),
+            })
         mat = _normalize(list_to_matrix(batch.column(vec_col), np.float32))
         sims = mat @ cm.T
         if p < cm.shape[0]:
