@@ -1,7 +1,12 @@
 """In-repo reference oracle: single-process, dict-based index + scorers.
 
-A faithful (but tiny) reimplementation of the reference semantics, used ONLY
-by tests as ground truth for the distributed engine:
+A faithful (but tiny) reimplementation of the reference semantics, used
+by tests as ground truth for the distributed engine.  NOT tests-only:
+``to_rpn`` / ``looks_boolean`` / ``BOOLEAN_OPERATORS`` are ALSO the
+engine's production boolean parser (pipelines/query.py imports them),
+so oracle-vs-engine comparisons of RPN construction are tautological —
+parser changes here change BOTH sides and need their own direct tests
+(tests/test_rpn.py):
 
 * index build:       ``selfindex_q_daat.py:59-125`` (A1-A6)
 * TAAT BM25/TF-IDF:  ``selfindex_q_taat.py:139-209`` (Q1, F5, F6)
@@ -65,16 +70,81 @@ def to_rpn(tokens: tuple[str, ...]) -> tuple[str, ...]:
             if stack:
                 stack.pop()
         else:
+            # NOT is unary and right-associative: pop only STRICTLY
+            # higher precedence, so 'NOT NOT a' nests as NOT(NOT a)
+            # instead of popping the outer NOT before any operand
+            # exists (which produced an underflowing RPN defined as
+            # empty)
+            limit = PRECEDENCE[token] + (0 if token == "NOT" else -1)
             while (
                 stack
                 and stack[-1] != "("
-                and PRECEDENCE.get(stack[-1], 0) >= PRECEDENCE[token]
+                and PRECEDENCE.get(stack[-1], 0) > limit
             ):
                 output.append(stack.pop())
             stack.append(token)
     while stack:
         output.append(stack.pop())
     return tuple(output)
+
+
+def span_terms(text: str, normalizer) -> list[str]:
+    """Analyzed terms of ONE quoted span with ES match_phrase_prefix
+    handling: a raw trailing-``*`` last word becomes an unanalyzed
+    lowercased prefix term (``net*``), the leading words analyze
+    normally.  Shared by the pure-phrase AND boolean-phrase routes of
+    both the engine and the oracle, so a prefix span keeps its
+    semantics when combined with boolean operators instead of the
+    ``*`` being silently analyzed away."""
+    import re as _re
+
+    prefix_term = None
+    if text.rstrip().endswith("*"):
+        body = text.rstrip().rstrip("*")
+        head, _, last = body.rpartition(" ")
+        last = _re.sub(r"[^a-z0-9]", "", last.lower())
+        if last:
+            prefix_term, text = last + "*", head
+    terms = normalizer.preprocess_query_list(text)
+    if prefix_term is not None:
+        terms.append(prefix_term)
+    return terms
+
+
+VANISHED = "\0GONE"
+
+
+def drop_vanished_operands(tokens: list[str]) -> list[str]:
+    """Remove ``VANISHED`` placeholder operands (quoted spans whose text
+    analyzed to zero terms) TOGETHER with the operator that bound them —
+    Lucene drops null clauses from a BooleanQuery wholesale, so
+    ``'"x" OR dog'`` (with 'x' analyzed away) must mean ``dog``, not a
+    dangling-operator RPN that underflows into defined-empty.  Rules,
+    applied to a fixpoint: ``NOT GONE -> GONE`` (a dropped must_not
+    clause contributes nothing), ``op GONE`` / ``GONE op`` for binary
+    ops remove both, ``( GONE )`` collapses to GONE, and a bare
+    leftover GONE disappears (an all-vanished query is match-none)."""
+    toks = list(tokens)
+    changed = True
+    while changed:
+        changed = False
+        for i, t in enumerate(toks):
+            if t != VANISHED:
+                continue
+            if i > 0 and toks[i - 1] == "NOT":
+                toks[i - 1:i + 1] = [VANISHED]
+            elif (0 < i and toks[i - 1] in ("AND", "OR")):
+                del toks[i - 1:i + 1]
+            elif (i + 1 < len(toks) and toks[i + 1] in ("AND", "OR")):
+                del toks[i:i + 2]
+            elif (0 < i and i + 1 < len(toks)
+                  and toks[i - 1] == "(" and toks[i + 1] == ")"):
+                toks[i - 1:i + 2] = [VANISHED]
+            else:
+                del toks[i]
+            changed = True
+            break
+    return toks
 
 
 def looks_boolean(query: str) -> bool:
@@ -109,7 +179,13 @@ class OracleIndex:
 
     def build(self, docs: list[tuple[int, str]]) -> None:
         """docs: (doc_id, raw_text).  Mirrors ``create_index`` A1-A6."""
+        seen_ids = set()
         for doc_id, text in docs:
+            if doc_id in seen_ids:
+                # silent duplicates would double-count postings and
+                # inflate doc_count/avgdl — wrong 'ground truth'
+                raise ValueError(f"duplicate doc_id {doc_id} in build()")
+            seen_ids.add(doc_id)
             tokens = self.normalizer.tokenize(text)
             tf = dict(Counter(tokens))
             self.doc_tf[doc_id] = tf
@@ -244,7 +320,12 @@ class OracleIndex:
 
     def _pos_map(self, t: str) -> dict:
         """doc -> sorted positions; a trailing-* term merges every
-        vocabulary term sharing the prefix (match_phrase_prefix)."""
+        vocabulary term sharing the prefix (match_phrase_prefix).
+        CONTRACT NOTE: the engine caps prefix expansion at
+        max_expansions=50 per segment (the ES default); the oracle
+        merges the WHOLE vocabulary, so engine-vs-oracle comparisons
+        are exact only while each segment has <= 50 expansions of the
+        prefix — keep fuzz prefixes narrow."""
         if len(t) > 1 and t.endswith("*"):
             merged: dict[int, list[int]] = {}
             for vt, m in self.positions.items():
@@ -297,9 +378,10 @@ class OracleIndex:
         for part in parts_re.split(query_text):
             m = span_re.match(part)
             if m:
-                terms = self.normalizer.preprocess_query_list(m.group(1))
+                terms = span_terms(m.group(1), self.normalizer)
                 if not terms:
-                    continue
+                    tokens.append(VANISHED)  # null clause: dropped with
+                    continue                 # its operator below
                 key = f"\0PH{len(phrase_sets)}"
                 phrase_sets[key] = self._phrase_docs(
                     terms, int(m.group(2)) if m.group(2) else 0
@@ -309,7 +391,7 @@ class OracleIndex:
                 tokens.extend(
                     preprocess_boolean_query(part, self.normalizer)
                 )
-        rpn = to_rpn(tuple(tokens))
+        rpn = to_rpn(tuple(drop_vanished_operands(tokens)))
         all_docs = set(self.doc_ids)
         stack: list[set[int]] = []
         try:
@@ -342,69 +424,36 @@ class OracleIndex:
         residual_text = _re.sub(r'"[^"]*"(?:~\d+)?', " ", query_text)
         phrases, slops = [], []
         for text, slop in spans:
-            # match_phrase_prefix: raw last word -> lowercased UNanalyzed
-            # prefix term (mirrors QueryEngine.parse_phrases)
-            prefix_term = None
-            if text.rstrip().endswith("*"):
-                body = text.rstrip().rstrip("*")
-                head, _, last = body.rpartition(" ")
-                last = _re.sub(r"[^a-z0-9]", "", last.lower())
-                if last:
-                    prefix_term, text = last + "*", head
-            terms = self.normalizer.preprocess_query_list(text)
-            if prefix_term is not None:
-                terms.append(prefix_term)
+            terms = span_terms(text, self.normalizer)
             if terms:
                 phrases.append(terms)
                 slops.append(int(slop) if slop else 0)
         residual = self.normalizer.preprocess_query_list(residual_text)
+        if looks_boolean(_re.sub(r'"[^"]*"(?:~\d+)?', " ", query_text)):
+            # boolean expression with phrase operands — decided BEFORE
+            # the empty-phrases fallback, like the engine: a query whose
+            # every span analyzed away must still take the boolean route
+            # (where vanished spans drop with their operators), not
+            # re-tokenize the span text as plain boolean operands
+            return self.query_boolean_phrases(query_text, size)
         if not phrases:
             stripped = query_text.replace('"', " ")
             if looks_boolean(stripped):
                 return self.query_boolean(stripped, size)
             return self.query_taat(stripped, size)
-        if looks_boolean(_re.sub(r'"[^"]*"(?:~\d+)?', " ", query_text)):
-            # boolean expression with phrase operands (engine routing twin)
-            return self.query_boolean_phrases(query_text, size)
 
-        phrase_maps = [
-            [self._pos_map(t) for t in phrase] for phrase in phrases
-        ]
+        # one phrase-matcher: the same _phrase_docs DP the boolean-
+        # phrases route uses (an inline second copy of the slack-budget
+        # DP could silently drift from it)
         cand: set[int] | None = None
-        for maps in phrase_maps:
-            docs = None
-            for m in maps:
-                s = set(m)
-                docs = s if docs is None else docs & s
+        for phrase, slop in zip(phrases, slops):
+            docs = self._phrase_docs(phrase, slop)
             cand = docs if cand is None else cand & docs
         for t in residual:
-            cand = cand & set(self.inverted_index.get(t, []))
-        matched = []
-        for d in sorted(cand or ()):
-            ok = True
-            for maps, slop in zip(phrase_maps, slops):
-                # brute-force in-order DP: frontier maps end-position ->
-                # min slack spent; same semantics as the engine's
-                # slack-budget DP (scoring.phrase_eval slops)
-                frontier = {p: 0 for p in maps[0][d]}
-                for m in maps[1:]:
-                    new: dict[int, int] = {}
-                    for p in m[d]:
-                        costs = [
-                            c + (p - q - 1)
-                            for q, c in frontier.items()
-                            if q < p and c + (p - q - 1) <= slop
-                        ]
-                        if costs:
-                            new[p] = min(costs)
-                    frontier = new
-                    if not frontier:
-                        ok = False
-                        break
-                if not ok:
-                    break
-            if ok:
-                matched.append(d)
+            cand = (cand if cand is not None
+                    else set(self.doc_ids)) & set(
+                self.inverted_index.get(t, []))
+        matched = sorted(cand or ())
         return {
             "query": query_text,
             "total_hits": len(matched),

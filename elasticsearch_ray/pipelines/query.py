@@ -2731,20 +2731,13 @@ class QueryEngine:
         normally."""
         import re as _re
 
+        from ..oracle.oracle import span_terms
+
         spans = _re.findall(r'"([^"]*)"(?:~(\d+))?', query_text)
         residual_text = _re.sub(r'"[^"]*"(?:~\d+)?', " ", query_text)
         phrases, slops = [], []
         for text, slop in spans:
-            prefix_term = None
-            if text.rstrip().endswith("*"):
-                body = text.rstrip().rstrip("*")
-                head, _, last = body.rpartition(" ")
-                last = _re.sub(r"[^a-z0-9]", "", last.lower())
-                if last:
-                    prefix_term, text = last + "*", head
-            terms = normalizer.preprocess_query_list(text)
-            if prefix_term is not None:
-                terms.append(prefix_term)
+            terms = span_terms(text, normalizer)
             if terms:
                 phrases.append(terms)
                 slops.append(int(slop) if slop else 0)
@@ -5436,13 +5429,20 @@ class QueryEngine:
         span_re = re.compile(r'^"([^"]*)"(?:~(\d+))?$')
         tokens: list[str] = []
         phrase_ops: dict[str, tuple[list[str], int]] = {}
+        from ..oracle.oracle import (VANISHED, drop_vanished_operands,
+                                     span_terms as span_terms_shared)
+
         for part in parts_re.split(query_text):
             m = span_re.match(part)
             if m:
-                terms = self.normalizer.preprocess_query_list(m.group(1))
+                terms = span_terms_shared(m.group(1), self.normalizer)
                 if not terms:
-                    continue  # empty quotes vanish (match-all operand
-                # would make NOT semantics surprising)
+                    # null clause (Lucene drops these from the
+                    # BooleanQuery WITH their operator): a bare vanish
+                    # left a dangling operator whose RPN underflowed
+                    # into defined-empty — '"x" OR dog' must mean dog
+                    tokens.append(VANISHED)
+                    continue
                 key = f"\0PH{len(phrase_ops)}"
                 phrase_ops[key] = (
                     terms, int(m.group(2)) if m.group(2) else 0
@@ -5452,7 +5452,7 @@ class QueryEngine:
                 tokens.extend(
                     preprocess_boolean_query(part, self.normalizer)
                 )
-        rpn = to_rpn(tuple(tokens))
+        rpn = to_rpn(tuple(drop_vanished_operands(tokens)))
         fetch = from_ + size
         parts = self._fanout("search_boolean", rpn, fetch, phrase_ops)
         ids = np.concatenate([p[0] for p in parts])

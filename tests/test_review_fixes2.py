@@ -448,3 +448,45 @@ def test_segment_shuffle_sorted_dictionary(tmp_path):
         assert sorted(x["doc_id"] for x in res2["results"]) == [0, 1, 3]
     finally:
         eng.close()
+
+
+def test_boolean_phrase_null_clauses_and_prefix(tmp_path):
+    """Lucene null-clause semantics for quoted spans that analyze to
+    zero terms (dropped WITH their operator, both routes agree), plus
+    match_phrase_prefix spans keeping their semantics inside boolean
+    expressions; 'NOT NOT a' parses as nested negation."""
+    from elasticsearch_ray.oracle.oracle import OracleIndex, to_rpn
+    from elasticsearch_ray.pipelines.build import BuildConfig, build_index
+    from elasticsearch_ray.pipelines.query import QueryEngine
+
+    assert to_rpn(("NOT", "NOT", "a")) == ("a", "NOT", "NOT")
+    texts = ["neural network training deep", "neural nets are fun",
+             "deep dives only", "dog runs deep"]
+    src = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"text": pa.array(texts, pa.string())}),
+                   str(src))
+    idx = str(tmp_path / "idx")
+    build_index(str(src), idx,
+                BuildConfig(analyzer="reference", target_partition_rows=2,
+                            docs_per_segment=4, url_column=None,
+                            lang_column=None, store_positions=True))
+    eng = QueryEngine(idx, num_searchers=2)
+    o = OracleIndex(store_positions=True)
+    o.build(list(enumerate(texts)))
+    try:
+        for q, want in (
+            ('"x" OR dog', [3]),          # null span drops with its OR
+            ('"x" AND dog', [3]),         # Lucene drops the null must
+            ('dog AND NOT "x"', [3]),
+            ('"neural net*" AND deep', [0]),
+            ('deep AND NOT "neural net*"', [2, 3]),
+        ):
+            eids = sorted(r["doc_id"]
+                          for r in eng.search(q, size=10)["results"])
+            oids = sorted(r["doc_id"]
+                          for r in o.query_phrase(q, size=10)["results"])
+            assert eids == oids == want, (q, eids, oids)
+        with pytest.raises(ValueError, match="duplicate doc_id"):
+            OracleIndex().build([(1, "a b"), (1, "c")])
+    finally:
+        eng.close()
